@@ -1,0 +1,65 @@
+"""Table catalog for the driver-provided synthetic star schema.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet each under
+``/root/testdata/sf{0.001,0.01,0.1}``.
+
+Scale notes:
+- Loads are plain ``spark.read.parquet`` — schema comes from the files
+  (no inference pass), predicate pushdown and column pruning flow into
+  the scan for free.
+- ``events.ts`` is parquet TIMESTAMP(NANOS), unreadable by Spark's
+  vectorized reader; with ``spark.sql.legacy.parquet.nanosAsLong`` the
+  column arrives as epoch-nanos long and we derive a micros
+  TimestampType column plus ``ts_us`` (epoch micros, long).  Every
+  time comparison in the declared queries is over integer ``ts_us`` so
+  Spark and the DuckDB oracle (which keeps ns) can never disagree on a
+  boundary (SURVEY.md §2.B determinism rule 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table, normalizing the events timestamp."""
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            # epoch-nanos long -> micros timestamp; keep integer micros too.
+            df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+                "ts", F.timestamp_micros(F.col("ts_us"))
+            )
+        else:  # pragma: no cover - future Spark with native ns support
+            df = df.withColumn("ts_us", F.unix_micros("ts"))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the spark.sql surface)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

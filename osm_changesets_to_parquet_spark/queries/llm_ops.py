@@ -1,0 +1,304 @@
+"""LLM-data-pipeline queries Q34-Q40 + training-data curation extras
+(SURVEY.md §2.B [ns] scope; BASELINE.json north star).
+
+Every entry is backed by a reusable operator in
+``osm_changesets_to_parquet_spark.operators`` — the query here is the
+declared, oracle-checked instantiation on the driver's tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.operators import text as T
+from osm_changesets_to_parquet_spark.operators.similarity import cosine_topk
+from osm_changesets_to_parquet_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q34_exact_dedup",
+    """
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY LOWER(TRIM(text))
+    ORDER BY keep_id
+    """,
+    doc=(
+        "exact dedup on normalized text: hash-groupBy, keep min doc_id. "
+        "At 100 TB the group key would be a 128-bit hash of the normalized "
+        "text (operators.dedup.exact_dedup does that) so the shuffle carries "
+        "16 bytes/row, not documents."
+    ),
+    tables=("documents",),
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.lower(F.trim(F.col("text"))).alias("__norm"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search / vector ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q36_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    z AS (
+      SELECT e.vec_id,
+             CAST(unnest(e.embedding) AS DOUBLE) AS x,
+             CAST(unnest(q.qe) AS DOUBLE) AS y
+      FROM embeddings e, q
+    ),
+    d AS (
+      SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+      FROM z GROUP BY vec_id
+    )
+    SELECT vec_id, ROUND(dot / (SQRT(nx) * SQRT(ny)), 4) AS sim
+    FROM d ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    doc=(
+        "exact cosine top-10 vs the vec_id=0 vector: JVM-side zip_with/"
+        "aggregate fold + TakeOrderedAndProject (no global sort)"
+    ),
+    tables=("embeddings",),
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return cosine_topk(emb, query, k=10)
+
+
+@register(
+    "q37_centroid",
+    """
+    WITH px AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    c AS (SELECT label, pos, AVG(v) AS m FROM px GROUP BY label, pos)
+    SELECT label, ROUND(SQRT(SUM(m*m)), 4) AS centroid_norm
+    FROM c GROUP BY label ORDER BY label
+    """,
+    doc="per-label centroid via posexplode + positional AVG; output its L2 norm",
+    tables=("embeddings",),
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm"))
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q38_token_freq",
+    """
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+    """,
+    doc="top-20 tokens: explode + groupBy (map-side partial agg) + top-k",
+    tables=("documents",),
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        T.term_freq(docs)
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "q39_bigrams",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    b AS (
+      SELECT lang, tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+      FROM t
+    ),
+    g AS (
+      SELECT lang, bigram, COUNT(*) AS cnt FROM b WHERE bigram IS NOT NULL
+      GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, cnt FROM (
+      SELECT lang, bigram, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rn
+      FROM g
+    ) WHERE rn <= 10
+    ORDER BY lang, cnt DESC, bigram
+    """,
+    doc=(
+        "top-10 bigrams per lang; Spark builds bigrams inside the row "
+        "(zip_with over shifted slices — no window, no extra shuffle)"
+    ),
+    tables=("documents",),
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = T.bigrams(docs, keep=["lang"]).groupBy("lang", "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("bigram"))
+    return (
+        g.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("lang", "bigram", "cnt")
+        .orderBy("lang", F.col("cnt").desc(), "bigram")
+    )
+
+
+@register(
+    "q40_tfidf",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT lang, token, COUNT(*) AS tf FROM t GROUP BY lang, token),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY token),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.lang, tf.token, ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS score
+      FROM tf JOIN dfreq df USING (token) CROSS JOIN n
+    )
+    SELECT lang, token, score FROM (
+      SELECT lang, token, score,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, token) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    ORDER BY lang, score DESC, token
+    """,
+    doc="tf-idf top-5 per lang (tf in lang x ln(N/df) global); ranked on rounded score",
+    tables=("documents",),
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = T.tf_idf(docs).withColumn("score", F.round("score", 4))
+    top = T.top_terms_per_group(scored, "lang", "score", 5)
+    return top.select("lang", "token", "score").orderBy(
+        "lang", F.col("score").desc(), "token"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation heuristics (beyond SURVEY's own list)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t41_language_id",
+    """
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+        len(list_filter(['the','and','of','to','a'], m -> list_contains(tk, m))) AS score_en,
+        len(list_filter(['der','die','und','das','ist'], m -> list_contains(tk, m))) AS score_de,
+        len(list_filter(['le','la','et','les','des'], m -> list_contains(tk, m))) AS score_fr,
+        len(list_filter(['el','la','de','que','los'], m -> list_contains(tk, m))) AS score_es,
+        len(list_filter(['de','shi','le','bu','wo'], m -> list_contains(tk, m))) AS score_zh
+      FROM toks
+    )
+    SELECT doc_id, lang,
+      CASE WHEN GREATEST(score_en, score_de, score_fr, score_es, score_zh) = 0 THEN NULL
+           WHEN score_en = GREATEST(score_en, score_de, score_fr, score_es, score_zh) THEN 'en'
+           WHEN score_de = GREATEST(score_en, score_de, score_fr, score_es, score_zh) THEN 'de'
+           WHEN score_fr = GREATEST(score_en, score_de, score_fr, score_es, score_zh) THEN 'fr'
+           WHEN score_es = GREATEST(score_en, score_de, score_fr, score_es, score_zh) THEN 'es'
+           ELSE 'zh' END AS pred_lang
+    FROM scored ORDER BY doc_id
+    """,
+    doc="marker-token language-ID heuristic; fully in-row, zero shuffle",
+    tables=("documents",),
+)
+def t41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return T.language_id(docs).select("doc_id", "lang", "pred_lang").orderBy("doc_id")
+
+
+@register(
+    "t42_quality_score",
+    r"""
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      ROUND(len(list_filter(['the','and','of','to','a'], s -> list_contains(string_split(text,' '), s)))
+            / GREATEST(len(string_split(text, ' ')), 1), 6) AS stopword_ratio,
+      ROUND(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+            / GREATEST(length(text), 1), 6) AS punct_ratio,
+      ROUND((length(text) - (len(string_split(text, ' ')) - 1))
+            / GREATEST(len(string_split(text, ' ')), 1), 6) AS mean_token_len
+    FROM documents ORDER BY doc_id
+    """,
+    doc="quality signals: length, stopword ratio, punctuation ratio, token length",
+    tables=("documents",),
+)
+def t42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.quality_score(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio", "punct_ratio", "mean_token_len"
+    ).orderBy("doc_id")
+
+
+@register(
+    "t43_token_count",
+    r"""
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    doc="whitespace + BPE-ish (GPT-2 pretokenizer regex) token counting",
+    tables=("documents",),
+)
+def t43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.token_count(docs).select("doc_id", "ws_tokens", "bpeish_tokens").orderBy("doc_id")
+
+
+@register(
+    "t44_fingerprint",
+    """
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+    doc=(
+        "rolling-hash fingerprint (poly base 31 mod 1e9+7 over char codes) — "
+        "portable across engines, JVM-side lambda fold"
+    ),
+    tables=("documents",),
+)
+def t44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.fingerprint(docs).select("doc_id", "fp").orderBy("doc_id")

@@ -1,0 +1,130 @@
+"""UDF / UDAF / UDTF surface U1-U4 (SURVEY.md §2.B).
+
+UDFs are the engine's slow path by policy: everything here is either
+Arrow-vectorized (``pandas_udf``, ``applyInPandas``, grouped-agg
+``pandas_udf``) or a UDTF — never row-at-a-time Python.  Each has a
+pure-SQL oracle spelling, which doubles as documentation of exactly what
+the Python computes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.queries import register
+
+
+def _normalize_text_udf():
+    @pandas_udf("string")
+    def normalize_text(s: pd.Series) -> pd.Series:
+        """lower + collapse whitespace + trim (Arrow-vectorized)."""
+        return s.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+
+    return normalize_text
+
+
+@register(
+    "u1_pandas_udf_normalize",
+    r"""
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS norm
+    FROM documents ORDER BY doc_id
+    """,
+    doc="scalar Arrow-vectorized UDF; oracle is the equivalent SQL spelling",
+    tables=("documents",),
+)
+def u1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normalize_text = _normalize_text_udf()
+    return docs.select("doc_id", normalize_text("text").alias("norm")).orderBy("doc_id")
+
+
+@register(
+    "u2_grouped_map_zscore",
+    """
+    SELECT event_id,
+           ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    ORDER BY event_id
+    """,
+    doc="applyInPandas grouped-map: per-event-type z-score (sample stddev)",
+    tables=("events",),
+)
+def u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=1)
+        mean = pdf["value"].mean()
+        z = ((pdf["value"] - mean) / std).round(4)
+        return pd.DataFrame({"event_id": pdf["event_id"], "z": z})
+
+    return (
+        ev.groupBy("event_type")
+        .applyInPandas(zscore, schema="event_id bigint, z double")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "u3_udaf_geomean",
+    """
+    SELECT l_returnflag, ROUND(EXP(AVG(LN(l_quantity))), 6) AS geo_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="grouped-agg pandas UDF (UDAF): geometric mean",
+    tables=("lineitem",),
+)
+def u3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(geomean("l_quantity"), 6).alias("geo_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "u4_udtf_tokenize",
+    """
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents ORDER BY doc_id, pos
+    """,
+    doc="Python UDTF: one (pos, token) row per whitespace token, lateral-joined",
+    tables=("documents",),
+)
+def u4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, token: string")
+    class SplitTokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                yield (i, tok)
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("u4_documents")
+    spark.udtf.register("split_tokens", SplitTokens)
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos, t.token
+        FROM u4_documents, LATERAL split_tokens(text) t
+        ORDER BY doc_id, pos
+        """
+    )

@@ -1,0 +1,78 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Design notes (100 TB target, tested on local[32]):
+
+- ``spark.sql.session.timeZone=UTC``: the reference parses RFC3339
+  timestamps to epoch-millis UTC (reference: src/main.rs:193-197); pinning
+  the session TZ makes Spark's TimestampType semantics match, and makes
+  DuckDB-oracle comparisons deterministic (SURVEY.md §2.B determinism
+  rule 4).
+- AQE on (coalesce partitions + skew join): at 100 TB the static
+  shuffle-partition count is always wrong for some stage; AQE re-plans
+  from runtime statistics and splits skewed partitions (OSM `user` is
+  heavily skewed — a handful of power users/imports dominate).
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: the driver's
+  ``events.parquet`` carries TIMESTAMP(NANOS) which Spark cannot read
+  natively; we read nanos as long and convert (catalog.py) — lossless
+  down to micros, and every declared query compares on integer
+  epoch-micros, so ns truncation can never flip a comparison.
+- shuffle partitions default to the local core count; on a real cluster
+  leave it high (AQE coalesces down cheaply, but cannot split a
+  too-coarse non-skewed partitioning).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "osm-changesets-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults applied."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    conf = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": str(cpus),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.compression.codec": "snappy",
+        # local-mode friendliness; harmless on a cluster
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def configure_existing(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to a session we did not build
+    (the driver hands us one in ``__spark_entry__.entry``)."""
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # static conf on a started session — best effort
+            pass
+    return spark
