@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced with the noop sink (full plan execution, no
+collect/IO skew).  The set spans the engine's surface: scan, hash agg,
+star join, range join, window, top-k, JSON, dedup, cosine top-k,
+tf-idf, event-time windows, sessionization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from osm_changesets_to_parquet_spark import queries as Q  # noqa: E402
+from osm_changesets_to_parquet_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "q01_count",
+    "q04_groupby_agg",
+    "q10_join4_revenue",
+    "q17_range_join",
+    "q18_asof_join",
+    "q19_rank_topn",
+    "q24_topk",
+    "q31_json_extract",
+    "q34_exact_dedup",
+    "q36_cosine_topk",
+    "q38_token_freq",
+    "q40_tfidf",
+    "s1_tumbling_window",
+    "s3_session_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("engine-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = Q.queries()
+
+    # Warm-up: initialize executor threads, codegen, parquet footers for
+    # every table — measure the engine, not JVM startup / first IO touch.
+    from osm_changesets_to_parquet_spark.catalog import load_all
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for df in load_all(spark, sf_dir).values():
+        df.count()
+    qs["q04_groupby_agg"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,236 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all pure DataFrame compositions (JVM-side lambda folds,
+no Python in the hot path), all built on one *engine-portable* hash —
+a polynomial rolling hash (base 31, mod 2^61-ish prime) over character
+codes — so every step can be hash-matched against a SQL oracle:
+
+- :func:`exact_dedup`        — normalize -> 128-bit md5 group key
+  (the shuffle carries 16 bytes/row, never the document text)
+- :func:`shingles`           — word n-gram shingle arrays
+- :func:`minhash_signature`  — k permutation-style min-hashes
+- :func:`lsh_candidates`     — banded signature join (candidate pairs)
+- :func:`jaccard_pairs`      — exact n-gram Jaccard via shingle
+  explode + co-occurrence self-join (the truth set for MinHash recall)
+- :func:`simhash`            — 30-bit SimHash from token-hash sign sums
+
+Scale notes: shingle explode + groupBy is one token-keyed shuffle;
+LSH banding turns the quadratic all-pairs problem into |bands| keyed
+joins whose bucket sizes are the only quadratic term (bounded by
+collision probability, tunable via bands x rows).  MinHash constants
+are module-level so the DuckDB oracle can be generated with the same
+integers (queries/llm_ops.py does exactly that).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# portable polynomial hash modulus (fits: acc*31+c < 2^35 << 2^63)
+HASH_MOD = 1_000_000_007
+
+# MinHash: k=32 universal-hash functions h_j(x) = (a_j*x + b_j) % HASH_MOD,
+# banded 8x4 for LSH.  Constants are fixed and mirrored into the oracle SQL.
+N_HASHES = 32
+N_BANDS = 8
+ROWS_PER_BAND = 4
+_rng = random.Random(12345)
+MINHASH_A = [_rng.randrange(1, HASH_MOD) for _ in range(N_HASHES)]
+MINHASH_B = [_rng.randrange(0, HASH_MOD) for _ in range(N_HASHES)]
+
+
+def char_hash(col: Column) -> Column:
+    """Portable rolling hash of a string column (JVM lambda fold)."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(HASH_MOD),
+    )
+
+
+def normalize(col: Column) -> Column:
+    """Dedup normalization: lower + collapse whitespace + trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct normalized text: (keep_id, n_copies).
+
+    Groups on md5(normalized) so the shuffle key is 16 bytes regardless
+    of document size — the difference between shuffling 100 TB of text
+    and 1.6 TB of hashes.
+    """
+    return (
+        docs.groupBy(F.md5(normalize(F.col(text_col))).alias("__h"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Add ``shingle_hashes``: array<long> of hashed word n-gram shingles.
+
+    Shingle i (1-based) = tokens[i] || ' ' || ... || tokens[i+n-1],
+    built via sequence+element_at so the construction mirrors 1:1 into
+    the oracle's range()+list-index spelling.
+    """
+    tk = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.size(tk) >= n, F.sequence(F.lit(1), F.size(tk) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tk, i + j) for j in range(n)]
+    )
+    hashes = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.split(shingle(i), ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(HASH_MOD),
+        ),
+    )
+    return docs.withColumn("shingle_hashes", hashes)
+
+
+def minhash_signature(
+    docs_with_shingles: DataFrame, out_col: str = "sig"
+) -> DataFrame:
+    """Add ``sig``: array<long> of N_HASHES min-hash values.
+
+    Empty shingle sets get HASH_MOD sentinel values (never matches a
+    real hash, so empty docs only pair with empty docs).
+    """
+    hs = F.col("shingle_hashes")
+
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_MOD)
+
+    sig = F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(hs, perm(a, b))),
+                F.lit(HASH_MOD).cast("long"),
+            )
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
+    )
+    return docs_with_shingles.withColumn(out_col, sig)
+
+
+def band_keys(sig_col: Column) -> list[Column]:
+    """One combined key per LSH band: fold the band's signature rows with
+    the same base-31 combine as the char hash (portable to SQL)."""
+    keys = []
+    for band in range(N_BANDS):
+        acc = F.lit(0).cast("long")
+        for r in range(ROWS_PER_BAND):
+            acc = (acc * F.lit(31) + F.element_at(sig_col, band * ROWS_PER_BAND + r + 1)) % F.lit(
+                HASH_MOD
+            )
+        keys.append(acc)
+    return keys
+
+
+def lsh_candidates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (id_a < id_b), deterministic.
+
+    explode(band_idx, band_key) -> self-join per band -> distinct pairs.
+    The only shuffle keys are (band, band_key); bucket sizes — not the
+    corpus size — bound the join cost.
+    """
+    sigged = minhash_signature(shingles(docs, text_col, n))
+    keys = band_keys(F.col("sig"))
+    banded = sigged.select(
+        F.col(id_col),
+        F.posexplode(F.array(*keys)).alias("band", "bkey"),
+    )
+    a = banded.select(F.col("band"), F.col("bkey"), F.col(id_col).alias("id_a"))
+    b = banded.select(F.col("band"), F.col("bkey"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= threshold (id_a < id_b, jac rounded 4).
+
+    Distinct-shingle explode + self-join on shingle hash: only pairs
+    sharing at least one shingle are ever materialized (pairs with
+    Jaccard > 0 — the quadratic all-pairs never exists).
+    """
+    sh = shingles(docs, text_col, n).select(
+        F.col(id_col), F.explode(F.array_distinct("shingle_hashes")).alias("h")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("h"), F.col(id_col).alias("id_a"))
+    b = sh.select(F.col("h"), F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jac",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .where(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+    )
+
+
+SIMHASH_BITS = 30
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Add ``simhash``: 30-bit SimHash over whitespace tokens.
+
+    Token hash = portable char hash; bit j of the fingerprint is the
+    sign of sum over tokens of (2*bit_j(hash) - 1).  Pure integer math,
+    mirrored in the oracle SQL.  Near-dup = small hamming distance
+    (use bit_count(a ^ b) — see tests).
+    """
+    tk = F.split(F.col(text_col), " ")
+    hs = F.transform(
+        tk,
+        lambda t: F.aggregate(
+            F.split(t, ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(HASH_MOD),
+        ),
+    )
+    docs = docs.withColumn("__th", hs)
+
+    def bit_sum(j: int):
+        return lambda acc, h: acc + (
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+        )
+
+    fp = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        vj = F.aggregate(F.col("__th"), F.lit(0).cast("long"), bit_sum(j))
+        fp = fp + F.when(vj >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return docs.withColumn("simhash", fp).drop("__th")

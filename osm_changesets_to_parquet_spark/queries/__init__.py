@@ -57,6 +57,7 @@ def load_all_modules() -> None:
     """Import every query module so REGISTRY is fully populated."""
     from osm_changesets_to_parquet_spark.queries import (  # noqa: F401
         conversion,
+        dedup_sim,
         llm_ops,
         relational,
         udfs,

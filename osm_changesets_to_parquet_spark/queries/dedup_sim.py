@@ -1,0 +1,199 @@
+"""Dedup + similarity queries (SURVEY Q35 family + training-data extras).
+
+The oracle SQL here is *generated* from the same integer constants the
+Spark operators use (operators.dedup.MINHASH_A/B, HASH_MOD), so even the
+MinHash-LSH candidate set is hash-matched exactly — both engines run the
+same deterministic integer math, just spelled in their own lambda
+dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.operators import dedup as D
+from osm_changesets_to_parquet_spark.queries import register
+
+P = D.HASH_MOD
+
+# --- SQL generators mirroring the portable hash ----------------------------
+
+
+def _sql_charhash(expr: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {P})"
+    )
+
+
+_SQL_SHINGLE_HASHES = (
+    "list_transform(range(1, len(tk) - 1), i -> "
+    + _sql_charhash("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")
+    + ")"
+)
+
+_SQL_TOK = "SELECT doc_id, string_split(text, ' ') AS tk FROM documents"
+
+
+def _sql_sig_entries() -> str:
+    parts = [
+        f"COALESCE(list_min(list_transform(hs, h -> ({a} * h + {b}) % {P})), {P})"
+        for a, b in zip(D.MINHASH_A, D.MINHASH_B)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+def _sql_band_fold(band: int) -> str:
+    expr = f"(sig[{band * D.ROWS_PER_BAND + 1}] % {P})"
+    for r in range(1, D.ROWS_PER_BAND):
+        expr = f"(({expr} * 31 + sig[{band * D.ROWS_PER_BAND + r + 1}]) % {P})"
+    return expr
+
+
+_Q35_LSH_SQL = f"""
+WITH tok AS ({_SQL_TOK}),
+sh AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM tok),
+sig AS (SELECT doc_id, {_sql_sig_entries()} AS sig FROM sh),
+bands AS (
+  SELECT doc_id,
+         generate_subscripts([{", ".join(_sql_band_fold(b) for b in range(D.N_BANDS))}], 1) AS band,
+         unnest([{", ".join(_sql_band_fold(b) for b in range(D.N_BANDS))}]) AS bkey
+  FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+_Q35_TRUTH_SQL = f"""
+WITH tok AS ({_SQL_TOK}),
+sh AS (SELECT doc_id, list_distinct({_SQL_SHINGLE_HASHES}) AS hs FROM tok),
+ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jac
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "q35a_jaccard_truth",
+    _Q35_TRUTH_SQL,
+    doc=(
+        "exact 3-gram Jaccard pairs >= 0.6 (the MinHash truth set): distinct-"
+        "shingle explode + co-occurrence self-join — only overlapping pairs "
+        "materialize, never the quadratic all-pairs"
+    ),
+    tables=("documents",),
+)
+def q35a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, threshold=0.6).orderBy("id_a", "id_b")
+
+
+@register(
+    "q35b_minhash_lsh",
+    _Q35_LSH_SQL,
+    doc=(
+        "MinHash-LSH candidate pairs (32 hashes, 8 bands x 4 rows) — "
+        "deterministic integer math, hash-matched against a generated oracle "
+        "with identical constants; recall property (candidates ⊇ truth at "
+        "J>=0.6 w.h.p.) asserted in tests/test_dedup.py"
+    ),
+    tables=("documents",),
+)
+def q35b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.lsh_candidates(docs).orderBy("id_a", "id_b")
+
+
+# --- SimHash ----------------------------------------------------------------
+
+_T45_SQL = f"""
+WITH th AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), t -> {_sql_charhash('t')}) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       CAST({" + ".join(
+           f"CASE WHEN list_sum(list_transform(hs, h -> ((h // {1 << j}) % 2) * 2 - 1)) >= 0 "
+           f"THEN {1 << j} ELSE 0 END"
+           for j in range(D.SIMHASH_BITS)
+       )} AS BIGINT) AS simhash
+FROM th ORDER BY doc_id
+"""
+
+
+@register(
+    "t45_simhash",
+    _T45_SQL,
+    doc=(
+        "30-bit SimHash per document (token-hash sign sums) — portable "
+        "integer math; near-dup mining = hamming bit_count(a ^ b), tested in "
+        "tests/test_dedup.py"
+    ),
+    tables=("documents",),
+)
+def t45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.simhash(docs).select("doc_id", "simhash").orderBy("doc_id")
+
+
+# --- Embedding near-dup -----------------------------------------------------
+
+
+@register(
+    "e46_embedding_neardup",
+    """
+    WITH anchors AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+    z AS (
+      SELECT a.vec_id AS id_a, e.vec_id AS id_b,
+             CAST(unnest(a.embedding) AS DOUBLE) AS x,
+             CAST(unnest(e.embedding) AS DOUBLE) AS y
+      FROM anchors a JOIN embeddings e ON e.vec_id != a.vec_id
+    ),
+    d AS (
+      SELECT id_a, id_b, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+      FROM z GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, ROUND(dot / (SQRT(nx) * SQRT(ny)), 4) AS sim
+    FROM d
+    WHERE ROUND(dot / (SQRT(nx) * SQRT(ny)), 4) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    doc=(
+        "embedding-cosine near-dup vs anchor set (vec_id %% 100 == 0), "
+        "sim >= 0.3; the all-pairs scale path is operators.similarity."
+        "pairwise_cosine_neardup (SRP-LSH bucketed), property-tested"
+    ),
+    tables=("embeddings",),
+)
+def e46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.similarity import cosine_similarity_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    others = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim = F.round(cosine_similarity_col(F.col("va"), F.col("vb")), 4)
+    return (
+        F.broadcast(anchors)
+        .join(others, F.col("id_b") != F.col("id_a"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,80 @@
+"""Property tests for dedup/similarity operators (SURVEY Q35 P-mode +
+extras): LSH candidate sets must cover the exact truth sets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.operators import dedup as D
+from osm_changesets_to_parquet_spark.operators.similarity import (
+    lsh_topk,
+    cosine_topk,
+    pairwise_cosine_neardup,
+)
+
+
+def test_minhash_lsh_covers_truth(spark, sf_dir):
+    """Candidates ⊇ exact Jaccard>=0.6 pairs (8 bands x 4 rows: a J=0.6
+    pair collides in some band w.p. 1-(1-0.6^4)^8 ≈ 0.71; the fixture's
+    true pairs are J>=0.9 where coverage is ≈ 1-1e-7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r.id_a, r.id_b) for r in D.jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    cands = {(r.id_a, r.id_b) for r in D.lsh_candidates(docs).collect()}
+    assert truth, "fixture should contain true near-dup pairs"
+    missing = truth - cands
+    assert not missing, f"LSH missed true pairs: {sorted(missing)[:5]}"
+
+
+def test_exact_dedup_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    deduped = D.exact_dedup(docs)
+    agg = deduped.agg(
+        F.sum("n_copies").alias("before"), F.count(F.lit(1)).alias("after")
+    ).collect()[0]
+    assert agg.before == total
+    assert agg.after <= total
+
+
+def test_simhash_similar_docs_close(spark, sf_dir):
+    """Docs that are near-identical by Jaccard should have small SimHash
+    hamming distance vs the corpus background."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.9)
+    sh = D.simhash(docs).select("doc_id", "simhash")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    ham = joined.select(
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("d")
+    )
+    avg_dup = ham.agg(F.avg("d")).collect()[0][0]
+    assert avg_dup is not None and avg_dup < 8, f"near-dup hamming too large: {avg_dup}"
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    """SRP-LSH approximate top-k should recover most of the exact top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    exact = [r.vec_id for r in cosine_topk(emb, query, k=10).collect()]
+    # the fixture's nearest neighbors are weak (sim ~0.4 => ~66deg), so
+    # recall needs short signatures + many tables: P(bucket match/table)
+    # = 0.63^3 ~ 0.25, over 10 tables ~ 0.94
+    approx = [
+        r.vec_id
+        for r in lsh_topk(emb, query, k=10, dim=64, bits=3, n_tables=10).collect()
+    ]
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5, f"LSH top-k recall too low: {overlap}/10"
+
+
+def test_pairwise_neardup_runs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pairwise_cosine_neardup(emb, threshold=0.3)
+    rows = out.collect()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.sim >= 0.3
