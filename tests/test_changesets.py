@@ -1,0 +1,159 @@
+"""Ingest edge cases from FIXTURES.md §1.3 (mirror of the reference's
+parse semantics, src/main.rs:199-284)."""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from osm_changesets_to_parquet_spark.sources import fixtures
+from osm_changesets_to_parquet_spark.sources.changesets import (
+    convert,
+    read_changesets_xml,
+    validate_schema,
+)
+
+
+def _rows(df):
+    return {r["id"]: r.asDict() for r in df.collect()}
+
+
+def test_fixture_edge_cases(spark):
+    df = read_changesets_xml(spark, fixtures.write_fixture())
+    validate_schema(df)
+    rows = _rows(df)
+    assert set(rows) == {1, 2, 3, 4}
+    r1, r2, r3, r4 = rows[1], rows[2], rows[3], rows[4]
+    # full row
+    assert r1["open"] is False and r1["user"] == "alice" and r1["num_changes"] == 12
+    assert r1["min_lat"] == -10.5 and r1["description"] is None
+    # open + tz offset + escape + last-comment-wins + skipped discussion
+    assert r2["open"] is True and r2["closed_at"] is None
+    assert r2["user"] == "b&b"
+    assert r2["description"] == "second wins"
+    assert r2["comments_count"] == 0  # attribute only, never the discussion
+    # defaults: open="yes" -> false, absent attrs -> null, u32 > i32 widened
+    assert r3["open"] is False and r3["user"] is None and r3["uid"] is None
+    assert r3["num_changes"] == 3_000_000_000
+    assert r3["created_at"] is None
+    # unicode user
+    assert r4["user"] == "漢字 🚀" and r4["description"] is None
+
+
+def test_bz2_multistream_identical(spark):
+    plain = read_changesets_xml(spark, fixtures.write_fixture())
+    bz = read_changesets_xml(spark, fixtures.write_fixture_bz2_multistream())
+    assert sorted(map(str, plain.collect())) == sorted(map(str, bz.collect()))
+
+
+def test_continue_on_error_salvages_prefix(spark):
+    df = read_changesets_xml(
+        spark, fixtures.write_malformed_fixture(), continue_on_error=True
+    )
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]
+
+
+def test_convert_batch_size_splits_files(spark, tmp_path):
+    out = str(tmp_path / "out.parquet")
+    n = convert(spark, fixtures.write_fixture(), out, batch_size=1)
+    assert n == 4
+    files = [p for p in (tmp_path / "out.parquet").iterdir() if p.suffix == ".parquet"]
+    # maxRecordsPerFile=1 (reference --batch-size analog) => >=2 files
+    assert len(files) >= 2
+
+
+def test_cli_pipeline_and_watermark(spark, tmp_path):
+    from osm_changesets_to_parquet_spark.pipeline import main
+
+    out = str(tmp_path / "cli_out.parquet")
+    wm = tmp_path / ".last-modified"
+    rc = main(
+        [
+            "--input", fixtures.write_fixture(),
+            "--output", out,
+            "--watermark-file", str(wm),
+            "--source-last-modified", "Tue, 01 Jan 2030 00:00:00 GMT",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert wm.read_text().strip() == "Tue, 01 Jan 2030 00:00:00 GMT"
+    assert spark.read.parquet(out).count() == 4
+    # second run with same Last-Modified skips (incremental trigger)
+    rc2 = main(
+        [
+            "--input", fixtures.write_fixture(),
+            "--output", str(tmp_path / "never_written.parquet"),
+            "--watermark-file", str(wm),
+            "--source-last-modified", "Tue, 01 Jan 2030 00:00:00 GMT",
+        ],
+        spark=spark,
+    )
+    assert rc2 == 0
+    assert not (tmp_path / "never_written.parquet").exists()
+
+
+# --- property-based fuzz vs an independent ElementTree reference ------------
+
+_attr_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")), max_size=12
+)
+
+
+@st.composite
+def _changesets(draw):
+    n = draw(st.integers(min_value=0, max_value=8))
+    out = []
+    for i in range(n):
+        cs = {"id": str(i + 1)}
+        if draw(st.booleans()):
+            cs["open"] = draw(st.sampled_from(["true", "false", "yes", ""]))
+        if draw(st.booleans()):
+            cs["user"] = draw(_attr_text)
+        if draw(st.booleans()):
+            cs["num_changes"] = str(draw(st.integers(0, 2**32 - 1)))
+        comments = draw(st.lists(_attr_text, max_size=3))
+        out.append((cs, comments))
+    return out
+
+
+@given(_changesets())
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_fuzz_matches_elementtree(spark, data):
+    root = ET.Element("osm")
+    for attrs, comments in data:
+        el = ET.SubElement(root, "changeset", attrs)
+        for c in comments:
+            ET.SubElement(el, "tag", {"k": "comment", "v": c})
+    xml = ET.tostring(root, encoding="unicode", xml_declaration=True)
+    import hashlib
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"fuzz_{hashlib.md5(xml.encode()).hexdigest()}.xml"
+    )
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(xml)
+    try:
+        got = {r["id"]: r.asDict() for r in read_changesets_xml(spark, path).collect()}
+        # independent reference: ElementTree re-parse with the ref's rules
+        want = {}
+        for el in ET.fromstring(xml):
+            cid = int(el.get("id", "0"))
+            comments = [t.get("v") for t in el.findall("tag") if t.get("k") == "comment"]
+            want[cid] = {
+                "open": el.get("open") == "true",
+                "user": el.get("user"),
+                "num_changes": int(el.get("num_changes", "0")),
+                "description": comments[-1] if comments else None,
+            }
+        assert set(got) == set(want)
+        for cid, w in want.items():
+            g = got[cid]
+            for k, v in w.items():
+                assert g[k] == v, f"id={cid} field={k}: got {g[k]!r} want {v!r}"
+    finally:
+        os.unlink(path)
