@@ -154,3 +154,99 @@ def pairwise_cosine_neardup(
         .where(F.col("sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the scale path for repeated queries
+# ---------------------------------------------------------------------------
+
+
+def _dot_lit(vec_col, values: list[float]):
+    """Dot product against a driver-side constant vector, JVM-side."""
+    return _dot(vec_col, F.array(*[F.lit(float(v)) for v in values]))
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build an IVF index: deterministic seed centroids (the ``n_cells``
+    smallest ids) refined by ONE distributed Lloyd step, then every
+    vector assigned to its nearest centroid cell.
+
+    Returns ``(assigned_df, centroids)`` where ``assigned_df`` carries a
+    ``cell`` column.  At 100 TB the assigned frame is what you persist,
+    ``partitionBy("cell")`` — a probe then reads only nprobe/n_cells of
+    the data via partition pruning.  Centroids are tiny (n_cells x dim)
+    and always fit the driver; all per-vector work is JVM expressions
+    (no shuffle for assignment — the argmin over cells is an array
+    expression, not a join).
+    """
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in embeddings.orderBy(id_col).select(vec_col).limit(n_cells).collect()
+    ]
+
+    def nearest_cell(vec, centroids):
+        # argmin over cells without shuffle: array<struct<negdot,idx>> min
+        entries = [
+            F.struct((-_dot_lit(vec, c)).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+        return F.array_min(F.array(*entries))["i"]
+
+    # one Lloyd refinement, fully distributed: mean per (cell, position)
+    assigned0 = embeddings.withColumn("cell", nearest_cell(F.col(vec_col), seeds))
+    means = (
+        assigned0.select("cell", F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("v").alias("m"))
+        .collect()
+    )
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in means:
+        by_cell.setdefault(r.cell, {})[r.pos] = r.m
+    dim = len(seeds[0])
+    centroids = [
+        [by_cell.get(c, {}).get(p, seeds[c][p]) for p in range(dim)]
+        for c in range(len(seeds))
+    ]
+    assigned = embeddings.withColumn("cell", nearest_cell(F.col(vec_col), centroids))
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Probe the ``nprobe`` cells nearest the query and rerank exactly.
+
+    The cell filter is a pushable predicate: with the index persisted
+    ``partitionBy("cell")`` this is partition pruning — the scan touches
+    nprobe/n_cells of the corpus instead of all of it.
+    """
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q)) or 1.0
+
+    def cdist(c):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return -sum(a * b for a, b in zip(q, c)) / (qn * cn)
+
+    probes = sorted(range(len(centroids)), key=lambda i: (cdist(centroids[i]), i))[:nprobe]
+    sim = cosine_similarity_col(F.col(vec_col), F.array(*[F.lit(x) for x in q]))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        assigned.where(F.col("cell").isin(probes))
+        .select(id_col, sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )

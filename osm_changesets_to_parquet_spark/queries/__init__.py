@@ -56,10 +56,13 @@ def register(
 def load_all_modules() -> None:
     """Import every query module so REGISTRY is fully populated."""
     from osm_changesets_to_parquet_spark.queries import (  # noqa: F401
+        ann,
         conversion,
         dedup_sim,
         llm_ops,
+        multimodal,
         relational,
+        streaming_jobs,
         udfs,
         windows_streaming,
     )

@@ -1,0 +1,92 @@
+"""Streaming-only queries S4-S6 (SURVEY §2.B G-mode — here strengthened
+to H-mode): each runs a REAL Structured Streaming query (file-source
+replay, availableNow trigger, deterministic micro-batches) and returns
+its final state; because the replay is deterministic, the final state is
+expressible in plain SQL over the events table, so even the streaming
+semantics are hash-matched against DuckDB:
+
+- s4 on-time: watermark drops nothing when arrival order == event order
+  => final == batch tumbling counts.
+- s4 late: the 5 re-ordered rows arrive after the watermark passed their
+  event time => dropped => final == batch counts excluding exactly them.
+- s5: re-delivered duplicates removed within the watermark => final ==
+  batch counts.
+- s6: custom stateful running aggregate converges to the batch
+  per-user aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from osm_changesets_to_parquet_spark.queries import register
+from osm_changesets_to_parquet_spark.streaming import (
+    run_s4_watermark_tumbling,
+    run_s5_streaming_dedup,
+    run_s6_stateful_running_agg,
+)
+from osm_changesets_to_parquet_spark.streaming.jobs import N_LATE_ROWS
+
+
+@register(
+    "s4a_watermark_ontime",
+    """
+    SELECT epoch_us(ts) // 3600000000 AS hour_id, event_type, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2 ORDER BY hour_id, event_type
+    """,
+    doc="streaming tumbling agg + 10min watermark, in-order replay: no drops",
+    tables=("events",),
+)
+def s4a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_s4_watermark_tumbling(spark, sf_dir, late=False)
+
+
+@register(
+    "s4b_watermark_late_drops",
+    f"""
+    WITH ordered AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY epoch_us(ts), event_id) - 1 AS rn
+      FROM events
+    ), k AS (SELECT CAST(FLOOR(0.4 * COUNT(*)) AS BIGINT) AS k FROM events)
+    SELECT epoch_us(ts) // 3600000000 AS hour_id, event_type, COUNT(*) AS cnt
+    FROM ordered, k
+    WHERE rn < k.k OR rn >= k.k + {N_LATE_ROWS}
+    GROUP BY 1, 2 ORDER BY hour_id, event_type
+    """,
+    doc=(
+        "late-data replay: 5 rows re-delivered after the 10min watermark "
+        "passed their event time are dropped — the oracle excludes exactly "
+        "those rows"
+    ),
+    tables=("events",),
+)
+def s4b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_s4_watermark_tumbling(spark, sf_dir, late=True)
+
+
+@register(
+    "s5_streaming_dedup",
+    """
+    SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1 ORDER BY event_type
+    """,
+    doc="dropDuplicatesWithinWatermark removes a re-delivered early batch",
+    tables=("events",),
+)
+def s5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_s5_streaming_dedup(spark, sf_dir)
+
+
+@register(
+    "s6_stateful_running_agg",
+    """
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc=(
+        "applyInPandasWithState per-user running aggregate with timeout "
+        "converges to the batch aggregate"
+    ),
+    tables=("events",),
+)
+def s6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_s6_stateful_running_agg(spark, sf_dir)

@@ -24,10 +24,44 @@ Design notes (100 TB target, tested on local[32]):
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+_SHIP_MARKER = "spark.osm_changesets.pkg_shipped"
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Distribute this package to executor Python workers via addPyFile.
+
+    Pandas-UDF / applyInPandas closures defined in these modules pickle
+    BY REFERENCE (import path), so workers must be able to import
+    ``osm_changesets_to_parquet_spark`` — which fails whenever the
+    driver process was launched outside the repo (the external driver
+    does exactly that).  On a real cluster this is exactly how the
+    engine ships too: one small zip on the Spark file server, no
+    executor-side install.
+    """
+    try:
+        if spark.conf.get(_SHIP_MARKER, "") == "true":
+            return
+    except Exception:
+        pass
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zdir = tempfile.mkdtemp(prefix="osm_pkg_")
+    zpath = os.path.join(zdir, "osm_changesets_to_parquet_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    spark.conf.set(_SHIP_MARKER, "true")
 
 
 def get_spark(
@@ -58,7 +92,9 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
 
 
 def configure_existing(spark: SparkSession) -> SparkSession:
@@ -75,4 +111,5 @@ def configure_existing(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # static conf on a started session — best effort
             pass
+    ship_package(spark)
     return spark

@@ -1,0 +1,16 @@
+"""Structured Streaming jobs (SURVEY §2.B S-queries).
+
+S1-S3's window logic lives in ``queries.windows_streaming`` (batch and
+streaming share the same ``F.window``/``session_window`` API — that is
+the point of declaring them there); this package adds the
+streaming-only semantics: watermarks + late-data drops (S4), streaming
+dedup (S5), and custom stateful processing (S6), all driven by a
+deterministic file-source replay of the events table.
+"""
+
+from osm_changesets_to_parquet_spark.streaming.jobs import (  # noqa: F401
+    prepare_replay_dir,
+    run_s4_watermark_tumbling,
+    run_s5_streaming_dedup,
+    run_s6_stateful_running_agg,
+)

@@ -1,0 +1,263 @@
+"""Deterministic streaming replay jobs (S4-S6).
+
+Replay protocol (FIXTURES.md §3): events sorted by ts are split into K
+parquet files; the stream reads them with ``maxFilesPerTrigger=1`` and
+``Trigger.AvailableNow`` so micro-batch boundaries == file boundaries ==
+deterministic watermark advancement.  A "late" variant moves a few rows
+to the *last* file (arrival order) without changing their event time —
+after the watermark has passed them, a watermarked aggregate must drop
+them.
+
+Scale notes: these jobs are the 100 TB shape for continuous ingest —
+state is keyed (window/event-time or user), watermarks bound state size,
+and ``applyInPandasWithState`` holds one small pandas group at a time.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark.catalog import load_table
+
+N_REPLAY_FILES = 10
+N_LATE_ROWS = 5
+US_PER_HOUR = 3_600_000_000
+
+
+def _events_in_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "ts_us", "user_id", "event_type", "value")
+        .orderBy("ts_us", "event_id")
+    )
+
+
+def prepare_replay_dir(
+    spark: SparkSession, sf_dir: str, late: bool = False, tag: str = ""
+) -> str:
+    """Write the K-file replay fixture; returns the directory.
+
+    ``late=True`` moves the N_LATE_ROWS earliest-event-time rows of the
+    middle of the stream into the final file: they arrive last although
+    their event time is old => dropped by a 10-minute watermark.
+    """
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"events_replay_{'late' if late else 'ontime'}{tag}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    done = os.path.join(base, "_READY")
+    if os.path.exists(done):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+
+    rows = _events_in_order(spark, sf_dir).collect()
+    late_rows = []
+    if late:
+        # pick rows ~40% in so their event time is far behind the stream end
+        k = int(len(rows) * 0.4)
+        late_rows = rows[k : k + N_LATE_ROWS]
+        rows = rows[: k] + rows[k + N_LATE_ROWS :]
+
+    per = max(1, (len(rows) + N_REPLAY_FILES - 1) // N_REPLAY_FILES)
+    schema = _events_in_order(spark, sf_dir).schema
+    chunks = [rows[i : i + per] for i in range(0, len(rows), per)]
+    if late_rows:
+        chunks.append(late_rows)
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, f"b{i:03d}")
+        )
+        # flatten: move the part file up as NNN.parquet for lexicographic order
+        sub = os.path.join(base, f"b{i:03d}")
+        part = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+        os.replace(os.path.join(sub, part), os.path.join(base, f"{i:03d}.parquet"))
+        shutil.rmtree(sub)
+    open(done, "w").close()
+    return base
+
+
+def _read_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
+    schema = spark.read.parquet(os.path.join(replay_dir, "000.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+
+
+def _run_to_completion(query) -> None:
+    query.awaitTermination()
+
+
+STREAM_SHUFFLE_PARTITIONS = "8"
+
+
+def _collect_foreach_batch(stream_df: DataFrame, mode: str = "update"):
+    """Run an availableNow stream, capturing every micro-batch output.
+
+    Shuffle partitions are pinned low for the run: the state-partition
+    count is frozen into the checkpoint at first execution, and these
+    replay fixtures are small — 32 state stores x 11 micro-batches is
+    pure per-batch overhead.  (On a real cluster a long-lived stream
+    sizes this once, to cores x ~2, before first start.)
+    """
+    batches: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batches.append((batch_id, batch_df.collect()))
+
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="ckpt_"),
+            )
+            .foreachBatch(sink)
+            .start()
+        )
+        _run_to_completion(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return batches
+
+
+def run_s4_watermark_tumbling(spark: SparkSession, sf_dir: str, late: bool) -> DataFrame:
+    """Tumbling 1h counts with a 10-minute watermark over the replay.
+
+    Returns the final per-window aggregate (append-mode closed windows +
+    the still-open tail windows from the state store are reconstructed by
+    summing update-mode outputs per key — we use update mode and keep the
+    LAST emitted value per window/event_type).
+    """
+    ev = _read_stream(spark, prepare_replay_dir(spark, sf_dir, late=late))
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            (F.unix_micros(F.col("w.start")) / US_PER_HOUR).cast("long").alias("hour_id"),
+            "event_type",
+            "cnt",
+        )
+    )
+    batches = _collect_foreach_batch(agg, mode="update")
+    final: dict[tuple, int] = {}
+    for _bid, rows in batches:
+        for r in rows:
+            final[(r.hour_id, r.event_type)] = r.cnt
+    out = [
+        (int(h), et, int(c)) for (h, et), c in sorted(final.items(), key=lambda kv: kv[0])
+    ]
+    return spark.createDataFrame(out, "hour_id long, event_type string, cnt long").orderBy(
+        "hour_id", "event_type"
+    )
+
+
+def run_s5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on event_id over a replay with the
+    first batch's rows re-appended at the end (arrival-time dups)."""
+    base = prepare_replay_dir(spark, sf_dir, late=False)
+    dup_dir = base + "_dup"
+    ready = os.path.join(dup_dir, "_READY")
+    if not os.path.exists(ready):
+        shutil.rmtree(dup_dir, ignore_errors=True)
+        shutil.copytree(base, dup_dir)
+        os.remove(os.path.join(dup_dir, "_READY"))
+        # re-deliver an early file as a late duplicate batch
+        shutil.copy(
+            os.path.join(dup_dir, "000.parquet"),
+            os.path.join(dup_dir, "999.parquet"),
+        )
+        open(ready, "w").close()
+    ev = _read_stream(spark, dup_dir)
+    dedup = ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
+    counted = dedup.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    batches = _collect_foreach_batch(counted, mode="update")
+    final: dict[str, int] = {}
+    for _bid, rows in batches:
+        for r in rows:
+            final[r.event_type] = r.cnt
+    return spark.createDataFrame(
+        sorted(final.items()), "event_type string, cnt long"
+    ).orderBy("event_type")
+
+
+def run_s6_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful op: per-user running (count, sum(value)) via
+    applyInPandasWithState with an event-time (watermark) timeout.
+
+    The streaming analog of a keyed accumulator the built-in aggregates
+    can't express (state carries arbitrary Python tuples; the timeout
+    evicts users idle longer than IDLE_EVICT_MS of *event time*, bounding
+    state at 100 TB-stream scale).
+
+    Event-time — not processing-time — timeout is deliberate: it is
+    deterministic under replay (eviction depends on the data's watermark,
+    not on wall-clock), and the availableNow trigger terminates once the
+    final watermark leaves no expirable timers.  (ProcessingTimeTimeout
+    never lets availableNow drain: the trigger spins "No new data but
+    cleaning up state" batches forever, observed empirically.)  On a
+    timed-out key we emit the final accumulator and REMOVE the state —
+    never re-arm.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # Longer than the fixture's 30-day event span => no mid-stream
+    # eviction, so the converged state equals the batch aggregate (the
+    # oracle).  Operationally this knob is the state-retention SLA.
+    idle_evict_ms = 45 * 24 * 3_600_000
+
+    ev = _read_stream(spark, prepare_replay_dir(spark, sf_dir, late=False)).withWatermark(
+        "ts", "10 minutes"
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            cnt, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [cnt], "sum_value": [round(total, 2)]}
+            )
+            return
+        if state.exists:
+            cnt, total = state.get
+        else:
+            cnt, total = 0, 0.0
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idle_evict_ms)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [cnt], "sum_value": [round(total, 2)]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="cnt long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    batches = _collect_foreach_batch(out, mode="update")
+    final: dict[int, tuple] = {}
+    for _bid, rows in batches:
+        for r in rows:
+            final[r.user_id] = (r.n_events, r.sum_value)
+    return spark.createDataFrame(
+        [(u, n, s) for u, (n, s) in sorted(final.items())],
+        "user_id long, n_events long, sum_value double",
+    ).orderBy("user_id")

@@ -1,0 +1,55 @@
+"""ANN quality gates: the approximate paths must agree with the exact
+brute-force top-k (q36) well enough to be useful, and must actually
+prune the scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark import queries as Q
+from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.operators.similarity import ivf_build, ivf_topk
+
+Q.load_all_modules()
+
+
+def _exact_ids(spark, sf_dir):
+    return [r.vec_id for r in Q.REGISTRY["q36_cosine_topk"].fn(spark, sf_dir).collect()]
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    exact = set(_exact_ids(spark, sf_dir))
+    approx = {r.vec_id for r in Q.REGISTRY["a51_lsh_ann_topk"].fn(spark, sf_dir).collect()}
+    assert 0 in approx  # the query vector itself is always its own NN
+    assert len(exact & approx) / len(exact) >= 0.6
+
+
+def test_ivf_ann_recall_and_pruning(spark, sf_dir):
+    exact = set(_exact_ids(spark, sf_dir))
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, n_cells=16)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+
+    approx = {r.vec_id for r in ivf_topk(assigned, centroids, qvec, k=10, nprobe=6).collect()}
+    assert 0 in approx
+    assert len(exact & approx) / len(exact) >= 0.5
+
+    # pruning: probing 6/16 cells must scan strictly less than the corpus
+    n_total = emb.count()
+    probed = assigned.where(
+        F.col("cell").isin(
+            sorted(
+                range(len(centroids)),
+                key=lambda i: -sum(a * b for a, b in zip(qvec, centroids[i])),
+            )[:6]
+        )
+    ).count()
+    assert probed < n_total
+
+
+def test_ivf_cells_partition_all_vectors(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, n_cells=16)
+    assert assigned.count() == emb.count()
+    cells = {r.cell for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(16))
