@@ -62,6 +62,7 @@ def load_all_modules() -> None:
         llm_ops,
         multimodal,
         relational,
+        relational_ext,
         streaming_jobs,
         udfs,
         windows_streaming,

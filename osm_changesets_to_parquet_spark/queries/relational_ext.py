@@ -1,0 +1,481 @@
+"""Extended relational surface Q53-Q67 — second coverage ring.
+
+The reference's published query contract is "point an OLAP engine at the
+Parquet" (reference: .github/workflows/process-changesets-r2.yml:198,207;
+scripts/manage-r2.sh:130-152).  SURVEY.md §2.B declares the core ring
+(Q01-Q33); this module adds the rest of the standard OLAP toolbox a user
+of that contract reaches for next: pivot/unpivot, GROUPING SETS, scalar /
+IN / correlated-EXISTS subqueries, HAVING, CASE/COALESCE/NULLIF,
+statistical aggregates, arg-min/arg-max, ordered string aggregation,
+window frame functions (first/last/nth_value, cume_dist), conditional
+aggregates, and an inline-VALUES dimension lookup join.
+
+Every query is oracle-checked (mode H) under the same determinism rules
+as SURVEY.md §2.B: total ORDER BY on a unique key, ROUND on every double
+aggregate, explicit tie-breaks wherever an arg-min/arg-max or window
+order could tie.
+
+Scale notes:
+- the inline lookup join (q65) is an explicit ``F.broadcast`` — the
+  canonical small-dim pattern: at 100 TB the fact side never shuffles;
+- the scalar-subquery query (q56) broadcasts the 1-row aggregate rather
+  than collecting it to the driver, so the plan stays fully distributed;
+- pivot is given the explicit value list (no discovery job);
+- grouping-sets/pivot/stats aggregates are all single-shuffle hash
+  aggregations with map-side partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot / grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q53_pivot",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS price_f,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS price_o,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS price_p
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="pivot with an explicit value list (no extra distinct-discovery job at scale)",
+    tables=("orders",),
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("price"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_cnt"), F.lit(0)).alias("cnt_f"),
+        F.coalesce(F.col("O_cnt"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("P_cnt"), F.lit(0)).alias("cnt_p"),
+        F.coalesce(F.col("F_price"), F.lit(0.0)).alias("price_f"),
+        F.coalesce(F.col("O_price"), F.lit(0.0)).alias("price_o"),
+        F.coalesce(F.col("P_price"), F.lit(0.0)).alias("price_p"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "q54_unpivot",
+    """
+    SELECT p_partkey, metric, val FROM (
+        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+    ) ORDER BY p_partkey, metric
+    """,
+    doc="unpivot / melt: wide numeric columns -> (key, metric, value) rows",
+    tables=("part",),
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).orderBy("p_partkey", "metric")
+
+
+@register(
+    "q55_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="GROUPING SETS (strict subset of cube) with grouping markers",
+    tables=("orders",),
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            (F.grouping("o_orderstatus") + F.lit(2) * F.grouping("o_orderpriority")).alias(
+                "gid"
+            ),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q56_scalar_subquery",
+    """
+    SELECT o_orderstatus, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="scalar subquery as a broadcast 1-row join — no driver-side collect",
+    tables=("orders",),
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    avg_price = o.agg(F.avg("o_totalprice").alias("_avg_price"))
+    return (
+        o.join(F.broadcast(avg_price))
+        .where(F.col("o_totalprice") > F.col("_avg_price"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q57_in_subquery",
+    """
+    SELECT p_brand, COUNT(*) AS cnt FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    doc="IN-subquery = left-semi join with the predicate pushed into the probe scan",
+    tables=("part", "lineitem"),
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "q58_exists_not_exists",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1995-01-01')
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate < TIMESTAMP '1995-01-01')
+    ORDER BY c_custkey
+    """,
+    doc="correlated EXISTS + NOT EXISTS = semi join chained with anti join",
+    tables=("customer", "orders"),
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.expr("TIMESTAMP_NTZ '1995-01-01 00:00:00'")
+    recent = o.where(F.col("o_orderdate") >= cutoff)
+    older = o.where(F.col("o_orderdate") < cutoff)
+    return (
+        c.join(recent, c.c_custkey == recent.o_custkey, "left_semi")
+        .join(older, F.col("c_custkey") == older.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q59_having",
+    """
+    SELECT o_custkey, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 12 AND SUM(o_totalprice) > 100000
+    ORDER BY o_custkey
+    """,
+    doc="HAVING = post-aggregation filter (runs on the already-reduced keys)",
+    tables=("orders",),
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_totalprice").alias("_raw_sum"),
+        )
+        .where((F.col("cnt") >= 12) & (F.col("_raw_sum") > 100000))
+        .select("o_custkey", "cnt", F.round("_raw_sum", 2).alias("sum_price"))
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional expressions & aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q60_case_coalesce",
+    """
+    SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS tier,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+           COUNT(*) AS cnt, ROUND(AVG(c_acctbal), 2) AS avg_bal
+    FROM customer GROUP BY 1, 2 ORDER BY tier, seg
+    """,
+    doc="CASE WHEN / NULLIF / COALESCE scalar conditionals",
+    tables=("customer",),
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("tier")
+    )
+    seg = F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+        "seg"
+    )
+    return (
+        c.groupBy(tier, seg)
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+        .orderBy("tier", "seg")
+    )
+
+
+@register(
+    "q61_stats_agg",
+    """
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+           ROUND(VAR_POP(l_quantity), 4) AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qp,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qp
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="statistical aggregates (one-pass distributed moments)",
+    tables=("lineitem",),
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_pop("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q62_argmin_argmax",
+    """
+    WITH cheap AS (
+        SELECT o_orderstatus, o_orderkey AS cheapest_key FROM orders
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY o_totalprice ASC, o_orderkey ASC) = 1
+    ), pricey AS (
+        SELECT o_orderstatus, o_orderkey AS priciest_key FROM orders
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY o_totalprice DESC, o_orderkey DESC) = 1
+    ), agg AS (
+        SELECT o_orderstatus, ROUND(MIN(o_totalprice), 2) AS min_price,
+               ROUND(MAX(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT agg.o_orderstatus, cheapest_key, priciest_key, min_price, max_price
+    FROM agg JOIN cheap USING (o_orderstatus) JOIN pricey USING (o_orderstatus)
+    ORDER BY o_orderstatus
+    """,
+    doc=(
+        "arg-min/arg-max via min_by/max_by over a (price, key) struct — the "
+        "struct makes ties deterministic (lexicographic tie-break on the key); "
+        "single hash agg, no window shuffle on the Spark side"
+    ),
+    tables=("orders",),
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.min_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias(
+                "cheapest_key"
+            ),
+            F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias(
+                "priciest_key"
+            ),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q63_string_agg",
+    """
+    SELECT lang,
+           COUNT(*) AS cnt,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT source)), ',') AS sources
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="ordered string aggregation (collect_set -> sort -> join: deterministic)",
+    tables=("documents",),
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q64_conditional_agg",
+    """
+    SELECT event_type,
+           COUNT_IF(value > 0.5) AS n_high,
+           BOOL_OR(value > 0.99) AS any_extreme,
+           BOOL_AND(value >= 0) AS all_nonneg,
+           ROUND(SUM(CASE WHEN value > 0.5 THEN value ELSE 0 END), 2) AS sum_high
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="conditional aggregates: count_if / bool_or / bool_and / filtered sum",
+    tables=("events",),
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 0.5).alias("n_high"),
+            F.bool_or(F.col("value") > 0.99).alias("any_extreme"),
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+            F.round(
+                F.sum(F.when(F.col("value") > 0.5, F.col("value")).otherwise(0.0)), 2
+            ).alias("sum_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window frame functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q65_window_frame_funcs",
+    """
+    SELECT event_id,
+           FIRST_VALUE(event_id) OVER w AS first_id,
+           LAST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_id,
+           NTH_VALUE(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_id,
+           ROUND(CUME_DIST() OVER w, 4) AS cd
+    FROM (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ORDER BY event_id
+    """,
+    doc="first/last/nth_value with explicit full frame; cume_dist on a unique order key",
+    tables=("events",),
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        F.first("event_id").over(w).alias("first_id"),
+        F.last("event_id").over(wfull).alias("last_id"),
+        F.nth_value("event_id", 2).over(wfull).alias("second_id"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Inline dimension lookup
+# ---------------------------------------------------------------------------
+
+_STATUS_NAMES = [("F", "finished"), ("O", "open"), ("P", "pending")]
+
+
+@register(
+    "q66_values_lookup_join",
+    """
+    SELECT lkp.status_name, COUNT(*) AS cnt
+    FROM orders JOIN (VALUES ('F', 'finished'), ('O', 'open'), ('P', 'pending'))
+         lkp(code, status_name)
+      ON orders.o_orderstatus = lkp.code
+    GROUP BY lkp.status_name ORDER BY lkp.status_name
+    """,
+    doc="inline VALUES dimension + explicit broadcast: zero-shuffle fact-side join",
+    tables=("orders",),
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    lkp = spark.createDataFrame(_STATUS_NAMES, ["code", "status_name"])
+    return (
+        o.join(F.broadcast(lkp), o.o_orderstatus == lkp.code)
+        .groupBy("status_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("status_name")
+    )
+
+
+@register(
+    "q67_distinct_multicol",
+    """
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    ORDER BY c_mktsegment, c_nationkey
+    """,
+    doc="multi-column DISTINCT (hash agg on the pair; partial dedup map-side)",
+    tables=("customer",),
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_nationkey").distinct().orderBy(
+        "c_mktsegment", "c_nationkey"
+    )
