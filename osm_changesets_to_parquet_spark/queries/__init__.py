@@ -63,6 +63,7 @@ def load_all_modules() -> None:
         multimodal,
         relational,
         relational_ext,
+        sources_roundtrip,
         streaming_jobs,
         udfs,
         windows_streaming,

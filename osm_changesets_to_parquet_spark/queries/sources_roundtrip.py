@@ -1,0 +1,159 @@
+"""Source/sink format coverage CS4-CS6: CSV, JSON-lines, ORC round-trips.
+
+The reference supports exactly one source (XML, optionally bz2) and one
+sink (Parquet) — reference src/main.rs:428-448 (source dispatch) and
+:416-425 (sink).  A query engine over the same data needs the rest of
+the standard format matrix; these queries prove each format's read AND
+write path end-to-end by round-tripping a driver table through the
+format and aggregating the result.  The oracle runs the same aggregate
+over the original parquet — so any loss, truncation, or type drift in
+the round-trip breaks the hash.
+
+Determinism: timestamps cross the text formats as epoch-micros BIGINT
+only in the *output* (never raw timestamps, SURVEY §2.B rule 4); inside
+the round-trip they stay typed (TimestampNTZ) to exercise the format's
+real timestamp codec.
+
+Scale notes: every write here is a distributed ``df.write`` (splittable
+on read: CSV/JSON by line, ORC by stripe); the read applies an explicit
+schema — no inference pass over the data (inference = a second full
+scan at 100 TB).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.queries import register
+
+
+def _tmp(sf_dir: str, name: str) -> str:
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.path.join(tempfile.gettempdir(), "osm_fmt_roundtrip", tag, name)
+
+
+_LINEITEM_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_shipdate", T.TimestampNTZType()),
+    ]
+)
+
+
+@register(
+    "cs4_csv_roundtrip",
+    """
+    SELECT l_returnflag, COUNT(*) AS cnt,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(MAX(epoch_us(l_shipdate)) AS BIGINT) AS max_ship_us
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc=(
+        "parquet -> CSV (header, typed timestamps) -> explicit-schema read "
+        "-> aggregate; hash-matches the same aggregate over the original "
+        "parquet, so the CSV codec must be lossless"
+    ),
+    tables=("lineitem",),
+)
+def cs4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    path = _tmp(sf_dir, "lineitem_csv")
+    li.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema(_LINEITEM_CSV_SCHEMA).option("header", "true").csv(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.max(F.unix_micros(F.col("l_shipdate").cast("timestamp"))).alias("max_ship_us"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_EVENTS_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@register(
+    "cs5_json_roundtrip",
+    """
+    SELECT event_type, COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "parquet -> JSON lines -> explicit-schema read -> aggregate; the "
+        "nested JSON string column (props) survives as a quoted string and "
+        "is re-parsed after the round-trip"
+    ),
+    tables=("events",),
+)
+def cs5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_us", "user_id", "event_type", "value", "props"
+    )
+    path = _tmp(sf_dir, "events_json")
+    ev.write.mode("overwrite").json(path)
+    back = spark.read.schema(_EVENTS_JSON_SCHEMA).json(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max("ts_us").alias("max_ts_us"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "cs6_orc_roundtrip",
+    """
+    SELECT o_orderstatus, COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS max_date_us
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc=(
+        "parquet -> ORC -> read -> aggregate; ORC is the second columnar "
+        "sink (stripe-splittable, predicate pushdown on read like parquet)"
+    ),
+    tables=("orders",),
+)
+def cs6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    path = _tmp(sf_dir, "orders_orc")
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("max_date_us"),
+        )
+        .orderBy("o_orderstatus")
+    )
