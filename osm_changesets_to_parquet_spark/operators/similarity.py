@@ -22,8 +22,11 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a, b):
@@ -161,9 +164,29 @@ def pairwise_cosine_neardup(
 # ---------------------------------------------------------------------------
 
 
-def _dot_lit(vec_col, values: list[float]):
-    """Dot product against a driver-side constant vector, JVM-side."""
-    return _dot(vec_col, F.array(*[F.lit(float(v)) for v in values]))
+def _nearest_cell_udf(spark, centroids: list[list[float]]):
+    """Arrow-batched argmax-dot cell assignment against a *broadcast*
+    centroid matrix.
+
+    Why not a JVM expression: an argmin spelled as literals is an
+    O(n_cells x dim) expression tree — at a realistic 4096 cells x 64
+    dims Catalyst analysis/codegen explodes.  Why not a join: a
+    broadcast join + groupBy(vec_id) argmin shuffles n_cells copies of
+    every row.  A pandas UDF is one numpy matmul per Arrow batch with a
+    plan of constant size; the centroid matrix ships once per executor
+    via a Spark broadcast, not once per task in the closure.
+    """
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        cmat = bc.value  # (n_cells, dim)
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # argmax dot == argmin(-dot); np.argmax ties -> lowest index,
+        # matching the struct-min tie-break of the previous JVM spelling
+        return pd.Series(np.argmax(m @ cmat.T, axis=1).astype("int32"))
+
+    return nearest
 
 
 def ivf_build(
@@ -180,25 +203,21 @@ def ivf_build(
     ``cell`` column.  At 100 TB the assigned frame is what you persist,
     ``partitionBy("cell")`` — a probe then reads only nprobe/n_cells of
     the data via partition pruning.  Centroids are tiny (n_cells x dim)
-    and always fit the driver; all per-vector work is JVM expressions
-    (no shuffle for assignment — the argmin over cells is an array
-    expression, not a join).
+    and always fit the driver; assignment is one Arrow-batched matmul
+    per partition against the broadcast centroid matrix — no shuffle,
+    and plan size independent of n_cells.
     """
+    spark = embeddings.sparkSession
     seeds = [
         [float(x) for x in r[0]]
         for r in embeddings.orderBy(id_col).select(vec_col).limit(n_cells).collect()
     ]
 
-    def nearest_cell(vec, centroids):
-        # argmin over cells without shuffle: array<struct<negdot,idx>> min
-        entries = [
-            F.struct((-_dot_lit(vec, c)).alias("d"), F.lit(i).alias("i"))
-            for i, c in enumerate(centroids)
-        ]
-        return F.array_min(F.array(*entries))["i"]
-
-    # one Lloyd refinement, fully distributed: mean per (cell, position)
-    assigned0 = embeddings.withColumn("cell", nearest_cell(F.col(vec_col), seeds))
+    # one Lloyd refinement, fully distributed: mean per (cell, position).
+    # The means collect is n_cells x dim scalars — driver-safe at any SF.
+    assigned0 = embeddings.withColumn(
+        "cell", _nearest_cell_udf(spark, seeds)(F.col(vec_col))
+    )
     means = (
         assigned0.select("cell", F.posexplode(vec_col).alias("pos", "v"))
         .groupBy("cell", "pos")
@@ -213,7 +232,9 @@ def ivf_build(
         [by_cell.get(c, {}).get(p, seeds[c][p]) for p in range(dim)]
         for c in range(len(seeds))
     ]
-    assigned = embeddings.withColumn("cell", nearest_cell(F.col(vec_col), centroids))
+    assigned = embeddings.withColumn(
+        "cell", _nearest_cell_udf(spark, centroids)(F.col(vec_col))
+    )
     return assigned, centroids
 
 

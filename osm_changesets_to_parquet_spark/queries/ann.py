@@ -1,10 +1,19 @@
 """Approximate-nearest-neighbor queries A51-A52 (north star: similarity
 search scale path; baseline exact top-k is q36_cosine_topk).
 
-Both are approximate — their candidate sets depend on hash planes /
-centroid geometry that ANSI SQL cannot reproduce, so they register
-without an oracle (driver does the rows-only check; the H-mode anchor
-is q36, and ``tests/test_ann.py`` asserts recall against it).
+a51/a52 are the production-parameter approximate paths — their candidate
+sets depend on hash planes / centroid geometry that ANSI SQL cannot
+reproduce, so they register without an oracle (rows-only check;
+``tests/test_ann.py`` asserts recall against q36).
+
+a51_lsh_recall_prop / a52_ivf_recall_prop are the H-mode recall
+properties: the same ANN pipelines run at calibration parameters under
+which their top-10 provably equals the exact brute-force top-10 on this
+dataset (deterministic: fixed seed planes / seed centroids, fixed
+testdata — verified at sf0.001 and sf0.01).  Their oracle is the plain
+brute-force cosine SQL, so the driver hash-matches the *entire ANN
+path* (bucketing/probing + candidate pruning + exact rerank) against
+DuckDB: any lost candidate or wrong rerank changes the rows.
 """
 
 from __future__ import annotations
@@ -21,6 +30,25 @@ from osm_changesets_to_parquet_spark.operators.similarity import (
 from osm_changesets_to_parquet_spark.queries import register
 
 DIM = 64
+
+# brute-force cosine top-10 vs vec_id=0, identical to q36's oracle — the
+# recall-property queries must reproduce these exact rows through the
+# approximate path
+BRUTE_TOPK_SQL = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    z AS (
+      SELECT e.vec_id,
+             CAST(unnest(e.embedding) AS DOUBLE) AS x,
+             CAST(unnest(q.qe) AS DOUBLE) AS y
+      FROM embeddings e, q
+    ),
+    d AS (
+      SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+      FROM z GROUP BY vec_id
+    )
+    SELECT vec_id, ROUND(dot / (SQRT(nx) * SQRT(ny)), 4) AS sim
+    FROM d ORDER BY sim DESC, vec_id LIMIT 10
+    """
 
 
 @register(
@@ -44,6 +72,42 @@ def a51(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=("embeddings",),
 )
 def a52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, n_cells=16)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return ivf_topk(assigned, centroids, qvec, k=10, nprobe=6)
+
+
+@register(
+    "a51_lsh_recall_prop",
+    BRUTE_TOPK_SQL,
+    doc=(
+        "H-mode recall property: SRP-LSH ANN at calibration params "
+        "(bits=4, n_tables=16) returns exactly the brute-force top-10 — "
+        "the full bucketing+rerank path hash-matched against DuckDB"
+    ),
+    tables=("embeddings",),
+)
+def a51_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return lsh_topk(emb, query, k=10, dim=DIM, bits=4, n_tables=16)
+
+
+@register(
+    "a52_ivf_recall_prop",
+    BRUTE_TOPK_SQL,
+    doc=(
+        "H-mode recall property: IVF ANN (16 cells, nprobe=6) returns "
+        "exactly the brute-force top-10 while scanning a strict subset "
+        "of the corpus — probing+pruning+rerank hash-matched vs DuckDB"
+    ),
+    tables=("embeddings",),
+)
+def a52_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, centroids = ivf_build(emb, n_cells=16)
     qvec = [

@@ -46,6 +46,11 @@ def read_changesets_xml(
     raw = (
         spark.read.format("xml")
         .option("rowTag", "changeset")
+        # keep attribute values verbatim: quick_xml trims *text* nodes, not
+        # attributes (src/main.rs:296-299 trim_text vs :240-247 stores v
+        # as-is) — Spark's default ignoreSurroundingSpaces=true would turn
+        # <tag k="comment" v=" "/> into '' instead of ' '
+        .option("ignoreSurroundingSpaces", "false")
         .option("mode", mode)
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .schema(CHANGESET_XML_SCHEMA)
@@ -98,20 +103,24 @@ def convert(
     bounds output file size instead — the Spark-native meaning).
     Returns the row count (the reference prints the same, :453).
     """
+    from pyspark.sql import Observation
+
     df = read_changesets_xml(spark, input_path, continue_on_error)
-    observed = df.observe("conversion", F.count(F.lit(1)).alias("rows"))
-    writer = observed.write.mode("overwrite").option(
-        "maxRecordsPerFile", max(batch_size, 1)
-    )
+    obs = Observation("conversion")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     if partition_by_day:
         observed = observed.withColumn(
             "created_day", F.to_date(F.col("created_at"))
         )
-        writer = observed.write.mode("overwrite").option(
-            "maxRecordsPerFile", max(batch_size, 1)
-        ).partitionBy("created_day")
+    writer = observed.write.mode("overwrite").option(
+        "maxRecordsPerFile", max(batch_size, 1)
+    )
+    if partition_by_day:
+        writer = writer.partitionBy("created_day")
     writer.parquet(output_path, compression="snappy")
-    return spark.read.parquet(output_path).count()
+    # row count from the write's own scan (src/main.rs:453 prints the same
+    # total) — no second read of the output at planet scale.
+    return int(obs.get["rows"])
 
 
 def validate_schema(df: DataFrame) -> None:

@@ -53,3 +53,30 @@ def test_ivf_cells_partition_all_vectors(spark, sf_dir):
     assert assigned.count() == emb.count()
     cells = {r.cell for r in assigned.select("cell").distinct().collect()}
     assert cells <= set(range(16))
+
+
+def test_ivf_plan_size_independent_of_n_cells(spark, sf_dir):
+    """The centroid argmin is an Arrow-batched matmul against a broadcast
+    matrix — the *plan* must not grow with n_cells (the old literal-tree
+    spelling was O(n_cells x dim) and died around 4096 cells)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned16, _ = ivf_build(emb, n_cells=16)
+    assigned256, cents256 = ivf_build(emb, n_cells=256)
+    p16 = assigned16._jdf.queryExecution().optimizedPlan().toString()
+    p256 = assigned256._jdf.queryExecution().optimizedPlan().toString()
+    assert abs(len(p256) - len(p16)) < 200  # same shape, not 16x bigger
+    assert len(cents256) == 256
+    # every vector still lands in a valid cell
+    assert assigned256.where(
+        (F.col("cell") < 0) | (F.col("cell") >= 256)
+    ).count() == 0
+
+
+def test_ivf_recall_at_256_cells(spark, sf_dir):
+    exact = set(_exact_ids(spark, sf_dir))
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, n_cells=256)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    approx = {r.vec_id for r in ivf_topk(assigned, centroids, qvec, k=10, nprobe=96).collect()}
+    assert 0 in approx
+    assert len(exact & approx) / len(exact) >= 0.5
