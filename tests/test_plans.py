@@ -76,3 +76,122 @@ def test_s1_streaming_uses_stateful_agg(spark, sf_dir):
     # over window structs — no explode of per-row windows
     plan = _plan(spark, sf_dir, "s1_tumbling_window")
     assert "HashAggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# Extended relational surface (q53-q67) + format round-trips (cs4-cs6)
+# ---------------------------------------------------------------------------
+
+
+def test_q53_pivot_no_discovery_single_shuffle(spark, sf_dir):
+    # explicit pivot value list => pivotfirst runs directly (no
+    # distinct-discovery pre-job); both shuffles sit above partial
+    # aggregates, so they carry O(keys) rows, never O(input)
+    plan = _plan(spark, sf_dir, "q53_pivot")
+    assert "pivotfirst" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial_pivotfirst" in plan and "partial_count" in plan
+
+
+def test_q54_unpivot_is_expand_no_hash_shuffle(spark, sf_dir):
+    # melt = Expand (row generation in-task); the only exchange is the
+    # final presentation sort
+    plan = _plan(spark, sf_dir, "q54_unpivot")
+    assert "Expand" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_q55_grouping_sets_expand_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q55_grouping_sets")
+    assert "Expand" in plan
+    assert "partial_count" in plan
+
+
+def test_q56_scalar_subquery_broadcast_not_collected(spark, sf_dir):
+    # the 1-row aggregate joins in as a broadcast — never a driver
+    # collect, never a sort-merge
+    plan = _plan(spark, sf_dir, "q56_scalar_subquery")
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q57_in_subquery_semi_with_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q57_in_subquery")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(l_quantity" in plan
+
+
+def test_q58_exists_chain_semi_then_anti(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q58_exists_not_exists")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q59_having_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q59_having")
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q61_stats_agg_one_pass_partials(spark, sf_dir):
+    # distributed moments: map-side partials, shuffle carries O(keys)
+    plan = _plan(spark, sf_dir, "q61_stats_agg")
+    assert "partial_" in plan
+
+
+def test_q62_argminmax_single_agg_no_window(spark, sf_dir):
+    # min_by/max_by = one hash aggregate; the window spelling would add
+    # a per-partition sort + full-row shuffle
+    plan = _plan(spark, sf_dir, "q62_argmin_argmax")
+    assert "min_by" in plan and "max_by" in plan
+    assert "Window" not in plan
+
+
+def test_q63_collect_set_object_hash_agg(spark, sf_dir):
+    # collect_set aggregates buffer objects — ObjectHashAggregate, still
+    # with map-side partials (no raw-row shuffle)
+    plan = _plan(spark, sf_dir, "q63_string_agg")
+    assert "ObjectHashAggregate" in plan
+    assert "partial_" in plan
+
+
+def test_q64_conditional_agg_partial(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q64_conditional_agg")
+    assert "partial_" in plan
+
+
+def test_q65_single_window_exchange(spark, sf_dir):
+    # four window functions over compatible specs share one shuffle+sort
+    plan = _plan(spark, sf_dir, "q65_window_frame_funcs")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_q66_values_lookup_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q66_values_lookup_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q67_distinct_map_side_partial(spark, sf_dir):
+    # DISTINCT = two-level hash agg: partial dedup before the exchange
+    plan = _plan(spark, sf_dir, "q67_distinct_multicol")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_cs4_csv_read_prunes_unused_columns(spark, sf_dir):
+    # explicit schema (no inference scan) + column pruning through the
+    # CSV read: columns not used by the aggregate never materialize
+    plan = _plan(spark, sf_dir, "cs4_csv_roundtrip")
+    assert "FileScan csv" in plan
+    assert "l_orderkey" not in plan
+
+
+def test_cs5_json_read_prunes_unused_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cs5_json_roundtrip")
+    assert "FileScan json" in plan
+    assert "user_id" not in plan
+
+
+def test_cs6_orc_read_prunes_unused_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cs6_orc_roundtrip")
+    assert "orc" in plan.lower()
+    assert "o_orderpriority" not in plan
