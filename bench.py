@@ -35,13 +35,17 @@ BENCH_QUERIES = [
     "q18_asof_join",
     "q19_rank_topn",
     "q24_topk",
+    "q16_theta_join",
     "q31_json_extract",
     "q34_exact_dedup",
+    "q35b_minhash_lsh",
     "q36_cosine_topk",
     "q38_token_freq",
     "q40_tfidf",
+    "m48_image_decode_features",
     "s1_tumbling_window",
     "s3_session_window",
+    "s4a_watermark_ontime",
 ]
 
 

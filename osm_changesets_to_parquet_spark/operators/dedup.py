@@ -75,26 +75,36 @@ def exact_dedup(
 def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Add ``shingle_hashes``: array<long> of hashed word n-gram shingles.
 
-    Shingle i (1-based) = tokens[i] || ' ' || ... || tokens[i+n-1],
-    built via sequence+element_at so the construction mirrors 1:1 into
-    the oracle's range()+list-index spelling.
+    Shingle hash = base-31 fold over the n *token* hashes: every
+    character is hashed exactly once per document (the earlier spelling
+    re-hashed the concatenated shingle string, touching each character
+    n times and allocating the string — ~2x slower on real text).  The
+    token-hash + combine construction mirrors 1:1 into the oracle's
+    list_transform + range spelling (queries/dedup_sim.py).
     """
     tk = F.split(F.col(text_col), " ")
-    idx = F.when(
-        F.size(tk) >= n, F.sequence(F.lit(1), F.size(tk) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(tk, i + j) for j in range(n)]
-    )
-    hashes = F.transform(
-        idx,
-        lambda i: F.aggregate(
-            F.split(shingle(i), ""),
+    th = F.transform(
+        tk,
+        lambda t: F.aggregate(
+            F.split(t, ""),
             F.lit(0).cast("long"),
             lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(HASH_MOD),
         ),
     )
-    return docs.withColumn("shingle_hashes", hashes)
+    docs = docs.withColumn("__th", th)
+    thc = F.col("__th")
+    idx = F.when(
+        F.size(thc) >= n, F.sequence(F.lit(1), F.size(thc) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+    def comb(i):
+        # acc stays < HASH_MOD*31 + HASH_MOD ~ 2^35 << 2^63: no overflow
+        acc = F.element_at(thc, i)
+        for j in range(1, n):
+            acc = (acc * F.lit(31) + F.element_at(thc, i + j)) % F.lit(HASH_MOD)
+        return acc
+
+    return docs.withColumn("shingle_hashes", F.transform(idx, comb)).drop("__th")
 
 
 def minhash_signature(
@@ -141,9 +151,13 @@ def lsh_candidates(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b), deterministic.
 
-    explode(band_idx, band_key) -> self-join per band -> distinct pairs.
-    The only shuffle keys are (band, band_key); bucket sizes — not the
-    corpus size — bound the join cost.
+    explode(band_idx, band_key) -> groupBy bucket -> in-bucket pair
+    generation -> distinct pairs.  Single pass: the signature subtree is
+    computed once (a self-join spelling executes it twice — Catalyst
+    does not reuse the exchange across the renamed join sides).  The
+    shuffle key is (band, band_key); per-bucket ``collect_list`` is
+    bounded by bucket size, which is the same quadratic term the join
+    had — LSH's collision bound, tunable via bands x rows.
     """
     sigged = minhash_signature(shingles(docs, text_col, n))
     keys = band_keys(F.col("sig"))
@@ -151,12 +165,24 @@ def lsh_candidates(
         F.col(id_col),
         F.posexplode(F.array(*keys)).alias("band", "bkey"),
     )
-    a = banded.select(F.col("band"), F.col("bkey"), F.col(id_col).alias("id_a"))
-    b = banded.select(F.col("band"), F.col("bkey"), F.col(id_col).alias("id_b"))
+    buckets = (
+        banded.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bkey"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -29,13 +29,18 @@ def _sql_charhash(expr: str) -> str:
     )
 
 
+# shingle hash = base-31 fold over the n token hashes (tokens hashed
+# once) — must stay in lockstep with operators.dedup.shingles
 _SQL_SHINGLE_HASHES = (
-    "list_transform(range(1, len(tk) - 1), i -> "
-    + _sql_charhash("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")
-    + ")"
+    "list_transform(range(1, len(th) - 1), i -> "
+    f"(((th[i] * 31 + th[i+1]) % {P}) * 31 + th[i+2]) % {P})"
 )
 
-_SQL_TOK = "SELECT doc_id, string_split(text, ' ') AS tk FROM documents"
+_SQL_TOK = (
+    "SELECT doc_id, list_transform(string_split(text, ' '), t -> "
+    + _sql_charhash("t")
+    + ") AS th FROM documents"
+)
 
 
 def _sql_sig_entries() -> str:

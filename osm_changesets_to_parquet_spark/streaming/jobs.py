@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 from osm_changesets_to_parquet_spark.catalog import load_table
 
-N_REPLAY_FILES = 10
+# 5 deterministic micro-batches: enough files to advance the watermark
+# across real batch boundaries, few enough that per-batch state-store
+# commit overhead doesn't dominate a replay.  The late-data semantics
+# are boundary-count independent: the late file always arrives last,
+# when the watermark already sits at (global max ts - delay).
+N_REPLAY_FILES = 5
 N_LATE_ROWS = 5
 US_PER_HOUR = 3_600_000_000
 
@@ -48,7 +53,7 @@ def prepare_replay_dir(
     """
     base = os.path.join(
         tempfile.gettempdir(),
-        f"events_replay_{'late' if late else 'ontime'}{tag}_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"events_replay_k{N_REPLAY_FILES}_{'late' if late else 'ontime'}{tag}_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     done = os.path.join(base, "_READY")
     if os.path.exists(done):
@@ -95,7 +100,7 @@ def _run_to_completion(query) -> None:
     query.awaitTermination()
 
 
-STREAM_SHUFFLE_PARTITIONS = "8"
+STREAM_SHUFFLE_PARTITIONS = "4"
 
 
 def _collect_foreach_batch(stream_df: DataFrame, mode: str = "update"):
