@@ -19,10 +19,48 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import datetime
 import json
 import sys
 import time
 from pathlib import Path
+
+
+def write_index(
+    output_path: str,
+    rows: int,
+    source_last_modified: str | None = None,
+    public_url_base: str | None = None,
+    generated_at: str | None = None,
+) -> dict:
+    """Publish-step metadata: an ``index.json`` next to the output.
+
+    Vendor-neutral analog of the reference workflow's index generation
+    (.github/workflows/process-changesets-r2.yml:176-222: head-object
+    size, public URL, suggested DuckDB query, 1h cache TTL) — same
+    fields, no cloud-vendor API: sizes come from the filesystem, the URL
+    base is caller-supplied (an S3/R2/HTTP prefix in production).
+    """
+    out = Path(output_path)
+    files = sorted(p for p in out.rglob("*") if p.is_file()) if out.is_dir() else [out]
+    total = sum(p.stat().st_size for p in files)
+    name = out.name
+    url = f"{public_url_base.rstrip('/')}/{name}" if public_url_base else str(out)
+    index = {
+        "dataset": name,
+        "url": url,
+        "size_bytes": total,
+        "n_files": len(files),
+        "rows": rows,
+        "source_last_modified": source_last_modified,
+        "generated_at": generated_at
+        or datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        # the reference advertises exactly this usage (yml:207)
+        "example_query": f"SELECT COUNT(*) FROM '{url}'",
+    }
+    index_path = out.parent / "index.json"
+    index_path.write_text(json.dumps(index, indent=2) + "\n")
+    return index
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -51,6 +89,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip conversion when --source-last-modified matches this file's content",
     )
     p.add_argument("--source-last-modified", default=None)
+    p.add_argument(
+        "--publish-index",
+        action="store_true",
+        help="write index.json (size/url/rows metadata) next to the output",
+    )
+    p.add_argument(
+        "--public-url-base",
+        default=None,
+        help="URL prefix recorded in index.json (e.g. an object-store public base)",
+    )
     p.add_argument("--master", default=None, help="spark master (default local[N])")
     return p
 
@@ -89,6 +137,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             {"status": "ok", "rows": rows, "seconds": round(dt, 3), "output": args.output}
         )
     )
+    if args.publish_index:
+        write_index(
+            args.output,
+            rows,
+            source_last_modified=args.source_last_modified,
+            public_url_base=args.public_url_base,
+        )
     if args.watermark_file and args.source_last_modified:
         Path(args.watermark_file).write_text(args.source_last_modified.strip() + "\n")
     if own_session:

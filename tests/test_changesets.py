@@ -95,6 +95,31 @@ def test_cli_pipeline_and_watermark(spark, tmp_path):
     assert not (tmp_path / "never_written.parquet").exists()
 
 
+def test_publish_index_metadata(spark, tmp_path):
+    import json
+
+    from osm_changesets_to_parquet_spark.pipeline import main
+
+    out = str(tmp_path / "pub.parquet")
+    rc = main(
+        [
+            "--input", fixtures.write_fixture(),
+            "--output", out,
+            "--publish-index",
+            "--public-url-base", "https://example.org/data",
+            "--source-last-modified", "Tue, 01 Jan 2030 00:00:00 GMT",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    idx = json.loads((tmp_path / "index.json").read_text())
+    assert idx["rows"] == 4
+    assert idx["url"] == "https://example.org/data/pub.parquet"
+    assert idx["size_bytes"] > 0 and idx["n_files"] >= 1
+    assert idx["source_last_modified"] == "Tue, 01 Jan 2030 00:00:00 GMT"
+    assert idx["example_query"].startswith("SELECT COUNT(*)")
+
+
 # --- property-based fuzz vs an independent ElementTree reference ------------
 
 _attr_text = st.text(
