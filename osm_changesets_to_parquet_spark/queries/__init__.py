@@ -106,9 +106,18 @@ _PRIORITY: tuple[str, ...] = (
     # -- new this round: H-mode recall properties for the ANN queries --
     "a51_lsh_recall_prop",
     "a52_ivf_recall_prop",
-    # -- proven representatives of each family (green in r01) --
-    "q36_cosine_topk",
+    # -- changed this round (token-hash shingle construction) --
+    "q35a_jaccard_truth",
     "q35b_minhash_lsh",
+    # -- new this round: cluster resolution, curation, stream-stream --
+    "q68_neardup_clusters",
+    "q69_hash_sample",
+    "q70_train_test_split",
+    "q71_profile",
+    "q72_histogram",
+    "s7_stream_stream_join",
+    # -- proven representatives (green in r01), past the 50-row window --
+    "q36_cosine_topk",
     "q34_exact_dedup",
     "q10_join4_revenue",
     "q19_rank_topn",
@@ -124,6 +133,7 @@ def load_all_modules() -> None:
     from osm_changesets_to_parquet_spark.queries import (  # noqa: F401
         ann,
         conversion,
+        curation,
         dedup_sim,
         llm_ops,
         multimodal,

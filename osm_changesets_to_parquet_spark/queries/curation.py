@@ -1,0 +1,157 @@
+"""Dataset-curation queries Q69-Q72: deterministic sampling, train/test
+splitting, column profiling, and histogramming.
+
+The operations a training-data pipeline runs constantly around the
+dedup/similarity core: carve reproducible subsets, hold out an eval
+split, and profile what's in a 100 TB table before and after each
+filter stage.
+
+Sampling discipline: Spark's ``df.sample`` is seeded per-partition, so
+its row set changes with partitioning — useless as a contract and
+unmatchable by an oracle.  These queries sample by *arithmetic on the
+row key* (a Knuth multiplicative hash mod 100), which is reproducible
+across engines, partitionings, and runs, and — equally important at
+100 TB — is a plain predicate: it pushes down into the scan, needs no
+shuffle, and assigns the same document to the same split on every
+re-run of an evolving dataset (stable membership under appends).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.queries import register
+
+# Knuth's multiplicative constant (2^32 / phi); doc_id < 2^31 so the
+# product stays far below 2^63 — identical integer math in both engines
+_KNUTH = 2654435761
+
+
+def _bucket(id_col):
+    return (F.col(id_col) * F.lit(_KNUTH)) % F.lit(100)
+
+
+@register(
+    "q69_hash_sample",
+    f"""
+    SELECT lang, COUNT(*) AS cnt, ROUND(AVG(LENGTH(text)), 2) AS avg_len
+    FROM documents
+    WHERE (doc_id * {_KNUTH}) % 100 < 10
+    GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "deterministic 10% sample by multiplicative id hash: a pushable "
+        "scan predicate (no shuffle, no per-partition seed drift), stable "
+        "under appends and repartitioning"
+    ),
+    tables=("documents",),
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.where(_bucket("doc_id") < 10)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg(F.length("text")), 2).alias("avg_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q70_train_test_split",
+    f"""
+    SELECT lang,
+           CASE WHEN (doc_id * {_KNUTH}) % 100 < 80 THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS cnt,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2 ORDER BY lang, split
+    """,
+    doc=(
+        "80/20 train/test split by the same multiplicative hash: every "
+        "row gets a stable split label (membership never flips between "
+        "runs or after appends); per-(lang, split) size accounting"
+    ),
+    tables=("documents",),
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    split = F.when(_bucket("doc_id") < 80, "train").otherwise("test").alias("split")
+    return (
+        d.groupBy("lang", split)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@register(
+    "q71_profile",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(text) AS n_text,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id,
+           ROUND(AVG(LENGTH(text)), 2) AS avg_len,
+           CAST(MIN(LENGTH(text)) AS BIGINT) AS min_len,
+           CAST(MAX(LENGTH(text)) AS BIGINT) AS max_len
+    FROM documents
+    """,
+    doc=(
+        "one-pass column profile (null/distinct/min/max/length stats) — "
+        "the pre-flight check before any 100 TB curation stage; single "
+        "aggregate, map-side partials for everything but the distincts"
+    ),
+    tables=("documents",),
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("text").alias("n_text"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.round(F.avg(F.length("text")), 2).alias("avg_len"),
+        F.min(F.length("text")).cast("long").alias("min_len"),
+        F.max(F.length("text")).cast("long").alias("max_len"),
+    )
+
+
+@register(
+    "q72_histogram",
+    """
+    SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+           COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY 1 ORDER BY bucket
+    """,
+    doc=(
+        "fixed-width histogram (10 x 50k buckets, top-clamped): one "
+        "scan, one tiny shuffle of 10 partial buckets — the fixed bucket "
+        "bounds avoid the two-pass min/max dependency"
+    ),
+    tables=("orders",),
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000).cast("long"), F.lit(9)).alias(
+        "bucket"
+    )
+    return (
+        o.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )

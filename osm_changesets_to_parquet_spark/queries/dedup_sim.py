@@ -73,8 +73,9 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < 
 ORDER BY id_a, id_b
 """
 
-_Q35_TRUTH_SQL = f"""
-WITH tok AS ({_SQL_TOK}),
+# CTE block computing the exact-Jaccard truth pairs — shared between the
+# q35a truth query and the q68 cluster-resolution oracle
+_TRUTH_CTES = f"""tok AS ({_SQL_TOK}),
 sh AS (SELECT doc_id, list_distinct({_SQL_SHINGLE_HASHES}) AS hs FROM tok),
 ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
@@ -82,14 +83,40 @@ inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
   FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jac
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.6
+),
+tpairs AS (
+  SELECT id_a, id_b,
+         ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jac
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.6
+)"""
+
+_Q35_TRUTH_SQL = f"""
+WITH {_TRUTH_CTES}
+SELECT id_a, id_b, jac FROM tpairs
 ORDER BY id_a, id_b
+"""
+
+_Q68_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_TRUTH_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM tpairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM tpairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c USING (doc_id)
+ORDER BY d.doc_id
 """
 
 
@@ -122,6 +149,25 @@ def q35a(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q35b(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.lsh_candidates(docs).orderBy("id_a", "id_b")
+
+
+@register(
+    "q68_neardup_clusters",
+    _Q68_CLUSTERS_SQL,
+    doc=(
+        "near-dup cluster resolution: connected components over the exact-"
+        "Jaccard pair graph (iterative min-label propagation, one shuffle "
+        "per round) -> deterministic canonical doc per cluster; oracle is "
+        "a recursive-CTE transitive closure over the same pairs"
+    ),
+    tables=("documents",),
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.clusters import canonical_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.6)
+    return canonical_docs(docs, pairs).orderBy("doc_id")
 
 
 # --- SimHash ----------------------------------------------------------------

@@ -24,6 +24,7 @@ from osm_changesets_to_parquet_spark.streaming import (
     run_s4_watermark_tumbling,
     run_s5_streaming_dedup,
     run_s6_stateful_running_agg,
+    run_s7_stream_stream_join,
 )
 from osm_changesets_to_parquet_spark.streaming.jobs import N_LATE_ROWS
 
@@ -90,3 +91,25 @@ def s5(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_s6_stateful_running_agg(spark, sf_dir)
+
+
+@register(
+    "s7_stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) > epoch_us(c.ts)
+     AND epoch_us(p.ts) <= epoch_us(c.ts) + 300000000
+    ORDER BY click_id, purchase_id
+    """,
+    doc=(
+        "stream-stream interval join (purchases to preceding 5-minute "
+        "clicks) with watermark-bounded state: the appended streaming "
+        "output equals the batch interval join exactly"
+    ),
+    tables=("events",),
+)
+def s7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_s7_stream_stream_join(spark, sf_dir)

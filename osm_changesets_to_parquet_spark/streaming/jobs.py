@@ -198,6 +198,52 @@ def run_s5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def run_s7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks from the preceding 5 minutes.
+
+    Both sides carry a 10-minute watermark; the event-time range
+    condition lets Spark evict click state once the watermark passes
+    ``click_ts + 5 minutes`` — bounded state, the 100 TB-stream shape.
+    Completeness under the in-order replay: when a purchase at time P
+    arrives, the watermark is <= P - 10min, and any matching click has
+    click_ts >= P - 5min > watermark - 5min, so its state is still
+    live — the appended output equals the batch interval join exactly.
+    """
+    base = prepare_replay_dir(spark, sf_dir, late=False)
+    clicks = (
+        _read_stream(spark, base)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        _read_stream(spark, base)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+    batches = _collect_foreach_batch(joined, mode="append")
+    rows = [(r.click_id, r.purchase_id, r.user_id) for _bid, rs in batches for r in rs]
+    return spark.createDataFrame(
+        rows, "click_id long, purchase_id long, user_id long"
+    ).orderBy("click_id", "purchase_id")
+
+
 def run_s6_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful op: per-user running (count, sum(value)) via
     applyInPandasWithState with an event-time (watermark) timeout.
