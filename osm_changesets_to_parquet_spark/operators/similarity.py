@@ -194,10 +194,11 @@ def ivf_build(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iters: int = 1,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Build an IVF index: deterministic seed centroids (the ``n_cells``
-    smallest ids) refined by ONE distributed Lloyd step, then every
-    vector assigned to its nearest centroid cell.
+    smallest ids) refined by ``n_iters`` distributed Lloyd steps, then
+    every vector assigned to its nearest centroid cell.
 
     Returns ``(assigned_df, centroids)`` where ``assigned_df`` carries a
     ``cell`` column.  At 100 TB the assigned frame is what you persist,
@@ -205,37 +206,93 @@ def ivf_build(
     the data via partition pruning.  Centroids are tiny (n_cells x dim)
     and always fit the driver; assignment is one Arrow-batched matmul
     per partition against the broadcast centroid matrix — no shuffle,
-    and plan size independent of n_cells.
+    and plan size independent of n_cells.  Each Lloyd step is one scan
+    + one (cell, pos)-keyed aggregation whose result is n_cells x dim
+    scalars — driver-safe at any SF.
     """
     spark = embeddings.sparkSession
     seeds = [
         [float(x) for x in r[0]]
         for r in embeddings.orderBy(id_col).select(vec_col).limit(n_cells).collect()
     ]
-
-    # one Lloyd refinement, fully distributed: mean per (cell, position).
-    # The means collect is n_cells x dim scalars — driver-safe at any SF.
-    assigned0 = embeddings.withColumn(
-        "cell", _nearest_cell_udf(spark, seeds)(F.col(vec_col))
-    )
-    means = (
-        assigned0.select("cell", F.posexplode(vec_col).alias("pos", "v"))
-        .groupBy("cell", "pos")
-        .agg(F.avg("v").alias("m"))
-        .collect()
-    )
-    by_cell: dict[int, dict[int, float]] = {}
-    for r in means:
-        by_cell.setdefault(r.cell, {})[r.pos] = r.m
     dim = len(seeds[0])
-    centroids = [
-        [by_cell.get(c, {}).get(p, seeds[c][p]) for p in range(dim)]
-        for c in range(len(seeds))
-    ]
+
+    centroids = seeds
+    for _ in range(n_iters):
+        assigned_i = embeddings.withColumn(
+            "cell", _nearest_cell_udf(spark, centroids)(F.col(vec_col))
+        )
+        means = (
+            assigned_i.select("cell", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        # empty cells keep their previous centroid (deterministic)
+        centroids = [
+            [by_cell.get(c, {}).get(p, centroids[c][p]) for p in range(dim)]
+            for c in range(len(centroids))
+        ]
     assigned = embeddings.withColumn(
         "cell", _nearest_cell_udf(spark, centroids)(F.col(vec_col))
     )
     return assigned, centroids
+
+
+# ---------------------------------------------------------------------------
+# Vector column utilities: normalization + int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def normalize_vectors(df: DataFrame, vec_col: str = "embedding", out_col: str | None = None):
+    """L2-normalize an array<float|double> column (JVM-side transform).
+
+    Zero vectors stay zero (no NaN): the norm is coalesced to 1.
+    """
+    out = out_col or vec_col
+    norm = F.sqrt(_sq_norm(F.col(vec_col)))
+    safe = F.when(norm > 0, norm).otherwise(F.lit(1.0))
+    return df.withColumn(
+        out, F.transform(F.col(vec_col), lambda x: x.cast("double") / safe)
+    )
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding"):
+    """Symmetric per-vector int8 quantization: 4x smaller storage.
+
+    Adds ``q`` (array<tinyint>, round-half-up to [-127, 127]) and
+    ``scale`` (double, max|x|/127).  Dequantize = q * scale; max error
+    per component <= scale/2.  All JVM expressions — at 100 TB this is
+    the difference between shipping 4-byte floats and 1-byte codes
+    through every shuffle and sink.
+    """
+    absmax = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
+    df = df.withColumn("scale", scale)
+    return df.withColumn(
+        "q",
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast(
+                "tinyint"
+            ),
+        ),
+    )
+
+
+def dequantize_int8(df: DataFrame, q_col: str = "q", scale_col: str = "scale", out_col: str = "embedding"):
+    """Inverse of :func:`quantize_int8` (lossy by <= scale/2 per component)."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
+    )
 
 
 def ivf_topk(

@@ -116,6 +116,8 @@ _PRIORITY: tuple[str, ...] = (
     "q71_profile",
     "q72_histogram",
     "s7_stream_stream_join",
+    "q73_vector_normalize",
+    "q74_quantize_int8",
     # -- proven representatives (green in r01), past the 50-row window --
     "q36_cosine_topk",
     "q34_exact_dedup",

@@ -109,6 +109,84 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q73_vector_normalize",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS e1,
+             SQRT(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(e1 / (CASE WHEN nrm > 0 THEN nrm ELSE 1 END), 4) AS n1,
+           ROUND(CASE WHEN nrm > 0 THEN 1.0 ELSE 0.0 END, 4) AS unit_norm
+    FROM n ORDER BY vec_id
+    """,
+    doc=(
+        "L2 vector normalization (JVM transform, zero-safe): first "
+        "normalized component + resulting norm per vector"
+    ),
+    tables=("embeddings",),
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.similarity import (
+        _sq_norm,
+        normalize_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = normalize_vectors(emb, "embedding", "nv")
+    return normed.select(
+        "vec_id",
+        F.round(F.element_at("nv", 1), 4).alias("n1"),
+        F.round(F.round(F.sqrt(_sq_norm(F.col("nv"))), 6), 4).alias("unit_norm"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "q74_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS am
+      FROM embeddings
+    ), sc AS (
+      SELECT vec_id, CASE WHEN am > 0 THEN am / 127.0 ELSE 1.0 END AS scale
+      FROM s
+    )
+    SELECT e.vec_id,
+           ROUND(sc.scale, 6) AS scale_r,
+           CAST(list_sum(list_transform(e.embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) / sc.scale + 0.5) AS BIGINT))) AS BIGINT)
+             AS q_sum,
+           CAST(FLOOR(CAST(e.embedding[1] AS DOUBLE) / sc.scale + 0.5) AS BIGINT) AS q1
+    FROM embeddings e JOIN sc ON e.vec_id = sc.vec_id
+    ORDER BY e.vec_id
+    """,
+    doc=(
+        "symmetric per-vector int8 quantization (4x storage shrink; "
+        "round-half-up codes in [-127,127]): per-vector scale, code "
+        "checksum, and first code — all JVM expressions"
+    ),
+    tables=("embeddings",),
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = quantize_int8(emb, "embedding")
+    return qd.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("q_sum"),
+        F.element_at("q", 1).cast("long").alias("q1"),
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -1,0 +1,83 @@
+"""Salted-join parity + k-means iterations + int8 quantization bounds."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.operators.similarity import (
+    dequantize_int8,
+    ivf_build,
+    normalize_vectors,
+    quantize_int8,
+)
+from osm_changesets_to_parquet_spark.operators.skew import salted_join
+
+
+def _dim(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id").distinct().withColumn("grp", F.col("user_id") % 10)
+    )
+
+
+def test_salted_join_inner_parity(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = _dim(spark, sf_dir)
+    plain = ev.join(dim, ["user_id"], "inner")
+    salted = salted_join(ev, dim, ["user_id"], n_salts=8, how="inner")
+    assert salted.columns == plain.columns
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_left_parity_with_missing_keys(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    # dimension missing half the keys => left join emits null rows
+    dim = _dim(spark, sf_dir).where(F.col("user_id") % 2 == 0)
+    plain = ev.join(dim, ["user_id"], "left")
+    salted = salted_join(ev, dim, ["user_id"], n_salts=4, how="left")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = _dim(spark, sf_dir)
+    salted = salted_join(ev, dim, ["user_id"], n_salts=8, how="inner")
+    # the physical join key must include the salt column
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+
+
+def test_kmeans_iterations_converge(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, c1 = ivf_build(emb, n_cells=8, n_iters=1)
+    assigned3, c3 = ivf_build(emb, n_cells=8, n_iters=3)
+    assert len(c3) == 8 and len(c3[0]) == len(c1[0])
+    # all vectors assigned to valid cells after multiple Lloyd steps
+    assert assigned3.where((F.col("cell") < 0) | (F.col("cell") >= 8)).count() == 0
+    # more iterations must not produce identical centroids to iter 1
+    # unless already converged; either way the build is deterministic
+    _, c3b = ivf_build(emb, n_cells=8, n_iters=3)
+    assert c3 == c3b
+
+
+def test_quantize_roundtrip_error_bound(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    qd = dequantize_int8(quantize_int8(emb, "embedding"), out_col="deq")
+    rows = qd.select("embedding", "deq", "scale").collect()
+    for r in rows:
+        for orig, back in zip(r.embedding, r.deq):
+            assert abs(float(orig) - back) <= r.scale / 2 + 1e-9
+        assert all(-127 <= 127 for _ in r.embedding)
+
+
+def test_normalize_unit_norm(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    nv = normalize_vectors(emb, "embedding", "nv").select("nv").collect()
+    for r in nv:
+        norm = math.sqrt(sum(float(x) * float(x) for x in r.nv))
+        assert abs(norm - 1.0) < 1e-9 or norm == 0.0
