@@ -118,6 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     "s7_stream_stream_join",
     "q73_vector_normalize",
     "q74_quantize_int8",
+    "cs7_fallback_xml",
     # -- proven representatives (green in r01), past the 50-row window --
     "q36_cosine_topk",
     "q34_exact_dedup",

@@ -114,3 +114,22 @@ def cs2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cs3(spark: SparkSession, sf_dir: str) -> DataFrame:
     bz = fixtures.write_fixture_bz2_multistream()
     return _as_ms_rows(read_changesets_xml(spark, bz))
+
+
+@register(
+    "cs7_fallback_xml",
+    fixtures.expected_values_sql(),
+    doc=(
+        "identical conversion through the no-xml-source fallback "
+        "(lineSep-framed text scan + Arrow-batched ElementTree parse, "
+        "sources/changesets_fallback.py) — proves the engine runs on "
+        "Spark deployments without the xml data source"
+    ),
+)
+def cs7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.sources.changesets_fallback import (
+        read_changesets_xml_fallback,
+    )
+
+    xml = fixtures.write_fixture()
+    return _as_ms_rows(read_changesets_xml_fallback(spark, xml))

@@ -182,3 +182,39 @@ def test_fuzz_matches_elementtree(spark, data):
                 assert g[k] == v, f"id={cid} field={k}: got {g[k]!r} want {v!r}"
     finally:
         os.unlink(path)
+
+
+def test_fallback_source_matches_xml_source(spark):
+    from osm_changesets_to_parquet_spark.sources.changesets import read_changesets_xml
+    from osm_changesets_to_parquet_spark.sources.changesets_fallback import (
+        read_changesets_xml_fallback,
+    )
+
+    xml = fixtures.write_fixture()
+    main = read_changesets_xml(spark, xml).orderBy("id").collect()
+    fb = read_changesets_xml_fallback(spark, xml).orderBy("id").collect()
+    assert [tuple(r) for r in fb] == [tuple(r) for r in main]
+
+
+def test_fallback_source_bz2_and_trailing_selfclosing(spark, tmp_path):
+    from osm_changesets_to_parquet_spark.sources.changesets_fallback import (
+        read_changesets_xml_fallback,
+    )
+
+    # file ends with self-closing elements: their terminator-less tail
+    # fragment (with </osm>) must still parse
+    doc = (
+        '<?xml version="1.0"?>\n<osm>\n'
+        '  <changeset id="1" created_at="2024-01-01T00:00:00Z" open="false"'
+        ' num_changes="5" comments_count="0">\n'
+        '    <tag k="comment" v="x"/>\n  </changeset>\n'
+        '  <changeset id="2" open="true" num_changes="1" comments_count="0"/>\n'
+        '  <changeset id="3" open="false" num_changes="2" comments_count="1"/>\n'
+        "</osm>\n"
+    )
+    p = tmp_path / "tail.xml"
+    p.write_text(doc)
+    rows = read_changesets_xml_fallback(spark, str(p)).orderBy("id").collect()
+    assert [r.id for r in rows] == [1, 2, 3]
+    assert rows[0].description == "x"
+    assert rows[1].open is True and rows[2].num_changes == 2
