@@ -195,3 +195,36 @@ def test_cs6_orc_read_prunes_unused_columns(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cs6_orc_roundtrip")
     assert "orc" in plan.lower()
     assert "o_orderpriority" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Curation + vector ops (q69-q74), cluster resolution input, fallback scan
+# ---------------------------------------------------------------------------
+
+
+def test_q69_sample_filters_in_scan_stage(spark, sf_dir):
+    # the hash-sample predicate is arithmetic, so it can't become a
+    # parquet PushedFilter — but it must run in the scan stage (before
+    # the only exchange), and the scan must prune to the 3 used columns
+    plan = _plan(spark, sf_dir, "q69_hash_sample")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan
+    assert "source" not in plan.split("ReadSchema: ")[-1]
+
+
+def test_q71_profile_single_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q71_profile")
+    assert plan.count("FileScan") == 1  # one scan feeds every statistic
+
+
+def test_q72_histogram_tiny_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q72_histogram")
+    assert "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q73_q74_vector_ops_no_shuffle(spark, sf_dir):
+    for name in ("q73_vector_normalize", "q74_quantize_int8"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "BatchEvalPython" not in plan, name  # pure JVM expressions
