@@ -119,6 +119,8 @@ _PRIORITY: tuple[str, ...] = (
     "q73_vector_normalize",
     "q74_quantize_int8",
     "cs7_fallback_xml",
+    "q75_funnel",
+    "q76_retention_cohort",
     # -- proven representatives (green in r01), past the 50-row window --
     "q36_cosine_topk",
     "q34_exact_dedup",
@@ -134,6 +136,7 @@ _LAST: tuple[str, ...] = ("a51_lsh_ann_topk", "a52_ivf_ann_topk")
 def load_all_modules() -> None:
     """Import every query module so REGISTRY is fully populated."""
     from osm_changesets_to_parquet_spark.queries import (  # noqa: F401
+        analytics,
         ann,
         conversion,
         curation,

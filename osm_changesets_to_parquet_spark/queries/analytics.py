@@ -1,0 +1,123 @@
+"""Event-analytics queries Q75-Q76: funnel + retention cohorts.
+
+The classic product-analytics shapes a general engine must answer over
+an event stream: ordered multi-step conversion (funnel) and cohorted
+return-rate (retention).  Both are pure Catalyst plans — conditional
+aggregates + equi-joins, no window explosion — and both express over
+integer epoch micros so the oracle arithmetic is engine-portable.
+
+Scale notes: the funnel is three keyed aggregates chained by equi-join
+on user_id (each join side is already reduced to one row per user —
+the joins carry O(users), not O(events)); retention is two aggregates
+and one join, same property.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.queries import register
+
+US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "q75_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """,
+    doc=(
+        "ordered 3-step funnel (view -> click -> purchase, strictly "
+        "increasing event time): chained per-user conditional minima — "
+        "every join carries one row per user, never O(events)"
+    ),
+    tables=("events",),
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    return (
+        ev.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view")))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+@register(
+    "q76_retention_cohort",
+    f"""
+    WITH f AS (
+      SELECT user_id, MIN(epoch_us(ts) // {US_PER_DAY}) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {US_PER_DAY} AS day FROM events
+    )
+    SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+           COUNT(*) AS n_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    WHERE a.day - f.cohort_day BETWEEN 0 AND 7
+    GROUP BY 1, 2 ORDER BY cohort_day, day_offset
+    """,
+    doc=(
+        "retention matrix: first-activity-day cohorts x day offset 0-7; "
+        "two per-user aggregates + one O(users x active-days) join"
+    ),
+    tables=("events",),
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.unix_micros("ts") / US_PER_DAY).cast("long").alias("day")
+    )
+    f = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    a = ev.distinct()
+    off = (F.col("day") - F.col("cohort_day")).alias("day_offset")
+    return (
+        a.join(f, "user_id")
+        .where((F.col("day") - F.col("cohort_day")).between(0, 7))
+        .groupBy("cohort_day", off)
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
