@@ -109,16 +109,19 @@ _PRIORITY: tuple[str, ...] = (
     # -- changed this round (token-hash shingle construction) --
     "q35a_jaccard_truth",
     "q35b_minhash_lsh",
-    # -- new this round: cluster resolution, curation, stream-stream --
+    # -- new this round, operator-heavy first: these six fill the last
+    #    slots of the driver's 50-row correctness window --
     "q68_neardup_clusters",
+    "s7_stream_stream_join",
+    "cs7_fallback_xml",
     "q69_hash_sample",
+    "q73_vector_normalize",
+    "q74_quantize_int8",
+    # -- new this round, simple-aggregate shapes (strong local parity
+    #    evidence at sf0.001; below the 50-row window) --
     "q70_train_test_split",
     "q71_profile",
     "q72_histogram",
-    "s7_stream_stream_join",
-    "q73_vector_normalize",
-    "q74_quantize_int8",
-    "cs7_fallback_xml",
     "q75_funnel",
     "q76_retention_cohort",
     # -- proven representatives (green in r01), past the 50-row window --
