@@ -124,6 +124,9 @@ _PRIORITY: tuple[str, ...] = (
     "q72_histogram",
     "q75_funnel",
     "q76_retention_cohort",
+    "q77_nullsafe_join",
+    "q78_bag_setops",
+    "q79_limit_offset",
     # -- proven representatives (green in r01), past the 50-row window --
     "q36_cosine_topk",
     "q34_exact_dedup",

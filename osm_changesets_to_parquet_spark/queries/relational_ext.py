@@ -479,3 +479,94 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("c_mktsegment", "c_nationkey").distinct().orderBy(
         "c_mktsegment", "c_nationkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality, bag-semantics set ops, paging
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q77_nullsafe_join",
+    """
+    WITH a AS (
+      SELECT NULLIF(l_returnflag, 'R') AS k, COUNT(*) AS cnt_a
+      FROM lineitem GROUP BY 1
+    ),
+    b AS (
+      SELECT NULLIF(o_orderstatus, 'F') AS k, COUNT(*) AS cnt_b
+      FROM orders GROUP BY 1
+    )
+    SELECT a.k, cnt_a, cnt_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY a.k NULLS FIRST
+    """,
+    doc=(
+        "null-safe equi-join (<=> / IS NOT DISTINCT FROM): null keys "
+        "match each other — a plain equi-join would drop them"
+    ),
+    tables=("lineitem", "orders"),
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    a = (
+        li.groupBy(F.nullif("l_returnflag", F.lit("R")).alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt_a"))
+    )
+    b = (
+        o.groupBy(F.nullif("o_orderstatus", F.lit("F")).alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt_b"))
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select(a["k"], "cnt_a", "cnt_b")
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
+@register(
+    "q78_bag_setops",
+    """
+    WITH x AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+    y AS (SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1-%'),
+    i AS (SELECT o_custkey FROM x INTERSECT ALL SELECT o_custkey FROM y),
+    e AS (SELECT o_custkey FROM x EXCEPT ALL SELECT o_custkey FROM y)
+    SELECT (SELECT COUNT(*) FROM i) AS n_intersect_all,
+           (SELECT COUNT(*) FROM e) AS n_except_all
+    """,
+    doc=(
+        "bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicity "
+        "preserved, unlike the distinct q26/q27 forms"
+    ),
+    tables=("orders",),
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    y = o.where(F.col("o_orderpriority").like("1-%")).select("o_custkey")
+    return (
+        x.intersectAll(y)
+        .agg(F.count(F.lit(1)).alias("n_intersect_all"))
+        .crossJoin(x.exceptAll(y).agg(F.count(F.lit(1)).alias("n_except_all")))
+    )
+
+
+@register(
+    "q79_limit_offset",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 20
+    """,
+    doc="paging: total order + LIMIT/OFFSET (rows 21-30 by price)",
+    tables=("orders",),
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(20)
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
