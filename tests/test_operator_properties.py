@@ -1,0 +1,97 @@
+"""Property-based operator checks against independent references:
+connected_components vs a union-find, merge_asof vs pandas.merge_asof.
+Randomized inputs (seeded via hypothesis) catch structure the fixed
+testdata can't."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from osm_changesets_to_parquet_spark.operators.asof import merge_asof
+from osm_changesets_to_parquet_spark.operators.clusters import connected_components
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully, label = component minimum
+    labels = {}
+    for x in list(parent):
+        r = find(x)
+        labels[x] = min(labels.get(r, r), r)
+    # second pass: min id per root
+    roots = {}
+    for x in parent:
+        roots.setdefault(find(x), []).append(x)
+    return {x: min(members) for r, members in roots.items() for x in members}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_matches_union_find(spark, pairs):
+    pdf = pd.DataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], columns=["id_a", "id_b"]
+    ).drop_duplicates()
+    df = spark.createDataFrame(pdf)
+    got = {r.id: r.label for r in connected_components(df).collect()}
+    want = _union_find([tuple(r) for r in pdf.itertuples(index=False)])
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=25),
+    st.lists(st.integers(0, 1000), min_size=1, max_size=25),
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_merge_asof_matches_pandas(spark, left_ts, right_ts):
+    left = pd.DataFrame(
+        {"k": 1, "t": sorted(set(left_ts)), }
+    )
+    right = pd.DataFrame({"k": 1, "t": sorted(set(right_ts))})
+    right["val"] = right["t"] * 10
+
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    got = (
+        merge_asof(ldf, rdf, on="t", by="k", value_cols=["val"], strict=False)
+        .orderBy("t")
+        .toPandas()
+    )
+    want = pd.merge_asof(
+        left, right, on="t", by="k", direction="backward", allow_exact_matches=True
+    )
+    got_vals = [None if pd.isna(v) else int(v) for v in got["val"]]
+    want_vals = [None if pd.isna(v) else int(v) for v in want["val"]]
+    assert got_vals == want_vals
+
+    # strict (no exact matches) against pandas' allow_exact_matches=False
+    got_s = (
+        merge_asof(ldf, rdf, on="t", by="k", value_cols=["val"], strict=True)
+        .orderBy("t")
+        .toPandas()
+    )
+    want_s = pd.merge_asof(
+        left, right, on="t", by="k", direction="backward", allow_exact_matches=False
+    )
+    got_vals_s = [None if pd.isna(v) else int(v) for v in got_s["val"]]
+    want_vals_s = [None if pd.isna(v) else int(v) for v in want_s["val"]]
+    assert got_vals_s == want_vals_s

@@ -228,3 +228,11 @@ def test_q73_q74_vector_ops_no_shuffle(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "Exchange hashpartitioning" not in plan, name
         assert "BatchEvalPython" not in plan, name  # pure JVM expressions
+
+
+def test_q35b_single_scan_bucket_aggregation(spark, sf_dir):
+    # the one-pass bucket spelling: the expensive signature subtree must
+    # appear exactly once (a self-join spelling scanned it twice)
+    plan = _plan(spark, sf_dir, "q35b_minhash_lsh")
+    assert plan.count("FileScan parquet") == 1
+    assert "ObjectHashAggregate" in plan  # collect_list buckets
