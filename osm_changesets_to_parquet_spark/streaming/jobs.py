@@ -61,25 +61,41 @@ def prepare_replay_dir(
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
 
-    rows = _events_in_order(spark, sf_dir).collect()
-    late_rows = []
-    if late:
-        # pick rows ~40% in so their event time is far behind the stream end
-        k = int(len(rows) * 0.4)
-        late_rows = rows[k : k + N_LATE_ROWS]
-        rows = rows[: k] + rows[k + N_LATE_ROWS :]
+    from pyspark.sql.window import Window
 
-    per = max(1, (len(rows) + N_REPLAY_FILES - 1) // N_REPLAY_FILES)
-    schema = _events_in_order(spark, sf_dir).schema
-    chunks = [rows[i : i + per] for i in range(0, len(rows), per)]
-    if late_rows:
-        chunks.append(late_rows)
-    for i, chunk in enumerate(chunks):
-        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(base, f"b{i:03d}")
+    # distributed chunking: global arrival index via row_number (one
+    # ordered pass — never a driver collect of the event set), then one
+    # filtered write per replay file.  Intra-file row order is free:
+    # watermarks and aggregates are batch-level, not row-order-level.
+    ev = _events_in_order(spark, sf_dir)
+    n = ev.count()
+    rn = F.row_number().over(Window.orderBy("ts_us", "event_id")) - 1
+    indexed = ev.withColumn("__rn", rn)
+
+    late_lo = int(n * 0.4) if late else n  # rows [late_lo, late_lo+N) re-arrive last
+    is_late = F.col("__rn").between(late_lo, late_lo + N_LATE_ROWS - 1)
+    # arrival position among on-time rows (late rows removed from the middle)
+    arrival = F.when(
+        F.col("__rn") >= late_lo + N_LATE_ROWS, F.col("__rn") - N_LATE_ROWS
+    ).otherwise(F.col("__rn"))
+    n_ontime = n - (N_LATE_ROWS if late else 0)
+    per = max(1, (n_ontime + N_REPLAY_FILES - 1) // N_REPLAY_FILES)
+    chunk = F.when(is_late, F.lit(N_REPLAY_FILES + 100)).otherwise(
+        (arrival / F.lit(per)).cast("int")
+    )
+    tagged = indexed.withColumn("__chunk", chunk).localCheckpoint()
+
+    chunk_ids = sorted(r[0] for r in tagged.select("__chunk").distinct().collect())
+    for i, cid in enumerate(chunk_ids):
+        sub = os.path.join(base, f"b{i:03d}")
+        (
+            tagged.where(F.col("__chunk") == cid)
+            .drop("__rn", "__chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(sub)
         )
         # flatten: move the part file up as NNN.parquet for lexicographic order
-        sub = os.path.join(base, f"b{i:03d}")
         part = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
         os.replace(os.path.join(sub, part), os.path.join(base, f"{i:03d}.parquet"))
         shutil.rmtree(sub)
