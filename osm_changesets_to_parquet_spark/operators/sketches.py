@@ -1,0 +1,82 @@
+"""DataFrame-native Count-Min Sketch: heavy-hitter estimation whose
+sketch is itself a (depth x width) DataFrame.
+
+Why not a binary sketch blob: Spark's ``count_min_sketch`` aggregate
+returns an opaque byte array with no probe function in SQL — useless
+for composition.  Building the sketch *as a table* keeps everything in
+the engine: construction is one explode + one keyed count (map-side
+partials make the shuffle O(depth x width), independent of the token
+count), merging two sketches is a union + sum, and probing is a
+broadcast join + min.  All integer math uses the same portable
+polynomial hash as operators.dedup, so the entire sketch — every
+counter — can be hash-matched against a SQL oracle.
+
+Guarantee (standard CMS): estimate >= true count always;
+estimate <= true + eps*N with probability 1-delta for
+width >= e/eps, depth >= ln(1/delta).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark.operators.dedup import HASH_MOD, char_hash
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+_rng = random.Random(424242)
+CMS_A = [_rng.randrange(1, HASH_MOD) for _ in range(CMS_DEPTH)]
+CMS_B = [_rng.randrange(0, HASH_MOD) for _ in range(CMS_DEPTH)]
+
+
+def cms_bucket(token_hash: Column, j: int) -> Column:
+    """Row j's bucket for a pre-hashed token."""
+    return ((F.lit(CMS_A[j]) * token_hash + F.lit(CMS_B[j])) % F.lit(HASH_MOD)) % F.lit(
+        CMS_WIDTH
+    )
+
+
+def cms_build(tokens: DataFrame, token_col: str = "token") -> DataFrame:
+    """Build the sketch table (j, bucket, cnt) from a token stream.
+
+    One pass: per-row hash fold, explode into CMS_DEPTH (j, bucket)
+    pairs, keyed count.  The shuffle carries at most depth x width
+    counters after map-side combine.
+    """
+    th = char_hash(F.col(token_col))
+    rows = tokens.select(
+        F.posexplode(
+            F.array(*[cms_bucket(th, j) for j in range(CMS_DEPTH)])
+        ).alias("j", "bucket")
+    )
+    return rows.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with the same constants (counter sum)."""
+    return (
+        a.unionByName(b).groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, queries: DataFrame, token_col: str = "token") -> DataFrame:
+    """Estimate each query token's count: min over rows of its counters.
+
+    ``queries`` is small (the candidate heavy hitters) and broadcasts;
+    the sketch side is depth x width at most.  Missing counters (bucket
+    never touched) read as 0.
+    """
+    th = char_hash(F.col(token_col))
+    probes = queries.select(
+        token_col,
+        F.posexplode(
+            F.array(*[cms_bucket(th, j) for j in range(CMS_DEPTH)])
+        ).alias("j", "bucket"),
+    )
+    joined = probes.join(sketch, ["j", "bucket"], "left").select(
+        token_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy(token_col).agg(F.min("cnt").alias("cms_est"))

@@ -127,6 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "q77_nullsafe_join",
     "q78_bag_setops",
     "q79_limit_offset",
+    "q80_count_min_sketch",
     # -- proven representatives (green in r01), past the 50-row window --
     "q36_cosine_topk",
     "q34_exact_dedup",
@@ -151,6 +152,7 @@ def load_all_modules() -> None:
         multimodal,
         relational,
         relational_ext,
+        sketches,
         sources_roundtrip,
         streaming_jobs,
         udfs,

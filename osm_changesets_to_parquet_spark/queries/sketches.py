@@ -1,0 +1,82 @@
+"""Sketch queries Q80: Count-Min heavy-hitter estimation.
+
+The oracle rebuilds the identical sketch in SQL — same polynomial
+hashes, same (a_j, b_j) row constants, same width — so every counter
+and every estimate is hash-matched, not just bounded.  The classic CMS
+property (estimate >= exact, bounded overestimate) is additionally
+asserted in tests/test_sketches.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.operators import sketches as S
+from osm_changesets_to_parquet_spark.operators.dedup import HASH_MOD
+from osm_changesets_to_parquet_spark.queries import register
+from osm_changesets_to_parquet_spark.queries.dedup_sim import _sql_charhash
+
+_P = HASH_MOD
+
+
+def _bucket_arm(j: int) -> str:
+    return f"((({S.CMS_A[j]} * h + {S.CMS_B[j]}) % {_P}) % {S.CMS_WIDTH})"
+
+
+_Q80_SQL = f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+th AS (SELECT token, {_sql_charhash('token')} AS h FROM tok),
+sk AS (
+  SELECT j, bucket, COUNT(*) AS cnt FROM (
+    {" UNION ALL ".join(f"SELECT {j} AS j, {_bucket_arm(j)} AS bucket FROM th" for j in range(S.CMS_DEPTH))}
+  ) GROUP BY j, bucket
+),
+top AS (
+  SELECT token, COUNT(*) AS exact_cnt FROM tok
+  GROUP BY token ORDER BY exact_cnt DESC, token LIMIT 20
+),
+tophash AS (SELECT token, exact_cnt, {_sql_charhash('token')} AS h FROM top),
+probe AS (
+  {" UNION ALL ".join(f"SELECT token, exact_cnt, {j} AS j, {_bucket_arm(j)} AS bucket FROM tophash" for j in range(S.CMS_DEPTH))}
+),
+est AS (
+  SELECT p.token, p.exact_cnt, MIN(COALESCE(sk.cnt, 0)) AS cms_est
+  FROM probe p LEFT JOIN sk ON p.j = sk.j AND p.bucket = sk.bucket
+  GROUP BY p.token, p.exact_cnt
+)
+SELECT token, exact_cnt, cms_est FROM est
+ORDER BY exact_cnt DESC, token
+"""
+
+
+@register(
+    "q80_count_min_sketch",
+    _Q80_SQL,
+    doc=(
+        "DataFrame-native Count-Min sketch (4 x 1024 counter table, "
+        "portable integer hashes): top-20 token estimates vs exact "
+        "counts — every counter hash-matched against the SQL-built "
+        "sketch; construction shuffle is O(depth x width)"
+    ),
+    tables=("documents",),
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    sketch = S.cms_build(tokens)
+    top = (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(20)
+    )
+    est = S.cms_estimate(sketch, top.select("token"))
+    return (
+        top.join(est, "token")
+        .select("token", "exact_cnt", "cms_est")
+        .orderBy(F.col("exact_cnt").desc(), "token")
+    )

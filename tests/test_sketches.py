@@ -1,0 +1,44 @@
+"""CMS invariants: never underestimates, bounded overestimate, merge law."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.operators import sketches as S
+
+
+def _tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.explode(F.split("text", " ")).alias("token"))
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    tokens = _tokens(spark, sf_dir)
+    sketch = S.cms_build(tokens)
+    exact = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    est = S.cms_estimate(sketch, exact.select("token"))
+    joined = exact.join(est, "token")
+    assert joined.where(F.col("cms_est") < F.col("exact")).count() == 0
+    # overestimate bounded: eps = e/width, N = total tokens
+    n = tokens.count()
+    bound = 2.72 / S.CMS_WIDTH * n
+    over = joined.where(F.col("cms_est") > F.col("exact") + bound)
+    # depth=4 => P(violation) <= exp(-4) per token; allow a tiny tail
+    assert over.count() <= max(2, exact.count() // 50)
+
+
+def test_cms_merge_equals_union_build(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.operators.dedup import char_hash
+
+    tokens = _tokens(spark, sf_dir)
+    # deterministic multiset split: every token instance goes to exactly
+    # one side (split on the hash parity of the token value)
+    a = tokens.where(char_hash(F.col("token")) % 2 == 0)
+    b = tokens.where(char_hash(F.col("token")) % 2 != 0)
+    merged = S.cms_merge(S.cms_build(a), S.cms_build(b))
+    whole = S.cms_build(tokens)
+    diff = merged.join(whole, ["j", "bucket"], "full").where(
+        F.coalesce(merged["cnt"], F.lit(0)) != F.coalesce(whole["cnt"], F.lit(0))
+    )
+    assert diff.count() == 0
