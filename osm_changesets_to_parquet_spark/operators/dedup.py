@@ -199,10 +199,18 @@ def jaccard_pairs(
     Distinct-shingle explode + self-join on shingle hash: only pairs
     sharing at least one shingle are ever materialized (pairs with
     Jaccard > 0 — the quadratic all-pairs never exists).
+
+    The exploded (id, shingle) set is checkpointed once: three
+    consumers (both join sides + the size aggregate) would otherwise
+    each recompute the full hashing subtree (4 scans observed).  At
+    100 TB this materialization is the shingle index you would persist
+    anyway.  Pair enumeration stays a streaming hash join — a
+    collect_list-per-shingle spelling would buffer entire hot-shingle
+    buckets in memory.
     """
     sh = shingles(docs, text_col, n).select(
         F.col(id_col), F.explode(F.array_distinct("shingle_hashes")).alias("h")
-    )
+    ).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("h"), F.col(id_col).alias("id_a"))
     b = sh.select(F.col("h"), F.col(id_col).alias("id_b"))

@@ -218,3 +218,16 @@ def test_fallback_source_bz2_and_trailing_selfclosing(spark, tmp_path):
     assert [r.id for r in rows] == [1, 2, 3]
     assert rows[0].description == "x"
     assert rows[1].open is True and rows[2].num_changes == 2
+
+
+def test_partition_by_day_prunes_scan(spark, tmp_path):
+    out = str(tmp_path / "by_day.parquet")
+    convert(spark, fixtures.write_fixture(), out, partition_by_day=True)
+    df = spark.read.parquet(out).where("created_day = DATE'2024-01-01'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the day filter must become a partition filter (pruned directories),
+    # never a post-scan row filter
+    assert "PartitionFilters: [" in plan and "created_day" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
+    assert df.count() == 1  # only the 2024-01-01 changeset read
