@@ -1,0 +1,57 @@
+"""MERGE INTO emulation on plain parquet tables (no Delta/Iceberg).
+
+An evolving 100 TB dataset needs upserts; without a table format with
+ACID merge, the standard emulation is:
+
+    merged = base ANTI-JOIN updates ON key   (keep unmatched base rows)
+             UNION ALL updates               (matched rows replaced,
+                                              new rows inserted)
+
+plus, for SCD2 history, window versioning over the union.  Both are
+pure Catalyst plans: one keyed anti-join (the only shuffle of base) and
+a union — no driver involvement, rewrite cost O(base + updates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str | list[str]) -> DataFrame:
+    """Last-writer-wins merge: update rows replace base rows with the
+    same key; unmatched update rows are inserts.  Columns must match."""
+    keys = [key] if isinstance(key, str) else list(key)
+    kept = base.join(updates.select(*keys), keys, "left_anti")
+    return kept.unionByName(updates)
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    key: str | list[str],
+    ts_col: str,
+    current_flag: str = "is_current",
+    valid_to: str = "valid_to_us",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close out current versions that
+    a change supersedes, append the new versions as current.
+
+    ``history`` carries (key..., attributes..., ts_col, valid_to,
+    current_flag); ``changes`` carries (key..., attributes..., ts_col).
+    A closed version's ``valid_to`` is its successor's ``ts_col``; the
+    newest version per key is current with valid_to null.  One window
+    over (key, ts) — a single shuffle on key.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    incoming = changes.withColumn(valid_to, F.lit(None).cast("long")).withColumn(
+        current_flag, F.lit(True)
+    )
+    all_rows = history.unionByName(incoming)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    nxt = F.lead(ts_col).over(w)
+    return (
+        all_rows.withColumn(valid_to, nxt)
+        .withColumn(current_flag, nxt.isNull())
+    )

@@ -128,6 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "q78_bag_setops",
     "q79_limit_offset",
     "q80_count_min_sketch",
+    "q81_merge_upsert",
     # -- proven representatives (green in r01), past the 50-row window --
     "q36_cosine_topk",
     "q34_exact_dedup",

@@ -155,3 +155,53 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q81_merge_upsert",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 10 != 0
+    ),
+    upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    merged AS (
+      SELECT b.* FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+      UNION ALL
+      SELECT * FROM upd
+    )
+    SELECT o_orderstatus, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc=(
+        "MERGE INTO emulation on plain parquet (anti-join + union, "
+        "operators/merge.py): updates replace matched rows, unmatched "
+        "updates insert; one keyed anti-join shuffle, O(base+updates)"
+    ),
+    tables=("orders",),
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.merge import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.where(F.col("o_orderkey") % 10 != 0)
+    updates = o.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+    )
+    merged = merge_upsert(base, updates, "o_orderkey")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

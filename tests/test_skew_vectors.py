@@ -81,3 +81,39 @@ def test_normalize_unit_norm(spark, sf_dir):
     for r in nv:
         norm = math.sqrt(sum(float(x) * float(x) for x in r.nv))
         assert abs(norm - 1.0) < 1e-9 or norm == 0.0
+
+
+def test_scd2_versions_and_current_flags(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.operators.merge import scd2_apply
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    # seed history: each user's first event as the open current version
+    first = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts_us").alias("ts_us"))
+        .join(ev, ["user_id", "ts_us"])
+        .dropDuplicates(["user_id"])
+        .withColumn("valid_to_us", F.lit(None).cast("long"))
+        .withColumn("is_current", F.lit(True))
+    )
+    # changes: each user's latest event
+    last = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts_us").alias("ts_us"))
+        .join(ev, ["user_id", "ts_us"])
+        .dropDuplicates(["user_id"])
+    )
+    out = scd2_apply(first, last, "user_id", "ts_us")
+    per_user = out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.col("is_current").cast("int")).alias("n_current"),
+        F.sum(F.col("valid_to_us").isNull().cast("int")).alias("n_open"),
+    )
+    # exactly one current open version per user, all versions closed
+    # by their successor
+    bad = per_user.where(
+        (F.col("n_current") != 1) | (F.col("n_open") != 1)
+    ).count()
+    assert bad == 0
