@@ -129,6 +129,7 @@ _PRIORITY: tuple[str, ...] = (
     "q79_limit_offset",
     "q80_count_min_sketch",
     "q81_merge_upsert",
+    "q82_resample_ffill",
     # -- proven representatives (green in r01), past the 50-row window --
     "q36_cosine_topk",
     "q34_exact_dedup",

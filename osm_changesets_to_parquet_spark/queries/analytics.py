@@ -121,3 +121,69 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+US_PER_HOUR = 3_600_000_000
+
+
+@register(
+    "q82_resample_ffill",
+    f"""
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) // {US_PER_HOUR} AS hr,
+             ROUND(AVG(value), 4) AS v
+      FROM events WHERE user_id < 20 GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM b GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.hr, b.v FROM grid g
+      LEFT JOIN b ON b.user_id = g.user_id AND b.hr = g.hr
+    )
+    SELECT user_id, hr,
+           COALESCE(v, LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS v_filled,
+           v IS NULL AS was_gap
+    FROM j ORDER BY user_id, hr
+    """,
+    doc=(
+        "time-series densification: per-user hourly grid (sequence + "
+        "explode — no driver-side calendar), left join actuals, forward "
+        "fill via last(ignorenulls) window; one shuffle on user"
+    ),
+    tables=("events",),
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    b = (
+        ev.select(
+            "user_id",
+            (F.unix_micros("ts") / US_PER_HOUR).cast("long").alias("hr"),
+            "value",
+        )
+        .groupBy("user_id", "hr")
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+    )
+    span = b.groupBy("user_id").agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hr")
+    )
+    j = grid.join(b, ["user_id", "hr"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return j.select(
+        "user_id",
+        "hr",
+        F.coalesce(F.col("v"), F.last("v", ignorenulls=True).over(w)).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    ).orderBy("user_id", "hr")

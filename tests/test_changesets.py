@@ -231,3 +231,33 @@ def test_partition_by_day_prunes_scan(spark, tmp_path):
         "PartitionFilters:"
     )[1].split("]")[0]
     assert df.count() == 1  # only the 2024-01-01 changeset read
+
+
+@given(_changesets())
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_fuzz_fallback_matches_xml_source(spark, data):
+    from osm_changesets_to_parquet_spark.sources.changesets_fallback import (
+        read_changesets_xml_fallback,
+    )
+
+    root = ET.Element("osm")
+    for attrs, comments in data:
+        el = ET.SubElement(root, "changeset", attrs)
+        for c in comments:
+            ET.SubElement(el, "tag", {"k": "comment", "v": c})
+    xml = ET.tostring(root, encoding="unicode", xml_declaration=True)
+    import hashlib
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"fuzzfb_{hashlib.md5(xml.encode()).hexdigest()}.xml"
+    )
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(xml)
+    try:
+        main = sorted(map(str, read_changesets_xml(spark, path).collect()))
+        fb = sorted(map(str, read_changesets_xml_fallback(spark, path).collect()))
+        assert fb == main
+    finally:
+        os.unlink(path)
