@@ -130,6 +130,7 @@ _PRIORITY: tuple[str, ...] = (
     "q80_count_min_sketch",
     "q81_merge_upsert",
     "q82_resample_ffill",
+    "q83_ewma",
     # -- proven representatives (green in r01), past the 50-row window --
     "q36_cosine_topk",
     "q34_exact_dedup",

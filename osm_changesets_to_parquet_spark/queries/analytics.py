@@ -187,3 +187,52 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("v"), F.last("v", ignorenulls=True).over(w)).alias("v_filled"),
         F.col("v").isNull().alias("was_gap"),
     ).orderBy("user_id", "hr")
+
+
+@register(
+    "q83_ewma",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+      WHERE user_id < 10
+    ),
+    w AS (
+      SELECT user_id, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS vs
+      FROM o
+    )
+    SELECT user_id, event_id,
+           ROUND(list_reduce(vs, (acc, x) -> 0.2 * x + 0.8 * acc), 4) AS ewma
+    FROM w ORDER BY user_id, event_id
+    """,
+    doc=(
+        "recursive EWMA (alpha=0.2) over a trailing 24-row window: "
+        "collect_list over the frame + an in-row aggregate fold — the "
+        "stateful recurrence without Python, one shuffle on user; the "
+        "bounded frame avoids the pow-overflow of the closed form"
+    ),
+    tables=("events",),
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 10)
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"), "value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    vs = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
+        F.element_at(vs, 1).cast("double"),
+        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+    )
+    return ev.select(
+        "user_id", "event_id", F.round(ewma, 4).alias("ewma")
+    ).orderBy("user_id", "event_id")
