@@ -131,6 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "q81_merge_upsert",
     "q82_resample_ffill",
     "q83_ewma",
+    "q84_pagerank",
     # -- proven representatives (green in r01), past the 50-row window --
     "q36_cosine_topk",
     "q34_exact_dedup",
@@ -151,6 +152,7 @@ def load_all_modules() -> None:
         conversion,
         curation,
         dedup_sim,
+        graph,
         llm_ops,
         multimodal,
         relational,

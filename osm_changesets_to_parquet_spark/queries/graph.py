@@ -1,0 +1,88 @@
+"""Graph query Q84: PageRank over the part<->supplier co-occurrence
+graph (lineitem edges, both directions, multiplicity-weighted).
+
+The oracle unrolls the exact power-iteration arithmetic as K chained
+CTEs — same damping, same uniform start, same dangling handling — so
+every rank value after exactly K iterations is hash-matched (rounded
+to 6; with symmetric edges there are no dangling nodes, keeping the
+float-sum surface minimal)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.operators.graph import pagerank
+from osm_changesets_to_parquet_spark.queries import register
+
+_D = 0.85
+_K = 3
+_SUPP_OFFSET = 1_000_000
+_MAX_PART = 200
+
+_EDGES_SQL = f"""
+  SELECT l_partkey AS src, l_suppkey + {_SUPP_OFFSET} AS dst
+  FROM lineitem WHERE l_partkey <= {_MAX_PART}
+  UNION ALL
+  SELECT l_suppkey + {_SUPP_OFFSET} AS src, l_partkey AS dst
+  FROM lineitem WHERE l_partkey <= {_MAX_PART}
+"""
+
+
+def _iter_cte(k: int) -> str:
+    prev = f"r{k - 1}"
+    return f"""r{k} AS (
+  SELECT nd.id,
+         (1 - {_D}) / (SELECT n FROM nn) + {_D} * (
+            COALESCE(m.inmass, 0)
+            + (SELECT COALESCE(SUM(rank), 0) FROM {prev} p
+               WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = p.id))
+              / (SELECT n FROM nn)
+         ) AS rank
+  FROM nodes nd
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.rank / o.outdeg) AS inmass
+    FROM e JOIN {prev} p ON e.src = p.id JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst
+  ) m ON m.id = nd.id
+)"""
+
+
+_Q84_SQL = f"""
+WITH e AS ({_EDGES_SQL}),
+nodes AS (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{", ".join(_iter_cte(k) for k in range(1, _K + 1))}
+SELECT id, ROUND(rank, 6) AS rank FROM r{_K} ORDER BY id
+"""
+
+
+@register(
+    "q84_pagerank",
+    _Q84_SQL,
+    doc=(
+        f"PageRank, {_K} power iterations (d={_D}) over the bipartite "
+        "part<->supplier graph: per iteration one join of ranks onto "
+        "out-edges + one keyed sum, lineage checkpointed — the oracle "
+        "unrolls the identical arithmetic as chained CTEs"
+    ),
+    tables=("lineitem",),
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") <= _MAX_PART
+    )
+    fwd = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, n_iters=_K, damping=_D)
+    return ranks.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
