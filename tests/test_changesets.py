@@ -145,7 +145,7 @@ def _changesets(draw):
 
 
 @given(_changesets())
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=5, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 def test_fuzz_matches_elementtree(spark, data):
     root = ET.Element("osm")
     for attrs, comments in data:
@@ -234,7 +234,7 @@ def test_partition_by_day_prunes_scan(spark, tmp_path):
 
 
 @given(_changesets())
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=5, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 def test_fuzz_fallback_matches_xml_source(spark, data):
     from osm_changesets_to_parquet_spark.sources.changesets_fallback import (
         read_changesets_xml_fallback,

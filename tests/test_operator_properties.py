@@ -46,7 +46,7 @@ def _union_find(pairs):
         max_size=40,
     )
 )
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=5, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 def test_connected_components_matches_union_find(spark, pairs):
     pdf = pd.DataFrame(
         [(min(a, b), max(a, b)) for a, b in pairs], columns=["id_a", "id_b"]
@@ -61,7 +61,7 @@ def test_connected_components_matches_union_find(spark, pairs):
     st.lists(st.integers(0, 1000), min_size=1, max_size=25),
     st.lists(st.integers(0, 1000), min_size=1, max_size=25),
 )
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=5, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 def test_merge_asof_matches_pandas(spark, left_ts, right_ts):
     left = pd.DataFrame(
         {"k": 1, "t": sorted(set(left_ts)), }
