@@ -132,6 +132,7 @@ _PRIORITY: tuple[str, ...] = (
     "q82_resample_ffill",
     "q83_ewma",
     "q84_pagerank",
+    "q16b_theta_join_agg_rewrite",
     # -- proven representatives (green in r01), past the 50-row window --
     "q36_cosine_topk",
     "q34_exact_dedup",

@@ -570,3 +570,37 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
     )
+
+
+@register(
+    "q16b_theta_join_agg_rewrite",
+    """
+    SELECT p1.p_brand, COUNT(*) AS n_pairs
+    FROM part p1 JOIN part p2
+      ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
+    GROUP BY p1.p_brand ORDER BY p1.p_brand
+    """,
+    doc=(
+        "q16's theta join rewritten without enumerating pairs: group to "
+        "(brand, size) counts, suffix-sum window over sizes, then "
+        "sum(c * suffix) — O(distinct sizes) work instead of O(pairs); "
+        "the oracle is q16's literal pair join, proving equivalence"
+    ),
+    tables=("part",),
+)
+def q16b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    by_size = p.groupBy("p_brand", "p_size").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_size")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    suffix = F.coalesce(F.sum("c").over(w), F.lit(0))
+    return (
+        by_size.withColumn("pairs", F.col("c") * suffix)
+        .groupBy("p_brand")
+        .agg(F.sum("pairs").alias("n_pairs"))
+        .where(F.col("n_pairs") > 0)
+        .orderBy("p_brand")
+    )
