@@ -236,3 +236,24 @@ def test_q35b_single_scan_bucket_aggregation(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q35b_minhash_lsh")
     assert plan.count("FileScan parquet") == 1
     assert "ObjectHashAggregate" in plan  # collect_list buckets
+
+
+def test_q81_merge_is_anti_join_plus_union(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q81_merge_upsert")
+    assert "LeftAnti" in plan
+    assert "Union" in plan
+
+
+def test_q82_resample_single_user_shuffle_window(spark, sf_dir):
+    # densify + ffill: the forward-fill window and the grid join share
+    # the user_id partitioning — no repeated wide shuffles
+    plan = _plan(spark, sf_dir, "q82_resample_ffill")
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_q16b_rewrite_has_no_join(spark, sf_dir):
+    # the pair-free spelling must plan as aggregates + window only
+    plan = _plan(spark, sf_dir, "q16b_theta_join_agg_rewrite")
+    assert "Join" not in plan
+    assert "Window" in plan and "partial_" in plan
