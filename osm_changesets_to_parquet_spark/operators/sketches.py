@@ -80,3 +80,54 @@ def cms_estimate(sketch: DataFrame, queries: DataFrame, token_col: str = "token"
         token_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
     return joined.groupBy(token_col).agg(F.min("cnt").alias("cms_est"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: semi-join pre-filtering (runtime-filter pattern)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 4096
+BLOOM_K = 3
+_brng = random.Random(777)
+BLOOM_A = [_brng.randrange(1, HASH_MOD) for _ in range(BLOOM_K)]
+BLOOM_B = [_brng.randrange(0, HASH_MOD) for _ in range(BLOOM_K)]
+
+
+def bloom_positions(key: Column) -> list[Column]:
+    """The BLOOM_K bit positions of an integer key."""
+    return [
+        ((F.lit(a) * key + F.lit(b)) % F.lit(HASH_MOD)) % F.lit(BLOOM_BITS)
+        for a, b in zip(BLOOM_A, BLOOM_B)
+    ]
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """Build the filter as a one-column (bit) DataFrame of set bits.
+
+    At most BLOOM_BITS rows regardless of key count — always broadcastable.
+    """
+    return (
+        keys.select(
+            F.explode(F.array(*bloom_positions(F.col(key_col)))).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_prefilter(probe: DataFrame, bloom: DataFrame, key_col: str) -> DataFrame:
+    """Keep probe rows whose key MIGHT be in the filter (all K bits set).
+
+    The probe side never shuffles: the bit table broadcasts and the
+    membership test is K broadcast lookups per row — the semi-join
+    pre-filter that spares the big side a full shuffle when the final
+    join is selective.  False positives pass (by design) and are
+    eliminated by the real join downstream; true keys always pass.
+    """
+    pos = bloom_positions(F.col(key_col))
+    out = probe
+    for i, p in enumerate(pos):
+        b = bloom.select(F.col("bit").alias(f"__b{i}"))
+        out = out.join(
+            F.broadcast(b), p == F.col(f"__b{i}"), "left_semi"
+        )
+    return out

@@ -133,6 +133,7 @@ _PRIORITY: tuple[str, ...] = (
     "q83_ewma",
     "q84_pagerank",
     "q16b_theta_join_agg_rewrite",
+    "q85_bloom_prefilter",
     # -- proven representatives (green in r01), past the 50-row window --
     "q36_cosine_topk",
     "q34_exact_dedup",

@@ -80,3 +80,53 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "exact_cnt", "cms_est")
         .orderBy(F.col("exact_cnt").desc(), "token")
     )
+
+
+_BLOOM_ARMS = " UNION ALL ".join(
+    f"SELECT (({a} * o_orderkey + {b}) % {_P}) % {S.BLOOM_BITS} AS bit FROM pkeys"
+    for a, b in zip(S.BLOOM_A, S.BLOOM_B)
+)
+_PROBE_COND = " AND ".join(
+    f"(({a} * l_orderkey + {b}) % {_P}) % {S.BLOOM_BITS} IN (SELECT bit FROM bloom)"
+    for a, b in zip(S.BLOOM_A, S.BLOOM_B)
+)
+
+_Q85_SQL = f"""
+WITH pkeys AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P'),
+bloom AS (SELECT DISTINCT bit FROM ({_BLOOM_ARMS})),
+passed AS (SELECT l_orderkey FROM lineitem WHERE {_PROBE_COND}),
+truth AS (
+  SELECT l_orderkey FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM pkeys)
+)
+SELECT (SELECT COUNT(*) FROM passed) AS n_bloom_pass,
+       (SELECT COUNT(*) FROM truth) AS n_true_match,
+       (SELECT COUNT(*) FROM lineitem) AS n_probe_rows
+"""
+
+
+@register(
+    "q85_bloom_prefilter",
+    _Q85_SQL,
+    doc=(
+        "Bloom-filter semi-join pre-filter (4096 bits, 3 hashes, "
+        "portable integer math): the bit table broadcasts, the probe "
+        "side never shuffles; every counter hash-matched vs the "
+        "SQL-built filter — n_bloom_pass >= n_true_match by construction"
+    ),
+    tables=("orders", "lineitem"),
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = o.where(F.col("o_orderstatus") == "P").select("o_orderkey")
+    bloom = S.bloom_build(keys, "o_orderkey")
+    passed = S.bloom_prefilter(li.select("l_orderkey"), bloom, "l_orderkey")
+    truth = li.join(
+        keys.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", "left_semi"
+    )
+    return (
+        passed.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true_match")))
+        .crossJoin(li.agg(F.count(F.lit(1)).alias("n_probe_rows")))
+    )

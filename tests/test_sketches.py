@@ -42,3 +42,23 @@ def test_cms_merge_equals_union_build(spark, sf_dir):
         F.coalesce(merged["cnt"], F.lit(0)) != F.coalesce(whole["cnt"], F.lit(0))
     )
     assert diff.count() == 0
+
+
+def test_bloom_no_false_negatives_and_prunes(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = o.where(F.col("o_orderstatus") == "P").select("o_orderkey")
+    bloom = S.bloom_build(keys, "o_orderkey")
+    assert bloom.count() <= S.BLOOM_BITS
+
+    probe = li.select("l_orderkey")
+    passed = S.bloom_prefilter(probe, bloom, "l_orderkey")
+    truth = li.join(
+        keys.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", "left_semi"
+    ).select("l_orderkey")
+    # no false negatives: every true match survives the pre-filter
+    assert truth.exceptAll(passed.intersectAll(truth)).count() == 0
+    # and the filter actually prunes (strictly fewer rows than the probe)
+    assert passed.count() < probe.count()
