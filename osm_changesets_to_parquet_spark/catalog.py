@@ -42,12 +42,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            # epoch-nanos long -> micros timestamp; keep integer micros too.
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) parquet + nanosAsLong: epoch-nanos long ->
+            # micros timestamp; keep integer micros too.
             df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
                 "ts", F.timestamp_micros(F.col("ts_us"))
             )
-        else:  # pragma: no cover - future Spark with native ns support
+        else:
+            # TIMESTAMP(MICROS) parquet arrives as TIMESTAMP_NTZ (naive)
+            # or TIMESTAMP depending on isAdjustedToUTC.  Session tz is
+            # pinned UTC, so casting NTZ -> TIMESTAMP preserves the
+            # instant; unix_micros then gives the shared integer domain.
+            if ts_type == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             df = df.withColumn("ts_us", F.unix_micros("ts"))
         return df
     return spark.read.parquet(path)

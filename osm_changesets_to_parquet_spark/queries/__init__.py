@@ -53,72 +53,19 @@ def register(
     return deco
 
 
-# The driver records correctness rows in registry order and its file has
-# held exactly 50 entries (CORRECTNESS_r01.json) — so ordering is part of
-# the verification contract.  Priority: (1) queries with no r01 row yet,
-# (2) queries changed/added this round, (3) one representative per proven
-# family.  Everything else follows in registration order; the two
-# rows-only ANN queries go last (their H-mode recall companions carry the
-# driver-visible signal).
+# The driver records correctness rows in registry order and its window
+# has held exactly 50 entries per round (CORRECTNESS_r01/r02.json) — so
+# ordering is part of the verification contract.  Round-3 priority:
+# (1) the only red row (q64 — oracle type fixed this round), (2) the 15
+# round-2 queries that never got a driver row (q70–q72, q75–q85, q16b;
+# all verified MATCH locally at sf0.01), (3) backfill with one-or-two
+# proven representatives per family so the window re-witnesses breadth.
+# Everything else follows in registration order; the two rows-only ANN
+# queries go last (their H-mode recall companions carry the signal).
 _PRIORITY: tuple[str, ...] = (
-    # -- no CORRECTNESS row in r01 (driver cut off mid-registry) --
-    "q27_except",
-    "q28_string_funcs",
-    "q29_date_funcs",
-    "q30_math_funcs",
-    "q31_json_extract",
-    "q32_map_funcs",
-    "q33_array_funcs",
-    "s1_tumbling_window",
-    "s2_sliding_window",
-    "s3_session_window",
-    "u1_pandas_udf_normalize",
-    "u2_grouped_map_zscore",
-    "u3_udaf_geomean",
-    "u4_udtf_tokenize",
-    "s4a_watermark_ontime",
-    "s4b_watermark_late_drops",
-    "s5_streaming_dedup",
-    "s6_stateful_running_agg",
-    "q53_pivot",
-    "q54_unpivot",
-    "q55_grouping_sets",
-    "q56_scalar_subquery",
-    "q57_in_subquery",
-    "q58_exists_not_exists",
-    "q59_having",
-    "q60_case_coalesce",
-    "q61_stats_agg",
-    "q62_argmin_argmax",
-    "q63_string_agg",
+    # -- (1) red in r02: harness type bug, oracle now CASTs to BIGINT --
     "q64_conditional_agg",
-    "q65_window_frame_funcs",
-    "q66_values_lookup_join",
-    "q67_distinct_multicol",
-    "cs4_csv_roundtrip",
-    "cs5_json_roundtrip",
-    "cs6_orc_roundtrip",
-    # -- changed this round (XML reader: ignoreSurroundingSpaces=false) --
-    "cs0_xml_to_parquet",
-    "cs1_count",
-    "cs2_error_tolerant",
-    "cs3_bz2_multistream",
-    # -- new this round: H-mode recall properties for the ANN queries --
-    "a51_lsh_recall_prop",
-    "a52_ivf_recall_prop",
-    # -- changed this round (token-hash shingle construction) --
-    "q35a_jaccard_truth",
-    "q35b_minhash_lsh",
-    # -- new this round, operator-heavy first: these six fill the last
-    #    slots of the driver's 50-row correctness window --
-    "q68_neardup_clusters",
-    "s7_stream_stream_join",
-    "cs7_fallback_xml",
-    "q69_hash_sample",
-    "q73_vector_normalize",
-    "q74_quantize_int8",
-    # -- new this round, simple-aggregate shapes (strong local parity
-    #    evidence at sf0.001; below the 50-row window) --
+    # -- (2) implemented+locally-verified in r02, never driver-witnessed --
     "q70_train_test_split",
     "q71_profile",
     "q72_histogram",
@@ -134,14 +81,47 @@ _PRIORITY: tuple[str, ...] = (
     "q84_pagerank",
     "q16b_theta_join_agg_rewrite",
     "q85_bloom_prefilter",
-    # -- proven representatives (green in r01), past the 50-row window --
-    "q36_cosine_topk",
-    "q34_exact_dedup",
-    "q10_join4_revenue",
-    "q19_rank_topn",
+    # -- (3) proven representatives: conversion / ingest family --
+    "cs0_xml_to_parquet",
+    "cs2_error_tolerant",
+    "cs3_bz2_multistream",
+    "cs7_fallback_xml",
+    "cs4_csv_roundtrip",
+    "cs5_json_roundtrip",
+    "cs6_orc_roundtrip",
+    # relational core
     "q04_groupby_agg",
+    "q10_join4_revenue",
     "q17_range_join",
-    "q24_topk",
+    "q18_asof_join",
+    "q19_rank_topn",
+    "q33_array_funcs",
+    # LLM-pipeline ops
+    "q34_exact_dedup",
+    "q35a_jaccard_truth",
+    "q35b_minhash_lsh",
+    "q36_cosine_topk",
+    "q40_tfidf",
+    "t41_language_id",
+    "e46_embedding_neardup",
+    "m47_multimodal_meta",
+    # streaming
+    "s1_tumbling_window",
+    "s4a_watermark_ontime",
+    "s6_stateful_running_agg",
+    "s7_stream_stream_join",
+    # UDF surface
+    "u1_pandas_udf_normalize",
+    "u3_udaf_geomean",
+    # extended relational
+    "q55_grouping_sets",
+    "q62_argmin_argmax",
+    "q65_window_frame_funcs",
+    # dedup clusters / curation / vectors / ANN recall
+    "q68_neardup_clusters",
+    "q69_hash_sample",
+    "a51_lsh_recall_prop",
+    "a52_ivf_recall_prop",
 )
 _LAST: tuple[str, ...] = ("a51_lsh_ann_topk", "a52_ivf_ann_topk")
 

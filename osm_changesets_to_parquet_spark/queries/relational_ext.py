@@ -375,7 +375,7 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q64_conditional_agg",
     """
     SELECT event_type,
-           COUNT_IF(value > 0.5) AS n_high,
+           CAST(COUNT_IF(value > 0.5) AS BIGINT) AS n_high,
            BOOL_OR(value > 0.99) AS any_extreme,
            BOOL_AND(value >= 0) AS all_nonneg,
            ROUND(SUM(CASE WHEN value > 0.5 THEN value ELSE 0 END), 2) AS sum_high
