@@ -13,7 +13,9 @@ union); labels monotonically decrease to the component minimum, so the
 loop converges in O(graph diameter) iterations.  Near-dup graphs are
 shallow (components are cliques-ish around shared buckets), so the
 diameter is small in practice.  Per-iteration lineage is truncated with
-``localCheckpoint`` — without it the plan doubles every iteration.
+:func:`operators.iterutils.truncate_lineage` — without it the plan
+doubles every iteration; with a configured checkpoint dir the cut is a
+reliable checkpoint (executor-loss-recoverable at 100 TB).
 
 At 100 TB: every step is a keyed DataFrame op (no driver-side graph);
 the driver holds only the converged/changed counter.  For adversarial
@@ -26,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark.operators.iterutils import truncate_lineage
 
 
 def connected_components(
@@ -46,13 +50,12 @@ def connected_components(
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    edges = edges.localCheckpoint()
+    edges = truncate_lineage(edges)
 
-    labels = (
+    labels = truncate_lineage(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
 
     for _ in range(max_iters):
@@ -60,11 +63,10 @@ def connected_components(
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), F.col("label"))
         )
-        new_labels = (
+        new_labels = truncate_lineage(
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

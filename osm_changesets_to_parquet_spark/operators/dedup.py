@@ -29,6 +29,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from osm_changesets_to_parquet_spark.operators.iterutils import truncate_lineage
+
 # portable polynomial hash modulus (fits: acc*31+c < 2^35 << 2^63)
 HASH_MOD = 1_000_000_007
 
@@ -147,7 +149,11 @@ def band_keys(sig_col: Column) -> list[Column]:
 
 
 def lsh_candidates(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b), deterministic.
 
@@ -155,9 +161,20 @@ def lsh_candidates(
     generation -> distinct pairs.  Single pass: the signature subtree is
     computed once (a self-join spelling executes it twice — Catalyst
     does not reuse the exchange across the renamed join sides).  The
-    shuffle key is (band, band_key); per-bucket ``collect_list`` is
-    bounded by bucket size, which is the same quadratic term the join
-    had — LSH's collision bound, tunable via bands x rows.
+    shuffle key is (band, band_key).
+
+    Per-row memory is O(bucket) — NOT O(bucket^2): pair generation
+    first re-explodes each bucket into one row per member (carrying the
+    sorted id array + its position), then slices only that member's
+    tail.  A hot bucket of m ids therefore peaks at an m-element array
+    per row, never an m^2-element array-of-pairs in a single row (which
+    would hit Spark's 2 GB / 2^31-element single-value limits on
+    near-duplicate-heavy corpora — the exact workload LSH targets).
+    The O(m^2) candidate *stream* is LSH's collision bound, tunable via
+    bands x rows; ``max_bucket`` is the skew escape valve — buckets
+    larger than it are dropped (a bucket that hot means the band key is
+    degenerate, e.g. boilerplate; its members are better handled by
+    exact dedup upstream).
     """
     sigged = minhash_signature(shingles(docs, text_col, n))
     keys = band_keys(F.col("sig"))
@@ -165,24 +182,22 @@ def lsh_candidates(
         F.col(id_col),
         F.posexplode(F.array(*keys)).alias("band", "bkey"),
     )
+    keep = F.size("ids") >= 2
+    if max_bucket is not None:
+        keep = keep & (F.size("ids") <= max_bucket)
     buckets = (
         banded.groupBy("band", "bkey")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .where(F.size("ids") >= 2)
+        .where(keep)
     )
-    ids = F.col("ids")
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    members = buckets.select("ids", F.posexplode("ids").alias("i", "id_a"))
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        members.select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))
+            ).alias("id_b"),
+        )
         .distinct()
     )
 
@@ -204,13 +219,16 @@ def jaccard_pairs(
     consumers (both join sides + the size aggregate) would otherwise
     each recompute the full hashing subtree (4 scans observed).  At
     100 TB this materialization is the shingle index you would persist
-    anyway.  Pair enumeration stays a streaming hash join — a
-    collect_list-per-shingle spelling would buffer entire hot-shingle
-    buckets in memory.
+    anyway (reliable checkpoint when a checkpoint dir is configured —
+    see operators.iterutils).  Pair enumeration stays a streaming hash
+    join — a collect_list-per-shingle spelling would buffer entire
+    hot-shingle buckets in memory.
     """
-    sh = shingles(docs, text_col, n).select(
-        F.col(id_col), F.explode(F.array_distinct("shingle_hashes")).alias("h")
-    ).localCheckpoint()
+    sh = truncate_lineage(
+        shingles(docs, text_col, n).select(
+            F.col(id_col), F.explode(F.array_distinct("shingle_hashes")).alias("h")
+        )
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("h"), F.col(id_col).alias("id_a"))
     b = sh.select(F.col("h"), F.col(id_col).alias("id_b"))

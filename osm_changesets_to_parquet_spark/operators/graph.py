@@ -3,8 +3,9 @@
 Companion to operators.clusters (connected components): the weighted
 propagation pattern.  Each iteration is one join (ranks onto out-edges)
 and one keyed aggregation (sum of incoming mass) — the standard
-MapReduce PageRank, with lineage truncated per iteration so the plan
-stays constant-size.
+MapReduce PageRank, with lineage truncated per iteration (see
+operators.iterutils — reliable checkpoint when a dir is configured) so
+the plan stays constant-size.
 
 Dangling nodes (no out-edges) are handled by redistributing their mass
 uniformly — the rank vector keeps summing to 1, so results are
@@ -18,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from osm_changesets_to_parquet_spark.operators.iterutils import truncate_lineage
+
 
 def pagerank(
     edges: DataFrame,
@@ -30,14 +33,15 @@ def pagerank(
     start.  Returns (id, rank).  Edges are directed; duplicates count
     (weighted by multiplicity)."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    nodes = (
+    nodes = truncate_lineage(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
     n = nodes.count()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    outdeg = truncate_lineage(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    )
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iters):
@@ -53,7 +57,7 @@ def pagerank(
             ranks.join(outdeg, ranks.id == outdeg.src, "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
-        ranks = (
+        ranks = truncate_lineage(
             nodes.join(contribs, "id", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -64,6 +68,5 @@ def pagerank(
                     * (F.coalesce(F.col("inmass"), F.lit(0.0)) + F.col("dm") / F.lit(n))
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
     return ranks

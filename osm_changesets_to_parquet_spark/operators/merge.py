@@ -43,15 +43,24 @@ def scd2_apply(
     A closed version's ``valid_to`` is its successor's ``ts_col``; the
     newest version per key is current with valid_to null.  One window
     over (key, ts) — a single shuffle on key.
+
+    Ties on ``ts_col`` are deterministic: a change carrying the same
+    timestamp as an existing version (e.g. a reprocessed feed) ranks
+    AFTER history, so the incoming row wins the current flag and the
+    historical row is closed — lead() never flips between runs.
     """
     keys = [key] if isinstance(key, str) else list(key)
     incoming = changes.withColumn(valid_to, F.lit(None).cast("long")).withColumn(
         current_flag, F.lit(True)
     )
-    all_rows = history.unionByName(incoming)
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    # __src: 0 = history, 1 = incoming — the equal-ts tie-breaker.
+    all_rows = history.withColumn("__src", F.lit(0)).unionByName(
+        incoming.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), F.col("__src").asc())
     nxt = F.lead(ts_col).over(w)
     return (
         all_rows.withColumn(valid_to, nxt)
         .withColumn(current_flag, nxt.isNull())
+        .drop("__src")
     )

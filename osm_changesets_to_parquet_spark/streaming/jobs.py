@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.operators.iterutils import truncate_lineage
 
 # 5 deterministic micro-batches: enough files to advance the watermark
 # across real batch boundaries, few enough that per-batch state-store
@@ -83,7 +84,7 @@ def prepare_replay_dir(
     chunk = F.when(is_late, F.lit(N_REPLAY_FILES + 100)).otherwise(
         (arrival / F.lit(per)).cast("int")
     )
-    tagged = indexed.withColumn("__chunk", chunk).localCheckpoint()
+    tagged = truncate_lineage(indexed.withColumn("__chunk", chunk))
 
     chunk_ids = sorted(r[0] for r in tagged.select("__chunk").distinct().collect())
     for i, cid in enumerate(chunk_ids):

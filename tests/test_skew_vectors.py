@@ -68,11 +68,11 @@ def test_kmeans_iterations_converge(spark, sf_dir):
 def test_quantize_roundtrip_error_bound(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(50)
     qd = dequantize_int8(quantize_int8(emb, "embedding"), out_col="deq")
-    rows = qd.select("embedding", "deq", "scale").collect()
+    rows = qd.select("embedding", "deq", "scale", "q").collect()
     for r in rows:
         for orig, back in zip(r.embedding, r.deq):
             assert abs(float(orig) - back) <= r.scale / 2 + 1e-9
-        assert all(-127 <= 127 for _ in r.embedding)
+        assert all(-127 <= int(q) <= 127 for q in r.q)
 
 
 def test_normalize_unit_norm(spark, sf_dir):
