@@ -120,8 +120,18 @@ def _run_to_completion(query) -> None:
 STREAM_SHUFFLE_PARTITIONS = "4"
 
 
-def _collect_foreach_batch(stream_df: DataFrame, mode: str = "update"):
-    """Run an availableNow stream, capturing every micro-batch output.
+def _run_availablenow(stream_df: DataFrame, mode: str = "update") -> DataFrame:
+    """Run an availableNow stream into a parquet sink; return every
+    micro-batch's output rows as a DataFrame with ``__bid`` (batch id).
+
+    The sink is a distributed write — the driver never collects a row
+    (the earlier harness collected each micro-batch, which benched the
+    collect, not the stateful operator, and would not survive a real
+    stream's output volume).  foreachBatch-with-append-write is the
+    standard production pattern for update-mode aggregates, whose
+    emit-latest-per-key semantics the built-in file sink can't accept;
+    downstream consumers reduce by max ``__bid`` per key — also
+    distributed (see the S4-S6 runners).
 
     Shuffle partitions are pinned low for the run: the state-partition
     count is frozen into the checkpoint at first execution, and these
@@ -129,10 +139,15 @@ def _collect_foreach_batch(stream_df: DataFrame, mode: str = "update"):
     pure per-batch overhead.  (On a real cluster a long-lived stream
     sizes this once, to cores x ~2, before first start.)
     """
-    batches: list = []
+    out_dir = tempfile.mkdtemp(prefix="stream_out_")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batches.append((batch_id, batch_df.collect()))
+        # one partition dir per micro-batch, overwritten on retry: a
+        # replayed batch id lands in the same dir — idempotent, so the
+        # sink is exactly-once even though foreachBatch is at-least-once
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"__bid={batch_id}")
+        )
 
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -151,16 +166,24 @@ def _collect_foreach_batch(stream_df: DataFrame, mode: str = "update"):
         _run_to_completion(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return batches
+    if not any(f.startswith("__bid=") for f in os.listdir(out_dir)):
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        empty_schema = StructType(
+            list(stream_df.schema.fields) + [StructField("__bid", LongType())]
+        )
+        return spark.createDataFrame([], empty_schema)
+    # partition discovery turns the __bid=N dirs into the __bid column
+    return spark.read.parquet(out_dir)
 
 
 def run_s4_watermark_tumbling(spark: SparkSession, sf_dir: str, late: bool) -> DataFrame:
     """Tumbling 1h counts with a 10-minute watermark over the replay.
 
-    Returns the final per-window aggregate (append-mode closed windows +
-    the still-open tail windows from the state store are reconstructed by
-    summing update-mode outputs per key — we use update mode and keep the
-    LAST emitted value per window/event_type).
+    Returns the final per-window aggregate: update mode emits the
+    running value per (window, event_type) each batch; the LAST emitted
+    value per key (max ``__bid``) is the converged state — a keyed
+    ``max_by`` aggregation, fully distributed.
     """
     ev = _read_stream(spark, prepare_replay_dir(spark, sf_dir, late=late))
     agg = (
@@ -173,16 +196,11 @@ def run_s4_watermark_tumbling(spark: SparkSession, sf_dir: str, late: bool) -> D
             "cnt",
         )
     )
-    batches = _collect_foreach_batch(agg, mode="update")
-    final: dict[tuple, int] = {}
-    for _bid, rows in batches:
-        for r in rows:
-            final[(r.hour_id, r.event_type)] = r.cnt
-    out = [
-        (int(h), et, int(c)) for (h, et), c in sorted(final.items(), key=lambda kv: kv[0])
-    ]
-    return spark.createDataFrame(out, "hour_id long, event_type string, cnt long").orderBy(
-        "hour_id", "event_type"
+    outs = _run_availablenow(agg, mode="update")
+    return (
+        outs.groupBy("hour_id", "event_type")
+        .agg(F.max_by("cnt", "__bid").alias("cnt"))
+        .orderBy("hour_id", "event_type")
     )
 
 
@@ -205,14 +223,12 @@ def run_s5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read_stream(spark, dup_dir)
     dedup = ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
     counted = dedup.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
-    batches = _collect_foreach_batch(counted, mode="update")
-    final: dict[str, int] = {}
-    for _bid, rows in batches:
-        for r in rows:
-            final[r.event_type] = r.cnt
-    return spark.createDataFrame(
-        sorted(final.items()), "event_type string, cnt long"
-    ).orderBy("event_type")
+    outs = _run_availablenow(counted, mode="update")
+    return (
+        outs.groupBy("event_type")
+        .agg(F.max_by("cnt", "__bid").alias("cnt"))
+        .orderBy("event_type")
+    )
 
 
 def run_s7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,11 +270,10 @@ def run_s7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") > F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 5 MINUTES")),
     ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
-    batches = _collect_foreach_batch(joined, mode="append")
-    rows = [(r.click_id, r.purchase_id, r.user_id) for _bid, rs in batches for r in rs]
-    return spark.createDataFrame(
-        rows, "click_id long, purchase_id long, user_id long"
-    ).orderBy("click_id", "purchase_id")
+    outs = _run_availablenow(joined, mode="append")
+    return outs.select("click_id", "purchase_id", "user_id").orderBy(
+        "click_id", "purchase_id"
+    )
 
 
 def run_s6_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,12 +335,10 @@ def run_s6_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    batches = _collect_foreach_batch(out, mode="update")
-    final: dict[int, tuple] = {}
-    for _bid, rows in batches:
-        for r in rows:
-            final[r.user_id] = (r.n_events, r.sum_value)
-    return spark.createDataFrame(
-        [(u, n, s) for u, (n, s) in sorted(final.items())],
-        "user_id long, n_events long, sum_value double",
-    ).orderBy("user_id")
+    outs = _run_availablenow(out, mode="update")
+    return (
+        outs.groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "sum_value"), "__bid").alias("s"))
+        .select("user_id", "s.n_events", "s.sum_value")
+        .orderBy("user_id")
+    )
