@@ -101,20 +101,46 @@ def bloom_positions(key: Column) -> list[Column]:
     ]
 
 
-def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+def _bloom_key(df: DataFrame, key: str | Column | list[str]) -> Column:
+    """Normalize any key spec to the integer domain the bit hashes need.
+
+    - integer column/expr -> cast long, used directly;
+    - string column/expr  -> portable char_hash (same fold as dedup);
+    - list of columns     -> composite: null-safe '|'-joined string,
+      then char_hash.
+
+    Build and probe sides MUST resolve through the same rule — they do,
+    because both call this on their own schema.
+    """
+    if isinstance(key, (list, tuple)):
+        col = F.concat_ws("|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key])
+        return char_hash(col)
+    col = F.col(key) if isinstance(key, str) else key
+    dtype = df.select(col.alias("__k")).schema[0].dataType.simpleString()
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return col.cast("long")
+    return char_hash(col.cast("string"))
+
+
+def bloom_build(keys: DataFrame, key_col: str | Column | list[str]) -> DataFrame:
     """Build the filter as a one-column (bit) DataFrame of set bits.
 
-    At most BLOOM_BITS rows regardless of key count — always broadcastable.
+    At most BLOOM_BITS rows regardless of key count — always
+    broadcastable.  ``key_col`` may be an integer column, a string
+    column, any Column expression, or a list of column names (composite
+    key).
     """
     return (
         keys.select(
-            F.explode(F.array(*bloom_positions(F.col(key_col)))).alias("bit")
+            F.explode(F.array(*bloom_positions(_bloom_key(keys, key_col)))).alias("bit")
         )
         .distinct()
     )
 
 
-def bloom_prefilter(probe: DataFrame, bloom: DataFrame, key_col: str) -> DataFrame:
+def bloom_prefilter(
+    probe: DataFrame, bloom: DataFrame, key_col: str | Column | list[str]
+) -> DataFrame:
     """Keep probe rows whose key MIGHT be in the filter (all K bits set).
 
     The probe side never shuffles: the bit table broadcasts and the
@@ -122,8 +148,10 @@ def bloom_prefilter(probe: DataFrame, bloom: DataFrame, key_col: str) -> DataFra
     pre-filter that spares the big side a full shuffle when the final
     join is selective.  False positives pass (by design) and are
     eliminated by the real join downstream; true keys always pass.
+    ``key_col`` accepts the same specs as :func:`bloom_build` and must
+    name the same logical key.
     """
-    pos = bloom_positions(F.col(key_col))
+    pos = bloom_positions(_bloom_key(probe, key_col))
     out = probe
     for i, p in enumerate(pos):
         b = bloom.select(F.col("bit").alias(f"__b{i}"))

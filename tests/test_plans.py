@@ -257,3 +257,46 @@ def test_q16b_rewrite_has_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q16b_theta_join_agg_rewrite")
     assert "Join" not in plan
     assert "Window" in plan and "partial_" in plan
+
+
+def test_q80_cms_build_partial_agg_bounded_shuffle(spark, sf_dir):
+    # the sketch-construction groupBy(j,bucket) must combine map-side:
+    # the shuffle then carries at most depth x width counters per task,
+    # independent of token count — the property that makes the sketch
+    # buildable over 100 TB of tokens
+    plan = _plan(spark, sf_dir, "q80_count_min_sketch")
+    assert "partial_count" in plan or "partial_" in plan
+    # probing joins the broadcast-sized sketch — never a cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_q82_grid_join_no_cartesian(spark, sf_dir):
+    # grid densification must be sequence+explode then a keyed join —
+    # a calendar cross-join spelling would be quadratic at scale
+    plan = _plan(spark, sf_dir, "q82_resample_ffill")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Explode" in plan or "Generate" in plan
+
+
+def test_q84_pagerank_plan_size_constant_across_iterations(spark, sf_dir):
+    # lineage truncation per iteration: the final plan must not grow
+    # with n_iters (an untruncated loop doubles the plan every round)
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from osm_changesets_to_parquet_spark.operators.graph import pagerank
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= 50)
+    fwd = li.select(
+        F.col("l_partkey").alias("src"), (F.col("l_suppkey") + 10_000).alias("dst")
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    def plan_len(n):
+        df = pagerank(edges, n_iters=n)
+        return len(df._jdf.queryExecution().executedPlan().toString())
+
+    l1, l4 = plan_len(1), plan_len(4)
+    assert l4 <= l1 * 1.5, (l1, l4)

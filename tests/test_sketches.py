@@ -62,3 +62,26 @@ def test_bloom_no_false_negatives_and_prunes(spark, sf_dir):
     assert truth.exceptAll(passed.intersectAll(truth)).count() == 0
     # and the filter actually prunes (strictly fewer rows than the probe)
     assert passed.count() < probe.count()
+
+
+def test_bloom_string_keys_no_false_negatives(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # string key: both sides resolve through char_hash
+    keys = docs.where(F.col("lang") == "en").select("lang").distinct()
+    bloom = S.bloom_build(keys, "lang")
+    probe = docs.select("doc_id", "lang")
+    passed = S.bloom_prefilter(probe, bloom, "lang")
+    truth = probe.join(keys, "lang", "left_semi")
+    assert truth.exceptAll(passed.intersectAll(truth)).count() == 0
+
+
+def test_bloom_composite_keys_no_false_negatives(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    # composite (orderkey, linenumber) key on a subset of rows
+    keys = li.where(F.col("l_quantity") > 45).select("l_orderkey", "l_linenumber")
+    bloom = S.bloom_build(keys, ["l_orderkey", "l_linenumber"])
+    probe = li.select("l_orderkey", "l_linenumber")
+    passed = S.bloom_prefilter(probe, bloom, ["l_orderkey", "l_linenumber"])
+    truth = probe.join(keys, ["l_orderkey", "l_linenumber"], "left_semi")
+    assert truth.exceptAll(passed.intersectAll(truth)).count() == 0
+    assert passed.count() < probe.count()
