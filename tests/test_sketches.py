@@ -71,7 +71,9 @@ def test_bloom_string_keys_no_false_negatives(spark, sf_dir):
     bloom = S.bloom_build(keys, "lang")
     probe = docs.select("doc_id", "lang")
     passed = S.bloom_prefilter(probe, bloom, "lang")
-    truth = probe.join(keys, "lang", "left_semi")
+    # USING-join output puts the key column first; re-project so the
+    # positional exceptAll compares (doc_id, lang) against (doc_id, lang)
+    truth = probe.join(keys, "lang", "left_semi").select("doc_id", "lang")
     assert truth.exceptAll(passed.intersectAll(truth)).count() == 0
 
 
