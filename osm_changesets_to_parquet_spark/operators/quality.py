@@ -1,0 +1,208 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, repetition metrics, stratified / rebalanced sampling,
+and template extraction.
+
+These sit downstream of the dedup/similarity core (operators.dedup,
+operators.similarity) and upstream of the split/profile queries
+(queries.curation): the stages a 100 TB pretraining pipeline runs to
+decide *which* documents survive.
+
+All hot paths are pure DataFrame compositions (JVM-side, codegen'd).
+Scale notes per op:
+
+- ``word_ngrams``: n-grams are materialized inside the row (transform
+  over an index sequence — no shuffle, no window); the explode that
+  follows is the standard token-stream fan-out.
+- ``decontaminate``: the join between train n-grams and the eval
+  n-gram set is keyed on md5(ngram) — 16-byte shuffle keys regardless
+  of n-gram length, the same trick operators.dedup.exact_dedup uses.
+  The eval side is aggregated to DISTINCT hashes first, so the shuffle
+  carries each eval n-gram once; when the eval corpus is small (the
+  usual case — benchmarks are MBs, not TBs) AQE converts the join to
+  a broadcast automatically.
+- ``repetition_metrics``: in-row only (array_distinct / size folds).
+- ``top_word_dominance``: explode -> two-level agg; the shuffle key is
+  (doc_id) after a map-side (doc_id, token) partial — cardinality is
+  bounded by the token stream, identical profile to term_freq.
+- ``stratified_sample`` / ``rebalance_sources``: membership is
+  arithmetic on the row id (same multiplicative-hash discipline as
+  queries.curation — reproducible across engines, partitionings and
+  appends; no per-partition seed drift).  rebalance_sources computes
+  per-source rates from a tiny grouped frame that broadcasts back onto
+  the fact table: no shuffle ever touches the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative constant (2^32 / phi) — shared with
+# queries.curation so every sampling op in the engine agrees on
+# bucket membership.
+KNUTH = 2654435761
+
+
+def hash_bucket(id_col: str | Column, mod: int = 100) -> Column:
+    """Deterministic bucket in [0, mod): (id * KNUTH) % mod."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (col * F.lit(KNUTH)) % F.lit(mod)
+
+
+def word_ngrams(
+    docs: DataFrame,
+    n: int,
+    text_col: str = "text",
+    keep: list[str] | None = None,
+    out_col: str = "ngram",
+) -> DataFrame:
+    """Explode word-level n-grams: one output row per n-gram occurrence.
+
+    The n-gram list is built inside the row (transform over
+    sequence(1, size-n+1), each element an array_join of a slice) —
+    no shuffle, no self-join, no window.  Documents shorter than n
+    words contribute zero rows (guarded: F.sequence would otherwise
+    generate a *descending* sequence for size < n).
+    """
+    keep = keep or [c for c in docs.columns if c != text_col]
+    toks = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return docs.select(*keep, F.explode(grams).alias(out_col))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag train docs sharing any word n-gram with the eval corpus.
+
+    Returns the distinct ``id_col`` values of contaminated train docs.
+    Join keys are md5(ngram) (16-byte shuffle keys); the eval side is
+    reduced to DISTINCT hashes before the semi-join, so its size is
+    the eval n-gram vocabulary, not the eval token stream.
+    """
+    train_g = word_ngrams(train, n, text_col, keep=[id_col]).select(
+        id_col, F.md5("ngram").alias("__h")
+    )
+    eval_g = (
+        word_ngrams(eval_df, n, text_col, keep=[])
+        .select(F.md5("ngram").alias("__h"))
+        .distinct()
+    )
+    return train_g.join(eval_g, "__h", "left_semi").select(id_col).distinct()
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """In-row repetition signals: duplicate-word fraction and
+    distinct-word count (Gopher-style repetition filters, adapted to
+    single-line documents).
+
+    dup_word_frac = 1 - distinct_words / words; 0 for empty docs.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_words = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    frac = F.when(n_words > 0, 1 - n_distinct / n_words).otherwise(F.lit(0.0))
+    return docs.select(
+        "*",
+        n_words.cast("long").alias("n_words"),
+        n_distinct.cast("long").alias("n_distinct_words"),
+        F.round(frac, 6).alias("dup_word_frac"),
+    )
+
+
+def top_word_dominance(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", keep: list[str] | None = None
+) -> DataFrame:
+    """Fraction of each document occupied by its most frequent word.
+
+    explode -> count per (doc, word) -> max/sum per doc.  Both
+    aggregations get map-side partials; the second shuffle is keyed by
+    doc id (perfectly distributed).
+    """
+    keep = keep or []
+    tok = docs.select(
+        id_col, *keep, F.explode(F.split(F.col(text_col), " ")).alias("__w")
+    )
+    per_word = tok.groupBy(id_col, *keep, "__w").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return per_word.groupBy(id_col, *keep).agg(
+        F.round(F.max("__c") / F.sum("__c"), 6).alias("top_word_frac"),
+        F.sum("__c").cast("long").alias("n_words"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sample: keep rows whose id bucket is
+    below the stratum's percentage rate.
+
+    The rate lookup is a CASE chain over literals (no join), so the
+    whole predicate evaluates inside the scan stage — zero shuffle,
+    stable membership under appends and repartitioning.
+    """
+    rate: Column = F.lit(default_pct)
+    for value, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
+    return docs.where(hash_bucket(id_col, 100) < rate)
+
+
+def rebalance_sources(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    max_share_permille: int = 40,
+) -> DataFrame:
+    """Cap any single source at ``max_share_permille``/1000 of the corpus
+    by deterministic downsampling; sources under the cap keep all rows.
+
+    Returns per-source accounting: (source, n_docs, rate_permille,
+    n_kept).  The per-source rate table is a grouped frame of
+    |sources| rows — it broadcasts back onto the corpus for the kept
+    count; the corpus itself shuffles once (the groupBy(source) count),
+    keyed on a low-cardinality column where AQE's skew handling
+    applies if one source dominates.
+    """
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("__total"))
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "cap", F.floor(F.col("__total") * F.lit(max_share_permille) / F.lit(1000))
+        )
+        .withColumn(
+            "rate_permille",
+            F.least(
+                F.lit(1000),
+                F.floor(F.lit(1000) * F.col("cap") / F.col("n_docs")),
+            ).cast("long"),
+        )
+        .select(source_col, "n_docs", "rate_permille")
+    )
+    kept = (
+        docs.join(F.broadcast(rates), source_col)
+        .where(hash_bucket(id_col, 1000) < F.col("rate_permille"))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, source_col, "left")
+        .select(
+            source_col,
+            "n_docs",
+            "rate_permille",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -58,8 +58,9 @@ def register(
 # ordering is part of the verification contract.  Round-3 priority:
 # (1) the only red row (q64 — oracle type fixed this round), (2) the 15
 # round-2 queries that never got a driver row (q70–q72, q75–q85, q16b;
-# all verified MATCH locally at sf0.01), (3) backfill with one-or-two
-# proven representatives per family so the window re-witnesses breadth.
+# all verified MATCH locally at sf0.01), (2b) the round-3 corpus-curation
+# family (q86–q93), (3) backfill with one-or-two proven representatives
+# per family so the window re-witnesses breadth.
 # Everything else follows in registration order; the two rows-only ANN
 # queries go last (their H-mode recall companions carry the signal).
 _PRIORITY: tuple[str, ...] = (
@@ -81,21 +82,25 @@ _PRIORITY: tuple[str, ...] = (
     "q84_pagerank",
     "q16b_theta_join_agg_rewrite",
     "q85_bloom_prefilter",
+    # -- (2b) new in round 3: corpus-curation family (quality.py) --
+    "q86_ngram_decontaminate",
+    "q87_repetition_filter",
+    "q88_top_word_dominance",
+    "q89_stratified_sample",
+    "q90_rebalance_sources",
+    "q91_props_template",
+    "q92_bloom_composite_key",
+    "q93_adaptive_length_filter",
     # -- (3) proven representatives: conversion / ingest family --
     "cs0_xml_to_parquet",
     "cs2_error_tolerant",
-    "cs3_bz2_multistream",
     "cs7_fallback_xml",
     "cs4_csv_roundtrip",
-    "cs5_json_roundtrip",
-    "cs6_orc_roundtrip",
     # relational core
     "q04_groupby_agg",
     "q10_join4_revenue",
     "q17_range_join",
     "q18_asof_join",
-    "q19_rank_topn",
-    "q33_array_funcs",
     # LLM-pipeline ops
     "q34_exact_dedup",
     "q35a_jaccard_truth",
@@ -106,16 +111,13 @@ _PRIORITY: tuple[str, ...] = (
     "e46_embedding_neardup",
     "m47_multimodal_meta",
     # streaming
-    "s1_tumbling_window",
     "s4a_watermark_ontime",
     "s6_stateful_running_agg",
     "s7_stream_stream_join",
     # UDF surface
-    "u1_pandas_udf_normalize",
     "u3_udaf_geomean",
     # extended relational
     "q55_grouping_sets",
-    "q62_argmin_argmax",
     "q65_window_frame_funcs",
     # dedup clusters / curation / vectors / ANN recall
     "q68_neardup_clusters",
@@ -137,6 +139,7 @@ def load_all_modules() -> None:
         graph,
         llm_ops,
         multimodal,
+        quality,
         relational,
         relational_ext,
         sketches,
