@@ -1,0 +1,125 @@
+"""Operator-level tests for operators.quality (the q86-q93 family):
+edge cases the oracle-parity comparison can't see (short docs, empty
+strata, repartition stability) plus plan-shape pins for the scale
+claims each docstring makes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark import queries as Q
+from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.operators import quality as QL
+
+Q.load_all_modules()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = Q.REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_word_ngrams_short_docs_yield_no_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e"), (3, ""), (4, "one two three four five")],
+        "doc_id long, text string",
+    )
+    out = QL.word_ngrams(df, 5, keep=["doc_id"])
+    rows = {(r.doc_id, r.ngram) for r in out.collect()}
+    # only docs with >= 5 words contribute; exactly size-n+1 grams each
+    assert rows == {
+        (2, "a b c d e"),
+        (4, "one two three four five"),
+    }
+
+
+def test_word_ngrams_counts_match_formula(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = 8
+    got = QL.word_ngrams(docs, n, keep=["doc_id"]).groupBy("doc_id").count()
+    expect = docs.select(
+        "doc_id",
+        F.greatest(
+            F.size(F.split("text", " ")) - F.lit(n - 1), F.lit(0)
+        ).alias("expect"),
+    )
+    bad = got.join(expect, "doc_id").where(F.col("count") != F.col("expect"))
+    assert bad.count() == 0
+
+
+def test_decontaminate_matches_naive_reference(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5"),  # contains eval's 4-gram w2..w5
+            (2, "w9 w8 w7 w6 w5"),  # reversed: shares words, not grams
+            (3, "x1 x2 x3"),  # too short for any 4-gram
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "w2 w3 w4 w5 z9")], "doc_id long, text string"
+    )
+    got = {r.doc_id for r in QL.decontaminate(train, eval_df, n=4).collect()}
+    assert got == {1}
+
+
+def test_stratified_sample_stable_under_repartition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = QL.stratified_sample(docs, "lang", {"en": 50}, 10)
+    b = QL.stratified_sample(docs.repartition(17, "source"), "lang", {"en": 50}, 10)
+    assert {r.doc_id for r in a.select("doc_id").collect()} == {
+        r.doc_id for r in b.select("doc_id").collect()
+    }
+
+
+def test_rebalance_caps_every_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = QL.rebalance_sources(docs, max_share_permille=40).collect()
+    total = sum(r.n_docs for r in out)
+    cap = total * 40 // 1000
+    for r in out:
+        assert 0 <= r.rate_permille <= 1000
+        assert r.n_kept <= r.n_docs
+        # the hash downsampling is probabilistic around the rate, but the
+        # rate itself must honor the share cap exactly (covers the
+        # rate=1000 branch too: n_docs <= cap there)
+        assert r.rate_permille * r.n_docs <= 1000 * cap
+
+
+def test_repetition_metrics_empty_and_uniform(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in QL.repetition_metrics(df).collect()}
+    assert rows[1].dup_word_frac == 0.75
+    assert rows[2].dup_word_frac == 0.0
+
+
+# -- plan pins ---------------------------------------------------------------
+
+
+def test_q89_sample_filter_in_scan_stage(spark, sf_dir):
+    # the CASE-chain rate lookup + id-hash predicate must evaluate before
+    # the single aggregation shuffle: no join, exactly one exchange
+    plan = _plan(spark, sf_dir, "q89_stratified_sample")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q86_eval_side_deduped_before_semijoin(spark, sf_dir):
+    # the eval n-gram set must be reduced (HashAggregate pair for the
+    # distinct) and the contamination join must stay a semi join
+    plan = _plan(spark, sf_dir, "q86_ngram_decontaminate")
+    assert "LeftSemi" in plan
+
+
+def test_q93_bounds_broadcast_not_shuffled(spark, sf_dir):
+    # the percentile scalars join back via broadcast; the corpus re-scan
+    # must not hash-exchange for it
+    plan = _plan(spark, sf_dir, "q93_adaptive_length_filter")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q90_rate_table_broadcast_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q90_rebalance_sources")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
