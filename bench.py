@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "q36_cosine_topk",
     "q38_token_freq",
     "q40_tfidf",
+    "q86_ngram_decontaminate",
+    "q88_top_word_dominance",
     "m48_image_decode_features",
     "s1_tumbling_window",
     "s3_session_window",

@@ -83,16 +83,18 @@ def decontaminate(
     """Flag train docs sharing any word n-gram with the eval corpus.
 
     Returns the distinct ``id_col`` values of contaminated train docs.
-    Join keys are md5(ngram) (16-byte shuffle keys); the eval side is
+    Join keys are xxhash64(ngram) — 8-byte shuffle keys and a far
+    cheaper hash than a cryptographic digest (the 2^-64 pair-collision
+    rate is negligible for contamination flagging); the eval side is
     reduced to DISTINCT hashes before the semi-join, so its size is
     the eval n-gram vocabulary, not the eval token stream.
     """
     train_g = word_ngrams(train, n, text_col, keep=[id_col]).select(
-        id_col, F.md5("ngram").alias("__h")
+        id_col, F.xxhash64("ngram").alias("__h")
     )
     eval_g = (
         word_ngrams(eval_df, n, text_col, keep=[])
-        .select(F.md5("ngram").alias("__h"))
+        .select(F.xxhash64("ngram").alias("__h"))
         .distinct()
     )
     return train_g.join(eval_g, "__h", "left_semi").select(id_col).distinct()

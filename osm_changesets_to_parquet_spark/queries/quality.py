@@ -60,7 +60,7 @@ GROUP BY lang ORDER BY lang
     doc=(
         "benchmark decontamination: flag train docs sharing any word "
         "8-gram with the 2% eval split; n-grams built in-row (no "
-        "shuffle), semi-join keyed on md5(ngram) (16-byte shuffle "
+        "shuffle), semi-join keyed on xxhash64(ngram) (8-byte shuffle "
         "keys), eval side reduced to DISTINCT hashes first"
     ),
     tables=("documents",),
