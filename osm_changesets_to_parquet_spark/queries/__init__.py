@@ -59,7 +59,7 @@ def register(
 # (1) the only red row (q64 — oracle type fixed this round), (2) the 15
 # round-2 queries that never got a driver row (q70–q72, q75–q85, q16b;
 # all verified MATCH locally at sf0.01), (2b) the round-3 corpus-curation
-# family (q86–q93), (3) backfill with one-or-two proven representatives
+# family (q86–q97), (3) backfill with one-or-two proven representatives
 # per family so the window re-witnesses breadth.
 # Everything else follows in registration order; the two rows-only ANN
 # queries go last (their H-mode recall companions carry the signal).
@@ -91,15 +91,17 @@ _PRIORITY: tuple[str, ...] = (
     "q91_props_template",
     "q92_bloom_composite_key",
     "q93_adaptive_length_filter",
+    "q94_incremental_dedup",
+    "q95_weighted_sample",
+    "q96_vocab_oov",
+    "q97_sequence_packing",
     # -- (3) proven representatives: conversion / ingest family --
     "cs0_xml_to_parquet",
     "cs2_error_tolerant",
     "cs7_fallback_xml",
-    "cs4_csv_roundtrip",
     # relational core
     "q04_groupby_agg",
     "q10_join4_revenue",
-    "q17_range_join",
     "q18_asof_join",
     # LLM-pipeline ops
     "q34_exact_dedup",
@@ -116,9 +118,6 @@ _PRIORITY: tuple[str, ...] = (
     "s7_stream_stream_join",
     # UDF surface
     "u3_udaf_geomean",
-    # extended relational
-    "q55_grouping_sets",
-    "q65_window_frame_funcs",
     # dedup clusters / curation / vectors / ANN recall
     "q68_neardup_clusters",
     "q69_hash_sample",

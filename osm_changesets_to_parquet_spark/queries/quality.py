@@ -1,6 +1,7 @@
-"""Corpus-curation queries Q86-Q93: benchmark decontamination,
+"""Corpus-curation queries Q86-Q97: benchmark decontamination,
 repetition filters, stratified / rebalanced sampling, template
-extraction, and adaptive length filtering.
+extraction, adaptive length filtering, incremental dedup, weighted
+priority sampling, vocabulary coverage, and sequence packing.
 
 The filter stages of a pretraining-data pipeline, downstream of dedup
 (q34/q35) and upstream of the split/profile queries (q69-q72).  Every
@@ -405,4 +406,210 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.first("hi"), 4).alias("hi"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q94: incremental dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+_Q94_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, (doc_id * {_K}) % 100 AS b,
+         md5(LOWER(TRIM(text))) AS h
+  FROM documents
+),
+corpus AS (SELECT DISTINCT h FROM d WHERE b < 90),
+batch AS (SELECT * FROM d WHERE b >= 90),
+keepers AS (SELECT h, MIN(doc_id) AS keep_id FROM batch GROUP BY h)
+SELECT lang,
+       COUNT(*) AS n_batch,
+       CAST(COUNT(*) FILTER (WHERE h NOT IN (SELECT h FROM corpus)
+                               AND doc_id IN (SELECT keep_id FROM keepers))
+            AS BIGINT) AS n_novel
+FROM batch GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "q94_incremental_dedup",
+    _Q94_SQL,
+    doc=(
+        "append-only dedup: the arriving 10% batch is checked against "
+        "the existing corpus by anti-join on md5(normalized text) — "
+        "16-byte shuffle keys, the corpus side reduced to DISTINCT "
+        "hashes; in-batch duplicates resolve to the min doc_id"
+    ),
+    tables=("documents",),
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = QL.hash_bucket("doc_id", 100)
+    d = docs.select(
+        "doc_id", "lang", F.md5(F.lower(F.trim("text"))).alias("h"), b.alias("b")
+    )
+    corpus_h = d.where(F.col("b") < 90).select("h").distinct()
+    batch = d.where(F.col("b") >= 90)
+    novel = batch.join(corpus_h, "h", "left_anti")
+    keepers = (
+        novel.groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .withColumn("__nov", F.lit(1))
+    )
+    return (
+        batch.join(keepers, ["h", "doc_id"], "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.count("__nov").alias("n_novel"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q95: weighted priority sample (deterministic, length-weighted)
+# ---------------------------------------------------------------------------
+
+_Q95_SQL = f"""
+SELECT doc_id,
+       ROUND(((doc_id * {_K}) % 1000003) / n_chars, 9) AS priority
+FROM documents
+ORDER BY priority, doc_id LIMIT 100
+"""
+
+
+@register(
+    "q95_weighted_sample",
+    _Q95_SQL,
+    doc=(
+        "deterministic weighted sampling (priority sampling: uniform "
+        "id-hash draw divided by the weight, take the k smallest) — "
+        "longer documents are proportionally more likely; executes as "
+        "TakeOrderedAndProject (per-partition heap, O(k) driver merge, "
+        "no global sort)"
+    ),
+    tables=("documents",),
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (F.col("doc_id") * F.lit(_K)) % F.lit(1000003)
+    return (
+        docs.select(
+            "doc_id", F.round(u / F.col("n_chars"), 9).alias("priority")
+        )
+        .orderBy("priority", "doc_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q96: tokenizer vocabulary coverage / OOV rate
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 20
+
+_Q96_SQL = f"""
+WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+tf AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+vocab AS (SELECT t FROM tf ORDER BY c DESC, t LIMIT {_VOCAB_K})
+SELECT lang,
+       COUNT(*) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE t NOT IN (SELECT t FROM vocab)) AS BIGINT)
+         AS n_oov,
+       ROUND(CAST(COUNT(*) FILTER (WHERE t NOT IN (SELECT t FROM vocab)) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM tok GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "q96_vocab_oov",
+    _Q96_SQL,
+    doc=(
+        "vocabulary coverage: build the top-K token vocabulary "
+        "(deterministic tie-break), broadcast it, and measure the "
+        "out-of-vocabulary token rate per lang — the vocab side is "
+        "O(K) rows so the probe never shuffles for the membership test"
+    ),
+    tables=("documents",),
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("t")
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "t")
+        .limit(_VOCAB_K)
+        .select("t")
+        .withColumn("__v", F.lit(1))
+    )
+    flagged = tok.join(F.broadcast(vocab), "t", "left")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("__v").isNull()).alias("n_oov"),
+            F.round(
+                F.count_if(F.col("__v").isNull()) / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q97: sequence packing (concatenate-then-chunk into token-budget bins)
+# ---------------------------------------------------------------------------
+
+_BUDGET = 2048
+
+_Q97_SQL = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS tok FROM documents
+),
+c AS (
+  SELECT doc_id, tok,
+         COALESCE(SUM(tok) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cumx
+  FROM d
+)
+SELECT CAST(FLOOR(cumx / {_BUDGET}) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens
+FROM c GROUP BY 1 ORDER BY bin
+"""
+
+
+@register(
+    "q97_sequence_packing",
+    _Q97_SQL,
+    doc=(
+        "pretraining sequence packing: concatenate docs in doc_id "
+        "order, cut every 2048 tokens, doc belongs to the chunk holding "
+        "its first token; the global running sum is the two-pass "
+        "distributed spelling (operators.packing.global_cumsum) — never "
+        "a single-task global window"
+    ),
+    tables=("documents",),
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.packing import pack_into_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("tok")
+    )
+    packed = pack_into_bins(d, _BUDGET, "tok", order_col="doc_id")
+    return (
+        packed.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+        )
+        .orderBy("bin")
     )

@@ -1,4 +1,4 @@
-"""Operator-level tests for operators.quality (the q86-q93 family):
+"""Operator-level tests for operators.quality/packing (the q86-q97 family):
 edge cases the oracle-parity comparison can't see (short docs, empty
 strata, repartition stability) plus plan-shape pins for the scale
 claims each docstring makes."""
@@ -123,3 +123,78 @@ def test_q93_bounds_broadcast_not_shuffled(spark, sf_dir):
 def test_q90_rate_table_broadcast_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q90_rebalance_sources")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# -- packing / cumsum (operators.packing) ------------------------------------
+
+
+def test_global_cumsum_matches_naive_window(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from osm_changesets_to_parquet_spark.operators.packing import global_cumsum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("v")
+    )
+    got = global_cumsum(d, "doc_id", "v", out_col="c", num_partitions=7)
+    naive = d.withColumn(
+        "c", F.sum("v").over(Window.orderBy("doc_id"))
+    )
+    diff = got.join(naive, "doc_id").where(
+        got["c"] != naive["c"]
+    )
+    assert diff.count() == 0
+
+
+def test_global_cumsum_exclusive_and_partition_invariant(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.operators.packing import global_cumsum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("v")
+    )
+    a = global_cumsum(d, "doc_id", "v", out_col="c", exclusive=True, num_partitions=3)
+    b = global_cumsum(d, "doc_id", "v", out_col="c", exclusive=True, num_partitions=13)
+    assert {(r.doc_id, r.c) for r in a.collect()} == {
+        (r.doc_id, r.c) for r in b.collect()
+    }
+    first = a.orderBy("doc_id").first()
+    assert first.c == 0  # exclusive: first row has no preceding mass
+
+
+def test_pack_into_bins_respects_chunk_rule(spark):
+    from osm_changesets_to_parquet_spark.operators.packing import pack_into_bins
+
+    d = spark.createDataFrame(
+        [(i, 100) for i in range(1, 41)], "doc_id long, tok int"
+    )
+    out = pack_into_bins(d, 1000, "tok", order_col="doc_id").collect()
+    # 40 docs x 100 tokens, budget 1000: doc i (1-based) starts at
+    # (i-1)*100 -> bin (i-1)//10
+    for r in out:
+        assert r.bin == (r.doc_id - 1) // 10
+
+
+def test_global_cumsum_no_single_task_data_window(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.operators.packing import global_cumsum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("v")
+    )
+    plan = (
+        global_cumsum(d, "doc_id", "v", num_partitions=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the full-data window must be keyed by __pid (parallel); the only
+    # SinglePartition exchange allowed is the tiny per-partition totals
+    # frame feeding the offset prefix-sum
+    assert "partitionBy=[__pid" in plan.replace("#", "").replace(
+        "L", ""
+    ) or "__pid" in plan
+    data_windows = [
+        seg for seg in plan.split("Window ") if "partitionBy=[]" in seg.split("\n")[0]
+    ]
+    # any unpartitioned window may only sit above the |partitions|-row agg
+    for seg in data_windows:
+        assert "HashAggregate" in seg
