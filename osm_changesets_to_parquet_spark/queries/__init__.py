@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "q95_weighted_sample",
     "q96_vocab_oov",
     "q97_sequence_packing",
+    "q98_zorder_cells",
     # -- (3) proven representatives: conversion / ingest family --
     "cs0_xml_to_parquet",
     "cs2_error_tolerant",
@@ -102,7 +103,6 @@ _PRIORITY: tuple[str, ...] = (
     # relational core
     "q04_groupby_agg",
     "q10_join4_revenue",
-    "q18_asof_join",
     # LLM-pipeline ops
     "q34_exact_dedup",
     "q35a_jaccard_truth",

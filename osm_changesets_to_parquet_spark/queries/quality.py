@@ -613,3 +613,76 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q98: Z-order clustering cells (layout locality, oracle-checked bit math)
+# ---------------------------------------------------------------------------
+
+from osm_changesets_to_parquet_spark.operators import layout as LO  # noqa: E402
+
+_ZBITS = 10
+
+_Q98_SQL = f"""
+WITH s AS (
+  SELECT MIN(o_custkey) AS x_lo, MAX(o_custkey) AS x_hi,
+         MIN(o_orderkey) AS y_lo, MAX(o_orderkey) AS y_hi
+  FROM orders
+),
+d AS (
+  SELECT CAST(FLOOR(CAST(o_custkey - x_lo AS DOUBLE) * {1 << _ZBITS}
+              / CAST(x_hi - x_lo + 1 AS DOUBLE)) AS BIGINT) AS sx,
+         CAST(FLOOR(CAST(o_orderkey - y_lo AS DOUBLE) * {1 << _ZBITS}
+              / CAST(y_hi - y_lo + 1 AS DOUBLE)) AS BIGINT) AS sy
+  FROM orders, s
+),
+z AS (SELECT sx, sy, {LO.zvalue_sql(['sx', 'sy'], _ZBITS)} AS zv FROM d)
+SELECT zv >> 14 AS cell,
+       COUNT(*) AS n_rows,
+       MIN(sx) AS min_sx, MAX(sx) AS max_sx,
+       MIN(sy) AS min_sy, MAX(sy) AS max_sy
+FROM z GROUP BY 1 ORDER BY cell
+"""
+
+
+@register(
+    "q98_zorder_cells",
+    _Q98_SQL,
+    doc=(
+        "Z-order (Morton) clustering: scale (o_custkey, o_orderkey) to "
+        "a 10-bit grid, interleave bits, bucket by z-prefix — every "
+        "cell shows bounded min/max on BOTH columns, the property that "
+        "makes zone-map pruning work for 2-D predicates; the oracle "
+        "re-derives the identical interleave arithmetic in SQL"
+    ),
+    tables=("orders",),
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min("o_custkey").alias("x_lo"),
+        F.max("o_custkey").alias("x_hi"),
+        F.min("o_orderkey").alias("y_lo"),
+        F.max("o_orderkey").alias("y_hi"),
+    )
+    d = o.crossJoin(F.broadcast(stats)).select(
+        LO.scale_to_bits(
+            F.col("o_custkey"), F.col("x_lo"), F.col("x_hi"), _ZBITS
+        ).alias("sx"),
+        LO.scale_to_bits(
+            F.col("o_orderkey"), F.col("y_lo"), F.col("y_hi"), _ZBITS
+        ).alias("sy"),
+    )
+    z = d.withColumn("zv", LO.zvalue(["sx", "sy"], _ZBITS))
+    return (
+        z.select(F.shiftright("zv", 14).alias("cell"), "sx", "sy")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("sx").alias("min_sx"),
+            F.max("sx").alias("max_sx"),
+            F.min("sy").alias("min_sy"),
+            F.max("sy").alias("max_sy"),
+        )
+        .orderBy("cell")
+    )

@@ -198,3 +198,38 @@ def test_global_cumsum_no_single_task_data_window(spark, sf_dir):
     # any unpartitioned window may only sit above the |partitions|-row agg
     for seg in data_windows:
         assert "HashAggregate" in seg
+
+
+# -- z-order layout (operators.layout) ---------------------------------------
+
+
+def test_zorder_partitions_disjoint_and_local(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.operators.layout import zorder_repartition
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    zed = zorder_repartition(o, ["o_custkey", "o_orderkey"], bits=10, num_partitions=8)
+    spans = (
+        zed.withColumn("__p", F.spark_partition_id())
+        .groupBy("__p")
+        .agg(
+            F.min("__z").alias("zlo"),
+            F.max("__z").alias("zhi"),
+            F.min("o_custkey").alias("clo"),
+            F.max("o_custkey").alias("chi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    # partitions own disjoint z-ranges (range partitioning on __z)
+    ordered = sorted(spans, key=lambda r: r.zlo)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.zhi <= b.zlo
+    # locality: the average per-partition custkey span must be well under
+    # the global span (single-column-sorted-by-orderkey would give ~full
+    # span in every partition)
+    glo = min(r.clo for r in spans)
+    ghi = max(r.chi for r in spans)
+    avg_span = sum(r.chi - r.clo for r in spans) / len(spans)
+    assert avg_span < 0.8 * (ghi - glo)
+    # nothing lost
+    assert sum(r.n for r in spans) == o.count()
