@@ -102,7 +102,6 @@ _PRIORITY: tuple[str, ...] = (
     "cs7_fallback_xml",
     # relational core
     "q04_groupby_agg",
-    "q10_join4_revenue",
     # LLM-pipeline ops
     "q34_exact_dedup",
     "q35a_jaccard_truth",
@@ -116,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "s4a_watermark_ontime",
     "s6_stateful_running_agg",
     "s7_stream_stream_join",
+    "s8_stream_static_join",
     # UDF surface
     "u3_udaf_geomean",
     # dedup clusters / curation / vectors / ANN recall

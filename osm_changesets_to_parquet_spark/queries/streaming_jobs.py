@@ -113,3 +113,26 @@ def s6(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_s7_stream_stream_join(spark, sf_dir)
+
+
+@register(
+    "s8_stream_static_join",
+    """
+    SELECT c.c_nationkey, e.event_type, COUNT(*) AS cnt
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2 ORDER BY c_nationkey, event_type
+    """,
+    doc=(
+        "stream-static enrichment join: the customer dimension is "
+        "re-planned into every micro-batch as a broadcast hash join — "
+        "stateless, append-mode, the stream side never shuffles; the "
+        "appended output equals the batch join exactly"
+    ),
+    tables=("events", "customer"),
+)
+def s8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.streaming.jobs import (
+        run_s8_stream_static_enrich,
+    )
+
+    return run_s8_stream_static_enrich(spark, sf_dir)

@@ -342,3 +342,31 @@ def run_s6_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "s.n_events", "s.sum_value")
         .orderBy("user_id")
     )
+
+
+def run_s8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the static
+    customer dimension (user_id -> c_custkey), counted per nation.
+
+    The static side is a plain batch DataFrame — Spark re-plans it into
+    every micro-batch as a broadcast hash join (no streaming state at
+    all: stream-static equi-joins are stateless, each event row joins
+    against the dimension snapshot and is emitted exactly once in
+    append mode).  This is the canonical enrichment shape for
+    continuous ingest at scale: the dimension broadcasts, the stream
+    never shuffles.
+    """
+    base = prepare_replay_dir(spark, sf_dir, late=False)
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    ev = _read_stream(spark, base).select("event_id", "user_id", "event_type")
+    enriched = ev.join(F.broadcast(customers), "user_id").select(
+        "event_id", "event_type", "c_nationkey"
+    )
+    outs = _run_availablenow(enriched, mode="append")
+    return (
+        outs.groupBy("c_nationkey", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("c_nationkey", "event_type")
+    )
