@@ -110,3 +110,44 @@ def zorder_repartition(
     )
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return withz.repartitionByRange(parts, F.col(z_col)).sortWithinPartitions(z_col)
+
+
+def compact_parquet_dir(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    z_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_bytes`` each; returns the output file count.
+
+    The small-files problem is the steady-state failure mode of
+    continuous ingest (every micro-batch writes a file; a year of
+    5-minute batches is 100k files whose footer reads dominate scan
+    time).  Sizing: output file count = ceil(input bytes / target).
+    ``coalesce`` (narrow, no shuffle) merges partitions when shrinking;
+    pass ``z_cols`` to Z-order-cluster during the rewrite instead
+    (one range exchange — compaction and layout in a single pass).
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src_dir)
+    if z_cols:
+        out = zorder_repartition(df, z_cols, num_partitions=n_out).drop("__z")
+    else:
+        out = df.coalesce(n_out)
+    out.write.mode("overwrite").parquet(dst_dir)
+    return sum(
+        1
+        for root, _dirs, files in os.walk(dst_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )

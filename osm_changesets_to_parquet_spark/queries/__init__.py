@@ -96,12 +96,12 @@ _PRIORITY: tuple[str, ...] = (
     "q96_vocab_oov",
     "q97_sequence_packing",
     "q98_zorder_cells",
+    "q99_salted_skew_join",
     # -- (3) proven representatives: conversion / ingest family --
     "cs0_xml_to_parquet",
     "cs2_error_tolerant",
     "cs7_fallback_xml",
     # relational core
-    "q04_groupby_agg",
     # LLM-pipeline ops
     "q34_exact_dedup",
     "q35a_jaccard_truth",

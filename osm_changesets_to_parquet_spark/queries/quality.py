@@ -686,3 +686,48 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q99: salted skew join (result parity with the plain join, hash-matched)
+# ---------------------------------------------------------------------------
+
+_Q99_SQL = """
+SELECT c.c_nationkey,
+       COUNT(*) AS cnt,
+       ROUND(MIN(e.value), 4) AS min_v,
+       ROUND(MAX(e.value), 4) AS max_v
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY c_nationkey
+"""
+
+
+@register(
+    "q99_salted_skew_join",
+    _Q99_SQL,
+    doc=(
+        "explicit skew handling: the fact side is salted n_salts ways "
+        "(deterministic content hash, operators.skew.salted_join), the "
+        "dimension replicated per salt — no task ever owns a whole hot "
+        "key; output is row-identical to the plain join, which is "
+        "exactly what the oracle runs"
+    ),
+    tables=("events", "customer"),
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    j = salted_join(ev, cust, on=["user_id"], n_salts=8)
+    return (
+        j.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("value"), 4).alias("min_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+        )
+        .orderBy("c_nationkey")
+    )

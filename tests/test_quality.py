@@ -233,3 +233,34 @@ def test_zorder_partitions_disjoint_and_local(spark, sf_dir):
     assert avg_span < 0.8 * (ghi - glo)
     # nothing lost
     assert sum(r.n for r in spans) == o.count()
+
+
+def test_compact_parquet_dir_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from osm_changesets_to_parquet_spark.operators.layout import compact_parquet_dir
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(24).write.mode("overwrite").parquet(src)
+    import os
+
+    n_in = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_in >= 20  # genuinely fragmented
+    n_out = compact_parquet_dir(spark, src, dst, target_bytes=64 * 1024 * 1024)
+    assert n_out < n_in
+    assert spark.read.parquet(dst).count() == docs.count()
+
+
+def test_compact_with_zorder_clusters_output(spark, sf_dir, tmp_path):
+    from osm_changesets_to_parquet_spark.operators.layout import compact_parquet_dir
+
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "zc")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o.repartition(16).write.mode("overwrite").parquet(src)
+    compact_parquet_dir(
+        spark, src, dst, target_bytes=1024, z_cols=["o_custkey", "o_orderkey"]
+    )
+    back = spark.read.parquet(dst)
+    assert back.count() == o.count()
+    assert set(back.columns) == {"o_orderkey", "o_custkey"}
