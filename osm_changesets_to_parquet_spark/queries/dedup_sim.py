@@ -163,11 +163,15 @@ def q35b(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=("documents",),
 )
 def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osm_changesets_to_parquet_spark.operators.clusters import canonical_docs
+    # exact duplicates are collapsed to one node before pair generation —
+    # provably the same components (identical texts are Jaccard-1 pairs
+    # with identical neighbor sets), strictly less work on dup-heavy data
+    from osm_changesets_to_parquet_spark.operators.clusters import (
+        canonical_docs_collapsed,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, threshold=0.6)
-    return canonical_docs(docs, pairs).orderBy("doc_id")
+    return canonical_docs_collapsed(docs, threshold=0.6).orderBy("doc_id")
 
 
 # --- SimHash ----------------------------------------------------------------

@@ -264,3 +264,18 @@ def test_compact_with_zorder_clusters_output(spark, sf_dir, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == o.count()
     assert set(back.columns) == {"o_orderkey", "o_custkey"}
+
+
+def test_collapsed_clusters_equal_plain(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.operators.clusters import (
+        canonical_docs,
+        canonical_docs_collapsed,
+    )
+    from osm_changesets_to_parquet_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    plain = canonical_docs(docs, jaccard_pairs(docs, threshold=0.6))
+    fast = canonical_docs_collapsed(docs, threshold=0.6)
+    assert {(r.doc_id, r.cluster_id, r.keep) for r in plain.collect()} == {
+        (r.doc_id, r.cluster_id, r.keep) for r in fast.collect()
+    }
