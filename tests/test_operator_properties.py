@@ -95,3 +95,60 @@ def test_merge_asof_matches_pandas(spark, left_ts, right_ts):
     got_vals_s = [None if pd.isna(v) else int(v) for v in got_s["val"]]
     want_vals_s = [None if pd.isna(v) else int(v) for v in want_s["val"]]
     assert got_vals_s == want_vals_s
+
+
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=60, unique=True),
+    st.lists(st.integers(0, 500), min_size=60, max_size=60),
+)
+@settings(max_examples=5, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+def test_global_cumsum_matches_python_prefix_sum(spark, ids, vals):
+    from osm_changesets_to_parquet_spark.operators.packing import global_cumsum
+
+    rows = [(i, v) for i, v in zip(ids, vals)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: r.c
+        for r in global_cumsum(df, "k", "v", out_col="c", num_partitions=5).collect()
+    }
+    acc = 0
+    for i, v in sorted(rows):
+        acc += v
+        assert got[i] == acc
+
+
+@given(st.lists(st.tuples(st.integers(0, 1023), st.integers(0, 1023)), min_size=1, max_size=50))
+@settings(max_examples=5, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+def test_zvalue_interleave_is_injective_and_bounded(spark, points):
+    from osm_changesets_to_parquet_spark.operators.layout import zvalue
+
+    df = spark.createDataFrame(points, "sx long, sy long")
+    out = df.withColumn("z", zvalue(["sx", "sy"], 10)).collect()
+    def ref(x, y):
+        z = 0
+        for b in range(10):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+    for r in out:
+        assert r.z == ref(r.sx, r.sy)
+        assert 0 <= r.z < (1 << 20)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=3), min_size=1, max_size=12
+    )
+)
+@settings(max_examples=5, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+def test_word_ngrams_match_python_reference(spark, words):
+    from osm_changesets_to_parquet_spark.operators.quality import word_ngrams
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(r.ngram for r in word_ngrams(df, 3, keep=["doc_id"]).collect())
+    toks = text.split(" ")
+    expect = sorted(
+        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+    ) if len(toks) >= 3 else []
+    assert got == expect
