@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "q97_sequence_packing",
     "q98_zorder_cells",
     "q99_salted_skew_join",
+    "q100_incremental_agg",
     # -- (3) proven representatives: conversion / ingest family --
     "cs0_xml_to_parquet",
     "cs2_error_tolerant",
@@ -106,7 +107,6 @@ _PRIORITY: tuple[str, ...] = (
     "q34_exact_dedup",
     "q35a_jaccard_truth",
     "q35b_minhash_lsh",
-    "q36_cosine_topk",
     "q40_tfidf",
     "t41_language_id",
     "e46_embedding_neardup",

@@ -731,3 +731,60 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q100: incremental aggregate maintenance (merge partials == full agg)
+# ---------------------------------------------------------------------------
+
+_Q100_SQL = """
+SELECT event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_mv,
+       ROUND(MIN(value), 4) AS min_v,
+       ROUND(MAX(value), 4) AS max_v
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "q100_incremental_agg",
+    _Q100_SQL,
+    doc=(
+        "incremental view maintenance: the stored aggregate over the "
+        "90% base is merged with the aggregate of the 10% arriving "
+        "delta (sum-of-counts, sum-of-sums, min-of-mins, max-of-maxes) "
+        "— the algebraic-aggregate merge that lets 100 TB stats update "
+        "from the delta alone; the oracle aggregates the full table in "
+        "one pass and must agree exactly (integer sums, order-free "
+        "min/max)"
+    ),
+    tables=("events",),
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    b = QL.hash_bucket("event_id", 100)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("value") * 1000)).alias("sum_mv"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+
+    base = partial(ev.where(b < 90))
+    delta = partial(ev.where(b >= 90))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_mv").alias("sum_mv"),
+            F.round(F.min("min_v"), 4).alias("min_v"),
+            F.round(F.max("max_v"), 4).alias("max_v"),
+        )
+        .orderBy("event_type")
+    )
