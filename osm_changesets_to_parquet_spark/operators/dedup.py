@@ -254,6 +254,47 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Ordered containment pairs: |shingles(A) n shingles(B)| / |shingles(A)|
+    >= threshold, A != B — "A is (nearly) contained in B".
+
+    The asymmetric companion to :func:`jaccard_pairs`: Jaccard misses
+    subset duplication (a paragraph pasted into a much longer page has
+    low Jaccard but containment ~1), which is its own boilerplate mode
+    in web corpora.  Same shingle-index machinery — the exploded
+    (id, shingle) set is checkpointed once and the join only ever
+    materializes pairs sharing a shingle; the ordered (A, B) stream is
+    at most 2x the unordered pair count.
+    """
+    sh = truncate_lineage(
+        shingles(docs, text_col, n).select(
+            F.col(id_col), F.explode(F.array_distinct("shingle_hashes")).alias("h")
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("h"), F.col(id_col).alias("id_a"))
+    b = sh.select(F.col("h"), F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, "h")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    return (
+        inter.join(sa, "id_a")
+        .withColumn("containment", F.round(F.col("n_inter") / F.col("n_a"), 4))
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 SIMHASH_BITS = 30
 
 

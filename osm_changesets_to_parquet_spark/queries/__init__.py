@@ -98,6 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "q98_zorder_cells",
     "q99_salted_skew_join",
     "q100_incremental_agg",
+    "q101_containment_pairs",
     # -- (3) proven representatives: conversion / ingest family --
     "cs0_xml_to_parquet",
     "cs2_error_tolerant",
@@ -110,7 +111,6 @@ _PRIORITY: tuple[str, ...] = (
     "q40_tfidf",
     "t41_language_id",
     "e46_embedding_neardup",
-    "m47_multimodal_meta",
     # streaming
     "s4a_watermark_ontime",
     "s6_stateful_running_agg",

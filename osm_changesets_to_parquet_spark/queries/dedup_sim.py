@@ -252,3 +252,38 @@ def e46(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sim") >= 0.3)
         .orderBy("id_a", "id_b")
     )
+
+
+# --- Containment (asymmetric subset duplication) ----------------------------
+
+_Q101_SQL = f"""
+WITH tok AS ({_SQL_TOK}),
+sh AS (SELECT doc_id, list_distinct({_SQL_SHINGLE_HASHES}) AS hs FROM tok),
+ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+ointer AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(n_inter / sa.n_sh, 4) AS containment
+FROM ointer JOIN sizes sa ON sa.doc_id = id_a
+WHERE ROUND(n_inter / sa.n_sh, 4) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "q101_containment_pairs",
+    _Q101_SQL,
+    doc=(
+        "asymmetric containment dedup: |shingles(A) n shingles(B)| / "
+        "|shingles(A)| >= 0.9 flags docs (nearly) contained in another "
+        "— the subset-duplication mode Jaccard misses; same checkpointed "
+        "shingle-index machinery as q35a, ordered pair stream"
+    ),
+    tables=("documents",),
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, threshold=0.9).orderBy("id_a", "id_b")
