@@ -127,11 +127,23 @@ def canonical_docs_collapsed(
     answer.  Measured on a 16x replica corpus (80k docs, dup groups of
     16): 146 s -> see tests; result equality is pinned by
     ``test_collapsed_clusters_equal_plain`` at sf0.001.
+
+    Edge case: the Jaccard-1 argument assumes a NON-EMPTY shingle set.
+    Documents shorter than ``n`` tokens produce zero shingles, so the
+    pair graph gives identical short docs NO edge — each is its own
+    singleton cluster.  Collapsing them would merge what the plain
+    path keeps apart, so shingle-less docs get a unique group key and
+    are never collapsed (``test_collapsed_clusters_short_dup_docs``).
     """
     from osm_changesets_to_parquet_spark.operators.dedup import jaccard_pairs
 
+    has_shingles = F.size(F.split(F.col(text_col), " ")) >= n
     keyed = docs.select(
-        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__h")
+        F.col(id_col),
+        F.col(text_col),
+        F.when(has_shingles, F.md5(F.col(text_col))).otherwise(
+            F.concat(F.lit("solo:"), F.col(id_col).cast("string"))
+        ).alias("__h"),
     )
     reps = keyed.groupBy("__h").agg(
         F.min(id_col).alias(id_col), F.first(text_col).alias(text_col)

@@ -19,6 +19,12 @@ setCheckpointDir(...)`` — the production setting) and falls back to
 ``localCheckpoint`` otherwise (local mode, tests), so operators written
 against it get cluster-grade fault tolerance by configuration, not by
 code change.
+
+Storage hygiene: checkpoint files are only deleted when their RDD is
+GC'd AND ``spark.cleaner.referenceTracking.cleanCheckpoints`` is true —
+session.get_spark sets it, so a 20-iteration loop does not retain 20
+dataset copies for the application lifetime.  Sessions built elsewhere
+should set the same conf before configuring a checkpoint dir.
 """
 
 from __future__ import annotations

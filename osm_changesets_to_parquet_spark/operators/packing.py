@@ -7,20 +7,26 @@ first token).
 The core primitive is a GLOBAL running sum in a stable order — the
 classic Spark scale trap, because the obvious spelling
 (``Window.orderBy(...)`` with no partition key) collapses the whole
-table into ONE task.  ``global_cumsum`` here is the two-pass spelling
-that stays distributed:
+table into ONE task.  ``global_cumsum`` here is the bucketed spelling
+that stays distributed with exactly ONE wide shuffle:
 
-1. range-repartition by the order key (so partition i holds a
-   contiguous key range, all ranges in order);
-2. per-partition running sum via a window PARTITIONED by the physical
-   partition id (parallel, no global collapse);
-3. per-partition totals (one tiny row per partition) are prefix-summed
-   on a single small frame and broadcast back as offsets.
+1. pick ~``num_partitions`` approximate quantile boundaries of the
+   order key (a driver-side action, O(partitions) result — the same
+   bounded materialization the IVF seeds use) and derive an explicit
+   monotone ``__bucket`` column in the scan stage;
+2. per-bucket running sum via a window PARTITIONED BY ``__bucket`` —
+   its hash exchange is the one full-data shuffle, and because the
+   bucket is an explicit column the per-bucket totals aggregate reuses
+   that same distribution with no further exchange (an earlier
+   spelling used ``spark_partition_id`` after a range repartition,
+   which forced a SECOND full-data exchange for the window);
+3. per-bucket totals (one tiny row per bucket) are prefix-summed on a
+   single small frame and broadcast back as offsets.
 
-The result is independent of where the range boundaries land, so the
-output is deterministic even though the partitioner samples.  Work is
-O(n) with two narrow shuffles (range exchange + |partitions|-row agg);
-nothing ever funnels through a single task.
+Any monotone bucketing yields the same result, so the output is
+deterministic even though the quantile boundaries are approximate.
+Nothing ever funnels through a single task; the plan shape is pinned
+by ``test_global_cumsum_single_wide_shuffle``.
 """
 
 from __future__ import annotations
@@ -42,34 +48,40 @@ def global_cumsum(
     computed without a single-task global window (see module doc).
 
     ``exclusive=True`` returns the sum of *strictly preceding* rows
-    (the first row gets 0).  ``order_col`` must be globally unique —
-    it is the total order that defines "preceding".
+    (the first row gets 0).  ``order_col`` must be globally unique and
+    numeric — it is the total order that defines "preceding".
     """
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    in_part = Window.partitionBy("__pid").orderBy(order_col)
-    local = ranged.withColumn("__local", F.sum(value_col).over(in_part))
-    totals = (
-        local.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
-    )
-    # prefix-sum the per-partition totals: |partitions| rows — windowing
-    # this tiny frame globally is fine (it IS small by construction)
+    bounds: list[float] = []
+    if parts > 1:
+        probs = [i / parts for i in range(1, parts)]
+        bounds = sorted(set(df.stat.approxQuantile(order_col, probs, 0.01)))
+    # monotone bucket id: number of boundaries strictly below the key.
+    # Any monotone bucketing is correct; this one is ~balanced.
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(order_col) > F.lit(b)).cast("int")
+    bucketed = df.withColumn("__bucket", bucket)
+    in_bucket = Window.partitionBy("__bucket").orderBy(order_col)
+    local = bucketed.withColumn("__local", F.sum(value_col).over(in_bucket))
+    # same clustering as the window output -> no additional exchange
+    totals = local.groupBy("__bucket").agg(F.sum(value_col).alias("__tot"))
+    # prefix-sum the per-bucket totals: |buckets| rows — windowing this
+    # tiny frame globally is fine (it IS small by construction)
     off = totals.withColumn(
         "__offset",
         F.coalesce(
             F.sum("__tot").over(
-                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0),
         ),
-    ).select("__pid", "__offset")
+    ).select("__bucket", "__offset")
     shift = F.col(value_col) if exclusive else F.lit(0)
     return (
-        local.join(F.broadcast(off), "__pid")
+        local.join(F.broadcast(off), "__bucket")
         .withColumn(out_col, (F.col("__local") + F.col("__offset") - shift))
-        .drop("__pid", "__local", "__offset")
+        .drop("__bucket", "__local", "__offset")
     )
 
 

@@ -37,16 +37,33 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Knuth's multiplicative constant (2^32 / phi) — shared with
-# queries.curation so every sampling op in the engine agrees on
-# bucket membership.
+# Knuth's multiplicative constant (2^32 / phi) — the single authority
+# for sampling-bucket membership engine-wide (queries.curation imports
+# these; every oracle spells the identical arithmetic).
 KNUTH = 2654435761
+
+# ids are folded to 31 bits before the multiply so the product stays
+# below 2^62 — WITHOUT this, an id >= 2^31 overflows signed 64-bit in
+# Spark (silently wrapping negative, so `bucket < rate` passes every
+# row) while DuckDB promotes to HUGEINT: membership diverges exactly at
+# the multi-billion-row scale this engine targets.
+ID_FOLD = 1 << 31
 
 
 def hash_bucket(id_col: str | Column, mod: int = 100) -> Column:
-    """Deterministic bucket in [0, mod): (id * KNUTH) % mod."""
+    """Deterministic bucket in [0, mod): ((id % 2^31) * KNUTH) % mod.
+
+    Overflow-safe for any non-negative 64-bit id; identical integer
+    math in any engine (the SQL spelling is ``((id % 2147483648) *
+    2654435761) % mod``).
+    """
     col = F.col(id_col) if isinstance(id_col, str) else id_col
-    return (col * F.lit(KNUTH)) % F.lit(mod)
+    return ((col % F.lit(ID_FOLD)) * F.lit(KNUTH)) % F.lit(mod)
+
+
+def sql_hash_bucket(expr: str, mod: int = 100) -> str:
+    """The identical bucket arithmetic as an ANSI-SQL expression."""
+    return f"((({expr}) % {ID_FOLD}) * {KNUTH}) % {mod}"
 
 
 def word_ngrams(
@@ -64,7 +81,8 @@ def word_ngrams(
     words contribute zero rows (guarded: F.sequence would otherwise
     generate a *descending* sequence for size < n).
     """
-    keep = keep or [c for c in docs.columns if c != text_col]
+    if keep is None:  # an explicit [] means "ngram column only"
+        keep = [c for c in docs.columns if c != text_col]
     toks = F.split(F.col(text_col), " ")
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))

@@ -24,13 +24,13 @@ from pyspark.sql import functions as F
 from osm_changesets_to_parquet_spark.catalog import load_table
 from osm_changesets_to_parquet_spark.queries import register
 
-# Knuth's multiplicative constant (2^32 / phi); doc_id < 2^31 so the
-# product stays far below 2^63 — identical integer math in both engines
-_KNUTH = 2654435761
-
-
-def _bucket(id_col):
-    return (F.col(id_col) * F.lit(_KNUTH)) % F.lit(100)
+# Bucket membership is delegated to operators.quality (the single
+# authority): ((id % 2^31) * KNUTH) % mod — overflow-safe for any
+# non-negative 64-bit id, identical integer math in both engines.
+from osm_changesets_to_parquet_spark.operators.quality import (  # noqa: E402
+    hash_bucket as _bucket,
+    sql_hash_bucket as _sql_bucket,
+)
 
 
 @register(
@@ -38,7 +38,7 @@ def _bucket(id_col):
     f"""
     SELECT lang, COUNT(*) AS cnt, ROUND(AVG(LENGTH(text)), 2) AS avg_len
     FROM documents
-    WHERE (doc_id * {_KNUTH}) % 100 < 10
+    WHERE {_sql_bucket('doc_id', 100)} < 10
     GROUP BY lang ORDER BY lang
     """,
     doc=(
@@ -65,7 +65,7 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q70_train_test_split",
     f"""
     SELECT lang,
-           CASE WHEN (doc_id * {_KNUTH}) % 100 < 80 THEN 'train' ELSE 'test' END AS split,
+           CASE WHEN {_sql_bucket('doc_id', 100)} < 80 THEN 'train' ELSE 'test' END AS split,
            COUNT(*) AS cnt,
            CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
     FROM documents

@@ -32,7 +32,7 @@ _P = HASH_MOD
 
 _Q86_SQL = f"""
 WITH t AS (
-  SELECT doc_id, lang, (doc_id * {_K}) % 100 AS b, string_split(text, ' ') AS w
+  SELECT doc_id, lang, {QL.sql_hash_bucket('doc_id', 100)} AS b, string_split(text, ' ') AS w
   FROM documents
 ),
 ng AS (
@@ -184,7 +184,7 @@ SELECT lang,
        COUNT(*) AS n_kept,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
-WHERE (doc_id * {_K}) % 100 <
+WHERE {QL.sql_hash_bucket('doc_id', 100)} <
       CASE lang WHEN 'en' THEN {_RATES['en']} WHEN 'de' THEN {_RATES['de']}
                 ELSE {_DEFAULT_RATE} END
 GROUP BY lang ORDER BY lang
@@ -230,7 +230,7 @@ r AS (
 k AS (
   SELECT d.source, COUNT(*) AS n_kept
   FROM documents d JOIN r USING (source)
-  WHERE (d.doc_id * {_K}) % 1000 < r.rate
+  WHERE {QL.sql_hash_bucket('d.doc_id', 1000)} < r.rate
   GROUP BY d.source
 )
 SELECT r.source, r.n_docs, CAST(r.rate AS BIGINT) AS rate_permille,
@@ -415,7 +415,7 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q94_SQL = f"""
 WITH d AS (
-  SELECT doc_id, lang, (doc_id * {_K}) % 100 AS b,
+  SELECT doc_id, lang, {QL.sql_hash_bucket('doc_id', 100)} AS b,
          md5(LOWER(TRIM(text))) AS h
   FROM documents
 ),
@@ -473,7 +473,7 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q95_SQL = f"""
 SELECT doc_id,
-       ROUND(((doc_id * {_K}) % 1000003) / n_chars, 9) AS priority
+       ROUND(({QL.sql_hash_bucket('doc_id', 100)}0003) / n_chars, 9) AS priority
 FROM documents
 ORDER BY priority, doc_id LIMIT 100
 """
@@ -493,7 +493,7 @@ ORDER BY priority, doc_id LIMIT 100
 )
 def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    u = (F.col("doc_id") * F.lit(_K)) % F.lit(1000003)
+    u = QL.hash_bucket("doc_id", 1000003)
     return (
         docs.select(
             "doc_id", F.round(u / F.col("n_chars"), 9).alias("priority")

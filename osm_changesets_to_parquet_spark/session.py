@@ -84,6 +84,11 @@ def get_spark(
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.compression.codec": "snappy",
+        # reliable checkpoints (iterutils.truncate_lineage) are deleted
+        # once their RDD is GC'd — without this, every iteration of a
+        # checkpointed loop (connected components, PageRank) retains a
+        # full dataset copy in the checkpoint dir for the app lifetime
+        "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
         # local-mode friendliness; harmless on a cluster
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

@@ -15,9 +15,25 @@ and ``applyInPandasWithState`` holds one small pandas group at a time.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
+
+# Every _run_availablenow leaves a sink dir (the returned DataFrame
+# reads it lazily, so it cannot be deleted eagerly) plus a stream
+# checkpoint dir.  Register both for process-exit cleanup so repeated
+# runs (tests, bench, verification sweeps) do not accumulate unbounded
+# /tmp residue.
+_TEMP_DIRS: list[str] = []
+
+
+def _cleanup_temp_dirs() -> None:
+    for d in _TEMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_temp_dirs)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -140,6 +156,8 @@ def _run_availablenow(stream_df: DataFrame, mode: str = "update") -> DataFrame:
     sizes this once, to cores x ~2, before first start.)
     """
     out_dir = tempfile.mkdtemp(prefix="stream_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_")
+    _TEMP_DIRS.extend([out_dir, ckpt_dir])
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # one partition dir per micro-batch, overwritten on retry: a
@@ -156,10 +174,7 @@ def _run_availablenow(stream_df: DataFrame, mode: str = "update") -> DataFrame:
         q = (
             stream_df.writeStream.outputMode(mode)
             .trigger(availableNow=True)
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix="ckpt_"),
-            )
+            .option("checkpointLocation", ckpt_dir)
             .foreachBatch(sink)
             .start()
         )

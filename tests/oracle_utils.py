@@ -61,14 +61,23 @@ def canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
 
 
-def compare(spark_df, oracle_sql: str, sf_dir: str, name: str = "?") -> list[str]:
-    """Return a list of problems (empty == match)."""
-    problems: list[str] = []
+def fetch_frames(spark_df, oracle_sql: str, sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Materialize the Spark result and its oracle once, as pandas."""
     sp = spark_df.toPandas()
     con = duckdb_con(sf_dir)
     du = con.execute(oracle_sql).fetchdf()
     con.close()
+    return sp, du
 
+
+def compare(spark_df, oracle_sql: str, sf_dir: str, name: str = "?") -> list[str]:
+    """Return a list of problems (empty == match)."""
+    sp, du = fetch_frames(spark_df, oracle_sql, sf_dir)
+    return compare_frames(sp, du, name)
+
+
+def compare_frames(sp: pd.DataFrame, du: pd.DataFrame, name: str = "?") -> list[str]:
+    problems: list[str] = []
     if sorted(sp.columns) != sorted(du.columns):
         problems.append(f"{name}: column mismatch spark={sorted(sp.columns)} duck={sorted(du.columns)}")
         return problems

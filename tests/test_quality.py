@@ -174,7 +174,7 @@ def test_pack_into_bins_respects_chunk_rule(spark):
         assert r.bin == (r.doc_id - 1) // 10
 
 
-def test_global_cumsum_no_single_task_data_window(spark, sf_dir):
+def test_global_cumsum_single_wide_shuffle(spark, sf_dir):
     from osm_changesets_to_parquet_spark.operators.packing import global_cumsum
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -186,16 +186,18 @@ def test_global_cumsum_no_single_task_data_window(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    # the full-data window must be keyed by __pid (parallel); the only
-    # SinglePartition exchange allowed is the tiny per-partition totals
-    # frame feeding the offset prefix-sum
-    assert "partitionBy=[__pid" in plan.replace("#", "").replace(
-        "L", ""
-    ) or "__pid" in plan
+    # one full-data hash exchange (the __bucket window) plus one tiny
+    # exchange that carries only map-side PARTIAL sums (Catalyst pushes
+    # the totals agg below its shuffle), the offsets frame broadcasts
+    # back, and no unpartitioned window ever sees the full data (only
+    # the |buckets|-row offsets prefix-sum may).  The old
+    # spark_partition_id spelling shuffled the full data TWICE.
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_sum" in plan  # the second exchange is post-partial-agg
+    assert "BroadcastExchange" in plan
     data_windows = [
-        seg for seg in plan.split("Window ") if "partitionBy=[]" in seg.split("\n")[0]
+        seg for seg in plan.split("Window ") if seg.split("\n")[0].count("partitionBy=[]")
     ]
-    # any unpartitioned window may only sit above the |partitions|-row agg
     for seg in data_windows:
         assert "HashAggregate" in seg
 
@@ -279,3 +281,60 @@ def test_collapsed_clusters_equal_plain(spark, sf_dir):
     assert {(r.doc_id, r.cluster_id, r.keep) for r in plain.collect()} == {
         (r.doc_id, r.cluster_id, r.keep) for r in fast.collect()
     }
+
+
+def test_collapsed_clusters_short_dup_docs(spark):
+    # identical docs SHORTER than the shingle width have empty shingle
+    # sets: the pair graph gives them no edge, so plain clustering keeps
+    # them as separate singletons — the collapse must NOT merge them
+    from osm_changesets_to_parquet_spark.operators.clusters import (
+        canonical_docs,
+        canonical_docs_collapsed,
+    )
+    from osm_changesets_to_parquet_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"),  # < 3 tokens: no shingles
+            (2, "a b"),  # identical short dup
+            (3, "x y z w x y z w"),
+            (4, "x y z w x y z w"),  # identical long dup (collapses)
+        ],
+        "doc_id long, text string",
+    )
+    plain = {
+        (r.doc_id, r.cluster_id, r.keep)
+        for r in canonical_docs(docs, jaccard_pairs(docs, threshold=0.6)).collect()
+    }
+    fast = {
+        (r.doc_id, r.cluster_id, r.keep)
+        for r in canonical_docs_collapsed(docs, threshold=0.6).collect()
+    }
+    assert fast == plain
+    assert (2, 2, True) in fast  # short dup stays its own cluster
+    assert (4, 3, False) in fast  # long dup collapses into doc 3
+
+
+def test_hash_bucket_overflow_safe(spark):
+    # ids >= 2^31 must stay in [0, mod) and agree with the SQL spelling
+    import duckdb
+
+    from osm_changesets_to_parquet_spark.operators.quality import (
+        hash_bucket,
+        sql_hash_bucket,
+    )
+
+    ids = [0, 1, 2**31 - 1, 2**31, 2**31 + 7, 4_000_000_000, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.b for r in df.select("doc_id", hash_bucket("doc_id", 100).alias("b")).collect()}
+    du = dict(
+        duckdb.sql(
+            "SELECT doc_id, " + sql_hash_bucket("doc_id", 100) + " AS b "
+            "FROM (SELECT unnest(["
+            + ",".join(str(i) for i in ids)
+            + "]) AS doc_id)"
+        ).fetchall()
+    )
+    for i in ids:
+        assert 0 <= got[i] < 100
+        assert got[i] == du[i]

@@ -19,17 +19,13 @@ import time
 sys.path.insert(0, ".")
 
 from osm_changesets_to_parquet_spark.session import get_spark  # noqa: E402
-from tests.oracle_utils import duckdb_con, compare  # noqa: E402
+from tests.oracle_utils import compare_frames, fetch_frames  # noqa: E402
 import __spark_entry__ as entry  # noqa: E402
 
 
-def dtype_problems(spark_df, oracle_sql: str, sf_dir: str, name: str) -> list[str]:
+def dtype_problems(sp, du, name: str) -> list[str]:
     # full frames, not samples: Arrow infers int64 vs float64 from the
     # nulls actually present, so a sample can report a phantom drift
-    sp = spark_df.toPandas()
-    con = duckdb_con(sf_dir)
-    du = con.execute(oracle_sql).fetchdf()
-    con.close()
     probs = []
     for c in sorted(set(sp.columns) & set(du.columns)):
         ks, kd = sp[c].dtype.kind, du[c].dtype.kind
@@ -55,9 +51,12 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            df = qs[name](spark, sf_dir)
-            probs = compare(df, oracles[name], sf_dir, name)
-            probs += dtype_problems(qs[name](spark, sf_dir), oracles[name], sf_dir, name)
+            # one execution per side: the frames feed both the value
+            # compare and the dtype check (streaming queries re-run an
+            # entire availableNow job per execution)
+            sp, du = fetch_frames(qs[name](spark, sf_dir), oracles[name], sf_dir)
+            probs = compare_frames(sp, du, name)
+            probs += dtype_problems(sp, du, name)
         except Exception as e:  # noqa: BLE001
             probs = [f"{name}: EXCEPTION {type(e).__name__}: {e}"]
         dt = time.time() - t0
