@@ -254,6 +254,48 @@ def jaccard_pairs(
     )
 
 
+def lsh_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Exact-Jaccard pairs >= threshold, enumerated via LSH candidates.
+
+    The 100 TB spelling of :func:`jaccard_pairs`: instead of the
+    inverted shingle index (whose self-join output is quadratic in
+    every shared-shingle group), candidate pairs come from the banded
+    MinHash buckets (:func:`lsh_candidates` — collision-bounded), and
+    each candidate is verified with the exact in-row Jaccard over the
+    two distinct-shingle arrays.  The verification join shuffles only
+    (candidate pair x two shingle arrays) — never a token stream.
+
+    Equals :func:`jaccard_pairs` exactly when LSH recall at the
+    threshold is 1.0 (collision prob 1-(1-j^r)^b; tune bands x rows).
+    Pairs the banding misses are absent — that is the approximation
+    being bought.
+    """
+    cands = lsh_candidates(docs, text_col, id_col, n, max_bucket)
+    sh = shingles(docs, text_col, n).select(
+        F.col(id_col), F.array_distinct("shingle_hashes").alias("hs")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("hs").alias("ha"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jac",
+            F.round(inter / (F.size("ha") + F.size("hb") - inter), 4),
+        )
+        .where(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     threshold: float,

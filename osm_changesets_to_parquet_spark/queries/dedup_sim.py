@@ -287,3 +287,40 @@ ORDER BY id_a, id_b
 def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.containment_pairs(docs, threshold=0.9).orderBy("id_a", "id_b")
+
+
+# --- LSH-verified cluster resolution (the 100 TB path for q68) --------------
+
+# Calibration-gated like the ANN recall properties (queries/ann.py):
+# the exact-Jaccard oracle only equals the LSH-candidate path on
+# fixtures where banding recall at J>=0.6 was verified to be 1.0.
+_Q68B_CALIBRATED_SFS = frozenset({"sf0.001", "sf0.01"})
+
+
+@register(
+    "q68b_neardup_clusters_lsh",
+    _Q68_CLUSTERS_SQL,
+    doc=(
+        "near-dup clusters via MinHash-LSH candidates + exact in-row "
+        "Jaccard verification — the 100 TB spelling of q68: pair "
+        "enumeration is collision-bounded banding instead of the "
+        "inverted-index self-join; at calibrated recall-1.0 fixtures "
+        "the result hash-matches q68's exact recursive-CTE oracle"
+    ),
+    tables=("documents",),
+)
+def q68b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from osm_changesets_to_parquet_spark.operators.clusters import canonical_docs
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base not in _Q68B_CALIBRATED_SFS:
+        raise ValueError(
+            f"q68b_neardup_clusters_lsh is calibration-pinned (verified at "
+            f"{sorted(_Q68B_CALIBRATED_SFS)}); fixture {base!r} needs an LSH "
+            "recall re-sweep before the exact oracle is meaningful"
+        )
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.lsh_jaccard_pairs(docs, threshold=0.6)
+    return canonical_docs(docs, pairs).orderBy("doc_id")

@@ -338,3 +338,12 @@ def test_hash_bucket_overflow_safe(spark):
     for i in ids:
         assert 0 <= got[i] < 100
         assert got[i] == du[i]
+
+
+def test_q68b_gate_rejects_uncalibrated_fixture(spark, tmp_path):
+    import pytest
+
+    from osm_changesets_to_parquet_spark.queries import REGISTRY
+
+    with pytest.raises(ValueError, match="calibration-pinned"):
+        REGISTRY["q68b_neardup_clusters_lsh"].fn(spark, str(tmp_path / "sf9.9"))
