@@ -9,7 +9,8 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is forced with the noop sink (full plan execution, no
 collect/IO skew).  The set spans the engine's surface: scan, hash agg,
 star join, range join, window, top-k, JSON, dedup, cosine top-k,
-tf-idf, event-time windows, sessionization.
+tf-idf, decontamination, repetition analysis, sequence packing,
+Z-order layout, event-time windows, sessionization.
 """
 
 from __future__ import annotations
@@ -44,6 +45,8 @@ BENCH_QUERIES = [
     "q40_tfidf",
     "q86_ngram_decontaminate",
     "q88_top_word_dominance",
+    "q97_sequence_packing",
+    "q98_zorder_cells",
     "m48_image_decode_features",
     "s1_tumbling_window",
     "s3_session_window",
