@@ -276,10 +276,25 @@ def lsh_jaccard_pairs(
     threshold is 1.0 (collision prob 1-(1-j^r)^b; tune bands x rows).
     Pairs the banding misses are absent — that is the approximation
     being bought.
+
+    Shingle-less docs (< n tokens) are excluded BEFORE banding: they
+    all share the identical all-sentinel MinHash signature, so they
+    land in one degenerate bucket whose pair stream is quadratic in
+    their count — yet none of them can be a true pair (empty shingle
+    sets never reach any Jaccard threshold; :func:`jaccard_pairs`
+    never emits them either), so the filter changes nothing but cost.
+    The shared shingle frame is checkpointed once (three consumers:
+    both verification join sides would otherwise re-run the full
+    char-hash pass; candidate generation computes its own signatures).
     """
-    cands = lsh_candidates(docs, text_col, id_col, n, max_bucket)
-    sh = shingles(docs, text_col, n).select(
-        F.col(id_col), F.array_distinct("shingle_hashes").alias("hs")
+    eligible = docs.where(
+        F.size(F.split(F.col(text_col), " ")) >= n
+    )
+    cands = lsh_candidates(eligible, text_col, id_col, n, max_bucket)
+    sh = truncate_lineage(
+        shingles(eligible, text_col, n).select(
+            F.col(id_col), F.array_distinct("shingle_hashes").alias("hs")
+        )
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("hs").alias("ha"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hb"))

@@ -55,12 +55,28 @@ def global_cumsum(
     bounds: list[float] = []
     if parts > 1:
         probs = [i / parts for i in range(1, parts)]
-        bounds = sorted(set(df.stat.approxQuantile(order_col, probs, 0.01)))
-    # monotone bucket id: number of boundaries strictly below the key.
-    # Any monotone bucketing is correct; this one is ~balanced.
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + (F.col(order_col) > F.lit(b)).cast("int")
+        # the sketch error must scale with the bucket width or adjacent
+        # boundaries collapse and one bucket absorbs ~(1/parts + 2*err)
+        # of all rows — a fixed 0.01 caps granularity at ~2% of the data
+        err = max(1e-4, 0.1 / parts)
+        # NOTE: approxQuantile is a driver-side ACTION over the input
+        # subtree at construction time (like the IVF seed pass), and the
+        # subtree is re-evaluated when the result executes; persist the
+        # input first if it is expensive to recompute.
+        bounds = sorted(set(df.stat.approxQuantile(order_col, probs, err)))
+    # monotone bucket id: number of boundaries strictly below the key —
+    # one array literal + in-row filter/size (O(parts) comparisons per
+    # row but O(1) expression-tree nodes; a chained-comparison spelling
+    # blows up codegen at high parallelism).  Any monotone bucketing is
+    # correct; this one is ~balanced.  NULL keys (outside the unique-key
+    # contract, but never silently dropped) bucket to -1, consistent
+    # with NULLS FIRST window ordering.
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        computed = F.size(F.filter(barr, lambda b: F.col(order_col) > b))
+    else:
+        computed = F.lit(0)
+    bucket = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(computed)
     bucketed = df.withColumn("__bucket", bucket)
     in_bucket = Window.partitionBy("__bucket").orderBy(order_col)
     local = bucketed.withColumn("__local", F.sum(value_col).over(in_bucket))

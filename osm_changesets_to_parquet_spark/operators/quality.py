@@ -43,10 +43,12 @@ from pyspark.sql import functions as F
 KNUTH = 2654435761
 
 # ids are folded to 31 bits before the multiply so the product stays
-# below 2^62 — WITHOUT this, an id >= 2^31 overflows signed 64-bit in
-# Spark (silently wrapping negative, so `bucket < rate` passes every
-# row) while DuckDB promotes to HUGEINT: membership diverges exactly at
-# the multi-billion-row scale this engine targets.
+# below 2^63: max (2^31-1) * KNUTH ~ 5.7e18 < 9.2e18 — NO doubling
+# headroom, widening either constant overflows.  WITHOUT the fold, an
+# id >= 2^31 overflows signed 64-bit in Spark (silently wrapping
+# negative, so `bucket < rate` passes every row) while DuckDB promotes
+# to HUGEINT: membership diverges exactly at the multi-billion-row
+# scale this engine targets.
 ID_FOLD = 1 << 31
 
 

@@ -473,7 +473,7 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q95_SQL = f"""
 SELECT doc_id,
-       ROUND(({QL.sql_hash_bucket('doc_id', 100)}0003) / n_chars, 9) AS priority
+       ROUND(({QL.sql_hash_bucket('doc_id', 1000003)}) / n_chars, 9) AS priority
 FROM documents
 ORDER BY priority, doc_id LIMIT 100
 """

@@ -347,3 +347,31 @@ def test_q68b_gate_rejects_uncalibrated_fixture(spark, tmp_path):
 
     with pytest.raises(ValueError, match="calibration-pinned"):
         REGISTRY["q68b_neardup_clusters_lsh"].fn(spark, str(tmp_path / "sf9.9"))
+
+
+def test_global_cumsum_null_key_not_dropped(spark):
+    from osm_changesets_to_parquet_spark.operators.packing import global_cumsum
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (None, 5), (3, 30)], "k long, v long"
+    )
+    out = global_cumsum(df, "k", "v", out_col="c", num_partitions=3).collect()
+    assert len(out) == 4  # the NULL-key row survives (bucketed to -1)
+
+
+def test_lsh_jaccard_pairs_short_docs_no_degenerate_bucket(spark):
+    from osm_changesets_to_parquet_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_jaccard_pairs,
+    )
+
+    # many sub-n-token docs (identical all-sentinel signatures) + two
+    # genuine near-dups: the short docs must produce zero pairs, and the
+    # LSH path must still find the true pair
+    rows = [(i, "a b") for i in range(50)]
+    rows += [(100, "x y z w v u t s"), (101, "x y z w v u t q")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in lsh_jaccard_pairs(docs, 0.6).collect()}
+    truth = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, 0.6).collect()}
+    assert got == truth
+    assert all(a >= 100 for a, _ in got)
