@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "q100_incremental_agg",
     "q101_containment_pairs",
     "q68b_neardup_clusters_lsh",
+    "m51_media_dedup",
     # -- (3) proven representatives: conversion / ingest family --
     "cs0_xml_to_parquet",
     "cs2_error_tolerant",
@@ -109,7 +110,6 @@ _PRIORITY: tuple[str, ...] = (
     "q34_exact_dedup",
     "q35a_jaccard_truth",
     "q35b_minhash_lsh",
-    "q40_tfidf",
     "e46_embedding_neardup",
     # streaming
     "s4a_watermark_ontime",

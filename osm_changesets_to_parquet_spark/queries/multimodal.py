@@ -120,3 +120,33 @@ def m50(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.aggregate("pixels", F.lit(0).cast("long"), lambda a, x: a + x).alias("px_sum"),
     ).orderBy("doc_id")
+
+
+@register(
+    "m51_media_dedup",
+    """
+    SELECT sha256(text) AS sha, MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY 1 HAVING COUNT(*) > 1
+    ORDER BY keep_id
+    """,
+    doc=(
+        "exact dedup over the opaque binary payload: group on "
+        "sha256(payload) so the shuffle carries a 32-byte digest per "
+        "row regardless of media size — the q34 discipline applied to "
+        "the multimodal column; duplicate groups keep the min doc_id"
+    ),
+    tables=("documents",),
+)
+def m51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_with_payload(spark, sf_dir)
+    return (
+        df.groupBy(F.lower(F.sha2(F.col("payload"), 256)).alias("sha"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy("keep_id")
+    )
