@@ -375,3 +375,26 @@ def test_lsh_jaccard_pairs_short_docs_no_degenerate_bucket(spark):
     truth = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, 0.6).collect()}
     assert got == truth
     assert all(a >= 100 for a, _ in got)
+
+
+def test_q94_incremental_dedup_plan_shape(spark, sf_dir):
+    # the corpus side reduces to DISTINCT hashes feeding a broadcastable
+    # anti-join; no cartesian anywhere
+    plan = _plan(spark, sf_dir, "q94_incremental_dedup")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q96_vocab_broadcasts(spark, sf_dir):
+    # the top-K vocabulary is O(K) rows: its membership probe must reach
+    # the token stream as a broadcast join, never a shuffled one
+    plan = _plan(spark, sf_dir, "q96_vocab_oov")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q100_merge_agg_partial(spark, sf_dir):
+    # both partial aggregates and the merge aggregate must take map-side
+    # partials (partial_count/partial_sum before every exchange)
+    plan = _plan(spark, sf_dir, "q100_incremental_agg")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
