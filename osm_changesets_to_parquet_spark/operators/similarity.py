@@ -328,3 +328,64 @@ def ivf_topk(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup by cluster-then-compare
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup (Abbas et al., "SemDeDup"): k-means-cluster the
+    embeddings, compare pairs only WITHIN a cluster, keep the minimum id
+    of each cosine-connected group.
+
+    Returns (id, keep): keep=False for every vector whose cluster holds
+    an earlier vector within ``threshold`` cosine similarity (transitive
+    via min-label propagation inside the cluster's pair graph).
+
+    Scale shape: the cluster assignment is the IVF build (broadcast
+    numpy centroid matrix, Arrow-batched argmin — plan size independent
+    of n_cells); the pairwise compare is per-cell, so the quadratic
+    term is bounded by the largest cell, not the corpus (pick n_cells
+    so cells fit the executor; the all-pairs join never materializes).
+    Differs from :func:`pairwise_cosine_neardup` (SRP-LSH buckets) in
+    recall shape: clustering guarantees each vector is compared against
+    its whole semantic neighborhood cell, the standard trade for
+    curation-grade semantic dedup.
+    """
+    from osm_changesets_to_parquet_spark.operators.clusters import (
+        connected_components,
+    )
+
+    assigned, _centroids = ivf_build(embeddings, n_cells=n_cells)
+    a = assigned.select(
+        F.col("cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    sim = F.round(cosine_similarity_col(F.col("va"), F.col("vb")), 4)
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    return (
+        embeddings.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            (F.coalesce(F.col("label"), F.col(id_col)) == F.col(id_col)).alias(
+                "keep"
+            ),
+        )
+    )

@@ -117,3 +117,48 @@ def test_scd2_versions_and_current_flags(spark, sf_dir):
         (F.col("n_current") != 1) | (F.col("n_open") != 1)
     ).count()
     assert bad == 0
+
+
+def test_semdedup_within_cell_matches_brute_force(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.operators.similarity import (
+        cosine_similarity_col,
+        ivf_build,
+        semdedup,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    out = {r.vec_id: r.keep for r in semdedup(emb, threshold=0.999).collect()}
+    assert len(out) == emb.count()
+    # brute-force reference WITHIN the same cell assignment: a vector is
+    # dropped iff some cell-mate connects to an earlier min-label
+    assigned, _ = ivf_build(emb, n_cells=16)
+    a = assigned.select("cell", F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = assigned.select("cell", F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    sim = F.round(cosine_similarity_col(F.col("va"), F.col("vb")), 4)
+    pairs = [
+        (r.ia, r.ib)
+        for r in a.join(b, "cell").where(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", sim.alias("s")).where(F.col("s") >= 0.999).collect()
+    ]
+    import itertools
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for x, y in pairs:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    groups = {}
+    for x in list(parent):
+        groups.setdefault(find(x), []).append(x)
+    expect_drop = set()
+    for members in groups.values():
+        expect_drop.update(set(members) - {min(members)})
+    got_drop = {i for i, k in out.items() if not k}
+    assert got_drop == expect_drop
