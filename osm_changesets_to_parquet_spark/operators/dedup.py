@@ -283,9 +283,10 @@ def lsh_jaccard_pairs(
     their count — yet none of them can be a true pair (empty shingle
     sets never reach any Jaccard threshold; :func:`jaccard_pairs`
     never emits them either), so the filter changes nothing but cost.
-    The shared shingle frame is checkpointed once (three consumers:
-    both verification join sides would otherwise re-run the full
-    char-hash pass; candidate generation computes its own signatures).
+    The shared shingle frame is checkpointed once (two consumers —
+    the two verification join sides — would otherwise each re-run the
+    full char-hash pass; candidate generation computes its own
+    signatures from the raw text).
     """
     eligible = docs.where(
         F.size(F.split(F.col(text_col), " ")) >= n

@@ -37,12 +37,24 @@ def _interleave_terms(cols: list[str], bits: int) -> list[tuple[str, int, int]]:
     ]
 
 
+def _check_bit_budget(cols: list[str], bits: int) -> None:
+    # target bit indices reach len(cols)*bits - 1; past 61 the summed
+    # z-value can overflow into the long sign bit, silently producing
+    # negative z-values and a non-monotone range partitioning.
+    if len(cols) * bits > 62:
+        raise ValueError(
+            f"z-order bit budget overflow: {len(cols)} cols x {bits} bits "
+            "> 62 usable long bits — lower bits or cluster fewer columns"
+        )
+
+
 def zvalue(scaled_cols: list[str], bits: int = 10) -> Column:
     """Morton z-value of pre-scaled integer columns (each in [0, 2^bits)).
 
     A sum of ((col >> b) & 1) << target shifted single-bit terms —
     pure JVM integer expressions, fully codegen'd, no Python.
     """
+    _check_bit_budget(scaled_cols, bits)
     terms = [
         (F.shiftright(F.col(c).cast("long"), b).bitwiseAND(F.lit(1))
          * F.lit(1 << tgt))
@@ -56,6 +68,7 @@ def zvalue(scaled_cols: list[str], bits: int = 10) -> Column:
 
 def zvalue_sql(scaled_cols: list[str], bits: int = 10) -> str:
     """The identical interleave as an ANSI-SQL expression (oracle side)."""
+    _check_bit_budget(scaled_cols, bits)
     parts = [
         f"(((CAST({c} AS BIGINT) >> {b}) & 1) * {1 << tgt})"
         for c, b, tgt in _interleave_terms(scaled_cols, bits)

@@ -43,6 +43,7 @@ def global_cumsum(
     out_col: str = "cumsum",
     exclusive: bool = False,
     num_partitions: int | None = None,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """Running sum of ``value_col`` in global ``order_col`` order,
     computed without a single-task global window (see module doc).
@@ -50,20 +51,29 @@ def global_cumsum(
     ``exclusive=True`` returns the sum of *strictly preceding* rows
     (the first row gets 0).  ``order_col`` must be globally unique and
     numeric — it is the total order that defines "preceding".
+
+    Cost note — this is a TWO-pass operator by default: the bucket
+    boundaries come from ``approxQuantile``, a driver-side ACTION over
+    the input subtree at construction time, and the subtree is then
+    re-evaluated when the result executes.  Persist the input first if
+    it is expensive to recompute — or pass ``bounds`` (any ascending
+    list of split points on ``order_col``; correctness needs only
+    monotonicity, balance only affects parallelism) to skip the
+    quantile pass entirely.  Callers that already know the key range
+    (monotone ids, event-time watermarks) should always pass bounds.
     """
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    bounds: list[float] = []
-    if parts > 1:
+    if bounds is not None:
+        bounds = sorted(set(float(b) for b in bounds))
+    elif parts > 1:
         probs = [i / parts for i in range(1, parts)]
         # the sketch error must scale with the bucket width or adjacent
         # boundaries collapse and one bucket absorbs ~(1/parts + 2*err)
         # of all rows — a fixed 0.01 caps granularity at ~2% of the data
         err = max(1e-4, 0.1 / parts)
-        # NOTE: approxQuantile is a driver-side ACTION over the input
-        # subtree at construction time (like the IVF seed pass), and the
-        # subtree is re-evaluated when the result executes; persist the
-        # input first if it is expensive to recompute.
         bounds = sorted(set(df.stat.approxQuantile(order_col, probs, err)))
+    else:
+        bounds = []
     # monotone bucket id: number of boundaries strictly below the key —
     # one array literal + in-row filter/size (O(parts) comparisons per
     # row but O(1) expression-tree nodes; a chained-comparison spelling
@@ -107,11 +117,17 @@ def pack_into_bins(
     token_col: str,
     order_col: str = "doc_id",
     bin_col: str = "bin",
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """Concatenate-then-chunk packing: bin = floor(exclusive-cumsum /
-    budget) — the chunk that contains the document's first token."""
+    budget) — the chunk that contains the document's first token.
+
+    ``bounds`` (optional ascending split points on ``order_col``) is
+    forwarded to :func:`global_cumsum`, turning the two-pass operator
+    into one pass when the id range is already known.
+    """
     cum = global_cumsum(
-        docs, order_col, token_col, out_col="__cumx", exclusive=True
+        docs, order_col, token_col, out_col="__cumx", exclusive=True, bounds=bounds
     )
     return cum.withColumn(
         bin_col, F.floor(F.col("__cumx") / F.lit(budget)).cast("long")

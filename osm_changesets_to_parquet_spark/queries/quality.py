@@ -418,6 +418,7 @@ WITH d AS (
   SELECT doc_id, lang, {QL.sql_hash_bucket('doc_id', 100)} AS b,
          md5(LOWER(TRIM(text))) AS h
   FROM documents
+  WHERE text IS NOT NULL
 ),
 corpus AS (SELECT DISTINCT h FROM d WHERE b < 90),
 batch AS (SELECT * FROM d WHERE b >= 90),
@@ -443,7 +444,11 @@ FROM batch GROUP BY lang ORDER BY lang
     tables=("documents",),
 )
 def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text is excluded symmetrically with the oracle's WHERE: a
+    # NULL md5 key would otherwise diverge between SQL NOT IN (one NULL
+    # in the corpus side poisons every membership test) and Spark's
+    # null-dropping left_anti join — the classic cross-engine trap.
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     b = QL.hash_bucket("doc_id", 100)
     d = docs.select(
         "doc_id", "lang", F.md5(F.lower(F.trim("text"))).alias("h"), b.alias("b")
@@ -592,8 +597,10 @@ FROM c GROUP BY 1 ORDER BY bin
         "pretraining sequence packing: concatenate docs in doc_id "
         "order, cut every 2048 tokens, doc belongs to the chunk holding "
         "its first token; the global running sum is the two-pass "
-        "distributed spelling (operators.packing.global_cumsum) — never "
-        "a single-task global window"
+        "distributed spelling (operators.packing.global_cumsum: an "
+        "approxQuantile boundary action, then one bucketed-window pass "
+        "— persist the input or pass bounds= to make it one pass) — "
+        "never a single-task global window"
     ),
     tables=("documents",),
 )

@@ -57,6 +57,25 @@ def test_connected_components_matches_union_find(spark, pairs):
     assert got == want
 
 
+def test_connected_components_one_action_per_iteration(spark, monkeypatch):
+    """The convergence counter rides the checkpoint job via observe():
+    no DataFrame.count() action may run inside the iteration loop."""
+    from pyspark.sql import DataFrame
+
+    def _forbidden_count(self):
+        raise AssertionError(
+            "connected_components ran a separate count() action; the "
+            "changed-counter must ride the checkpoint via observe()"
+        )
+
+    monkeypatch.setattr(DataFrame, "count", _forbidden_count)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "id_a long, id_b long"
+    )
+    got = {r.id: r.label for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
 @given(
     st.lists(st.integers(0, 1000), min_size=1, max_size=25),
     st.lists(st.integers(0, 1000), min_size=1, max_size=25),
@@ -117,6 +136,31 @@ def test_global_cumsum_matches_python_prefix_sum(spark, ids, vals):
         assert got[i] == acc
 
 
+def test_global_cumsum_precomputed_bounds_skips_quantile_pass(spark, monkeypatch):
+    """bounds= must (a) produce the identical prefix sum and (b) never
+    touch approxQuantile — the operator becomes single-pass."""
+    from pyspark.sql.dataframe import DataFrameStatFunctions
+
+    from osm_changesets_to_parquet_spark.operators.packing import global_cumsum
+
+    def _forbidden(self, *a, **k):
+        raise AssertionError("bounds= was given but approxQuantile still ran")
+
+    monkeypatch.setattr(DataFrameStatFunctions, "approxQuantile", _forbidden)
+    rows = [(i, i % 7) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: r.c
+        for r in global_cumsum(
+            df, "k", "v", out_col="c", num_partitions=5, bounds=[20, 40, 60, 80]
+        ).collect()
+    }
+    acc = 0
+    for i, v in sorted(rows):
+        acc += v
+        assert got[i] == acc
+
+
 @given(st.lists(st.tuples(st.integers(0, 1023), st.integers(0, 1023)), min_size=1, max_size=50))
 @settings(max_examples=5, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 def test_zvalue_interleave_is_injective_and_bounded(spark, points):
@@ -133,6 +177,20 @@ def test_zvalue_interleave_is_injective_and_bounded(spark, points):
     for r in out:
         assert r.z == ref(r.sx, r.sy)
         assert 0 <= r.z < (1 << 20)
+
+
+def test_zvalue_rejects_bit_budget_overflow():
+    import pytest
+
+    from osm_changesets_to_parquet_spark.operators.layout import zvalue, zvalue_sql
+
+    # 4 cols x 16 bits = 64 target bits — would overflow the long sign bit
+    with pytest.raises(ValueError, match="bit budget"):
+        zvalue(["a", "b", "c", "d"], bits=16)
+    with pytest.raises(ValueError, match="bit budget"):
+        zvalue_sql(["a", "b", "c", "d"], bits=16)
+    # 62 bits exactly is the boundary and stays legal
+    assert zvalue_sql(["a", "b"], bits=31)
 
 
 @given(
