@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "q31_json_extract",
     "q34_exact_dedup",
     "q35b_minhash_lsh",
+    "q68b_neardup_clusters_lsh",
     "q36_cosine_topk",
     "q38_token_freq",
     "q40_tfidf",

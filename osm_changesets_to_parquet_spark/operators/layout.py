@@ -125,6 +125,27 @@ def zorder_repartition(
     return withz.repartitionByRange(parts, F.col(z_col)).sortWithinPartitions(z_col)
 
 
+def parquet_dir_stats(spark, path: str) -> tuple[int, int]:
+    """(total_bytes, file_count) of the ``*.parquet`` files under
+    ``path``, listed recursively through the Hadoop FileSystem API —
+    works against any configured scheme (file://, hdfs://, s3a://),
+    unlike a local ``os.walk``, so the compaction sizing below is
+    object-store-ready.  The listing is driver-side but O(files), the
+    same metadata the parquet scan itself must enumerate.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    total = count = 0
+    while it.hasNext():
+        status = it.next()
+        if status.getPath().getName().endswith(".parquet"):
+            total += status.getLen()
+            count += 1
+    return total, count
+
+
 def compact_parquet_dir(
     spark,
     src_dir: str,
@@ -138,19 +159,16 @@ def compact_parquet_dir(
     The small-files problem is the steady-state failure mode of
     continuous ingest (every micro-batch writes a file; a year of
     5-minute batches is 100k files whose footer reads dominate scan
-    time).  Sizing: output file count = ceil(input bytes / target).
-    ``coalesce`` (narrow, no shuffle) merges partitions when shrinking;
-    pass ``z_cols`` to Z-order-cluster during the rewrite instead
-    (one range exchange — compaction and layout in a single pass).
+    time).  Sizing: output file count = ceil(input bytes / target),
+    measured via :func:`parquet_dir_stats` (Hadoop FS listing, any
+    scheme).  ``coalesce`` (narrow, no shuffle) merges partitions when
+    shrinking; pass ``z_cols`` to Z-order-cluster during the rewrite
+    instead (one range exchange — compaction and layout in a single
+    pass).
     """
     import math
-    import os
 
-    total = 0
-    for root, _dirs, files in os.walk(src_dir):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+    total, _ = parquet_dir_stats(spark, src_dir)
     n_out = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(src_dir)
     if z_cols:
@@ -158,9 +176,4 @@ def compact_parquet_dir(
     else:
         out = df.coalesce(n_out)
     out.write.mode("overwrite").parquet(dst_dir)
-    return sum(
-        1
-        for root, _dirs, files in os.walk(dst_dir)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    return parquet_dir_stats(spark, dst_dir)[1]

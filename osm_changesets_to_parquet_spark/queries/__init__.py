@@ -54,77 +54,112 @@ def register(
 
 
 # The driver records correctness rows in registry order and its window
-# has held exactly 50 entries per round (CORRECTNESS_r01/r02.json) — so
-# ordering is part of the verification contract.  Round-3 priority:
-# (1) the only red row (q64 — oracle type fixed this round), (2) the 15
-# round-2 queries that never got a driver row (q70–q72, q75–q85, q16b;
-# all verified MATCH locally at sf0.01), (2b) the round-3 corpus-curation
-# family (q86–q97), (3) backfill with one-or-two proven representatives
-# per family so the window re-witnesses breadth.
-# Everything else follows in registration order; the two rows-only ANN
-# queries go last (their H-mode recall companions carry the signal).
+# has held exactly 50 entries per round (CORRECTNESS_r01-r03.json) — so
+# ordering is part of the verification contract.  Round-4 priority
+# (VERDICT r03 item 1: rotate the longest-stale set into the window):
+# (1) queries NEW or materially changed this round — q102-q104
+#     registrations and the a51/a52 rows-only -> tolerance-oracle
+#     conversion — must be witnessed on first contact;
+# (2) the 45 longest-stale names: r1/r2-era driver rows describing
+#     pre-round-3 code (streaming s4b/s5 + s1-s3 re-verified after the
+#     sink rewrite, the UDF surface, the cs conversion family, and the
+#     relational core q01-q32) — all verified MATCH at HEAD in the
+#     judge's r03 sweep and locally, but the driver's own record is
+#     stale.
+# Positions 51+ hold the remaining 31 stale names (round-5 rotation:
+# promote them, demote the 50 below once their r04 rows land);
+# everything r03-witnessed follows in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # -- (1) red in r02: harness type bug, oracle now CASTs to BIGINT --
-    "q64_conditional_agg",
-    # -- (2) implemented+locally-verified in r02, never driver-witnessed --
-    "q70_train_test_split",
-    "q71_profile",
-    "q72_histogram",
-    "q75_funnel",
-    "q76_retention_cohort",
-    "q77_nullsafe_join",
-    "q78_bag_setops",
-    "q79_limit_offset",
-    "q80_count_min_sketch",
-    "q81_merge_upsert",
-    "q82_resample_ffill",
-    "q83_ewma",
-    "q84_pagerank",
-    "q16b_theta_join_agg_rewrite",
-    "q85_bloom_prefilter",
-    # -- (2b) new in round 3: corpus-curation family (quality.py) --
-    "q86_ngram_decontaminate",
-    "q87_repetition_filter",
-    "q88_top_word_dominance",
-    "q89_stratified_sample",
-    "q90_rebalance_sources",
-    "q91_props_template",
-    "q92_bloom_composite_key",
-    "q93_adaptive_length_filter",
-    "q94_incremental_dedup",
-    "q95_weighted_sample",
-    "q96_vocab_oov",
-    "q97_sequence_packing",
-    "q98_zorder_cells",
-    "q99_salted_skew_join",
-    "q100_incremental_agg",
-    "q101_containment_pairs",
-    "q68b_neardup_clusters_lsh",
-    "m51_media_dedup",
-    # -- (3) proven representatives: conversion / ingest family --
-    "cs0_xml_to_parquet",
-    "cs2_error_tolerant",
-    "cs7_fallback_xml",
-    # relational core
-    # LLM-pipeline ops
-    "q34_exact_dedup",
-    "q35a_jaccard_truth",
-    "q35b_minhash_lsh",
-    "e46_embedding_neardup",
-    # streaming
-    "s4a_watermark_ontime",
-    "s6_stateful_running_agg",
-    "s7_stream_stream_join",
-    "s8_stream_static_join",
-    # UDF surface
-    "u3_udaf_geomean",
-    # dedup clusters / curation / vectors / ANN recall
-    "q68_neardup_clusters",
-    "q69_hash_sample",
-    "a51_lsh_recall_prop",
-    "a52_ivf_recall_prop",
+    # -- (1) new/changed this round --
+    "q102_semdedup",
+    "q103_scd2_history",
+    "q104_compact_parquet",
+    "a51_lsh_ann_topk",
+    "a52_ivf_ann_topk",
+    # -- (2) longest-stale: streaming batch-parity + watermark family --
+    "s4b_watermark_late_drops",
+    "s5_streaming_dedup",
+    "s1_tumbling_window",
+    "s2_sliding_window",
+    "s3_session_window",
+    # UDF surface (r03 witnessed only u3)
+    "u1_pandas_udf_normalize",
+    "u2_grouped_map_zscore",
+    "u4_udtf_tokenize",
+    # conversion/ingest family (r03 witnessed cs0/cs2/cs7)
+    "cs1_count",
+    "cs3_bz2_multistream",
+    "cs4_csv_roundtrip",
+    "cs5_json_roundtrip",
+    "cs6_orc_roundtrip",
+    # relational core q01-q32 (r1-era rows)
+    "q01_count",
+    "q02_filter_project",
+    "q03_like_in",
+    "q04_groupby_agg",
+    "q05_count_distinct",
+    "q06_rollup",
+    "q07_cube",
+    "q08_approx_count_distinct",
+    "q09_percentile",
+    "q10_join4_revenue",
+    "q11_left_join",
+    "q12_full_outer",
+    "q13_semi_join",
+    "q14_anti_join",
+    "q15_cross_join",
+    "q16_theta_join",
+    "q17_range_join",
+    "q18_asof_join",
+    "q19_rank_topn",
+    "q20_lag_lead",
+    "q21_running_sum",
+    "q22_range_frame",
+    "q23_ntile_percent_rank",
+    "q24_topk",
+    "q25_union",
+    "q26_intersect",
+    "q27_except",
+    "q28_string_funcs",
+    "q29_date_funcs",
+    "q30_math_funcs",
+    "q31_json_extract",
+    "q32_map_funcs",
+    # ---- window boundary (50) — names below queue for round 5 ----
+    "q33_array_funcs",
+    "q36_cosine_topk",
+    "q37_centroid",
+    "q38_token_freq",
+    "q39_bigrams",
+    "q40_tfidf",
+    "q73_vector_normalize",
+    "q74_quantize_int8",
+    "t41_language_id",
+    "t42_quality_score",
+    "t43_token_count",
+    "t44_fingerprint",
+    "t45_simhash",
+    "m47_multimodal_meta",
+    "m48_image_decode_features",
+    "m49_audio_frame_sample",
+    "m50_image_resize",
+    "q53_pivot",
+    "q54_unpivot",
+    "q55_grouping_sets",
+    "q56_scalar_subquery",
+    "q57_in_subquery",
+    "q58_exists_not_exists",
+    "q59_having",
+    "q60_case_coalesce",
+    "q61_stats_agg",
+    "q62_argmin_argmax",
+    "q63_string_agg",
+    "q65_window_frame_funcs",
+    "q66_values_lookup_join",
+    "q67_distinct_multicol",
 )
-_LAST: tuple[str, ...] = ("a51_lsh_ann_topk", "a52_ivf_ann_topk")
+# no rows-only queries remain (a51/a52 carry tolerance oracles now)
+_LAST: tuple[str, ...] = ()
 
 
 def load_all_modules() -> None:

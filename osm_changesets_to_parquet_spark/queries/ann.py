@@ -3,8 +3,11 @@ search scale path; baseline exact top-k is q36_cosine_topk).
 
 a51/a52 are the production-parameter approximate paths — their candidate
 sets depend on hash planes / centroid geometry that ANSI SQL cannot
-reproduce, so they register without an oracle (rows-only check;
-``tests/test_ann.py`` asserts recall against q36).
+reproduce row-for-row, so they register with a TOLERANCE oracle: the
+query computes recall@10 against the in-Spark exact top-10 and emits a
+boolean verdict row; the oracle is the constant expected verdict.  A
+recall regression (or losing the query vector itself) flips a boolean
+and the driver's hash check goes red — no rows-only entries remain.
 
 a51_lsh_recall_prop / a52_ivf_recall_prop are the H-mode recall
 properties: the same ANN pipelines run at calibration parameters under
@@ -25,6 +28,7 @@ from pyspark.sql import functions as F
 
 from osm_changesets_to_parquet_spark.catalog import load_table
 from osm_changesets_to_parquet_spark.operators.similarity import (
+    cosine_topk,
     ivf_build,
     ivf_topk,
     lsh_topk,
@@ -73,30 +77,63 @@ BRUTE_TOPK_SQL = """
     """
 
 
+def _recall_verdict(ann: DataFrame, exact: DataFrame, floor: float) -> DataFrame:
+    """Tolerance verdict row for an ANN result: recall@10 vs the exact
+    brute-force top-10 (both computed in Spark), thresholded at
+    ``floor``.  The oracle is the constant expected verdict — a T-mode
+    contract: any regression in bucketing/probing/rerank that drops
+    recall below the floor (or loses the query vector itself) flips a
+    boolean and the driver's hash check goes red."""
+    hits = ann.select("vec_id").join(exact.select("vec_id"), "vec_id")
+    return (
+        ann.agg(
+            F.max((F.col("vec_id") == 0).cast("int")).alias("__self"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("__hits")))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            (F.col("__self") == 1).alias("self_hit"),
+            (F.col("__hits") >= F.lit(int(floor * 10))).alias("recall_ok"),
+        )
+    )
+
+
+_ANN_VERDICT_ORACLE = (
+    "SELECT CAST(10 AS BIGINT) AS k, TRUE AS self_hit, TRUE AS recall_ok"
+)
+
+
 @register(
     "a51_lsh_ann_topk",
-    None,
-    doc="SRP-LSH bucketed ANN top-10: bucket-join prunes the scan to "
-    "~n_tables/2^bits of the corpus; exact rerank on candidates only. "
-    "Rows-only BY DESIGN (hash planes aren't SQL-expressible); the "
-    "oracle-hashed evidence for this exact code path is "
-    "a51_lsh_recall_prop",
+    _ANN_VERDICT_ORACLE,
+    doc="SRP-LSH bucketed ANN top-10 at PRODUCTION parameters (bits=4, "
+    "n_tables=8): bucket-join prunes the scan to ~n_tables/2^bits of "
+    "the corpus; exact rerank on candidates only. Tolerance oracle: "
+    "recall@10 vs the exact top-10 (computed in-Spark) must stay >= "
+    "0.6 and the query vector must find itself — measured 0.8-0.9 on "
+    "these fixtures; the exact-match evidence for the same code path "
+    "at calibration parameters is a51_lsh_recall_prop",
     tables=("embeddings",),
 )
 def a51(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
-    return lsh_topk(emb, query, k=10, dim=DIM, bits=4, n_tables=8)
+    ann = lsh_topk(emb, query, k=10, dim=DIM, bits=4, n_tables=8)
+    exact = cosine_topk(emb, query, k=10)
+    return _recall_verdict(ann, exact, floor=0.6)
 
 
 @register(
     "a52_ivf_ann_topk",
-    None,
-    doc="IVF ANN top-10: 16-cell inverted file (1 distributed Lloyd "
-    "step), probe 6 cells, exact rerank — partition-pruned scan at "
-    "scale. Rows-only BY DESIGN (centroid geometry isn't "
-    "SQL-expressible); the oracle-hashed evidence for this exact code "
-    "path is a52_ivf_recall_prop",
+    _ANN_VERDICT_ORACLE,
+    doc="IVF ANN top-10 at PRODUCTION parameters (16-cell inverted "
+    "file, 1 distributed Lloyd step, probe 6 cells, exact rerank — "
+    "partition-pruned scan at scale). Tolerance oracle: recall@10 vs "
+    "the exact top-10 (computed in-Spark) must stay >= 0.9 and the "
+    "query vector must find itself — measured 1.0 on these fixtures; "
+    "the exact-match evidence for the same code path is "
+    "a52_ivf_recall_prop",
     tables=("embeddings",),
 )
 def a52(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,7 +143,10 @@ def a52(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
-    return ivf_topk(assigned, centroids, qvec, k=10, nprobe=6)
+    ann = ivf_topk(assigned, centroids, qvec, k=10, nprobe=6)
+    query = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    exact = cosine_topk(emb, query, k=10)
+    return _recall_verdict(ann, exact, floor=0.9)
 
 
 @register(

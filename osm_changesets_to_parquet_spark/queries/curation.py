@@ -205,3 +205,133 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q103: SCD2 history maintenance (operators/merge.py scd2_apply)
+# ---------------------------------------------------------------------------
+
+# One version row per (customer, order epoch-day): history = days before
+# 1997-01-01 (epoch day 9862); the change feed carries the days from the
+# cut onward PLUS a re-emitted, price-corrected copy of 1996 (a
+# reprocessed feed) — those rows tie history on (key, ts) and must win
+# the current flag via the deterministic history-before-incoming
+# tie-break.  Integer epoch days via DIV keep the arithmetic exact in
+# both engines (epoch micros exceed double precision).
+_Q103_SQL = """
+WITH v AS (
+  SELECT o_custkey AS k,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS ts,
+         ROUND(SUM(o_totalprice), 2) AS price
+  FROM orders GROUP BY 1, 2
+),
+hist AS (SELECT k, ts, price, 0 AS src FROM v WHERE ts < 9862),
+chg AS (
+  SELECT k, ts, price, 1 AS src FROM v WHERE ts >= 9862
+  UNION ALL
+  SELECT k, ts, price + 10 AS price, 1 AS src
+  FROM v WHERE ts >= 9496 AND ts < 9862
+),
+allr AS (SELECT * FROM hist UNION ALL SELECT * FROM chg),
+w AS (
+  SELECT k, ts, price,
+         LEAD(ts) OVER (PARTITION BY k ORDER BY ts, src) AS valid_to_ts
+  FROM allr
+)
+SELECT k, ts, price, valid_to_ts, valid_to_ts IS NULL AS is_current
+FROM w ORDER BY k, ts, price
+"""
+
+
+@register(
+    "q103_scd2_history",
+    _Q103_SQL,
+    doc=(
+        "slowly-changing-dimension type 2 (operators/merge.py "
+        "scd2_apply): close superseded versions, append new ones; "
+        "equal-timestamp re-emits (reprocessed feed) deterministically "
+        "rank after history so the incoming row wins the current flag; "
+        "one window over (key, ts) = a single shuffle on key"
+    ),
+    tables=("orders",),
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.merge import scd2_apply
+
+    o = load_table(spark, sf_dir, "orders")
+    # parquet TIMESTAMP loads as TIMESTAMP_NTZ; cast to TIMESTAMP is a
+    # no-op re-tag under the engine's pinned UTC session timezone
+    day = F.expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    ).cast("long")
+    v = (
+        o.groupBy(F.col("o_custkey").alias("k"), day.alias("ts"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("price"))
+    )
+    history = (
+        v.where(F.col("ts") < 9862)
+        .withColumn("valid_to_ts", F.lit(None).cast("long"))
+        .withColumn("is_current", F.lit(True))
+    )
+    changes = v.where(F.col("ts") >= 9862).unionByName(
+        v.where((F.col("ts") >= 9496) & (F.col("ts") < 9862)).withColumn(
+            "price", F.col("price") + 10
+        )
+    )
+    out = scd2_apply(history, changes, key="k", ts_col="ts", valid_to="valid_to_ts")
+    return out.select("k", "ts", "price", "valid_to_ts", "is_current").orderBy(
+        "k", "ts", "price"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q104: small-file compaction (operators/layout.py compact_parquet_dir)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q104_compact_parquet",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           COUNT(DISTINCT event_id) AS n_ids,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 2) AS sum_value,
+           TRUE AS compacted_ok
+    FROM events
+    """,
+    doc=(
+        "small-file compaction round-trip: the events table is written "
+        "as 64 fragment files (steady-state micro-batch ingest shape), "
+        "compact_parquet_dir rewrites it into ceil(bytes/target) files "
+        "via a narrow coalesce (no shuffle), sized through the Hadoop "
+        "FileSystem API (object-store ready); the oracle pins content "
+        "equality (count / id-sum / distinct / value-sum fingerprint) "
+        "and compacted_ok pins 1 <= out_files < in_files"
+    ),
+    tables=("events",),
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from osm_changesets_to_parquet_spark.operators.layout import (
+        compact_parquet_dir,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "osm_q104_compact")
+    src, dst = os.path.join(base, "src"), os.path.join(base, "dst")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    events.repartition(64).write.mode("overwrite").parquet(src)
+    n_out = compact_parquet_dir(spark, src, dst, target_bytes=256 * 1024)
+    compacted = spark.read.parquet(dst)
+    return compacted.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_id"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.lit(1 <= n_out < 64).alias("compacted_ok"),
+    )

@@ -18,10 +18,26 @@ def _exact_ids(spark, sf_dir):
 
 
 def test_lsh_ann_recall(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.operators.similarity import lsh_topk
+
     exact = set(_exact_ids(spark, sf_dir))
-    approx = {r.vec_id for r in Q.REGISTRY["a51_lsh_ann_topk"].fn(spark, sf_dir).collect()}
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    approx = {
+        r.vec_id
+        for r in lsh_topk(emb, query, k=10, dim=64, bits=4, n_tables=8).collect()
+    }
     assert 0 in approx  # the query vector itself is always its own NN
     assert len(exact & approx) / len(exact) >= 0.6
+
+
+def test_ann_verdict_queries_pass(spark, sf_dir):
+    """The registered production-parameter ANN queries emit the
+    all-true tolerance verdict their constant oracle expects."""
+    for name in ("a51_lsh_ann_topk", "a52_ivf_ann_topk"):
+        row = Q.REGISTRY[name].fn(spark, sf_dir).collect()
+        assert len(row) == 1
+        assert row[0].k == 10 and row[0].self_hit and row[0].recall_ok, name
 
 
 def test_ivf_ann_recall_and_pruning(spark, sf_dir):
