@@ -44,7 +44,8 @@ def merge_asof(
     micros for timestamps — never raw timestamps across engines).
     ``by``: equality key(s); the only shuffle is on these.
     ``tie_break``: column of ``right`` that totally orders right rows at
-    equal ``on`` (the greatest wins for backward, smallest for forward).
+    equal ``on``; the greatest wins in BOTH directions (backward: ``last``
+    over an ascending tie order; forward: ``first`` over a descending one).
     """
     by_cols = [by] if isinstance(by, str) else list(by)
     if direction not in ("backward", "forward"):

@@ -71,6 +71,7 @@ def register(
 # everything r03-witnessed follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     # -- (1) new/changed this round --
+    "q105_asof_forward",
     "q102_semdedup",
     "q103_scd2_history",
     "q104_compact_parquet",
@@ -124,8 +125,8 @@ _PRIORITY: tuple[str, ...] = (
     "q29_date_funcs",
     "q30_math_funcs",
     "q31_json_extract",
-    "q32_map_funcs",
     # ---- window boundary (50) — names below queue for round 5 ----
+    "q32_map_funcs",
     "q33_array_funcs",
     "q36_cosine_topk",
     "q37_centroid",

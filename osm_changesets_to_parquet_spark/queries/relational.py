@@ -506,6 +506,48 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "click_event_id").orderBy("event_id")
 
 
+@register(
+    "q105_asof_forward",
+    """
+    SELECT c.event_id,
+           (SELECT p.event_id FROM events p
+             WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+               AND epoch_us(p.ts) >= epoch_us(c.ts)
+             ORDER BY epoch_us(p.ts) ASC, p.event_id DESC LIMIT 1) AS purchase_event_id
+    FROM events c
+    WHERE c.event_type = 'click'
+    ORDER BY c.event_id
+    """,
+    doc=(
+        "as-of join (forward, non-strict): earliest at-or-after purchase per "
+        "click. Exercises merge_asof's forward path (first over a following "
+        "frame, tie_break desc so the greatest event_id wins at equal ts) — "
+        "the direction q18 does not witness. Same single-shuffle union plan."
+    ),
+    tables=("events",),
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.asof import merge_asof
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts_us")
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_event_id"), "user_id", "ts_us")
+    )
+    joined = merge_asof(
+        left,
+        right,
+        on="ts_us",
+        by="user_id",
+        value_cols=["purchase_event_id"],
+        strict=False,
+        tie_break="purchase_event_id",
+        direction="forward",
+    )
+    return joined.select("event_id", "purchase_event_id").orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # Window functions
 # ---------------------------------------------------------------------------

@@ -117,6 +117,38 @@ def test_merge_asof_matches_pandas(spark, left_ts, right_ts):
 
 
 @given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=25),
+    st.lists(st.integers(0, 1000), min_size=1, max_size=25),
+)
+@settings(max_examples=5, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+def test_merge_asof_forward_matches_pandas(spark, left_ts, right_ts):
+    """Forward direction (first over a following frame) vs pandas, both
+    strictness modes — q105 witnesses the non-strict path end-to-end."""
+    left = pd.DataFrame({"k": 1, "t": sorted(set(left_ts))})
+    right = pd.DataFrame({"k": 1, "t": sorted(set(right_ts))})
+    right["val"] = right["t"] * 10
+
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    for strict, allow_exact in ((False, True), (True, False)):
+        got = (
+            merge_asof(
+                ldf, rdf, on="t", by="k", value_cols=["val"],
+                strict=strict, direction="forward",
+            )
+            .orderBy("t")
+            .toPandas()
+        )
+        want = pd.merge_asof(
+            left, right, on="t", by="k",
+            direction="forward", allow_exact_matches=allow_exact,
+        )
+        got_vals = [None if pd.isna(v) else int(v) for v in got["val"]]
+        want_vals = [None if pd.isna(v) else int(v) for v in want["val"]]
+        assert got_vals == want_vals, f"strict={strict}"
+
+
+@given(
     st.lists(st.integers(0, 1000), min_size=1, max_size=60, unique=True),
     st.lists(st.integers(0, 500), min_size=60, max_size=60),
 )
