@@ -72,6 +72,7 @@ def register(
 _PRIORITY: tuple[str, ...] = (
     # -- (1) new/changed this round --
     "q105_asof_forward",
+    "q106_neardup_clusters_star",
     "q102_semdedup",
     "q103_scd2_history",
     "q104_compact_parquet",
@@ -124,8 +125,8 @@ _PRIORITY: tuple[str, ...] = (
     "q28_string_funcs",
     "q29_date_funcs",
     "q30_math_funcs",
-    "q31_json_extract",
     # ---- window boundary (50) — names below queue for round 5 ----
+    "q31_json_extract",
     "q32_map_funcs",
     "q33_array_funcs",
     "q36_cosine_topk",

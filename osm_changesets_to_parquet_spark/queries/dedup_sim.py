@@ -174,6 +174,39 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_docs_collapsed(docs, threshold=0.6).orderBy("doc_id")
 
 
+@register(
+    "q106_neardup_clusters_star",
+    _Q68_CLUSTERS_SQL,
+    doc=(
+        "same verdict as q68 but resolved with alternating small-star/"
+        "large-star contraction (Kiveris et al. 2014) — O(log^2 n) rounds "
+        "on ANY graph topology vs min-label's O(diameter); the variant to "
+        "reach for when the pair graph can chain (transitive near-dups). "
+        "Shares q68's recursive-CTE oracle, so both implementations are "
+        "hash-pinned to the same transitive closure."
+    ),
+    tables=("documents",),
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.clusters import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.6)
+    comp = connected_components_star(pairs).withColumnRenamed("id", "doc_id")
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 _T45_SQL = f"""

@@ -10,7 +10,10 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from osm_changesets_to_parquet_spark.operators.asof import merge_asof
-from osm_changesets_to_parquet_spark.operators.clusters import connected_components
+from osm_changesets_to_parquet_spark.operators.clusters import (
+    connected_components,
+    connected_components_star,
+)
 
 
 def _union_find(pairs):
@@ -55,6 +58,37 @@ def test_connected_components_matches_union_find(spark, pairs):
     got = {r.id: r.label for r in connected_components(df).collect()}
     want = _union_find([tuple(r) for r in pdf.itertuples(index=False)])
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=5, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+def test_connected_components_star_matches_union_find(spark, pairs):
+    pdf = pd.DataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], columns=["id_a", "id_b"]
+    ).drop_duplicates()
+    df = spark.createDataFrame(pdf)
+    got = {r.id: r.label for r in connected_components_star(df).collect()}
+    want = _union_find([tuple(r) for r in pdf.itertuples(index=False)])
+    assert got == want
+
+
+def test_connected_components_star_long_chain_few_rounds(spark):
+    """Adversarial-diameter graph: a 200-node path has diameter 199, so
+    min-label propagation needs ~199 rounds; star contraction must
+    resolve it within a logarithmic budget (max_iters caps the loop —
+    a wrong fixpoint or non-convergence surfaces as wrong labels)."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r.id: r.label for r in connected_components_star(pairs, max_iters=16).collect()}
+    assert got == {i: 0 for i in range(n)}
 
 
 def test_connected_components_one_action_per_iteration(spark, monkeypatch):
