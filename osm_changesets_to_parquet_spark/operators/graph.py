@@ -1,4 +1,4 @@
-"""Iterative graph propagation: PageRank on a DataFrame edge list.
+"""Graph analytics on DataFrame edge lists: PageRank, triangle count.
 
 Companion to operators.clusters (connected components): the weighted
 propagation pattern.  Each iteration is one join (ranks onto out-edges)
@@ -20,6 +20,61 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from osm_changesets_to_parquet_spark.operators.iterutils import truncate_lineage
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Count triangles of the undirected graph; returns one row
+    ``(n_triangles: long)``.
+
+    The scale-critical trick is degree ordering (Cohen / Suri-Vassilvitskii
+    MapReduce triangle counting): orient every edge from the endpoint
+    with the smaller ``(degree, id)`` to the larger, then count wedges
+    ``u->v, u->w`` closed by an oriented edge ``v->w``.  Each triangle
+    is found exactly once (from its order-minimal vertex), and — the
+    100 TB point — the wedge join fans out per-node by *out*-degree,
+    which the orientation bounds at O(sqrt(m)) even when a hub's raw
+    degree is O(n).  A naive orientation by id alone leaves a
+    low-id hub with O(n) out-degree and an O(n^2) wedge stage.
+
+    Three shuffles: degree agg, wedge self-join on the apex, closing
+    semi-join on (v, w).  All keyed DataFrame ops; no driver-side graph.
+    """
+    und = (
+        edges.select(F.col(src_col).cast("long").alias("a"), F.col(dst_col).cast("long").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo"))
+        .distinct()
+    )
+    sym = und.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+        und.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = (
+        sym.join(deg.withColumnRenamed("u", "u_").withColumnRenamed("deg", "du"), F.col("u") == F.col("u_"))
+        .drop("u_")
+        .join(deg.withColumnRenamed("u", "v_").withColumnRenamed("deg", "dv"), F.col("v") == F.col("v_"))
+        .drop("v_")
+    )
+    # orient small (deg, id) -> large (deg, id); exactly one direction kept
+    oriented = ranked.where(
+        (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    ).select("u", "v")
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = e1.join(e2, F.col("e1.u") == F.col("e2.u")).where(
+        F.col("e1.v") != F.col("e2.v")
+    ).select(F.col("e1.v").alias("x"), F.col("e2.v").alias("y"))
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    # each triangle appears as both (x,y) and (y,x) wedges but only one
+    # matches the oriented closing edge -> exact count, no halving
+    return (
+        wedges.join(closing, ["x", "y"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
 
 
 def pagerank(

@@ -159,3 +159,48 @@ def bloom_prefilter(
             F.broadcast(b), p == F.col(f"__b{i}"), "left_semi"
         )
     return out
+
+
+# --- HyperLogLog (Apache DataSketches, JVM-native) --------------------------
+#
+# Unlike the CMS/Bloom table sketches above, HLL uses Spark's built-in
+# DataSketches aggregates (hll_sketch_agg / hll_union_agg, Spark >=3.5):
+# the sketch is a binary column, so a sketch TABLE keyed by (source,
+# day, ...) is the incremental-distinct-count building block — union
+# sketches instead of rescanning history.  Merging is associative and
+# loss-free at fixed lg_k; the shuffle carries ~(1<<lg_k) bytes per
+# key, never the raw ids.  Estimates are deterministic for identical
+# input sets (DataSketches HLL has no RNG), but NOT SQL-portable, so
+# the registered query (q108) verifies a relative-error bound against
+# the exact distinct count rather than hash-matching raw estimates.
+
+
+def hll_sketches(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-key HLL sketch table: (key_cols..., hll: binary)."""
+    return df.groupBy(*key_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("hll")
+    )
+
+
+def hll_rollup(
+    sketches: DataFrame,
+    key_cols: list[str],
+    lg_k: int = 12,
+    sketch_col: str = "hll",
+) -> DataFrame:
+    """Merge sketches to a coarser key — no re-scan of the base data."""
+    return sketches.groupBy(*key_cols).agg(
+        F.hll_union_agg(F.col(sketch_col), F.lit(False)).alias(sketch_col)
+    )
+
+
+def hll_estimate(sketches: DataFrame, sketch_col: str = "hll") -> DataFrame:
+    """Replace the sketch column with its cardinality estimate (long)."""
+    return sketches.withColumn(
+        "uniques_est", F.hll_sketch_estimate(F.col(sketch_col))
+    ).drop(sketch_col)

@@ -77,6 +77,82 @@ def top_terms_per_group(scored: DataFrame, group_col: str, score_col: str, k: in
     return scored.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by BM25 score for a bag-of-words query.
+
+    Returns (doc_id, score_r) — score rounded to 4 so the float-sum
+    surface is oracle-stable; total order (score_r desc, doc_id).
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))   (never negative)
+    score  = sum_t idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scale shape: term frequencies are computed ONLY for the (tiny,
+    broadcast) query-term set — the filter lands before the groupBy, so
+    the shuffle carries one row per (doc, query term), not the corpus
+    vocabulary.  Document lengths are an in-row ``size(split(...))``
+    (no explode, no shuffle); N/avgdl/df are one small aggregate
+    broadcast back.  Top-k is orderBy+limit = TakeOrderedAndProject —
+    per-partition heaps, never a global sort.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.array_intersect(terms, toks).alias("__hit"),
+        toks.alias("__toks"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    # per-(doc, query-term) tf: explode only matching terms
+    tf = (
+        base.select(
+            id_col,
+            "dl",
+            F.explode("__hit").alias("term"),
+            "__toks",
+        )
+        .withColumn(
+            "tf", F.size(F.filter("__toks", lambda x: x == F.col("term")))
+        )
+        .drop("__toks")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1)
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("part"), 4).alias("score_r"))
+    )
+    return scored.orderBy(F.col("score_r").desc(), F.col(id_col)).limit(k)
+
+
 # --- heuristics for training-data curation ---------------------------------
 
 # tiny per-language stopword lists for the n-gram language-id heuristic

@@ -73,6 +73,9 @@ _PRIORITY: tuple[str, ...] = (
     # -- (1) new/changed this round --
     "q105_asof_forward",
     "q106_neardup_clusters_star",
+    "q107_triangle_count",
+    "q108_hll_rollup",
+    "q109_bm25_topk",
     "q102_semdedup",
     "q103_scd2_history",
     "q104_compact_parquet",
@@ -122,10 +125,10 @@ _PRIORITY: tuple[str, ...] = (
     "q25_union",
     "q26_intersect",
     "q27_except",
+    # ---- window boundary (50) — names below queue for round 5 ----
     "q28_string_funcs",
     "q29_date_funcs",
     "q30_math_funcs",
-    # ---- window boundary (50) — names below queue for round 5 ----
     "q31_json_extract",
     "q32_map_funcs",
     "q33_array_funcs",

@@ -86,3 +86,50 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, n_iters=_K, damping=_D)
     return ranks.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
+
+
+# --- triangle counting ------------------------------------------------------
+
+# co-supply graph: suppliers that both ship the same part in bulk
+# (l_quantity >= 50 keeps the projection sparse — the full co-supply
+# graph on the synthetic data is the complete K100, which has structure
+# only a formula can love)
+_Q107_SQL = """
+WITH s AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS k
+  FROM lineitem WHERE l_quantity >= 50
+),
+e AS (
+  SELECT DISTINCT a.k AS x, b.k AS y
+  FROM s a JOIN s b ON a.p = b.p AND a.k < b.k
+)
+SELECT COUNT(*) AS n_triangles
+FROM e ab JOIN e bc ON ab.y = bc.x JOIN e ac ON ac.x = ab.x AND ac.y = bc.y
+"""
+
+
+@register(
+    "q107_triangle_count",
+    _Q107_SQL,
+    doc=(
+        "triangle count of the bulk co-supply graph via degree-ordered "
+        "orientation (each triangle counted once from its order-minimal "
+        "vertex; wedge fan-out bounded O(sqrt(m)) per node regardless of "
+        "hub degree) — the oracle counts the same triangles by canonical "
+        "id-ordered 3-way self-join"
+    ),
+    tables=("lineitem",),
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 50)
+    parts = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("k")).distinct()
+    a = parts.alias("a")
+    b = parts.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.k") < F.col("b.k")))
+        .select(F.col("a.k").alias("src"), F.col("b.k").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(pairs)

@@ -380,3 +380,57 @@ def t43(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t44(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return T.fingerprint(docs).select("doc_id", "fp").orderBy("doc_id")
+
+
+# --- BM25 retrieval ---------------------------------------------------------
+
+_BM25_TERMS = ("join", "vector", "stream")
+_K1, _B, _TOPK = 1.2, 0.75, 10
+
+_Q109_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS dl
+  FROM documents
+),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
+tf AS (
+  SELECT b.doc_id, b.dl, q.term,
+         len(list_filter(b.toks, x -> x = q.term)) AS tf
+  FROM base b JOIN q ON list_contains(b.toks, q.term)
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({_K1} + 1)
+           / (tf.tf + {_K1} * (1 - {_B} + {_B} * tf.dl / s.avgdl))
+         ), 4) AS score_r
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score_r FROM scored
+ORDER BY score_r DESC, doc_id LIMIT {_TOPK}
+"""
+
+
+@register(
+    "q109_bm25_topk",
+    _Q109_SQL,
+    doc=(
+        "BM25 top-10 retrieval for a fixed bag-of-words query: term "
+        "frequencies computed in-row (size(filter(tokens))) for the "
+        "broadcast query-term set only — no corpus-vocabulary shuffle, "
+        "no token explode; df/N/avgdl are one small aggregate broadcast "
+        "back; top-k is TakeOrderedAndProject. The sparse-retrieval "
+        "complement to the dense ANN queries (a51/a52)"
+    ),
+    tables=("documents",),
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bm25_topk(
+        docs, list(_BM25_TERMS), k=_TOPK, k1=_K1, b=_B
+    )

@@ -130,3 +130,59 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true_match")))
         .crossJoin(li.agg(F.count(F.lit(1)).alias("n_probe_rows")))
     )
+
+
+# --- HyperLogLog rollup -----------------------------------------------------
+
+_Q108_SQL = """
+SELECT r.r_name,
+       COUNT(DISTINCT c.c_custkey) AS exact_uniques,
+       TRUE AS within_2pct
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+
+
+@register(
+    "q108_hll_rollup",
+    _Q108_SQL,
+    doc=(
+        "HLL sketch table (DataSketches, lg_k=12): per-nation customer "
+        "sketches merged to region level by hll_union_agg — the "
+        "incremental-distinct pattern where rollups touch ~4 KiB "
+        "sketches, never the raw ids. Estimates are deterministic but "
+        "not SQL-portable, so the oracle pins the exact distinct count "
+        "and a 2% relative-error verdict (DataSketches HLL at lg_k=12 "
+        "is ~0.8% rse; 2% is a >2-sigma bound on these cardinalities)"
+    ),
+    tables=("customer", "nation", "region"),
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    keyed = (
+        c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == F.col("n_regionkey"))
+        .select("r_name", "n_nationkey", "c_custkey")
+    )
+    nation_sk = S.hll_sketches(keyed, ["r_name", "n_nationkey"], "c_custkey")
+    region_est = S.hll_estimate(S.hll_rollup(nation_sk, ["r_name"]))
+    exact = keyed.groupBy("r_name").agg(
+        F.countDistinct("c_custkey").alias("exact_uniques")
+    )
+    return (
+        exact.join(region_est, "r_name")
+        .select(
+            "r_name",
+            "exact_uniques",
+            (
+                F.abs(F.col("uniques_est") - F.col("exact_uniques"))
+                <= 0.02 * F.col("exact_uniques")
+            ).alias("within_2pct"),
+        )
+        .orderBy("r_name")
+    )

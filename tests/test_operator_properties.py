@@ -91,6 +91,33 @@ def test_connected_components_star_long_chain_few_rounds(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda p: p[0] != p[1]),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=5, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+def test_triangle_count_matches_brute_force(spark, pairs):
+    from itertools import combinations
+
+    from osm_changesets_to_parquet_spark.operators.graph import triangle_count
+
+    edge_set = {tuple(sorted(p)) for p in pairs}
+    nodes = sorted({x for e in edge_set for x in e})
+    want = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if {(a, b), (a, c), (b, c)} <= edge_set
+    )
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edge_set] or [(0, 0)], "src long, dst long"
+    )
+    got = triangle_count(df).collect()[0].n_triangles
+    assert got == want
+
+
 def test_connected_components_one_action_per_iteration(spark, monkeypatch):
     """The convergence counter rides the checkpoint job via observe():
     no DataFrame.count() action may run inside the iteration loop."""

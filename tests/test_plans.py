@@ -300,3 +300,21 @@ def test_q84_pagerank_plan_size_constant_across_iterations(spark, sf_dir):
 
     l1, l4 = plan_len(1), plan_len(4)
     assert l4 <= l1 * 1.5, (l1, l4)
+
+
+def test_q109_bm25_take_ordered_no_token_explode_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q109_bm25_topk")
+    # top-k must be per-partition heaps, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    # query-term df and N/avgdl ride broadcast exchanges, so the only
+    # hash exchanges are the per-(doc, term) tf agg and small aggs
+    assert "BroadcastExchange" in plan
+
+
+def test_q107_triangle_orientation_halves_edges(spark, sf_dir):
+    # degree-ordered orientation means the wedge join's build/stream
+    # sides are the oriented (halved) edge set, not the symmetric one;
+    # the closing join is a LeftSemi
+    plan = _plan(spark, sf_dir, "q107_triangle_count")
+    assert "LeftSemi" in plan

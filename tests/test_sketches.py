@@ -87,3 +87,28 @@ def test_bloom_composite_keys_no_false_negatives(spark, sf_dir):
     truth = probe.join(keys, ["l_orderkey", "l_linenumber"], "left_semi")
     assert truth.exceptAll(passed.intersectAll(truth)).count() == 0
     assert passed.count() < probe.count()
+
+
+def test_hll_rollup_merge_equals_direct_sketch(spark, sf_dir):
+    """Mergeability: union-of-sketches must estimate exactly what a
+    single sketch over the union estimates (DataSketches HLL merge is
+    deterministic and loss-free at fixed lg_k)."""
+    c = load_table(spark, sf_dir, "customer")
+    keyed = c.select(
+        (F.col("c_nationkey") % 5).alias("g"), "c_nationkey", "c_custkey"
+    )
+    per_nation = S.hll_sketches(keyed, ["g", "c_nationkey"], "c_custkey")
+    merged = S.hll_estimate(S.hll_rollup(per_nation, ["g"]))
+    direct = S.hll_estimate(S.hll_sketches(keyed, ["g"], "c_custkey"))
+    m = {r.g: r.uniques_est for r in merged.collect()}
+    d = {r.g: r.uniques_est for r in direct.collect()}
+    assert m == d
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    est = S.hll_estimate(
+        S.hll_sketches(c.withColumn("g", F.lit(1)), ["g"], "c_custkey")
+    ).collect()[0].uniques_est
+    exact = c.select("c_custkey").distinct().count()
+    assert abs(est - exact) <= 0.02 * exact
