@@ -385,3 +385,70 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         vj = F.aggregate(F.col("__th"), F.lit(0).cast("long"), bit_sum(j))
         fp = fp + F.when(vj >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
     return docs.withColumn("simhash", fp).drop("__th")
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 2,
+    n_bands: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT hamming-ball near-dup pairs via bit-band LSH on SimHash.
+
+    Pigeonhole completeness: the ``SIMHASH_BITS``-bit fingerprint is cut
+    into ``n_bands`` disjoint bit bands; a pair within hamming distance
+    ``max_hamming`` can touch at most ``max_hamming`` bands, so with
+    ``max_hamming < n_bands`` at least one band is bit-identical and the
+    pair collides in that band's bucket.  Candidates are therefore a
+    superset of the true result, and the in-row ``bit_count(a ^ b)``
+    verification makes the output EXACT — equal to the O(n^2) brute
+    force, at bucketed cost.
+
+    Scale: one scan, one shuffle on (band, band_key) — the shuffle rows
+    are (16-byte struct, band key), never text.  Per-row memory is
+    O(bucket) via the member re-explode + tail slice (same discipline as
+    :func:`lsh_candidates`); verification happens in-row on the struct
+    pair, so no join back to the corpus.  ``max_bucket`` is the hot
+    bucket escape valve (a degenerate band key — e.g. all-boilerplate
+    documents — is better collapsed by exact dedup upstream).
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"completeness needs max_hamming < n_bands (got {max_hamming} >= {n_bands})"
+        )
+    if SIMHASH_BITS % n_bands:
+        raise ValueError(f"n_bands must divide SIMHASH_BITS={SIMHASH_BITS}")
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    sh = simhash(docs.select(id_col, text_col), text_col, id_col).select(
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")).alias("m")
+    )
+    keys = [
+        F.shiftright(F.col("m.sh"), b * band_bits).bitwiseAND(F.lit(mask))
+        for b in range(n_bands)
+    ]
+    banded = sh.select("m", F.posexplode(F.array(*keys)).alias("band", "bkey"))
+    keep = F.size("ms") >= 2
+    if max_bucket is not None:
+        keep = keep & (F.size("ms") <= max_bucket)
+    buckets = (
+        banded.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list("m")).alias("ms"))
+        .where(keep)
+    )
+    members = buckets.select("ms", F.posexplode("ms").alias("i", "a"))
+    pairs = members.select(
+        "a",
+        F.explode(F.slice(F.col("ms"), F.col("i") + F.lit(2), F.size("ms"))).alias("b"),
+    )
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .distinct()
+    )

@@ -71,6 +71,9 @@ def register(
 # everything r03-witnessed follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     # -- (1) new/changed this round --
+    "q110_simhash_neardup",
+    "q111_bucketed_join",
+    "q112_editdist_join",
     "q105_asof_forward",
     "q106_neardup_clusters_star",
     "q107_triangle_count",
@@ -172,6 +175,7 @@ def load_all_modules() -> None:
     from osm_changesets_to_parquet_spark.queries import (  # noqa: F401
         analytics,
         ann,
+        bucketing,
         conversion,
         curation,
         dedup_sim,

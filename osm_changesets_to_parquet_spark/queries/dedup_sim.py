@@ -209,19 +209,31 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash ----------------------------------------------------------------
 
-_T45_SQL = f"""
-WITH th AS (
+# sign-sum fold producing the 30-bit fingerprint from the token-hash
+# list `hs` — shared by t45 (fingerprint table) and q110 (near-dup join)
+_SQL_SIMHASH_EXPR = (
+    "CAST("
+    + " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> ((h // {1 << j}) % 2) * 2 - 1)) >= 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(D.SIMHASH_BITS)
+    )
+    + " AS BIGINT)"
+)
+
+
+def _sql_simhash_cte(where: str = "") -> str:
+    return f"""th AS (
   SELECT doc_id,
          list_transform(string_split(text, ' '), t -> {_sql_charhash('t')}) AS hs
-  FROM documents
-)
-SELECT doc_id,
-       CAST({" + ".join(
-           f"CASE WHEN list_sum(list_transform(hs, h -> ((h // {1 << j}) % 2) * 2 - 1)) >= 0 "
-           f"THEN {1 << j} ELSE 0 END"
-           for j in range(D.SIMHASH_BITS)
-       )} AS BIGINT) AS simhash
-FROM th ORDER BY doc_id
+  FROM documents {where}
+),
+sh AS (SELECT doc_id, {_SQL_SIMHASH_EXPR} AS simhash FROM th)"""
+
+
+_T45_SQL = f"""
+WITH {_sql_simhash_cte()}
+SELECT doc_id, simhash FROM sh ORDER BY doc_id
 """
 
 
@@ -238,6 +250,81 @@ FROM th ORDER BY doc_id
 def t45(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return D.simhash(docs).select("doc_id", "simhash").orderBy("doc_id")
+
+
+_Q110_MAX_HAM = 2
+
+_Q110_SQL = f"""
+WITH {_sql_simhash_cte("WHERE text IS NOT NULL")}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_Q110_MAX_HAM}
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "q110_simhash_neardup",
+    _Q110_SQL,
+    doc=(
+        "EXACT hamming-ball near-dup pairs (distance <= 2 on the 30-bit "
+        "SimHash) via bit-band LSH: 3 disjoint 10-bit bands, pigeonhole "
+        "completeness (<=2 flipped bits leave >=1 band identical), in-row "
+        "bit_count verification — the oracle is the O(n^2) brute force, "
+        "the Spark plan is one scan + one (band, key) shuffle of 16-byte "
+        "structs"
+    ),
+    tables=("documents",),
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL text => fingerprint 0 on both engines; excluded symmetrically
+    # so a null-heavy corpus cannot form a degenerate all-zero bucket.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    return (
+        D.simhash_neardup_pairs(docs, max_hamming=_Q110_MAX_HAM, n_bands=3)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- Edit-distance similarity join (PassJoin blocking) ----------------------
+
+_Q112_SQL = """
+WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+FROM c a JOIN c b ON a.id < b.id
+WHERE levenshtein(a.s, b.s) <= 1
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "q112_editdist_join",
+    _Q112_SQL,
+    doc=(
+        "EXACT levenshtein<=1 similarity self-join over customer names via "
+        "PassJoin segment blocking (pigeonhole: one of k+1 segments survives "
+        "the edits verbatim) — candidates from an equi-join on (len, seg, "
+        "substring), verified with the JVM levenshtein; the oracle is the "
+        "O(n^2) brute force the blocking provably equals"
+    ),
+    tables=("customer",),
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.editdist import edit_distance_pairs
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        edit_distance_pairs(c, "c_name", "c_custkey", k=1)
+        .withColumn("dist", F.col("dist").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 # --- Embedding near-dup -----------------------------------------------------

@@ -1,0 +1,111 @@
+"""Round-4 similarity operators: PassJoin edit-distance join and
+SimHash bit-band near-dup — both EXACT (blocking is provably complete,
+verification makes it sound), so each is tested against the brute
+force it claims to equal."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark.operators import dedup as D
+from osm_changesets_to_parquet_spark.operators.editdist import edit_distance_pairs
+
+
+def _brute_ed(rows, k):
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    out = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (ia, sa), (ib, sb) = rows[i], rows[j]
+            d = lev(sa, sb)
+            if d <= k:
+                a, b = sorted((ia, ib))
+                out.add((a, b, d))
+    return out
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_edit_distance_pairs_equals_brute_force(spark, k):
+    rng = random.Random(42)
+    alphabet = "abcd"
+    base = ["".join(rng.choice(alphabet) for _ in range(rng.randint(3, 12))) for _ in range(60)]
+    # salt in guaranteed near-neighbours: substitution, insertion, deletion
+    mutated = []
+    for s in base[:20]:
+        i = rng.randrange(len(s))
+        mutated.append(s[:i] + rng.choice(alphabet) + s[i + 1 :])  # sub
+        mutated.append(s[:i] + rng.choice(alphabet) + s[i:])  # ins
+        if len(s) > 3:
+            mutated.append(s[:i] + s[i + 1 :])  # del
+    strings = base + mutated
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(df, "s", "id", k=k).collect()
+    }
+    assert got == _brute_ed(rows, k)
+
+
+def test_edit_distance_pairs_rejects_k0(spark):
+    df = spark.createDataFrame([(1, "a")], ["id", "s"])
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, "s", "id", k=0)
+
+
+def test_simhash_neardup_equals_brute_force(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_neardup_pairs(docs, max_hamming=2, n_bands=3).collect()
+    }
+    sh = D.simhash(docs).select("doc_id", "simhash")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r.id_a, r.id_b, r.h)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("h"),
+        )
+        .where(F.col("h") <= 2)
+        .collect()
+    }
+    assert got == brute
+    assert brute, "fixture corpus should contain hamming<=2 pairs"
+
+
+def test_simhash_neardup_guards(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        D.simhash_neardup_pairs(df, max_hamming=3, n_bands=3)
+    with pytest.raises(ValueError):
+        D.simhash_neardup_pairs(df, n_bands=7)  # 30 % 7 != 0
+
+
+def test_simhash_neardup_max_bucket_drops_hot_bucket(spark):
+    # 40 identical docs => one all-identical bucket of 40 in every band;
+    # max_bucket=10 must drop it entirely
+    rows = [(i, "the same boilerplate text") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = D.simhash_neardup_pairs(df, max_hamming=2, n_bands=3, max_bucket=10)
+    assert out.count() == 0
