@@ -389,3 +389,99 @@ def semdedup(
             ),
         )
     )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_centroids: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means, fully distributed: returns (id, cluster) after
+    ``iters`` assignment/update rounds from deterministic seeds (the
+    ``k`` lowest-id vectors).
+
+    Each iteration is two Catalyst stages, no driver collect:
+    - ASSIGN: a PURE MAP stage — the k centroids are collapsed into a
+      one-row frame holding an array of (cid, vector) structs sorted by
+      cid, broadcast, and each data row folds over that array in-row:
+      squared distance via a sequential ``zip_with`` + ``aggregate``
+      fold (additions run left-to-right, so the oracle's
+      ``list_reduce`` reproduces the double bit-for-bit), argmin keeps
+      the strictly smaller distance — ties break to the lower cid.
+      The data frame is never shuffled for assignment;
+    - UPDATE: posexplode components, avg per (cluster, position) — ONE
+      shuffle of k*dim partial sums per task (map-side combine) — then
+      rebuild the centroid array ordered by position.
+
+    Centroid components are rounded to ``round_centroids`` decimals
+    after every update: cross-engine (and run-to-run) double summation
+    wobble in avg() is ~1e-13 relative, far inside the rounding grid,
+    so both engines feed bit-identical centroids to the next round.
+
+    At 100 TB: the data frame is only ever mapped (assignment is a
+    broadcast join), per-iteration shuffle traffic is k*dim partial
+    sums per task — the textbook scalable k-means layout.  Seeds being
+    the k lowest ids is a determinism contract, not a quality claim
+    (use k-means|| sampling upstream when quality matters).
+    """
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+    from pyspark.sql.window import Window
+
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    # deterministic seeds: the k lowest-id vectors, cid = rank 0..k-1.
+    # orderBy().limit(k) is TakeOrderedAndProject — the window only ever
+    # runs over the k-row result, never a global sort of the data.
+    cent = (
+        e.orderBy("id")
+        .limit(k)
+        .withColumn("__rn", F.row_number().over(Window.orderBy("id")))
+        .select((F.col("__rn") - 1).alias("cid"), F.col("v").alias("c"))
+    )
+    def sq_dist(v, c):
+        return F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = None
+    for _ in range(iters):
+        # one row: array of (cid, centroid) sorted by cid
+        cent_arr = cent.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cs")
+        )
+        best = F.aggregate(
+            F.col("cs"),
+            F.struct(
+                F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("cid")
+            ),
+            lambda acc, s: F.when(
+                sq_dist(F.col("v"), s.c) < acc.d,
+                F.struct(sq_dist(F.col("v"), s.c).alias("d"), s.cid.alias("cid")),
+            ).otherwise(acc),
+        )
+        assigned = (
+            e.crossJoin(F.broadcast(cent_arr))
+            .select("id", "v", best.alias("b"))
+            .select("id", "v", F.col("b.cid").alias("cid"))
+        )
+        cent = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), round_centroids).alias("cx"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                    lambda s: s.cx,
+                ).alias("c")
+            )
+        )
+    return assigned.select("id", "cid"), cent

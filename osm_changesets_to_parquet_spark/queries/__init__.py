@@ -74,6 +74,9 @@ _PRIORITY: tuple[str, ...] = (
     "q110_simhash_neardup",
     "q111_bucketed_join",
     "q112_editdist_join",
+    "q113_snapshot_diff",
+    "q114_pii_redact",
+    "q115_kmeans",
     "q105_asof_forward",
     "q106_neardup_clusters_star",
     "q107_triangle_count",

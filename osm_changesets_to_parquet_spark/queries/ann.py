@@ -185,3 +185,98 @@ def a52_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
     return ivf_topk(assigned, centroids, qvec, k=10, nprobe=6)
+
+
+# ---------------------------------------------------------------------------
+# Q115: k-means (Lloyd) clustering — operators/similarity.py kmeans_lloyd
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ITERS = 2
+
+# exact engine-lockstep recipe (see kmeans_lloyd docstring): doubles from
+# the same float32 casts, sequential left-fold distances (list_reduce ==
+# F.aggregate bit-for-bit), centroid components rounded to 6dp after
+# every update, argmin ties to the lower cid
+_KM_DIST = (
+    f"list_reduce(list_transform(range(1, {DIM + 1}), "
+    "i -> (v[i]-c[i])*(v[i]-c[i])), (x,y) -> x+y)"
+)
+
+_Q115_SQL = f"""
+WITH e AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY id)) - 1 AS cid, v AS c
+  FROM e ORDER BY id LIMIT {_KM_K}
+),
+a1 AS (
+  SELECT id, v, cid FROM (
+    SELECT e.id, e.v, c0.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {_KM_DIST}, cid) AS rn
+    FROM e, c0
+  ) WHERE rn = 1
+),
+c1 AS (
+  SELECT cid, list(cx ORDER BY pos) AS c FROM (
+    SELECT cid, pos, ROUND(AVG(x), 6) AS cx
+    FROM (SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a1)
+    GROUP BY cid, pos
+  ) GROUP BY cid
+),
+a2 AS (
+  SELECT id, v, cid FROM (
+    SELECT e.id, e.v, c1.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {_KM_DIST}, cid) AS rn
+    FROM e, c1
+  ) WHERE rn = 1
+),
+c2 AS (
+  SELECT cid, list(cx ORDER BY pos) AS c FROM (
+    SELECT cid, pos, ROUND(AVG(x), 6) AS cx
+    FROM (SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a2)
+    GROUP BY cid, pos
+  ) GROUP BY cid
+)
+SELECT a.cid, COUNT(*) AS n_points,
+       ROUND(ANY_VALUE({'list_reduce(list_transform(c, x -> x*x), (x,y) -> x+y)'}), 4) AS c_norm2
+FROM a2 a JOIN c2 ON a.cid = c2.cid
+GROUP BY a.cid ORDER BY a.cid
+"""
+
+
+@register(
+    "q115_kmeans",
+    _Q115_SQL,
+    doc=(
+        "Lloyd's k-means (k=4, 2 iterations) over the embedding corpus "
+        "(operators/similarity.py kmeans_lloyd): assignment is a pure "
+        "map stage folding over a broadcast (cid, centroid) array — the "
+        "data is never shuffled; the update is one k*dim partial-sum "
+        "shuffle; deterministic lowest-id seeds, centroids rounded to "
+        "6dp each round so the DuckDB oracle replays the identical "
+        "float path (sequential left-fold distances)"
+    ),
+    tables=("embeddings",),
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cent = kmeans_lloyd(emb, k=_KM_K, iters=_KM_ITERS)
+    norm2 = F.round(
+        F.aggregate(
+            F.col("c"), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x
+        ),
+        4,
+    )
+    counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_points"))
+    return (
+        counts.join(cent.select("cid", norm2.alias("c_norm2")), "cid")
+        # row_number yields int32; DuckDB's ROW_NUMBER is BIGINT and the
+        # driver hash is type-sensitive
+        .select(F.col("cid").cast("long").alias("cid"), "n_points", "c_norm2")
+        .orderBy("cid")
+    )

@@ -335,3 +335,73 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.lit(1 <= n_out < 64).alias("compacted_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q113: snapshot diff / CDC (operators/merge.py snapshot_diff)
+# ---------------------------------------------------------------------------
+
+# Two synthetic snapshots of orders keyed on o_orderkey (b = key % 100):
+#   old = b < 95             new = b >= 5, price lifted by 10 for b >= 50
+# so b<5 => removed, b>=95 => added, 50<=b<95 => changed, else unchanged.
+# Prices ride through un-rounded: both engines evaluate the identical
+# IEEE double op (price + 10), so values hash-match exactly.
+_Q113_SQL = """
+WITH o AS (SELECT o_orderkey AS k, o_orderkey % 100 AS b, o_totalprice AS p FROM orders),
+old AS (SELECT k, p FROM o WHERE b < 95),
+new AS (SELECT k, CASE WHEN b >= 50 THEN p + 10 ELSE p END AS p FROM o WHERE b >= 5),
+j AS (
+  SELECT COALESCE(old.k, new.k) AS k, old.p AS old_price, new.p AS new_price,
+         old.k IS NOT NULL AS in_old, new.k IS NOT NULL AS in_new
+  FROM old FULL OUTER JOIN new ON old.k = new.k
+)
+SELECT k AS o_orderkey,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN old_price IS NOT DISTINCT FROM new_price THEN 'unchanged'
+            ELSE 'changed' END AS change_type,
+       old_price, new_price
+FROM j
+WHERE NOT (in_old AND in_new AND old_price IS NOT DISTINCT FROM new_price)
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "q113_snapshot_diff",
+    _Q113_SQL,
+    doc=(
+        "change-data-capture between two snapshots (operators/merge.py "
+        "snapshot_diff): one co-partitioned full-outer join on the key, "
+        "null-safe column compare, rows classified added/removed/changed "
+        "(unchanged filtered) — the reconciliation plan for plain-parquet "
+        "datasets with no changelog"
+    ),
+    tables=("orders",),
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.merge import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 100).alias("b"),
+        F.col("o_totalprice").alias("price"),
+    )
+    old = o.where(F.col("b") < 95).select("k", "price")
+    new = o.where(F.col("b") >= 5).select(
+        "k",
+        F.when(F.col("b") >= 50, F.col("price") + 10)
+        .otherwise(F.col("price"))
+        .alias("price"),
+    )
+    d = snapshot_diff(old, new, "k", ["price"])
+    return (
+        d.where(F.col("change_type") != "unchanged")
+        .select(
+            F.col("k").alias("o_orderkey"),
+            "change_type",
+            "old_price",
+            "new_price",
+        )
+        .orderBy("o_orderkey")
+    )

@@ -434,3 +434,93 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bm25_topk(
         docs, list(_BM25_TERMS), k=_TOPK, k1=_K1, b=_B
     )
+
+
+# ---------------------------------------------------------------------------
+# Q114: PII redaction (operators/text.py redact_pii)
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus carries no real PII, so the query injects a
+# deterministic email / IPv4 / phone per document (the same expression
+# on both engines) and then proves the redactor strips all three —
+# counts measured on the pre-redaction text, masked text md5-hashed.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE = "\\b\\d{3}-\\d{4}\\b"
+
+_Q114_SQL = (
+    """
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com ip 10.'
+              || (doc_id % 256) || '.0.1 call 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '"""
+    + _PII_EMAIL
+    + """')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '"""
+    + _PII_IP
+    + """')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(t, '"""
+    + _PII_PHONE
+    + """')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '"""
+    + _PII_EMAIL
+    + """', '<EMAIL>', 'g'),
+           '"""
+    + _PII_IP
+    + """', '<IP>', 'g'),
+           '"""
+    + _PII_PHONE
+    + """', '<PHONE>', 'g')) AS red_md5
+FROM d ORDER BY doc_id
+"""
+)
+
+
+@register(
+    "q114_pii_redact",
+    _Q114_SQL,
+    doc=(
+        "PII masking (operators/text.py redact_pii): emails, IPv4s and "
+        "phone-shaped tokens regexp-masked JVM-side in one codegen map "
+        "stage (counts measured pre-redaction); deterministic synthetic "
+        "PII is injected per-document on both engines so the redactor's "
+        "effect is witnessed, not vacuous"
+    ),
+    tables=("documents",),
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.text import redact_pii
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ip 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.1 call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ).alias("text"),
+        )
+    )
+    return (
+        redact_pii(docs, "text")
+        .select(
+            "doc_id",
+            "n_email",
+            "n_ip",
+            "n_phone",
+            F.md5("redacted").alias("red_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,92 @@
+"""Round-4 operators: snapshot_diff CDC, PII redaction, Lloyd k-means."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark.operators.merge import snapshot_diff
+from osm_changesets_to_parquet_spark.operators.similarity import kmeans_lloyd
+from osm_changesets_to_parquet_spark.operators.text import redact_pii
+
+
+def test_snapshot_diff_classifies_all_cases(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)], ["k", "p"]
+    )
+    new = spark.createDataFrame(
+        [(2, 21.0), (3, None), (4, 40.0), (5, 50.0)], ["k", "p"]
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, "k", ["p"]).collect()
+    }
+    # 1 only in old; 2 changed; 3 null==null (null-safe) unchanged;
+    # 4 identical; 5 only in new
+    assert got == {
+        1: "removed",
+        2: "changed",
+        3: "unchanged",
+        4: "unchanged",
+        5: "added",
+    }
+
+
+def test_snapshot_diff_multi_column_and_keys(spark):
+    old = spark.createDataFrame([(1, "a", 1.0, "x")], ["k1", "k2", "p", "q"])
+    new = spark.createDataFrame([(1, "a", 1.0, "y")], ["k1", "k2", "p", "q"])
+    row = snapshot_diff(old, new, ["k1", "k2"], ["p", "q"]).collect()[0]
+    assert row.change_type == "changed"
+    assert row.old_q == "x" and row.new_q == "y" and row.old_p == row.new_p
+
+
+def test_redact_pii_masks_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_1@ex-a.org and d@e.io, ip 192.168.0.1, tel 555-1234"),
+            (2, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in redact_pii(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_email, r1.n_ip, r1.n_phone) == (2, 1, 1)
+    assert r1.redacted == "mail <EMAIL> and <EMAIL>, ip <IP>, tel <PHONE>"
+    r2 = rows[2]
+    assert (r2.n_email, r2.n_ip, r2.n_phone) == (0, 0, 0)
+    assert r2.redacted == "no pii here at all"
+
+
+def test_kmeans_separates_blobs(spark):
+    # two tight blobs far apart: after 2 iterations every point must sit
+    # with its blob, whatever the seed assignment was
+    rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(10)] + [
+        (100 + i, [100.0 + i * 0.01, 100.0]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, cent = kmeans_lloyd(df, k=2, iters=2)
+    out = assigned.collect()
+    lo = {r.cid for r in out if r.id < 100}
+    hi = {r.cid for r in out if r.id >= 100}
+    assert len(lo) == 1 and len(hi) == 1 and lo != hi
+    assert cent.count() == 2
+
+
+def test_kmeans_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, [1.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, k=0, iters=1)
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, k=1, iters=0)
+
+
+def test_kmeans_assignment_plan_has_no_data_shuffle(spark):
+    # ASSIGN must be a map stage: the only exchanges in the assignment
+    # subtree come from the tiny centroid build, never a repartition of
+    # the data frame by anything
+    rows = [(i, [float(i), 0.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, _ = kmeans_lloyd(df, k=2, iters=1)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(id" not in plan
+    assert "Exchange hashpartitioning(v" not in plan
