@@ -52,6 +52,13 @@ BENCH_QUERIES = [
     "s1_tumbling_window",
     "s3_session_window",
     "s4a_watermark_ontime",
+    # round 4 additions: hamming-band dedup, distributed k-means.
+    # (q112_editdist_join is deliberately NOT benched: TPC-H customer
+    # names share the constant "Customer#" prefix, so segment blocking
+    # degenerates to near-all-pairs on THIS corpus — see the
+    # operators/editdist.py docstring; it stays a correctness query.)
+    "q110_simhash_neardup",
+    "q115_kmeans",
 ]
 
 

@@ -30,6 +30,17 @@ most ``(2k+1)^2 (k+1)`` rows — constants, so candidate generation is
 one linear explode + one equi-join shuffle keyed on (length, segment,
 substring).  Short entity strings ride the shuffle directly; for long
 strings carry only ids and join the text back for verification.
+
+Degeneracy caveat (measured, not hypothetical): on template-ID corpora
+where every string shares a constant prefix spanning a whole segment
+(TPC-H's ``Customer#000000001``), that segment's join key takes ONE
+value and the candidate set degenerates to near-all-pairs — the
+blocking is still EXACT, just no longer sub-quadratic on that data.
+This mirrors LSH's hot-bucket problem but CANNOT be fixed with a
+max-bucket valve without losing completeness; the 100 TB remedy is to
+strip the shared template upstream (block on the variable remainder)
+or to accept the quadratic candidate stream for the affected template
+group only (all other length-groups stay cheap).
 """
 
 from __future__ import annotations

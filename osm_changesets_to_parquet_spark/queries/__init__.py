@@ -77,6 +77,8 @@ _PRIORITY: tuple[str, ...] = (
     "q113_snapshot_diff",
     "q114_pii_redact",
     "q115_kmeans",
+    "s9_session_window_stream",
+    "cs8_schema_evolution",
     "q105_asof_forward",
     "q106_neardup_clusters_star",
     "q107_triangle_count",

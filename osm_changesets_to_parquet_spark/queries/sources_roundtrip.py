@@ -157,3 +157,58 @@ def cs6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "cs8_schema_evolution",
+    """
+    WITH b1 AS (SELECT event_id, value, CAST(NULL AS VARCHAR) AS event_type
+                FROM events WHERE event_id % 2 = 0),
+    b2 AS (SELECT event_id, value, event_type FROM events WHERE event_id % 2 = 1),
+    u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    SELECT COALESCE(event_type, '<pre-evolution>') AS event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "parquet schema evolution: an old batch written WITHOUT "
+        "event_type and a new batch WITH it land in one dataset dir; "
+        "mergeSchema unions the footers (old rows null-fill) and the "
+        "aggregate hash-matches the equivalent SQL union — the add-a-"
+        "column-without-rewriting-history path every long-lived 100 TB "
+        "dataset takes.  Note mergeSchema costs a footer read per file "
+        "at planning; production pins the evolved schema explicitly "
+        "(.schema(...)), which this read path equally supports"
+    ),
+    tables=("events",),
+)
+def cs8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+    root = _tmp(sf_dir, "events_evolved")
+    (
+        ev.where(F.col("event_id") % 2 == 0)
+        .drop("event_type")
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "batch=old"))
+    )
+    (
+        ev.where(F.col("event_id") % 2 == 1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "batch=new"))
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(root)
+    return (
+        back.groupBy(
+            F.coalesce("event_type", F.lit("<pre-evolution>")).alias("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("event_id").alias("sum_id"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -136,3 +136,43 @@ def s8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_s8_stream_static_enrich(spark, sf_dir)
+
+
+@register(
+    "s9_session_window_stream",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sessions AS (
+      SELECT user_id, t_us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM flagged
+    ), per AS (
+      SELECT user_id, MIN(t_us) AS start_us, MAX(t_us) AS last_us,
+             COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, sess_id
+    ), wm AS (SELECT MAX(epoch_us(ts)) - 600000000 AS w FROM events)
+    SELECT user_id, start_us, n_events
+    FROM per, wm
+    WHERE last_us + 1800000000 <= w
+    ORDER BY user_id, start_us
+    """,
+    doc=(
+        "session_window PROPER under Structured Streaming (30-min gap, "
+        "10-min watermark, APPEND mode — sessions emit once, when the "
+        "watermark passes their window end): hash-matches the batch "
+        "gaps-and-islands sessions minus the still-open tail the final "
+        "watermark (max ts - 10min) has not finalized — so the append/"
+        "finalization semantics are themselves part of the hash"
+    ),
+    tables=("events",),
+)
+def s9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.streaming import run_s9_session_window
+
+    return run_s9_session_window(spark, sf_dir)

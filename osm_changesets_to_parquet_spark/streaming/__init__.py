@@ -14,4 +14,5 @@ from osm_changesets_to_parquet_spark.streaming.jobs import (  # noqa: F401
     run_s5_streaming_dedup,
     run_s6_stateful_running_agg,
     run_s7_stream_stream_join,
+    run_s9_session_window,
 )

@@ -385,3 +385,45 @@ def run_s8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("c_nationkey", "event_type")
     )
+
+
+def run_s9_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window PROPER (the streaming gap-session operator) over
+    the in-order replay: per-user 30-minute-gap sessions, 10-minute
+    watermark, update-mode emission.
+
+    Session-window aggregation streams in APPEND mode only (update is
+    rejected: merging sessions cannot retract an earlier emission), so
+    each session is emitted exactly once — when the watermark passes
+    its window end (last event + gap).  At stream end the watermark
+    rests at ``max_ts - 10min``; sessions whose window end is beyond it
+    (the final ~40 minutes of event time) remain unemitted open state —
+    the batch-parity oracle excludes exactly those, which makes the
+    append/finalization semantics themselves part of the hash.  Batch
+    parity: s3 computes the same sessions via gaps-and-islands; both
+    share the exact-gap convention (an event exactly 30min after its
+    predecessor opens a new session — session_window is
+    start-inclusive/end-exclusive).
+
+    State scale: one session row per live (user, session); the
+    watermark retires closed sessions, so state is bounded by active
+    users — the 100 TB continuous-ingest shape.
+    """
+    ev = _read_stream(spark, prepare_replay_dir(spark, sf_dir, late=False))
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            "n_events",
+        )
+    )
+    outs = _run_availablenow(agg, mode="append")
+    return outs.select("user_id", "start_us", "n_events").orderBy(
+        "user_id", "start_us"
+    )
