@@ -57,16 +57,15 @@ def register(
 # has held exactly 50 entries per round (CORRECTNESS_r01-r03.json) — so
 # ordering is part of the verification contract.  Round-4 priority
 # (VERDICT r03 item 1: rotate the longest-stale set into the window):
-# (1) queries NEW or materially changed this round — q102-q104
-#     registrations and the a51/a52 rows-only -> tolerance-oracle
-#     conversion — must be witnessed on first contact;
-# (2) the 45 longest-stale names: r1/r2-era driver rows describing
+# (1) queries NEW this round — the 16 round-4 registrations
+#     (q102-q115, s9, cs8) plus the a51/a52 rows-only -> tolerance-
+#     oracle conversion — must be witnessed on first contact;
+# (2) the longest-stale names: r1/r2-era driver rows describing
 #     pre-round-3 code (streaming s4b/s5 + s1-s3 re-verified after the
 #     sink rewrite, the UDF surface, the cs conversion family, and the
-#     relational core q01-q32) — all verified MATCH at HEAD in the
-#     judge's r03 sweep and locally, but the driver's own record is
-#     stale.
-# Positions 51+ hold the remaining 31 stale names (round-5 rotation:
+#     relational core) — all verified MATCH at HEAD in the judge's r03
+#     sweep and locally, but the driver's own record is stale.
+# Positions 51+ hold the remaining stale names (round-5 rotation:
 # promote them, demote the 50 below once their r04 rows land);
 # everything r03-witnessed follows in registration order.
 _PRIORITY: tuple[str, ...] = (
@@ -125,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "q17_range_join",
     "q18_asof_join",
     "q19_rank_topn",
+    # ---- window boundary (50) — names below queue for round 5 ----
     "q20_lag_lead",
     "q21_running_sum",
     "q22_range_frame",
@@ -133,7 +133,6 @@ _PRIORITY: tuple[str, ...] = (
     "q25_union",
     "q26_intersect",
     "q27_except",
-    # ---- window boundary (50) — names below queue for round 5 ----
     "q28_string_funcs",
     "q29_date_funcs",
     "q30_math_funcs",
