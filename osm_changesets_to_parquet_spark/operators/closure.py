@@ -1,0 +1,75 @@
+"""Hierarchy (forest) transitive closure by pointer doubling.
+
+Spark has no recursive CTE; BOM explosions, org charts, category trees
+and reply-chains all need "walk each node to its root" over a
+(child, parent) edge table.  Naive chain-following joins once per LEVEL
+— O(height) shuffles.  Pointer doubling (the classic PRAM technique,
+also the backbone of Kiveris-style star contraction in
+``operators/clusters.py``) squares the pointer every round:
+
+    state(node) = (ptr, depth)      # ptr = ancestor reached, depth = #edges
+    next round:  ptr' = state(ptr).ptr,  depth' = depth + state(ptr).depth
+
+so a forest of height ``h`` closes in ``ceil(log2 h)`` self-joins —
+at height 10^6, twenty rounds instead of a million.
+
+Each round is ONE keyed equi-join of the state with itself (shuffle on
+the pointer), lineage-cut through :func:`iterutils.truncate_lineage`
+(reliable checkpoints when a dir is configured — the plan would
+otherwise double per round).  Roots are self-stable fixpoints
+(ptr = node, depth = 0), so converged rows pass through unchanged and
+over-iterating is safe — callers size ``rounds`` from a height bound
+(e.g. 64-bit keys can never chain deeper than 2^63: rounds=63 is an
+absolute ceiling; real hierarchies need 5-20).
+
+The q116 oracle replays the same closure as a DuckDB recursive CTE, so
+the iterative Spark spelling is hash-matched against true SQL recursion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark.operators.iterutils import truncate_lineage
+
+
+def forest_closure(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    child_col: str = "child",
+    parent_col: str = "parent",
+    rounds: int = 20,
+) -> DataFrame:
+    """Resolve every node of a forest to ``(node, root, depth)``.
+
+    ``nodes``: one row per node (roots included).  ``edges``: one
+    (child, parent) row per non-root node — a node with no edge is a
+    root.  A node with multiple parents raises upstream assumptions
+    (this is a forest closure, not a DAG closure); supply
+    deduplicated edges.  ``rounds`` must satisfy 2^rounds >= height.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    n = nodes.select(F.col(node_col).alias("node"))
+    e = edges.select(F.col(child_col).alias("node"), F.col(parent_col).alias("__p"))
+    state = n.join(e, "node", "left").select(
+        "node",
+        F.coalesce("__p", F.col("node")).alias("ptr"),
+        F.when(F.col("__p").isNotNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("depth"),
+    )
+    for _ in range(rounds):
+        hop = state.select(
+            F.col("node").alias("ptr"),
+            F.col("ptr").alias("__ptr2"),
+            F.col("depth").alias("__d2"),
+        )
+        state = truncate_lineage(
+            state.join(hop, "ptr").select(
+                "node",
+                F.col("__ptr2").alias("ptr"),
+                (F.col("depth") + F.col("__d2")).alias("depth"),
+            )
+        )
+    return state.select("node", F.col("ptr").alias("root"), "depth")

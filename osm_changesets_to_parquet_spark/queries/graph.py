@@ -133,3 +133,46 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Q116: forest transitive closure (operators/closure.py forest_closure)
+# ---------------------------------------------------------------------------
+
+# Synthetic 7-ary customer forest: parent(c) = c div 7; customers 1-6
+# are roots.  Height <= 5 even at sf1 — rounds=5 covers 2^5 = 32 levels.
+_Q116_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS node, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+  FROM customer
+  UNION ALL
+  SELECT node, cur // 7 AS cur, depth + 1 FROM chain WHERE cur >= 7
+)
+SELECT node, cur AS root, depth FROM chain WHERE cur < 7 ORDER BY node
+"""
+
+
+@register(
+    "q116_hierarchy_closure",
+    _Q116_SQL,
+    doc=(
+        "walk-to-root over a (child, parent) forest — the recursive-CTE "
+        "workload Spark lacks natively — via pointer doubling "
+        "(operators/closure.py): each round ONE self-equi-join squares "
+        "the pointer, so height h closes in ceil(log2 h) shuffles, not "
+        "h; lineage cut per round; the oracle is DuckDB's true "
+        "WITH RECURSIVE over the same forest, so the iterative spelling "
+        "is hash-matched against actual SQL recursion"
+    ),
+    tables=("customer",),
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.closure import forest_closure
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node")
+    )
+    edges = c.where(F.col("node") >= 7).select(
+        F.col("node").alias("child"), F.expr("node div 7").alias("parent")
+    )
+    return forest_closure(c, edges, rounds=5).orderBy("node")

@@ -90,3 +90,37 @@ def test_kmeans_assignment_plan_has_no_data_shuffle(spark):
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(id" not in plan
     assert "Exchange hashpartitioning(v" not in plan
+
+
+def test_forest_closure_deep_chain_logarithmic_rounds(spark):
+    from osm_changesets_to_parquet_spark.operators.closure import forest_closure
+
+    # a 100-deep path: chain-following would need 100 joins; pointer
+    # doubling must close it in 7 rounds (2^7 = 128 >= 100)
+    nodes = spark.createDataFrame([(i,) for i in range(101)], ["node"])
+    edges = spark.createDataFrame([(i, i - 1) for i in range(1, 101)], ["child", "parent"])
+    out = {r.node: (r.root, r.depth) for r in forest_closure(nodes, edges, rounds=7).collect()}
+    assert out[0] == (0, 0)
+    assert out[100] == (0, 100)
+    assert out[37] == (0, 37)
+
+
+def test_forest_closure_multi_root_forest(spark):
+    from osm_changesets_to_parquet_spark.operators.closure import forest_closure
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 10, 11, 20]], ["node"])
+    edges = spark.createDataFrame(
+        [(10, 1), (11, 10), (20, 2)], ["child", "parent"]
+    )
+    out = {r.node: (r.root, r.depth) for r in forest_closure(nodes, edges, rounds=4).collect()}
+    assert out == {1: (1, 0), 2: (2, 0), 10: (1, 1), 11: (1, 2), 20: (2, 1)}
+
+
+def test_forest_closure_rejects_bad_rounds(spark):
+    import pytest as _pytest
+
+    from osm_changesets_to_parquet_spark.operators.closure import forest_closure
+
+    df = spark.createDataFrame([(1,)], ["node"])
+    with _pytest.raises(ValueError):
+        forest_closure(df, df.selectExpr("node AS child", "node AS parent"), rounds=0)

@@ -318,3 +318,23 @@ def test_q107_triangle_orientation_halves_edges(spark, sf_dir):
     # the closing join is a LeftSemi
     plan = _plan(spark, sf_dir, "q107_triangle_count")
     assert "LeftSemi" in plan
+
+
+def test_q110_single_scan_band_bucket_aggregation(spark, sf_dir):
+    # SimHash banding mirrors q35b's discipline: ONE scan of documents
+    # (the fingerprint subtree never duplicates into a self-join), one
+    # bucket collect, and verification in-row — no join back to the
+    # corpus for the hamming check
+    plan = _plan(spark, sf_dir, "q110_simhash_neardup")
+    assert plan.count("FileScan parquet") == 1
+    assert "ObjectHashAggregate" in plan  # collect_list buckets
+    assert "Join" not in plan  # verify happens on the in-bucket structs
+
+
+def test_q112_candidates_are_equi_join_not_cross(spark, sf_dir):
+    # PassJoin blocking must plan as a hash/sort-merge equi-join on the
+    # (len, segment, substring) key — a cross join would be the brute
+    # force the blocking exists to avoid
+    plan = _plan(spark, sf_dir, "q112_editdist_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
