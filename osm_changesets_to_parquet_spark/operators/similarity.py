@@ -457,15 +457,19 @@ def kmeans_lloyd(
         cent_arr = cent.agg(
             F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cs")
         )
+        # distances materialize once per centroid (transform), then a
+        # strict-< min-fold keeps the lower cid on ties
         best = F.aggregate(
-            F.col("cs"),
+            F.transform(
+                F.col("cs"),
+                lambda s: F.struct(
+                    sq_dist(F.col("v"), s.c).alias("d"), s.cid.alias("cid")
+                ),
+            ),
             F.struct(
                 F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("cid")
             ),
-            lambda acc, s: F.when(
-                sq_dist(F.col("v"), s.c) < acc.d,
-                F.struct(sq_dist(F.col("v"), s.c).alias("d"), s.cid.alias("cid")),
-            ).otherwise(acc),
+            lambda acc, s: F.when(s.d < acc.d, s).otherwise(acc),
         )
         assigned = (
             e.crossJoin(F.broadcast(cent_arr))
