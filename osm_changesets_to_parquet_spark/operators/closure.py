@@ -53,7 +53,11 @@ def forest_closure(
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     n = nodes.select(F.col(node_col).alias("node"))
-    e = edges.select(F.col(child_col).alias("node"), F.col(parent_col).alias("__p"))
+    # a self-edge would make its node a perpetual non-root (depth grows
+    # every round); treat child==parent as "is a root" and drop it
+    e = edges.where(F.col(child_col) != F.col(parent_col)).select(
+        F.col(child_col).alias("node"), F.col(parent_col).alias("__p")
+    )
     state = n.join(e, "node", "left").select(
         "node",
         F.coalesce("__p", F.col("node")).alias("ptr"),

@@ -124,3 +124,14 @@ def test_forest_closure_rejects_bad_rounds(spark):
     df = spark.createDataFrame([(1,)], ["node"])
     with _pytest.raises(ValueError):
         forest_closure(df, df.selectExpr("node AS child", "node AS parent"), rounds=0)
+
+
+def test_forest_closure_tolerates_self_edges(spark):
+    from osm_changesets_to_parquet_spark.operators.closure import forest_closure
+
+    # a self-edge (child == parent) must be treated as "root", not as a
+    # cycle that inflates depth every round
+    nodes = spark.createDataFrame([(1,), (2,)], ["node"])
+    edges = spark.createDataFrame([(1, 1), (2, 1)], ["child", "parent"])
+    out = {r.node: (r.root, r.depth) for r in forest_closure(nodes, edges, rounds=3).collect()}
+    assert out == {1: (1, 0), 2: (1, 1)}
