@@ -176,3 +176,31 @@ def s9(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_changesets_to_parquet_spark.streaming import run_s9_session_window
 
     return run_s9_session_window(spark, sf_dir)
+
+
+@register(
+    "s10_stream_merge_upsert",
+    """
+    SELECT user_id,
+           event_id AS last_event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+           value AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC
+      ) AS rn FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+    doc=(
+        "streaming CDC apply: foreachBatch MERGEs each micro-batch into "
+        "a versioned parquet base table (per-batch latest per key -> "
+        "anti-join + union upsert -> base version N+1, idempotent under "
+        "batch replay); the final table must equal the global "
+        "latest-row-per-user over the whole stream — the oracle"
+    ),
+    tables=("events",),
+)
+def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.streaming import run_s10_stream_merge
+
+    return run_s10_stream_merge(spark, sf_dir)

@@ -15,4 +15,5 @@ from osm_changesets_to_parquet_spark.streaming.jobs import (  # noqa: F401
     run_s6_stateful_running_agg,
     run_s7_stream_stream_join,
     run_s9_session_window,
+    run_s10_stream_merge,
 )

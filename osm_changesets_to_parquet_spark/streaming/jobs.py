@@ -427,3 +427,80 @@ def run_s9_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs.select("user_id", "start_us", "n_events").orderBy(
         "user_id", "start_us"
     )
+
+
+def run_s10_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: each micro-batch MERGEs into a parquet base
+    table (foreachBatch + operators/merge.py merge_upsert) — the
+    standard production pattern for maintaining a keyed latest-state
+    table from a stream when no ACID table format is available.
+
+    Per batch: reduce the batch to its latest row per user (max_by on
+    (ts, event_id)), read the current base version, anti-join + union
+    (update-else-insert), write base version N+1 — versioned dirs make
+    each application atomic and idempotent (a replayed batch id
+    rewrites its own version dir, never corrupts the previous one).
+    Under the in-order replay, per-batch-latest merged batch-over-batch
+    equals the global latest per key, which is the DuckDB oracle.
+
+    Scale: state lives in the base TABLE (not executor memory) — the
+    pattern's cost is one anti-join + full rewrite per batch, which is
+    why real deployments batch minutes of CDC, bucket the base table on
+    the merge key (q111), or graduate to a format with merge-on-read.
+    """
+    base_root = tempfile.mkdtemp(prefix="stream_merge_base_")
+    _TEMP_DIRS.append(base_root)
+    ev = _read_stream(spark, prepare_replay_dir(spark, sf_dir, late=False))
+
+    from osm_changesets_to_parquet_spark.operators.merge import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("ts_us", "event_id", "value"),
+                    F.struct("ts_us", "event_id"),
+                ).alias("m")
+            )
+            .select(
+                "user_id",
+                F.col("m.event_id").alias("last_event_id"),
+                F.col("m.ts_us").alias("last_ts_us"),
+                F.col("m.value").alias("last_value"),
+            )
+        )
+        versions = sorted(
+            int(d[1:]) for d in os.listdir(base_root) if d.startswith("v")
+        )
+        if versions:
+            base = batch_df.sparkSession.read.parquet(
+                os.path.join(base_root, f"v{versions[-1]}")
+            )
+            merged = merge_upsert(base, latest, "user_id")
+        else:
+            merged = latest
+        merged.write.mode("overwrite").parquet(
+            os.path.join(base_root, f"v{batch_id}")
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_merge_")
+    _TEMP_DIRS.append(ckpt)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            ev.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(apply_batch)
+            .start()
+        )
+        _run_to_completion(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    versions = sorted(int(d[1:]) for d in os.listdir(base_root) if d.startswith("v"))
+    final = spark.read.parquet(os.path.join(base_root, f"v{versions[-1]}"))
+    return final.select(
+        "user_id", "last_event_id", "last_ts_us", "last_value"
+    ).orderBy("user_id")
