@@ -795,3 +795,65 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q118: declarative data-quality constraint report (operators/validate.py)
+# ---------------------------------------------------------------------------
+
+_Q118_SQL = """
+WITH rc AS (
+  SELECT CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS nn,
+         CAST(COUNT(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                           OR o_totalprice > 100000 THEN 1 END) AS BIGINT) AS rr,
+         CAST(COUNT(CASE WHEN o_orderstatus IS NULL
+                           OR o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS BIGINT) AS ss
+  FROM orders
+),
+u AS (SELECT CAST(SUM(c - 1) AS BIGINT) AS v
+      FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)),
+fk AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders o
+       WHERE o_custkey IS NOT NULL
+         AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+rows_ AS (
+  SELECT 'not_null(o_custkey)' AS check_name, nn AS n_violations FROM rc
+  UNION ALL SELECT 'in_range(o_totalprice,0.0,100000.0)', rr FROM rc
+  UNION ALL SELECT 'in_set(o_orderstatus)', ss FROM rc
+  UNION ALL SELECT 'unique(o_orderkey)', v FROM u
+  UNION ALL SELECT 'foreign_key(o_custkey)', v FROM fk
+)
+SELECT check_name, n_violations, n_violations = 0 AS pass
+FROM rows_ ORDER BY check_name
+"""
+
+
+@register(
+    "q118_constraint_checks",
+    _Q118_SQL,
+    doc=(
+        "declarative data-quality gate (operators/validate.py, the "
+        "Deequ/Great-Expectations shape): all row-level checks fuse "
+        "into ONE aggregate over ONE scan (count-if per check), "
+        "uniqueness is a keyed count, referential integrity a "
+        "left-anti join vs DISTINCT reference keys; the range check "
+        "is chosen to FAIL on real data so a live violation count is "
+        "part of the hash, not just zeros"
+    ),
+    tables=("orders", "customer"),
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators import validate as V
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    report = V.check_constraints(
+        o,
+        row_checks=[
+            V.not_null("o_custkey"),
+            V.in_range("o_totalprice", 0.0, 100000.0),
+            V.in_set("o_orderstatus", ["O", "F", "P"]),
+        ],
+        unique=["o_orderkey"],
+        foreign_keys=[("o_custkey", c, "c_custkey")],
+    )
+    return report.orderBy("check_name")

@@ -398,3 +398,58 @@ def test_q100_merge_agg_partial(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q100_incremental_agg")
     assert "partial_count" in plan or "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_check_constraints_counts_each_violation_kind(spark):
+    from osm_changesets_to_parquet_spark.operators import validate as V
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (1, -5.0, "O"), (2, 20.0, "X"), (3, None, None)],
+        ["k", "price", "status"],
+    )
+    ref = spark.createDataFrame([(1,), (2,)], ["rk"])
+    rep = {
+        r.check_name: (r.n_violations, r["pass"])
+        for r in V.check_constraints(
+            df,
+            row_checks=[
+                V.not_null("price"),
+                V.in_range("price", 0.0, 100.0),
+                V.in_set("status", ["O", "F", "P"]),
+            ],
+            unique=["k"],
+            foreign_keys=[("k", ref, "rk")],
+        ).collect()
+    }
+    assert rep["not_null(price)"] == (1, False)
+    # -5 out of range + NULL counts as violation per the null-is-bad contract
+    assert rep["in_range(price,0.0,100.0)"] == (2, False)
+    assert rep["in_set(status)"] == (2, False)  # 'X' + NULL
+    assert rep["unique(k)"] == (1, False)  # k=1 twice
+    assert rep["foreign_key(k)"] == (1, False)  # k=3 unreferenced
+
+
+def test_check_constraints_row_checks_fuse_into_one_scan(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.operators import validate as V
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rep = V.check_constraints(
+        o,
+        row_checks=[
+            V.not_null("o_custkey"),
+            V.in_range("o_totalprice", 0.0, 100000.0),
+            V.in_set("o_orderstatus", ["O", "F", "P"]),
+        ],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_check_constraints_requires_some_constraint(spark):
+    import pytest as _pytest
+
+    from osm_changesets_to_parquet_spark.operators import validate as V
+
+    df = spark.createDataFrame([(1,)], ["k"])
+    with _pytest.raises(ValueError):
+        V.check_constraints(df)
