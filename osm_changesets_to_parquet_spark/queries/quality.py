@@ -857,3 +857,48 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreign_keys=[("o_custkey", c, "c_custkey")],
     )
     return report.orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# Q119: approximate percentile with error-bound verdict (tolerance oracle)
+# ---------------------------------------------------------------------------
+
+# approx_percentile's KLL/GK-style sketch values are engine-specific, so
+# like a51/a52 the registered contract is a TOLERANCE verdict: per group,
+# the approximate median must land within the value-domain spread of the
+# exact median by a bounded rank error (accuracy=100 => eps = 1%).  The
+# oracle is the expected constant verdict table — any sketch regression
+# (or a broken exact path) flips a boolean and the hash goes red.
+_Q119_SQL = """
+SELECT l_returnflag, TRUE AS within_bounds
+FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "q119_approx_percentile_bounds",
+    _Q119_SQL,
+    doc=(
+        "mergeable-quantile-sketch contract: per-group approx median "
+        "(approx_percentile, accuracy=100 => 1% rank error, partial "
+        "sketches merged map-side like any aggregate) checked in-Spark "
+        "against the exact percentile at ranks 0.49 and 0.51 — the "
+        "approximate value must sit between them; tolerance oracle is "
+        "the constant verdict (the a51/a52 pattern)"
+    ),
+    tables=("lineitem",),
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 100)").alias("apx"),
+        F.expr("percentile(l_quantity, 0.49)").alias("lo"),
+        F.expr("percentile(l_quantity, 0.51)").alias("hi"),
+    )
+    return agg.select(
+        "l_returnflag",
+        ((F.col("apx") >= F.col("lo")) & (F.col("apx") <= F.col("hi"))).alias(
+            "within_bounds"
+        ),
+    ).orderBy("l_returnflag")
