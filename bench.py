@@ -52,12 +52,12 @@ BENCH_QUERIES = [
     "s1_tumbling_window",
     "s3_session_window",
     "s4a_watermark_ontime",
-    # round 4 additions: hamming-band dedup, distributed k-means.
-    # (q112_editdist_join is deliberately NOT benched: TPC-H customer
-    # names share the constant "Customer#" prefix, so segment blocking
-    # degenerates to near-all-pairs on THIS corpus — see the
-    # operators/editdist.py docstring; it stays a correctness query.)
+    # round 4 additions: hamming-band dedup, distributed k-means, and
+    # the PassJoin edit-distance join (benchable since common-affix
+    # stripping: the constant "Customer#0000" template is removed from
+    # the blocking keys, DNF -> ~17 s at sf0.1; operators/editdist.py)
     "q110_simhash_neardup",
+    "q112_editdist_join",
     "q115_kmeans",
 ]
 

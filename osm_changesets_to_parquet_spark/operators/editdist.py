@@ -35,12 +35,16 @@ Degeneracy caveat (measured, not hypothetical): on template-ID corpora
 where every string shares a constant prefix spanning a whole segment
 (TPC-H's ``Customer#000000001``), that segment's join key takes ONE
 value and the candidate set degenerates to near-all-pairs — the
-blocking is still EXACT, just no longer sub-quadratic on that data.
-This mirrors LSH's hot-bucket problem but CANNOT be fixed with a
-max-bucket valve without losing completeness; the 100 TB remedy is to
-strip the shared template upstream (block on the variable remainder)
-or to accept the quadratic candidate stream for the affected template
-group only (all other length-groups stay cheap).
+blocking stays EXACT, just no longer sub-quadratic.  This mirrors
+LSH's hot-bucket problem but CANNOT be fixed with a max-bucket valve
+without losing completeness.  The implemented mitigation
+(``strip_common_affixes``, on by default) removes the corpus-wide
+common prefix/suffix before blocking — exact by the affix lemma
+``ed(P·u·S, P·v·S) = ed(u, v)`` — which collapses the constant
+template out of the segment keys; zero-padded sequential IDs remain
+partially degenerate (their leading digits are still near-constant),
+so truly ID-like corpora should expect candidate streams between
+O(n) and O(n^2) depending on ID density.
 """
 
 from __future__ import annotations
@@ -63,20 +67,78 @@ def _scheme(l: Column, j: int, k: int) -> tuple[Column, Column]:
     return start, seglen
 
 
+def _common_affix_lengths(df: DataFrame, str_col: str, k: int) -> tuple[int, int]:
+    """(prefix_len, suffix_len) shared by EVERY string in the column,
+    capped so every stripped remainder keeps length >= k+1.
+
+    The common prefix of a set equals the common prefix of its
+    lexicographic min and max, so one tiny min/max aggregate (map-side
+    partials, two short strings to the driver) suffices; the common
+    suffix is the same trick on the reversed strings.  The >= k+1
+    remainder floor keeps the segment scheme valid for every row
+    (every segment stays >= 1 char), so the blocking path needs no
+    empty/short special case — stripping LESS than the true common
+    affix is always still exact."""
+    row = df.agg(
+        F.min(str_col).alias("lo"),
+        F.max(str_col).alias("hi"),
+        F.min(F.reverse(F.col(str_col))).alias("rlo"),
+        F.max(F.reverse(F.col(str_col))).alias("rhi"),
+        F.min(F.length(str_col)).alias("minlen"),
+    ).first()
+    if row is None or row.lo is None:
+        return 0, 0
+
+    def lcp(a: str, b: str) -> int:
+        i = 0
+        while i < min(len(a), len(b)) and a[i] == b[i]:
+            i += 1
+        return i
+
+    avail = row.minlen - (k + 1)
+    if avail <= 0:
+        return 0, 0
+    p = min(lcp(row.lo, row.hi), avail)
+    q = min(lcp(row.rlo, row.rhi), avail - p)
+    return p, q
+
+
 def edit_distance_pairs(
     df: DataFrame,
     str_col: str,
     id_col: str,
     k: int = 1,
+    strip_common_affixes: bool = True,
 ) -> DataFrame:
-    """Exact pairs ``(id_a < id_b, dist)`` with ``levenshtein <= k``."""
+    """Exact pairs ``(id_a < id_b, dist)`` with ``levenshtein <= k``.
+
+    ``strip_common_affixes`` (default on) removes the corpus-wide
+    common prefix and suffix before blocking — EXACT by the standard
+    lemma ``ed(P·u·S, P·v·S) = ed(u, v)`` (a shared prefix/suffix can
+    always be aligned to itself in an optimal script).  This is the
+    template-ID mitigation from the module docstring: on
+    ``Customer#000000001``-style corpora the constant template spans a
+    whole segment, which otherwise degenerates the blocking to
+    near-all-pairs; stripping it re-sparsifies the segment keys.  Costs
+    one tiny min/max aggregate (a driver action at operator
+    construction — the global_cumsum pattern; pass
+    ``strip_common_affixes=False`` to keep the plan action-free)."""
     if k < 1:
         raise ValueError("k must be >= 1 (k=0 is exact dedup — hash-groupBy)")
-    base = df.select(
+    src = df.where(F.col(str_col).isNotNull())
+    s_expr = F.col(str_col)
+    if strip_common_affixes:
+        p, q = _common_affix_lengths(src, str_col, k)
+        if p or q:
+            s_expr = F.expr(
+                f"substring({str_col}, {p + 1}, "
+                f"greatest(0, length({str_col}) - {p + q}))"
+            )
+    base = src.select(
         F.col(id_col).alias("id"),
-        F.col(str_col).alias("s"),
-        F.length(str_col).alias("n"),
-    ).where(F.col(str_col).isNotNull())
+        s_expr.alias("s"),
+        F.length(s_expr).alias("n"),
+    )
 
     # index side: own segments under scheme(n)
     idx_entries = []

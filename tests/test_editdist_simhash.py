@@ -109,3 +109,34 @@ def test_simhash_neardup_max_bucket_drops_hot_bucket(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = D.simhash_neardup_pairs(df, max_hamming=2, n_bands=3, max_bucket=10)
     assert out.count() == 0
+
+
+def test_edit_distance_affix_stripping_equals_unstripped(spark):
+    # template corpus: constant prefix AND suffix around a variable core;
+    # stripped and unstripped spellings must produce identical pairs
+    rows = [(i, f"ITEM-{i:04d}-END") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    stripped = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(df, "s", "id", k=1).collect()
+    }
+    plain = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(
+            df, "s", "id", k=1, strip_common_affixes=False
+        ).collect()
+    }
+    assert stripped == plain
+    assert stripped  # 0001/0002-style substitution neighbours exist
+
+
+def test_edit_distance_affix_floor_keeps_remainder_blockable(spark):
+    # near-total overlap: strings are prefix+suffix plus <= 1 middle char;
+    # the k+1 remainder floor must keep blocking valid (no empty segments)
+    rows = [(0, "abcXdef"), (1, "abcYdef"), (2, "abcdef"), (3, "abcdef")]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(df, "s", "id", k=1).collect()
+    }
+    assert got == _brute_ed(rows, 1)
