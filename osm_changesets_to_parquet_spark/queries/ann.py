@@ -280,3 +280,129 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cid").cast("long").alias("cid"), "n_points", "c_norm2")
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q121: NDCG@10 retrieval evaluation (ranking quality vs labels)
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+# ideal DCG for r relevant items in the top-k, r = 0..k — computed ONCE
+# in Python and embedded as identical literals in BOTH engines, so the
+# only floating math at runtime is the per-rank sum (rounded to 4)
+_IDCG = [0.0]
+for _i in range(1, _NDCG_K + 1):
+    _IDCG.append(_IDCG[-1] + 1.0 / __import__("math").log2(_i + 1))
+
+_Q121_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+a AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+z AS (
+  SELECT a.vec_id AS qid, a.label AS qlab, e.vec_id AS cid, e.label AS clab,
+         CAST(unnest(a.v) AS DOUBLE) AS x, CAST(unnest(e.v) AS DOUBLE) AS y
+  FROM a JOIN e ON e.vec_id != a.vec_id
+),
+d AS (
+  SELECT qid, qlab, cid, clab,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 4) AS sim
+  FROM z GROUP BY qid, qlab, cid, clab
+),
+r AS (
+  SELECT qid, qlab, cid, clab, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+  FROM d
+),
+nrel AS (
+  SELECT qid, CAST(COUNT(*) FILTER (WHERE clab = qlab) AS BIGINT) AS n_rel
+  FROM d GROUP BY qid
+),
+dcg AS (
+  SELECT qid,
+         SUM(CASE WHEN clab = qlab THEN 1.0 / log2(rnk + 1) ELSE 0 END) AS dcg
+  FROM r WHERE rnk <= {_NDCG_K} GROUP BY qid
+)
+SELECT d2.qid AS vec_id, nrel.n_rel,
+       ROUND(d2.dcg / ([{", ".join(repr(v) for v in _IDCG)}])
+             [LEAST({_NDCG_K}, nrel.n_rel) + 1], 4) AS ndcg
+FROM dcg d2 JOIN nrel ON nrel.qid = d2.qid
+ORDER BY vec_id
+"""
+
+
+@register(
+    "q121_ndcg_eval",
+    _Q121_SQL,
+    doc=(
+        "retrieval-quality evaluation: NDCG@10 of the exact cosine "
+        "ranking per anchor, graded against embedding labels (relevant "
+        "= same label) — broadcast anchors, one candidate shuffle per "
+        "(anchor, rank) window; ideal-DCG values are Python-computed "
+        "literals shared verbatim by both engines so only the "
+        "per-rank sum is runtime float math (rounded to 4)"
+    ),
+    tables=("embeddings",),
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlab"),
+        F.col("v").alias("qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    d = (
+        e.crossJoin(F.broadcast(a))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlab",
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clab"),
+            F.round(dot / (nrm(F.col("qv")) * nrm(F.col("v"))), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    r = d.withColumn("rnk", F.row_number().over(w))
+    rel = (F.col("clab") == F.col("qlab")).cast("int")
+    per_q = (
+        r.groupBy("qid")
+        .agg(
+            F.sum(rel).cast("long").alias("n_rel"),
+            F.sum(
+                F.when(
+                    (F.col("rnk") <= _NDCG_K) & (F.col("clab") == F.col("qlab")),
+                    F.lit(1.0) / F.log2(F.col("rnk") + 1),
+                ).otherwise(F.lit(0.0))
+            ).alias("dcg"),
+        )
+    )
+    idcg = F.element_at(
+        F.array(*[F.lit(v) for v in _IDCG]),
+        F.least(F.lit(_NDCG_K), F.col("n_rel")).cast("int") + 1,
+    )
+    return per_q.select(
+        F.col("qid").alias("vec_id"),
+        "n_rel",
+        F.round(F.col("dcg") / idcg, 4).alias("ndcg"),
+    ).orderBy("vec_id")

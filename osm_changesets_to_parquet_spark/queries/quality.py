@@ -902,3 +902,91 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bounds"
         ),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Q120: population stability index (distribution drift monitor)
+# ---------------------------------------------------------------------------
+
+_Q120_SQL = """
+WITH o AS (
+  SELECT o_orderkey % 100 AS b,
+         LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bin
+  FROM orders
+),
+base AS (SELECT bin, COUNT(*) AS c FROM o WHERE b < 50 GROUP BY bin),
+cur  AS (SELECT bin, COUNT(*) AS c FROM o WHERE b >= 50 GROUP BY bin),
+tot AS (
+  SELECT (SELECT SUM(c) FROM base) AS nb, (SELECT SUM(c) FROM cur) AS nc
+),
+bins AS (SELECT unnest(range(0, 10)) AS bin),
+counts AS (
+  SELECT bins.bin, COALESCE(base.c, 0) AS cb, COALESCE(cur.c, 0) AS cc
+  FROM bins
+  LEFT JOIN base ON base.bin = bins.bin
+  LEFT JOIN cur ON cur.bin = bins.bin
+),
+j AS (
+  SELECT counts.bin,
+         (counts.cb + 1.0) / (tot.nb + 10.0) AS p,
+         (counts.cc + 1.0) / (tot.nc + 10.0) AS q
+  FROM counts, tot
+)
+SELECT bin, ROUND(p, 6) AS p, ROUND(q, 6) AS q,
+       ROUND((p - q) * LN(p / q), 6) AS psi_term
+FROM j ORDER BY bin
+"""
+
+
+@register(
+    "q120_psi_drift",
+    _Q120_SQL,
+    doc=(
+        "population stability index between two cohorts of the same "
+        "feature (the standard training-data drift monitor): fixed "
+        "10-bin histogram per cohort — two map-side-partial aggregates "
+        "over one scan — Laplace-smoothed proportions, per-bin "
+        "(p-q)*ln(p/q) contributions; total PSI = SUM(psi_term) "
+        "downstream; >0.2 is the conventional alert threshold"
+    ),
+    tables=("orders",),
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 100).alias("b"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000).cast("long"), F.lit(9)
+        ).alias("bin"),
+    )
+    base = o.where(F.col("b") < 50).groupBy("bin").agg(F.count(F.lit(1)).alias("cb"))
+    cur = o.where(F.col("b") >= 50).groupBy("bin").agg(F.count(F.lit(1)).alias("cc"))
+    # totals ride a broadcast 1-row frame — no driver action, the whole
+    # monitor stays one lazy plan over two map-side-partial aggregates
+    tot = base.agg(F.sum("cb").alias("nb")).crossJoin(
+        cur.agg(F.sum("cc").alias("nc"))
+    )
+    bins = spark.range(0, 10).select(F.col("id").alias("bin"))
+    j = (
+        bins.join(base, "bin", "left")
+        .join(cur, "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            (
+                (F.coalesce(F.col("cb"), F.lit(0)) + 1.0)
+                / (F.col("nb") + F.lit(10.0))
+            ).alias("p"),
+            (
+                (F.coalesce(F.col("cc"), F.lit(0)) + 1.0)
+                / (F.col("nc") + F.lit(10.0))
+            ).alias("q"),
+        )
+    )
+    return j.select(
+        "bin",
+        F.round("p", 6).alias("p"),
+        F.round("q", 6).alias("q"),
+        F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6).alias(
+            "psi_term"
+        ),
+    ).orderBy("bin")
