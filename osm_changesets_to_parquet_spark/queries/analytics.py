@@ -236,3 +236,56 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id", F.round(ewma, 4).alias("ewma")
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Q122: unkeyed interval overlap join (operators/intervals.py)
+# ---------------------------------------------------------------------------
+
+_Q122_SQL = """
+WITH iv AS (
+  SELECT o_orderkey AS id,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS s,
+         CAST(epoch_us(o_orderdate) // 86400000000
+              + 1 + o_orderkey % 14 AS BIGINT) AS e
+  FROM orders WHERE o_orderkey % 5 = 0
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap
+FROM iv a JOIN iv b ON a.id < b.id
+WHERE LEAST(a.e, b.e) - GREATEST(a.s, b.s) > 0
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "q122_interval_overlap",
+    _Q122_SQL,
+    doc=(
+        "UNKEYED interval overlap self-join (every pair of order "
+        "validity windows that intersect) via grid-bucket blocking "
+        "(operators/intervals.py): intervals explode to covered "
+        "16-day buckets, candidates come from an ordinary hash join "
+        "on the bucket id, exact overlap verified in-row — the scale "
+        "spelling of a theta join the oracle runs literally"
+    ),
+    tables=("orders",),
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.intervals import (
+        interval_overlap_pairs,
+    )
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 5 == 0)
+    day = F.expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    ).cast("long")
+    iv = o.select(
+        F.col("o_orderkey").alias("id"),
+        day.alias("s"),
+        (day + 1 + F.col("o_orderkey") % 14).cast("long").alias("e"),
+    )
+    return (
+        interval_overlap_pairs(iv, "id", "s", "e", bucket_width=16)
+        .orderBy("id_a", "id_b")
+    )

@@ -135,3 +135,47 @@ def test_forest_closure_tolerates_self_edges(spark):
     edges = spark.createDataFrame([(1, 1), (2, 1)], ["child", "parent"])
     out = {r.node: (r.root, r.depth) for r in forest_closure(nodes, edges, rounds=3).collect()}
     assert out == {1: (1, 0), 2: (1, 1)}
+
+
+def test_interval_overlap_equals_brute_force(spark):
+    import random
+
+    from osm_changesets_to_parquet_spark.operators.intervals import (
+        interval_overlap_pairs,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, s, s + rng.randint(1, 40))
+        for i, s in ((i, rng.randint(0, 300)) for i in range(120))
+    ]
+    df = spark.createDataFrame(rows, ["id", "s", "e"])
+    got = {
+        (r.id_a, r.id_b, r.overlap)
+        for r in interval_overlap_pairs(df, "id", "s", "e", bucket_width=13).collect()
+    }
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (ia, sa, ea), (ib, sb, eb) = rows[i], rows[j]
+            ov = min(ea, eb) - max(sa, sb)
+            if ov > 0:
+                a, b = sorted((ia, ib))
+                want.add((a, b, ov))
+    assert got == want and got
+
+
+def test_interval_overlap_guards(spark):
+    import pytest as _pytest
+
+    from osm_changesets_to_parquet_spark.operators.intervals import (
+        interval_overlap_pairs,
+    )
+
+    df = spark.createDataFrame([(1, 0, 5)], ["id", "s", "e"])
+    with _pytest.raises(ValueError):
+        interval_overlap_pairs(df, "id", "s", "e", bucket_width=0)
+    # empty/degenerate intervals (e <= s) are dropped, touching
+    # intervals ([0,5) vs [5,9)) do not overlap
+    df2 = spark.createDataFrame([(1, 0, 5), (2, 5, 9), (3, 7, 7)], ["id", "s", "e"])
+    assert interval_overlap_pairs(df2, "id", "s", "e", bucket_width=4).count() == 0
