@@ -524,3 +524,93 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q123: PMI collocations (pointwise mutual information over bigrams)
+# ---------------------------------------------------------------------------
+
+_Q123_MIN_CNT = 5
+
+_Q123_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+uni AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+ntok AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+b AS (
+  SELECT tok AS w1, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM t
+),
+bg AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM b WHERE w2 IS NOT NULL GROUP BY w1, w2
+),
+nbg AS (SELECT CAST(SUM(c2) AS DOUBLE) AS nb FROM bg),
+pmi AS (
+  SELECT bg.w1, bg.w2, bg.c2,
+         ROUND(LN((bg.c2 / nbg.nb) /
+               ((u1.c / ntok.n) * (u2.c / ntok.n))), 6) AS pmi
+  FROM bg, nbg, ntok
+  JOIN uni u1 ON u1.tok = bg.w1
+  JOIN uni u2 ON u2.tok = bg.w2
+  WHERE bg.c2 >= {_Q123_MIN_CNT}
+)
+SELECT w1, w2, c2, pmi FROM pmi
+ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""
+
+
+@register(
+    "q123_pmi_collocations",
+    _Q123_SQL,
+    doc=(
+        "top-20 collocations by pointwise mutual information over "
+        "adjacent bigrams (min count 5): bigrams built IN-ROW (no "
+        "per-token window shuffle), unigram marginals broadcast back, "
+        "TakeOrderedAndProject top-k — the collocation-mining step of "
+        "a tokenizer/phrase pipeline"
+    ),
+    tables=("documents",),
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ntok = uni.agg(F.sum("c").cast("double").alias("n"))
+    bg = (
+        T.bigrams(docs, keep=[])
+        .select(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .where(F.col("c2") >= _Q123_MIN_CNT)
+    )
+    nbg_src = T.bigrams(docs, keep=[]).agg(F.count(F.lit(1)).cast("double").alias("nb"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_w1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_w2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c2") / F.col("nb"))
+            / ((F.col("c_w1") / F.col("n")) * (F.col("c_w2") / F.col("n")))
+        ),
+        6,
+    )
+    return (
+        bg.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(ntok))
+        .crossJoin(F.broadcast(nbg_src))
+        .select("w1", "w2", "c2", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
