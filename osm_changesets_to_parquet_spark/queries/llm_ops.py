@@ -614,3 +614,81 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q124: document chunking for retrieval (fixed windows with stride)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 32  # tokens per chunk
+_STRIDE = 24  # 8-token overlap between neighbours
+
+_Q124_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id,
+         unnest(range(0, GREATEST(1, CAST(CEIL((len(toks) - {_CHUNK}) /
+                 CAST({_STRIDE} AS DOUBLE)) AS BIGINT) + 1))) AS chunk_id,
+         toks
+  FROM t
+),
+s AS (
+  SELECT doc_id, chunk_id,
+         toks[(chunk_id * {_STRIDE} + 1):(chunk_id * {_STRIDE} + {_CHUNK})] AS ctoks
+  FROM c
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(ctoks) AS BIGINT) AS n_tokens,
+       md5(array_to_string(ctoks, ' ')) AS chunk_md5
+FROM s WHERE len(ctoks) > 0
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register(
+    "q124_doc_chunking",
+    _Q124_SQL,
+    doc=(
+        "RAG-style document chunking: fixed 32-token windows with "
+        "stride 24 (8-token overlap), built ENTIRELY in-row (sequence "
+        "of chunk starts -> slice of the token array -> md5) — a pure "
+        "map stage, no shuffle, no UDF; chunk count per doc is "
+        "ceil((len-C)/S)+1 so every token lands in >=1 chunk"
+    ),
+    tables=("documents",),
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("toks") - F.lit(_CHUNK)) / F.lit(float(_STRIDE))).cast("long")
+        + F.lit(1),
+    )
+    chunks = docs.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.slice(
+            F.col("toks"), (F.col("chunk_id") * _STRIDE + 1).cast("int"), _CHUNK
+        ).alias("ctoks"),
+    )
+    return (
+        chunks.where(F.size("ctoks") > 0)
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("ctoks").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("ctoks", " ")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
