@@ -452,3 +452,81 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= F.lit(max_hamming))
         .distinct()
     )
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= threshold via PPJoin-style PREFIX
+    FILTERING (Chaudhuri et al. SSJoin / Bayardo et al. WWW'07 — public
+    algorithms): same result as :func:`jaccard_pairs`, smaller index.
+
+    Under a GLOBAL canonical shingle order (ascending document
+    frequency, ties by hash — rarest first), a set only needs its first
+    ``|s| - ceil(t*|s|) + 1`` shingles indexed: if ``J(a,b) >= t`` then
+    ``|a∩b| >= ceil(t*|a|)`` (and symmetrically), so the smallest
+    common element must sit inside BOTH prefixes — candidates are the
+    prefix-index self-join, a strict subset of the full inverted-index
+    join.  At t=0.6 the index (and its shuffle) shrinks ~60%, and
+    because prefixes hold the RAREST shingles, hot-shingle buckets —
+    the quadratic term of the full join — are mostly excluded.
+
+    Verification is restricted to candidates: fan candidates out over
+    side-a's shingles, equi-join side-b's, count intersections — cost
+    O(candidates x avg set size), never all co-occurring pairs.
+
+    Rounding guard: the q35a contract compares ROUND(j, 4) >= t, which
+    admits true Jaccard as low as t - 0.00005; candidates are therefore
+    generated at ``t - 0.001`` so the prefix lemma covers every pair
+    the rounded filter can pass.
+    """
+    ex = truncate_lineage(
+        shingles(docs, text_col, n).select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct("shingle_hashes")).alias("h"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    t_gen = max(0.0, threshold - 0.001)
+    freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("id").orderBy("f", "h")
+    pos = ex.join(freq, "h").select("id", "h", F.row_number().over(w).alias("r"))
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    pref = (
+        pos.join(sizes, "id")
+        .where(
+            F.col("r")
+            <= F.col("sz") - F.ceil(F.lit(t_gen) * F.col("sz")) + F.lit(1)
+        )
+        .select("id", "h")
+    )
+    cand = (
+        pref.select(F.col("id").alias("id_a"), "h")
+        .join(pref.select(F.col("id").alias("id_b"), "h"), "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(ex.select(F.col("id").alias("id_a"), "h"), "id_a")
+        .join(ex.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jac",
+            F.round(F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")), 4),
+        )
+        .where(F.col("jac") >= F.lit(threshold))
+        .select("id_a", "id_b", "jac")
+    )

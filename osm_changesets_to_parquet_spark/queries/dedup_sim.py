@@ -627,3 +627,22 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q125_jaccard_prefix_filter",
+    _Q35_TRUTH_SQL,
+    doc=(
+        "exact Jaccard pairs >= 0.6 via PPJoin prefix filtering — the "
+        "index-reduction refinement of q35a: only each set's rarest "
+        "|s|-ceil(t|s|)+1 shingles (global frequency order) are "
+        "indexed, candidates are the prefix self-join (a strict subset "
+        "of the full co-occurrence join, excluding most hot-shingle "
+        "buckets), verification restricted to candidates; "
+        "hash-matched against q35a's exact truth oracle"
+    ),
+    tables=("documents",),
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_prefix_pairs(docs, threshold=0.6).orderBy("id_a", "id_b")

@@ -78,3 +78,18 @@ def test_pairwise_neardup_runs(spark, sf_dir):
     for r in rows:
         assert r.id_a < r.id_b
         assert r.sim >= 0.3
+
+
+def test_prefix_filter_equals_full_jaccard_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {
+        (r.id_a, r.id_b, r.jac)
+        for r in D.jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, r.jac)
+        for r in D.jaccard_prefix_pairs(docs, threshold=0.6).collect()
+    }
+    assert pref == full and pref
