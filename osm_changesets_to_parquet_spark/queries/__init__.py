@@ -57,8 +57,8 @@ def register(
 # has held exactly 50 entries per round (CORRECTNESS_r01-r03.json) — so
 # ordering is part of the verification contract.  Round-4 priority
 # (VERDICT r03 item 1: rotate the longest-stale set into the window):
-# (1) queries NEW this round — the 27 round-4 registrations
-#     (q102-q125, s9, s10, cs8) plus the a51/a52 rows-only -> tolerance-
+# (1) queries NEW this round — the 28 round-4 registrations
+#     (q102-q126, s9, s10, cs8) plus the a51/a52 rows-only -> tolerance-
 #     oracle conversion — must be witnessed on first contact;
 # (2) the longest-stale names: r1/r2-era driver rows describing
 #     pre-round-3 code (streaming s4b/s5 + s1-s3 re-verified after the
@@ -89,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "q123_pmi_collocations",
     "q124_doc_chunking",
     "q125_jaccard_prefix_filter",
+    "q126_group_cap_sample",
     "q105_asof_forward",
     "q106_neardup_clusters_star",
     "q107_triangle_count",
@@ -123,8 +124,8 @@ _PRIORITY: tuple[str, ...] = (
     "q05_count_distinct",
     "q06_rollup",
     "q07_cube",
-    "q08_approx_count_distinct",
     # ---- window boundary (50) — names below queue for round 5 ----
+    "q08_approx_count_distinct",
     "q09_percentile",
     "q10_join4_revenue",
     "q11_left_join",

@@ -405,3 +405,50 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q126: per-group exact-cap sampling (at most N per group, deterministic)
+# ---------------------------------------------------------------------------
+
+_Q126_CAP = 20
+
+_Q126_SQL = f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {_Q126_CAP}
+ORDER BY lang, doc_id
+"""
+
+
+@register(
+    "q126_group_cap_sample",
+    _Q126_SQL,
+    doc=(
+        "deterministic exact-cap sampling: at most 20 documents per "
+        "language, chosen by portable md5(doc_id) order (stable under "
+        "appends of later ids only if their hashes rank lower — i.e. a "
+        "uniform random-but-reproducible pick, the per-source cap "
+        "spelling of q90's proportional rebalance); one shuffle on the "
+        "group key, rank inside the group"
+    ),
+    tables=("documents",),
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _Q126_CAP)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
