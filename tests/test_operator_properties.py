@@ -303,3 +303,89 @@ def test_word_ngrams_match_python_reference(spark, words):
         " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
     ) if len(toks) >= 3 else []
     assert got == expect
+
+
+# --- round-4 operators -------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60), st.integers(1, 15)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 20),
+)
+@settings(max_examples=5, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+def test_interval_overlap_matches_brute(spark, ivs, width):
+    from osm_changesets_to_parquet_spark.operators.intervals import (
+        interval_overlap_pairs,
+    )
+
+    rows = [(i, s, s + ln) for i, (s, _, ln) in enumerate(ivs)]
+    df = spark.createDataFrame(rows, ["id", "s", "e"])
+    got = {
+        (r.id_a, r.id_b, r.overlap)
+        for r in interval_overlap_pairs(df, "id", "s", "e", bucket_width=width).collect()
+    }
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (ia, sa, ea), (ib, sb, eb) = rows[i], rows[j]
+            ov = min(ea, eb) - max(sa, sb)
+            if ov > 0:
+                want.add((min(ia, ib), max(ia, ib), ov))
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(0, 40), min_size=1, max_size=40, unique=True),
+)
+@settings(max_examples=5, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+def test_forest_closure_matches_python_walk(spark, nodes):
+    from osm_changesets_to_parquet_spark.operators.closure import forest_closure
+
+    # deterministic forest: parent(x) = x // 3 if that node exists and
+    # differs, else root
+    nodeset = set(nodes)
+    parent = {x: x // 3 for x in nodes if x // 3 in nodeset and x // 3 != x}
+    ndf = spark.createDataFrame([(x,) for x in nodes], ["node"])
+    edf_rows = [(c, p) for c, p in parent.items()]
+    if edf_rows:
+        edf = spark.createDataFrame(edf_rows, ["child", "parent"])
+    else:
+        edf = ndf.selectExpr("node AS child", "node AS parent").limit(0)
+    got = {r.node: (r.root, r.depth) for r in forest_closure(ndf, edf, rounds=8).collect()}
+
+    def walk(x):
+        d = 0
+        while x in parent:
+            x = parent[x]
+            d += 1
+        return x, d
+
+    assert got == {x: walk(x) for x in nodes}
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 20), st.integers(0, 5)), min_size=1, max_size=30),
+    st.lists(st.tuples(st.integers(0, 20), st.integers(0, 5)), min_size=1, max_size=30),
+)
+@settings(max_examples=5, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+def test_snapshot_diff_partitions_exactly(spark, old_rows, new_rows):
+    from osm_changesets_to_parquet_spark.operators.merge import snapshot_diff
+
+    old = {k: v for k, v in old_rows}  # last wins => unique keys
+    new = {k: v for k, v in new_rows}
+    odf = spark.createDataFrame(list(old.items()), ["k", "v"])
+    ndf = spark.createDataFrame(list(new.items()), ["k", "v"])
+    got = {r.k: r.change_type for r in snapshot_diff(odf, ndf, "k", ["v"]).collect()}
+    for k in set(old) | set(new):
+        if k not in old:
+            assert got[k] == "added"
+        elif k not in new:
+            assert got[k] == "removed"
+        elif old[k] != new[k]:
+            assert got[k] == "changed"
+        else:
+            assert got[k] == "unchanged"
