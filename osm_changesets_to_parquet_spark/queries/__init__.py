@@ -57,8 +57,8 @@ def register(
 # has held exactly 50 entries per round (CORRECTNESS_r01-r03.json) — so
 # ordering is part of the verification contract.  Round-4 priority
 # (VERDICT r03 item 1: rotate the longest-stale set into the window):
-# (1) queries NEW this round — the 28 round-4 registrations
-#     (q102-q126, s9, s10, cs8) plus the a51/a52 rows-only -> tolerance-
+# (1) queries NEW this round — the 28 in-window round-4 registrations
+#     (q102-q126, s9, s10, cs8; q127 rides outside the window) plus the a51/a52 rows-only -> tolerance-
 #     oracle conversion — must be witnessed on first contact;
 # (2) the longest-stale names: r1/r2-era driver rows describing
 #     pre-round-3 code (streaming s4b/s5 + s1-s3 re-verified after the
@@ -181,6 +181,9 @@ _PRIORITY: tuple[str, ...] = (
     "q65_window_frame_funcs",
     "q66_values_lookup_join",
     "q67_distinct_multicol",
+    # registered late in round 4, deliberately OUTSIDE the 50-row
+    # window (so it displaces no stale witness); front-load in round 5
+    "q127_leakage_safe_split",
 )
 # no rows-only queries remain (a51/a52 carry tolerance oracles now)
 _LAST: tuple[str, ...] = ()

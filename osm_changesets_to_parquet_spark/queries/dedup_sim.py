@@ -646,3 +646,93 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.jaccard_prefix_pairs(docs, threshold=0.6).orderBy("id_a", "id_b")
+
+
+# --- Leakage-safe train/test split ------------------------------------------
+
+from osm_changesets_to_parquet_spark.operators.quality import (  # noqa: E402
+    hash_bucket as _hb,
+    sql_hash_bucket as _sql_hb,
+)
+
+_Q127_SQL = f"""
+WITH RECURSIVE {_TRUTH_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM tpairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM tpairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+assigned AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         CASE WHEN {_sql_hb("COALESCE(c.cluster_id, d.doc_id)", 100)} < 80
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+leak AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaked FROM (
+    SELECT cluster_id FROM assigned GROUP BY cluster_id
+    HAVING COUNT(DISTINCT split) > 1
+  )
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT cluster_id) AS n_clusters,
+       ANY_VALUE((SELECT n_leaked FROM leak)) AS n_leaked_clusters
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
+@register(
+    "q127_leakage_safe_split",
+    _Q127_SQL,
+    doc=(
+        "near-dup-aware train/test split: the 80/20 assignment hashes "
+        "the CLUSTER id (q68's exact-Jaccard components), never the "
+        "doc id, so a near-duplicate group can never straddle the "
+        "split — the leakage mode a plain per-doc split silently has; "
+        "n_leaked_clusters is derived from the data (not assumed) and "
+        "must hash-match the oracle's 0"
+    ),
+    tables=("documents",),
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.clusters import (
+        canonical_docs_collapsed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = canonical_docs_collapsed(docs, threshold=0.6).select(
+        "doc_id",
+        "cluster_id",
+        F.when(_hb("cluster_id", 100) < 80, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    leak = (
+        assigned.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.col("n_leaked").alias("n_leaked_clusters"),
+        )
+        .orderBy("split")
+    )
