@@ -184,6 +184,8 @@ _PRIORITY: tuple[str, ...] = (
     # registered late in round 4, deliberately OUTSIDE the 50-row
     # window (so it displaces no stale witness); front-load in round 5
     "q127_leakage_safe_split",
+    "q128_mad_outlier_scrub",
+    "q129_unigram_logprob",
 )
 # no rows-only queries remain (a51/a52 carry tolerance oracles now)
 _LAST: tuple[str, ...] = ()

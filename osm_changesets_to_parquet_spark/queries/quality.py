@@ -990,3 +990,132 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_term"
         ),
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# Q128: robust outlier scrub (median / MAD per group)
+# ---------------------------------------------------------------------------
+
+# Mean/stddev outlier rules break when the outliers themselves inflate
+# the stddev; median + MAD (median absolute deviation) is the standard
+# robust alternative.  Determinism: med and mad are ROUNDED to 6 before
+# the threshold comparison on BOTH engines, so the outlier count can
+# never flip on a last-ulp interpolation difference.
+_Q128_SQL = """
+WITH med AS (
+  SELECT event_type, ROUND(MEDIAN(value), 6) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, ROUND(MEDIAN(ABS(e.value - m.med)), 6) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_type,
+       ANY_VALUE(m.med) AS med,
+       ANY_VALUE(d.mad) AS mad,
+       COUNT(*) AS n,
+       CAST(COUNT(*) FILTER (WHERE ABS(e.value - m.med) > 3 * d.mad)
+            AS BIGINT) AS n_outliers
+FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+@register(
+    "q128_mad_outlier_scrub",
+    _Q128_SQL,
+    doc=(
+        "robust per-group outlier detection: median + median-absolute-"
+        "deviation (the estimator outliers cannot inflate, unlike "
+        "stddev), flag |v - med| > 3*MAD; two grouped exact-percentile "
+        "passes, group stats broadcast back to the scan — med/mad "
+        "rounded before thresholding so the count is engine-stable"
+    ),
+    tables=("events",),
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad")
+    )
+    j = with_med.join(F.broadcast(mad), "event_type")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q129: unigram log-prob quality score (perplexity-proxy filtering)
+# ---------------------------------------------------------------------------
+
+# CCNet-style: score each document by its mean negative log-probability
+# under the corpus's own unigram LM; high scores = improbable token
+# streams (gibberish / wrong-language / boilerplate-noise candidates).
+_Q129_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq),
+scored AS (
+  SELECT tok.doc_id, tok.lang,
+         ROUND(AVG(-LN(freq.c / n.n)), 6) AS nll
+  FROM tok, n JOIN freq ON freq.w = tok.w
+  GROUP BY tok.doc_id, tok.lang
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(nll), 4) AS avg_nll,
+       ROUND(MIN(nll), 6) AS min_nll,
+       ROUND(MAX(nll), 6) AS max_nll
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "q129_unigram_logprob",
+    _Q129_SQL,
+    doc=(
+        "perplexity-proxy quality scoring: mean negative log-prob per "
+        "document under the corpus's own unigram LM (the CCNet-style "
+        "filter signal) — token explode, frequency table joined back "
+        "(vocabulary-sized, broadcastable), per-doc average; high NLL "
+        "flags improbable token streams for review/drop"
+    ),
+    tables=("documents",),
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = freq.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        tok.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias("nll"))
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+            F.round(F.min("nll"), 6).alias("min_nll"),
+            F.round(F.max("nll"), 6).alias("max_nll"),
+        )
+        .orderBy("lang")
+    )
