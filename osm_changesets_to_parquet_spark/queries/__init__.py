@@ -186,6 +186,8 @@ _PRIORITY: tuple[str, ...] = (
     "q127_leakage_safe_split",
     "q128_mad_outlier_scrub",
     "q129_unigram_logprob",
+    "q130_text_normalize",
+    "q131_cross_source_dups",
 )
 # no rows-only queries remain (a51/a52 carry tolerance oracles now)
 _LAST: tuple[str, ...] = ()

@@ -736,3 +736,59 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --- Cross-source duplication matrix ----------------------------------------
+
+_Q131_SQL = """
+WITH h AS (
+  SELECT md5(text) AS hh, source FROM documents WHERE text IS NOT NULL
+),
+hs AS (SELECT hh, list_sort(list_distinct(list(source))) AS srcs FROM h GROUP BY hh),
+pairs AS (
+  SELECT hh, unnest(srcs) AS src_a, srcs FROM hs WHERE len(srcs) >= 2
+),
+expanded AS (
+  SELECT hh, src_a, unnest(srcs) AS src_b FROM pairs
+)
+SELECT src_a, src_b, COUNT(*) AS n_shared_texts
+FROM expanded WHERE src_a < src_b
+GROUP BY src_a, src_b ORDER BY src_a, src_b
+"""
+
+
+@register(
+    "q131_cross_source_dups",
+    _Q131_SQL,
+    doc=(
+        "provenance analysis: for every pair of sources, how many "
+        "DISTINCT texts appear verbatim in both — the contamination "
+        "matrix that tells you which feeds mirror each other; group by "
+        "md5(text) (16-byte keys), in-row source-set pair expansion, "
+        "one aggregate"
+    ),
+    tables=("documents",),
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.md5("text").alias("hh"), "source")
+    )
+    hs = (
+        docs.groupBy("hh")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("source"))).alias("srcs"))
+        .where(F.size("srcs") >= 2)
+    )
+    members = hs.select("srcs", F.posexplode("srcs").alias("i", "src_a"))
+    pairs = members.select(
+        "src_a",
+        F.explode(
+            F.slice(F.col("srcs"), F.col("i") + F.lit(2), F.size("srcs"))
+        ).alias("src_b"),
+    )
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+        .orderBy("src_a", "src_b")
+    )

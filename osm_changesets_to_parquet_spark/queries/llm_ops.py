@@ -692,3 +692,65 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q130: text normalization pass (lowercase, whitespace collapse, trim)
+# ---------------------------------------------------------------------------
+
+_Q130_SQL = """
+WITH n AS (
+  SELECT doc_id, lang, text,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE norm != text) AS BIGINT) AS n_changed,
+       CAST(SUM(len(text) - len(norm)) AS BIGINT) AS chars_removed,
+       md5(string_agg(md5(norm), '' ORDER BY doc_id)) AS corpus_md5
+FROM n GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "q130_text_normalize",
+    _Q130_SQL,
+    doc=(
+        "canonical text normalization (operators/dedup.py normalize — "
+        "the exact prelude every dedup/fingerprint stage shares): "
+        "lowercase, collapse whitespace runs, trim; one codegen map "
+        "stage; per-lang change counts plus an order-pinned corpus "
+        "digest (md5 of per-doc md5s) so the normalized BYTES are part "
+        "of the hash, not just the counts"
+    ),
+    tables=("documents",),
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.dedup import normalize
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "lang", "text", normalize(F.col("text")).alias("norm"))
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("norm") != F.col("text"), 1)).alias("n_changed"),
+            F.sum(F.length("text") - F.length("norm")).alias("chars_removed"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", F.md5("norm").alias("h")))
+                        ),
+                        lambda s: s.h,
+                    ),
+                    "",
+                )
+            ).alias("corpus_md5"),
+        )
+        .orderBy("lang")
+    )
