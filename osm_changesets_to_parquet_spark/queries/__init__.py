@@ -188,6 +188,7 @@ _PRIORITY: tuple[str, ...] = (
     "q129_unigram_logprob",
     "q130_text_normalize",
     "q131_cross_source_dups",
+    "q132_contrastive_mining",
 )
 # no rows-only queries remain (a51/a52 carry tolerance oracles now)
 _LAST: tuple[str, ...] = ()

@@ -406,3 +406,120 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rel",
         F.round(F.col("dcg") / idcg, 4).alias("ndcg"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Q132: contrastive pair mining (positive + hard negative per anchor)
+# ---------------------------------------------------------------------------
+
+_Q132_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+a AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+z AS (
+  SELECT a.vec_id AS qid, a.label AS qlab, e.vec_id AS cid, e.label AS clab,
+         CAST(unnest(a.v) AS DOUBLE) AS x, CAST(unnest(e.v) AS DOUBLE) AS y
+  FROM a JOIN e ON e.vec_id != a.vec_id
+),
+d AS (
+  SELECT qid, qlab, cid, clab,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 4) AS sim
+  FROM z GROUP BY qid, qlab, cid, clab
+),
+pos AS (
+  SELECT qid, cid AS pos_id, sim AS pos_sim FROM (
+    SELECT qid, cid, sim,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+    FROM d WHERE clab = qlab
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT qid, cid AS neg_id, sim AS neg_sim FROM (
+    SELECT qid, cid, sim,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+    FROM d WHERE clab != qlab
+  ) WHERE rn = 1
+)
+SELECT pos.qid AS vec_id, pos_id, pos_sim, neg_id, neg_sim,
+       ROUND(pos_sim - neg_sim, 4) AS margin
+FROM pos JOIN neg ON neg.qid = pos.qid
+ORDER BY vec_id
+"""
+
+
+@register(
+    "q132_contrastive_mining",
+    _Q132_SQL,
+    doc=(
+        "contrastive training-pair mining: per anchor, the most-similar "
+        "SAME-label vector (positive) and the most-similar DIFFERENT-"
+        "label vector (hard negative — the example that actually moves "
+        "a contrastive loss), plus the margin between them; broadcast "
+        "anchors, one candidate pass, two windowed argmaxes"
+    ),
+    tables=("embeddings",),
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlab"),
+        F.col("v").alias("qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    d = (
+        e.crossJoin(F.broadcast(a))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlab",
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clab"),
+            F.round(dot / (nrm(F.col("qv")) * nrm(F.col("v"))), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    pos = (
+        d.where(F.col("clab") == F.col("qlab"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("qid", F.col("cid").alias("pos_id"), F.col("sim").alias("pos_sim"))
+    )
+    neg = (
+        d.where(F.col("clab") != F.col("qlab"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("qid", F.col("cid").alias("neg_id"), F.col("sim").alias("neg_sim"))
+    )
+    return (
+        pos.join(neg, "qid")
+        .select(
+            F.col("qid").alias("vec_id"),
+            "pos_id",
+            "pos_sim",
+            "neg_id",
+            "neg_sim",
+            F.round(F.col("pos_sim") - F.col("neg_sim"), 4).alias("margin"),
+        )
+        .orderBy("vec_id")
+    )
