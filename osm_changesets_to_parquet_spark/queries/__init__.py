@@ -189,6 +189,8 @@ _PRIORITY: tuple[str, ...] = (
     "q130_text_normalize",
     "q131_cross_source_dups",
     "q132_contrastive_mining",
+    "q133_join_skew_profile",
+    "q134_dedup_funnel",
 )
 # no rows-only queries remain (a51/a52 carry tolerance oracles now)
 _LAST: tuple[str, ...] = ()

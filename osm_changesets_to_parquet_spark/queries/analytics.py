@@ -289,3 +289,69 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_overlap_pairs(iv, "id", "s", "e", bucket_width=16)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q133: join-key skew profiler (the pre-join diagnostic for q99's salting)
+# ---------------------------------------------------------------------------
+
+_Q133_SQL = """
+WITH k AS (SELECT o_custkey AS key, COUNT(*) AS c FROM orders GROUP BY o_custkey),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         ROUND(AVG(c), 4) AS avg_c,
+         CAST(MAX(c) AS BIGINT) AS max_c,
+         ROUND(MAX(c) / AVG(c), 4) AS skew_ratio
+  FROM k
+)
+SELECT t.key, CAST(t.c AS BIGINT) AS cnt,
+       ROUND(t.c / (SELECT SUM(c) FROM k), 6) AS share,
+       s.n_keys, s.avg_c, s.max_c, s.skew_ratio
+FROM (
+  SELECT key, c, ROW_NUMBER() OVER (ORDER BY c DESC, key) AS rn FROM k
+) t, stats s
+WHERE t.rn <= 10
+ORDER BY cnt DESC, key
+"""
+
+
+@register(
+    "q133_join_skew_profile",
+    _Q133_SQL,
+    doc=(
+        "join-key skew profiler — the diagnostic you run BEFORE "
+        "choosing broadcast / salt (q99) / AQE-skew-join for a key: "
+        "per-key counts (one map-side-partial aggregate), the top-10 "
+        "heavy hitters with corpus share, and the max/avg skew ratio "
+        "broadcast onto every row"
+    ),
+    tables=("orders",),
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.avg("c"), 4).alias("avg_c"),
+        F.max("c").alias("max_c"),
+        F.round(F.max("c") / F.avg("c"), 4).alias("skew_ratio"),
+        F.sum("c").alias("__tot"),
+    )
+    # top-10 via orderBy().limit() = TakeOrderedAndProject — O(k) per
+    # partition, never a single-task global rank window over all keys
+    top = k.orderBy(F.col("c").desc(), F.col("key")).limit(10)
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            F.col("c").alias("cnt"),
+            F.round(F.col("c") / F.col("__tot"), 6).alias("share"),
+            "n_keys",
+            "avg_c",
+            "max_c",
+            "skew_ratio",
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+    )

@@ -792,3 +792,78 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_texts"))
         .orderBy("src_a", "src_b")
     )
+
+
+# --- Dedup funnel accounting -------------------------------------------------
+
+_Q134_SQL = f"""
+WITH RECURSIVE {_TRUTH_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM tpairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM tpairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+raw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_raw FROM documents),
+exact_ AS (
+  SELECT CAST(COUNT(DISTINCT md5(COALESCE(text, ''))) AS BIGINT) AS n_exact
+  FROM documents
+),
+fin AS (
+  SELECT CAST(COUNT(DISTINCT COALESCE(c.cluster_id, d.doc_id)) AS BIGINT)
+           AS n_clusters
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT raw.n_raw, exact_.n_exact, fin.n_clusters,
+       ROUND(1 - CAST(exact_.n_exact AS DOUBLE) / raw.n_raw, 6) AS exact_reduction,
+       ROUND(1 - CAST(fin.n_clusters AS DOUBLE) / raw.n_raw, 6) AS total_reduction
+FROM raw, exact_, fin
+"""
+
+
+@register(
+    "q134_dedup_funnel",
+    _Q134_SQL,
+    doc=(
+        "pipeline-level dedup accounting — the funnel every data team "
+        "reports: raw docs -> distinct exact texts -> near-dup "
+        "clusters (q68's exact-Jaccard components), with reduction "
+        "rates; composes exact_dedup + canonical_docs_collapsed into "
+        "one single-row report, hash-matched against the recursive-CTE "
+        "closure"
+    ),
+    tables=("documents",),
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.clusters import (
+        canonical_docs_collapsed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.agg(F.count(F.lit(1)).alias("n_raw"))
+    exact = docs.agg(
+        F.countDistinct(F.md5(F.coalesce(F.col("text"), F.lit("")))).alias("n_exact")
+    )
+    clusters = canonical_docs_collapsed(docs, threshold=0.6).agg(
+        F.countDistinct("cluster_id").alias("n_clusters")
+    )
+    return (
+        raw.crossJoin(exact)
+        .crossJoin(clusters)
+        .select(
+            "n_raw",
+            "n_exact",
+            "n_clusters",
+            F.round(1 - F.col("n_exact").cast("double") / F.col("n_raw"), 6).alias(
+                "exact_reduction"
+            ),
+            F.round(1 - F.col("n_clusters").cast("double") / F.col("n_raw"), 6).alias(
+                "total_reduction"
+            ),
+        )
+    )
