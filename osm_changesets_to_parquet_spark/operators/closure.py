@@ -69,11 +69,17 @@ def forest_closure(
             F.col("ptr").alias("__ptr2"),
             F.col("depth").alias("__d2"),
         )
+        # LEFT join: a pointer at a parent absent from ``nodes`` has no
+        # hop row — treat that missing parent as a root (ptr and depth
+        # unchanged) instead of silently dropping the node, so
+        # inconsistent node/edge inputs surface as (node, missing_id,
+        # depth) rows rather than vanished output.  For consistent
+        # forests every ptr resolves and this is the inner join.
         state = truncate_lineage(
-            state.join(hop, "ptr").select(
+            state.join(hop, "ptr", "left").select(
                 "node",
-                F.col("__ptr2").alias("ptr"),
-                (F.col("depth") + F.col("__d2")).alias("depth"),
+                F.coalesce("__ptr2", F.col("ptr")).alias("ptr"),
+                (F.col("depth") + F.coalesce("__d2", F.lit(0))).alias("depth"),
             )
         )
     return state.select("node", F.col("ptr").alias("root"), "depth")

@@ -24,6 +24,11 @@ So the plan is:
 
 Completeness is the pigeonhole lemma; soundness is the verification —
 the output equals brute force (the q112 oracle IS the brute force).
+Strings of length <= k have zero-width segments in some partition
+schemes, and the "untouched segment" can be exactly the empty one —
+those rows ride a dedicated empty-seg key (l, j, ""), still an
+equi-join (the bucket holds only the length <= k strings), so the
+operator is exact on 0/1/2-char corpora too.
 
 Scale: per row the index side is ``k+1`` rows and the probe side at
 most ``(2k+1)^2 (k+1)`` rows — constants, so candidate generation is
@@ -182,6 +187,24 @@ def edit_distance_pairs(
                         ),
                     )
                 )
+            # short-string completeness: when the length-l scheme gives
+            # segment j ZERO width (only possible for l <= k), the
+            # pigeonhole "untouched segment" can be exactly that empty
+            # segment, and an empty string occurs in ANY partner — so
+            # emit one empty-seg probe entry for (l, j).  The index side
+            # never filters empty segments, so candidates stay a keyed
+            # equi-join on (l, j, ""): the bucket holds only the <= k /
+            # <= 2k length strings (empty by definition on non-degenerate
+            # corpora), never a cross join.  Without this, true pairs
+            # like ('a','b') at k=1 were silently dropped.
+            probe_entries.append(
+                F.when(
+                    (l >= F.lit(0)) & (ln == F.lit(0)),
+                    F.struct(
+                        l.alias("l"), F.lit(j).alias("j"), F.lit("").alias("seg")
+                    ),
+                )
+            )
     probe = base.select(
         F.col("id").alias("id_b"),
         F.col("s").alias("s_b"),

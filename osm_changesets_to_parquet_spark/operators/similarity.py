@@ -14,7 +14,11 @@ Two paths behind one API:
   the bucket join prunes the scan to a fixed expected fraction
   (2^-bits per table).
 
-No Python/pandas in either path.
+``cosine_topk``/``lsh_topk`` run no Python at all; the IVF family
+(:func:`ivf_build` / :func:`ivf_topk`) uses one Arrow-batched pandas
+UDF for the broadcast-centroid argmin (numpy matmul per batch) — the
+only Python in this module, and it touches k×dim floats per batch,
+never the corpus pairwise.
 """
 
 from __future__ import annotations
@@ -398,10 +402,12 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_centroids: int = 6,
-) -> DataFrame:
-    """Lloyd's k-means, fully distributed: returns (id, cluster) after
-    ``iters`` assignment/update rounds from deterministic seeds (the
-    ``k`` lowest-id vectors).
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means, fully distributed: returns the 2-tuple
+    ``(assignments, centroids)`` — assignments as (id, cid) rows,
+    centroids as (cid, c: array<double>) rows — after ``iters``
+    assignment/update rounds from deterministic seeds (the ``k``
+    lowest-id vectors).
 
     Each iteration is two Catalyst stages, no driver collect:
     - ASSIGN: a PURE MAP stage — the k centroids are collapsed into a

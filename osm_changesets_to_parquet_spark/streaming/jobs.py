@@ -438,8 +438,10 @@ def run_s10_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per batch: reduce the batch to its latest row per user (max_by on
     (ts, event_id)), read the current base version, anti-join + union
     (update-else-insert), write base version N+1 — versioned dirs make
-    each application atomic and idempotent (a replayed batch id
-    rewrites its own version dir, never corrupts the previous one).
+    each application atomic and idempotent: the base is always the
+    latest version STRICTLY BELOW the current batch id, so a replayed
+    batch rebuilds its own version dir from its true predecessor
+    instead of reading the failed attempt it is about to overwrite.
     Under the in-order replay, per-batch-latest merged batch-over-batch
     equals the global latest per key, which is the DuckDB oracle.
 
@@ -470,8 +472,14 @@ def run_s10_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("m.value").alias("last_value"),
             )
         )
+        # predecessors only: on a foreachBatch RETRY of batch N, v{N}
+        # already exists (the failed attempt's dir) — reading it as the
+        # base while overwriting the same path would self-corrupt, so
+        # the base is always the latest version BELOW this batch id
         versions = sorted(
-            int(d[1:]) for d in os.listdir(base_root) if d.startswith("v")
+            v
+            for d in os.listdir(base_root)
+            if d.startswith("v") and (v := int(d[1:])) < batch_id
         )
         if versions:
             base = batch_df.sparkSession.read.parquet(

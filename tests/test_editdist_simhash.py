@@ -60,6 +60,25 @@ def test_edit_distance_pairs_equals_brute_force(spark, k):
     assert got == _brute_ed(rows, k)
 
 
+@pytest.mark.parametrize("k", [1, 2])
+def test_edit_distance_pairs_short_strings(spark, k):
+    # strings of length <= k exercise the zero-width-segment path: the
+    # pigeonhole "untouched segment" can be the EMPTY segment, which the
+    # pre-fix blocking silently dropped (['a','b'] at k=1, ['ab','cd']
+    # at k=2, ['','a'] at k=1 all have true pairs with no candidates)
+    strings = ["", "a", "b", "ab", "cd", "z", "abc", "abcd", "xyz"]
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    for strip in (True, False):
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_pairs(
+                df, "s", "id", k=k, strip_common_affixes=strip
+            ).collect()
+        }
+        assert got == _brute_ed(rows, k), (k, strip)
+
+
 def test_edit_distance_pairs_rejects_k0(spark):
     df = spark.createDataFrame([(1, "a")], ["id", "s"])
     with pytest.raises(ValueError):

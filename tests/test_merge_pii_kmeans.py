@@ -116,6 +116,18 @@ def test_forest_closure_multi_root_forest(spark):
     assert out == {1: (1, 0), 2: (2, 0), 10: (1, 1), 11: (1, 2), 20: (2, 1)}
 
 
+def test_forest_closure_missing_parent_treated_as_root(spark):
+    from osm_changesets_to_parquet_spark.operators.closure import forest_closure
+
+    # node 11 -> 10 -> 99, but 99 is absent from `nodes`: the walk must
+    # surface (node, 99, depth) rather than silently dropping the rows
+    # (the pre-fix inner join lost them on the first hop)
+    nodes = spark.createDataFrame([(i,) for i in [1, 10, 11]], ["node"])
+    edges = spark.createDataFrame([(10, 99), (11, 10)], ["child", "parent"])
+    out = {r.node: (r.root, r.depth) for r in forest_closure(nodes, edges, rounds=4).collect()}
+    assert out == {1: (1, 0), 10: (99, 1), 11: (99, 2)}
+
+
 def test_forest_closure_rejects_bad_rounds(spark):
     import pytest as _pytest
 
