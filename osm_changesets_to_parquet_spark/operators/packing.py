@@ -111,6 +111,68 @@ def global_cumsum(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+    bounds: list[float] | None = None,
+) -> DataFrame:
+    """1-based global row_number in the total order of ``order_cols``,
+    computed with the same bucketed discipline as :func:`global_cumsum`
+    (one wide shuffle, never a single-task window).
+
+    ``order_cols[0]`` must be numeric — it is the bucketing key; the
+    remaining columns only break ties, and since equal first-key values
+    always land in the same bucket (the bucket id is a function of the
+    key alone), tie-breaking stays local to a bucket.  The combination
+    must be a total order for the result to be a unique rank; with ties
+    the output is a row_number over an arbitrary-but-deterministic
+    bucket-local order, not a SQL RANK.
+
+    Same two-pass caveat as ``global_cumsum``: the default bucket
+    boundaries come from ``approxQuantile`` (a driver action over the
+    input subtree); pass ``bounds`` when the key range is known.
+    """
+    first = order_cols[0]
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if bounds is not None:
+        bounds = sorted(set(float(b) for b in bounds))
+    elif parts > 1:
+        probs = [i / parts for i in range(1, parts)]
+        err = max(1e-4, 0.1 / parts)
+        bounds = sorted(set(df.stat.approxQuantile(first, probs, err)))
+    else:
+        bounds = []
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        computed = F.size(F.filter(barr, lambda b: F.col(first) > b))
+    else:
+        computed = F.lit(0)
+    bucket = F.when(F.col(first).isNull(), F.lit(-1)).otherwise(computed)
+    bucketed = df.withColumn("__bucket", bucket)
+    in_bucket = Window.partitionBy("__bucket").orderBy(*order_cols)
+    local = bucketed.withColumn(
+        "__local", F.row_number().over(in_bucket).cast("long")
+    )
+    # per-bucket counts reuse the window's clustering (no extra exchange)
+    totals = local.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__tot"))
+    off = totals.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__tot").over(
+                Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("__bucket", "__offset")
+    return (
+        local.join(F.broadcast(off), "__bucket")
+        .withColumn(out_col, F.col("__local") + F.col("__offset"))
+        .drop("__bucket", "__local", "__offset")
+    )
+
+
 def pack_into_bins(
     docs: DataFrame,
     budget: int,

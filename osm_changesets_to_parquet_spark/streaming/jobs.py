@@ -19,6 +19,7 @@ import atexit
 import os
 import shutil
 import tempfile
+import time
 
 # Every _run_availablenow leaves a sink dir (the returned DataFrame
 # reads it lazily, so it cannot be deleted eagerly) plus a stream
@@ -39,7 +40,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from osm_changesets_to_parquet_spark.catalog import load_table
-from osm_changesets_to_parquet_spark.operators.iterutils import truncate_lineage
 
 # 5 deterministic micro-batches: enough files to advance the watermark
 # across real batch boundaries, few enough that per-batch state-store
@@ -49,14 +49,6 @@ from osm_changesets_to_parquet_spark.operators.iterutils import truncate_lineage
 N_REPLAY_FILES = 5
 N_LATE_ROWS = 5
 US_PER_HOUR = 3_600_000_000
-
-
-def _events_in_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "ts", "ts_us", "user_id", "event_type", "value")
-        .orderBy("ts_us", "event_id")
-    )
 
 
 def prepare_replay_dir(
@@ -78,44 +70,56 @@ def prepare_replay_dir(
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
 
-    from pyspark.sql.window import Window
-
-    # distributed chunking: global arrival index via row_number (one
-    # ordered pass — never a driver collect of the event set), then one
-    # filtered write per replay file.  Intra-file row order is free:
+    # distributed chunking: global arrival index via the range-bucketed
+    # global_rank (one wide shuffle — never the partition-less
+    # row_number window, never a driver collect of the event set), then
+    # ONE dynamic-partitioned write: repartition("__chunk") puts every
+    # chunk's rows in exactly one task, so each __chunk=N dir receives
+    # exactly one parquet file.  Intra-file row order is free:
     # watermarks and aggregates are batch-level, not row-order-level.
-    ev = _events_in_order(spark, sf_dir)
+    from osm_changesets_to_parquet_spark.operators.packing import global_rank
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "ts_us", "user_id", "event_type", "value"
+    )
     n = ev.count()
-    rn = F.row_number().over(Window.orderBy("ts_us", "event_id")) - 1
-    indexed = ev.withColumn("__rn", rn)
+    indexed = global_rank(ev, ["ts_us", "event_id"], out_col="__r")
+    rn = F.col("__r") - 1  # 0-based arrival index in event-time order
 
     late_lo = int(n * 0.4) if late else n  # rows [late_lo, late_lo+N) re-arrive last
-    is_late = F.col("__rn").between(late_lo, late_lo + N_LATE_ROWS - 1)
+    is_late = rn.between(late_lo, late_lo + N_LATE_ROWS - 1)
     # arrival position among on-time rows (late rows removed from the middle)
-    arrival = F.when(
-        F.col("__rn") >= late_lo + N_LATE_ROWS, F.col("__rn") - N_LATE_ROWS
-    ).otherwise(F.col("__rn"))
+    arrival = F.when(rn >= late_lo + N_LATE_ROWS, rn - N_LATE_ROWS).otherwise(rn)
     n_ontime = n - (N_LATE_ROWS if late else 0)
     per = max(1, (n_ontime + N_REPLAY_FILES - 1) // N_REPLAY_FILES)
     chunk = F.when(is_late, F.lit(N_REPLAY_FILES + 100)).otherwise(
         (arrival / F.lit(per)).cast("int")
     )
-    tagged = truncate_lineage(indexed.withColumn("__chunk", chunk))
 
-    chunk_ids = sorted(r[0] for r in tagged.select("__chunk").distinct().collect())
-    for i, cid in enumerate(chunk_ids):
-        sub = os.path.join(base, f"b{i:03d}")
-        (
-            tagged.where(F.col("__chunk") == cid)
-            .drop("__rn", "__chunk")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(sub)
-        )
-        # flatten: move the part file up as NNN.parquet for lexicographic order
-        part = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
-        os.replace(os.path.join(sub, part), os.path.join(base, f"{i:03d}.parquet"))
-        shutil.rmtree(sub)
+    staging = base + "_staging"
+    (
+        indexed.withColumn("__chunk", chunk)
+        .drop("__r")
+        .repartition("__chunk")
+        .write.partitionBy("__chunk")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    # flatten __chunk=N dirs into NNN.parquet with strictly increasing
+    # mtimes: the file stream source orders by modification time, and a
+    # single parallel write gives all parts near-identical stamps
+    chunk_dirs = sorted(
+        (d for d in os.listdir(staging) if d.startswith("__chunk=")),
+        key=lambda d: int(d.split("=")[1]),
+    )
+    t0 = time.time()
+    for i, d in enumerate(chunk_dirs):
+        dpath = os.path.join(staging, d)
+        (part,) = [f for f in os.listdir(dpath) if f.endswith(".parquet")]
+        dst = os.path.join(base, f"{i:03d}.parquet")
+        os.replace(os.path.join(dpath, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    shutil.rmtree(staging, ignore_errors=True)
     open(done, "w").close()
     return base
 

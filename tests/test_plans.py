@@ -32,6 +32,21 @@ def test_q10_dim_joins_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_q23_global_ntile_without_single_partition_window(spark, sf_dir):
+    # the global ntile/percent_rank must ride the range-bucketed
+    # global_rank discipline: the only full-data window is PARTITIONED
+    # BY __bucket, and the builtin single-task window functions never
+    # appear — tile/pr are arithmetic over (rank, n)
+    plan = _plan(spark, sf_dir, "q23_ntile_percent_rank")
+    assert "ntile" not in plan
+    assert "percent_rank" not in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "__bucket" in line, line  # never a partition-less full-data window
+    # tiny frames only: the 1-row count agg + the |buckets|-row offsets
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
 def test_q24_topk_is_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q24_topk")
     assert "TakeOrderedAndProject" in plan
