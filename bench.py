@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "q110_simhash_neardup",
     "q112_editdist_join",
     "q115_kmeans",
+    # round 5: keep the iterative-graph wins honest with tracked numbers
+    # (star-contraction CC inside the simhash cluster path; pointer-
+    # doubling hierarchy closure)
+    "q117_simhash_clusters",
+    "q116_hierarchy_closure",
 ]
 
 
@@ -70,6 +75,13 @@ def _size_aware_shuffle_partitions(sf_dir: str, cpus: int) -> int:
     a 32-way shuffle of 30 MiB is pure task-scheduling overhead; on a
     real cluster the same rule scales the count up with the data and AQE
     coalesces/splits from runtime stats.
+
+    Round-5 note on the BENCH_r04 q04 blip (0.314 -> 0.590 s): re-measured
+    min-of-5 under both settings — q04 is 0.349 s at nshuf=8 vs 0.318 s at
+    nshuf=32, i.e. this config costs ~0.03 s on the tiniest query (fewer
+    but larger first-stage tasks), and the r04 0.59 s was shared-machine
+    noise on top.  Keeping the rule: the ~10% penalty on a 0.3 s query is
+    scheduling overhead the rule exists to trade away at real scale.
     """
     total = 0
     for p in Path(sf_dir).glob("*.parquet"):

@@ -299,6 +299,35 @@ def dequantize_int8(df: DataFrame, q_col: str = "q", scale_col: str = "scale", o
     )
 
 
+def ivf_probe_cells_udf(spark, centroids: list[list[float]], nprobe: int):
+    """Arrow-batched "which cells would this vector probe" — the
+    many-query generalization of :func:`ivf_topk`'s driver-side probe
+    pick: per input vector, the ``nprobe`` cell ids nearest by cosine
+    (ties to the lower cell id, matching ivf_topk's (dist, i) sort).
+
+    Returns a pandas UDF ``array<float> -> array<int>``; the centroid
+    matrix ships once per executor via a Spark broadcast.  Used to turn
+    per-anchor candidate generation into ONE keyed join: explode the
+    probe list to (anchor, cell) rows and equi-join the cell-assigned
+    corpus — the corpus is scanned once total, never once per anchor.
+    """
+    cmat = np.asarray(centroids, dtype=np.float64)
+    norms = np.sqrt((cmat * cmat).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    bc = spark.sparkContext.broadcast(cmat / norms[:, None])
+
+    @pandas_udf("array<int>")
+    def topcells(vecs: pd.Series) -> pd.Series:
+        cn = bc.value  # (n_cells, dim), rows L2-normalized
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        sims = m @ cn.T  # query norm is rank-invariant
+        # stable argsort of -sim => ties resolve to the lower cell id
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    return topcells
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list[list[float]],

@@ -54,77 +54,37 @@ def register(
 
 
 # The driver records correctness rows in registry order and its window
-# has held exactly 50 entries per round (CORRECTNESS_r01-r03.json) — so
-# ordering is part of the verification contract.  Round-4 priority
-# (VERDICT r03 item 1: rotate the longest-stale set into the window):
-# (1) queries NEW this round — the 28 in-window round-4 registrations
-#     (q102-q126, s9, s10, cs8; q127 rides outside the window) plus the a51/a52 rows-only -> tolerance-
-#     oracle conversion — must be witnessed on first contact;
-# (2) the longest-stale names: r1/r2-era driver rows describing
-#     pre-round-3 code (streaming s4b/s5 + s1-s3 re-verified after the
-#     sink rewrite, the UDF surface, the cs conversion family, and the
-#     relational core) — all verified MATCH at HEAD in the judge's r03
-#     sweep and locally, but the driver's own record is stale.
-# Positions 51+ hold the remaining stale names (round-5 rotation:
-# promote them, demote the 50 below once their r04 rows land);
-# everything r03-witnessed follows in registration order.
+# has held exactly 50 entries per round (CORRECTNESS_r01-r04.json) — so
+# ordering is part of the verification contract.  Round-5 priority
+# (VERDICT r04 item 1):
+# (1) queries NEW or CHANGED this round (cs9 pipeline roundtrip, the
+#     ANN-pruned contrastive miner, and q23's scale-safe re-spell) —
+#     witnessed on first contact;
+# (2) the 8 round-4 registrations the driver has never witnessed
+#     (q127-q134 — registered late in r4, deliberately queued outside
+#     that window; judge-sweep green, the driver record should agree);
+# (3) the r1-era stale names (q08-q26, q36-q40, t41-t45, m47-m50 —
+#     all MATCH in the judge's independent r04 HEAD sweep, but the
+#     driver's own rows predate rounds 2-4);
+# (4) the head of the r2-era set (q27-q33) to fill the window.
+# Positions 51+ hold the remaining r2-era names (q53-q67, q73/q74) for
+# the round-6 rotation; everything r03/r04-witnessed follows in
+# registration order.
 _PRIORITY: tuple[str, ...] = (
     # -- (1) new/changed this round --
-    "q110_simhash_neardup",
-    "q111_bucketed_join",
-    "q112_editdist_join",
-    "q113_snapshot_diff",
-    "q114_pii_redact",
-    "q115_kmeans",
-    "s9_session_window_stream",
-    "cs8_schema_evolution",
-    "q116_hierarchy_closure",
-    "q117_simhash_clusters",
-    "s10_stream_merge_upsert",
-    "q118_constraint_checks",
-    "q119_approx_percentile_bounds",
-    "q120_psi_drift",
-    "q121_ndcg_eval",
-    "q122_interval_overlap",
-    "q123_pmi_collocations",
-    "q124_doc_chunking",
-    "q125_jaccard_prefix_filter",
-    "q126_group_cap_sample",
-    "q105_asof_forward",
-    "q106_neardup_clusters_star",
-    "q107_triangle_count",
-    "q108_hll_rollup",
-    "q109_bm25_topk",
-    "q102_semdedup",
-    "q103_scd2_history",
-    "q104_compact_parquet",
-    "a51_lsh_ann_topk",
-    "a52_ivf_ann_topk",
-    # -- (2) longest-stale: streaming batch-parity + watermark family --
-    "s4b_watermark_late_drops",
-    "s5_streaming_dedup",
-    "s1_tumbling_window",
-    "s2_sliding_window",
-    "s3_session_window",
-    # UDF surface (r03 witnessed only u3)
-    "u1_pandas_udf_normalize",
-    "u2_grouped_map_zscore",
-    "u4_udtf_tokenize",
-    # conversion/ingest family (r03 witnessed cs0/cs2/cs7)
-    "cs1_count",
-    "cs3_bz2_multistream",
-    "cs4_csv_roundtrip",
-    "cs5_json_roundtrip",
-    "cs6_orc_roundtrip",
-    # relational core q01-q32 (r1-era rows)
-    "q01_count",
-    "q02_filter_project",
-    "q03_like_in",
-    "q04_groupby_agg",
-    "q05_count_distinct",
-    "q06_rollup",
-    "q07_cube",
-    # ---- window boundary (50) — names below queue for round 5 ----
+    "cs9_pipeline_roundtrip",
+    "q135_contrastive_ann",
+    "q23_ntile_percent_rank",
+    # -- (2) never driver-witnessed (registered r4, queued by design) --
+    "q127_leakage_safe_split",
+    "q128_mad_outlier_scrub",
+    "q129_unigram_logprob",
+    "q130_text_normalize",
+    "q131_cross_source_dups",
+    "q132_contrastive_mining",
+    "q133_join_skew_profile",
+    "q134_dedup_funnel",
+    # -- (3) r1-era stale: relational core + joins + windows --
     "q08_approx_count_distinct",
     "q09_percentile",
     "q10_join4_revenue",
@@ -140,24 +100,15 @@ _PRIORITY: tuple[str, ...] = (
     "q20_lag_lead",
     "q21_running_sum",
     "q22_range_frame",
-    "q23_ntile_percent_rank",
     "q24_topk",
     "q25_union",
     "q26_intersect",
-    "q27_except",
-    "q28_string_funcs",
-    "q29_date_funcs",
-    "q30_math_funcs",
-    "q31_json_extract",
-    "q32_map_funcs",
-    "q33_array_funcs",
+    # r1-era stale: vector/text/multimodal families
     "q36_cosine_topk",
     "q37_centroid",
     "q38_token_freq",
     "q39_bigrams",
     "q40_tfidf",
-    "q73_vector_normalize",
-    "q74_quantize_int8",
     "t41_language_id",
     "t42_quality_score",
     "t43_token_count",
@@ -167,6 +118,15 @@ _PRIORITY: tuple[str, ...] = (
     "m48_image_decode_features",
     "m49_audio_frame_sample",
     "m50_image_resize",
+    # -- (4) r2-era head: string/date/math/JSON/map/array + except --
+    "q27_except",
+    "q28_string_funcs",
+    "q29_date_funcs",
+    "q30_math_funcs",
+    "q31_json_extract",
+    "q32_map_funcs",
+    "q33_array_funcs",
+    # ---- window boundary (50) — names below queue for round 6 ----
     "q53_pivot",
     "q54_unpivot",
     "q55_grouping_sets",
@@ -178,19 +138,12 @@ _PRIORITY: tuple[str, ...] = (
     "q61_stats_agg",
     "q62_argmin_argmax",
     "q63_string_agg",
+    "q64_conditional_agg",
     "q65_window_frame_funcs",
     "q66_values_lookup_join",
     "q67_distinct_multicol",
-    # registered late in round 4, deliberately OUTSIDE the 50-row
-    # window (so it displaces no stale witness); front-load in round 5
-    "q127_leakage_safe_split",
-    "q128_mad_outlier_scrub",
-    "q129_unigram_logprob",
-    "q130_text_normalize",
-    "q131_cross_source_dups",
-    "q132_contrastive_mining",
-    "q133_join_skew_profile",
-    "q134_dedup_funnel",
+    "q73_vector_normalize",
+    "q74_quantize_int8",
 )
 # no rows-only queries remain (a51/a52 carry tolerance oracles now)
 _LAST: tuple[str, ...] = ()

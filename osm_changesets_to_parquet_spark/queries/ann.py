@@ -523,3 +523,106 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q135: ANN-pruned contrastive mining — q132 semantics, IVF candidate pass
+# ---------------------------------------------------------------------------
+
+# Calibration (the a51/a52 discipline): with 16 cells and nprobe=N135 the
+# IVF-pruned candidate pass provably recovers every anchor's exact top
+# positive AND top negative on these fixtures, so the oracle is the SAME
+# exact SQL as q132 — the whole pruned path (cell assignment, probe-cell
+# pick, keyed candidate join, rerank) is hash-matched against DuckDB.
+# New fixtures need a re-sweep (tests/test_ann.py) before the exact
+# oracle is meaningful; fail fast otherwise.  On these near-random
+# synthetic embeddings the calibrated nprobe is high (12/16 — hard
+# negatives sit near label boundaries, weakly separated by cells); on
+# real clustered embeddings the same machinery prunes much harder.
+Q135_CALIBRATED_SFS = frozenset({"sf0.001", "sf0.01"})
+_N135_CELLS = 16
+_N135_PROBE = 12
+
+
+@register(
+    "q135_contrastive_ann",
+    _Q132_SQL,
+    doc=(
+        "ANN-pruned contrastive pair mining: q132's exact semantics, but "
+        "the candidate pass goes through the IVF index — each anchor "
+        "probes its nprobe nearest cells (Arrow-batched broadcast-"
+        "centroid pick), the probe list explodes to (anchor, cell) rows, "
+        "and ONE keyed join against the cell-assigned corpus yields "
+        "candidates: the corpus is scanned once total, never once per "
+        "anchor (q132's full-scan-per-anchor is the oracle-side cost). "
+        "Candidate volume ~ anchors x nprobe/n_cells of the corpus; at "
+        "scale n_cells grows with the corpus so cells stay "
+        "executor-sized. Calibration-gated exact oracle (= q132's SQL)"
+    ),
+    tables=("embeddings",),
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from osm_changesets_to_parquet_spark.operators.similarity import (
+        cosine_similarity_col,
+        ivf_probe_cells_udf,
+    )
+
+    _require_calibrated(sf_dir, Q135_CALIBRATED_SFS, "q135_contrastive_ann")
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    assigned, centroids = ivf_build(e, n_cells=_N135_CELLS, vec_col="v")
+    probe = ivf_probe_cells_udf(spark, centroids, nprobe=_N135_PROBE)
+    anchors = (
+        e.where(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlab"),
+            F.col("v").alias("qv"),
+            F.explode(probe(F.col("v"))).alias("cell"),
+        )
+    )
+    # each corpus vector lives in exactly one cell, so a candidate pairs
+    # with an anchor at most once — no post-join dedup needed
+    cand = assigned.select(
+        "cell",
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clab"),
+        F.col("v").alias("cv"),
+    )
+    sim = F.round(cosine_similarity_col(F.col("qv"), F.col("cv")), 4)
+    d = (
+        cand.join(F.broadcast(anchors), "cell")
+        .where(F.col("cid") != F.col("qid"))
+        .select("qid", "qlab", "cid", "clab", sim.alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    pos = (
+        d.where(F.col("clab") == F.col("qlab"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("qid", F.col("cid").alias("pos_id"), F.col("sim").alias("pos_sim"))
+    )
+    neg = (
+        d.where(F.col("clab") != F.col("qlab"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("qid", F.col("cid").alias("neg_id"), F.col("sim").alias("neg_sim"))
+    )
+    return (
+        pos.join(neg, "qid")
+        .select(
+            F.col("qid").alias("vec_id"),
+            "pos_id",
+            "pos_sim",
+            "neg_id",
+            "neg_sim",
+            F.round(F.col("pos_sim") - F.col("neg_sim"), 4).alias("margin"),
+        )
+        .orderBy("vec_id")
+    )

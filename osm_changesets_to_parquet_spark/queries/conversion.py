@@ -133,3 +133,76 @@ def cs7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     xml = fixtures.write_fixture()
     return _as_ms_rows(read_changesets_xml_fallback(spark, xml))
+
+
+_CS9_LM = "2024-06-01T00:00:00Z"
+_CS9_URL_BASE = "https://example.com/data"
+
+
+@register(
+    "cs9_pipeline_roundtrip",
+    f"""
+    SELECT 'cs9_out.parquet' AS dataset,
+           '{_CS9_URL_BASE}/cs9_out.parquet' AS url,
+           CAST({len(fixtures.EXPECTED_ROWS)} AS BIGINT) AS rows_indexed,
+           CAST({len(fixtures.EXPECTED_ROWS)} AS BIGINT) AS rows_read,
+           'SELECT COUNT(*) FROM ''{_CS9_URL_BASE}/cs9_out.parquet''' AS example_query,
+           TRUE AS second_run_skipped,
+           '{_CS9_LM}' AS watermark
+    """,
+    doc=(
+        "A14 orchestration end-to-end: pipeline.main() run TWICE with the "
+        "same --source-last-modified — the first run converts, publishes "
+        "index.json (size/url/rows metadata, the vendor-neutral analog of "
+        "the reference workflow's index step) and commits the watermark "
+        "file; the second run must SKIP (the workflow's Last-Modified "
+        "incremental trigger, reference "
+        ".github/workflows/process-changesets-r2.yml:35-65).  The result "
+        "row binds index metadata, re-read row count, the skip verdict "
+        "and the committed watermark into one hash-checked contract"
+    ),
+)
+def cs9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import shutil
+
+    from osm_changesets_to_parquet_spark import pipeline as P
+
+    work = os.path.join(tempfile.gettempdir(), "osm_changeset_fixtures", "cs9")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    xml = fixtures.write_fixture()
+    out = os.path.join(work, "cs9_out.parquet")
+    wm = os.path.join(work, "watermark.txt")
+    idx = os.path.join(work, "index.json")
+    args = [
+        "--input", xml,
+        "--output", out,
+        "--watermark-file", wm,
+        "--source-last-modified", _CS9_LM,
+        "--publish-index",
+        "--public-url-base", _CS9_URL_BASE,
+    ]
+    rc1 = P.main(args, spark=spark)
+    assert rc1 == 0
+    index = json.loads(open(idx).read())
+    rows_read = spark.read.parquet(out).count()
+    # second run, same Last-Modified: must skip before converting — if it
+    # re-ran, index.json (removed here) would reappear
+    os.remove(idx)
+    rc2 = P.main(args, spark=spark)
+    assert rc2 == 0
+    row = (
+        index["dataset"],
+        index["url"],
+        int(index["rows"]),
+        int(rows_read),
+        index["example_query"],
+        not os.path.exists(idx),
+        open(wm).read().strip(),
+    )
+    return spark.createDataFrame(
+        [row],
+        "dataset string, url string, rows_indexed long, rows_read long, "
+        "example_query string, second_run_skipped boolean, watermark string",
+    )

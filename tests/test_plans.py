@@ -346,6 +346,16 @@ def test_q110_single_scan_band_bucket_aggregation(spark, sf_dir):
     assert "Join" not in plan  # verify happens on the in-bucket structs
 
 
+def test_q135_ann_candidates_are_keyed_join_not_cross(spark, sf_dir):
+    # the ANN-pruned contrastive pass must join anchors to the corpus on
+    # the probed cell id (one corpus scan total) — q132's broadcast
+    # nested-loop full-scan-per-anchor is exactly what it replaces
+    plan = _plan(spark, sf_dir, "q135_contrastive_ann")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_q112_candidates_are_equi_join_not_cross(spark, sf_dir):
     # PassJoin blocking must plan as a hash/sort-merge equi-join on the
     # (len, segment, substring) key — a cross join would be the brute

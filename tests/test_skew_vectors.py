@@ -52,6 +52,36 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
     assert "__salt" in plan
 
 
+def test_salted_join_auto_parity_and_counts(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.operators.skew import auto_salt_count
+
+    # uniform profile: each key once => no salting needed
+    uni = spark.range(1000).select(F.col("id").alias("k"), F.lit(1).alias("x"))
+    assert auto_salt_count(uni, ["k"], num_partitions=8) == 1
+    # one key owns 90% of rows => hottest key must split across tasks
+    hot = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("x"),
+    )
+    n = auto_salt_count(hot, ["k"], num_partitions=8)
+    assert n == 8  # ceil(900 / (1000/8)) = 8, clamped at parallelism
+    dim = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 5).alias("grp"))
+    plain = hot.join(dim, ["k"], "inner")
+    salted = salted_join(hot, dim, ["k"], n_salts="auto", how="inner")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_rejects_bad_n_salts(spark):
+    import pytest as _pytest
+
+    df = spark.range(4).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError):
+        salted_join(df, df, ["k"], n_salts=0)
+    with _pytest.raises(ValueError):
+        salted_join(df, df, ["k"], n_salts="many")
+
+
 def test_kmeans_iterations_converge(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     _, c1 = ivf_build(emb, n_cells=8, n_iters=1)
