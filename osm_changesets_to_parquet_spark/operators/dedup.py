@@ -312,6 +312,74 @@ def lsh_jaccard_pairs(
     )
 
 
+def lsh_neardup_incremental(
+    existing: DataFrame,
+    incoming: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup check: (new_id, old_id, jac) pairs between
+    an arriving batch and the existing corpus — the append-only analog
+    of :func:`lsh_jaccard_pairs` (and the near-dup counterpart of the
+    exact-hash incremental dedup in q94): candidates are ONLY
+    incoming x existing rows sharing an LSH band bucket, never
+    incoming x incoming or existing x existing, so a daily increment
+    costs O(batch-bands + matched-bucket collisions), not a re-cluster
+    of the corpus.
+
+    At 100 TB the existing side's banded signature frame is what you
+    PERSIST (partitioned by (band, bkey)): each increment then builds
+    signatures for the batch alone and probes the stored index — the
+    same equi-join as here with the expensive side pre-materialized.
+
+    Exactness contract mirrors lsh_jaccard_pairs: candidates the
+    banding misses are absent (recall is the banding collision bound);
+    every emitted pair is verified with the exact in-row Jaccard.
+    Shingle-less docs are excluded on both sides for the same
+    degenerate-bucket reason documented there.
+    """
+    def prep(df):
+        # checkpoint the shingle frame once per side: both the banding
+        # and the verification read it (the lsh_jaccard_pairs 4-scans-
+        # to-1 discipline)
+        elig = df.where(F.size(F.split(F.col(text_col), " ")) >= n)
+        return truncate_lineage(shingles(elig, text_col, n))
+
+    sh_new, sh_old = prep(incoming), prep(existing)
+
+    def banded(sh, out_id):
+        sigged = minhash_signature(sh)
+        return sigged.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(F.array(*band_keys(F.col("sig")))).alias("band", "bkey"),
+        )
+
+    cands = (
+        banded(sh_new, "new_id")
+        .join(banded(sh_old, "old_id"), ["band", "bkey"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    a = sh_new.select(
+        F.col(id_col).alias("new_id"), F.array_distinct("shingle_hashes").alias("ha")
+    )
+    b = sh_old.select(
+        F.col(id_col).alias("old_id"), F.array_distinct("shingle_hashes").alias("hb")
+    )
+    inter = F.size(F.array_intersect("ha", "hb"))
+    return (
+        cands.join(a, "new_id")
+        .join(b, "old_id")
+        .withColumn(
+            "jac", F.round(inter / (F.size("ha") + F.size("hb") - inter), 4)
+        )
+        .where(F.col("jac") >= threshold)
+        .select("new_id", "old_id", "jac")
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     threshold: float,

@@ -173,6 +173,50 @@ def global_rank(
     )
 
 
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    k: int,
+    out_col: str = "tile",
+    rank_col: str | None = None,
+    n_col: str | None = None,
+    bounds: list[float] | None = None,
+) -> DataFrame:
+    """Equal-frequency tiling with exact SQL ``NTILE(k)`` semantics —
+    the first ``n mod k`` tiles hold ``ceil(n/k)`` rows, the rest
+    ``floor(n/k)`` — computed from :func:`global_rank` + closed-form
+    arithmetic instead of the single-task partition-less window Spark's
+    builtin ``ntile`` plans.
+
+    ``rank_col``/``n_col`` optionally keep the 1-based global rank and
+    the total row count (callers deriving percent_rank/cume_dist want
+    both); otherwise they are dropped.  The one extra job is a 1-row
+    count aggregate broadcast back.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ranked = global_rank(df, order_cols, out_col="__gr", bounds=bounds)
+    n_row = df.agg(F.count(F.lit(1)).alias("__n"))
+    rn, n = F.col("__gr"), F.col("__n")
+    q, r = F.floor(n / k), n % k
+    in_big = rn <= r * (q + 1)
+    tile = (
+        F.when(in_big, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rn - r * (q + 1) - 1) / F.greatest(q, F.lit(1))) + 1)
+        .cast("long")
+    )
+    out = ranked.crossJoin(F.broadcast(n_row)).withColumn(out_col, tile)
+    if rank_col:
+        out = out.withColumnRenamed("__gr", rank_col)
+    else:
+        out = out.drop("__gr")
+    if n_col:
+        out = out.withColumnRenamed("__n", n_col)
+    else:
+        out = out.drop("__n")
+    return out
+
+
 def pack_into_bins(
     docs: DataFrame,
     budget: int,

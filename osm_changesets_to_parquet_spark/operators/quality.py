@@ -120,6 +120,59 @@ def decontaminate(
     return train_g.join(eval_g, "__h", "left_semi").select(id_col).distinct()
 
 
+def boilerplate_burden(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-phrase (boilerplate) burden per doc —
+    the span-level signal doc-level dedup cannot see (the
+    RefinedWeb/CCNet boilerplate-removal shape, adapted to word
+    n-grams): a phrase is "boilerplate" when it appears in >=
+    ``min_docs`` DISTINCT documents; each doc reports how many of its
+    distinct n-grams are boilerplate.
+
+    Returns (id_col, n_grams, n_boiler, boiler_frac) with one row per
+    input doc (docs shorter than ``n`` words report 0/0/0.0).
+
+    Scale shape: n-grams build in-row (word_ngrams — no shuffle), ride
+    as xxhash64 8-byte keys (the q86/decontaminate discipline; 2^-64
+    pair collisions are negligible for a count signal); the phrase
+    document-frequency aggregate and the per-doc rollup both take
+    map-side partials, and the boiler flag joins back keyed on the
+    hash — never a broadcast of an unbounded phrase vocabulary.
+    """
+    grams = (
+        word_ngrams(docs, n, text_col, keep=[id_col])
+        .select(id_col, F.xxhash64("ngram").alias("__h"))
+        .distinct()
+    )
+    dfreq = grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    flagged = grams.join(
+        dfreq.select("__h", (F.col("__df") >= min_docs).alias("__b")), "__h"
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count_if(F.col("__b")).alias("n_boiler"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.round(
+                F.coalesce("n_boiler", F.lit(0))
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("boiler_frac"),
+        )
+    )
+
+
 def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """In-row repetition signals: duplicate-word fraction and
     distinct-word count (Gopher-style repetition filters, adapted to

@@ -74,6 +74,10 @@ _PRIORITY: tuple[str, ...] = (
     # -- (1) new/changed this round --
     "cs9_pipeline_roundtrip",
     "q135_contrastive_ann",
+    "q136_boilerplate_phrases",
+    "q137_equifreq_deciles",
+    "q138_cluster_canonical_pick",
+    "q139_incremental_neardup",
     "q23_ntile_percent_rank",
     # -- (2) never driver-witnessed (registered r4, queued by design) --
     "q127_leakage_safe_split",
@@ -118,15 +122,15 @@ _PRIORITY: tuple[str, ...] = (
     "m48_image_decode_features",
     "m49_audio_frame_sample",
     "m50_image_resize",
-    # -- (4) r2-era head: string/date/math/JSON/map/array + except --
+    # -- (4) r2-era head: fill the window to 50 --
     "q27_except",
     "q28_string_funcs",
     "q29_date_funcs",
+    # ---- window boundary (50) — names below queue for round 6 ----
     "q30_math_funcs",
     "q31_json_extract",
     "q32_map_funcs",
     "q33_array_funcs",
-    # ---- window boundary (50) — names below queue for round 6 ----
     "q53_pivot",
     "q54_unpivot",
     "q55_grouping_sets",

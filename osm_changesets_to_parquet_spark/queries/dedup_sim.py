@@ -867,3 +867,149 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Cluster-aware canonical selection (round 5) ----------------------------
+
+_Q138_SQL = f"""
+WITH RECURSIVE {_TRUTH_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM tpairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM tpairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+scored AS (
+  SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS score
+  FROM documents WHERE text IS NOT NULL
+),
+assigned AS (
+  SELECT s.doc_id, COALESCE(c.cluster_id, s.doc_id) AS cluster_id, s.score
+  FROM scored s LEFT JOIN comp c USING (doc_id)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn
+  FROM assigned
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MAX(doc_id) FILTER (WHERE rn = 1) AS keep_id,
+       MAX(score) FILTER (WHERE rn = 1) AS keep_score,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM ranked GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+@register(
+    "q138_cluster_canonical_pick",
+    _Q138_SQL,
+    doc=(
+        "quality-aware canonical selection — the curation step after "
+        "near-dup clustering: per exact-Jaccard cluster (q68's "
+        "components via the collapsed spelling) keep the member with "
+        "the HIGHEST quality score (distinct-word count; ties to the "
+        "lower doc_id) instead of the arbitrary min-id — one "
+        "max_by(struct) aggregate over the cluster assignment, so "
+        "dedup drops the worst copies, not random ones"
+    ),
+    tables=("documents",),
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.clusters import (
+        canonical_docs_collapsed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    assigned = canonical_docs_collapsed(docs, threshold=0.6).select(
+        "doc_id", "cluster_id"
+    )
+    scored = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("score"),
+    )
+    j = assigned.join(scored, "doc_id")
+    best = F.max_by(
+        F.struct(F.col("doc_id").alias("id"), F.col("score").alias("s")),
+        F.struct(F.col("score").alias("a"), (-F.col("doc_id")).alias("b")),
+    )
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            best.alias("__best"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("__best.id").alias("keep_id"),
+            F.col("__best.s").alias("keep_score"),
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# --- Incremental near-dup: arriving batch vs existing corpus (round 5) ------
+
+_Q139_SQL = f"""
+WITH tok AS ({_SQL_TOK}),
+sh AS (SELECT doc_id, list_distinct({_SQL_SHINGLE_HASHES}) AS hs FROM tok),
+ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS old_id, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.h = b.h
+  WHERE {_sql_hb("a.doc_id", 100)} >= 90 AND {_sql_hb("b.doc_id", 100)} < 90
+  GROUP BY 1, 2
+)
+SELECT new_id, old_id,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jac
+FROM inter
+JOIN sizes sa ON sa.doc_id = new_id
+JOIN sizes sb ON sb.doc_id = old_id
+WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.6
+ORDER BY new_id, old_id
+"""
+
+
+@register(
+    "q139_incremental_neardup",
+    _Q139_SQL,
+    doc=(
+        "incremental NEAR-dup check — the banded complement of q94's "
+        "exact-hash incremental dedup: the arriving 10% batch (id-hash "
+        "bucket >= 90) probes the existing corpus through MinHash-LSH "
+        "band buckets (candidates are ONLY new x old band collisions — "
+        "never new x new or old x old), each candidate verified with "
+        "the exact in-row Jaccard.  At scale the existing side's "
+        "banded signatures are the persisted index a daily increment "
+        "probes (operators/dedup.py lsh_neardup_incremental); oracle "
+        "is the brute-force cross-side Jaccard (calibrated recall-1.0 "
+        "fixtures, the q68b discipline)"
+    ),
+    tables=("documents",),
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base not in _Q68B_CALIBRATED_SFS:
+        raise ValueError(
+            f"q139_incremental_neardup is calibration-pinned (verified at "
+            f"{sorted(_Q68B_CALIBRATED_SFS)}); fixture {base!r} needs an LSH "
+            "recall re-sweep before the exact oracle is meaningful"
+        )
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id", 100)
+    existing = docs.where(b < 90)
+    incoming = docs.where(b >= 90)
+    return D.lsh_neardup_incremental(existing, incoming, threshold=0.6).orderBy(
+        "new_id", "old_id"
+    )

@@ -1119,3 +1119,85 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q136: cross-document boilerplate phrase burden (round 5)
+# ---------------------------------------------------------------------------
+
+_Q136_N = 3
+_Q136_MIN_DOCS = 4
+
+_Q136_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - {_Q136_N - 2}),
+                               i -> array_to_string(w[i:i+{_Q136_N - 1}], ' '))) AS g
+  FROM t
+),
+df AS (SELECT g, COUNT(*) AS d FROM g GROUP BY g),
+pd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(*) FILTER (WHERE d >= {_Q136_MIN_DOCS}) AS BIGINT) AS n_boiler
+  FROM g JOIN df USING (g) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(pd.n_grams, 0) AS n_grams,
+       COALESCE(pd.n_boiler, 0) AS n_boiler,
+       ROUND(COALESCE(pd.n_boiler, 0) / GREATEST(COALESCE(pd.n_grams, 0), 1), 6)
+         AS boiler_frac
+FROM t LEFT JOIN pd USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+@register(
+    "q136_boilerplate_phrases",
+    _Q136_SQL,
+    doc=(
+        "cross-document repeated-phrase (boilerplate) burden — the "
+        "span-level signal doc-level dedup cannot see (the RefinedWeb/"
+        "CCNet boilerplate-removal shape on word 3-grams): a phrase in "
+        ">= 4 distinct docs is boilerplate; each doc reports its "
+        "distinct-gram count, boilerplate-gram count and fraction. "
+        "In-row gram construction, xxhash64 8-byte shuffle keys, two "
+        "map-side-partial aggregates (operators/quality.py "
+        "boilerplate_burden)"
+    ),
+    tables=("documents",),
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return QL.boilerplate_burden(
+        docs, n=_Q136_N, min_docs=_Q136_MIN_DOCS
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q137: equal-frequency deciles via the distributed global rank (round 5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q137_equifreq_deciles",
+    """
+    SELECT doc_id, n_chars,
+           NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+    FROM documents ORDER BY doc_id
+    """,
+    doc=(
+        "equal-frequency discretization (the feature-binning complement "
+        "of q72's fixed-width histogram): NTILE(10) of every document "
+        "by length — spelled through operators/packing.global_ntile "
+        "(range-bucketed global_rank + closed-form NTILE arithmetic), "
+        "so the global order never funnels into a single-task window; "
+        "the same discipline that re-spelled q23"
+    ),
+    tables=("documents",),
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.packing import global_ntile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tiled = global_ntile(docs, ["n_chars", "doc_id"], 10, out_col="decile")
+    return tiled.select("doc_id", "n_chars", "decile").orderBy("doc_id")

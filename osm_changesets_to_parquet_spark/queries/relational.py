@@ -681,32 +681,20 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The declared semantics are GLOBAL ntile/percent_rank — but the
     # naive spelling (Window.orderBy with no partition key) funnels the
-    # whole table through ONE task.  Instead: distributed global rank
-    # via the range-bucketed discipline (operators/packing.global_rank —
-    # one wide shuffle, |buckets|-row offset prefix-sum broadcast back),
-    # then both functions are pure arithmetic over (rank, n):
-    #   percent_rank = (rank-1)/(n-1)          (total order => no ties)
-    #   ntile(4): first n%4 tiles hold ceil(n/4) rows, the rest floor —
-    #   closed form below, matching SQL NTILE exactly.
-    from osm_changesets_to_parquet_spark.operators.packing import global_rank
+    # whole table through ONE task.  Instead: operators/packing's
+    # global_ntile (range-bucketed global_rank — one wide shuffle,
+    # |buckets|-row offset prefix-sum broadcast back — plus closed-form
+    # NTILE arithmetic), and percent_rank = (rank-1)/(n-1) since the
+    # (price, orderkey) order is total (no ties).
+    from osm_changesets_to_parquet_spark.operators.packing import global_ntile
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    ranked = global_rank(o, ["o_totalprice", "o_orderkey"], out_col="__r")
-    n_row = o.agg(F.count(F.lit(1)).alias("__n"))
+    tiled = global_ntile(
+        o, ["o_totalprice", "o_orderkey"], 4, out_col="tile", rank_col="__r", n_col="__n"
+    )
     rn, n = F.col("__r"), F.col("__n")
-    q, r = F.floor(n / 4), n % 4
-    in_big = rn <= r * (q + 1)
-    tile = (
-        F.when(in_big, F.floor((rn - 1) / (q + 1)) + 1)
-        .otherwise(r + F.floor((rn - r * (q + 1) - 1) / F.greatest(q, F.lit(1))) + 1)
-        .cast("long")
-    )
     pr = F.when(n > 1, F.round((rn - 1) / (n - 1), 6)).otherwise(F.lit(0.0))
-    return (
-        ranked.crossJoin(F.broadcast(n_row))
-        .select("o_orderkey", tile.alias("tile"), pr.alias("pr"))
-        .orderBy("o_orderkey")
-    )
+    return tiled.select("o_orderkey", "tile", pr.alias("pr")).orderBy("o_orderkey")
 
 
 # ---------------------------------------------------------------------------
