@@ -61,9 +61,12 @@ BENCH_QUERIES = [
     "q115_kmeans",
     # round 5: keep the iterative-graph wins honest with tracked numbers
     # (star-contraction CC inside the simhash cluster path; pointer-
-    # doubling hierarchy closure)
+    # doubling hierarchy closure), plus the new corpus-scale phrase
+    # profiler and the bucketed range lookup
     "q117_simhash_clusters",
     "q116_hierarchy_closure",
+    "q136_boilerplate_phrases",
+    "q140_range_lookup",
 ]
 
 

@@ -31,6 +31,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def range_lookup(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Point-in-interval lookup join (``lo <= p < hi``) with the same
+    grid-bucket blocking as :func:`interval_overlap_pairs` — the
+    IP-to-geo / price-to-tier / timestamp-to-epoch-window shape.
+
+    A non-equi lookup has no join key, so the naive spelling is a
+    nested-loop theta join (fine only while the dimension broadcasts
+    AND the per-row scan of it is cheap).  Grid blocking makes it an
+    ordinary hash equi-join at ANY dimension size: each interval
+    explodes to the buckets it covers, each point maps to exactly ONE
+    bucket (floor(p / width)), candidates join on the bucket id and the
+    exact bound predicate verifies in-row.  A point lies in one bucket
+    and an interval covers that bucket at most once, so no pair ever
+    duplicates — no distinct needed (unlike the overlap join).
+
+    Returns ``points`` columns + the matching interval's columns
+    (inner semantics: points outside every interval drop; intervals are
+    half-open ``[lo, hi)`` and may overlap — a point then matches each
+    covering interval).
+    """
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    w = F.lit(bucket_width)
+    iv = intervals.where(F.col(hi_col) > F.col(lo_col))
+    ibuckets = iv.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor((F.col(hi_col) - 1) / w).cast("long"),
+            )
+        ).alias("__b"),
+    )
+    pb = points.withColumn("__b", F.floor(F.col(point_col) / w).cast("long"))
+    return (
+        pb.join(ibuckets, "__b")
+        .where((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
+        .drop("__b")
+    )
+
+
 def interval_overlap_pairs(
     df: DataFrame,
     id_col: str,

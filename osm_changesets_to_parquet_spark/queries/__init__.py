@@ -73,11 +73,13 @@ def register(
 _PRIORITY: tuple[str, ...] = (
     # -- (1) new/changed this round --
     "cs9_pipeline_roundtrip",
+    "cs10_bbox_cells",
     "q135_contrastive_ann",
     "q136_boilerplate_phrases",
     "q137_equifreq_deciles",
     "q138_cluster_canonical_pick",
     "q139_incremental_neardup",
+    "q140_range_lookup",
     "q23_ntile_percent_rank",
     # -- (2) never driver-witnessed (registered r4, queued by design) --
     "q127_leakage_safe_split",
@@ -124,9 +126,9 @@ _PRIORITY: tuple[str, ...] = (
     "m50_image_resize",
     # -- (4) r2-era head: fill the window to 50 --
     "q27_except",
+    # ---- window boundary (50) — names below queue for round 6 ----
     "q28_string_funcs",
     "q29_date_funcs",
-    # ---- window boundary (50) — names below queue for round 6 ----
     "q30_math_funcs",
     "q31_json_extract",
     "q32_map_funcs",

@@ -355,3 +355,58 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), "key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q140: point-in-interval range lookup via grid-bucketed equi-join (round 5)
+# ---------------------------------------------------------------------------
+
+_Q140_BANDS = [
+    ("bronze", 0, 50_000),
+    ("silver", 50_000, 150_000),
+    ("gold", 150_000, 300_000),
+    ("platinum", 300_000, 1_000_000),
+]
+_Q140_WIDTH = 50_000
+
+_Q140_SQL = f"""
+WITH bands(band, lo, hi) AS (VALUES
+  {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _Q140_BANDS)}
+)
+SELECT band, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band ORDER BY band
+"""
+
+
+@register(
+    "q140_range_lookup",
+    _Q140_SQL,
+    doc=(
+        "point-in-interval lookup (the IP-to-geo / price-to-tier shape) "
+        "via operators/intervals.range_lookup: the non-equi band "
+        "predicate becomes an ordinary hash equi-join on a grid bucket "
+        "id (intervals explode to covered buckets, each point maps to "
+        "exactly one bucket, exact bounds verified in-row) — works at "
+        "ANY dimension size where the nested-loop theta join needs the "
+        "dimension broadcast and scans it per row; oracle runs the "
+        "theta join literally"
+    ),
+    tables=("orders",),
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.intervals import range_lookup
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.createDataFrame(_Q140_BANDS, "band string, lo long, hi long")
+    looked = range_lookup(
+        o, bands, "o_totalprice", "lo", "hi", bucket_width=_Q140_WIDTH
+    )
+    return (
+        looked.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("band")
+    )

@@ -206,3 +206,84 @@ def cs9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dataset string, url string, rows_indexed long, rows_read long, "
         "example_query string, second_run_skipped boolean, watermark string",
     )
+
+
+# --- CS10: downstream geo query over converted changesets (round 5) --------
+
+# The reference's published parquet is QUERIED by bbox — "changesets
+# touching my region" is the canonical downstream question for OSM
+# changeset data (the reference delegates it to DuckDB over the R2
+# parquet; scripts/manage-r2.sh:151 is the smoke-query form).  Query
+# bbox + 16x16 world grid; every coordinate in the fixture is an exact
+# multiple of 0.25 so the cell/area float math is engine-identical.
+_CS10_QUERY = {"min_lat": -40.0, "max_lat": 40.0, "min_lon": -60.0, "max_lon": 90.0}
+
+
+def _cs10_values() -> str:
+    rows = ",\n      ".join(
+        f"(CAST({i} AS BIGINT), '{u}', CAST({mnlat!r} AS DOUBLE), "
+        f"CAST({mnlon!r} AS DOUBLE), CAST({mxlat!r} AS DOUBLE), CAST({mxlon!r} AS DOUBLE))"
+        for i, u, mnlat, mnlon, mxlat, mxlon in fixtures.geo_rows()
+    )
+    return rows
+
+
+_CS10_SQL = f"""
+WITH cs(id, osm_user, min_lat, min_lon, max_lat, max_lon) AS (VALUES
+      {_cs10_values()}
+),
+hit AS (
+  SELECT * FROM cs
+  WHERE NOT (max_lat < {_CS10_QUERY["min_lat"]} OR min_lat > {_CS10_QUERY["max_lat"]}
+          OR max_lon < {_CS10_QUERY["min_lon"]} OR min_lon > {_CS10_QUERY["max_lon"]})
+)
+SELECT id, osm_user,
+       CAST(FLOOR(((min_lat + max_lat) / 2 + 90) / 11.25) * 16
+            + FLOOR(((min_lon + max_lon) / 2 + 180) / 22.5) AS BIGINT) AS cell,
+       ROUND((max_lat - min_lat) * (max_lon - min_lon), 4) AS area
+FROM hit ORDER BY id
+"""
+
+
+@register(
+    "cs10_bbox_cells",
+    _CS10_SQL,
+    doc=(
+        "downstream geo query over converted changesets — the canonical "
+        "consumer question for the reference's published parquet "
+        "('changesets touching my region'): XML -> typed bbox columns "
+        "-> bbox-intersection filter (a pushable conjunction of range "
+        "predicates — at scale this is partition/row-group pruning on "
+        "the bbox min/max stats) -> 16x16 world-grid cell id + bbox "
+        "area.  The oracle recomputes the same float arithmetic from "
+        "the declared raw coordinates, so the conversion AND the geo "
+        "math are both hash-checked"
+    ),
+)
+def cs10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xml = fixtures.write_geo_fixture()
+    df = read_changesets_xml(spark, xml)
+    q = _CS10_QUERY
+    hit = df.where(
+        ~(
+            (F.col("max_lat") < q["min_lat"])
+            | (F.col("min_lat") > q["max_lat"])
+            | (F.col("max_lon") < q["min_lon"])
+            | (F.col("min_lon") > q["max_lon"])
+        )
+    )
+    clat = (F.col("min_lat") + F.col("max_lat")) / 2
+    clon = (F.col("min_lon") + F.col("max_lon")) / 2
+    cell = (
+        F.floor((clat + F.lit(90.0)) / F.lit(11.25)) * 16
+        + F.floor((clon + F.lit(180.0)) / F.lit(22.5))
+    ).cast("long")
+    area = F.round(
+        (F.col("max_lat") - F.col("min_lat")) * (F.col("max_lon") - F.col("min_lon")), 4
+    )
+    return hit.select(
+        "id",
+        F.col("user").alias("osm_user"),
+        cell.alias("cell"),
+        area.alias("area"),
+    ).orderBy("id")

@@ -92,6 +92,49 @@ def write_malformed_fixture(name: str = "malformed.xml") -> str:
     return write_fixture(name, MALFORMED_XML)
 
 
+# --- Geo fixture: many changesets with bounding boxes (cs10) ---------------
+
+GEO_N = 40
+_GEO_USERS = ["alice", "bob", "carol"]
+
+
+def geo_rows() -> list[tuple]:
+    """Deterministic (id, user, min_lat, min_lon, max_lat, max_lon).
+
+    Every coordinate is an exact multiple of 0.25 (and the derived bbox
+    centers multiples of 0.125), so the downstream float arithmetic —
+    cell assignment against the 11.25/22.5-degree grid, area products —
+    is bit-identical across engines: the inputs, the grid constants
+    (45/4, 45/2) and all intermediate products are exactly
+    representable doubles.
+    """
+    rows = []
+    for i in range(1, GEO_N + 1):
+        min_lat = float(((i * 7) % 140) - 70) + 0.25
+        min_lon = float(((i * 13) % 340) - 170) + 0.5
+        dlat = (i % 4) * 0.5 + 0.25
+        dlon = (i % 3) * 0.75 + 0.25
+        rows.append(
+            (i, _GEO_USERS[i % 3], min_lat, min_lon, min_lat + dlat, min_lon + dlon)
+        )
+    return rows
+
+
+def write_geo_fixture(name: str = "changesets_geo.xml") -> str:
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n<osm version="0.6">\n'
+    ]
+    for i, user, mnlat, mnlon, mxlat, mxlon in geo_rows():
+        parts.append(
+            f'  <changeset id="{i}" created_at="2024-03-01T00:00:00Z" open="false" '
+            f'user="{user}" uid="{100 + (i % 3)}" min_lat="{mnlat!r}" '
+            f'min_lon="{mnlon!r}" max_lat="{mxlat!r}" max_lon="{mxlon!r}" '
+            f'num_changes="{i}" comments_count="0"/>\n'
+        )
+    parts.append("</osm>\n")
+    return write_fixture(name, "".join(parts))
+
+
 def expected_values_sql(rows=None) -> str:
     """DuckDB VALUES literal matching EXPECTED_ROWS with epoch-ms longs."""
     rows = rows if rows is not None else EXPECTED_ROWS

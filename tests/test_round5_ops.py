@@ -79,6 +79,37 @@ def test_boilerplate_burden_flags_shared_phrase(spark):
         assert out[d] == (3, 1, round(1 / 3, 6))
 
 
+def test_range_lookup_exact_semantics(spark):
+    from osm_changesets_to_parquet_spark.operators.intervals import range_lookup
+
+    pts = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 99), (4, 100), (5, 250), (6, 17)], ["pid", "p"]
+    )
+    iv = spark.createDataFrame(
+        [("a", 0, 10), ("b", 10, 100), ("c", 5, 20)],  # b/c overlap [10,20)
+        ["tier", "lo", "hi"],
+    )
+    got = {(r.pid, r.tier) for r in range_lookup(pts, iv, "p", "lo", "hi", 7).collect()}
+    # half-open [lo, hi): p=10 not in a, in b and c; p=100 outside all;
+    # p=250 outside all; p=17 in b and c (overlapping intervals both match)
+    assert got == {(1, "a"), (1, "c"), (2, "b"), (2, "c"), (3, "b"), (6, "b"), (6, "c")}
+
+
+def test_range_lookup_plans_hash_join_not_nested_loop(spark, sf_dir):
+    from osm_changesets_to_parquet_spark import queries as Q
+
+    Q.load_all_modules()
+    plan = (
+        Q.REGISTRY["q140_range_lookup"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_lsh_neardup_incremental_matches_cross_side_truth(spark):
     # near-identical docs across the old/new split: the incremental
     # banded path must find exactly the cross-side pairs the exact
