@@ -74,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- (1) new/changed this round --
     "cs9_pipeline_roundtrip",
     "cs10_bbox_cells",
+    "cs11_python_datasource",
     "q135_contrastive_ann",
     "q136_boilerplate_phrases",
     "q137_equifreq_deciles",
@@ -124,9 +125,8 @@ _PRIORITY: tuple[str, ...] = (
     "m48_image_decode_features",
     "m49_audio_frame_sample",
     "m50_image_resize",
-    # -- (4) r2-era head: fill the window to 50 --
-    "q27_except",
     # ---- window boundary (50) — names below queue for round 6 ----
+    "q27_except",
     "q28_string_funcs",
     "q29_date_funcs",
     "q30_math_funcs",

@@ -287,3 +287,31 @@ def cs10(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell.alias("cell"),
         area.alias("area"),
     ).orderBy("id")
+
+
+@register(
+    "cs11_python_datasource",
+    fixtures.expected_values_sql(),
+    doc=(
+        "identical conversion through the Spark 4 PYTHON DATA SOURCE "
+        "API (sources/changesets_pyds.py — spark.read.format("
+        "'osm_changesets')): pluggable source with OUR split planning "
+        "(partitions() plans byte ranges; each task owns the elements "
+        "STARTING in its range and overflows past its end to complete "
+        "the last one — the splittable-format frame-alignment "
+        "contract), per-partition lazy ElementTree parse.  partitions=3 "
+        "forces real split boundaries through the 4-row fixture"
+    ),
+)
+def cs11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.sources import changesets_pyds
+
+    changesets_pyds.register(spark)
+    xml = fixtures.write_fixture()
+    df = (
+        spark.read.format("osm_changesets")
+        .option("path", xml)
+        .option("partitions", "3")
+        .load()
+    )
+    return _as_ms_rows(df)

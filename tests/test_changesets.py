@@ -261,3 +261,52 @@ def test_fuzz_fallback_matches_xml_source(spark, data):
         assert fb == main
     finally:
         os.unlink(path)
+
+
+def test_python_datasource_split_invariance(spark):
+    # the byte-range planner must produce the SAME rows at every
+    # partition count — boundaries land mid-element on the 40-element
+    # geo fixture, exercising the overflow/frame-alignment contract
+    from osm_changesets_to_parquet_spark.sources import changesets_pyds, fixtures
+    from osm_changesets_to_parquet_spark.sources.changesets import read_changesets_xml
+
+    changesets_pyds.register(spark)
+    xml = fixtures.write_geo_fixture()
+    want = sorted(map(str, read_changesets_xml(spark, xml).collect()))
+    for parts in (1, 3, 7, 64):
+        got = (
+            spark.read.format("osm_changesets")
+            .option("path", xml)
+            .option("partitions", str(parts))
+            .load()
+        )
+        assert got.rdd.getNumPartitions() >= 1
+        assert sorted(map(str, got.collect())) == want, parts
+
+
+def test_python_datasource_edge_fixture(spark):
+    # the edge-case fixture (children, escapes, unicode, TZ offsets,
+    # u32 range) must parse identically through the python data source
+    from osm_changesets_to_parquet_spark.sources import changesets_pyds, fixtures
+    from osm_changesets_to_parquet_spark.sources.changesets import read_changesets_xml
+
+    changesets_pyds.register(spark)
+    xml = fixtures.write_fixture()
+    want = sorted(map(str, read_changesets_xml(spark, xml).collect()))
+    got = (
+        spark.read.format("osm_changesets")
+        .option("path", xml)
+        .option("partitions", "2")
+        .load()
+    )
+    assert sorted(map(str, got.collect())) == want
+
+
+def test_python_datasource_requires_path(spark):
+    import pytest as _pytest
+
+    from osm_changesets_to_parquet_spark.sources import changesets_pyds
+
+    changesets_pyds.register(spark)
+    with _pytest.raises(Exception):
+        spark.read.format("osm_changesets").load().collect()
