@@ -204,3 +204,59 @@ def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_changesets_to_parquet_spark.streaming import run_s10_stream_merge
 
     return run_s10_stream_merge(spark, sf_dir)
+
+
+@register(
+    "s11_left_outer_stream_join",
+    """
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      -- the GLOBAL watermark is the MIN of the two per-stream
+      -- watermarks (each stream only sees its own event type), minus
+      -- the 10-minute delay
+      SELECT LEAST(MAX(epoch_us(ts)) FILTER (WHERE event_type = 'click'),
+                   MAX(epoch_us(ts)) FILTER (WHERE event_type = 'purchase'))
+             - 600000000 AS w
+      FROM events
+    ),
+    matched AS (
+      SELECT c.click_id, p.purchase_id, c.user_id
+      FROM c JOIN p ON p.user_id = c.user_id
+       AND pus > cus AND pus <= cus + 300000000
+    ),
+    unmatched AS (
+      SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id
+      FROM c, wm
+      WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+        AND cus + 300000000 < wm.w
+    )
+    SELECT click_id, purchase_id, user_id FROM matched
+    UNION ALL
+    SELECT click_id, purchase_id, user_id FROM unmatched
+    ORDER BY click_id, purchase_id
+    """,
+    doc=(
+        "LEFT OUTER stream-stream join (the funnel/abandonment shape): "
+        "matched rows emit on match exactly like s7; an unmatched click "
+        "emits (click_id, NULL) only when the watermark passes its join-"
+        "window end and evicts its state, so unmatched clicks whose "
+        "window end reaches the final resting watermark are never "
+        "emitted — and because each side's watermark tracks only its "
+        "OWN event type, the global watermark is the MIN of the two "
+        "(Spark's multiple-watermark policy). The oracle encodes "
+        "exactly that, making the outer-eviction semantics part of "
+        "the hash (s9 discipline)"
+    ),
+    tables=("events",),
+)
+def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.streaming import run_s11_left_outer_join
+
+    return run_s11_left_outer_join(spark, sf_dir)

@@ -16,4 +16,5 @@ from osm_changesets_to_parquet_spark.streaming.jobs import (  # noqa: F401
     run_s7_stream_stream_join,
     run_s9_session_window,
     run_s10_stream_merge,
+    run_s11_left_outer_join,
 )

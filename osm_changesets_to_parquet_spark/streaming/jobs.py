@@ -295,6 +295,58 @@ def run_s7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_s11_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the retention/abandonment shape
+    ("every click, with its purchase if one followed within 5 minutes"):
+    same interval condition and watermarks as s7, but how="leftOuter".
+
+    Semantics under the in-order replay: matched rows emit on match
+    (complete, the s7 argument).  An UNMATCHED click emits
+    (click_id, NULL) only when the watermark passes its join-window end
+    (click_ts + 5 min) and its state is evicted — so at stream end,
+    unmatched clicks in the final stretch of event time (window end at
+    or beyond the resting watermark max_ts - 10 min) remain live state,
+    never emitted.  The oracle excludes exactly those, which makes the
+    eviction semantics themselves part of the hash (the s9 discipline).
+
+    State scale: both sides' state is watermark-bounded exactly as in
+    the inner join; outer emission adds no state, only an eviction-time
+    emit — the 100 TB shape for funnel/abandonment streams.
+    """
+    base = prepare_replay_dir(spark, sf_dir, late=False)
+    clicks = (
+        _read_stream(spark, base)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        _read_stream(spark, base)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "leftOuter",
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+    outs = _run_availablenow(joined, mode="append")
+    return outs.select("click_id", "purchase_id", "user_id").orderBy(
+        "click_id", "purchase_id"
+    )
+
+
 def run_s6_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful op: per-user running (count, sum(value)) via
     applyInPandasWithState with an event-time (watermark) timeout.
