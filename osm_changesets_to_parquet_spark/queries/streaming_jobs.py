@@ -260,3 +260,26 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_changesets_to_parquet_spark.streaming import run_s11_left_outer_join
 
     return run_s11_left_outer_join(spark, sf_dir)
+
+
+@register(
+    "s12_python_stream_source",
+    """
+    SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1 ORDER BY event_type
+    """,
+    doc=(
+        "replay through the PYTHON STREAMING data source "
+        "(SimpleDataSourceStreamReader, the streaming half of the "
+        "Spark 4 Python DataSource API — cs11 is the batch half): one "
+        "chunk per micro-batch via chunk-index offsets, update-mode "
+        "per-type counts; the converged state must equal the batch "
+        "aggregate"
+    ),
+    tables=("events",),
+)
+def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.streaming import (
+        run_s12_python_stream_source,
+    )
+
+    return run_s12_python_stream_source(spark, sf_dir)

@@ -17,4 +17,5 @@ from osm_changesets_to_parquet_spark.streaming.jobs import (  # noqa: F401
     run_s9_session_window,
     run_s10_stream_merge,
     run_s11_left_outer_join,
+    run_s12_python_stream_source,
 )

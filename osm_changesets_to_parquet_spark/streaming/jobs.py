@@ -295,6 +295,72 @@ def run_s7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_s12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay through the PYTHON STREAMING data source
+    (sources/events_stream_pyds.py — the streaming half of the Spark 4
+    Python DataSource API; cs11 is the batch half): one chunk per
+    micro-batch via SimpleDataSourceStreamReader offsets, running per-
+    event-type counts in update mode; the converged state (max __bid
+    per key) must equal the batch aggregate.
+
+    availableNow is not supported for Python micro-batch sources (Spark
+    falls back to single-batch, which would collapse the replay), so
+    the runner uses a processingTime(0) trigger and stops when the
+    committed offset reaches the chunk count and a batch reports zero
+    input rows — the deterministic drain point of an immutable replay
+    dir.
+    """
+    import re
+
+    from osm_changesets_to_parquet_spark.sources import events_stream_pyds
+
+    events_stream_pyds.register(spark)
+    base = prepare_replay_dir(spark, sf_dir, late=False)
+    n_chunks = len([f for f in os.listdir(base) if f.endswith(".parquet")])
+    ev = spark.readStream.format("events_replay").option("path", base).load()
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+    out_dir = tempfile.mkdtemp(prefix="s12_out_")
+    ckpt = tempfile.mkdtemp(prefix="s12_ckpt_")
+    _TEMP_DIRS.extend([out_dir, ckpt])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"__bid={batch_id}")
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            agg.writeStream.outputMode("update")
+            .trigger(processingTime="0 seconds")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p:
+                m = re.search(r"(\d+)", str(p["sources"][0]["endOffset"]))
+                if m and int(m.group(1)) >= n_chunks and p["numInputRows"] == 0:
+                    break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("s12 replay did not drain within 120 s")
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    outs = spark.read.parquet(out_dir)
+    return (
+        outs.groupBy("event_type")
+        .agg(F.max_by("cnt", "__bid").alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
 def run_s11_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER stream-stream join — the retention/abandonment shape
     ("every click, with its purchase if one followed within 5 minutes"):

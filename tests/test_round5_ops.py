@@ -110,6 +110,48 @@ def test_range_lookup_plans_hash_join_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_range_lookup_property_matches_brute_force(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from osm_changesets_to_parquet_spark.operators.intervals import range_lookup
+
+    @given(
+        st.lists(st.integers(-50, 250), min_size=1, max_size=25),
+        st.lists(
+            st.tuples(st.integers(-60, 200), st.integers(1, 90)),
+            min_size=1,
+            max_size=12,
+        ),
+        st.integers(1, 40),
+    )
+    @settings(
+        max_examples=5, deadline=None, derandomize=True,
+        suppress_health_check=list(HealthCheck),
+    )
+    def run(points, spans, width):
+        pts = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(points)], ["pid", "p"]
+        )
+        iv = spark.createDataFrame(
+            [(j, lo, lo + ln) for j, (lo, ln) in enumerate(spans)],
+            ["iid", "lo", "hi"],
+        )
+        got = {
+            (r.pid, r.iid)
+            for r in range_lookup(pts, iv, "p", "lo", "hi", width).collect()
+        }
+        want = {
+            (i, j)
+            for i, p in enumerate(points)
+            for j, (lo, ln) in enumerate(spans)
+            if lo <= p < lo + ln
+        }
+        assert got == want
+
+    run()
+
+
 def test_lsh_neardup_incremental_matches_cross_side_truth(spark):
     # near-identical docs across the old/new split: the incremental
     # banded path must find exactly the cross-side pairs the exact
