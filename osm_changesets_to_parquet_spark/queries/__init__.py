@@ -57,19 +57,18 @@ def register(
 # has held exactly 50 entries per round (CORRECTNESS_r01-r04.json) — so
 # ordering is part of the verification contract.  Round-5 priority
 # (VERDICT r04 item 1):
-# (1) queries NEW or CHANGED this round (cs9 pipeline roundtrip, the
-#     ANN-pruned contrastive miner, and q23's scale-safe re-spell) —
-#     witnessed on first contact;
+# (1) the 12 queries NEW or CHANGED this round (cs9/cs10/cs11,
+#     q135-q140, s11/s12, and q23's scale-safe re-spell) — witnessed on
+#     first contact;
 # (2) the 8 round-4 registrations the driver has never witnessed
 #     (q127-q134 — registered late in r4, deliberately queued outside
 #     that window; judge-sweep green, the driver record should agree);
-# (3) the r1-era stale names (q08-q26, q36-q40, t41-t45, m47-m50 —
+# (3) the r1-era stale names (q08-q26, q36-q40, t41-t45, m47/m48 —
 #     all MATCH in the judge's independent r04 HEAD sweep, but the
-#     driver's own rows predate rounds 2-4);
-# (4) the head of the r2-era set (q27-q33) to fill the window.
-# Positions 51+ hold the remaining r2-era names (q53-q67, q73/q74) for
-# the round-6 rotation; everything r03/r04-witnessed follows in
-# registration order.
+#     driver's own rows predate rounds 2-4) filling the window to 50.
+# Positions 51+ queue the round-6 rotation: m49/m50, then the r2-era
+# names (q27-q33, q53-q67, q73/q74); everything r03/r04-witnessed
+# follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     # -- (1) new/changed this round --
     "cs9_pipeline_roundtrip",
