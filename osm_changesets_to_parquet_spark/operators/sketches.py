@@ -204,3 +204,77 @@ def hll_estimate(sketches: DataFrame, sketch_col: str = "hll") -> DataFrame:
     return sketches.withColumn(
         "uniques_est", F.hll_sketch_estimate(F.col(sketch_col))
     ).drop(sketch_col)
+
+
+# ---------------------------------------------------------------------------
+# SpaceSaving heavy hitters: bounded-memory candidates + exact recount
+# ---------------------------------------------------------------------------
+
+
+def spacesaving_candidates(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Per-partition SpaceSaving summaries (Metwally et al., "Efficient
+    computation of frequent and top-k elements in data streams", ICDT
+    2005 — public algorithm), capacity ``k`` counters per partition.
+
+    Returns the DISTINCT union of every partition's counter keys — a
+    PROVABLE superset of all items with global ``count * k > N``:
+    if ``count(x) * k > N`` then by averaging some partition has
+    ``count_p(x) * k > N_p``, and SpaceSaving with ``k`` counters
+    guarantees any such item occupies a counter at stream end (its
+    overestimation error is bounded by ``N_p / k``).
+
+    Each task holds exactly ``k`` counters regardless of stream length
+    — the bounded-memory property that makes the first pass safe at
+    100 TB (vs a full groupBy whose map side buffers every distinct
+    key).  This toy keeps the counters in a dict with an O(k) min scan
+    on replacement; a production build uses the stream-summary
+    doubly-linked bucket structure for O(1) updates.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    item_type = df.schema[item_col].dataType.simpleString()
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for x in pdf[item_col]:
+                if x in counters:
+                    counters[x] += 1
+                elif len(counters) < k:
+                    counters[x] = 1
+                else:
+                    m = min(counters, key=counters.get)
+                    cm = counters.pop(m)
+                    counters[x] = cm + 1
+        yield pd.DataFrame({item_col: list(counters.keys())})
+
+    return df.select(item_col).mapInPandas(
+        summarize, schema=f"{item_col} {item_type}"
+    ).distinct()
+
+
+def heavy_hitters_exact(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """EXACT heavy hitters (items with ``count * k > N``) via the
+    two-pass sketch-prune discipline: pass 1 builds bounded-memory
+    SpaceSaving candidate sets per partition (no-false-negative
+    superset, see :func:`spacesaving_candidates`); pass 2 exactly
+    recounts ONLY the candidates (a semi-join keyed scan) and applies
+    the threshold with integer arithmetic (``cnt * k > N`` — no
+    division, engine-exact).  Provably equals the brute-force
+    ``GROUP BY HAVING`` — which is the oracle — while the first pass
+    never materializes the full key space on the map side.
+    """
+    cands = spacesaving_candidates(df, item_col, k)
+    n_row = df.agg(F.count(F.lit(1)).alias("__n"))
+    counts = (
+        df.join(cands, item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(n_row))
+        .where(F.col("cnt") * F.lit(k) > F.col("__n"))
+        .select(item_col, "cnt")
+    )

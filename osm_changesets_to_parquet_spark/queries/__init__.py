@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "q140_range_lookup",
     "s11_left_outer_stream_join",
     "s12_python_stream_source",
+    "q141_heavyhitters",
     "q23_ntile_percent_rank",
     # -- (2) never driver-witnessed (registered r4, queued by design) --
     "q127_leakage_safe_split",
@@ -123,8 +124,8 @@ _PRIORITY: tuple[str, ...] = (
     "t44_fingerprint",
     "t45_simhash",
     "m47_multimodal_meta",
-    "m48_image_decode_features",
     # ---- window boundary (50) — names below queue for round 6 ----
+    "m48_image_decode_features",
     "m49_audio_frame_sample",
     "m50_image_resize",
     "q27_except",

@@ -186,3 +186,37 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q141: SpaceSaving heavy hitters with exact recount (round 5)
+# ---------------------------------------------------------------------------
+
+_Q141_K = 128
+
+
+@register(
+    "q141_heavyhitters",
+    f"""
+    WITH n AS (SELECT COUNT(*) AS n FROM events)
+    SELECT user_id, COUNT(*) AS cnt
+    FROM events, n
+    GROUP BY user_id, n.n
+    HAVING COUNT(*) * {_Q141_K} > n.n
+    ORDER BY user_id
+    """,
+    doc=(
+        "EXACT heavy hitters (users with count*k > N, k=128) via the "
+        "two-pass sketch-prune discipline: per-partition SpaceSaving "
+        "summaries (k counters per task, bounded memory at any stream "
+        "length — a provable no-false-negative candidate superset by "
+        "the averaging + Metwally guarantee), then an exact recount of "
+        "candidates only (semi-join keyed scan) with an integer "
+        "threshold (cnt*k > N, division-free). Provably equals the "
+        "brute-force GROUP BY HAVING — the oracle"
+    ),
+    tables=("events",),
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return S.heavy_hitters_exact(ev, "user_id", _Q141_K).orderBy("user_id")

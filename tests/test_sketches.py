@@ -112,3 +112,48 @@ def test_hll_estimate_within_error_bound(spark, sf_dir):
     ).collect()[0].uniques_est
     exact = c.select("c_custkey").distinct().count()
     assert abs(est - exact) <= 0.02 * exact
+
+
+def test_heavy_hitters_exact_on_skewed_stream(spark):
+    # zipf-ish stream, capacity far below the distinct count so the
+    # SpaceSaving replacement path actually runs; the two-pass result
+    # must still equal brute force EXACTLY (no-false-negative superset
+    # + exact recount)
+    import random
+    from collections import Counter
+
+    from osm_changesets_to_parquet_spark.operators.sketches import (
+        heavy_hitters_exact,
+        spacesaving_candidates,
+    )
+
+    rng = random.Random(7)
+    items = []
+    for i in range(1, 41):
+        items += [i] * max(1, 1000 // i)
+    rng.shuffle(items)
+    df = spark.createDataFrame([(x,) for x in items], ["item"]).repartition(4)
+    k = 8
+    got = {(r.item, r.cnt) for r in heavy_hitters_exact(df, "item", k).collect()}
+    c = Counter(items)
+    n = len(items)
+    want = {(x, cnt) for x, cnt in c.items() if cnt * k > n}
+    assert got == want
+    assert want  # the fixture must actually contain heavy hitters
+    # superset property: every true heavy hitter is a candidate
+    cands = {r.item for r in spacesaving_candidates(df, "item", k).collect()}
+    assert {x for x, _ in want} <= cands
+    # bounded summaries: at most k candidates per partition
+    assert len(cands) <= k * df.rdd.getNumPartitions()
+
+
+def test_spacesaving_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from osm_changesets_to_parquet_spark.operators.sketches import (
+        spacesaving_candidates,
+    )
+
+    df = spark.createDataFrame([(1,)], ["item"])
+    with _pytest.raises(ValueError):
+        spacesaving_candidates(df, "item", 0)
