@@ -356,6 +356,33 @@ def test_q135_ann_candidates_are_keyed_join_not_cross(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q136_boilerplate_partial_aggs_hash_keys(spark, sf_dir):
+    # both aggregates (phrase doc-frequency, per-doc rollup) must take
+    # map-side partials, and grams must ride xxhash64 keys — never the
+    # phrase strings — through the shuffles
+    plan = _plan(spark, sf_dir, "q136_boilerplate_phrases")
+    assert "partial_count" in plan
+    assert "xxhash64" in plan
+
+
+def test_q137_equifreq_no_single_partition_window(spark, sf_dir):
+    # the NTILE(10) spelling must ride the bucketed global_rank: every
+    # window is partitioned by __bucket (the offsets window orders by it)
+    plan = _plan(spark, sf_dir, "q137_equifreq_deciles")
+    assert "ntile" not in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "__bucket" in line, line
+
+
+def test_q139_incremental_candidates_keyed_join(spark, sf_dir):
+    # the batch-vs-corpus candidate pass must be an equi-join on the
+    # (band, bkey) bucket — never a cross join of the two sides
+    plan = _plan(spark, sf_dir, "q139_incremental_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q112_candidates_are_equi_join_not_cross(spark, sf_dir):
     # PassJoin blocking must plan as a hash/sort-merge equi-join on the
     # (len, segment, substring) key — a cross join would be the brute
