@@ -133,6 +133,14 @@ def global_rank(
     Same two-pass caveat as ``global_cumsum``: the default bucket
     boundaries come from ``approxQuantile`` (a driver action over the
     input subtree); pass ``bounds`` when the key range is known.
+
+    NULLS FIRST contract: rows whose first key is NULL land in bucket
+    -1 and rank BEFORE every non-null row — Spark's ASC default.  A
+    DuckDB/ANSI oracle defaults to NULLS LAST, so a query ranking a
+    nullable key must either spell ``NULLS FIRST`` in its oracle's
+    ORDER BY or null-filter before ranking; otherwise the divergence
+    surfaces as a hash mismatch, not an error (pinned by
+    tests/test_packing.py::test_global_rank_nulls_first).
     """
     first = order_cols[0]
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -192,6 +200,9 @@ def global_ntile(
     the total row count (callers deriving percent_rank/cume_dist want
     both); otherwise they are dropped.  The one extra job is a 1-row
     count aggregate broadcast back.
+
+    Inherits :func:`global_rank`'s NULLS FIRST contract: null first
+    keys tile before everything, where ANSI NTILE defaults NULLS LAST.
     """
     if k < 1:
         raise ValueError("k must be >= 1")

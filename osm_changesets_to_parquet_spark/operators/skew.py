@@ -79,7 +79,8 @@ def salted_join(
         raise ValueError("salted_join supports inner/left (small side is replicated)")
     if n_salts == "auto":
         n_salts = auto_salt_count(big, on)
-    if not isinstance(n_salts, int) or n_salts < 1:
+    # bool is an int subclass: n_salts=True would silently mean 1 salt
+    if isinstance(n_salts, bool) or not isinstance(n_salts, int) or n_salts < 1:
         raise ValueError("n_salts must be a positive int or 'auto'")
     non_key = [c for c in big.columns if c not in on]
     src = salt_source or (non_key[0] if non_key else on[0])

@@ -33,13 +33,19 @@ from osm_changesets_to_parquet_spark.schemas import CHANGESET_SCHEMA
 _COLS = [f.name for f in CHANGESET_SCHEMA.fields]
 
 
-def _parse_fragment(frag: str) -> list[dict]:
+def _parse_fragment(frag: str, retry_close: bool = True) -> list[dict]:
     """Parse one lineSep-framed fragment into changeset rows.
 
     A fragment ends where a '</changeset>' terminator was consumed by
     the line reader — so it holds any number of *self-closing* elements
     followed by at most one unclosed element-with-children.  Parse under
     a synthetic root, re-appending the eaten terminator when needed.
+
+    ``retry_close=False`` disables the terminator re-append: the
+    byte-range framing of changesets_pyds never consumes terminators
+    (fragments run to the next '<changeset' start), so there a fragment
+    needing the retry is TRUNCATED — force-closing it would turn an
+    incomplete element into a silently-partial row.
     """
     import xml.etree.ElementTree as ET
 
@@ -51,7 +57,7 @@ def _parse_fragment(frag: str) -> list[dict]:
     # a changeset element, so dropping the literal is safe
     xml = frag[start:].replace("</osm>", "")
     root = None
-    for suffix in ("", "</changeset>"):
+    for suffix in ("", "</changeset>") if retry_close else ("",):
         try:
             root = ET.fromstring("<r>" + xml + suffix + "</r>")
             break

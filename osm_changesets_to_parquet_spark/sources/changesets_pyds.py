@@ -46,7 +46,9 @@ _START = b"<changeset"
 
 class ChangesetDataSource(DataSource):
     """``spark.read.format("osm_changesets")`` — options:
-    ``path`` (required, plain XML), ``partitions`` (default 4)."""
+    ``path`` (required, plain XML), ``partitions`` (default 4),
+    ``overflow`` (bytes one element may span past a split boundary,
+    default 1 MiB; exceeding it FAILS the task — never silent loss)."""
 
     @classmethod
     def name(cls) -> str:
@@ -68,6 +70,9 @@ class ChangesetXmlReader(DataSourceReader):
         self.n_parts = int(options.get("partitions", 4))
         if self.n_parts < 1:
             raise ValueError("osm_changesets: partitions must be >= 1")
+        self.overflow = int(options.get("overflow", OVERFLOW))
+        if self.overflow < 1:
+            raise ValueError("osm_changesets: overflow must be >= 1")
 
     def partitions(self):
         size = os.path.getsize(self.path)
@@ -79,23 +84,51 @@ class ChangesetXmlReader(DataSourceReader):
 
     def read(self, partition):
         lo, hi = partition.value
+        want = (hi - lo) + self.overflow
         with open(self.path, "rb") as f:
             f.seek(lo)
-            buf = f.read((hi - lo) + OVERFLOW)
+            buf = f.read(want)
+        at_eof = len(buf) < want  # short read => the buffer holds the file tail
         # element starts whose absolute offset is in [lo, hi) belong to
         # this partition; the element's bytes run to the next start (or
-        # buffer end), which the overflow read guarantees we hold
+        # buffer end), which the overflow read guarantees we hold —
+        # and when it does NOT (an element spanning > overflow past the
+        # boundary), the task FAILS below instead of silently dropping
+        # or force-closing a truncated element
         starts = []
         pos = buf.find(_START)
         while pos != -1 and lo + pos < hi:
             starts.append(pos)
             pos = buf.find(_START, pos + 1)
         for i, s in enumerate(starts):
-            nxt = starts[i + 1] if i + 1 < len(starts) else (
-                pos if pos != -1 else len(buf)
+            if i + 1 < len(starts):
+                nxt = starts[i + 1]
+            elif pos != -1:
+                nxt = pos
+            else:
+                nxt = len(buf)
+            # strict parse (retry_close=False): byte-range fragments
+            # always hold their full terminator, so a fragment that
+            # only parses when force-closed is truncated — raising
+            # beats a silently-partial row.  Only the buffer-tail
+            # fragment can be cut mid-UTF-8-sequence; decode it
+            # leniently so truncation surfaces as OUR error below,
+            # not an opaque UnicodeDecodeError.
+            tail_may_truncate = nxt == len(buf) and not at_eof
+            frag = buf[s:nxt].decode(
+                "utf-8", "replace" if tail_may_truncate else "strict"
             )
-            frag = buf[s:nxt].decode("utf-8")
-            for row in _parse_fragment(frag):
+            rows = _parse_fragment(frag, retry_close=False)
+            if not rows:
+                raise ValueError(
+                    f"osm_changesets: element starting at byte {lo + s} "
+                    f"parsed to zero rows — truncated (an element may span "
+                    f"at most overflow={self.overflow} bytes past the split "
+                    f"boundary at {hi}; raise the 'overflow' option or lower "
+                    f"'partitions') or malformed XML; refusing to drop it "
+                    f"silently"
+                )
+            for row in rows:
                 ts = row["created_at"]
                 tc = row["closed_at"]
                 yield (

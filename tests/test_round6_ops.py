@@ -1,0 +1,118 @@
+"""Round-6 operator tests: ADVICE fixes (pyds truncation guard, NULLS
+FIRST contract, n_salts bool), then the round's new operators."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from osm_changesets_to_parquet_spark.operators.packing import global_rank
+from osm_changesets_to_parquet_spark.operators.skew import salted_join
+
+
+def _write_big_element_xml(n_tags: int = 5000) -> str:
+    """One small self-closing element, then one element whose <tag>
+    children make it ~150 KB — so a byte-range split boundary lands
+    inside it and a small overflow cannot complete it."""
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n<osm version="0.6">\n',
+        '  <changeset id="1" created_at="2024-01-01T00:00:00Z" open="false"'
+        ' num_changes="5" comments_count="0"/>\n',
+        '  <changeset id="2" created_at="2024-01-02T00:00:00Z" open="false"'
+        ' user="bulk" uid="9" num_changes="1" comments_count="0">\n',
+    ]
+    parts.extend(
+        f'    <tag k="key{i:06d}" v="value-{i:06d}-padding-padding"/>\n'
+        for i in range(n_tags)
+    )
+    parts.append('    <tag k="comment" v="the big one"/>\n')
+    parts.append("  </changeset>\n</osm>\n")
+    fd, path = tempfile.mkstemp(suffix=".xml", prefix="big_element_")
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        f.write("".join(parts))
+    return path
+
+
+def test_pyds_oversized_element_fails_loudly(spark):
+    # ADVICE r5 (medium): an element spanning > overflow past its split
+    # boundary must FAIL the read, not silently drop / force-close into
+    # a partial row
+    from osm_changesets_to_parquet_spark.sources import changesets_pyds
+
+    changesets_pyds.register(spark)
+    path = _write_big_element_xml()
+    try:
+        df = (
+            spark.read.format("osm_changesets")
+            .option("path", path)
+            .option("partitions", "4")
+            .option("overflow", "2048")
+            .load()
+        )
+        with pytest.raises(Exception, match="refusing to drop|zero rows"):
+            df.collect()
+        # same file, overflow covering the element: complete parse, and
+        # the big element's last-comment-wins description survives
+        ok = (
+            spark.read.format("osm_changesets")
+            .option("path", path)
+            .option("partitions", "4")
+            .load()
+        )
+        rows = {r.id: r for r in ok.collect()}
+        assert set(rows) == {1, 2}
+        assert rows[2].description == "the big one"
+    finally:
+        os.unlink(path)
+
+
+def test_pyds_truncated_file_fails_loudly(spark):
+    # a file that simply ends mid-element (no split boundary involved)
+    # must also raise, not vanish
+    from osm_changesets_to_parquet_spark.sources import changesets_pyds
+    from osm_changesets_to_parquet_spark.sources.fixtures import MALFORMED_XML
+
+    changesets_pyds.register(spark)
+    fd, path = tempfile.mkstemp(suffix=".xml", prefix="trunc_")
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        f.write(MALFORMED_XML)
+    try:
+        df = (
+            spark.read.format("osm_changesets")
+            .option("path", path)
+            .option("partitions", "1")
+            .load()
+        )
+        with pytest.raises(Exception, match="refusing to drop|zero rows"):
+            df.collect()
+    finally:
+        os.unlink(path)
+
+
+def test_global_rank_nulls_first(spark):
+    # ADVICE r5 (low): the documented NULLS FIRST contract — null first
+    # keys rank before every non-null row, matching Spark's ASC default
+    df = spark.createDataFrame(
+        [(None, 10), (1.0, 11), (None, 12), (3.0, 13), (2.0, 14)], "v double, id int"
+    )
+    got = {r.id: r.rank for r in global_rank(df, ["v", "id"], out_col="rank").collect()}
+    w = Window.orderBy(F.col("v").asc_nulls_first(), "id")
+    want = {
+        r.id: r.rank
+        for r in df.select(
+            "id", F.row_number().over(w).cast("long").alias("rank")
+        ).collect()
+    }
+    assert got == want
+    assert {got[10], got[12]} == {1, 2}  # nulls first
+
+
+def test_salted_join_rejects_bool_n_salts(spark):
+    # ADVICE r5 (low): bool is an int subclass; n_salts=True must error
+    df = spark.range(4).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["k"], n_salts=True)
