@@ -283,3 +283,26 @@ def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_s12_python_stream_source(spark, sf_dir)
+
+
+@register(
+    "s13_partitioned_stream_source",
+    """
+    SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1 ORDER BY event_type
+    """,
+    doc=(
+        "replay through the PARTITION-PLANNED Python streaming source "
+        "(DataSourceStreamReader — the firehose path the simple s12 "
+        "reader documents): the driver plans one InputPartition per "
+        "chunk row group from parquet FOOTERS; executors read the row "
+        "data, so no row ever transits the driver; same update-mode "
+        "counts converging to the batch aggregate"
+    ),
+    tables=("events",),
+)
+def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.streaming import (
+        run_s13_partitioned_stream_source,
+    )
+
+    return run_s13_partitioned_stream_source(spark, sf_dir)

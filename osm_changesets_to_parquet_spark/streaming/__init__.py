@@ -18,4 +18,5 @@ from osm_changesets_to_parquet_spark.streaming.jobs import (  # noqa: F401
     run_s10_stream_merge,
     run_s11_left_outer_join,
     run_s12_python_stream_source,
+    run_s13_partitioned_stream_source,
 )

@@ -295,13 +295,11 @@ def run_s7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_s12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay through the PYTHON STREAMING data source
-    (sources/events_stream_pyds.py — the streaming half of the Spark 4
-    Python DataSource API; cs11 is the batch half): one chunk per
-    micro-batch via SimpleDataSourceStreamReader offsets, running per-
-    event-type counts in update mode; the converged state (max __bid
-    per key) must equal the batch aggregate.
+def _drain_python_stream_counts(
+    spark: SparkSession, fmt: str, base: str, tag: str
+) -> DataFrame:
+    """Run per-event-type counts in update mode over a Python-DataSource
+    replay of ``base`` until it drains; return the converged counts.
 
     availableNow is not supported for Python micro-batch sources (Spark
     falls back to single-batch, which would collapse the replay), so
@@ -312,16 +310,12 @@ def run_s12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import re
 
-    from osm_changesets_to_parquet_spark.sources import events_stream_pyds
-
-    events_stream_pyds.register(spark)
-    base = prepare_replay_dir(spark, sf_dir, late=False)
     n_chunks = len([f for f in os.listdir(base) if f.endswith(".parquet")])
-    ev = spark.readStream.format("events_replay").option("path", base).load()
+    ev = spark.readStream.format(fmt).option("path", base).load()
     agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
 
-    out_dir = tempfile.mkdtemp(prefix="s12_out_")
-    ckpt = tempfile.mkdtemp(prefix="s12_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix=f"{tag}_out_")
+    ckpt = tempfile.mkdtemp(prefix=f"{tag}_ckpt_")
     _TEMP_DIRS.extend([out_dir, ckpt])
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -348,7 +342,7 @@ def run_s12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                     break
             time.sleep(0.2)
         else:
-            raise TimeoutError("s12 replay did not drain within 120 s")
+            raise TimeoutError(f"{tag} replay did not drain within 120 s")
         q.stop()
         q.awaitTermination()
     finally:
@@ -358,6 +352,65 @@ def run_s12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         outs.groupBy("event_type")
         .agg(F.max_by("cnt", "__bid").alias("cnt"))
         .orderBy("event_type")
+    )
+
+
+def run_s12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay through the PYTHON STREAMING data source
+    (sources/events_stream_pyds.py — the streaming half of the Spark 4
+    Python DataSource API; cs11 is the batch half): one chunk per
+    micro-batch via SimpleDataSourceStreamReader offsets, running per-
+    event-type counts in update mode; the converged state (max __bid
+    per key) must equal the batch aggregate.
+    """
+    from osm_changesets_to_parquet_spark.sources import events_stream_pyds
+
+    events_stream_pyds.register(spark)
+    base = prepare_replay_dir(spark, sf_dir, late=False)
+    return _drain_python_stream_counts(spark, "events_replay", base, "s12")
+
+
+def prepare_partitioned_replay_dir(
+    spark: SparkSession, sf_dir: str, row_groups_per_chunk: int = 3
+) -> str:
+    """Replay dir whose chunk files hold multiple parquet ROW GROUPS —
+    the parallelism unit the s13 partition-planned stream source maps
+    to InputPartitions.  Row content is identical to the on-time
+    prepare_replay_dir fixture; only the row-group layout differs."""
+    import pyarrow.parquet as pq
+
+    src = prepare_replay_dir(spark, sf_dir, late=False)
+    base = src.rstrip("/") + f"_rg{row_groups_per_chunk}"
+    done = os.path.join(base, "_READY")
+    if os.path.exists(done):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    for f in sorted(os.listdir(src)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(src, f))
+        per_rg = max(1, -(-t.num_rows // max(1, row_groups_per_chunk)))
+        pq.write_table(t, os.path.join(base, f), row_group_size=per_rg)
+    open(done, "w").close()
+    return base
+
+
+def run_s13_partitioned_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay through the PARTITION-PLANNED Python streaming source
+    (sources/events_stream_partitioned_pyds.py — the firehose-path fix
+    for the r5 `weak`): the driver plans chunk/row-group partitions
+    from parquet footers, EXECUTORS read the row data, and the same
+    update-mode counts must converge to the batch aggregate.
+    """
+    from osm_changesets_to_parquet_spark.sources import (
+        events_stream_partitioned_pyds,
+    )
+
+    events_stream_partitioned_pyds.register(spark)
+    base = prepare_partitioned_replay_dir(spark, sf_dir)
+    return _drain_python_stream_counts(
+        spark, "events_replay_partitioned", base, "s13"
     )
 
 

@@ -116,3 +116,54 @@ def test_salted_join_rejects_bool_n_salts(spark):
     df = spark.range(4).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         salted_join(df, df, ["k"], n_salts=True)
+
+
+def test_s13_reader_plans_multiple_partitions_per_batch(spark, sf_dir):
+    # VERDICT r5 item 1: the partition-planned stream reader must map
+    # one micro-batch (one chunk) to >1 InputPartitions (row groups),
+    # and per-partition reads must reassemble exactly the chunk's rows
+    import pyarrow.parquet as pq
+
+    from osm_changesets_to_parquet_spark.sources.events_stream_partitioned_pyds import (
+        EventsReplayPartitionedStreamReader,
+    )
+    from osm_changesets_to_parquet_spark.streaming.jobs import (
+        prepare_partitioned_replay_dir,
+    )
+
+    base = prepare_partitioned_replay_dir(spark, sf_dir)
+    reader = EventsReplayPartitionedStreamReader({"path": base})
+    assert reader.initialOffset() == {"i": 0}
+    # one chunk per latestOffset call — the replay determinism contract
+    assert reader.latestOffset() == {"i": 1}
+    assert reader.latestOffset() == {"i": 2}
+    parts = reader.partitions({"i": 0}, {"i": 1})
+    assert len(parts) >= 2, "a chunk must plan one partition per row group"
+    rows = [r for p in parts for r in reader.read(p)]
+    want = pq.read_table(
+        sorted(
+            f"{base}/{f}" for f in __import__("os").listdir(base)
+            if f.endswith(".parquet")
+        )[0]
+    ).num_rows
+    assert len(rows) == want
+
+
+def test_s13_drained_counts_match_batch(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from osm_changesets_to_parquet_spark.streaming import (
+        run_s13_partitioned_stream_source,
+    )
+
+    got = sorted(
+        (r.event_type, r.cnt)
+        for r in run_s13_partitioned_stream_source(spark, sf_dir).collect()
+    )
+    want = sorted(
+        (r.event_type, r.cnt)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt"))
+        .collect()
+    )
+    assert got == want
