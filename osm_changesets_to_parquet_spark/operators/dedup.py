@@ -380,6 +380,110 @@ def lsh_neardup_incremental(
     )
 
 
+def lsh_index_write(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> None:
+    """PERSIST the banded-signature near-dup index for a corpus — the
+    on-disk contract :func:`lsh_neardup_incremental`'s docstring names:
+    at 100 TB you band the corpus ONCE, write the index, and every
+    increment probes the stored frame instead of re-banding petabytes.
+
+    Two parquet datasets under ``path``:
+
+    - ``bands``:    (id, band, bkey) — the probe side of the candidate
+      equi-join.  Written partitioned by ``band`` so a probe that only
+      touches some bands prunes files; on a real cluster you would
+      additionally BUCKET BY ``bkey`` so the probe join co-locates
+      without a shuffle of the corpus side.
+    - ``shingles``: (id, hs) — the distinct shingle-hash arrays the
+      exact-Jaccard verification reads (so verification never touches
+      corpus text either).
+
+    One scan of the corpus feeds both writes (the shingle frame is
+    checkpointed; the signature subtree derives from it).
+    """
+    import os
+
+    elig = docs.where(F.size(F.split(F.col(text_col), " ")) >= n)
+    sh = truncate_lineage(shingles(elig, text_col, n))
+    sigged = minhash_signature(sh)
+    (
+        sigged.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.array(*band_keys(F.col("sig")))).alias("band", "bkey"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(os.path.join(path, "bands"))
+    )
+    (
+        sh.select(
+            F.col(id_col).alias("id"), F.array_distinct("shingle_hashes").alias("hs")
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "shingles"))
+    )
+
+
+def lsh_neardup_probe_index(
+    spark,
+    index_path: str,
+    incoming: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup probe against a PERSISTED index
+    (:func:`lsh_index_write`): bands are computed for the incoming
+    batch ALONE; the corpus side is read back as (id, band, bkey) and
+    (id, hs) parquet — the corpus text is never re-shingled, so the
+    per-increment cost is O(batch bands + matched-bucket collisions +
+    index scan), independent of how the corpus GREW since indexing.
+
+    Same exactness contract as :func:`lsh_neardup_incremental` (which
+    computes both sides in-session): candidates are only new x old
+    band collisions; every emitted pair carries the exact in-row
+    Jaccard; recall is the banding collision bound.
+    """
+    import os
+
+    bands_old = spark.read.parquet(os.path.join(index_path, "bands")).select(
+        F.col("id").alias("old_id"), "band", "bkey"
+    )
+    sh_old = spark.read.parquet(os.path.join(index_path, "shingles")).select(
+        F.col("id").alias("old_id"), F.col("hs").alias("hb")
+    )
+    elig = incoming.where(F.size(F.split(F.col(text_col), " ")) >= n)
+    sh_new = truncate_lineage(shingles(elig, text_col, n))
+    banded_new = minhash_signature(sh_new).select(
+        F.col(id_col).alias("new_id"),
+        F.posexplode(F.array(*band_keys(F.col("sig")))).alias("band", "bkey"),
+    )
+    cands = (
+        banded_new.join(bands_old, ["band", "bkey"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    a = sh_new.select(
+        F.col(id_col).alias("new_id"), F.array_distinct("shingle_hashes").alias("ha")
+    )
+    inter = F.size(F.array_intersect("ha", "hb"))
+    return (
+        cands.join(a, "new_id")
+        .join(sh_old, "old_id")
+        .withColumn(
+            "jac", F.round(inter / (F.size("ha") + F.size("hb") - inter), 4)
+        )
+        .where(F.col("jac") >= threshold)
+        .select("new_id", "old_id", "jac")
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     threshold: float,

@@ -1013,3 +1013,50 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_neardup_incremental(existing, incoming, threshold=0.6).orderBy(
         "new_id", "old_id"
     )
+
+
+@register(
+    "q142_neardup_persisted_index",
+    _Q139_SQL,
+    doc=(
+        "the q139 incremental near-dup probe against a PERSISTED "
+        "banded-signature index (operators/dedup.py lsh_index_write / "
+        "lsh_neardup_probe_index): the 90% corpus is banded ONCE and "
+        "written as (id, band, bkey) + (id, shingle-hash) parquet; the "
+        "arriving 10% batch computes its own bands and equi-joins the "
+        "stored frame — the corpus text is never re-shingled, so the "
+        "per-increment cost is independent of corpus growth since "
+        "indexing.  Same brute-force cross-side Jaccard oracle as q139 "
+        "(identical result contract, different corpus-side physics)"
+    ),
+    tables=("documents",),
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base not in _Q68B_CALIBRATED_SFS:
+        raise ValueError(
+            f"q142_neardup_persisted_index is calibration-pinned (verified at "
+            f"{sorted(_Q68B_CALIBRATED_SFS)}); fixture {base!r} needs an LSH "
+            "recall re-sweep before the exact oracle is meaningful"
+        )
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id", 100)
+    existing = docs.where(b < 90)
+    incoming = docs.where(b >= 90)
+    # one index build per (corpus, session lifetime): the _READY marker
+    # makes repeated runs pure probes — exactly the daily-increment
+    # shape the operator is for.  Rebuilt from scratch per fixture dir;
+    # writes are overwrite-mode so a torn build self-heals.
+    idx = os.path.join(tempfile.gettempdir(), f"lsh_neardup_index_{base}")
+    ready = os.path.join(idx, "_READY")
+    if not os.path.exists(ready):
+        D.lsh_index_write(existing, idx)
+        open(ready, "w").close()
+    return D.lsh_neardup_probe_index(spark, idx, incoming, threshold=0.6).orderBy(
+        "new_id", "old_id"
+    )
