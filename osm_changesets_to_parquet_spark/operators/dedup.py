@@ -525,6 +525,84 @@ def containment_pairs(
     )
 
 
+def repeated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_span: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_locs: int = 2,
+) -> DataFrame:
+    """Span-level repeated-substring detection — the suffix-array-style
+    dedup of "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022, public), respelled as a DataFrame pipeline:
+    flag maximal token spans (>= ``min_span`` tokens) every one of whose
+    ``k``-token grams occurs at >= ``min_locs`` distinct (doc, position)
+    locations corpus-wide.  Unlike q136's 3-gram *burden counting*,
+    this returns the spans themselves — what a curation pass excises.
+
+    Spelling: in-row rolling k-gram hashes (:func:`shingles` with
+    ``n=k`` — each character hashed once), posexplode to
+    (doc, pos, gram-hash), one map-side-partial count to find
+    duplicated grams, semi-join back, then gaps-and-islands over
+    gram positions per document: a new island starts where the gap
+    between consecutive duplicated gram starts exceeds ``k`` (token
+    windows no longer overlap or touch).  Island -> span
+    [min pos, max pos + k - 1], 1-based token indices.
+
+    Scale: one shuffle on the 8-byte gram hash for the count, one for
+    the semi-join, and a per-document window (state bounded by doc
+    length) for the islands — no suffix array, no cross join, nothing
+    quadratic.  Two grams hash-colliding (p ~ positions^2 / 1e9-ish
+    per HASH_MOD) can conjoin a false span; the SQL oracle replays the
+    identical hash so the contract is engine-portable.
+    """
+    elig = docs.select(id_col, text_col).where(
+        F.size(F.split(F.col(text_col), " ")) >= k
+    )
+    grams = shingles(elig, text_col, n=k).select(
+        F.col(id_col), F.posexplode("shingle_hashes").alias("pos0", "h")
+    )
+    # 1-based gram start (mirrors SQL generate_subscripts)
+    grams = grams.select(
+        id_col, (F.col("pos0") + 1).cast("long").alias("pos"), "h"
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("locs"))
+        .where(F.col("locs") >= min_locs)
+        .select("h")
+    )
+    hits = grams.join(dup, "h", "semi").select(id_col, "pos")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    lagp = F.lag("pos").over(w)
+    brk = F.when(lagp.isNull() | (F.col("pos") - lagp > k), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    grp = (
+        hits.withColumn("__brk", brk)
+        .withColumn(
+            "__g",
+            F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    spans = grp.groupBy(id_col, "__g").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+    )
+    return (
+        spans.withColumn(
+            "span_tokens", F.col("span_end") - F.col("span_start") + 1
+        )
+        .where(F.col("span_tokens") >= min_span)
+        .select(id_col, "span_start", "span_end", "span_tokens")
+    )
+
+
 SIMHASH_BITS = 30
 
 

@@ -1060,3 +1060,59 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_neardup_probe_index(spark, idx, incoming, threshold=0.6).orderBy(
         "new_id", "old_id"
     )
+
+
+def _sql_gram_hashes(k: int) -> str:
+    # k-token rolling gram hash — the shingles() fold generalized; must
+    # stay in lockstep with operators.dedup.repeated_spans
+    expr = "th[i]"
+    for j in range(1, k):
+        expr = f"(({expr} * 31 + th[i+{j}]) % {P})"
+    return f"list_transform(range(1, len(th) - {k - 2}), i -> {expr})"
+
+
+_Q143_K, _Q143_MIN_SPAN = 8, 10
+
+_Q143_SQL = f"""
+WITH tok AS ({_SQL_TOK}),
+gl AS (SELECT doc_id, {_sql_gram_hashes(_Q143_K)} AS gh FROM tok WHERE len(th) >= {_Q143_K}),
+g AS (SELECT doc_id, generate_subscripts(gh, 1) AS pos, unnest(gh) AS h FROM gl),
+dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+marked AS (SELECT doc_id, pos,
+    CASE WHEN LAG(pos) OVER w IS NULL OR pos - LAG(pos) OVER w > {_Q143_K}
+         THEN 1 ELSE 0 END AS brk
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+grp AS (SELECT doc_id, pos,
+    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
+  FROM marked),
+spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_Q143_K - 1} AS span_end
+          FROM grp GROUP BY doc_id, gid)
+SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_end AS BIGINT) AS span_end,
+       CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+FROM spans
+WHERE span_end - span_start + 1 >= {_Q143_MIN_SPAN}
+ORDER BY doc_id, span_start
+"""
+
+
+@register(
+    "q143_repeated_spans",
+    _Q143_SQL,
+    doc=(
+        "span-level repeated-substring dedup (the Lee et al. 2022 "
+        "suffix-array dedup, public, respelled relationally): maximal "
+        "token spans >= 10 tokens whose every 8-token gram occurs at "
+        ">= 2 (doc, pos) locations corpus-wide — in-row rolling gram "
+        "hashes -> duplicated-gram count -> semi-join -> gaps-and-"
+        "islands per doc (operators/dedup.py repeated_spans).  q136 "
+        "counts boilerplate burden; this returns the excisable spans"
+    ),
+    tables=("documents",),
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.repeated_spans(
+        docs, k=_Q143_K, min_span=_Q143_MIN_SPAN
+    ).orderBy("doc_id", "span_start")
