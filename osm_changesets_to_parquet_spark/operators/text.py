@@ -273,3 +273,83 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for _, pat, tok in PII_PATTERNS:
         red = F.regexp_replace(red, pat, tok)
     return docs.select(*cols, red.alias("redacted"))
+
+
+def bpe_merge_steps(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> DataFrame:
+    """Distributed BPE tokenizer-training merge steps (Sennrich et al.
+    2016, public): starting from character symbols over the corpus WORD
+    VOCABULARY (word -> total count), run ``n_merges`` rounds of
+    count-all-adjacent-symbol-pairs -> pick the top pair -> merge it
+    everywhere; returns one row per round:
+    (round, left_sym, right_sym, pair_count).
+
+    Spelling keeps every round fully declarative — no Python in the
+    loop and no driver materialization:
+
+    - a word's symbol sequence is a delimited STRING, each symbol
+      wrapped in single spaces (``" a  b "``); applying merge (x, y)
+      is then one JVM ``replace(seq, " x  y ", " xy ")`` whose
+      left-to-right non-overlapping scan IS greedy BPE merge order
+      (both Spark and the SQL oracle scan the source string, so the
+      engines agree even on self-overlapping runs like x x x);
+    - pair counting explodes adjacent slices of the split sequence,
+      weighted by word count — a map-side-partial aggregate over the
+      VOCABULARY (not the corpus: the corpus is scanned once to build
+      word counts, the merge rounds touch only distinct words);
+    - the round's winner is a 1-row orderBy(cnt DESC, l, r).limit(1)
+      broadcast back into the next round's replace — the only data
+      movement between rounds is that single row.
+
+    At 100 TB the vocabulary is millions of rows against a corpus of
+    trillions of tokens — exactly the reduction BPE training needs;
+    rounds chain as narrow broadcast-joined stages over the vocab.
+    The oracle unrolls the same rounds as chained CTEs (the q84
+    pagerank discipline).
+    """
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).where(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    cur = vocab.select(
+        F.concat(
+            F.lit(" "), F.concat_ws("  ", F.split(F.col("w"), "")), F.lit(" ")
+        ).alias("seq"),
+        "wc",
+    )
+    rounds = []
+    for r in range(1, n_merges + 1):
+        syms = F.split(F.trim(F.col("seq")), "  ")
+        z = F.arrays_zip(
+            F.slice(syms, 1, F.size(syms) - 1), F.slice(syms, 2, F.size(syms) - 1)
+        )
+        pc = (
+            cur.where(F.size(syms) >= 2)
+            .select(F.explode(z).alias("p"), "wc")
+            .select(F.col("p")["0"].alias("l"), F.col("p")["1"].alias("r"), "wc")
+            .groupBy("l", "r")
+            .agg(F.sum("wc").cast("long").alias("cnt"))
+        )
+        top = pc.orderBy(F.desc("cnt"), "l", "r").limit(1)
+        rounds.append(top.select(F.lit(r).cast("long").alias("round"), "l", "r", "cnt"))
+        pat = F.concat(F.lit(" "), F.col("_l"), F.lit("  "), F.col("_r"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("_l"), F.col("_r"), F.lit(" "))
+        cur = (
+            cur.crossJoin(
+                F.broadcast(
+                    top.select(F.col("l").alias("_l"), F.col("r").alias("_r"))
+                )
+            )
+            .withColumn("seq", F.replace(F.col("seq"), pat, rep))
+            .select("seq", "wc")
+        )
+    out = rounds[0]
+    for t in rounds[1:]:
+        out = out.unionAll(t)
+    return out.select(
+        "round",
+        F.col("l").alias("left_sym"),
+        F.col("r").alias("right_sym"),
+        F.col("cnt").alias("pair_count"),
+    )

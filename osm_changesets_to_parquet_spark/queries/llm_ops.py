@@ -754,3 +754,66 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer-training merge steps (q144)
+# ---------------------------------------------------------------------------
+
+_Q144_ROUNDS = 3
+
+
+def _q144_sql(n_rounds: int) -> str:
+    """Unroll the BPE merge rounds as chained CTEs (the q84 pagerank
+    discipline): seq{r} applies round r's winning merge via the same
+    left-to-right non-overlapping replace the Spark side uses."""
+    ctes = [
+        "words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
+        "vocab AS (SELECT w, COUNT(*) AS wc FROM words WHERE w <> '' GROUP BY w)",
+        "seq0 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS seq, wc FROM vocab)",
+    ]
+    for r in range(1, n_rounds + 1):
+        prev = f"seq{r - 1}"
+        ctes.append(
+            f"s{r} AS (SELECT string_split(trim(seq), '  ') AS syms, wc FROM {prev})"
+        )
+        ctes.append(
+            f"p{r} AS (SELECT syms[i] AS l, syms[i+1] AS r, wc FROM "
+            f"(SELECT syms, wc, generate_subscripts(syms, 1) AS i FROM s{r} WHERE len(syms) >= 2) "
+            f"WHERE i < len(syms))"
+        )
+        ctes.append(
+            f"pc{r} AS (SELECT l, r, CAST(SUM(wc) AS BIGINT) AS cnt FROM p{r} GROUP BY l, r)"
+        )
+        ctes.append(
+            f"t{r} AS (SELECT l, r, cnt FROM pc{r} ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"seq{r} AS (SELECT replace(seq, ' ' || t{r}.l || '  ' || t{r}.r || ' ', "
+            f"' ' || t{r}.l || t{r}.r || ' ') AS seq, wc FROM {prev}, t{r})"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, l AS left_sym, r AS right_sym, "
+        f"cnt AS pair_count FROM t{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({unions}) ORDER BY round"
+
+
+@register(
+    "q144_bpe_merges",
+    _q144_sql(_Q144_ROUNDS),
+    doc=(
+        "distributed BPE tokenizer-training merge steps (Sennrich 2016, "
+        "public): 3 rounds of adjacent-symbol-pair counting over the "
+        "word VOCABULARY (corpus scanned once for word counts), each "
+        "round's winning pair broadcast into a single JVM replace() "
+        "whose left-to-right non-overlapping scan is greedy BPE merge "
+        "order (operators/text.py bpe_merge_steps); oracle unrolls the "
+        "rounds as chained CTEs"
+    ),
+    tables=("documents",),
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_merge_steps(docs, _Q144_ROUNDS).orderBy("round")

@@ -248,3 +248,37 @@ def test_repeated_spans_matches_brute_force(spark):
     assert any(d == 1 for d, *_ in got) and any(d == 2 for d, *_ in got)
     assert any(d == 3 for d, *_ in got)  # in-document repetition counts
     assert not any(d == 4 for d, *_ in got)
+
+
+def test_bpe_merge_steps_hand_example(spark):
+    # VERDICT r5 item 5: classic BPE hand example — corpus of words
+    # low(x5) lower(x2) newest(x6) widest(x3); with ties broken by
+    # (count DESC, l, r) the first merges are (e,s)=9, (es,t)=9, (t,</w>-less: lo)=7
+    from osm_changesets_to_parquet_spark.operators.text import bpe_merge_steps
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [
+        (r["round"], r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_merge_steps(docs, 3).orderBy("round").collect()
+    ]
+    # pair counts over the vocab {low:5, lower:2, newest:6, widest:3}:
+    # round 1: (e,s)=9 wins over (s,t)=9 on lexicographic tie-break
+    # round 2: (es,t)=9
+    # round 3: (l,o)=7
+    assert got == [(1, "e", "s", 9), (2, "es", "t", 9), (3, "l", "o", 7)]
+
+
+def test_bpe_merge_greedy_self_overlap(spark):
+    # x x x x merges left-to-right non-overlapping: (x,x) count 3 in
+    # round 1 (adjacent pairs), then round 2 sees [xx, xx]
+    from osm_changesets_to_parquet_spark.operators.text import bpe_merge_steps
+
+    docs = spark.createDataFrame([(1, "xxxx xxxx")], "doc_id long, text string")
+    got = [
+        (r["round"], r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_merge_steps(docs, 2).orderBy("round").collect()
+    ]
+    # vocab {xxxx: 2}: (x,x) at 3 adjacent positions x 2 occurrences;
+    # the merge is applied non-overlapping left-to-right -> [xx, xx]
+    assert got == [(1, "x", "x", 6), (2, "xx", "xx", 2)]
