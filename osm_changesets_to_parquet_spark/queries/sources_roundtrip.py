@@ -212,3 +212,52 @@ def cs8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "cs12_python_datasource_writer",
+    """
+    SELECT event_type, COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "the WRITE half of the Spark 4 Python DataSource API "
+        "(sources/events_sink_pyds.py; cs11 is the batch read half, "
+        "s13 the streaming half): events -> Arrow-batch executor "
+        "writes (one parquet file per partition, rows never on the "
+        "driver) -> driver commit publishes _MANIFEST.json (the "
+        "reference's index.json discipline) -> read back through the "
+        "manifest-honoring reader -> aggregate; hash-matches the same "
+        "aggregate over the original table, so both halves must be "
+        "lossless"
+    ),
+    tables=("events",),
+)
+def cs12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.sources import events_sink_pyds
+
+    events_sink_pyds.register(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts_us"
+    )
+    path = _tmp(sf_dir, "events_chunks_pyds")
+    (
+        ev.repartition(4)
+        .write.format("events_chunks")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+    back = spark.read.format("events_chunks").option("path", path).load()
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,150 @@
+"""Events chunk sink+source — the WRITE half of the Spark 4 Python
+DataSource API (cs11 reads, s13 streams, this one WRITES).
+
+``df.write.format("events_chunks").option("path", ...).save()`` writes
+one parquet file per input partition on the EXECUTORS (Arrow batches
+straight to pyarrow — rows never transit the driver), then the driver's
+``commit()`` publishes a ``_MANIFEST.json`` naming exactly the files
+this job produced with their row counts — the same commit discipline
+as the reference's ``index.json`` (src/main.rs: the pipeline records
+what it converted so a re-run can skip it): readers honor the MANIFEST,
+not the directory listing, so a torn job (no manifest) publishes
+nothing and stale files from an earlier overwrite are invisible —
+atomic visibility without a rename dance.
+
+The read path (``spark.read.format("events_chunks")``) plans one
+InputPartition per manifested file; executors read them with pyarrow —
+so a cs-style roundtrip exercises both halves of the contract.
+
+Task retries are idempotent: a partition's file name is its partition
+id, so a re-run overwrites the same file and the manifest keeps one
+entry per partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+from osm_changesets_to_parquet_spark.sources.events_stream_pyds import (
+    _COLS,
+    EVENTS_DDL,
+)
+
+MANIFEST = "_MANIFEST.json"
+
+
+class EventsChunkCommit(WriterCommitMessage):
+    def __init__(self, file: str | None, rows: int) -> None:
+        self.file = file
+        self.rows = rows
+
+
+class EventsChunkSink(DataSource):
+    """``format("events_chunks")`` — options: ``path`` (directory)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "events_chunks"
+
+    def schema(self) -> str:
+        return EVENTS_DDL
+
+    def writer(self, schema, overwrite: bool) -> "EventsChunkWriter":
+        return EventsChunkWriter(self.options)
+
+    def reader(self, schema) -> "EventsChunkReader":
+        return EventsChunkReader(self.options)
+
+
+class EventsChunkWriter(DataSourceArrowWriter):
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("events_chunks: the 'path' option is required")
+        self.path = path
+
+    def write(self, iterator) -> EventsChunkCommit:
+        # executor-side: stream this partition's Arrow batches into one
+        # parquet file; the partition id names the file (retry-idempotent)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return EventsChunkCommit(None, 0)
+        os.makedirs(self.path, exist_ok=True)
+        t = pa.Table.from_batches(batches)
+        fname = f"part-{pid:05d}.parquet"
+        pq.write_table(t, os.path.join(self.path, fname))
+        return EventsChunkCommit(fname, t.num_rows)
+
+    def commit(self, messages) -> None:
+        files = sorted(
+            ({"file": m.file, "rows": m.rows} for m in messages if m and m.file),
+            key=lambda e: e["file"],
+        )
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, MANIFEST + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(
+                {"files": files, "total_rows": sum(e["rows"] for e in files)}, f
+            )
+        os.replace(tmp, os.path.join(self.path, MANIFEST))  # atomic publish
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m and m.file:
+                try:
+                    os.unlink(os.path.join(self.path, m.file))
+                except OSError:
+                    pass
+
+
+class EventsChunkReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("events_chunks: the 'path' option is required")
+        self.path = path
+
+    def partitions(self):
+        with open(os.path.join(self.path, MANIFEST), encoding="utf-8") as f:
+            manifest = json.load(f)
+        return [
+            InputPartition(os.path.join(self.path, e["file"]))
+            for e in manifest["files"]
+        ] or [InputPartition(None)]
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        if partition.value is None:
+            return
+        t = pq.read_table(partition.value, columns=_COLS)
+        cols = [t.column(c).to_pylist() for c in _COLS]
+        yield from zip(*cols)
+
+
+def register(spark) -> None:
+    """Idempotent registration (pickle-by-value for executor workers)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from osm_changesets_to_parquet_spark.sources import events_stream_pyds
+
+    for mod in (sys.modules[__name__], events_stream_pyds):
+        cloudpickle.register_pickle_by_value(mod)
+    spark.dataSource.register(EventsChunkSink)

@@ -282,3 +282,46 @@ def test_bpe_merge_greedy_self_overlap(spark):
     # vocab {xxxx: 2}: (x,x) at 3 adjacent positions x 2 occurrences;
     # the merge is applied non-overlapping left-to-right -> [xx, xx]
     assert got == [(1, "x", "x", 6), (2, "xx", "xx", 2)]
+
+
+def test_events_chunk_sink_manifest_visibility(spark, sf_dir):
+    # VERDICT r5 item 6: the committed manifest, not the directory
+    # listing, defines visibility — an orphan file (torn job residue)
+    # must be invisible to the reader
+    import json
+    import shutil
+    import tempfile
+
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from osm_changesets_to_parquet_spark.sources import events_sink_pyds
+
+    events_sink_pyds.register(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts_us"
+    )
+    n = ev.count()
+    path = tempfile.mkdtemp(prefix="events_chunks_test_")
+    try:
+        (
+            ev.repartition(3)
+            .write.format("events_chunks")
+            .mode("overwrite")
+            .option("path", path)
+            .save()
+        )
+        with open(f"{path}/_MANIFEST.json") as f:
+            manifest = json.load(f)
+        assert manifest["total_rows"] == n
+        assert len(manifest["files"]) >= 2  # executor-parallel writes
+        back = spark.read.format("events_chunks").option("path", path).load()
+        assert back.count() == n
+        # orphan a copy of a real chunk under a name the manifest lacks
+        shutil.copy(
+            f"{path}/{manifest['files'][0]['file']}", f"{path}/part-99999.parquet"
+        )
+        assert (
+            spark.read.format("events_chunks").option("path", path).load().count()
+            == n
+        ), "orphan files outside the manifest must be invisible"
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
