@@ -541,31 +541,60 @@ def repeated_spans(
     locations corpus-wide.  Unlike q136's 3-gram *burden counting*,
     this returns the spans themselves — what a curation pass excises.
 
-    Spelling: in-row rolling k-gram hashes (:func:`shingles` with
-    ``n=k`` — each character hashed once), posexplode to
-    (doc, pos, gram-hash), one map-side-partial count to find
-    duplicated grams, semi-join back, then gaps-and-islands over
-    gram positions per document: a new island starts where the gap
-    between consecutive duplicated gram starts exceeds ``k`` (token
-    windows no longer overlap or touch).  Island -> span
+    Spelling: in-row k-token gram STRINGS (array_join over slices of
+    the split-once token array — the :func:`~..quality.word_ngrams`
+    shape, kept inline here because positions must survive), one
+    posexplode to (doc, pos, gram), then ``xxhash64(gram)`` AFTER the
+    explode so downstream shuffles ride 8-byte keys while the hash is
+    computed by the native codegen'd kernel, never an interpreted
+    per-char lambda.  One map-side-partial count finds duplicated
+    grams, a semi-join marks hits, then gaps-and-islands over gram
+    positions per document: a new island starts where the gap between
+    consecutive duplicated gram starts exceeds ``k`` (token windows no
+    longer overlap or touch).  Island -> span
     [min pos, max pos + k - 1], 1-based token indices.
+
+    Two Catalyst traps this spelling dodges (both measured at ~100x
+    wall-clock on sf0.1, not hypothetical):
+
+    * ``posexplode`` (outer=false) lets InferFiltersFromGenerate add
+      ``size(child) > 0``, and predicate pushdown then INLINES the
+      whole gram-building expression into that Filter — every row
+      pays the in-row pipeline twice, with the token array re-split
+      per element.  ``posexplode_outer`` is exempt from the rule; the
+      null-position rows it keeps are dropped right above the
+      Generate, where the filter cannot sink.
+    * hashing inside the exploded expression would ride the
+      interpreted higher-order-function evaluator (HOF lambdas never
+      enter whole-stage codegen); hashing the exploded ROWS keeps the
+      hot path in codegen.
 
     Scale: one shuffle on the 8-byte gram hash for the count, one for
     the semi-join, and a per-document window (state bounded by doc
     length) for the islands — no suffix array, no cross join, nothing
-    quadratic.  Two grams hash-colliding (p ~ positions^2 / 1e9-ish
-    per HASH_MOD) can conjoin a false span; the SQL oracle replays the
-    identical hash so the contract is engine-portable.
+    quadratic.  Two grams hash-colliding under xxhash64 (p ~ 2^-64
+    per pair — the q86/q136 key discipline) could conjoin a false
+    span; the SQL oracle groups by the raw gram string, so a
+    collision would surface as an oracle mismatch instead of hiding.
     """
-    elig = docs.select(id_col, text_col).where(
-        F.size(F.split(F.col(text_col), " ")) >= k
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__tk")
+    ).where(F.size("__tk") >= k)
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.size("__tk") - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice("__tk", i, k), " "),
     )
-    grams = shingles(elig, text_col, n=k).select(
-        F.col(id_col), F.posexplode("shingle_hashes").alias("pos0", "h")
-    )
-    # 1-based gram start (mirrors SQL generate_subscripts)
-    grams = grams.select(
-        id_col, (F.col("pos0") + 1).cast("long").alias("pos"), "h"
+    grams = (
+        toks.select(
+            F.col(id_col), F.posexplode_outer(gram_arr).alias("pos0", "gram")
+        )
+        .where(F.col("pos0").isNotNull())
+        # 1-based gram start (mirrors SQL generate_subscripts)
+        .select(
+            id_col,
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            F.xxhash64("gram").alias("h"),
+        )
     )
     dup = (
         grams.groupBy("h")

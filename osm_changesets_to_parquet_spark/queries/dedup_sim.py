@@ -1062,20 +1062,18 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_gram_hashes(k: int) -> str:
-    # k-token rolling gram hash — the shingles() fold generalized; must
-    # stay in lockstep with operators.dedup.repeated_spans
-    expr = "th[i]"
-    for j in range(1, k):
-        expr = f"(({expr} * 31 + th[i+{j}]) % {P})"
-    return f"list_transform(range(1, len(th) - {k - 2}), i -> {expr})"
-
-
 _Q143_K, _Q143_MIN_SPAN = 8, 10
 
+# The oracle groups duplicated grams by the raw k-token STRING — exact
+# ground truth.  The engine keys the same grams on xxhash64 (the
+# q86/q136 8-byte-shuffle-key discipline), so a 2^-64 hash collision
+# would conjoin a false span AND show up here as a mismatch; the hash
+# itself never reaches the output, so no cross-engine hash replay.
 _Q143_SQL = f"""
-WITH tok AS ({_SQL_TOK}),
-gl AS (SELECT doc_id, {_sql_gram_hashes(_Q143_K)} AS gh FROM tok WHERE len(th) >= {_Q143_K}),
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+gl AS (SELECT doc_id, list_transform(range(1, len(tk) - {_Q143_K - 2}),
+         i -> array_to_string(list_slice(tk, i, i + {_Q143_K - 1}), ' ')) AS gh
+       FROM tok WHERE len(tk) >= {_Q143_K}),
 g AS (SELECT doc_id, generate_subscripts(gh, 1) AS pos, unnest(gh) AS h FROM gl),
 dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
 hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
@@ -1104,9 +1102,10 @@ ORDER BY doc_id, span_start
         "span-level repeated-substring dedup (the Lee et al. 2022 "
         "suffix-array dedup, public, respelled relationally): maximal "
         "token spans >= 10 tokens whose every 8-token gram occurs at "
-        ">= 2 (doc, pos) locations corpus-wide — in-row rolling gram "
-        "hashes -> duplicated-gram count -> semi-join -> gaps-and-"
-        "islands per doc (operators/dedup.py repeated_spans).  q136 "
+        ">= 2 (doc, pos) locations corpus-wide — in-row gram strings "
+        "-> posexplode_outer -> xxhash64 keys -> duplicated-gram "
+        "count -> semi-join -> gaps-and-islands per doc "
+        "(operators/dedup.py repeated_spans).  q136 "
         "counts boilerplate burden; this returns the excisable spans"
     ),
     tables=("documents",),
