@@ -308,11 +308,30 @@ def bpe_merge_steps(
     The oracle unrolls the same rounds as chained CTEs (the q84
     pagerank discipline).
     """
+    _, rounds = _bpe_rounds(docs, n_merges, text_col)
+    out = rounds[0]
+    for t in rounds[1:]:
+        out = out.unionAll(t)
+    return out.select(
+        "round",
+        F.col("l").alias("left_sym"),
+        F.col("r").alias("right_sym"),
+        F.col("cnt").alias("pair_count"),
+    )
+
+
+def _bpe_rounds(docs: DataFrame, n_merges: int, text_col: str):
+    """Shared BPE merge-round chain: returns (vocab, rounds) where
+    ``vocab`` is (w, seq, wc) AFTER all merges (``seq`` in the
+    space-wrapped symbol spelling) and ``rounds[r-1]`` is round r's
+    1-row winner (round, l, r, cnt).  ``bpe_merge_steps`` reports the
+    winners; :func:`bpe_encode_counts` reads the final ``seq``."""
     words = docs.select(
         F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).where(F.col("w") != "")
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
     cur = vocab.select(
+        "w",
         F.concat(
             F.lit(" "), F.concat_ws("  ", F.split(F.col("w"), "")), F.lit(" ")
         ).alias("seq"),
@@ -342,14 +361,55 @@ def bpe_merge_steps(
                 )
             )
             .withColumn("seq", F.replace(F.col("seq"), pat, rep))
-            .select("seq", "wc")
+            .select("w", "seq", "wc")
         )
-    out = rounds[0]
-    for t in rounds[1:]:
-        out = out.unionAll(t)
-    return out.select(
-        "round",
-        F.col("l").alias("left_sym"),
-        F.col("r").alias("right_sym"),
-        F.col("cnt").alias("pair_count"),
+    return cur, rounds
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENCODE with the tokenizer :func:`bpe_merge_steps` trains: apply
+    the learned merge table to every document and report
+    (id, n_words, n_bpe_tokens) — the tokenize-the-corpus step that
+    follows tokenizer training in a real pipeline (token budgeting,
+    packing inputs, $/token estimates).
+
+    The encode rides the SAME vocabulary reduction as training: merges
+    are applied to the distinct-word vocabulary once (``_bpe_rounds``),
+    each word's BPE length is ``size(split(trim(seq)))`` of its final
+    symbol sequence, and documents join their exploded words to that
+    encoded vocabulary — the corpus text is never re-merged per
+    document.  Per-doc totals are one map-side-partial aggregate; docs
+    with no words (empty text) report 0/0 via the left join back to
+    the doc spine.  At 100 TB the words->vocab join is the only wide
+    edge (the vocab side is millions of rows; AQE picks broadcast when
+    it fits).
+    """
+    vocab, _ = _bpe_rounds(docs, n_merges, text_col)
+    encoded = vocab.select(
+        "w", F.size(F.split(F.trim(F.col("seq")), "  ")).alias("__nsym")
+    )
+    doc_words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).where(F.col("w") != "")
+    per_doc = (
+        doc_words.join(encoded, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__nsym").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+        )
     )

@@ -763,14 +763,16 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q144_ROUNDS = 3
 
 
-def _q144_sql(n_rounds: int) -> str:
-    """Unroll the BPE merge rounds as chained CTEs (the q84 pagerank
-    discipline): seq{r} applies round r's winning merge via the same
-    left-to-right non-overlapping replace the Spark side uses."""
+def _bpe_cte_chain(n_rounds: int) -> list[str]:
+    """The BPE merge rounds unrolled as chained CTEs (the q84 pagerank
+    discipline), shared by q144 (reports the winners t{r}) and q145
+    (reads the final seq{n}): seq{r} applies round r's winning merge
+    via the same left-to-right non-overlapping replace the Spark side
+    uses; ``w`` rides along so the encode can join back to words."""
     ctes = [
         "words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
         "vocab AS (SELECT w, COUNT(*) AS wc FROM words WHERE w <> '' GROUP BY w)",
-        "seq0 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS seq, wc FROM vocab)",
+        "seq0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS seq, wc FROM vocab)",
     ]
     for r in range(1, n_rounds + 1):
         prev = f"seq{r - 1}"
@@ -789,15 +791,41 @@ def _q144_sql(n_rounds: int) -> str:
             f"t{r} AS (SELECT l, r, cnt FROM pc{r} ORDER BY cnt DESC, l, r LIMIT 1)"
         )
         ctes.append(
-            f"seq{r} AS (SELECT replace(seq, ' ' || t{r}.l || '  ' || t{r}.r || ' ', "
+            f"seq{r} AS (SELECT w, replace(seq, ' ' || t{r}.l || '  ' || t{r}.r || ' ', "
             f"' ' || t{r}.l || t{r}.r || ' ') AS seq, wc FROM {prev}, t{r})"
         )
+    return ctes
+
+
+def _q144_sql(n_rounds: int) -> str:
     unions = " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS round, l AS left_sym, r AS right_sym, "
         f"cnt AS pair_count FROM t{r}"
         for r in range(1, n_rounds + 1)
     )
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({unions}) ORDER BY round"
+    return (
+        "WITH "
+        + ",\n".join(_bpe_cte_chain(n_rounds))
+        + f"\nSELECT * FROM ({unions}) ORDER BY round"
+    )
+
+
+def _q145_sql(n_rounds: int) -> str:
+    return (
+        "WITH "
+        + ",\n".join(_bpe_cte_chain(n_rounds))
+        + f"""
+, encoded AS (SELECT w, len(string_split(trim(seq), '  ')) AS nsym FROM seq{n_rounds}),
+dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+per_doc AS (SELECT dw.doc_id, COUNT(*) AS n_words, SUM(nsym) AS n_bpe_tokens
+            FROM dw JOIN encoded USING (w) WHERE dw.w <> '' GROUP BY dw.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+ORDER BY d.doc_id
+"""
+    )
 
 
 @register(
@@ -817,3 +845,22 @@ def _q144_sql(n_rounds: int) -> str:
 def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.bpe_merge_steps(docs, _Q144_ROUNDS).orderBy("round")
+
+
+@register(
+    "q145_bpe_encode",
+    _q145_sql(_Q144_ROUNDS),
+    doc=(
+        "apply the trained BPE merge table (q144's 3 rounds) to every "
+        "document — the tokenize-the-corpus step after tokenizer "
+        "training: merges are applied ONCE to the distinct-word "
+        "vocabulary, each doc joins its exploded words to the encoded "
+        "vocab and sums BPE lengths (operators/text.py "
+        "bpe_encode_counts); per-doc (n_words, n_bpe_tokens), empty "
+        "docs 0/0; oracle chains the same merge CTEs then joins back"
+    ),
+    tables=("documents",),
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_encode_counts(docs, _Q144_ROUNDS).orderBy("doc_id")

@@ -284,6 +284,26 @@ def test_bpe_merge_greedy_self_overlap(spark):
     assert got == [(1, "x", "x", 6), (2, "xx", "xx", 2)]
 
 
+def test_bpe_encode_counts_hand_example(spark):
+    # encode with the tokenizer the hand-example corpus trains: after
+    # merges (e,s), (es,t), (l,o) the BPE lengths are
+    # low -> [lo, w] = 2; lower -> [lo, w, e, r] = 4;
+    # newest -> [n, e, w, est] = 4; widest -> [w, i, d, est] = 4;
+    # an empty doc reports 0/0 through the left-join spine
+    from osm_changesets_to_parquet_spark.operators.text import bpe_encode_counts
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame(
+        [(1, text), (2, "low newest"), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_encode_counts(docs, 3).collect()
+    }
+    # doc 1: 16 words; 5*2 + 2*4 + 6*4 + 3*4 = 54 BPE tokens
+    assert got == {1: (16, 54), 2: (2, 6), 3: (0, 0)}
+
+
 def test_events_chunk_sink_manifest_visibility(spark, sf_dir):
     # VERDICT r5 item 6: the committed manifest, not the directory
     # listing, defines visibility — an orphan file (torn job residue)
