@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.functions import pandas_udf
 
 
@@ -70,6 +71,95 @@ def cosine_topk(
         .select(id_col, sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def int8_codes(vec_col):
+    """Symmetric per-vector int8 quantization codes (q74's
+    round-half-up spelling): scale = array_max(|x|)/127, code =
+    floor(x/scale + 0.5), codes in [-127, 127].
+
+    The per-row scale is braided in via ``array_repeat`` + ``zip_with``
+    rather than a separate column: a scale column referenced once would
+    be inlined by CollapseProject into the per-element lambda and the
+    array_max would re-run PER ELEMENT (O(dim^2) per row); as the
+    single argument of array_repeat it is evaluated once per row.
+    Cosine on the codes needs no scale at all — per-vector scales
+    cancel in the ratio — so the prefilter score is scale-free.
+    """
+    am = F.array_max(F.transform(vec_col, lambda x: F.abs(x.cast("double"))))
+    sc = F.array_repeat(
+        F.when(am > F.lit(0.0), am / F.lit(127.0)).otherwise(F.lit(1.0)),
+        F.size(vec_col),
+    )
+    return F.zip_with(
+        vec_col,
+        sc,
+        lambda x, s: F.floor(x.cast("double") / s + F.lit(0.5)).cast("long"),
+    )
+
+
+def quantized_rerank_topk(
+    embeddings: DataFrame,
+    n_queries: int,
+    k: int,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-``k`` per query through an int8-quantized
+    prefilter — the IVF-PQ-shaped production ANN path: scan compact
+    codes, threshold-prune, fetch full vectors only for survivors.
+
+    Stages (and why each scales):
+
+    1. quantize: corpus rows -> int8 codes (:func:`int8_codes`) — the
+       4x-smaller representation a real deployment PERSISTS as the
+       scan-side index (the q142 persisted-index discipline; derived
+       in-query here so the query stays self-contained);
+    2. prefilter: broadcast the ``n_queries`` quantized query vectors
+       and keep corpus rows with quantized cosine >= ``tau`` — a
+       MAP-ONLY filter over the code scan: no corpus shuffle and no
+       per-query single-reducer top-m window (a per-query window would
+       put the whole corpus in one task at 100 TB);
+    3. rerank: survivors (a ``tau``-bounded sliver) join back to the
+       full-precision vectors by id and to the broadcast queries;
+       exact cosine, rounded to 4, ranked per query.
+
+    EXACTNESS contract: output equals brute-force top-k iff every true
+    top-k member clears ``tau`` on the QUANTIZED score — guaranteed
+    when tau <= (true kth sim) - (int8 quantization error, ~1e-2 at
+    dim 64).  Callers gate on calibrated fixtures (queries/ann.py).
+    """
+    codes = embeddings.select(
+        F.col(id_col), int8_codes(F.col(vec_col)).alias("__cv")
+    )
+    qcodes = (
+        embeddings.where(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("qid"), int8_codes(F.col(vec_col)).alias("__qv")
+        )
+    )
+    cand = (
+        codes.crossJoin(F.broadcast(qcodes))
+        .where(cosine_similarity_col(F.col("__cv"), F.col("__qv")) >= tau)
+        .select("qid", id_col)
+    )
+    full_q = embeddings.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qe")
+    )
+    sim = F.round(cosine_similarity_col(F.col(vec_col), F.col("__qe")), 4)
+    reranked = (
+        cand.join(embeddings.select(id_col, vec_col), id_col)
+        .join(F.broadcast(full_q), "qid")
+        .select("qid", id_col, sim.alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        reranked.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("qid", id_col, "sim")
+        .orderBy("qid", F.desc("sim"), id_col)
     )
 
 

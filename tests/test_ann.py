@@ -96,3 +96,41 @@ def test_ivf_recall_at_256_cells(spark, sf_dir):
     approx = {r.vec_id for r in ivf_topk(assigned, centroids, qvec, k=10, nprobe=96).collect()}
     assert 0 in approx
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_quantized_rerank_exact_and_pruning(spark, sf_dir):
+    """q146's contract from both sides: the quantized-prefilter +
+    exact-rerank output equals per-query brute force, AND the tau
+    prefilter actually prunes the code scan (else the "prefilter" is
+    a full rerank in disguise)."""
+    from osm_changesets_to_parquet_spark.operators.similarity import (
+        cosine_similarity_col,
+        cosine_topk,
+        int8_codes,
+        quantized_rerank_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = quantized_rerank_topk(emb, n_queries=4, k=10, tau=0.2).collect()
+    assert len(got) == 40
+    for qid in range(4):
+        q = emb.where(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("q")
+        )
+        exact = [(r.vec_id, r.sim) for r in cosine_topk(emb, q, k=10).collect()]
+        mine = [(r.vec_id, r.sim) for r in got if r.qid == qid]
+        assert mine == exact, f"qid={qid}"
+    # pruning: candidates passing tau on the quantized score are a
+    # small fraction of the corpus (near-random fixtures: ~5%)
+    n = emb.count()
+    codes = emb.select("vec_id", int8_codes(F.col("embedding")).alias("cv"))
+    qc = (
+        emb.where(F.col("vec_id") < 4)
+        .select(int8_codes(F.col("embedding")).alias("qv"))
+    )
+    surv = (
+        codes.crossJoin(F.broadcast(qc))
+        .where(cosine_similarity_col(F.col("cv"), F.col("qv")) >= 0.2)
+        .count()
+    )
+    assert surv < 0.2 * 4 * n
