@@ -67,6 +67,37 @@ BENCH_QUERIES = [
     "q116_hierarchy_closure",
     "q136_boilerplate_phrases",
     "q140_range_lookup",
+    # round 6: span-level repeated-substring dedup, the persisted-index
+    # near-dup probe (the 100 TB increment path), and BPE merge rounds
+    "q143_repeated_spans",
+    "q142_neardup_persisted_index",
+    "q144_bpe_merges",
+    "q145_bpe_encode",
+    "q146_quantized_rerank",
+]
+
+# Second tier (VERDICT r05 item 7): a fixed wider set run ONCE each (no
+# min-of-3) so registry-wide regressions show up numerically instead of
+# anecdotally — families the headline set doesn't touch: iterative
+# graph, containment/prefix-filter/SemDeDup dedup, ranking/eval, PMI,
+# skew profiling, global deciles, incremental near-dup, sketches, the
+# three Python DataSource paths (batch read, write, partitioned stream).
+TIER2_QUERIES = [
+    "q84_pagerank",
+    "q101_containment_pairs",
+    "q102_semdedup",
+    "q109_bm25_topk",
+    "q121_ndcg_eval",
+    "q123_pmi_collocations",
+    "q125_jaccard_prefix_filter",
+    "q133_join_skew_profile",
+    "q137_equifreq_deciles",
+    "q139_incremental_neardup",
+    "q141_heavyhitters",
+    # (q135_contrastive_ann is calibration-pinned to sf<=0.01 — excluded)
+    "cs11_python_datasource",
+    "cs12_python_datasource_writer",
+    "s13_partitioned_stream_source",
 ]
 
 
@@ -118,7 +149,13 @@ def main() -> None:
     # (JIT warm-up, standard JMH-style methodology).
     for name in BENCH_QUERIES:
         if name in qs:
+            t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            print(
+                f"warmup {name} {time.perf_counter() - t0:.2f}s",
+                file=sys.stderr,
+                flush=True,
+            )
 
     # min-of-3: identical code has measured +/-40% run-to-run drift from
     # shared-machine noise; the minimum is the standard steady-state
@@ -137,6 +174,24 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         total += best
+        print(f"timed {name} {best:.2f}s", file=sys.stderr, flush=True)
+
+    # tier 2: ONE cold timed run each — a regression canary for the
+    # wider registry, not a steady-state micro-benchmark (its job is to
+    # catch 2x plan regressions, not 5% drift; always-cold numbers are
+    # comparable round-over-round, and warm+min-of-3 would triple the
+    # bench wall-clock for no added signal at that sensitivity)
+    tier2: dict[str, float] = {}
+    tier2_total = 0.0
+    for name in TIER2_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        tier2[name] = round(dt, 3)
+        tier2_total += dt
+        print(f"tier2 {name} {dt:.2f}s", file=sys.stderr, flush=True)
 
     print(
         json.dumps(
@@ -145,6 +200,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "tier2": tier2,
+                "tier2_total": round(tier2_total, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -54,80 +54,34 @@ def register(
 
 
 # The driver records correctness rows in registry order and its window
-# has held exactly 50 entries per round (CORRECTNESS_r01-r04.json) — so
-# ordering is part of the verification contract.  Round-5 priority
-# (VERDICT r04 item 1):
-# (1) the 12 queries NEW or CHANGED this round (cs9/cs10/cs11,
-#     q135-q140, s11/s12, and q23's scale-safe re-spell) — witnessed on
-#     first contact;
-# (2) the 8 round-4 registrations the driver has never witnessed
-#     (q127-q134 — registered late in r4, deliberately queued outside
-#     that window; judge-sweep green, the driver record should agree);
-# (3) the r1-era stale names (q08-q26, q36-q40, t41-t45, m47/m48 —
-#     all MATCH in the judge's independent r04 HEAD sweep, but the
-#     driver's own rows predate rounds 2-4) filling the window to 50.
-# Positions 51+ queue the round-6 rotation: m49/m50, then the r2-era
-# names (q27-q33, q53-q67, q73/q74); everything r03/r04-witnessed
-# follows in registration order.
+# has held exactly 50 entries per round (CORRECTNESS_r01-r05.json) — so
+# ordering is part of the verification contract.  Round-6 priority
+# (VERDICT r05 item 3):
+# (1) the queries NEW this round (s13 partitioned stream source,
+#     q142 persisted near-dup index, q143 repeated spans, q144 BPE
+#     merges + q145 BPE encode, cs12 Python DataSource writer) —
+#     witnessed on first contact;
+# (2) the 26 r1/r2-era stale names (m48-m50 r01; q27-q33, q53-q63,
+#     q65-q67, q73/q74 r02 — all MATCH in the judge's independent r05
+#     HEAD sweep, but the driver's own rows predate rounds 3-5);
+# (3) the OLDEST r03-witnessed names filling the window to 50
+#     (conversion/sampling/profile/dedup-truth families).
+# Positions 51+ queue the round-7 rotation: the remaining r03 names
+# (q86-q100 etc.), then r04 in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # -- (1) new/changed this round --
-    "cs9_pipeline_roundtrip",
-    "cs10_bbox_cells",
-    "cs11_python_datasource",
-    "q135_contrastive_ann",
-    "q136_boilerplate_phrases",
-    "q137_equifreq_deciles",
-    "q138_cluster_canonical_pick",
-    "q139_incremental_neardup",
-    "q140_range_lookup",
-    "s11_left_outer_stream_join",
-    "s12_python_stream_source",
-    "q141_heavyhitters",
-    "q23_ntile_percent_rank",
-    # -- (2) never driver-witnessed (registered r4, queued by design) --
-    "q127_leakage_safe_split",
-    "q128_mad_outlier_scrub",
-    "q129_unigram_logprob",
-    "q130_text_normalize",
-    "q131_cross_source_dups",
-    "q132_contrastive_mining",
-    "q133_join_skew_profile",
-    "q134_dedup_funnel",
-    # -- (3) r1-era stale: relational core + joins + windows --
-    "q08_approx_count_distinct",
-    "q09_percentile",
-    "q10_join4_revenue",
-    "q11_left_join",
-    "q12_full_outer",
-    "q13_semi_join",
-    "q14_anti_join",
-    "q15_cross_join",
-    "q16_theta_join",
-    "q17_range_join",
-    "q18_asof_join",
-    "q19_rank_topn",
-    "q20_lag_lead",
-    "q21_running_sum",
-    "q22_range_frame",
-    "q24_topk",
-    "q25_union",
-    "q26_intersect",
-    # r1-era stale: vector/text/multimodal families
-    "q36_cosine_topk",
-    "q37_centroid",
-    "q38_token_freq",
-    "q39_bigrams",
-    "q40_tfidf",
-    "t41_language_id",
-    "t42_quality_score",
-    "t43_token_count",
-    "t44_fingerprint",
-    "t45_simhash",
-    "m47_multimodal_meta",
-    # ---- window boundary (50) — names below queue for round 6 ----
+    # -- (1) new this round --
+    "s13_partitioned_stream_source",
+    "q142_neardup_persisted_index",
+    "q143_repeated_spans",
+    "q144_bpe_merges",
+    "q145_bpe_encode",
+    "q146_quantized_rerank",
+    "cs12_python_datasource_writer",
+    # -- (2) r1-era stale: multimodal --
     "m48_image_decode_features",
     "m49_audio_frame_sample",
     "m50_image_resize",
+    # r2-era stale: set ops + scalar-function families
     "q27_except",
     "q28_string_funcs",
     "q29_date_funcs",
@@ -135,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "q31_json_extract",
     "q32_map_funcs",
     "q33_array_funcs",
+    # r2-era stale: relational extensions
     "q53_pivot",
     "q54_unpivot",
     "q55_grouping_sets",
@@ -146,12 +101,33 @@ _PRIORITY: tuple[str, ...] = (
     "q61_stats_agg",
     "q62_argmin_argmax",
     "q63_string_agg",
-    "q64_conditional_agg",
     "q65_window_frame_funcs",
     "q66_values_lookup_join",
     "q67_distinct_multicol",
+    # r2-era stale: vector ops
     "q73_vector_normalize",
     "q74_quantize_int8",
+    # -- (3) oldest r03-witnessed backfill to 50 --
+    "q64_conditional_agg",
+    "q75_funnel",
+    "q76_retention_cohort",
+    "q82_resample_ffill",
+    "q83_ewma",
+    "a51_lsh_recall_prop",
+    "a52_ivf_recall_prop",
+    "cs0_xml_to_parquet",
+    "cs2_error_tolerant",
+    "cs7_fallback_xml",
+    "q69_hash_sample",
+    "q70_train_test_split",
+    "q71_profile",
+    "q72_histogram",
+    "q81_merge_upsert",
+    "q35a_jaccard_truth",
+    "q35b_minhash_lsh",
+    # ---- window boundary (50) — names below queue for round 7 ----
+    "q68_neardup_clusters",
+    "e46_embedding_neardup",
 )
 # no rows-only queries remain (a51/a52 carry tolerance oracles now)
 _LAST: tuple[str, ...] = ()
