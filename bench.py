@@ -98,6 +98,7 @@ TIER2_QUERIES = [
     "cs11_python_datasource",
     "cs12_python_datasource_writer",
     "s13_partitioned_stream_source",
+    "s14_streaming_neardup",
 ]
 
 

@@ -429,6 +429,47 @@ def lsh_index_write(
     )
 
 
+def lsh_index_append(
+    docs: DataFrame,
+    path: str,
+    part_label: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> None:
+    """Append one increment's frames to a persisted banded index
+    (:func:`lsh_index_write` layout) under an IDEMPOTENT partition
+    label (e.g. ``__bid=3``): the increment writes
+    ``bands/<label>/band=*/`` and ``shingles/<label>/`` in overwrite
+    mode, so a retried streaming batch overwrites its own subdirectory
+    instead of double-appending — exactly-once index growth on top of
+    at-least-once foreachBatch delivery.  Readers see one logical
+    dataset through parquet partition discovery (the extra label
+    column is ignored by :func:`lsh_neardup_probe_index`'s selects).
+    """
+    import os
+
+    elig = docs.where(F.size(F.split(F.col(text_col), " ")) >= n)
+    sh = truncate_lineage(shingles(elig, text_col, n))
+    sigged = minhash_signature(sh)
+    (
+        sigged.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.array(*band_keys(F.col("sig")))).alias("band", "bkey"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(os.path.join(path, "bands", part_label))
+    )
+    (
+        sh.select(
+            F.col(id_col).alias("id"), F.array_distinct("shingle_hashes").alias("hs")
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "shingles", part_label))
+    )
+
+
 def lsh_neardup_probe_index(
     spark,
     index_path: str,

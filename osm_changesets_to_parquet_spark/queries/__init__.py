@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     "q144_bpe_merges",
     "q145_bpe_encode",
     "q146_quantized_rerank",
+    "s14_streaming_neardup",
     "cs12_python_datasource_writer",
     # -- (2) r1-era stale: multimodal --
     "m48_image_decode_features",
@@ -124,8 +125,8 @@ _PRIORITY: tuple[str, ...] = (
     "q72_histogram",
     "q81_merge_upsert",
     "q35a_jaccard_truth",
-    "q35b_minhash_lsh",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q35b_minhash_lsh",
     "q68_neardup_clusters",
     "e46_embedding_neardup",
 )

@@ -306,3 +306,71 @@ def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_s13_partitioned_stream_source(spark, sf_dir)
+
+
+def _s14_sql() -> str:
+    from osm_changesets_to_parquet_spark.queries.dedup_sim import (
+        _SQL_SHINGLE_HASHES,
+        _SQL_TOK,
+    )
+    from osm_changesets_to_parquet_spark.streaming.jobs import N_DOC_CHUNKS
+
+    return f"""
+WITH ch AS (SELECT doc_id, NTILE({N_DOC_CHUNKS}) OVER (ORDER BY doc_id) AS c FROM documents),
+tok AS ({_SQL_TOK}),
+sh AS (SELECT doc_id, list_distinct({_SQL_SHINGLE_HASHES}) AS hs FROM tok),
+ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS old_id, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.h = b.h
+  JOIN ch ca ON ca.doc_id = a.doc_id
+  JOIN ch cb ON cb.doc_id = b.doc_id
+  WHERE ca.c > cb.c
+  GROUP BY 1, 2
+)
+SELECT new_id, old_id,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jac
+FROM inter
+JOIN sizes sa ON sa.doc_id = new_id
+JOIN sizes sb ON sb.doc_id = old_id
+WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.6
+ORDER BY new_id, old_id
+"""
+
+
+@register(
+    "s14_streaming_neardup",
+    _s14_sql(),
+    doc=(
+        "STREAMING near-dup ingestion: documents replay in 4 NTILE "
+        "chunks; each micro-batch probes the banded-signature index "
+        "accumulated from every earlier batch (the q142 persisted-index "
+        "probe) then appends its own bands under an idempotent __bid=N "
+        "label — exactly-once index growth on at-least-once "
+        "foreachBatch.  Emitted pairs = cross-batch near-dups "
+        "(chunk(new) > chunk(old)), exact in-row Jaccard >= 0.6; "
+        "oracle is the brute-force cross-chunk Jaccard (q139's "
+        "calibration discipline — banding recall 1.0 is a pair-level "
+        "property of these fixtures, independent of the split)"
+    ),
+    tables=("documents",),
+)
+def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from osm_changesets_to_parquet_spark.queries.dedup_sim import (
+        _Q68B_CALIBRATED_SFS,
+    )
+    from osm_changesets_to_parquet_spark.streaming import (
+        run_s14_streaming_neardup,
+    )
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base not in _Q68B_CALIBRATED_SFS:
+        raise ValueError(
+            f"s14_streaming_neardup is calibration-pinned (verified at "
+            f"{sorted(_Q68B_CALIBRATED_SFS)}); fixture {base!r} needs an LSH "
+            "recall re-sweep before the exact oracle is meaningful"
+        )
+    return run_s14_streaming_neardup(spark, sf_dir)

@@ -687,3 +687,118 @@ def run_s10_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "user_id", "last_event_id", "last_ts_us", "last_value"
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# s14: streaming near-dup ingestion against a growing persisted index
+# ---------------------------------------------------------------------------
+
+N_DOC_CHUNKS = 4
+
+
+def prepare_docs_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Chunk the documents table into N_DOC_CHUNKS replay files by SQL
+    ``NTILE(N) OVER (ORDER BY doc_id)`` (packing.global_ntile — exact
+    ANSI semantics, so the oracle can name each doc's chunk), written
+    with the prepare_replay_dir mtime discipline so the file stream
+    delivers them in chunk order."""
+    from osm_changesets_to_parquet_spark.operators.packing import global_ntile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"docs_replay_k{N_DOC_CHUNKS}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    done = os.path.join(base, "_READY")
+    if os.path.exists(done):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tiled = global_ntile(docs, ["doc_id"], N_DOC_CHUNKS, out_col="__chunk")
+    staging = base + "_staging"
+    (
+        tiled.repartition("__chunk")
+        .write.partitionBy("__chunk")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    chunk_dirs = sorted(
+        (d for d in os.listdir(staging) if d.startswith("__chunk=")),
+        key=lambda d: int(d.split("=")[1]),
+    )
+    t0 = time.time()
+    for i, d in enumerate(chunk_dirs):
+        dpath = os.path.join(staging, d)
+        (part,) = [f for f in os.listdir(dpath) if f.endswith(".parquet")]
+        dst = os.path.join(base, f"{i:03d}.parquet")
+        os.replace(os.path.join(dpath, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    shutil.rmtree(staging, ignore_errors=True)
+    open(done, "w").close()
+    return base
+
+
+def run_s14_streaming_neardup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.6
+) -> DataFrame:
+    """Streaming near-dup ingestion — the q142 persisted-index probe as
+    a CONTINUOUS pipeline: documents replay chunk-by-chunk; each
+    micro-batch (a) probes the banded-signature index accumulated from
+    every EARLIER batch (operators/dedup.py lsh_neardup_probe_index)
+    and (b) appends its own bands/shingles under an idempotent
+    ``__bid=N`` label (lsh_index_append), so a retried batch overwrites
+    itself — exactly-once results on at-least-once foreachBatch.
+
+    Emitted pairs are exactly the cross-batch near-dups (new_id's chunk
+    strictly after old_id's chunk), each verified with the exact in-row
+    Jaccard — the shape of de-duplicating a live crawl against
+    yesterday's corpus at 100 TB: per-batch cost is the batch's bands
+    plus matched bucket collisions, never a corpus re-scan (measured
+    flat for the batch path in SURVEY §8's q142 replica runs).
+    """
+    import glob as _glob
+
+    from osm_changesets_to_parquet_spark.operators import dedup as D
+
+    base = prepare_docs_replay_dir(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="s14_idx_")
+    out_dir = tempfile.mkdtemp(prefix="s14_pairs_")
+    ckpt_dir = tempfile.mkdtemp(prefix="s14_ckpt_")
+    _TEMP_DIRS.extend([idx, out_dir, ckpt_dir])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        has_index = _glob.glob(
+            os.path.join(idx, "bands", "*", "*", "*.parquet")
+        )
+        if has_index:
+            pairs = D.lsh_neardup_probe_index(
+                spark, idx, batch_df, threshold=threshold
+            )
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"__bid={batch_id}")
+            )
+        D.lsh_index_append(batch_df, idx, f"__bid={batch_id}")
+
+    stream = _read_stream(spark, base)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            stream.writeStream.outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+        _run_to_completion(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if not any(f.startswith("__bid=") for f in os.listdir(out_dir)):
+        return spark.createDataFrame(
+            [], "new_id long, old_id long, jac double"
+        )
+    return (
+        spark.read.parquet(out_dir)
+        .select("new_id", "old_id", "jac")
+        .orderBy("new_id", "old_id")
+    )

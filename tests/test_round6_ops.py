@@ -345,3 +345,35 @@ def test_events_chunk_sink_manifest_visibility(spark, sf_dir):
         ), "orphan files outside the manifest must be invisible"
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_s14_streaming_neardup_index_append_idempotent(spark, sf_dir):
+    # foreachBatch is at-least-once: a RETRIED batch must overwrite its
+    # own __bid subdirectory, not double-append — index row counts are
+    # unchanged after replaying the same append label
+    import tempfile
+
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from osm_changesets_to_parquet_spark.operators.dedup import (
+        lsh_index_append,
+        lsh_neardup_probe_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    idx = tempfile.mkdtemp(prefix="s14_idem_test_")
+    lsh_index_append(half_a, idx, "__bid=0")
+    n1 = spark.read.parquet(f"{idx}/bands").count()
+    pairs1 = lsh_neardup_probe_index(spark, idx, half_b, threshold=0.6)
+    got1 = sorted((r.new_id, r.old_id) for r in pairs1.collect())
+    # retry the same batch id: same label, overwrite
+    lsh_index_append(half_a, idx, "__bid=0")
+    n2 = spark.read.parquet(f"{idx}/bands").count()
+    pairs2 = lsh_neardup_probe_index(spark, idx, half_b, threshold=0.6)
+    got2 = sorted((r.new_id, r.old_id) for r in pairs2.collect())
+    assert n1 == n2 and got1 == got2
+    # a second batch under a new label GROWS the index
+    lsh_index_append(half_b, idx, "__bid=1")
+    n3 = spark.read.parquet(f"{idx}/bands").count()
+    assert n3 > n2
