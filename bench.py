@@ -99,6 +99,8 @@ TIER2_QUERIES = [
     "cs12_python_datasource_writer",
     "s13_partitioned_stream_source",
     "s14_streaming_neardup",
+    "q147_dsir_weights",
+    "q148_tokenizer_fertility",
 ]
 
 

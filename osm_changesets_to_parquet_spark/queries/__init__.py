@@ -57,10 +57,11 @@ def register(
 # has held exactly 50 entries per round (CORRECTNESS_r01-r05.json) — so
 # ordering is part of the verification contract.  Round-6 priority
 # (VERDICT r05 item 3):
-# (1) the queries NEW this round (s13 partitioned stream source,
-#     q142 persisted near-dup index, q143 repeated spans, q144 BPE
-#     merges + q145 BPE encode, cs12 Python DataSource writer) —
-#     witnessed on first contact;
+# (1) the 10 queries NEW this round (s13 partitioned stream source,
+#     q142 persisted near-dup index, q143 repeated spans, q144/q145/
+#     q148 BPE train/encode/fertility, q146 quantized ANN rerank,
+#     s14 streaming near-dup, q147 DSIR weights, cs12 Python
+#     DataSource writer) — witnessed on first contact;
 # (2) the 26 r1/r2-era stale names (m48-m50 r01; q27-q33, q53-q63,
 #     q65-q67, q73/q74 r02 — all MATCH in the judge's independent r05
 #     HEAD sweep, but the driver's own rows predate rounds 3-5);
@@ -77,6 +78,8 @@ _PRIORITY: tuple[str, ...] = (
     "q145_bpe_encode",
     "q146_quantized_rerank",
     "s14_streaming_neardup",
+    "q147_dsir_weights",
+    "q148_tokenizer_fertility",
     "cs12_python_datasource_writer",
     # -- (2) r1-era stale: multimodal --
     "m48_image_decode_features",
@@ -123,9 +126,9 @@ _PRIORITY: tuple[str, ...] = (
     "q70_train_test_split",
     "q71_profile",
     "q72_histogram",
+    # ---- window boundary (50) — names below queue for round 7 ----
     "q81_merge_upsert",
     "q35a_jaccard_truth",
-    # ---- window boundary (50) — names below queue for round 7 ----
     "q35b_minhash_lsh",
     "q68_neardup_clusters",
     "e46_embedding_neardup",

@@ -864,3 +864,56 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.bpe_encode_counts(docs, _Q144_ROUNDS).orderBy("doc_id")
+
+
+def _q148_sql(n_rounds: int) -> str:
+    return (
+        "WITH "
+        + ",\n".join(_bpe_cte_chain(n_rounds))
+        + f"""
+, encoded AS (SELECT w, len(string_split(trim(seq), '  ')) AS nsym FROM seq{n_rounds}),
+dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+per_doc AS (SELECT dw.doc_id, COUNT(*) AS n_words, SUM(nsym) AS n_bpe
+            FROM dw JOIN encoded USING (w) WHERE dw.w <> '' GROUP BY dw.doc_id)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       ROUND(SUM(n_bpe) * 1.0 / SUM(n_words), 4) AS fertility
+FROM documents d JOIN per_doc USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+    )
+
+
+@register(
+    "q148_tokenizer_fertility",
+    _q148_sql(_Q144_ROUNDS),
+    doc=(
+        "tokenizer fertility by language: BPE tokens per word under the "
+        "q144-trained merge table, grouped by the documents' lang "
+        "column — the per-language tokenizer-quality eval that decides "
+        "whether a vocabulary under-serves a language (high fertility = "
+        "more splits).  Rides q145's encoded-vocabulary join (merges "
+        "applied once to distinct words, never per doc); one grouped "
+        "rollup on top"
+    ),
+    tables=("documents",),
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = T.bpe_encode_counts(docs, _Q144_ROUNDS)
+    return (
+        per_doc.where(F.col("n_words") > 0)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens") / F.sum("n_words"), 4
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )

@@ -1201,3 +1201,107 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     tiled = global_ntile(docs, ["n_chars", "doc_id"], 10, out_col="decile")
     return tiled.select("doc_id", "n_chars", "decile").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q147: DSIR-style importance weights (round 6)
+# ---------------------------------------------------------------------------
+
+# Data Selection via Importance Resampling (Xie et al. 2023, public),
+# the bag-of-words spelling: fit add-1-smoothed unigram models on a
+# small TARGET domain sample and on the RAW pool, score every raw doc
+# by sum over its tokens of log(p_target(w) / p_raw(w)), and keep the
+# top scorers — the docs that look most like the target.  Deterministic
+# target split: id-hash buckets < 10 (the q94/q139 increment
+# discipline).
+_Q147_SQL = f"""
+WITH tgt AS (SELECT doc_id, text FROM documents WHERE {QL.sql_hash_bucket('doc_id', 100)} < 10),
+raw AS (SELECT doc_id, text FROM documents WHERE {QL.sql_hash_bucket('doc_id', 100)} >= 10),
+tok_t AS (SELECT unnest(string_split(text, ' ')) AS w FROM tgt),
+tok_r AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM raw),
+ct AS (SELECT w, COUNT(*) AS c FROM tok_t WHERE w <> '' GROUP BY w),
+cr AS (SELECT w, COUNT(*) AS c FROM tok_r WHERE w <> '' GROUP BY w),
+vocab AS (
+  SELECT COALESCE(ct.w, cr.w) AS w,
+         COALESCE(ct.c, 0) AS c_t, COALESCE(cr.c, 0) AS c_r
+  FROM ct FULL OUTER JOIN cr ON ct.w = cr.w
+),
+tot AS (
+  SELECT CAST(SUM(c_t) AS DOUBLE) AS nt, CAST(SUM(c_r) AS DOUBLE) AS nr,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM vocab
+),
+lw AS (
+  SELECT w, LN((c_t + 1) / (nt + v)) - LN((c_r + 1) / (nr + v)) AS lw
+  FROM vocab, tot
+),
+scored AS (
+  SELECT tok_r.doc_id, COUNT(*) AS n_tokens,
+         ROUND(SUM(lw.lw), 4) AS dsir_weight
+  FROM tok_r JOIN lw ON lw.w = tok_r.w
+  WHERE tok_r.w <> ''
+  GROUP BY tok_r.doc_id
+)
+SELECT doc_id, n_tokens, dsir_weight
+FROM scored ORDER BY dsir_weight DESC, doc_id LIMIT 20
+"""
+
+
+@register(
+    "q147_dsir_weights",
+    _Q147_SQL,
+    doc=(
+        "DSIR importance weighting (Xie et al. 2023, public): add-1-"
+        "smoothed unigram models over a hash-bucketed target sample vs "
+        "the raw pool; each raw doc scores sum of log(p_tgt/p_raw) over "
+        "its tokens and the top 20 are kept — the "
+        "select-data-that-looks-like-the-target step of a pretraining "
+        "pipeline.  One vocab-keyed full-outer count merge, scalar "
+        "totals broadcast, per-doc score is one map-side-partial "
+        "aggregate over the token stream (the q129 unigram-LM shape)"
+    ),
+    tables=("documents",),
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = QL.hash_bucket("doc_id", 100)
+    target, raw = docs.where(b < 10), docs.where(b >= 10)
+    tok_t = target.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    tok_r = raw.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    ct = tok_t.groupBy("w").agg(F.count(F.lit(1)).alias("c_t"))
+    cr = tok_r.groupBy("w").agg(F.count(F.lit(1)).alias("c_r"))
+    vocab = (
+        ct.join(cr, "w", "full_outer")
+        .select(
+            "w",
+            F.coalesce("c_t", F.lit(0)).alias("c_t"),
+            F.coalesce("c_r", F.lit(0)).alias("c_r"),
+        )
+    )
+    tot = vocab.agg(
+        F.sum("c_t").cast("double").alias("nt"),
+        F.sum("c_r").cast("double").alias("nr"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    lw = vocab.crossJoin(F.broadcast(tot)).select(
+        "w",
+        (
+            F.log((F.col("c_t") + 1) / (F.col("nt") + F.col("v")))
+            - F.log((F.col("c_r") + 1) / (F.col("nr") + F.col("v")))
+        ).alias("lw"),
+    )
+    scored = (
+        tok_r.join(lw, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lw"), 4).alias("dsir_weight"),
+        )
+    )
+    return scored.orderBy(F.desc("dsir_weight"), "doc_id").limit(20).select(
+        "doc_id", "n_tokens", "dsir_weight"
+    )
