@@ -618,6 +618,26 @@ def repeated_spans(
     span; the SQL oracle groups by the raw gram string, so a
     collision would surface as an oracle mismatch instead of hiding.
     """
+    grams = positional_gram_hashes(docs, k, text_col, id_col)
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("locs"))
+        .where(F.col("locs") >= min_locs)
+        .select("h")
+    )
+    hits = grams.join(dup, "h", "semi").select(id_col, "pos")
+    return gram_islands_to_spans(hits, k, min_span, id_col)
+
+
+def positional_gram_hashes(
+    docs: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos, h): every k-token gram of every document as an 8-byte
+    xxhash64 key with its 1-based token start — the shared front end of
+    the span operators (:func:`repeated_spans`,
+    :func:`contaminated_spans`).  Carries the outer-explode + post-hash
+    spelling those docstrings justify (InferFiltersFromGenerate /
+    interpreted-HOF traps)."""
     toks = docs.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__tk")
     ).where(F.size("__tk") >= k)
@@ -625,7 +645,7 @@ def repeated_spans(
         F.sequence(F.lit(1), F.size("__tk") - F.lit(k - 1)),
         lambda i: F.array_join(F.slice("__tk", i, k), " "),
     )
-    grams = (
+    return (
         toks.select(
             F.col(id_col), F.posexplode_outer(gram_arr).alias("pos0", "gram")
         )
@@ -637,13 +657,16 @@ def repeated_spans(
             F.xxhash64("gram").alias("h"),
         )
     )
-    dup = (
-        grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("locs"))
-        .where(F.col("locs") >= min_locs)
-        .select("h")
-    )
-    hits = grams.join(dup, "h", "semi").select(id_col, "pos")
+
+
+def gram_islands_to_spans(
+    hits: DataFrame, k: int, min_span: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Gaps-and-islands over flagged gram positions: a new island starts
+    where the gap between consecutive flagged starts exceeds ``k``
+    (token windows no longer overlap or touch); island -> span
+    [min pos, max pos + k - 1], kept when >= ``min_span`` tokens.
+    Window state is bounded by document length."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(id_col).orderBy("pos")
@@ -671,6 +694,35 @@ def repeated_spans(
         .where(F.col("span_tokens") >= min_span)
         .select(id_col, "span_start", "span_end", "span_tokens")
     )
+
+
+def contaminated_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    k: int = 8,
+    min_span: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level benchmark decontamination — q86 flags WHICH train
+    docs share an 8-gram with the eval set; this returns WHERE: the
+    maximal train-doc token spans (>= ``min_span`` tokens) every one
+    of whose ``k``-grams occurs somewhere in the eval corpus — the
+    excision targets of a decontamination pass (the Lee et al. 2022
+    span machinery pointed across corpora instead of within one).
+
+    Same scale shape as :func:`repeated_spans`: the eval side reduces
+    to DISTINCT 8-byte gram hashes before the semi-join (its size is
+    the eval gram vocabulary, not the eval token stream), and the
+    islands window is per-train-doc."""
+    tr = positional_gram_hashes(train, k, text_col, id_col)
+    ev = (
+        positional_gram_hashes(eval_df, k, text_col, id_col)
+        .select("h")
+        .distinct()
+    )
+    hits = tr.join(ev, "h", "semi").select(id_col, "pos")
+    return gram_islands_to_spans(hits, k, min_span, id_col)
 
 
 SIMHASH_BITS = 30

@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "s14_streaming_neardup",
     "q147_dsir_weights",
     "q148_tokenizer_fertility",
+    "q149_decontaminate_spans",
     "cs12_python_datasource_writer",
     # -- (2) r1-era stale: multimodal --
     "m48_image_decode_features",
@@ -125,8 +126,8 @@ _PRIORITY: tuple[str, ...] = (
     "q69_hash_sample",
     "q70_train_test_split",
     "q71_profile",
-    "q72_histogram",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q72_histogram",
     "q81_merge_upsert",
     "q35a_jaccard_truth",
     "q35b_minhash_lsh",

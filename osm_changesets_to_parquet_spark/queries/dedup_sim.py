@@ -1115,3 +1115,56 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.repeated_spans(
         docs, k=_Q143_K, min_span=_Q143_MIN_SPAN
     ).orderBy("doc_id", "span_start")
+
+
+# --- Span-level decontamination (q149) --------------------------------------
+
+_Q149_SQL = f"""
+WITH tok AS (SELECT doc_id, {_sql_hb('doc_id', 100)} AS b, string_split(text, ' ') AS tk FROM documents),
+gl AS (SELECT doc_id, b, list_transform(range(1, len(tk) - {_Q143_K - 2}),
+         i -> array_to_string(list_slice(tk, i, i + {_Q143_K - 1}), ' ')) AS gh
+       FROM tok WHERE len(tk) >= {_Q143_K}),
+g AS (SELECT doc_id, b, generate_subscripts(gh, 1) AS pos, unnest(gh) AS h FROM gl),
+ev AS (SELECT DISTINCT h FROM g WHERE b >= 90),
+hits AS (SELECT doc_id, pos FROM g WHERE b < 90 AND h IN (SELECT h FROM ev)),
+marked AS (SELECT doc_id, pos,
+    CASE WHEN LAG(pos) OVER w IS NULL OR pos - LAG(pos) OVER w > {_Q143_K}
+         THEN 1 ELSE 0 END AS brk
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+grp AS (SELECT doc_id, pos,
+    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
+  FROM marked),
+spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_Q143_K - 1} AS span_end
+          FROM grp GROUP BY doc_id, gid)
+SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_end AS BIGINT) AS span_end,
+       CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+FROM spans
+WHERE span_end - span_start + 1 >= {_Q143_MIN_SPAN}
+ORDER BY doc_id, span_start
+"""
+
+
+@register(
+    "q149_decontaminate_spans",
+    _Q149_SQL,
+    doc=(
+        "span-level benchmark decontamination: q86 flags WHICH train "
+        "docs share an 8-gram with a held-out eval split; this returns "
+        "WHERE, on the 10% id-hash split (dense enough in fixture "
+        "near-dups to yield spans at every SF) — the maximal train "
+        "spans (>= 10 tokens) whose every "
+        "8-gram occurs in the eval corpus, i.e. the excision targets "
+        "(operators/dedup.py contaminated_spans — the q143 island "
+        "machinery pointed across corpora; eval side reduced to "
+        "DISTINCT 8-byte gram hashes before the semi-join)"
+    ),
+    tables=("documents",),
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = _hb("doc_id", 100)
+    train, eval_df = docs.where(b < 90), docs.where(b >= 90)
+    return D.contaminated_spans(
+        train, eval_df, k=_Q143_K, min_span=_Q143_MIN_SPAN
+    ).orderBy("doc_id", "span_start")

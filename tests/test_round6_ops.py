@@ -377,3 +377,27 @@ def test_s14_streaming_neardup_index_append_idempotent(spark, sf_dir):
     lsh_index_append(half_b, idx, "__bid=1")
     n3 = spark.read.parquet(f"{idx}/bands").count()
     assert n3 > n2
+
+
+def test_contaminated_spans_hand_example(spark):
+    # a train doc embedding an eval passage: only the copied region's
+    # 5-grams hit the eval gram set, and the island reconstructs the
+    # copied span's exact token bounds
+    from osm_changesets_to_parquet_spark.operators.dedup import (
+        contaminated_spans,
+    )
+
+    eval_text = "e1 e2 e3 e4 e5 e6 e7 e8"
+    train_text = "t1 t2 t3 " + eval_text + " t4 t5 t6"  # copy at tokens 4..11
+    train = spark.createDataFrame(
+        [(1, train_text), (2, "clean a b c d e f g h i")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+    got = [
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in contaminated_spans(train, ev, k=5, min_span=6).collect()
+    ]
+    # eval 5-grams are e1..e5 through e4..e8; in the train doc those
+    # start at positions 4..7 -> island [4, 7+4] = tokens 4..11 (8 wide)
+    assert got == [(1, 4, 11, 8)]
