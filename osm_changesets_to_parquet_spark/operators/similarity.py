@@ -614,3 +614,73 @@ def kmeans_lloyd(
             )
         )
     return assigned.select("id", "cid"), cent
+
+
+def ivf_index_write(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """PERSIST an IVF index — the ANN twin of the near-dup contract in
+    :func:`~.dedup.lsh_index_write`: cluster the corpus ONCE, write
+
+    - ``cells/``:     the cell-assigned vectors, ``partitionBy("cell")``
+      so a probe's ``cell IN (probes)`` predicate becomes PARTITION
+      PRUNING — the scan touches nprobe/n_cells of the files, which is
+      the entire point of IVF at 100 TB;
+    - ``centroids/``: the n_cells x dim centroid table (tiny).
+
+    Every future probe reads these frames; the corpus is never
+    re-clustered per query.
+    """
+    import os
+
+    assigned, centroids = ivf_build(
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col, n_iters=n_iters
+    )
+    (
+        assigned.select(id_col, vec_col, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "cells"))
+    )
+    spark = embeddings.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    (
+        spark.createDataFrame(rows, "cell int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "centroids"))
+    )
+
+
+def ivf_probe_persisted(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index (:func:`ivf_index_write`): read the
+    centroid table (n_cells rows — a bounded driver collect, the same
+    O(k x dim) envelope as ivf_build's seeds), pick the nprobe nearest
+    cells driver-side, and rerank exactly inside those cells.  The
+    ``cell IN probes`` filter prunes partitions of the cells/ dataset —
+    verified by plan test (PartitionFilters on the scan)."""
+    import os
+
+    cents = {
+        int(r.cell): [float(x) for x in r.centroid]
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    }
+    centroids = [cents[i] for i in range(len(cents))]
+    assigned = spark.read.parquet(os.path.join(path, "cells"))
+    return ivf_topk(
+        assigned, centroids, query_vec, k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )

@@ -81,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "q147_dsir_weights",
     "q148_tokenizer_fertility",
     "q149_decontaminate_spans",
+    "q150_ann_persisted_index",
     "cs12_python_datasource_writer",
     # -- (2) r1-era stale: multimodal --
     "m48_image_decode_features",
@@ -125,8 +126,8 @@ _PRIORITY: tuple[str, ...] = (
     "cs7_fallback_xml",
     "q69_hash_sample",
     "q70_train_test_split",
-    "q71_profile",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q71_profile",
     "q72_histogram",
     "q81_merge_upsert",
     "q35a_jaccard_truth",

@@ -688,3 +688,43 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
     _require_calibrated(sf_dir, Q146_CALIBRATED_SFS, "q146_quantized_rerank")
     emb = load_table(spark, sf_dir, "embeddings")
     return quantized_rerank_topk(emb, _Q146_NQ, _Q146_K, _Q146_TAU)
+
+
+@register(
+    "q150_ann_persisted_index",
+    BRUTE_TOPK_SQL,
+    doc=(
+        "a52's IVF ANN (16 cells, nprobe=6, exact rerank) against a "
+        "PERSISTED index (operators/similarity.py ivf_index_write / "
+        "ivf_probe_persisted) — the ANN twin of q142's persisted "
+        "near-dup index: the corpus is clustered ONCE and written "
+        "partitionBy(cell), so the probe's cell filter is PARTITION "
+        "PRUNING (plan-pinned) and per-query cost is nprobe/n_cells "
+        "of the files plus a tiny centroid read; same calibrated "
+        "brute-force oracle as a52"
+    ),
+    tables=("embeddings",),
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from osm_changesets_to_parquet_spark.operators.similarity import (
+        ivf_index_write,
+        ivf_probe_persisted,
+    )
+
+    _require_calibrated(sf_dir, A52_CALIBRATED_SFS, "q150_ann_persisted_index")
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = os.path.basename(os.path.normpath(sf_dir))
+    # one index build per (fixture, machine); _READY makes repeat runs
+    # pure probes — the daily-increment shape (q142's discipline)
+    idx = os.path.join(tempfile.gettempdir(), f"ivf_index_{base}")
+    ready = os.path.join(idx, "_READY")
+    if not os.path.exists(ready):
+        ivf_index_write(emb, idx, n_cells=16)
+        open(ready, "w").close()
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return ivf_probe_persisted(spark, idx, qvec, k=10, nprobe=6)

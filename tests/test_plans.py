@@ -390,3 +390,64 @@ def test_q112_candidates_are_equi_join_not_cross(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q112_editdist_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q143_spans_no_inferred_filter_no_interpreted_hash(spark, sf_dir):
+    # the respelled repeated-spans plan must keep BOTH properties that
+    # fixed the 100x regression: no InferFiltersFromGenerate filter
+    # re-evaluating the gram pipeline below the Generate (the
+    # outer-explode spelling), and the gram keys hashed by the native
+    # xxhash64 kernel AFTER the explode, never an interpreted per-char
+    # aggregate lambda
+    plan = _plan(spark, sf_dir, "q143_repeated_spans")
+    assert "xxhash64" in plan.lower()
+    # the regression symptom was a Filter node re-evaluating the whole
+    # in-row gram pipeline (array_join over slices) below the Generate;
+    # with posexplode_outer no Filter may contain the gram expression
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "array_join" not in line, line
+    # the char-fold hash (aggregate over split chars) must be absent
+    assert "ascii" not in plan
+
+
+def test_q146_prefilter_before_rerank_no_corpus_shuffle(spark, sf_dir):
+    # the quantized prefilter must be a map-side filter over the code
+    # scan feeding broadcast joins — the corpus is never exchanged
+    # before the threshold prunes it, and no cartesian product appears
+    plan = _plan(spark, sf_dir, "q146_quantized_rerank")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # rerank joins are broadcast (survivor sliver + tiny query side)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_s14_probe_is_keyed_join_not_cross(spark, sf_dir):
+    # the streaming probe reuses lsh_neardup_probe_index: candidates
+    # come from a (band, bkey) equi-join against the persisted index —
+    # pin the batch spelling of that plan (the streaming job runs the
+    # same code per micro-batch)
+    import tempfile
+
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from osm_changesets_to_parquet_spark.operators import dedup as D
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id", 100)
+    idx = tempfile.mkdtemp(prefix="s14_plan_idx_")
+    D.lsh_index_append(docs.where(b < 50), idx, "__bid=0")
+    probe = D.lsh_neardup_probe_index(spark, idx, docs.where(b >= 50), 0.6)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q150_persisted_ivf_probe_prunes_partitions(spark, sf_dir):
+    # the entire point of persisting the IVF index partitionBy(cell):
+    # the probe's cell filter must reach the scan as PartitionFilters
+    # so only nprobe/n_cells of the files are read
+    plan = _plan(spark, sf_dir, "q150_ann_persisted_index")
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell" in ln for ln in scan), plan[:2000]
+    assert "TakeOrderedAndProject" in plan
