@@ -101,6 +101,8 @@ TIER2_QUERIES = [
     "s14_streaming_neardup",
     "q147_dsir_weights",
     "q148_tokenizer_fertility",
+    "q149_decontaminate_spans",
+    "q150_ann_persisted_index",
 ]
 
 
