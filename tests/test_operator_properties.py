@@ -389,3 +389,59 @@ def test_snapshot_diff_partitions_exactly(spark, old_rows, new_rows):
             assert got[k] == "changed"
         else:
             assert got[k] == "unchanged"
+
+
+# --- repeated_spans vs brute force over random tiny-alphabet corpora --------
+
+def _brute_spans(texts, k, min_span):
+    locs = {}
+    for did, t in texts:
+        toks = [w for w in t.split(" ") if w]
+        for p in range(len(toks) - k + 1):
+            locs.setdefault(tuple(toks[p : p + k]), []).append((did, p + 1))
+    dup_pos = {}
+    for g, ps in locs.items():
+        if len(ps) >= 2:
+            for did, p in ps:
+                dup_pos.setdefault(did, set()).add(p)
+    out = []
+    for did, ps in dup_pos.items():
+        ps = sorted(ps)
+        start = prev = ps[0]
+        for p in ps[1:] + [None]:
+            if p is None or p - prev > k:
+                end = prev + k - 1
+                if end - start + 1 >= min_span:
+                    out.append((did, start, end, end - start + 1))
+                if p is not None:
+                    start = p
+            if p is not None:
+                prev = p
+    return sorted(out)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=24).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_repeated_spans_matches_brute_force_random(spark, docs):
+    # a 3-letter alphabet makes duplicated k-grams (and island merges,
+    # boundary spans, in-doc repeats) common at tiny sizes — exactly
+    # the edge structure the fixed-fixture test can't enumerate
+    from osm_changesets_to_parquet_spark.operators.dedup import repeated_spans
+
+    texts = list(enumerate(docs))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in repeated_spans(df, k=3, min_span=4).collect()
+    )
+    assert got == _brute_spans(texts, k=3, min_span=4)
