@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from osm_changesets_to_parquet_spark.operators.iterutils import truncate_lineage
+
 
 def tokens(docs: DataFrame, text_col: str = "text", keep: list[str] | None = None) -> DataFrame:
     """Explode whitespace tokens with position: adds (pos, token)."""
@@ -363,6 +365,12 @@ def _bpe_rounds(docs: DataFrame, n_merges: int, text_col: str):
             .withColumn("seq", F.replace(F.col("seq"), pat, rep))
             .select("w", "seq", "wc")
         )
+        # the q84 pagerank discipline: truncate the vocab's lineage per
+        # round so the plan does not grow with n_merges (a real
+        # tokenizer runs tens of thousands of rounds; an untruncated
+        # chain re-plans every earlier replace each round) — the
+        # materialized frame is vocabulary-sized, never the corpus
+        cur = truncate_lineage(cur)
     return cur, rounds
 
 

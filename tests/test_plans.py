@@ -451,3 +451,19 @@ def test_q150_persisted_ivf_probe_prunes_partitions(spark, sf_dir):
     scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("cell" in ln for ln in scan), plan[:2000]
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q144_bpe_plan_size_constant_across_rounds(spark, sf_dir):
+    # lineage truncation per merge round (the q84 discipline): the plan
+    # of the final vocab must not grow with n_merges
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from osm_changesets_to_parquet_spark.operators.text import _bpe_rounds
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+
+    def plan_len(n):
+        cur, _ = _bpe_rounds(docs, n, "text")
+        return len(cur._jdf.queryExecution().executedPlan().toString())
+
+    l1, l3 = plan_len(1), plan_len(3)
+    assert l3 <= l1 * 1.5, (l1, l3)
