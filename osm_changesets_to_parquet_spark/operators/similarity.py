@@ -642,9 +642,11 @@ def ivf_index_write(
         embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col, n_iters=n_iters
     )
     (
-        assigned.select(id_col, vec_col, "cell")
+        assigned.select(
+            id_col, vec_col, F.lit("base").alias("__gen"), "cell"
+        )
         .write.mode("overwrite")
-        .partitionBy("cell")
+        .partitionBy("__gen", "cell")
         .parquet(os.path.join(path, "cells"))
     )
     spark = embeddings.sparkSession
@@ -654,6 +656,48 @@ def ivf_index_write(
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(os.path.join(path, "centroids"))
+    )
+
+
+def ivf_index_append(
+    spark,
+    incoming: DataFrame,
+    path: str,
+    gen: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append an increment to a persisted IVF index
+    (:func:`ivf_index_write`) WITHOUT re-clustering: new vectors are
+    assigned to the EXISTING centroids (one Arrow-batched broadcast
+    argmin over the increment — the corpus is never touched) and land
+    under their own generation partition ``__gen=<gen>``; dynamic
+    partition overwrite makes a retried append overwrite only its own
+    (gen, cell) leaves, never the base — the q142/s14 idempotency
+    discipline for the ANN index.  Centroid drift is the operator's
+    documented trade: probes may need a higher nprobe than a
+    fresh-build index (callers calibrate — queries/ann.py q151), and a
+    real deployment re-clusters when drift accumulates.
+    """
+    import os
+
+    cents = {
+        int(r.cell): [float(x) for x in r.centroid]
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    }
+    centroids = [cents[i] for i in range(len(cents))]
+    pick1 = ivf_probe_cells_udf(spark, centroids, 1)
+    (
+        incoming.select(
+            id_col,
+            vec_col,
+            F.lit(gen).alias("__gen"),
+            F.element_at(pick1(F.col(vec_col)), 1).alias("cell"),
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__gen", "cell")
+        .parquet(os.path.join(path, "cells"))
     )
 
 

@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "q148_tokenizer_fertility",
     "q149_decontaminate_spans",
     "q150_ann_persisted_index",
+    "q151_ann_incremental",
     "cs12_python_datasource_writer",
     # -- (2) r1-era stale: multimodal --
     "m48_image_decode_features",
@@ -125,8 +126,8 @@ _PRIORITY: tuple[str, ...] = (
     "cs2_error_tolerant",
     "cs7_fallback_xml",
     "q69_hash_sample",
-    "q70_train_test_split",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q70_train_test_split",
     "q71_profile",
     "q72_histogram",
     "q81_merge_upsert",

@@ -728,3 +728,56 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
     return ivf_probe_persisted(spark, idx, qvec, k=10, nprobe=6)
+
+
+# q151 calibration: the 90%-built centroids differ from a full-corpus
+# build, so a52's nprobe=6 does NOT carry over — swept 2026-08-14:
+# nprobe=6 exact only at sf0.001; nprobe=8 exact at all three SFs.
+Q151_CALIBRATED_SFS = frozenset({"sf0.001", "sf0.01", "sf0.1"})
+_Q151_NPROBE = 8
+
+
+@register(
+    "q151_ann_incremental",
+    BRUTE_TOPK_SQL,
+    doc=(
+        "incremental ANN index growth — the q139/q142 increment story "
+        "for the IVF side: the 90% corpus is clustered and persisted "
+        "once; the arriving 10% batch is assigned to the EXISTING "
+        "centroids (broadcast argmin over the increment only, corpus "
+        "untouched) and appended under its own __gen partition with "
+        "dynamic-overwrite idempotency (operators/similarity.py "
+        "ivf_index_append); the probe then reranks across base + "
+        "increment.  Centroid drift is the documented trade: nprobe "
+        "is recalibrated (8 vs a52's 6) and a real deployment "
+        "re-clusters when drift accumulates.  Brute-force oracle over "
+        "the full corpus"
+    ),
+    tables=("embeddings",),
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+    from osm_changesets_to_parquet_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_write,
+        ivf_probe_persisted,
+    )
+
+    _require_calibrated(sf_dir, Q151_CALIBRATED_SFS, "q151_ann_incremental")
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = hash_bucket("vec_id", 100)
+    existing, incoming = emb.where(b < 90), emb.where(b >= 90)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), f"ivf_inc_index_{base}")
+    ready = os.path.join(idx, "_READY")
+    if not os.path.exists(ready):
+        ivf_index_write(existing, idx, n_cells=16)
+        ivf_index_append(spark, incoming, idx, gen="inc1")
+        open(ready, "w").close()
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return ivf_probe_persisted(spark, idx, qvec, k=10, nprobe=_Q151_NPROBE)

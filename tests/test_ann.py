@@ -134,3 +134,32 @@ def test_quantized_rerank_exact_and_pruning(spark, sf_dir):
         .count()
     )
     assert surv < 0.2 * 4 * n
+
+
+def test_ivf_index_append_idempotent_and_complete(spark, sf_dir):
+    # a retried append (same gen) must overwrite only its own leaves —
+    # index row counts unchanged; and base + increment together cover
+    # every vector exactly once
+    import tempfile
+
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+    from osm_changesets_to_parquet_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_write,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = hash_bucket("vec_id", 100)
+    existing, inc = emb.where(b < 90), emb.where(b >= 90)
+    idx = tempfile.mkdtemp(prefix="ivf_idem_")
+    ivf_index_write(existing, idx, n_cells=16)
+    ivf_index_append(spark, inc, idx, gen="inc1")
+    cells = spark.read.parquet(f"{idx}/cells")
+    n1 = cells.count()
+    assert n1 == emb.count()
+    assert cells.select("vec_id").distinct().count() == n1
+    # retry: same gen overwrites itself, never the base
+    ivf_index_append(spark, inc, idx, gen="inc1")
+    cells2 = spark.read.parquet(f"{idx}/cells")
+    assert cells2.count() == n1
+    assert cells2.where(F.col("__gen") == "base").count() == existing.count()
