@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "q149_decontaminate_spans",
     "q150_ann_persisted_index",
     "q151_ann_incremental",
+    "s15_streaming_quality_router",
     "cs12_python_datasource_writer",
     # -- (2) r1-era stale: multimodal --
     "m48_image_decode_features",
@@ -125,8 +126,8 @@ _PRIORITY: tuple[str, ...] = (
     "cs0_xml_to_parquet",
     "cs2_error_tolerant",
     "cs7_fallback_xml",
-    "q69_hash_sample",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q69_hash_sample",
     "q70_train_test_split",
     "q71_profile",
     "q72_histogram",

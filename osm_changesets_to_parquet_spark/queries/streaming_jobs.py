@@ -374,3 +374,38 @@ def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall re-sweep before the exact oracle is meaningful"
         )
     return run_s14_streaming_neardup(spark, sf_dir)
+
+
+@register(
+    "s15_streaming_quality_router",
+    r"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROUND(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+               / GREATEST(length(text), 1), 6) AS punct_ratio
+      FROM documents
+    )
+    SELECT CASE WHEN n_tokens >= 40 AND punct_ratio <= 0.05
+                THEN 'accept' ELSE 'quarantine' END AS disposition,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM scored GROUP BY 1 ORDER BY disposition
+    """,
+    doc=(
+        "streaming quality ROUTER (continuous-curation front door): the "
+        "documents replay streams through the t42 scorer and each "
+        "micro-batch is written ONCE, dynamically partitioned by "
+        "disposition (accept vs quarantine) under an idempotent __bid=N "
+        "dir — a partitionBy fan-out, not one job per sink; routing is "
+        "a pure per-row predicate so the batch oracle replays it "
+        "exactly (streaming/jobs.py run_s15_streaming_quality_router)"
+    ),
+    tables=("documents",),
+)
+def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.streaming import (
+        run_s15_streaming_quality_router,
+    )
+
+    return run_s15_streaming_quality_router(spark, sf_dir)

@@ -802,3 +802,64 @@ def run_s14_streaming_neardup(
         .select("new_id", "old_id", "jac")
         .orderBy("new_id", "old_id")
     )
+
+
+def run_s15_streaming_quality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality ROUTER — the continuous-curation front door: a
+    documents replay streams through the t42 quality scorer and every
+    micro-batch is written ONCE, dynamically partitioned by its
+    disposition (``accept`` when >= 40 tokens and punctuation ratio
+    <= 0.05, else ``quarantine``) under an idempotent ``__bid=N`` dir —
+    a retried batch overwrites itself, and the router is one write (a
+    partitionBy fan-out), not one job per sink.
+
+    Returns the per-disposition rollup (n_docs, n_tokens) the oracle
+    replays as a batch filter — deterministic because routing is a pure
+    per-row predicate (no state, no watermark interaction).
+    """
+    from osm_changesets_to_parquet_spark.operators.text import quality_score
+
+    base = prepare_docs_replay_dir(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="s15_routed_")
+    ckpt_dir = tempfile.mkdtemp(prefix="s15_ckpt_")
+    _TEMP_DIRS.extend([out_dir, ckpt_dir])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        scored = quality_score(batch_df)
+        routed = scored.withColumn(
+            "disposition",
+            F.when(
+                (F.col("n_tokens") >= 40) & (F.col("punct_ratio") <= 0.05),
+                F.lit("accept"),
+            ).otherwise(F.lit("quarantine")),
+        )
+        (
+            routed.select("doc_id", "n_tokens", "disposition")
+            .write.mode("overwrite")
+            .partitionBy("disposition")
+            .parquet(os.path.join(out_dir, f"__bid={batch_id}"))
+        )
+
+    stream = _read_stream(spark, base)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            stream.writeStream.outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+        _run_to_completion(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("disposition")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("disposition")
+    )
