@@ -103,6 +103,8 @@ TIER2_QUERIES = [
     "q148_tokenizer_fertility",
     "q149_decontaminate_spans",
     "q150_ann_persisted_index",
+    "q151_ann_incremental",
+    "s15_streaming_quality_router",
 ]
 
 

@@ -356,13 +356,26 @@ def _bpe_rounds(docs: DataFrame, n_merges: int, text_col: str):
         rounds.append(top.select(F.lit(r).cast("long").alias("round"), "l", "r", "cnt"))
         pat = F.concat(F.lit(" "), F.col("_l"), F.lit("  "), F.col("_r"), F.lit(" "))
         rep = F.concat(F.lit(" "), F.col("_l"), F.col("_r"), F.lit(" "))
+        # LEFT join, not crossJoin: when the vocabulary exhausts its
+        # pairs before n_merges rounds (every word a single symbol) the
+        # winner frame is EMPTY — a cross join would wipe the vocab and
+        # corrupt every later round and the encode; with the guard the
+        # round is a no-op instead (caught by the hypothesis reference
+        # test on docs=['a'])
+        winner = top.select(
+            F.lit(1).alias("__j"),
+            F.col("l").alias("_l"),
+            F.col("r").alias("_r"),
+        )
         cur = (
-            cur.crossJoin(
-                F.broadcast(
-                    top.select(F.col("l").alias("_l"), F.col("r").alias("_r"))
-                )
+            cur.withColumn("__j", F.lit(1))
+            .join(F.broadcast(winner), "__j", "left")
+            .withColumn(
+                "seq",
+                F.when(
+                    F.col("_l").isNotNull(), F.replace(F.col("seq"), pat, rep)
+                ).otherwise(F.col("seq")),
             )
-            .withColumn("seq", F.replace(F.col("seq"), pat, rep))
             .select("w", "seq", "wc")
         )
         # the q84 pagerank discipline: truncate the vocab's lineage per

@@ -445,3 +445,83 @@ def test_repeated_spans_matches_brute_force_random(spark, docs):
         for r in repeated_spans(df, k=3, min_span=4).collect()
     )
     assert got == _brute_spans(texts, k=3, min_span=4)
+
+
+# --- BPE merge rounds vs a reference implementation --------------------------
+
+def _brute_bpe(texts, n_merges):
+    """Reference BPE trainer: vocab word counts, per-round pair counts,
+    winner by (count DESC, left, right), greedy left-to-right
+    non-overlapping merge inside each word."""
+    from collections import Counter
+
+    vocab = Counter(w for t in texts for w in t.split(" ") if w)
+    seqs = {w: list(w) for w in vocab}
+    out = []
+    for r in range(1, n_merges + 1):
+        pc = Counter()
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += vocab[w]
+        if not pc:
+            break
+        (l, rt), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((r, l, rt, cnt))
+        for w, syms in seqs.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rt:
+                    merged.append(l + rt)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            seqs[w] = merged
+    return out, {w: len(s) for w, s in seqs.items()}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=5),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_bpe_rounds_match_reference(spark, docs):
+    # a 2-letter alphabet makes self-overlapping runs (aaaa), ties, and
+    # merged-symbol collisions (a+ab vs aa+b) common — exactly where
+    # greedy merge order and (count, l, r) tie-breaks can diverge
+    from osm_changesets_to_parquet_spark.operators.text import (
+        bpe_encode_counts,
+        bpe_merge_steps,
+    )
+
+    texts = list(enumerate(docs))
+    want_rounds, want_lens = _brute_bpe(docs, 3)
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got_rounds = [
+        (r["round"], r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_merge_steps(df, 3).orderBy("round").collect()
+    ]
+    # the engine emits a row per requested round even when the vocab
+    # exhausts pairs; the reference stops — compare the common prefix
+    assert got_rounds[: len(want_rounds)] == want_rounds
+    got_counts = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_encode_counts(df, 3).collect()
+    }
+    for did, text in texts:
+        words = [w for w in text.split(" ") if w]
+        assert got_counts[did] == (
+            len(words),
+            sum(want_lens[w] for w in words),
+        ), (did, text)
