@@ -434,3 +434,79 @@ def bpe_encode_counts(
             F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
         )
     )
+
+
+def unigram_entropy(
+    docs: DataFrame, text_col: str = "text", keep: list[str] | None = None
+) -> DataFrame:
+    """Per-document unigram (word-distribution) entropy — the standard
+    repetitiveness / quality signal (low entropy = template or spam,
+    see Rae et al. 2021 "Gopher" app. A, public).
+
+    Adds ``n_tokens`` / ``n_distinct`` / ``ttr`` (type-token ratio) /
+    ``entropy`` (bits, rounded to 6).
+
+    Scale: ZERO shuffle.  The word multiset never leaves the row — the
+    tokens are sorted in-row (``array_sort``) and a single
+    ``F.aggregate`` fold walks the sorted array accumulating run
+    lengths, Σ c·log2(c), and the distinct count in one O(n log n)
+    pass.  The exploded spelling (explode → groupBy doc,word) ships
+    every token through a shuffle; at 100 TB that is the whole corpus
+    re-keyed, while this spelling is a pure map stage that rides the
+    parquet scan.  The sorted array is referenced exactly ONCE (inside
+    the fold) so CollapseProject cannot inline the sort into
+    per-element lambdas (the q143 trap).
+
+    H = log2(n) - (Σ c·log2 c)/n over run lengths c; floats are summed
+    in sorted-word order (deterministic) and rounded to 6 so the value
+    is engine-stable.
+    """
+    keep = keep or [c for c in docs.columns if c != text_col]
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("s"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def _close(run):
+        # closed-run contribution c*log2(c); run=0 only before the
+        # first word (empty docs never reach the lambda)
+        return F.when(
+            run > 0, run.cast("double") * F.log2(run.cast("double"))
+        ).otherwise(F.lit(0.0))
+
+    def _step(acc, w):
+        same = acc["prev"] == w
+        return F.struct(
+            w.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["s"]).otherwise(acc["s"] + _close(acc["run"])).alias("s"),
+            F.when(same, acc["d"]).otherwise(acc["d"] + 1).alias("d"),
+        )
+
+    def _finish(acc):
+        # the last run's c*log2(c) is still open; d already counted it
+        # when the run STARTED (every run increments d on its first word)
+        return F.struct(
+            (acc["s"] + _close(acc["run"])).alias("s"),
+            acc["d"].alias("d"),
+        )
+
+    folded = docs.select(
+        *keep,
+        F.size(words).cast("long").alias("n_tokens"),
+        F.aggregate(F.array_sort(words), acc0, _step, _finish).alias("__f"),
+    )
+    n = F.col("n_tokens")
+    return folded.select(
+        *keep,
+        "n_tokens",
+        F.col("__f.d").alias("n_distinct"),
+        F.when(n > 0, F.round(F.col("__f.d") / n, 6)).alias("ttr"),
+        F.when(
+            n > 0,
+            F.round(F.log2(n.cast("double")) - F.col("__f.s") / n, 6),
+        ).alias("entropy"),
+    )

@@ -71,6 +71,7 @@ def register(
 # (q86-q100 etc.), then r04 in registration order.
 _PRIORITY: tuple[str, ...] = (
     # -- (1) new this round --
+    "q152_unigram_entropy",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -125,8 +126,8 @@ _PRIORITY: tuple[str, ...] = (
     "a52_ivf_recall_prop",
     "cs0_xml_to_parquet",
     "cs2_error_tolerant",
-    "cs7_fallback_xml",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "cs7_fallback_xml",
     "q69_hash_sample",
     "q70_train_test_split",
     "q71_profile",

@@ -1305,3 +1305,58 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("dsir_weight"), "doc_id").limit(20).select(
         "doc_id", "n_tokens", "dsir_weight"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q152: per-document unigram entropy (repetitiveness signal)
+# ---------------------------------------------------------------------------
+
+# The oracle recomputes H = log2(n) - (Σ c·log2 c)/n via the exploded
+# spelling (unnest → group by doc,word); the engine folds the SORTED
+# in-row token array instead (operators/text.py unigram_entropy) — same
+# math, zero shuffle.  Both sides round to 6 so last-ulp log2/sum-order
+# differences can't flip the hash.
+_Q152_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, word, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(w) AS word FROM t)
+  GROUP BY doc_id, word
+),
+h AS (
+  SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS d, SUM(cnt * log2(cnt)) AS s
+  FROM c GROUP BY doc_id
+)
+SELECT t.doc_id, t.lang,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(h.d, 0) AS BIGINT) AS n_distinct,
+       CASE WHEN h.n > 0 THEN ROUND(h.d / CAST(h.n AS DOUBLE), 6) END AS ttr,
+       CASE WHEN h.n > 0
+            THEN ROUND(log2(CAST(h.n AS DOUBLE)) - h.s / h.n, 6) END AS entropy
+FROM t LEFT JOIN h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q152_unigram_entropy",
+    _Q152_SQL,
+    doc=(
+        "per-doc unigram entropy + type-token ratio (the Gopher-style "
+        "repetitiveness signal, Rae et al. 2021, public): ZERO-shuffle "
+        "spelling — tokens are sorted in-row and one F.aggregate fold "
+        "walks the runs accumulating n, distinct count and Σ c·log2 c; "
+        "the word multiset never leaves the row, so the op rides the "
+        "parquet scan as a pure map stage (the exploded spelling "
+        "re-keys the whole corpus through a shuffle at 100 TB)"
+    ),
+    tables=("documents",),
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.text import unigram_entropy
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return unigram_entropy(docs, keep=["doc_id", "lang"]).orderBy("doc_id")

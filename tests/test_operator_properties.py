@@ -525,3 +525,47 @@ def test_bpe_rounds_match_reference(spark, docs):
             len(words),
             sum(want_lens[w] for w in words),
         ), (did, text)
+
+
+# --- unigram entropy vs a direct Counter reference ---------------------------
+
+def _brute_entropy(text):
+    import math
+    from collections import Counter
+
+    ws = [w for w in text.split(" ") if w]
+    if not ws:
+        return (0, 0, None, None)
+    c, n = Counter(ws), len(ws)
+    h = -sum(v / n * math.log2(v / n) for v in c.values())
+    return (n, len(c), round(len(c) / n, 6), round(h, 6))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=0, max_size=3),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_unigram_entropy_matches_counter(spark, docs):
+    # empty tokens (consecutive spaces), single-word docs, empty docs,
+    # and all-same-word docs are the run-fold edge cases
+    from osm_changesets_to_parquet_spark.operators.text import unigram_entropy
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_distinct, r.ttr, r.entropy)
+        for r in unigram_entropy(df).collect()
+    }
+    for i, t in enumerate(docs):
+        assert got[i] == _brute_entropy(t), (i, t)

@@ -467,3 +467,25 @@ def test_q144_bpe_plan_size_constant_across_rounds(spark, sf_dir):
 
     l1, l3 = plan_len(1), plan_len(3)
     assert l3 <= l1 * 1.5, (l1, l3)
+
+
+def test_q152_entropy_zero_shuffle(spark, sf_dir):
+    # the whole point of the in-row fold spelling: the word multiset
+    # never leaves the row, so before the presentation orderBy there is
+    # NO shuffle at all — scan -> project.  Build the operator directly
+    # (the registered query adds an orderBy whose range exchange is
+    # presentation, not computation).
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from osm_changesets_to_parquet_spark.operators.text import unigram_entropy
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    plan = (
+        unigram_entropy(docs, keep=["doc_id", "lang"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    # and the sort is not inlined per-element (the q143 CollapseProject
+    # trap): exactly one array_sort in the plan
+    assert plan.count("array_sort") == 1
