@@ -912,3 +912,65 @@ def jaccard_prefix_pairs(
         .where(F.col("jac") >= F.lit(threshold))
         .select("id_a", "id_b", "jac")
     )
+
+
+def group_token_jaccard(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """EXACT Jaccard similarity between the distinct-token sets of every
+    group pair — the corpus-overlap matrix (which sources/domains are
+    near-copies of each other, which languages share vocabulary).
+
+    Returns (group_a, group_b, n_a, n_b, n_common, jaccard) for every
+    unordered pair with group_a < group_b, including zero-overlap pairs.
+
+    Scale: the token×token blow-up never happens.  Tokens reduce to
+    DISTINCT (group, xxhash64(token)) first — one shuffle keyed on the
+    8-byte hash with map-side partial dedup — then intersections come
+    from a self-EQUI-join on the hash: a token present in G groups
+    contributes at most G(G-1)/2 rows, bounded by the (small) group
+    count squared, never by corpus size.  Set sizes ride a tiny
+    broadcast frame that also completes the zero-overlap pairs.  The
+    hash never reaches the output (the q136/q143 oracle discipline);
+    a 2^-64 collision would surface as an oracle mismatch, not hide.
+    """
+    tok = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .select("g", F.xxhash64("w").alias("h"))
+        .distinct()
+    )
+    sizes = tok.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        tok.select(F.col("g").alias("ga"), "h")
+        .join(tok.select(F.col("g").alias("gb"), "h"), "h")
+        .where(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    pairs = (
+        F.broadcast(sizes.select(F.col("g").alias("ga"), F.col("sz").alias("n_a")))
+        .crossJoin(
+            F.broadcast(
+                sizes.select(F.col("g").alias("gb"), F.col("sz").alias("n_b"))
+            )
+        )
+        .where(F.col("ga") < F.col("gb"))
+    )
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    return (
+        pairs.join(inter, ["ga", "gb"], "left")
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "n_a",
+            "n_b",
+            nc.alias("n_common"),
+            F.round(
+                nc / (F.col("n_a") + F.col("n_b") - nc).cast("double"), 6
+            ).alias("jaccard"),
+        )
+    )

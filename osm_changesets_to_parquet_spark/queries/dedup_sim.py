@@ -1168,3 +1168,55 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contaminated_spans(
         train, eval_df, k=_Q143_K, min_span=_Q143_MIN_SPAN
     ).orderBy("doc_id", "span_start")
+
+
+# ---------------------------------------------------------------------------
+# Q153: corpus-overlap matrix — exact Jaccard between source token sets
+# ---------------------------------------------------------------------------
+
+# The oracle intersects the raw distinct word sets; the engine joins on
+# xxhash64(word) (8-byte shuffle keys) — the hash never reaches the
+# output, so a collision would MISmatch here rather than hide.
+_Q153_SQL = """
+WITH tok AS (
+  SELECT DISTINCT source, word
+  FROM (SELECT source,
+               unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+        FROM documents)
+),
+sz AS (SELECT source, COUNT(*) AS sz FROM tok GROUP BY source),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON a.word = b.word AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT x.source AS group_a, y.source AS group_b,
+       CAST(x.sz AS BIGINT) AS n_a, CAST(y.sz AS BIGINT) AS n_b,
+       CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+       ROUND(COALESCE(i.n_common, 0)
+             / CAST(x.sz + y.sz - COALESCE(i.n_common, 0) AS DOUBLE), 6)
+         AS jaccard
+FROM sz x JOIN sz y ON x.source < y.source
+LEFT JOIN inter i ON i.sa = x.source AND i.sb = y.source
+ORDER BY group_a, group_b
+"""
+
+
+@register(
+    "q153_group_jaccard",
+    _Q153_SQL,
+    doc=(
+        "corpus-overlap matrix: EXACT Jaccard between the distinct-"
+        "token sets of every source pair (which domains are near-"
+        "copies, which shard duplicates which).  DISTINCT (group, "
+        "xxhash64 token) first — map-side partial dedup, 8-byte "
+        "shuffle keys — then a self-EQUI-join on the hash bounds each "
+        "token's contribution by #groups², never corpus size; set "
+        "sizes broadcast to complete zero-overlap pairs "
+        "(operators/dedup.py group_token_jaccard)"
+    ),
+    tables=("documents",),
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return D.group_token_jaccard(docs, "source").orderBy("group_a", "group_b")

@@ -489,3 +489,13 @@ def test_q152_entropy_zero_shuffle(spark, sf_dir):
     # and the sort is not inlined per-element (the q143 CollapseProject
     # trap): exactly one array_sort in the plan
     assert plan.count("array_sort") == 1
+
+
+def test_q153_group_jaccard_equi_join_broadcast_sizes(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q153_group_jaccard")
+    # the intersection must be the hash-keyed EQUI-join, never a
+    # cartesian token×token comparison; the only nested-loop join
+    # allowed is the tiny broadcast sizes×sizes pair frame
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the |groups|² pair completion
+    assert "xxhash64" in plan

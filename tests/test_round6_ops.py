@@ -401,3 +401,27 @@ def test_contaminated_spans_hand_example(spark):
     # eval 5-grams are e1..e5 through e4..e8; in the train doc those
     # start at positions 4..7 -> island [4, 7+4] = tokens 4..11 (8 wide)
     assert got == [(1, 4, 11, 8)]
+
+
+def test_group_token_jaccard_hand_example(spark):
+    from osm_changesets_to_parquet_spark.operators.dedup import group_token_jaccard
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "a b c"),
+            ("s1", "c d"),       # s1 tokens: {a,b,c,d}
+            ("s2", "c d e"),     # s2 tokens: {c,d,e}
+            ("s3", "x y"),       # s3 tokens: {x,y} — disjoint from both
+        ],
+        "source string, text string",
+    )
+    got = {
+        (r.group_a, r.group_b): (r.n_a, r.n_b, r.n_common, r.jaccard)
+        for r in group_token_jaccard(df, "source").collect()
+    }
+    # zero-overlap pairs MUST appear (left join from the pair frame)
+    assert got == {
+        ("s1", "s2"): (4, 3, 2, round(2 / 5, 6)),
+        ("s1", "s3"): (4, 2, 0, 0.0),
+        ("s2", "s3"): (3, 2, 0, 0.0),
+    }
