@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- (1) new this round --
     "q152_unigram_entropy",
     "q153_group_jaccard",
+    "q155_grid_join_2d",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -125,8 +126,8 @@ _PRIORITY: tuple[str, ...] = (
     "q83_ewma",
     "a51_lsh_recall_prop",
     "a52_ivf_recall_prop",
-    "cs0_xml_to_parquet",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "cs0_xml_to_parquet",
     "cs2_error_tolerant",
     "cs7_fallback_xml",
     "q69_hash_sample",

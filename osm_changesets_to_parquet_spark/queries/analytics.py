@@ -410,3 +410,58 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q155: 2-D ε-neighborhood self-join via grid-cell blocking
+# ---------------------------------------------------------------------------
+
+_Q155_EPS = 0.02
+
+# Brute-force oracle: the full n² comparison the grid join must equal.
+# Both sides CAST the float32 coordinates to DOUBLE before arithmetic,
+# so the squared distance is computed bit-identically and the strict
+# `< eps²` boundary cannot flip between engines.
+_Q155_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(SQRT((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6) AS dist
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) < {_Q155_EPS} * {_Q155_EPS}
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "q155_grid_join_2d",
+    _Q155_SQL,
+    doc=(
+        "exact 2-D ε-neighborhood self-join (DBSCAN-neighborhood / "
+        "spatial blocking) over the first two embedding dims via "
+        "operators/intervals.grid_neighbor_pairs_2d: cell width = ε, "
+        "home cell equi-joins the probe side's 3×3 cell explosion, "
+        "exact squared-distance verify in-row — one hash join keyed on "
+        "the cell id, never a cross join; every true pair collides in "
+        "exactly one cell so no DISTINCT.  Oracle runs the n² theta "
+        "join literally"
+    ),
+    tables=("embeddings",),
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.intervals import (
+        grid_neighbor_pairs_2d,
+    )
+
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).alias("x"),
+        F.element_at("embedding", 2).alias("y"),
+    )
+    return grid_neighbor_pairs_2d(pts, "vec_id", "x", "y", _Q155_EPS).orderBy(
+        "id_a", "id_b"
+    )

@@ -569,3 +569,47 @@ def test_unigram_entropy_matches_counter(spark, docs):
     }
     for i, t in enumerate(docs):
         assert got[i] == _brute_entropy(t), (i, t)
+
+
+# --- 2-D grid ε-join vs brute force ------------------------------------------
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            # multiples of eps/4 land points exactly ON cell borders and
+            # at exact distance eps (strict < must exclude them);
+            # negatives exercise floor-toward-minus-infinity cell ids
+            st.integers(min_value=-20, max_value=20).map(lambda i: i * 0.25),
+            st.integers(min_value=-20, max_value=20).map(lambda i: i * 0.25),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_grid_neighbor_pairs_matches_brute_force(spark, pts):
+    import math
+
+    from osm_changesets_to_parquet_spark.operators.intervals import (
+        grid_neighbor_pairs_2d,
+    )
+
+    eps = 1.0
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in grid_neighbor_pairs_2d(df, "id", "x", "y", eps).collect()
+    }
+    want = {}
+    for i, (xa, ya) in enumerate(pts):
+        for j, (xb, yb) in enumerate(pts):
+            if i < j:
+                d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+                if d2 < eps * eps:
+                    want[(i, j)] = round(math.sqrt(d2), 6)
+    assert got == want

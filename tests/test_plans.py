@@ -499,3 +499,11 @@ def test_q153_group_jaccard_equi_join_broadcast_sizes(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the |groups|² pair completion
     assert "xxhash64" in plan
+
+
+def test_q155_grid_join_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q155_grid_join_2d")
+    # the ε-join must be the cell-keyed equi-join — any nested-loop
+    # spelling is the O(n²) plan this operator exists to avoid
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
