@@ -104,3 +104,102 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return j.withColumn("change_type", change).drop("__in_old", "__in_new")
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized aggregate (per-key partial-agg state parquet)
+# ---------------------------------------------------------------------------
+# The materialized-view maintenance shape: a running per-key aggregate
+# over an append-only fact stream must absorb a delta batch WITHOUT
+# rescanning history.  (cnt, sum, min, max) are all decomposable, so
+# the state stores per-key PARTIALS and a merge is itself an aggregate:
+#   cnt' = cnt_state + cnt_delta,  sum' = sum_state + sum_delta,
+#   min' = least(...), max' = greatest(...).
+# The state is partitioned by a hash bucket of the key so a merge reads
+# and rewrites ONLY the buckets the delta's keys hash to — at real
+# scale (thousands of buckets, sparse deltas) that is partition pruning
+# doing the work; cost is O(|touched state| + |delta|), never O(fact).
+
+
+def agg_state_build(
+    facts: DataFrame,
+    key_col: str,
+    val_col: str,
+    path: str,
+    n_buckets: int = 16,
+) -> None:
+    """Aggregate ``facts`` into per-key partials and persist them
+    partitioned by ``__pb = hash_bucket(key, n_buckets)``."""
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    (
+        facts.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(val_col).alias("s"),
+            F.min(val_col).alias("mn"),
+            F.max(val_col).alias("mx"),
+        )
+        .withColumn("__pb", hash_bucket(key_col, n_buckets))
+        .write.partitionBy("__pb")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def agg_state_merge(
+    spark,
+    state_path: str,
+    delta: DataFrame,
+    key_col: str,
+    val_col: str,
+    out_path: str,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Absorb ``delta`` into the persisted state WITHOUT touching
+    unaffected buckets; returns the full merged state frame.
+
+    The delta reduces to its own per-key partials first (delta-sized
+    shuffle), the state scan is filtered to the buckets those keys hash
+    to (PARTITION PRUNING — the scan's partition filter, plan-pinned in
+    tests), the touched buckets merge via one more partial aggregate
+    and land in ``out_path``; untouched buckets are returned straight
+    from ``state_path`` unread-until-consumed.  The only driver action
+    is collecting the touched-bucket ids — bounded by ``n_buckets``,
+    never by data (the IVF-seed collect discipline,
+    operators/similarity.py).
+
+    ``out_path`` should be fresh per call (the s14 runner discipline):
+    re-running the same merge then yields byte-identical results
+    instead of double-counting the delta.
+    """
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    dp = (
+        delta.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(val_col).alias("s"),
+            F.min(val_col).alias("mn"),
+            F.max(val_col).alias("mx"),
+        )
+        .withColumn("__pb", hash_bucket(key_col, n_buckets))
+    )
+    touched = sorted(
+        r[0] for r in dp.select("__pb").distinct().collect()
+    )  # <= n_buckets ids
+    state = spark.read.parquet(state_path)
+    merged = (
+        state.where(F.col("__pb").isin(touched))
+        .unionByName(dp)
+        .groupBy(key_col, "__pb")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    merged.write.partitionBy("__pb").mode("overwrite").parquet(out_path)
+    untouched = state.where(~F.col("__pb").isin(touched))
+    return spark.read.parquet(out_path).unionByName(untouched)

@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- (1) new this round --
     "q152_unigram_entropy",
     "q153_group_jaccard",
+    "q154_incremental_agg",
     "q155_grid_join_2d",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
@@ -125,8 +126,8 @@ _PRIORITY: tuple[str, ...] = (
     "q82_resample_ffill",
     "q83_ewma",
     "a51_lsh_recall_prop",
-    "a52_ivf_recall_prop",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "a52_ivf_recall_prop",
     "cs0_xml_to_parquet",
     "cs2_error_tolerant",
     "cs7_fallback_xml",

@@ -465,3 +465,73 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_neighbor_pairs_2d(pts, "vec_id", "x", "y", _Q155_EPS).orderBy(
         "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q154: incremental materialized aggregate maintenance
+# ---------------------------------------------------------------------------
+
+# The oracle is the FULL recompute over history + delta; the engine
+# must reach the same numbers having scanned history zero times (the
+# state parquet absorbs it once, at build) and having rewritten only
+# the state buckets the delta's keys hash to.
+_Q154_SQL = """
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+@register(
+    "q154_incremental_agg",
+    _Q154_SQL,
+    doc=(
+        "materialized-view maintenance: a per-custkey running "
+        "(count, sum, min, max) over orders absorbs a 10% delta batch "
+        "with NO history rescan (operators/merge.py agg_state_build / "
+        "agg_state_merge) — decomposable partials persisted partitioned "
+        "by hash_bucket(key), delta reduces to its own partials "
+        "(delta-sized shuffle), state scan partition-prunes to touched "
+        "buckets, merge is one more partial aggregate; oracle is the "
+        "full recompute the incremental path must equal"
+    ),
+    tables=("orders",),
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from osm_changesets_to_parquet_spark.operators.merge import (
+        agg_state_build,
+        agg_state_merge,
+    )
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    b = hash_bucket("o_orderkey", 100)
+    history, delta = o.where(b < 90), o.where(b >= 90)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    # history is aggregated ONCE per fixture (_READY marker, q142/q150
+    # discipline); every call after that is a delta-sized merge into a
+    # fresh out dir (s14 runner discipline — re-runs can't double-count)
+    state = os.path.join(tempfile.gettempdir(), f"agg_state_{base}")
+    ready = os.path.join(state, "_READY")
+    if not os.path.exists(ready):
+        agg_state_build(history, "o_custkey", "o_totalprice", state)
+        open(ready, "w").close()
+    out = tempfile.mkdtemp(prefix="agg_state_merge_")
+    full = agg_state_merge(
+        spark, state, delta, "o_custkey", "o_totalprice", out
+    )
+    return full.select(
+        "o_custkey",
+        F.col("n").alias("n_orders"),
+        F.round("s", 2).alias("sum_price"),
+        F.col("mn").alias("min_price"),
+        F.col("mx").alias("max_price"),
+    ).orderBy("o_custkey")

@@ -425,3 +425,58 @@ def test_group_token_jaccard_hand_example(spark):
         ("s1", "s3"): (4, 2, 0, 0.0),
         ("s2", "s3"): (3, 2, 0, 0.0),
     }
+
+
+def test_agg_state_merge_touches_only_delta_buckets(spark, tmp_path):
+    from osm_changesets_to_parquet_spark.operators.merge import (
+        agg_state_build,
+        agg_state_merge,
+    )
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    hist = spark.createDataFrame(
+        [(k, float(10 * k + i)) for k in range(40) for i in range(3)],
+        "k long, v double",
+    )
+    state = str(tmp_path / "state")
+    agg_state_build(hist, "k", "v", state, n_buckets=16)
+    # a delta confined to TWO keys — the merge must rewrite only the
+    # buckets those keys hash to and leave every other bucket dir alone
+    delta = spark.createDataFrame(
+        [(7, 999.0), (7, 1.0), (1000, 5.0)], "k long, v double"  # 1000 = new key
+    )
+    tb = {
+        r[0]
+        for r in delta.select(hash_bucket("k", 16).alias("b")).distinct().collect()
+    }
+    out = str(tmp_path / "merged")
+    full = agg_state_merge(spark, state, delta, "k", "v", out, n_buckets=16)
+    written = {
+        d.split("=")[1]
+        for d in os.listdir(out)
+        if d.startswith("__pb=")
+    }
+    assert written == {str(b) for b in tb}
+    # and the state scan carries the partition filter (pruned read)
+    plan = (
+        spark.read.parquet(state)
+        .where(F.col("__pb").isin(sorted(tb)))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan and "__pb" in plan
+    # merged numbers equal the full recompute, including the new key
+    got = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in full.select("k", "n", "s", "mn", "mx").collect()
+    }
+    import collections
+
+    agg = collections.defaultdict(list)
+    for r in hist.collect():
+        agg[r.k].append(r.v)
+    for r in delta.collect():
+        agg[r.k].append(r.v)
+    want = {k: (len(v), sum(v), min(v), max(v)) for k, v in agg.items()}
+    assert got == want
