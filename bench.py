@@ -105,6 +105,12 @@ TIER2_QUERIES = [
     "q150_ann_persisted_index",
     "q151_ann_incremental",
     "s15_streaming_quality_router",
+    "q152_unigram_entropy",
+    "q153_group_jaccard",
+    "q154_incremental_agg",
+    "q155_grid_join_2d",
+    "q156_event_transitions",
+    "q157_rolling_median",
 ]
 
 

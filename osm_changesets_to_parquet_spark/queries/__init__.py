@@ -75,6 +75,8 @@ _PRIORITY: tuple[str, ...] = (
     "q153_group_jaccard",
     "q154_incremental_agg",
     "q155_grid_join_2d",
+    "q156_event_transitions",
+    "q157_rolling_median",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -124,9 +126,9 @@ _PRIORITY: tuple[str, ...] = (
     "q75_funnel",
     "q76_retention_cohort",
     "q82_resample_ffill",
+    # ---- window boundary (50) — names below queue for round 7 ----
     "q83_ewma",
     "a51_lsh_recall_prop",
-    # ---- window boundary (50) — names below queue for round 7 ----
     "a52_ivf_recall_prop",
     "cs0_xml_to_parquet",
     "cs2_error_tolerant",

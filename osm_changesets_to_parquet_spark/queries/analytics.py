@@ -535,3 +535,122 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mn").alias("min_price"),
         F.col("mx").alias("max_price"),
     ).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Q156: event-transition matrix (first-order Markov chain)
+# ---------------------------------------------------------------------------
+
+_Q156_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM events
+),
+t AS (
+  SELECT src, event_type AS dst, COUNT(*) AS cnt
+  FROM o WHERE src IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(cnt / CAST(SUM(cnt) OVER (PARTITION BY src) AS DOUBLE), 6) AS prob
+FROM t ORDER BY src, dst
+"""
+
+
+@register(
+    "q156_event_transitions",
+    _Q156_SQL,
+    doc=(
+        "first-order Markov transition matrix over the event stream "
+        "(what follows what, per user): one shuffle keyed on user_id "
+        "for the per-user LAG (ties broken on event_id so the chain is "
+        "deterministic), then a map-side-partial count over the "
+        "|types|² transition keys; per-src totals are a tiny broadcast "
+        "frame.  Per-user work is sequential by nature — the window "
+        "cost is bounded by max events/user, never corpus size"
+    ),
+    tables=("events",),
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.withColumn("src", F.lag("event_type").over(w)).where(
+        F.col("src").isNotNull()
+    )
+    trans = t.groupBy("src", F.col("event_type").alias("dst")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = trans.groupBy("src").agg(F.sum("cnt").alias("__tot"))
+    return (
+        trans.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "dst",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__tot").cast("double"), 6).alias("prob"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q157: exact rolling median (sliding order statistic)
+# ---------------------------------------------------------------------------
+
+_Q157_FRAME = 50
+
+# Even-count frames interpolate (mean of the two middle values) on BOTH
+# engines — DuckDB's MEDIAN is the continuous quantile; the Spark side
+# spells the same interpolation over the sorted frame array.  NULL
+# values drop from the frame on both sides (collect_list and MEDIAN
+# both ignore them).
+_Q157_SQL = f"""
+SELECT event_id, event_type,
+       ROUND(MEDIAN(value) OVER (
+         PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN {_Q157_FRAME - 1} PRECEDING AND CURRENT ROW), 6)
+         AS roll_med
+FROM events ORDER BY event_id
+"""
+
+
+@register(
+    "q157_rolling_median",
+    _Q157_SQL,
+    doc=(
+        "exact sliding-window median of event values (the robust "
+        "rolling baseline mean/stddev can't give): per-type window, "
+        "50-row frame, collect_list over the bounded frame -> in-row "
+        "array_sort -> interpolated middle.  O(frame·log frame) per "
+        "row with frame a small constant; partitioned by event_type so "
+        "no single-task window.  A production build at much larger "
+        "frames would keep a two-heap state in a pandas UDF — with a "
+        "50-row frame the array spelling stays JVM-side and beats the "
+        "Arrow round-trip"
+    ),
+    tables=("events",),
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_Q157_FRAME - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    ev = ev.withColumn("__a", arr)
+    n = F.size("__a")
+    mid_hi = F.element_at("__a", (F.floor(n / 2) + 1).cast("int"))
+    mid_lo = F.element_at("__a", F.floor((n + 1) / 2).cast("int"))
+    med = F.when(n > 0, (mid_lo + mid_hi) / 2.0)
+    return ev.select(
+        "event_id", "event_type", F.round(med, 6).alias("roll_med")
+    ).orderBy("event_id")

@@ -480,3 +480,67 @@ def test_agg_state_merge_touches_only_delta_buckets(spark, tmp_path):
         agg[r.k].append(r.v)
     want = {k: (len(v), sum(v), min(v), max(v)) for k, v in agg.items()}
     assert got == want
+
+
+def test_rolling_median_interpolation_and_nulls(spark):
+    from osm_changesets_to_parquet_spark.queries import analytics  # noqa: F401
+    from osm_changesets_to_parquet_spark.queries import REGISTRY
+
+    import datetime
+
+    # one type, values 1..4 with a NULL in the middle; frame = 50 so
+    # every row sees the whole prefix: medians over [1], [1,2] (=1.5 —
+    # even-count interpolation), [1,2,NULL] (null drops), [1,2,3],
+    # [1,2,3,10]
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "a", 1.0, "{}"),
+        (2, t0 + datetime.timedelta(seconds=1), 7, "a", 2.0, "{}"),
+        (3, t0 + datetime.timedelta(seconds=2), 7, "a", None, "{}"),
+        (4, t0 + datetime.timedelta(seconds=3), 7, "a", 3.0, "{}"),
+        (5, t0 + datetime.timedelta(seconds=4), 7, "a", 10.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="q157_fixture_")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        r.event_id: r.roll_med
+        for r in REGISTRY["q157_rolling_median"].fn(spark, d).collect()
+    }
+    assert out == {1: 1.0, 2: 1.5, 3: 1.5, 4: 2.0, 5: 2.5}
+
+
+def test_event_transitions_hand_example(spark):
+    from osm_changesets_to_parquet_spark.queries import analytics  # noqa: F401
+    from osm_changesets_to_parquet_spark.queries import REGISTRY
+
+    import datetime
+    import os
+    import tempfile
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(i, u, typ):
+        return (i, t0 + datetime.timedelta(seconds=i), u, typ, 0.0, "{}")
+
+    # user 1: a -> b -> a ; user 2: a -> b  (chains never cross users)
+    rows = [ev(1, 1, "a"), ev(2, 1, "b"), ev(3, 1, "a"), ev(4, 2, "a"), ev(5, 2, "b")]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="q156_fixture_")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        (r.src, r.dst): (r.cnt, r.prob)
+        for r in REGISTRY["q156_event_transitions"].fn(spark, d).collect()
+    }
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
