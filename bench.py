@@ -111,6 +111,7 @@ TIER2_QUERIES = [
     "q155_grid_join_2d",
     "q156_event_transitions",
     "q157_rolling_median",
+    "s16_streaming_transitions",
 ]
 
 

@@ -409,3 +409,43 @@ def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_s15_streaming_quality_router(spark, sf_dir)
+
+
+_S16_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM events
+),
+t AS (
+  SELECT src, event_type AS dst, COUNT(*) AS cnt
+  FROM o WHERE src IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(cnt / CAST(SUM(cnt) OVER (PARTITION BY src) AS DOUBLE), 6) AS prob
+FROM t ORDER BY src, dst
+"""
+
+
+@register(
+    "s16_streaming_transitions",
+    _S16_SQL,
+    doc=(
+        "STREAMING first-order transition matrix (q156's streaming "
+        "twin): per-user LAST-EVENT state via applyInPandasWithState — "
+        "one tuple per user, bounded by population not stream length; "
+        "each micro-batch chains its (ts_us, event_id)-sorted rows "
+        "onto the stored last event and emits per-batch (src,dst) "
+        "counts, reduced distributedly across batches.  The replay "
+        "fixture arrives in event-time order, so the converged matrix "
+        "equals the batch oracle exactly "
+        "(streaming/jobs.py run_s16_streaming_transitions)"
+    ),
+    tables=("events",),
+)
+def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.streaming import (
+        run_s16_streaming_transitions,
+    )
+
+    return run_s16_streaming_transitions(spark, sf_dir)

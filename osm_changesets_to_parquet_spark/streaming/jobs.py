@@ -863,3 +863,76 @@ def run_s15_streaming_quality_router(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("disposition")
     )
+
+
+def run_s16_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING first-order event-transition counting — the s6-style
+    custom stateful op the built-in aggregates can't express: the
+    transition (src -> dst) needs the PREVIOUS event per user, which
+    lives in keyed state across micro-batches.
+
+    State per user is exactly one tuple (the last event_type) —
+    bounded by the user population, not the stream length; a real
+    deployment adds s6's event-time idle eviction, which this replay
+    doesn't need (NoTimeout lets availableNow drain without the
+    processing-time spin documented at run_s6).  Each micro-batch
+    sorts its per-user rows by (ts_us, event_id) — the same total
+    order the batch q156 and the replay chunking use — chains them
+    onto the stored last event, and emits the batch's (src, dst)
+    pair counts; the final reduce sums counts across batches.  Late
+    data is the documented trade: an out-of-order arrival would chain
+    at its ARRIVAL position (the batch spelling re-sorts globally) —
+    the replay fixture is in event-time order, so here they agree
+    exactly.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    base = prepare_replay_dir(spark, sf_dir, late=False)
+    ev = _read_stream(spark, base).select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        import collections
+
+        pdfs = [p for p in pdf_iter]
+        rows = pd.concat(pdfs).sort_values(["ts_us", "event_id"])
+        seq = list(rows["event_type"])
+        if state.exists:
+            (last,) = state.get
+            seq = [last] + seq
+        if seq:
+            state.update((seq[-1],))
+        pairs = collections.Counter(zip(seq, seq[1:]))
+        if not pairs:
+            return
+        yield pd.DataFrame(
+            {
+                "src": [s for s, _ in pairs],
+                "dst": [d for _, d in pairs],
+                "cnt": [int(c) for c in pairs.values()],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="src string, dst string, cnt long",
+        stateStructType="last string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    outs = _run_availablenow(out, mode="update")
+    trans = outs.groupBy("src", "dst").agg(F.sum("cnt").alias("cnt"))
+    tot = trans.groupBy("src").agg(F.sum("cnt").alias("__tot"))
+    return (
+        trans.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "dst",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__tot").cast("double"), 6).alias("prob"),
+        )
+        .orderBy("src", "dst")
+    )
