@@ -177,3 +177,75 @@ def compact_parquet_dir(
         out = df.coalesce(n_out)
     out.write.mode("overwrite").parquet(dst_dir)
     return parquet_dir_stats(spark, dst_dir)[1]
+
+
+# ---------------------------------------------------------------------------
+# File-level data skipping (manifest of per-file min/max, Iceberg-style)
+# ---------------------------------------------------------------------------
+# Partition dirs prune at directory granularity (q154's __pb buckets);
+# table formats add the FILE level: a manifest of per-file column
+# min/max lets a range predicate skip whole files inside a partition.
+# On plain parquet the same mechanic is two pieces: a range-clustered
+# write (so files cover disjoint key ranges) and a manifest parquet
+# consulted before the scan.
+
+
+def manifest_write(df, key_col: str, path: str, n_files: int) -> None:
+    """Range-cluster ``df`` by ``key_col`` into ~``n_files`` files and
+    write a sibling ``<path>_manifest`` of per-file (file, min, max).
+
+    ``repartitionByRange`` gives files with DISJOINT key ranges — the
+    property that makes min/max skipping effective; an unclustered
+    write has every file spanning the whole domain and the manifest
+    prunes nothing (the Z-order module's linear-clustering lesson, 1-D
+    case).  The manifest is built from one column-pruned re-scan
+    grouped by ``input_file_name`` — O(files) rows.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(key_col).alias("key_min"),
+            F.max(key_col).alias("key_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "_manifest")
+    )
+
+
+def manifest_pruned_read(spark, path: str, key_col: str, lo, hi):
+    """Scan only the files whose [min, max] intersects ``[lo, hi)``,
+    per the manifest; returns (df, files_read, files_total).
+
+    The manifest collect is O(files) tiny rows — the table-format
+    planning step, not a data collect.  The residual predicate is
+    re-applied in-row (files straddling a bound contain rows outside
+    the range), so the result is exact regardless of clustering.
+    """
+    m = spark.read.parquet(path + "_manifest")
+    keep = [
+        r.file
+        for r in m.where(
+            (F.col("key_max") >= F.lit(lo)) & (F.col("key_min") < F.lit(hi))
+        ).collect()
+    ]
+    total = m.count()
+    df = (
+        spark.read.parquet(*keep)
+        if keep
+        else spark.read.parquet(path).limit(0)
+    )
+    return (
+        df.where((F.col(key_col) >= F.lit(lo)) & (F.col(key_col) < F.lit(hi))),
+        len(keep),
+        total,
+    )

@@ -452,3 +452,76 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q159: file-level data skipping (per-file min/max manifest)
+# ---------------------------------------------------------------------------
+
+# [1998-01-01, 1998-07-01) in epoch micros — ~7.5% of the 1995–2001
+# order-date domain, so a 16-file range-clustered copy reads ~2 files.
+_Q159_LO = 883_612_800_000_000
+_Q159_HI = 899_251_200_000_000
+_Q159_FILES = 16
+
+_Q159_SQL = f"""
+SELECT COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_custs,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       TRUE AS pruned_ok
+FROM orders
+WHERE epoch_us(o_orderdate) >= {_Q159_LO} AND epoch_us(o_orderdate) < {_Q159_HI}
+"""
+
+
+@register(
+    "q159_manifest_skipping",
+    _Q159_SQL,
+    doc=(
+        "Iceberg-style FILE-level data skipping on plain parquet "
+        "(operators/layout.py manifest_write / manifest_pruned_read): "
+        "orders are range-clustered by order date into 16 files with "
+        "DISJOINT key ranges (repartitionByRange — the 1-D linear-"
+        "clustering case of q98's Z-order lesson) plus a per-file "
+        "(min, max, rows) manifest; a half-year predicate consults the "
+        "manifest (O(files) planning collect) and scans only "
+        "intersecting files, with the residual predicate re-applied "
+        "in-row for exactness.  pruned_ok pins files_read < "
+        "files_total — the skipping actually happened"
+    ),
+    tables=("orders",),
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from osm_changesets_to_parquet_spark.operators.layout import (
+        manifest_pruned_read,
+        manifest_write,
+    )
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"orders_rangeclustered_{base}")
+    ready = path + "/_READY_MANIFEST"
+    if not os.path.exists(ready):
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            # o_orderdate arrives TIMESTAMP_NTZ; session tz is pinned
+            # UTC (session.py), so the cast preserves the instant and
+            # unix_micros gives the integer domain the oracle's
+            # epoch_us uses
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+        )
+        manifest_write(o, "od_us", path, _Q159_FILES)
+        open(ready, "w").close()
+    df, n_read, n_total = manifest_pruned_read(
+        spark, path, "od_us", _Q159_LO, _Q159_HI
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.lit(bool(n_read < n_total)).alias("pruned_ok"),
+    )

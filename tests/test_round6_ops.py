@@ -544,3 +544,24 @@ def test_event_transitions_hand_example(spark):
         for r in REGISTRY["q156_event_transitions"].fn(spark, d).collect()
     }
     assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_manifest_skipping_prunes_and_stays_exact(spark, tmp_path):
+    from osm_changesets_to_parquet_spark.operators.layout import (
+        manifest_pruned_read,
+        manifest_write,
+    )
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(1000)], "k long, v long")
+    path = str(tmp_path / "clustered")
+    manifest_write(df, "k", path, n_files=10)
+    # range [205, 395): straddles file boundaries — the residual
+    # predicate must trim rows the kept files carry outside the range
+    out, n_read, n_total = manifest_pruned_read(spark, path, "k", 205, 395)
+    got = sorted(r.k for r in out.collect())
+    assert got == list(range(205, 395))
+    assert n_total == 10
+    assert 1 <= n_read <= 3  # ~19% of a range-clustered domain
+    # empty intersection: zero files, zero rows, schema intact
+    out2, n_read2, _ = manifest_pruned_read(spark, path, "k", 5000, 6000)
+    assert n_read2 == 0 and out2.count() == 0 and out2.columns == ["k", "v"]
