@@ -112,6 +112,7 @@ TIER2_QUERIES = [
     "q156_event_transitions",
     "q157_rolling_median",
     "s16_streaming_transitions",
+    "q158_variant_shred",
     "q159_manifest_skipping",
 ]
 

@@ -78,6 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "q156_event_transitions",
     "q157_rolling_median",
     "s16_streaming_transitions",
+    "q158_variant_shred",
     "q159_manifest_skipping",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
@@ -125,8 +126,8 @@ _PRIORITY: tuple[str, ...] = (
     "q74_quantize_int8",
     # -- (3) oldest r03-witnessed backfill to 50 --
     "q64_conditional_agg",
-    "q75_funnel",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q75_funnel",
     "q76_retention_cohort",
     "q82_resample_ffill",
     "q83_ewma",

@@ -604,3 +604,63 @@ def q16b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_pairs") > 0)
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q158: semi-structured VARIANT shredding (Spark 4 VariantType)
+# ---------------------------------------------------------------------------
+
+# The oracle shreds the same JSON with DuckDB's json_extract; the
+# engine's path is Spark 4's binary VARIANT (parse once, typed
+# variant_get extraction — the open-format answer to shredded JSON
+# columns).  The engine-side schema_of_variant string is pinned as a
+# literal on the oracle side: if Spark's inferred shred type ever
+# drifts from OBJECT<k: BIGINT>, the hash catches it.
+_Q158_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(COUNT(*) FILTER (WHERE json_extract(props, '$.missing') IS NOT NULL)
+            AS BIGINT) AS n_with_extra,
+       'OBJECT<k: BIGINT>' AS variant_schema
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "q158_variant_shred",
+    _Q158_SQL,
+    doc=(
+        "semi-structured shredding through Spark 4's VARIANT type: "
+        "props parses ONCE to binary variant (parse_json), typed "
+        "fields come out via variant_get ($.k as long; the missing-"
+        "path probe returns NULL, never errors), and schema_of_variant "
+        "reports the shredded type — pinned against a literal in the "
+        "oracle so type drift breaks the hash.  Parse + extraction are "
+        "per-row JVM expressions (no shuffle before the final "
+        "|types|-key aggregate); at 100 TB the binary variant beats "
+        "re-parsing JSON text per predicate, which is the point of "
+        "the type"
+    ),
+    tables=("events",),
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "long")
+    missing = F.variant_get("v", "$.missing", "string")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.count(missing).cast("long").alias("n_with_extra"),
+            F.any_value(F.schema_of_variant("v")).alias("variant_schema"),
+        )
+        .orderBy("event_type")
+    )
