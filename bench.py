@@ -114,6 +114,7 @@ TIER2_QUERIES = [
     "s16_streaming_transitions",
     "q158_variant_shred",
     "q159_manifest_skipping",
+    "q160_log_odds_terms",
 ]
 
 

@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "s16_streaming_transitions",
     "q158_variant_shred",
     "q159_manifest_skipping",
+    "q160_log_odds_terms",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -125,8 +126,8 @@ _PRIORITY: tuple[str, ...] = (
     "q73_vector_normalize",
     "q74_quantize_int8",
     # -- (3) oldest r03-witnessed backfill to 50 --
-    "q64_conditional_agg",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q64_conditional_agg",
     "q75_funnel",
     "q76_retention_cohort",
     "q82_resample_ffill",

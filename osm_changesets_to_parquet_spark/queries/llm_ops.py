@@ -917,3 +917,101 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q160: distinctive vocabulary per language — informative-Dirichlet log-odds
+# ---------------------------------------------------------------------------
+
+_Q160_A = 0.01  # per-word pseudo-count
+_Q160_MIN = 3
+_Q160_K = 5
+
+# Monroe / Colaresi / Quinn 2008 ("Fightin' Words", public): the
+# variance-stabilized log-odds z-score of word w for corpus l vs rest,
+#   d = ln((y+a)/(n+a0-y-a)) - ln((y'+a)/(n'+a0-y'-a)),
+#   z = d / sqrt(1/(y+a) + 1/(y'+a)),  a0 = a*V.
+# Identical arithmetic both engines; z rounds to 4 before the rank so
+# a last-ulp ln() difference cannot flip the ordering (the q147
+# rounded-log-sum discipline), and token breaks rank ties.
+_Q160_SQL = f"""
+WITH tok AS (
+  SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT lang, token, COUNT(*) AS y FROM tok GROUP BY 1, 2),
+cw AS (SELECT token, SUM(y) AS cw FROM tf GROUP BY 1),
+nl AS (SELECT lang, SUM(y) AS nl FROM tf GROUP BY 1),
+g  AS (SELECT COUNT(*) AS v, SUM(cw) AS n FROM cw),
+z AS (
+  SELECT tf.lang, tf.token, tf.y,
+         LN((tf.y + {_Q160_A}) / (nl.nl + {_Q160_A} * g.v - tf.y - {_Q160_A}))
+       - LN((cw.cw - tf.y + {_Q160_A})
+            / (g.n - nl.nl + {_Q160_A} * g.v - (cw.cw - tf.y) - {_Q160_A}))
+         AS d,
+         1.0 / (tf.y + {_Q160_A}) + 1.0 / (cw.cw - tf.y + {_Q160_A}) AS var
+  FROM tf JOIN cw USING (token) JOIN nl USING (lang) CROSS JOIN g
+  WHERE tf.y >= {_Q160_MIN}
+),
+r AS (
+  SELECT lang, token, CAST(y AS BIGINT) AS y, ROUND(d / SQRT(var), 4) AS z,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY ROUND(d / SQRT(var), 4) DESC, token) AS rn
+  FROM z
+)
+SELECT lang, token, y, z FROM r WHERE rn <= {_Q160_K}
+ORDER BY lang, z DESC, token
+"""
+
+
+@register(
+    "q160_log_odds_terms",
+    _Q160_SQL,
+    doc=(
+        "distinctive vocabulary per language via the informative-"
+        "Dirichlet log-odds z-score (Monroe et al. 2008, public) — the "
+        "cross-corpus signal tf-idf and PMI don't give (variance-"
+        "stabilized one-vs-rest).  One token-keyed count shuffle, "
+        "vocab-keyed equi-join for global counts, per-lang totals and "
+        "the (V, N) scalars broadcast; top-5 per lang through the "
+        "shared top_terms_per_group window (per-lang partitions — "
+        "bounded by vocab, never corpus)"
+    ),
+    tables=("documents",),
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    tf = (
+        docs.select(
+            "lang", F.explode(F.split("text", " ")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    cw = tf.groupBy("token").agg(F.sum("y").alias("cw"))
+    nl = tf.groupBy("lang").agg(F.sum("y").alias("nl"))
+    g = cw.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum("cw").cast("double").alias("n"),
+    )
+    a = F.lit(_Q160_A)
+    j = (
+        tf.where(F.col("y") >= _Q160_MIN)
+        .join(cw, "token")
+        .join(F.broadcast(nl), "lang")
+        .crossJoin(F.broadcast(g))
+    )
+    yq = F.col("cw") - F.col("y")
+    d = F.log((F.col("y") + a) / (F.col("nl") + a * F.col("v") - F.col("y") - a)) - F.log(
+        (yq + a) / (F.col("n") - F.col("nl") + a * F.col("v") - yq - a)
+    )
+    var = F.lit(1.0) / (F.col("y") + a) + F.lit(1.0) / (yq + a)
+    scored = j.select(
+        "lang", "token", "y", F.round(d / F.sqrt(var), 4).alias("z")
+    )
+    return (
+        T.top_terms_per_group(scored, "lang", "z", _Q160_K)
+        .select("lang", "token", F.col("y").cast("long").alias("y"), "z")
+        .orderBy("lang", F.desc("z"), "token")
+    )
