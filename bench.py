@@ -115,6 +115,8 @@ TIER2_QUERIES = [
     "q158_variant_shred",
     "q159_manifest_skipping",
     "q160_log_odds_terms",
+    "q161_sql_surface",
+    "q162_group_ols",
 ]
 
 

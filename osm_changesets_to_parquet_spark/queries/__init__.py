@@ -81,6 +81,8 @@ _PRIORITY: tuple[str, ...] = (
     "q158_variant_shred",
     "q159_manifest_skipping",
     "q160_log_odds_terms",
+    "q161_sql_surface",
+    "q162_group_ols",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -123,10 +125,12 @@ _PRIORITY: tuple[str, ...] = (
     "q66_values_lookup_join",
     "q67_distinct_multicol",
     # r2-era stale: vector ops
+    # ---- window boundary (50) — names below queue for round 7 ----
+    # the round-6 continuation's new registrations displaced the r2-era
+    # vector ops and the r03 backfill below the boundary; they lead the
+    # round-7 rotation queue
     "q73_vector_normalize",
     "q74_quantize_int8",
-    # -- (3) oldest r03-witnessed backfill to 50 --
-    # ---- window boundary (50) — names below queue for round 7 ----
     "q64_conditional_agg",
     "q75_funnel",
     "q76_retention_cohort",

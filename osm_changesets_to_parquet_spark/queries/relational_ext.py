@@ -664,3 +664,94 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q161: the plain-SQL surface — ONE ANSI string runs on both engines
+# ---------------------------------------------------------------------------
+
+# The reference's entire query contract is "point an OLAP engine at the
+# parquet" (scripts/manage-r2.sh:130-152 runs DuckDB SQL on the output).
+# This query IS that contract on Spark: the text below is executed
+# verbatim by spark.sql over the registered views AND by DuckDB as the
+# oracle — no translation layer, the shared-ANSI-subset discipline
+# (CAST the COUNT-sum to BIGINT for DuckDB's HUGEINT, ROUND every
+# double) is what keeps one string portable.
+_Q161_SQL = """
+WITH r AS (
+  SELECT o_custkey, SUM(o_totalprice) AS rev, COUNT(*) AS n
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_cust,
+       CAST(SUM(n) AS BIGINT) AS n_orders,
+       ROUND(SUM(rev), 2) AS revenue,
+       ROUND(MAX(rev), 2) AS top_cust_rev,
+       CAST(COUNT(CASE WHEN rev > 500000 THEN 1 END) AS BIGINT) AS n_whales
+FROM customer JOIN r ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register(
+    "q161_sql_surface",
+    _Q161_SQL,
+    doc=(
+        "the plain-SQL entry point: the SAME ANSI string runs verbatim "
+        "through spark.sql over catalog.register_views AND through the "
+        "DuckDB oracle — zero translation, proving a reference user "
+        "can point their existing SQL at this engine.  Catalyst plans "
+        "it like any DataFrame query (CTE inlined, partial aggregates, "
+        "broadcast customer join at this shape)"
+    ),
+    tables=("orders", "customer"),
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q161_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q162: per-group OLS (regression aggregates)
+# ---------------------------------------------------------------------------
+
+_Q162_SQL = """
+SELECT l_returnflag,
+       CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS intercept,
+       ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register(
+    "q162_group_ols",
+    _Q162_SQL,
+    doc=(
+        "closed-form per-group least squares (price ~ quantity per "
+        "return flag) via the SQL regression aggregates REGR_SLOPE / "
+        "REGR_INTERCEPT / REGR_R2 — one-pass distributed moment "
+        "accumulation with map-side partials, the q61 stats family "
+        "completed; rounded before compare so last-ulp moment-merge "
+        "order can't flip the hash"
+    ),
+    tables=("lineitem",),
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count("l_extendedprice", "l_quantity").cast("long").alias("n"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 2
+            ).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
