@@ -117,6 +117,7 @@ TIER2_QUERIES = [
     "q160_log_odds_terms",
     "q161_sql_surface",
     "q162_group_ols",
+    "q163_zorder_skipping",
 ]
 
 

@@ -249,3 +249,55 @@ def manifest_pruned_read(spark, path: str, key_col: str, lo, hi):
         len(keep),
         total,
     )
+
+
+def manifest_write_zordered(
+    df, cols: list[str], path: str, n_files: int, bits: int = 10
+) -> None:
+    """Z-order-cluster ``df`` on ``cols`` into ~``n_files`` files and
+    write a manifest of per-file min/max FOR EVERY clustering column.
+
+    This is where Z-order pays off measurably: a linear (1-D) ordering
+    gives tight file bounds on the leading column only, so a box
+    predicate on the second column prunes nothing; each file owning a
+    CONTIGUOUS Z-RANGE bounds every interleaved dimension at once, and
+    the same min/max manifest then skips files for multi-dimensional
+    boxes (q98 proves tight cells; this operator turns them into
+    skipped I/O).
+    """
+    clustered = zorder_repartition(df, cols, bits=bits, num_partitions=n_files).drop(
+        "__z"
+    )
+    clustered.write.mode("overwrite").parquet(path)
+    spark = df.sparkSession
+    aggs = [
+        f
+        for c in cols
+        for f in (F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max"))
+    ]
+    (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs, F.count(F.lit(1)).alias("n_rows"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "_manifest")
+    )
+
+
+def manifest_pruned_read_box(spark, path: str, bounds: dict):
+    """Scan only files whose per-column [min, max] intersects EVERY
+    ``bounds[col] = (lo, hi)`` half-open box side; the residual
+    predicate re-applies in-row.  Returns (df, files_read, files_total).
+    """
+    m = spark.read.parquet(path + "_manifest")
+    cond = F.lit(True)
+    for c, (lo, hi) in bounds.items():
+        cond = cond & (F.col(f"{c}_max") >= F.lit(lo)) & (F.col(f"{c}_min") < F.lit(hi))
+    keep = [r.file for r in m.where(cond).collect()]
+    total = m.count()
+    df = spark.read.parquet(*keep) if keep else spark.read.parquet(path).limit(0)
+    res = F.lit(True)
+    for c, (lo, hi) in bounds.items():
+        res = res & (F.col(c) >= F.lit(lo)) & (F.col(c) < F.lit(hi))
+    return df.where(res), len(keep), total

@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "q160_log_odds_terms",
     "q161_sql_surface",
     "q162_group_ols",
+    "q163_zorder_skipping",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -123,9 +124,8 @@ _PRIORITY: tuple[str, ...] = (
     "q63_string_agg",
     "q65_window_frame_funcs",
     "q66_values_lookup_join",
-    "q67_distinct_multicol",
-    # r2-era stale: vector ops
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q67_distinct_multicol",
     # the round-6 continuation's new registrations displaced the r2-era
     # vector ops and the r03 backfill below the boundary; they lead the
     # round-7 rotation queue

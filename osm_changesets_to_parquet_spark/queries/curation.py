@@ -525,3 +525,81 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         F.lit(bool(n_read < n_total)).alias("pruned_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q163: Z-order + manifest = multi-dimensional file skipping
+# ---------------------------------------------------------------------------
+
+# custkey box × calendar-1997 box.  A 1-D (date-sorted) layout gives
+# file bounds on the date only — the custkey side of this predicate
+# would prune nothing; Z-ordering both columns bounds BOTH per file.
+_Q163_CK_LO, _Q163_CK_HI = 40, 90
+_Q163_D_LO = 852_076_800_000_000   # 1997-01-01 UTC, micros
+_Q163_D_HI = 883_612_800_000_000   # 1998-01-01
+_Q163_FILES = 16
+
+_Q163_SQL = f"""
+SELECT COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_custs,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       TRUE AS pruned_ok
+FROM orders
+WHERE o_custkey >= {_Q163_CK_LO} AND o_custkey < {_Q163_CK_HI}
+  AND epoch_us(o_orderdate) >= {_Q163_D_LO}
+  AND epoch_us(o_orderdate) < {_Q163_D_HI}
+"""
+
+
+@register(
+    "q163_zorder_skipping",
+    _Q163_SQL,
+    doc=(
+        "what Z-order is FOR, measured: orders clustered on the Morton "
+        "curve over (custkey, orderdate) into 16 files, per-file "
+        "min/max of BOTH columns in the manifest "
+        "(operators/layout.py manifest_write_zordered / "
+        "manifest_pruned_read_box); a 2-D box predicate then skips "
+        "files on both dimensions at once — a linear date-sorted "
+        "layout bounds only the date and the custkey side prunes "
+        "nothing (q98 proves the cells are tight; this turns them "
+        "into skipped I/O).  Residual predicate re-applied in-row; "
+        "pruned_ok pins files_read < files_total"
+    ),
+    tables=("orders",),
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from osm_changesets_to_parquet_spark.operators.layout import (
+        manifest_pruned_read_box,
+        manifest_write_zordered,
+    )
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"orders_zordered_{base}")
+    ready = path + "/_READY_MANIFEST"
+    if not os.path.exists(ready):
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+        )
+        manifest_write_zordered(o, ["o_custkey", "od_us"], path, _Q163_FILES)
+        open(ready, "w").close()
+    df, n_read, n_total = manifest_pruned_read_box(
+        spark,
+        path,
+        {
+            "o_custkey": (_Q163_CK_LO, _Q163_CK_HI),
+            "od_us": (_Q163_D_LO, _Q163_D_HI),
+        },
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.lit(bool(n_read < n_total)).alias("pruned_ok"),
+    )

@@ -565,3 +565,30 @@ def test_manifest_skipping_prunes_and_stays_exact(spark, tmp_path):
     # empty intersection: zero files, zero rows, schema intact
     out2, n_read2, _ = manifest_pruned_read(spark, path, "k", 5000, 6000)
     assert n_read2 == 0 and out2.count() == 0 and out2.columns == ["k", "v"]
+
+
+def test_zorder_manifest_prunes_both_dimensions(spark, tmp_path):
+    from osm_changesets_to_parquet_spark.operators.layout import (
+        manifest_pruned_read_box,
+        manifest_write_zordered,
+    )
+
+    # a 64x64 integer grid — every (x, y) exactly once
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    path = str(tmp_path / "zgrid")
+    manifest_write_zordered(grid, ["x", "y"], path, n_files=16)
+    # a 2-D box: both dimensions prune at once
+    out, n_read, n_total = manifest_pruned_read_box(
+        spark, path, {"x": (0, 16), "y": (0, 16)}
+    )
+    assert n_total == 16
+    assert n_read <= 4  # a 1/16 z-region of 16 z-range files
+    assert out.count() == 16 * 16
+    # a single-dimension box on the SECOND column — the case a linear
+    # (x-sorted) layout cannot prune at all (every file spans all y);
+    # z-range files bound y too, so skipping still happens
+    out2, n_read2, _ = manifest_pruned_read_box(spark, path, {"y": (0, 8)})
+    assert n_read2 < 16
+    assert out2.count() == 64 * 8
