@@ -118,6 +118,8 @@ TIER2_QUERIES = [
     "q161_sql_surface",
     "q162_group_ols",
     "q163_zorder_skipping",
+    "q164_recursive_cte",
+    "u5_arrow_grouped_stats",
 ]
 
 

@@ -84,6 +84,8 @@ _PRIORITY: tuple[str, ...] = (
     "q161_sql_surface",
     "q162_group_ols",
     "q163_zorder_skipping",
+    "q164_recursive_cte",
+    "u5_arrow_grouped_stats",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -122,9 +124,9 @@ _PRIORITY: tuple[str, ...] = (
     "q61_stats_agg",
     "q62_argmin_argmax",
     "q63_string_agg",
+    # ---- window boundary (50) — names below queue for round 7 ----
     "q65_window_frame_funcs",
     "q66_values_lookup_join",
-    # ---- window boundary (50) — names below queue for round 7 ----
     "q67_distinct_multicol",
     # the round-6 continuation's new registrations displaced the r2-era
     # vector ops and the r03 backfill below the boundary; they lead the

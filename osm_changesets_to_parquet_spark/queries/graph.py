@@ -176,3 +176,45 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("child"), F.expr("node div 7").alias("parent")
     )
     return forest_closure(c, edges, rounds=5).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Q164: native recursive CTE (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+# The SAME string runs verbatim on both engines (q161's shared-ANSI
+# discipline): FLOOR(cur / 7) instead of the engine-specific integer
+# division, BIGINT casts pinned.  Semantically identical to q116's
+# forest walk — q116 proves the pointer-doubling spelling (log₂ h
+# shuffle rounds, the 100 TB path); this witnesses that Spark now runs
+# the actual SQL recursion a reference user would paste in (one
+# iteration per level — h rounds, fine for shallow hierarchies).
+_Q164_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS node, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+  FROM customer
+  UNION ALL
+  SELECT node, CAST(FLOOR(cur / 7) AS BIGINT) AS cur, depth + 1 AS depth
+  FROM chain WHERE cur >= 7
+)
+SELECT node, cur AS root, depth FROM chain WHERE cur < 7 ORDER BY node
+"""
+
+
+@register(
+    "q164_recursive_cte",
+    _Q164_SQL,
+    doc=(
+        "native WITH RECURSIVE through spark.sql — the identical string "
+        "is the DuckDB oracle (zero translation, q161's discipline) "
+        "over the q116 7-ary customer forest; linear rounds per level "
+        "(each iteration one self-union) vs q116's log-round pointer "
+        "doubling, both now first-class"
+    ),
+    tables=("customer",),
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q164_SQL)

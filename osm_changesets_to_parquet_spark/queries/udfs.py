@@ -128,3 +128,49 @@ def u4(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, pos
         """
     )
+
+
+@register(
+    "u5_arrow_grouped_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS mean_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "grouped-map via applyInArrow (Spark 4): the group arrives as "
+        "a pyarrow Table — no pandas materialization, the zero-copy "
+        "sibling of u2's applyInPandas; per-lang length stats computed "
+        "with pyarrow.compute kernels.  Same Arrow-batch transfer "
+        "economics as pandas UDFs, minus the pandas conversion cost — "
+        "the right grouped-map API when the logic is columnar"
+    ),
+    tables=("documents",),
+)
+def u5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        chars = tbl.column("n_chars")
+        return pa.table(
+            {
+                "lang": [tbl.column("lang")[0].as_py()],
+                "n_docs": [n],
+                "mean_chars": [pc.mean(chars).as_py()],
+                "max_chars": [pc.max(chars).as_py()],
+            }
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    out = docs.groupBy("lang").applyInArrow(
+        stats, schema="lang string, n_docs long, mean_chars double, max_chars long"
+    )
+    # round JVM-side, not with Python's round(): half-even vs SQL's
+    # half-away-from-zero could flip an exact-half mean cross-engine
+    return out.select(
+        "lang", "n_docs", F.round("mean_chars", 4).alias("mean_chars"), "max_chars"
+    ).orderBy("lang")
