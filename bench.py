@@ -120,6 +120,7 @@ TIER2_QUERIES = [
     "q163_zorder_skipping",
     "q164_recursive_cte",
     "u5_arrow_grouped_stats",
+    "q165_mmr_rerank",
 ]
 
 

@@ -728,3 +728,76 @@ def ivf_probe_persisted(
         assigned, centroids, query_vec, k, nprobe=nprobe,
         id_col=id_col, vec_col=vec_col,
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query: DataFrame,
+    pool_k: int,
+    select_k: int,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998, public): greedily pick ``select_k`` of the ``pool_k`` most
+    query-similar items maximizing
+    ``lam*sim(q,c) - (1-lam)*max_{s in S} sim(c,s)`` — relevance minus
+    redundancy, the diversified-retrieval standard.
+
+    Distribution of labor at 100 TB: the corpus-sized work — the top-
+    ``pool_k`` scan (TakeOrderedAndProject) and the pool×pool cosine
+    matrix — is all DataFrame plans; the greedy itself touches only
+    the collected pool (``pool_k`` rows + ``pool_k²`` rounded sims, a
+    bounded driver loop of the IVF-seed-collect class, never corpus
+    data).  Determinism: every similarity is rounded to 4 BEFORE the
+    greedy, so the scores are arithmetic on exact 1e-4 multiples —
+    identical doubles in any engine — and rank ties break on id.
+    """
+    pool = cosine_topk(
+        embeddings, query, pool_k, id_col=id_col, vec_col=vec_col
+    )
+    pv = embeddings.join(F.broadcast(pool.select(id_col)), id_col).select(
+        F.col(id_col).alias("__a"), F.col(vec_col).alias("__va")
+    )
+    pw = (
+        pv.crossJoin(
+            F.broadcast(
+                pv.select(F.col("__a").alias("__b"), F.col("__va").alias("__vb"))
+            )
+        )
+        .where(F.col("__a") != F.col("__b"))
+        .select(
+            "__a",
+            "__b",
+            F.round(
+                cosine_similarity_col(F.col("__va"), F.col("__vb")), 4
+            ).alias("__s"),
+        )
+    )
+    sims = {(r[0], r[1]): r[2] for r in pw.collect()}
+    cands = [(r[0], r[1]) for r in pool.collect()]  # (id, simq) — rounded
+    selected: list[tuple] = []
+    chosen: list = []
+    for rank in range(1, select_k + 1):
+        best = None
+        for cid, sq in cands:
+            if cid in chosen:
+                continue
+            pen = max((sims[(cid, s)] for s in chosen), default=0.0)
+            score = lam * sq - (1.0 - lam) * pen
+            # raw-double compare, id tie-break — mirrors the oracle's
+            # ORDER BY score DESC, id LIMIT 1
+            if best is None or score > best[0] or (score == best[0] and cid < best[1]):
+                best = (score, cid, sq)
+        if best is None:
+            break
+        selected.append((rank, best[1], best[2], best[0]))
+        chosen.append(best[1])
+    spark = embeddings.sparkSession
+    out = spark.createDataFrame(
+        selected, f"rank long, {id_col} long, simq double, mmr_score double"
+    )
+    return out.select(
+        "rank", id_col, "simq", F.round("mmr_score", 6).alias("mmr_score")
+    ).orderBy("rank")

@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "q163_zorder_skipping",
     "q164_recursive_cte",
     "u5_arrow_grouped_stats",
+    "q165_mmr_rerank",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -123,8 +124,8 @@ _PRIORITY: tuple[str, ...] = (
     "q60_case_coalesce",
     "q61_stats_agg",
     "q62_argmin_argmax",
-    "q63_string_agg",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q63_string_agg",
     "q65_window_frame_funcs",
     "q66_values_lookup_join",
     "q67_distinct_multicol",

@@ -781,3 +781,99 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
     return ivf_probe_persisted(spark, idx, qvec, k=10, nprobe=_Q151_NPROBE)
+
+
+# ---------------------------------------------------------------------------
+# q165: MMR diversified re-ranking (greedy, oracle-unrolled)
+# ---------------------------------------------------------------------------
+
+_Q165_POOL, _Q165_K, _Q165_LAM = 20, 5, 0.7
+
+
+def _mmr_sql(pool_k: int, select_k: int, lam: float) -> str:
+    """The greedy unrolled as chained CTEs — one (cand_i, sel_i) pair
+    per selection step, so DuckDB replays the EXACT argmax sequence.
+    All similarities round to 4 first; scores are then arithmetic on
+    exact 1e-4 multiples (identical doubles in both engines) and every
+    argmax breaks ties on vec_id."""
+    om = 1.0 - lam  # printed repr round-trips to the identical double
+    steps = [
+        f"sel1 AS (SELECT vec_id, simq, CAST(1 AS BIGINT) AS rank,"
+        f" ROUND({lam!r}*simq, 6) AS mmr_score"
+        f" FROM pool ORDER BY {lam!r}*simq DESC, vec_id LIMIT 1)"
+    ]
+    for i in range(2, select_k + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(1, i)
+        )
+        steps.append(
+            f"cand{i} AS (SELECT p.vec_id, p.simq, MAX(pp.s) AS pen"
+            f" FROM pool p JOIN pp ON pp.av = p.vec_id AND pp.bv IN ({sel_union})"
+            f" WHERE p.vec_id NOT IN ({sel_union}) GROUP BY 1, 2)"
+        )
+        steps.append(
+            f"sel{i} AS (SELECT vec_id, simq, CAST({i} AS BIGINT) AS rank,"
+            f" ROUND({lam!r}*simq - {om!r}*pen, 6) AS mmr_score"
+            f" FROM cand{i} ORDER BY {lam!r}*simq - {om!r}*pen DESC, vec_id"
+            f" LIMIT 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT vec_id, simq, rank, mmr_score FROM sel{i}"
+        for i in range(1, select_k + 1)
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+z AS (
+  SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qe) AS DOUBLE) AS y
+  FROM embeddings e, q WHERE e.vec_id != 0
+),
+d AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+      FROM z GROUP BY vec_id),
+sims AS (SELECT vec_id, ROUND(dot / (SQRT(nx) * SQRT(ny)), 4) AS simq FROM d),
+pool AS (
+  SELECT vec_id, simq FROM (
+    SELECT vec_id, simq,
+           ROW_NUMBER() OVER (ORDER BY simq DESC, vec_id) AS rn
+    FROM sims
+  ) WHERE rn <= {pool_k}
+),
+pv AS (SELECT p.vec_id, e.embedding FROM pool p JOIN embeddings e USING (vec_id)),
+zz AS (
+  SELECT a.vec_id AS av, b.vec_id AS bv,
+         CAST(unnest(a.embedding) AS DOUBLE) AS x,
+         CAST(unnest(b.embedding) AS DOUBLE) AS y
+  FROM pv a, pv b WHERE a.vec_id != b.vec_id
+),
+pp AS (SELECT av, bv, ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 4)
+         AS s FROM zz GROUP BY 1, 2),
+{", ".join(steps)}
+SELECT rank, vec_id, simq, mmr_score FROM ({union}) ORDER BY rank
+"""
+
+
+@register(
+    "q165_mmr_rerank",
+    _mmr_sql(_Q165_POOL, _Q165_K, _Q165_LAM),
+    doc=(
+        "Maximal Marginal Relevance diversified retrieval (Carbonell & "
+        "Goldstein 1998, public): top-20 relevance pool via the "
+        "distributed cosine TakeOrdered scan, pool×pool cosine matrix "
+        "as a broadcast plan, then the greedy relevance-minus-"
+        "redundancy argmax over the collected pool (bounded driver "
+        "loop, IVF-seed-collect class — never corpus data; "
+        "operators/similarity.py mmr_rerank).  The oracle UNROLLS the "
+        "greedy as chained CTEs, one argmax per selection step, on "
+        "identically-rounded sims — the iterative algorithm is "
+        "hash-matched step for step"
+    ),
+    tables=("embeddings",),
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return mmr_rerank(
+        emb.where(F.col("vec_id") != 0), query, _Q165_POOL, _Q165_K, _Q165_LAM
+    )

@@ -592,3 +592,23 @@ def test_zorder_manifest_prunes_both_dimensions(spark, tmp_path):
     out2, n_read2, _ = manifest_pruned_read_box(spark, path, {"y": (0, 8)})
     assert n_read2 < 16
     assert out2.count() == 64 * 8
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from osm_changesets_to_parquet_spark.operators.similarity import mmr_rerank
+
+    # a and b are near-duplicates hugging the query; c is less relevant
+    # but orthogonal-ish.  Pure top-2 = (a, b); MMR's second pick must
+    # pay the redundancy penalty and choose c instead.
+    rows = [
+        (1, [1.0, 0.02]),   # a: sim(q) ~ 1
+        (2, [1.0, 0.03]),   # b: ~ a
+        (3, [0.72, 0.7]),   # c: diverse
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = spark.createDataFrame([([1.0, 0.0],)], "q array<float>")
+    got = [
+        (r.rank, r.vec_id)
+        for r in mmr_rerank(emb, query, pool_k=3, select_k=2, lam=0.3).collect()
+    ]
+    assert got == [(1, 1), (2, 3)]
