@@ -121,6 +121,7 @@ TIER2_QUERIES = [
     "q164_recursive_cte",
     "u5_arrow_grouped_stats",
     "q165_mmr_rerank",
+    "q166_nearest_centroid",
 ]
 
 

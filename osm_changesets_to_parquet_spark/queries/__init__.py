@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "q164_recursive_cte",
     "u5_arrow_grouped_stats",
     "q165_mmr_rerank",
+    "q166_nearest_centroid",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -123,8 +124,8 @@ _PRIORITY: tuple[str, ...] = (
     "q59_having",
     "q60_case_coalesce",
     "q61_stats_agg",
-    "q62_argmin_argmax",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q62_argmin_argmax",
     "q63_string_agg",
     "q65_window_frame_funcs",
     "q66_values_lookup_join",

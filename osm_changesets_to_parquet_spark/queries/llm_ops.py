@@ -1015,3 +1015,78 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "token", F.col("y").cast("long").alias("y"), "z")
         .orderBy("lang", F.desc("z"), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q166: nearest-centroid classification audit (embedding-space separation)
+# ---------------------------------------------------------------------------
+
+# Both engines round the centroid means to 6 before the distances and
+# the distances to 6 before the argmin (clabel tie-break), so the
+# assignment can't flip on aggregate-order ulps.
+_Q166_SQL = """
+WITH px AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+c AS (SELECT label AS clabel, pos, ROUND(AVG(v), 6) AS m FROM px GROUP BY 1, 2),
+d AS (
+  SELECT p.vec_id, p.label, c.clabel,
+         ROUND(SUM((p.v - c.m) * (p.v - c.m)), 6) AS d2
+  FROM px p JOIN c ON c.pos = p.pos
+  GROUP BY 1, 2, 3
+),
+a AS (
+  SELECT vec_id, label, clabel,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+  FROM d
+)
+SELECT label, clabel AS assigned, COUNT(*) AS cnt
+FROM a WHERE rn = 1
+GROUP BY 1, 2 ORDER BY label, assigned
+"""
+
+
+@register(
+    "q166_nearest_centroid",
+    _Q166_SQL,
+    doc=(
+        "embedding-space class-separation audit: per-label centroids "
+        "(posexplode + positional AVG, the q37 shape), every vector "
+        "assigned to its nearest centroid, confusion matrix out.  The "
+        "centroid frame is |labels|*dim rows — broadcast onto the "
+        "exploded vector stream, map-side-partial distance aggregate, "
+        "per-vector argmin window over |labels| rows.  The production "
+        "hot path for this assign is the Arrow argmax against "
+        "broadcast centroids (operators/similarity.py, the IVF cell "
+        "assign); this relational spelling is the oracle-matched audit"
+    ),
+    tables=("embeddings",),
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    px = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    c = (
+        px.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(F.round(F.avg("v"), 6).alias("m"))
+    )
+    d = (
+        px.join(F.broadcast(c), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.round(F.sum((F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))), 6).alias(
+                "d2"
+            )
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("label", F.col("clabel").alias("assigned"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("label", "assigned")
+    )
