@@ -122,6 +122,7 @@ TIER2_QUERIES = [
     "u5_arrow_grouped_stats",
     "q165_mmr_rerank",
     "q166_nearest_centroid",
+    "s17_full_outer_stream_join",
 ]
 
 

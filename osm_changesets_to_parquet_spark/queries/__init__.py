@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "u5_arrow_grouped_stats",
     "q165_mmr_rerank",
     "q166_nearest_centroid",
+    "s17_full_outer_stream_join",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -123,8 +124,8 @@ _PRIORITY: tuple[str, ...] = (
     "q58_exists_not_exists",
     "q59_having",
     "q60_case_coalesce",
-    "q61_stats_agg",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q61_stats_agg",
     "q62_argmin_argmax",
     "q63_string_agg",
     "q65_window_frame_funcs",

@@ -449,3 +449,66 @@ def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_s16_streaming_transitions(spark, sf_dir)
+
+
+_S17_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT LEAST(MAX(epoch_us(ts)) FILTER (WHERE event_type = 'click'),
+               MAX(epoch_us(ts)) FILTER (WHERE event_type = 'purchase'))
+         - 600000000 AS w
+  FROM events
+),
+matched AS (
+  SELECT c.click_id, p.purchase_id, c.user_id
+  FROM c JOIN p ON p.user_id = c.user_id
+   AND pus > cus AND pus <= cus + 300000000
+),
+unmatched_c AS (
+  SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id
+  FROM c, wm
+  WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+    AND cus + 300000000 < wm.w
+),
+unmatched_p AS (
+  SELECT CAST(NULL AS BIGINT) AS click_id, p.purchase_id, p.user_id
+  FROM p, wm
+  WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.purchase_id = p.purchase_id)
+    AND pus < wm.w
+)
+SELECT click_id, purchase_id, user_id FROM matched
+UNION ALL
+SELECT click_id, purchase_id, user_id FROM unmatched_c
+UNION ALL
+SELECT click_id, purchase_id, user_id FROM unmatched_p
+ORDER BY click_id, purchase_id
+"""
+
+
+@register(
+    "s17_full_outer_stream_join",
+    _S17_SQL,
+    doc=(
+        "FULL OUTER stream-stream join — the s7/s11 interval join "
+        "completed on both sides: unmatched clicks emit (id, NULL) "
+        "when the min-of-per-stream watermarks passes click_ts + 5min "
+        "(their join-window end), unmatched purchases emit (NULL, id) "
+        "when it passes purchase_ts (the last click time that could "
+        "still match); rows whose bound reaches the resting watermark "
+        "stay live and never emit.  The oracle encodes BOTH eviction "
+        "bounds, making the two-sided outer semantics part of the hash "
+        "(streaming/jobs.py run_s17_full_outer_join)"
+    ),
+    tables=("events",),
+)
+def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.streaming import run_s17_full_outer_join
+
+    return run_s17_full_outer_join(spark, sf_dir)

@@ -936,3 +936,56 @@ def run_s16_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("src", "dst")
     )
+
+
+def run_s17_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join — s11's shape completed on both
+    sides: every click with its purchase if one followed within 5
+    minutes, every purchase with its click if one preceded it.
+
+    Outer-emission timing follows state eviction exactly as in s11:
+    an unmatched CLICK emits (click_id, NULL) when the global watermark
+    passes its join-window end (click_ts + 5 min); an unmatched
+    PURCHASE emits (NULL, purchase_id) when the watermark passes the
+    last click time that could still match it (purchase_ts — matching
+    clicks satisfy click_ts in [purchase_ts - 5 min, purchase_ts)).
+    Rows whose eviction bound reaches the final resting watermark stay
+    live and never emit; the oracle encodes both bounds, so the
+    two-sided eviction semantics are part of the hash.
+    """
+    base = prepare_replay_dir(spark, sf_dir, late=False)
+    clicks = (
+        _read_stream(spark, base)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        _read_stream(spark, base)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "fullOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+    )
+    outs = _run_availablenow(joined, mode="append")
+    return outs.select("click_id", "purchase_id", "user_id").orderBy(
+        "click_id", "purchase_id"
+    )
