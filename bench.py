@@ -123,6 +123,7 @@ TIER2_QUERIES = [
     "q165_mmr_rerank",
     "q166_nearest_centroid",
     "s17_full_outer_stream_join",
+    "q167_targeted_delete",
 ]
 
 

@@ -203,3 +203,49 @@ def agg_state_merge(
     merged.write.partitionBy("__pb").mode("overwrite").parquet(out_path)
     untouched = state.where(~F.col("__pb").isin(touched))
     return spark.read.parquet(out_path).unionByName(untouched)
+
+
+def targeted_delete(
+    spark,
+    state_path: str,
+    keys: DataFrame,
+    key_col: str,
+    out_path: str,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Erase every row whose ``key_col`` appears in ``keys`` from a
+    hash-bucket-partitioned parquet store, rewriting ONLY the buckets
+    those keys hash to — the GDPR/right-to-be-forgotten shape on plain
+    parquet.
+
+    Physics mirror of :func:`agg_state_merge`: the key list reduces to
+    its distinct buckets (a bounded collect, <= ``n_buckets`` ids), the
+    store scan partition-prunes to those buckets, the erase is one
+    broadcast ANTI-join, and untouched buckets are passed through
+    unread.  Cost is O(|touched buckets| + |keys|), never O(store).
+    Returns the surviving frame (rewritten touched buckets +
+    passthrough untouched).  ``out_path`` fresh per call (the s14
+    runner discipline) keeps re-runs byte-identical.
+    """
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    kb = keys.select(
+        F.col(key_col).alias("__k"), hash_bucket(key_col, n_buckets).alias("__pb")
+    ).distinct()
+    touched = sorted(r[0] for r in kb.select("__pb").distinct().collect())
+    state = spark.read.parquet(state_path)
+    rewritten = (
+        state.where(F.col("__pb").isin(touched))
+        .join(
+            F.broadcast(kb.select(F.col("__k").alias(key_col))),
+            key_col,
+            "left_anti",
+        )
+    )
+    rewritten.write.partitionBy("__pb").mode("overwrite").parquet(out_path)
+    untouched = state.where(~F.col("__pb").isin(touched))
+    # explicit schema: deleting every row of a touched bucket leaves
+    # out_path with zero data files, and schema INFERENCE on an empty
+    # dir throws — the erase-everything-in-a-bucket case must work
+    survivors = spark.read.schema(rewritten.schema).parquet(out_path)
+    return survivors.unionByName(untouched)

@@ -603,3 +603,67 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         F.lit(bool(n_read < n_total)).alias("pruned_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q167: targeted delete (right-to-be-forgotten) with bucket-pruned rewrite
+# ---------------------------------------------------------------------------
+
+_Q167_SQL = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE {_sql_bucket('user_id', 100)} >= 5
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "q167_targeted_delete",
+    _Q167_SQL,
+    doc=(
+        "GDPR-style targeted erase on plain parquet "
+        "(operators/merge.py targeted_delete): events persisted "
+        "partitioned by hash_bucket(user_id); deleting the ~5% flagged "
+        "users collects their <= n_buckets touched bucket ids, "
+        "partition-prunes the store scan to those, erases via one "
+        "broadcast anti-join and rewrites only those bucket dirs — "
+        "untouched buckets pass through unread.  Oracle is the "
+        "surviving-rows aggregate the rewrite must equal"
+    ),
+    tables=("events",),
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from osm_changesets_to_parquet_spark.operators.merge import targeted_delete
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(tempfile.gettempdir(), f"events_userbuckets_{base}")
+    ready = store + "/_READY"
+    if not os.path.exists(ready):
+        (
+            ev.withColumn("__pb", _bucket("user_id", 16))
+            .write.partitionBy("__pb")
+            .mode("overwrite")
+            .parquet(store)
+        )
+        open(ready, "w").close()
+    doomed = ev.where(_bucket("user_id") < 5).select("user_id").distinct()
+    out = tempfile.mkdtemp(prefix="events_after_delete_")
+    surviving = targeted_delete(spark, store, doomed, "user_id", out, n_buckets=16)
+    return (
+        surviving.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -612,3 +612,46 @@ def test_mmr_prefers_diverse_over_redundant(spark):
         for r in mmr_rerank(emb, query, pool_k=3, select_k=2, lam=0.3).collect()
     ]
     assert got == [(1, 1), (2, 3)]
+
+
+def test_targeted_delete_rewrites_only_touched_buckets(spark, tmp_path):
+    from osm_changesets_to_parquet_spark.operators.merge import targeted_delete
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    rows = spark.createDataFrame(
+        [(i, i % 40, float(i)) for i in range(400)], "row_id long, uid long, v double"
+    )
+    store = str(tmp_path / "store")
+    rows.withColumn("__pb", hash_bucket("uid", 16)).write.partitionBy(
+        "__pb"
+    ).mode("overwrite").parquet(store)
+    doomed = spark.createDataFrame([(3,), (17,)], "uid long")
+    tb = {
+        r[0]
+        for r in doomed.select(hash_bucket("uid", 16).alias("b")).distinct().collect()
+    }
+    out = str(tmp_path / "after")
+    surv = targeted_delete(spark, store, doomed, "uid", out, n_buckets=16)
+    written = {d.split("=")[1] for d in os.listdir(out) if d.startswith("__pb=")}
+    assert written == {str(b) for b in tb}
+    got = sorted(r.row_id for r in surv.collect())
+    want = sorted(i for i in range(400) if i % 40 not in (3, 17))
+    assert got == want
+
+
+def test_targeted_delete_emptied_bucket(spark, tmp_path):
+    # deleting EVERY key in a bucket leaves that bucket dir with no
+    # data files — the survivors read must not choke on inference
+    from osm_changesets_to_parquet_spark.operators.merge import targeted_delete
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    rows = spark.createDataFrame([(1, 0, 1.0), (2, 1, 2.0)], "row_id long, uid long, v double")
+    store = str(tmp_path / "store")
+    rows.withColumn("__pb", hash_bucket("uid", 16)).write.partitionBy(
+        "__pb"
+    ).mode("overwrite").parquet(store)
+    doomed = spark.createDataFrame([(0,)], "uid long")
+    surv = targeted_delete(
+        spark, store, doomed, "uid", str(tmp_path / "after"), n_buckets=16
+    )
+    assert [r.row_id for r in surv.collect()] == [2]
