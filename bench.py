@@ -124,6 +124,7 @@ TIER2_QUERIES = [
     "q166_nearest_centroid",
     "s17_full_outer_stream_join",
     "q167_targeted_delete",
+    "q168_budget_select",
 ]
 
 

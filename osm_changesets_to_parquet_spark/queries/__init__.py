@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "q166_nearest_centroid",
     "s17_full_outer_stream_join",
     "q167_targeted_delete",
+    "q168_budget_select",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -123,8 +124,8 @@ _PRIORITY: tuple[str, ...] = (
     "q56_scalar_subquery",
     "q57_in_subquery",
     "q58_exists_not_exists",
-    "q59_having",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q59_having",
     "q60_case_coalesce",
     "q61_stats_agg",
     "q62_argmin_argmax",

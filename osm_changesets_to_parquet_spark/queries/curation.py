@@ -667,3 +667,94 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q168: token-budget corpus selection (greedy by quality density)
+# ---------------------------------------------------------------------------
+
+_Q168_BUDGET = 10_000  # tokens
+
+# Greedy data selection under a token budget: take documents in
+# unigram-entropy order (the q152 diversity signal) until the running
+# token total passes the budget.  Entropy rounds to 6 on BOTH sides
+# before the ordering and doc_id breaks ties, so the prefix is
+# engine-deterministic.
+_Q168_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, word, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(w) AS word FROM t)
+  GROUP BY doc_id, word
+),
+h AS (
+  SELECT doc_id, SUM(cnt) AS n, SUM(cnt * log2(cnt)) AS s
+  FROM c GROUP BY doc_id
+),
+e AS (
+  SELECT t.doc_id, t.lang, h.n AS n_tokens,
+         ROUND(log2(CAST(h.n AS DOUBLE)) - h.s / h.n, 6) AS entropy
+  FROM t JOIN h USING (doc_id) WHERE h.n > 0
+),
+r AS (
+  SELECT doc_id, lang, n_tokens, entropy,
+         SUM(n_tokens) OVER (ORDER BY entropy DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM e
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(MIN(entropy), 6) AS min_entropy
+FROM r WHERE cum <= {_Q168_BUDGET}
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "q168_budget_select",
+    _Q168_SQL,
+    doc=(
+        "token-budget data selection: keep the highest-unigram-entropy "
+        "documents (q152's zero-shuffle signal) until the running token "
+        "total passes the budget — greedy knapsack by quality density, "
+        "the epoch-construction step after dedup/filtering.  The "
+        "running total is operators/packing.global_cumsum (range-"
+        "bucketed, never a single-task window) over a composed numeric "
+        "order key that preserves (entropy DESC, doc_id) with fixed "
+        "bounds (entropy is in [0, ~17] bits), so no quantile pre-pass"
+    ),
+    tables=("documents",),
+)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.packing import global_cumsum
+    from osm_changesets_to_parquet_spark.operators.text import unigram_entropy
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    e = unigram_entropy(docs, keep=["doc_id", "lang"]).where(F.col("n_tokens") > 0)
+    # one numeric total order == (entropy DESC, doc_id ASC): entropy is
+    # a 1e-6 multiple <= ~17 bits, so -entropy*1e8 strides in >= 100
+    # while the doc_id term stays < 1 for any realistic id range
+    scored = e.withColumn(
+        "__ord", -F.col("entropy") * F.lit(1e8) + F.col("doc_id") * F.lit(1e-6)
+    )
+    c = global_cumsum(
+        scored,
+        "__ord",
+        "n_tokens",
+        out_col="__cum",
+        bounds=[float(-b * 1e8) for b in range(17, 0, -1)],
+    )
+    return (
+        c.where(F.col("__cum") <= _Q168_BUDGET)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(F.min("entropy"), 6).alias("min_entropy"),
+        )
+        .orderBy("lang")
+    )
