@@ -125,6 +125,8 @@ TIER2_QUERIES = [
     "s17_full_outer_stream_join",
     "q167_targeted_delete",
     "q168_budget_select",
+    "q169_rolling_dau",
+    "q170_autocorrelation",
 ]
 
 

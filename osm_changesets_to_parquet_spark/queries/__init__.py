@@ -91,6 +91,8 @@ _PRIORITY: tuple[str, ...] = (
     "s17_full_outer_stream_join",
     "q167_targeted_delete",
     "q168_budget_select",
+    "q169_rolling_dau",
+    "q170_autocorrelation",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -122,9 +124,9 @@ _PRIORITY: tuple[str, ...] = (
     "q54_unpivot",
     "q55_grouping_sets",
     "q56_scalar_subquery",
+    # ---- window boundary (50) — names below queue for round 7 ----
     "q57_in_subquery",
     "q58_exists_not_exists",
-    # ---- window boundary (50) — names below queue for round 7 ----
     "q59_having",
     "q60_case_coalesce",
     "q61_stats_agg",

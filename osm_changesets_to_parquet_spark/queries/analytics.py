@@ -654,3 +654,109 @@ def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "event_type", F.round(med, 6).alias("roll_med")
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Q169: rolling 7-day distinct users (sliding distinct count, exact)
+# ---------------------------------------------------------------------------
+
+_Q169_DAY_US = 86_400_000_000
+
+_Q169_SQL = f"""
+WITH e AS (
+  SELECT epoch_us(ts) // {_Q169_DAY_US} AS day, user_id FROM events
+),
+d AS (SELECT DISTINCT day FROM e)
+SELECT CAST(d.day AS BIGINT) AS day,
+       COUNT(DISTINCT e.user_id) AS rolling_users
+FROM d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1 ORDER BY day
+"""
+
+
+@register(
+    "q169_rolling_dau",
+    _Q169_SQL,
+    doc=(
+        "exact trailing-7-day distinct users per day (the rolling-DAU "
+        "metric COUNT DISTINCT over a frame can't express and sliding "
+        "HLL only approximates): reduce to DISTINCT (day, user) first "
+        "— the day-grain shuffle, tiny vs the event stream — then each "
+        "pair EXPLODES to the <= 7 windows it serves and one more "
+        "distinct+count lands the answer.  Work is 7x the daily-"
+        "distinct table, linear and bounded, vs the oracle's range "
+        "join; observed-days semi-join keeps phantom trailing days out"
+    ),
+    tables=("events",),
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"ts_us div {_Q169_DAY_US}").alias("day"), "user_id"
+    )
+    du = ev.distinct()
+    observed = du.select("day").distinct()
+    exploded = du.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+        "user_id",
+    )
+    return (
+        exploded.join(F.broadcast(observed), "day")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("rolling_users"))
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q170: lag autocorrelation per series (periodicity probe)
+# ---------------------------------------------------------------------------
+
+_Q170_SQL = """
+WITH o AS (
+  SELECT event_type, value,
+         LAG(value, 1) OVER w AS l1,
+         LAG(value, 7) OVER w AS l7
+  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type,
+       ROUND(CORR(value, l1), 4) AS ac1,
+       ROUND(CORR(value, l7), 4) AS ac7
+FROM o GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "q170_autocorrelation",
+    _Q170_SQL,
+    doc=(
+        "lag-1 / lag-7 autocorrelation of event values per type — the "
+        "periodicity probe before any seasonal model: one per-type "
+        "window shuffle for the lags (event_id tie-break), then the "
+        "one-pass distributed CORR moments (the q61 family), rounded "
+        "to 4 so moment-merge order can't flip the hash; NULL lag "
+        "heads drop from the pairs on both engines"
+    ),
+    tables=("events",),
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts", "event_id"
+    )
+    o = ev.select(
+        "event_type",
+        "value",
+        F.lag("value", 1).over(w).alias("l1"),
+        F.lag("value", 7).over(w).alias("l7"),
+    )
+    return (
+        o.groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", "l1"), 4).alias("ac1"),
+            F.round(F.corr("value", "l7"), 4).alias("ac7"),
+        )
+        .orderBy("event_type")
+    )
