@@ -6,6 +6,7 @@ testdata can't."""
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -613,3 +614,80 @@ def test_grid_neighbor_pairs_matches_brute_force(spark, pts):
                 if d2 < eps * eps:
                     want[(i, j)] = round(math.sqrt(d2), 6)
     assert got == want
+
+
+# --- rolling median / rolling distinct vs brute force -------------------------
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5).map(float)),
+        min_size=1,
+        max_size=40,
+    ),
+    frame=st.integers(min_value=1, max_value=7),
+)
+def test_rolling_median_matches_brute(spark, vals, frame):
+    # NULL gaps, repeated values, and tiny frames — the interpolation
+    # and null-drop edges of the q157 spelling
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v double"
+    )
+    w = Window.orderBy("i").rowsBetween(-(frame - 1), 0)
+    arr = F.array_sort(F.collect_list("v").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
+    med = F.when(n > 0, (lo + hi) / 2.0)
+    got = {r.i: r.m for r in df.select("i", F.round(med, 6).alias("m")).collect()}
+    import statistics
+
+    for i in range(len(vals)):
+        window = [v for v in vals[max(0, i - frame + 1) : i + 1] if v is not None]
+        want = round(statistics.median(window), 6) if window else None
+        assert got[i] == want, (i, vals, frame)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),  # day
+            st.integers(min_value=0, max_value=6),   # user
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_rolling_distinct_users_matches_brute(spark, pairs):
+    # the explode-to-serving-windows spelling vs a literal trailing-7
+    # set union per observed day
+    df = spark.createDataFrame(pairs, "day long, user_id long")
+    du = df.distinct()
+    observed = du.select("day").distinct()
+    exploded = du.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+        "user_id",
+    )
+    got = {
+        r.day: r.c
+        for r in exploded.join(F.broadcast(observed), "day")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    days = sorted({d for d, _ in pairs})
+    for d in days:
+        want = len({u for dd, u in pairs if d - 6 <= dd <= d})
+        assert got[d] == want, (d, pairs)
