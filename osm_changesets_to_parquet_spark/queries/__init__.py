@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "q168_budget_select",
     "q169_rolling_dau",
     "q170_autocorrelation",
+    "q171_frequent_pairs",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -123,8 +124,8 @@ _PRIORITY: tuple[str, ...] = (
     "q53_pivot",
     "q54_unpivot",
     "q55_grouping_sets",
-    "q56_scalar_subquery",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q56_scalar_subquery",
     "q57_in_subquery",
     "q58_exists_not_exists",
     "q59_having",

@@ -760,3 +760,89 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q171: frequent co-occurring item pairs (A-priori step with lift)
+# ---------------------------------------------------------------------------
+
+_Q171_SUP = 3
+
+_Q171_SQL = f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ci AS (SELECT l_partkey, COUNT(*) AS c FROM b GROUP BY 1),
+f AS (SELECT l_partkey FROM ci WHERE c >= {_Q171_SUP}),
+bf AS (SELECT b.l_orderkey, b.l_partkey FROM b JOIN f USING (l_partkey)),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS nb FROM b),
+p AS (
+  SELECT a.l_partkey AS x, b2.l_partkey AS y, COUNT(*) AS sup
+  FROM bf a JOIN bf b2
+    ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_Q171_SUP}
+)
+SELECT p.x, p.y, CAST(p.sup AS BIGINT) AS support,
+       ROUND(p.sup * n.nb / CAST(cx.c * cy.c AS DOUBLE), 6) AS lift
+FROM p CROSS JOIN n
+JOIN ci cx ON cx.l_partkey = p.x
+JOIN ci cy ON cy.l_partkey = p.y
+ORDER BY x, y
+"""
+
+
+@register(
+    "q171_frequent_pairs",
+    _Q171_SQL,
+    doc=(
+        "market-basket pair mining (the A-priori candidate step): "
+        "distinct (basket, item) first, INFREQUENT ITEMS PRUNED before "
+        "any pair exists (the A-priori monotonicity — a frequent pair "
+        "needs two frequent items), then pairs generate IN-ROW per "
+        "basket (sorted collect + posexplode tail-slice, the "
+        "lsh_candidates discipline — Σ basket² rows, bounded by basket "
+        "size, never a corpus self-join), support filter, lift from "
+        "the broadcast item counts"
+    ),
+    tables=("lineitem",),
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("item")
+    )
+    b = li.distinct()
+    ci = b.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    f = ci.where(F.col("c") >= _Q171_SUP).select("item")
+    bf = b.join(f, "item")
+    nb = b.agg(F.countDistinct("bk").alias("nb"))
+    baskets = (
+        bf.groupBy("bk")
+        .agg(F.array_sort(F.collect_list("item")).alias("items"))
+        .where(F.size("items") >= 2)
+    )
+    members = baskets.select("items", F.posexplode("items").alias("i", "x"))
+    pairs = members.select(
+        "x",
+        F.explode(
+            F.slice(F.col("items"), F.col("i") + F.lit(2), F.size("items"))
+        ).alias("y"),
+    )
+    p = (
+        pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _Q171_SUP)
+    )
+    return (
+        p.crossJoin(F.broadcast(nb))
+        .join(ci.select(F.col("item").alias("x"), F.col("c").alias("cx")), "x")
+        .join(ci.select(F.col("item").alias("y"), F.col("c").alias("cy")), "y")
+        .select(
+            "x",
+            "y",
+            "support",
+            F.round(
+                F.col("support") * F.col("nb")
+                / (F.col("cx") * F.col("cy")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("x", "y")
+    )
