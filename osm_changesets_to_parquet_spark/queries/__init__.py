@@ -94,6 +94,8 @@ _PRIORITY: tuple[str, ...] = (
     "q169_rolling_dau",
     "q170_autocorrelation",
     "q171_frequent_pairs",
+    "q172_roc_auc",
+    "q173_ab_ztest",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -122,9 +124,9 @@ _PRIORITY: tuple[str, ...] = (
     "q33_array_funcs",
     # r2-era stale: relational extensions
     "q53_pivot",
+    # ---- window boundary (50) — names below queue for round 7 ----
     "q54_unpivot",
     "q55_grouping_sets",
-    # ---- window boundary (50) — names below queue for round 7 ----
     "q56_scalar_subquery",
     "q57_in_subquery",
     "q58_exists_not_exists",

@@ -846,3 +846,181 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("x", "y")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q172: ROC-AUC via the Mann-Whitney U statistic (tie-averaged ranks)
+# ---------------------------------------------------------------------------
+
+_Q172_SQL = """
+WITH s AS (
+  SELECT value AS score, COUNT(*) AS cnt,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT score, cnt, pos,
+         COALESCE(SUM(cnt) OVER (
+           ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS below
+  FROM s
+),
+t AS (
+  SELECT SUM(pos * (below + (cnt + 1) / 2.0)) AS rank_sum,
+         SUM(pos) AS npos, SUM(cnt - pos) AS nneg
+  FROM c
+)
+SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+       ROUND((rank_sum - CAST(npos AS DOUBLE) * (npos + 1) / 2.0)
+             / (CAST(npos AS DOUBLE) * nneg), 6) AS auc
+FROM t
+"""
+
+
+@register(
+    "q172_roc_auc",
+    _Q172_SQL,
+    doc=(
+        "ROC-AUC of a score column separating a binary label "
+        "(does event value predict 'purchase'), computed as the "
+        "Mann-Whitney U rank statistic with exact tie handling: "
+        "scores reduce to per-distinct-score (cnt, pos) first — the "
+        "cumsum input is O(distinct scores), not O(events) — then the "
+        "strictly-below prefix count comes from the range-bucketed "
+        "global_cumsum (one wide shuffle, never a single-task window); "
+        "the tie-averaged rank of every positive is below+(cnt+1)/2"
+    ),
+    tables=("events",),
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.packing import global_cumsum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_pos"),
+    )
+    s = ev.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("is_pos").alias("pos")
+    )
+    # scores are bounded money-like doubles; fixed monotone bounds skip
+    # the approxQuantile pass (balance only affects parallelism)
+    c = global_cumsum(
+        s, "score", "cnt", out_col="below", exclusive=True,
+        bounds=[16.0 * i for i in range(1, 32)],
+    )
+    t = c.agg(
+        F.sum(
+            F.col("pos") * (F.col("below") + (F.col("cnt") + F.lit(1)) / F.lit(2.0))
+        ).alias("rank_sum"),
+        F.sum("pos").alias("npos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("nneg"),
+    )
+    return t.select(
+        F.col("npos").cast("long").alias("n_pos"),
+        F.col("nneg").cast("long").alias("n_neg"),
+        F.round(
+            (
+                F.col("rank_sum")
+                - F.col("npos").cast("double") * (F.col("npos") + F.lit(1)) / F.lit(2.0)
+            )
+            / (F.col("npos").cast("double") * F.col("nneg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q173: A/B experiment readout (two-proportion pooled z-test)
+# ---------------------------------------------------------------------------
+
+
+def _q173_sql() -> str:
+    from osm_changesets_to_parquet_spark.operators.quality import sql_hash_bucket
+
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN {sql_hash_bucket('user_id')} >= 50 THEN 1 ELSE 0 END AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS c_a,
+         SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS c_b
+  FROM u
+),
+z AS (
+  SELECT n_a, n_b, c_a, c_b,
+         c_a / CAST(n_a AS DOUBLE) AS r_a,
+         c_b / CAST(n_b AS DOUBLE) AS r_b,
+         (c_a + c_b) / CAST(n_a + n_b AS DOUBLE) AS p
+  FROM g
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(c_a AS BIGINT) AS conv_a, CAST(c_b AS BIGINT) AS conv_b,
+       ROUND(r_b - r_a, 6) AS rate_diff,
+       ROUND((r_b - r_a)
+             / NULLIF(SQRT(p * (1 - p) * (1.0 / n_a + 1.0 / n_b)), 0), 6) AS z_stat
+FROM z
+"""
+
+
+@register(
+    "q173_ab_ztest",
+    _q173_sql(),
+    doc=(
+        "A/B experiment readout: users split 50/50 by the shared "
+        "deterministic id-hash authority (operators.quality.hash_bucket "
+        "— identical integer math in both engines), per-user conversion "
+        "= any purchase, then the two-proportion pooled z statistic; "
+        "two keyed aggregates, every join-free — O(users) shuffle"
+    ),
+    tables=("events",),
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("long")).alias("conv")
+        )
+        .select(
+            (hash_bucket("user_id") >= F.lit(50)).cast("long").alias("variant"),
+            "conv",
+        )
+    )
+    g = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias("c_b"),
+    )
+    r_a = F.col("c_a") / F.col("n_a").cast("double")
+    r_b = F.col("c_b") / F.col("n_b").cast("double")
+    p = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b")).cast("double")
+    return g.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_a").cast("long").alias("conv_a"),
+        F.col("c_b").cast("long").alias("conv_b"),
+        F.round(r_b - r_a, 6).alias("rate_diff"),
+        # a degenerate experiment (p = 0 or 1: no variance) has no z —
+        # NULL on both sides, never a divide-by-zero
+        F.round(
+            F.try_divide(
+                r_b - r_a,
+                F.nullif(
+                    F.sqrt(
+                        p * (F.lit(1) - p)
+                        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+                    ),
+                    F.lit(0.0),
+                ),
+            ),
+            6,
+        ).alias("z_stat"),
+    )
