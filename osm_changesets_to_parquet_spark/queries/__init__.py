@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "q171_frequent_pairs",
     "q172_roc_auc",
     "q173_ab_ztest",
+    "q174_sorted_neighborhood",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -122,9 +123,9 @@ _PRIORITY: tuple[str, ...] = (
     "q31_json_extract",
     "q32_map_funcs",
     "q33_array_funcs",
+    # ---- window boundary (50) — names below queue for round 7 ----
     # r2-era stale: relational extensions
     "q53_pivot",
-    # ---- window boundary (50) — names below queue for round 7 ----
     "q54_unpivot",
     "q55_grouping_sets",
     "q56_scalar_subquery",

@@ -1220,3 +1220,81 @@ ORDER BY group_a, group_b
 def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     return D.group_token_jaccard(docs, "source").orderBy("group_a", "group_b")
+
+
+# ---------------------------------------------------------------------------
+# Q174: sorted-neighborhood blocking (entity-resolution candidate window)
+# ---------------------------------------------------------------------------
+
+_Q174_W = 4       # window: each record pairs with the next w-1 in sort order
+_Q174_DIST = 4    # verification threshold on the blocked candidates
+
+_Q174_SQL = f"""
+WITH r AS (
+  SELECT p_partkey, p_name,
+         ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rk
+  FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND {_Q174_W - 1}
+WHERE levenshtein(a.p_name, b.p_name) <= {_Q174_DIST}
+ORDER BY key_a, key_b
+"""
+
+
+@register(
+    "q174_sorted_neighborhood",
+    _Q174_SQL,
+    doc=(
+        "sorted-neighborhood blocking (Hernandez & Stolfo 1995, public "
+        "— the entity-resolution complement of LSH banding): records "
+        "rank globally by the blocking key (name) via the range-"
+        "bucketed global_rank (first-char codepoint buckets the "
+        "shuffle; never a single-task window), then each record pairs "
+        "only with the next w-1 neighbors — candidates are O(n*w) by "
+        "construction, never a self-join — and the JVM levenshtein "
+        "verifies; the oracle replays the identical window"
+    ),
+    tables=("part",),
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.packing import global_rank
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    # first-char codepoint is a monotone numeric proxy for the
+    # lexicographic order (lowercase-ascii names); equal codepoints
+    # stay in one bucket where (p_name, p_partkey) breaks ties, so the
+    # rank is the exact global ROW_NUMBER of the oracle
+    keyed = part.withColumn("__ck", F.ascii(F.substring("p_name", 1, 1)))
+    ranked = global_rank(
+        keyed,
+        ["__ck", "p_name", "p_partkey"],
+        out_col="rk",
+        bounds=[c + 0.5 for c in range(97, 122)],
+    ).drop("__ck")
+    left = (
+        ranked.withColumn(
+            "__off", F.explode(F.array(*[F.lit(i) for i in range(1, _Q174_W)]))
+        )
+        .select(
+            F.col("p_partkey").alias("key_a"),
+            F.col("p_name").alias("name_a"),
+            (F.col("rk") + F.col("__off")).alias("rk_b"),
+        )
+    )
+    right = ranked.select(
+        F.col("rk").alias("rk_b"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        left.join(right, "rk_b")
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= _Q174_DIST)
+        .orderBy("key_a", "key_b")
+    )
