@@ -206,6 +206,50 @@ def hll_estimate(sketches: DataFrame, sketch_col: str = "hll") -> DataFrame:
     ).drop(sketch_col)
 
 
+def int_key_hash(col: Column) -> Column:
+    """Fold a non-negative 64-bit integer key into [0, HASH_MOD).
+
+    The same overflow-safe spelling as operators.quality.hash_bucket
+    (fold below 2^31, Knuth multiply) so the SQL mirror is
+    ``((key % 2147483648) * 2654435761) % 1000000007`` — identical
+    integer math in any engine.
+    """
+    from osm_changesets_to_parquet_spark.operators.quality import ID_FOLD, KNUTH
+
+    return ((col % F.lit(ID_FOLD)) * F.lit(KNUTH)) % F.lit(HASH_MOD)
+
+
+def cms_build_keys(keys: DataFrame, key_col: str) -> DataFrame:
+    """CMS over an integer key stream (same table shape as cms_build)."""
+    th = int_key_hash(F.col(key_col))
+    rows = keys.select(
+        F.posexplode(
+            F.array(*[cms_bucket(th, j) for j in range(CMS_DEPTH)])
+        ).alias("j", "bucket")
+    )
+    return rows.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_join_estimate(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-cardinality estimate from two CMS tables: the sketch
+    inner product (Cormode & Muthukrishnan 2005, public).
+
+    |A JOIN B on key| = sum_v fA(v)*fB(v); each depth row j estimates
+    it as sum_bucket cntA[j,b]*cntB[j,b] (always an OVERestimate —
+    colliding keys add cross terms), and the estimate is the MIN over
+    the depth rows.  Cost: the join carries at most depth x width
+    counters per side — join-size estimation without running the join,
+    the optimizer-statistics primitive.  Returns one row
+    ``(cms_join_est)``.
+    """
+    dot = (
+        a.join(b.withColumnRenamed("cnt", "cnt_b"), ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("dot"))
+    )
+    return dot.agg(F.min("dot").alias("cms_join_est"))
+
+
 # ---------------------------------------------------------------------------
 # SpaceSaving heavy hitters: bounded-memory candidates + exact recount
 # ---------------------------------------------------------------------------

@@ -220,3 +220,72 @@ _Q141_K = 128
 def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return S.heavy_hitters_exact(ev, "user_id", _Q141_K).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Q175: CMS inner-product join-cardinality estimation (optimizer stats)
+# ---------------------------------------------------------------------------
+
+def _q175_sql() -> str:
+    from osm_changesets_to_parquet_spark.operators.quality import ID_FOLD, KNUTH
+
+    ih = f"((k % {ID_FOLD}) * {KNUTH}) % {_P}"
+    arms_a = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_bucket_arm(j)} AS bucket FROM ph" for j in range(S.CMS_DEPTH)
+    )
+    arms_b = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_bucket_arm(j)} AS bucket FROM lh" for j in range(S.CMS_DEPTH)
+    )
+    return f"""
+WITH pk AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'P'),
+lk AS (SELECT l_orderkey AS k FROM lineitem),
+ph AS (SELECT {ih} AS h FROM pk),
+lh AS (SELECT {ih} AS h FROM lk),
+ska AS (SELECT j, bucket, COUNT(*) AS cnt FROM ({arms_a}) GROUP BY j, bucket),
+skb AS (SELECT j, bucket, COUNT(*) AS cnt FROM ({arms_b}) GROUP BY j, bucket),
+ip AS (
+  SELECT a.j, SUM(a.cnt * b.cnt) AS dot
+  FROM ska a JOIN skb b ON a.j = b.j AND a.bucket = b.bucket
+  GROUP BY a.j
+),
+est AS (SELECT MIN(dot) AS cms_join_est FROM ip),
+ex AS (
+  SELECT COUNT(*) AS exact_join_rows
+  FROM lineitem JOIN pk ON l_orderkey = pk.k
+)
+SELECT CAST(ex.exact_join_rows AS BIGINT) AS exact_join_rows,
+       CAST(est.cms_join_est AS BIGINT) AS cms_join_est
+FROM ex CROSS JOIN est
+"""
+
+
+@register(
+    "q175_cms_join_estimate",
+    _q175_sql(),
+    doc=(
+        "join-cardinality ESTIMATION without running the join — the "
+        "optimizer-statistics primitive (Cormode & Muthukrishnan 2005 "
+        "AMS/CMS inner product, public): sketch each side's join key "
+        "into the 4x1024 CMS (shuffle O(depth x width) after map-side "
+        "partials, never O(rows)), estimate |A JOIN B| as the per-row "
+        "counter dot product, min over rows; every counter and the "
+        "exact join count are hash-matched — est >= exact always "
+        "(cross terms only add), asserted in tests"
+    ),
+    tables=("orders", "lineitem"),
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = orders.where(F.col("o_orderstatus") == "P").select(
+        F.col("o_orderkey").alias("k")
+    )
+    lk = li.select(F.col("l_orderkey").alias("k"))
+    est = S.cms_join_estimate(S.cms_build_keys(pk, "k"), S.cms_build_keys(lk, "k"))
+    exact = lk.join(pk, "k").agg(
+        F.count(F.lit(1)).alias("exact_join_rows")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("exact_join_rows").cast("long").alias("exact_join_rows"),
+        F.col("cms_join_est").cast("long").alias("cms_join_est"),
+    )

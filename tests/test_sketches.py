@@ -157,3 +157,29 @@ def test_spacesaving_rejects_bad_k(spark):
     df = spark.createDataFrame([(1,)], ["item"])
     with _pytest.raises(ValueError):
         spacesaving_candidates(df, "item", 0)
+
+
+def test_cms_join_estimate_never_underestimates(spark, sf_dir):
+    """The inner-product estimate >= the exact join size (collisions
+    only ADD cross terms), and a disjoint key set estimates near zero
+    relative to the stream sizes."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = o.where(F.col("o_orderstatus") == "P").select(
+        F.col("o_orderkey").alias("k")
+    )
+    lk = li.select(F.col("l_orderkey").alias("k"))
+    est = S.cms_join_estimate(
+        S.cms_build_keys(pk, "k"), S.cms_build_keys(lk, "k")
+    ).collect()[0]["cms_join_est"]
+    exact = lk.join(pk, "k").count()
+    assert est >= exact
+    # disjoint keys (shifted far past the id range): exact is 0 and the
+    # estimate is pure collision noise, bounded by ||a||_1*||b||_1/width
+    far = pk.select((F.col("k") + F.lit(10_000_000_000)).alias("k"))
+    n_a, n_b = far.count(), lk.count()
+    est0 = S.cms_join_estimate(
+        S.cms_build_keys(far, "k"), S.cms_build_keys(lk, "k")
+    ).collect()[0]["cms_join_est"]
+    assert far.join(lk, "k").count() == 0
+    assert est0 <= 8 * n_a * n_b / S.CMS_WIDTH  # e/width bound with slack
