@@ -877,3 +877,88 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         emb.where(F.col("vec_id") != 0), query, _Q165_POOL, _Q165_K, _Q165_LAM
     )
+
+
+# ---------------------------------------------------------------------------
+# Q176: inverted index (sharded posting lists) + boolean AND retrieval
+# ---------------------------------------------------------------------------
+
+_Q176_A = "merge"
+_Q176_B = "vector"
+_Q176_SHARDS = 16
+
+_Q176_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  )
+),
+a AS (SELECT doc_id FROM tok WHERE token = '{_Q176_A}'),
+b AS (SELECT doc_id FROM tok WHERE token = '{_Q176_B}'),
+i AS (SELECT a.doc_id FROM a JOIN b USING (doc_id))
+SELECT (SELECT COUNT(*) FROM a) AS df_a,
+       (SELECT COUNT(*) FROM b) AS df_b,
+       (SELECT COUNT(*) FROM i) AS n_both,
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM i) AS docsum
+"""
+
+
+def build_postings(docs: DataFrame, n_shards: int = _Q176_SHARDS) -> DataFrame:
+    """Inverted index as a DataFrame: (token, shard, plist, df_shard).
+
+    Posting lists are SHARDED by doc-id hash — a stop word's posting
+    list is the whole corpus, and a single collect_set row for it is
+    the classic skew OOM; sharding bounds every row at ~|docs|/shards
+    ids and lets a probe read the shards in parallel.  Lists are
+    sort_array'd so the layout is deterministic (delta-encodable at
+    rest).  Construction is one explode + distinct + keyed collect —
+    shuffle carries each (token, doc) once.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).distinct()
+    return (
+        tok.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)))
+        .groupBy("token", "shard")
+        .agg(
+            F.sort_array(F.collect_set("doc_id")).alias("plist"),
+            F.count(F.lit(1)).alias("df_shard"),
+        )
+    )
+
+
+@register(
+    "q176_inverted_index",
+    _Q176_SQL,
+    doc=(
+        "inverted-index retrieval: build sharded posting lists (token, "
+        "doc-id-hash shard) -> sorted doc-id arrays — sharding bounds "
+        "the stop-word row and parallelizes probes — then answer the "
+        f"boolean AND query '{_Q176_A} AND {_Q176_B}' by intersecting "
+        "the two terms' postings (explode + equi-join on doc_id, "
+        "touching only those terms' shards, never the corpus); the "
+        "oracle replays the same conjunction relationally"
+    ),
+    tables=("documents",),
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = build_postings(docs)
+    a = postings.where(F.col("token") == _Q176_A).select(
+        F.explode("plist").alias("doc_id")
+    )
+    b = postings.where(F.col("token") == _Q176_B).select(
+        F.explode("plist").alias("doc_id")
+    )
+    both = a.join(b, "doc_id")
+    stats_a = a.agg(F.count(F.lit(1)).alias("df_a"))
+    stats_b = b.agg(F.count(F.lit(1)).alias("df_b"))
+    stats_i = both.agg(
+        F.count(F.lit(1)).alias("n_both"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("docsum"),
+    )
+    return (
+        stats_a.crossJoin(F.broadcast(stats_b))
+        .crossJoin(F.broadcast(stats_i))
+        .select("df_a", "df_b", "n_both", "docsum")
+    )

@@ -163,3 +163,28 @@ def test_ivf_index_append_idempotent_and_complete(spark, sf_dir):
     cells2 = spark.read.parquet(f"{idx}/cells")
     assert cells2.count() == n1
     assert cells2.where(F.col("__gen") == "base").count() == existing.count()
+
+
+def test_inverted_index_postings_complete_and_bounded(spark, sf_dir):
+    """Exploding every posting list reconstructs exactly the distinct
+    (token, doc_id) set, lists are sorted, and sharding bounds each
+    row below the stop-word full-corpus size."""
+    from osm_changesets_to_parquet_spark.queries.ann import build_postings
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = build_postings(docs, n_shards=16)
+    rebuilt = postings.select(
+        "token", F.explode("plist").alias("doc_id")
+    )
+    truth = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    assert rebuilt.count() == truth.count()
+    assert rebuilt.exceptAll(truth.select("token", "doc_id")).count() == 0
+    bad_order = postings.where(
+        F.col("plist") != F.sort_array("plist")
+    ).count()
+    assert bad_order == 0
+    n_docs = docs.count()
+    max_row = postings.agg(F.max(F.size("plist"))).collect()[0][0]
+    assert max_row <= n_docs // 16 + 1
