@@ -801,3 +801,70 @@ def mmr_rerank(
     return out.select(
         "rank", id_col, "simq", F.round("mmr_score", 6).alias("mmr_score")
     ).orderBy("rank")
+
+
+def k_center_greedy(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_id: int = 0,
+):
+    """Greedy k-center / farthest-point coreset selection (Gonzalez
+    1985 2-approximation; the active-learning coreset of Sener &
+    Savarese 2018 — public): start from ``seed_id``, then repeatedly
+    take the point FARTHEST from everything selected so far.
+
+    Distribution of labor at 100 TB: each of the k-1 rounds is one
+    distributed pass — the running min-distance column updates against
+    only the NEWEST center (a broadcast dim-length literal; earlier
+    centers are already folded into the column), and the argmax is a
+    TakeOrderedAndProject, never a global sort.  The only driver
+    materialization is the k selected vectors (the bounded IVF-seed
+    class).  Engine-lockstep determinism: distances are the identical
+    sequential left-fold the kmeans oracle uses (``list_reduce`` ==
+    ``F.aggregate`` bit-for-bit), argmax ties break on id, and the
+    reported distance rounds JVM-side only at output.
+
+    Returns (step, <id_col>, dist): dist is the squared L2 distance to
+    the previously-selected set at selection time (NULL for the seed).
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+
+    def sqd(v, center: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in center])
+        return F.aggregate(
+            F.zip_with(v, arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    seed = e.where(F.col("id") == seed_id).collect()[0]
+    picked: list[tuple] = [(1, seed["id"], None)]
+    chosen_ids = [seed["id"]]
+    state = None
+    center = list(seed["v"])
+    for step in range(2, k + 1):
+        upd = sqd(F.col("v"), center)
+        state = (
+            e.withColumn("mind", upd)
+            if state is None
+            else state.withColumn("mind", F.least(F.col("mind"), upd))
+        )
+        nxt = (
+            state.where(~F.col("id").isin(chosen_ids))
+            .orderBy(F.col("mind").desc(), "id")
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((step, nxt["id"], nxt["mind"]))
+        chosen_ids.append(nxt["id"])
+        center = list(nxt["v"])
+    spark = embeddings.sparkSession
+    out = spark.createDataFrame(picked, f"step long, {id_col} long, dist double")
+    return out.select(
+        "step", id_col, F.round("dist", 6).alias("dist")
+    ).orderBy("step")

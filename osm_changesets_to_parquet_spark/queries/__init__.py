@@ -99,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "q174_sorted_neighborhood",
     "q175_cms_join_estimate",
     "q176_inverted_index",
+    "q177_kcenter_coreset",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -122,8 +123,8 @@ _PRIORITY: tuple[str, ...] = (
     "q28_string_funcs",
     "q29_date_funcs",
     "q30_math_funcs",
-    "q31_json_extract",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q31_json_extract",
     "q32_map_funcs",
     "q33_array_funcs",
     # r2-era stale: relational extensions

@@ -962,3 +962,67 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats_i))
         .select("df_a", "df_b", "n_both", "docsum")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q177: greedy k-center coreset selection (farthest-point traversal)
+# ---------------------------------------------------------------------------
+
+_Q177_K = 4
+
+_Q177_DIST_TPL = (
+    f"list_reduce(list_transform(range(1, {DIM + 1}), "
+    "i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])), (x,y) -> x+y)"
+)
+
+
+def _q177_sql() -> str:
+    d = _Q177_DIST_TPL.format
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s1 AS (SELECT id, v FROM e WHERE id = 0),
+d2 AS (
+  SELECT e.id, e.v, {d(v='e.v', c='s1.v')} AS mind
+  FROM e, s1 WHERE e.id <> s1.id
+),
+s2 AS (SELECT id, v, mind FROM d2 ORDER BY mind DESC, id LIMIT 1),
+d3 AS (
+  SELECT d2.id, d2.v, LEAST(d2.mind, {d(v='d2.v', c='s2.v')}) AS mind
+  FROM d2, s2 WHERE d2.id <> s2.id
+),
+s3 AS (SELECT id, v, mind FROM d3 ORDER BY mind DESC, id LIMIT 1),
+d4 AS (
+  SELECT d3.id, d3.v, LEAST(d3.mind, {d(v='d3.v', c='s3.v')}) AS mind
+  FROM d3, s3 WHERE d3.id <> s3.id
+),
+s4 AS (SELECT id, v, mind FROM d4 ORDER BY mind DESC, id LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS step, id AS vec_id, CAST(NULL AS DOUBLE) AS dist FROM s1
+UNION ALL SELECT 2, id, ROUND(mind, 6) FROM s2
+UNION ALL SELECT 3, id, ROUND(mind, 6) FROM s3
+UNION ALL SELECT 4, id, ROUND(mind, 6) FROM s4
+ORDER BY step
+"""
+
+
+@register(
+    "q177_kcenter_coreset",
+    _q177_sql(),
+    doc=(
+        "greedy k-center coreset selection (Gonzalez 1985 farthest-"
+        "point traversal, the Sener & Savarese 2018 active-learning "
+        "coreset — public; operators/similarity.py k_center_greedy): "
+        "k-1 distributed passes, each updating the running min-distance "
+        "column against only the NEWEST broadcast center and taking the "
+        "argmax as TakeOrderedAndProject; the oracle UNROLLS the greedy "
+        "as chained CTEs with the kmeans lockstep distance fold"
+    ),
+    tables=("embeddings",),
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.similarity import k_center_greedy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return k_center_greedy(emb, _Q177_K, seed_id=0)

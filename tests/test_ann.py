@@ -188,3 +188,39 @@ def test_inverted_index_postings_complete_and_bounded(spark, sf_dir):
     n_docs = docs.count()
     max_row = postings.agg(F.max(F.size("plist"))).collect()[0][0]
     assert max_row <= n_docs // 16 + 1
+
+
+def test_k_center_greedy_invariants(spark, sf_dir):
+    """Picks are distinct, selection distances are non-increasing
+    (greedy min-dist monotonicity), and step 2 is the true farthest
+    point from the seed by brute force."""
+    from osm_changesets_to_parquet_spark.operators.similarity import (
+        k_center_greedy,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = k_center_greedy(emb, 4, seed_id=0).collect()
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 4 and rows[0]["vec_id"] == 0
+    dists = [r["dist"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    seed = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    brute = (
+        emb.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.array(*[F.lit(float(x)) for x in seed]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("d"),
+        )
+        .orderBy(F.col("d").desc(), "vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    assert brute["vec_id"] == rows[1]["vec_id"]
