@@ -512,3 +512,30 @@ def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_changesets_to_parquet_spark.streaming import run_s17_full_outer_join
 
     return run_s17_full_outer_join(spark, sf_dir)
+
+
+def _s18_sql() -> str:
+    from osm_changesets_to_parquet_spark.queries.sketches import _Q80_SQL
+
+    return _Q80_SQL
+
+
+@register(
+    "s18_streaming_cms",
+    _s18_sql(),
+    doc=(
+        "STREAMING Count-Min sketch maintenance (q80's continuous "
+        "twin): the document replay's tokens fold into the 4x1024 "
+        "counter table through an update-mode streaming aggregation — "
+        "the sketch IS the state, bounded at depth x width rows for "
+        "any stream length; counter addition commutes with micro-"
+        "batching, so the final streamed counters equal the batch "
+        "sketch EXACTLY and the top-20 estimates hash-match q80's "
+        "batch SQL oracle verbatim"
+    ),
+    tables=("documents",),
+)
+def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.streaming import run_s18_streaming_cms
+
+    return run_s18_streaming_cms(spark, sf_dir)

@@ -989,3 +989,50 @@ def run_s17_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs.select("click_id", "purchase_id", "user_id").orderBy(
         "click_id", "purchase_id"
     )
+
+
+def run_s18_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min sketch maintenance — the continuous twin of
+    q80: each document micro-batch's tokens fold into the (j, bucket)
+    counter table through an update-mode streaming aggregation whose
+    state is BOUNDED at depth x width counters (4096 rows) no matter
+    how long the stream runs — the sketch IS the state, the defining
+    property of a mergeable summary under Structured Streaming.
+
+    Because counter addition commutes with micro-batching, the final
+    streamed counters equal the batch-built sketch EXACTLY, so the
+    top-20 token estimates hash-match the same SQL oracle as q80 (the
+    update-mode consumer takes each key's value at its max __bid).
+    """
+    from osm_changesets_to_parquet_spark.operators import sketches as S
+    from osm_changesets_to_parquet_spark.operators.dedup import char_hash
+
+    base = prepare_docs_replay_dir(spark, sf_dir)
+    stream = _read_stream(spark, base)
+    th = char_hash(F.col("token"))
+    rows = stream.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).select(
+        F.posexplode(
+            F.array(*[S.cms_bucket(th, j) for j in range(S.CMS_DEPTH)])
+        ).alias("j", "bucket")
+    )
+    counts = rows.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    out = _run_availablenow(counts, mode="update")
+    sketch = out.groupBy("j", "bucket").agg(
+        F.max_by("cnt", "__bid").alias("cnt")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    top = (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(20)
+    )
+    est = S.cms_estimate(sketch, top.select("token"))
+    return (
+        top.join(est, "token")
+        .select("token", "exact_cnt", "cms_est")
+        .orderBy(F.col("exact_cnt").desc(), "token")
+    )
