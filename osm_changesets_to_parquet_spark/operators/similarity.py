@@ -868,3 +868,74 @@ def k_center_greedy(
     return out.select(
         "step", id_col, F.round("dist", 6).alias("dist")
     ).orderBy("step")
+
+
+def pca_power_top(
+    embeddings: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Top principal direction of the mean-centered embedding corpus by
+    POWER ITERATION on the covariance (von Mises 1929; the standard
+    large-scale PCA first step — public).
+
+    Each iteration is one distributed pass computing
+    ``w = sum_i (x_i - mu) * ((x_i - mu) . v)`` — a fold for the scalar
+    projection plus a positional weighted sum; the only driver
+    materialization is the dim-length w vector (IVF-seed class), which
+    broadcasts back as the next v.  No per-step normalization: with
+    O(1) eigenvalues a 3-step iterate stays well inside double range,
+    and skipping it keeps every driver-side number an exact 6dp
+    decimal (the kmeans engine-lockstep discipline: positional sums
+    round to 6dp JVM-side each update; the oracle replays the same
+    fold order; nothing is ever rounded in Python).  v0 = e_1, so the
+    output sign is deterministic.
+
+    Returns (pos 1-based, loading): the final iterate normalized and
+    rounded engine-side.
+    """
+    e = embeddings.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    )
+    mu_rows = (
+        e.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .collect()
+    )
+    mu = [r["m"] for r in sorted(mu_rows, key=lambda r: r["pos"])]
+    mu_arr = F.array(*[F.lit(float(m)) for m in mu])
+    c = e.select(F.zip_with("v", mu_arr, lambda x, y: x - y).alias("c"))
+
+    def fold_dot(col, w: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in w])
+        return F.aggregate(
+            F.zip_with(col, arr, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    w: list[float] | None = None  # None => v0 = e_1, s = c[1] exactly
+    w_df = None
+    for it in range(iters):
+        s = F.element_at("c", 1) if w is None else fold_dot(F.col("c"), w)
+        w_df = (
+            c.select(s.alias("s"), F.posexplode("c").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.round(F.sum(F.col("x") * F.col("s")), 6).alias("w"))
+        )
+        if it < iters - 1:  # the final iterate stays a DataFrame
+            rows = w_df.collect()
+            w = [r["w"] for r in sorted(rows, key=lambda r: r["pos"])]
+    nrm = w_df.agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    return (
+        w_df.crossJoin(F.broadcast(nrm))
+        .select(
+            (F.col("pos") + 1).cast("long").alias("pos"),
+            F.round(F.col("w") / F.col("nrm"), 6).alias("loading"),
+        )
+        .orderBy("pos")
+    )

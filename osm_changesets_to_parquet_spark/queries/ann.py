@@ -1026,3 +1026,73 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return k_center_greedy(emb, _Q177_K, seed_id=0)
+
+
+# ---------------------------------------------------------------------------
+# Q178: PCA top principal direction (power iteration)
+# ---------------------------------------------------------------------------
+
+def _q178_sql() -> str:
+    dot = (
+        f"list_reduce(list_transform(range(1, {DIM + 1}), "
+        "i -> c[i]*{w}[i]), (x,y) -> x+y)"
+    ).format
+    return f"""
+WITH e AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+mu AS (
+  SELECT pos, ROUND(AVG(x), 6) AS m
+  FROM (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e)
+  GROUP BY pos
+),
+mul AS (SELECT list(m ORDER BY pos) AS m FROM mu),
+c AS (
+  SELECT list_transform(range(1, {DIM + 1}), i -> v[i] - m[i]) AS c
+  FROM e, mul
+),
+w1 AS (
+  SELECT pos, ROUND(SUM(x * s), 6) AS w
+  FROM (SELECT c[1] AS s, generate_subscripts(c, 1) AS pos, unnest(c) AS x FROM c)
+  GROUP BY pos
+),
+w1l AS (SELECT list(w ORDER BY pos) AS w FROM w1),
+s2 AS (SELECT c, {dot(w='w')} AS s FROM c, w1l),
+w2 AS (
+  SELECT pos, ROUND(SUM(x * s), 6) AS w
+  FROM (SELECT s, generate_subscripts(c, 1) AS pos, unnest(c) AS x FROM s2)
+  GROUP BY pos
+),
+w2l AS (SELECT list(w ORDER BY pos) AS w FROM w2),
+s3 AS (SELECT c, {dot(w='w')} AS s FROM c, w2l),
+w3 AS (
+  SELECT pos, ROUND(SUM(x * s), 6) AS w
+  FROM (SELECT s, generate_subscripts(c, 1) AS pos, unnest(c) AS x FROM s3)
+  GROUP BY pos
+),
+n AS (SELECT SQRT(SUM(w * w)) AS nrm FROM w3)
+SELECT CAST(pos AS BIGINT) AS pos, ROUND(w / n.nrm, 6) AS loading
+FROM w3, n ORDER BY pos
+"""
+
+
+@register(
+    "q178_pca_power",
+    _q178_sql(),
+    doc=(
+        "top principal direction of the mean-centered embedding corpus "
+        "via 3 POWER iterations on the covariance (von Mises 1929, "
+        "public; operators/similarity.py pca_power_top): each "
+        "iteration one distributed pass — projection fold + positional "
+        "weighted sum rounded to 6dp JVM-side (the kmeans lockstep "
+        "discipline) — with only the dim-length iterate ever "
+        "materialized; v0 = e_1 pins the sign; the oracle unrolls the "
+        "3 iterations with the identical fold order"
+    ),
+    tables=("embeddings",),
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.similarity import pca_power_top
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_power_top(emb, iters=3)
