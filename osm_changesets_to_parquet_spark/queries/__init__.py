@@ -102,6 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "q177_kcenter_coreset",
     "s18_streaming_cms",
     "q178_pca_power",
+    "q179_knn_label_audit",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -122,8 +123,8 @@ _PRIORITY: tuple[str, ...] = (
     "m50_image_resize",
     # r2-era stale: set ops + scalar-function families
     "q27_except",
-    "q28_string_funcs",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q28_string_funcs",
     "q29_date_funcs",
     "q30_math_funcs",
     "q31_json_extract",

@@ -1096,3 +1096,110 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_power_top(emb, iters=3)
+
+
+# ---------------------------------------------------------------------------
+# Q179: kNN label-noise audit (confident-learning screen)
+# ---------------------------------------------------------------------------
+
+_Q179_K = 5
+
+_Q179_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+a AS (SELECT * FROM e WHERE vec_id % 25 = 0),
+z AS (
+  SELECT a.vec_id AS qid, a.label AS qlab, e.vec_id AS cid, e.label AS clab,
+         CAST(unnest(a.v) AS DOUBLE) AS x, CAST(unnest(e.v) AS DOUBLE) AS y
+  FROM a JOIN e ON e.vec_id != a.vec_id
+),
+d AS (
+  SELECT qid, qlab, cid, clab,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 4) AS sim
+  FROM z GROUP BY qid, qlab, cid, clab
+),
+r AS (
+  SELECT qid, qlab, clab,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+  FROM d
+),
+t AS (
+  SELECT qid, qlab,
+         COUNT(*) FILTER (WHERE clab = qlab) AS n_agree
+  FROM r WHERE rnk <= {_Q179_K} GROUP BY qid, qlab
+)
+SELECT qid AS vec_id, qlab AS label, CAST(n_agree AS BIGINT) AS n_agree,
+       CAST(CASE WHEN n_agree <= 1 THEN 1 ELSE 0 END AS BIGINT) AS suspect
+FROM t ORDER BY vec_id
+"""
+
+
+@register(
+    "q179_knn_label_audit",
+    _Q179_SQL,
+    doc=(
+        "label-noise screening by kNN consistency (the confident-"
+        "learning / Cleanlab heuristic, Northcutt et al. 2021 — "
+        "public): for each audit anchor, how many of its 5 exact-"
+        "cosine nearest neighbors share its label; <= 1 agreeing "
+        "neighbor flags a suspected mislabel.  Same 100 TB shape as "
+        "q121: anchors broadcast, the corpus is scanned ONCE, and the "
+        "rank is a per-anchor window over anchor-keyed candidates — "
+        "never an all-pairs join"
+    ),
+    tables=("embeddings",),
+)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = e.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlab"),
+        F.col("v").alias("qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    d = (
+        e.crossJoin(F.broadcast(a))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlab",
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clab"),
+            F.round(dot / (nrm(F.col("qv")) * nrm(F.col("v"))), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    t = (
+        d.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _Q179_K)
+        .groupBy("qid", "qlab")
+        .agg(
+            F.sum((F.col("clab") == F.col("qlab")).cast("long")).alias("n_agree")
+        )
+    )
+    return t.select(
+        F.col("qid").alias("vec_id"),
+        F.col("qlab").alias("label"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        (F.col("n_agree") <= 1).cast("long").alias("suspect"),
+    ).orderBy("vec_id")
