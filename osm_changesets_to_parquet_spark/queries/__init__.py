@@ -103,6 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "s18_streaming_cms",
     "q178_pca_power",
     "q179_knn_label_audit",
+    "q180_rfm_segments",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -122,8 +123,8 @@ _PRIORITY: tuple[str, ...] = (
     "m49_audio_frame_sample",
     "m50_image_resize",
     # r2-era stale: set ops + scalar-function families
-    "q27_except",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q27_except",
     "q28_string_funcs",
     "q29_date_funcs",
     "q30_math_funcs",

@@ -1024,3 +1024,63 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q180: RFM customer segmentation (triple exact-NTILE binning)
+# ---------------------------------------------------------------------------
+
+_Q180_SQL = """
+WITH c AS (
+  SELECT o_custkey AS ck,
+         MAX(epoch_us(o_orderdate)) AS rec,
+         COUNT(*) AS freq,
+         CAST(SUM(FLOOR(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT ck,
+         NTILE(4) OVER (ORDER BY rec, ck) AS r_tile,
+         NTILE(4) OVER (ORDER BY freq, ck) AS f_tile,
+         NTILE(4) OVER (ORDER BY cents, ck) AS m_tile
+  FROM c
+)
+SELECT CAST(r_tile AS BIGINT) AS r_tile, CAST(f_tile AS BIGINT) AS f_tile,
+       CAST(m_tile AS BIGINT) AS m_tile, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM t GROUP BY r_tile, f_tile, m_tile
+ORDER BY r_tile, f_tile, m_tile
+"""
+
+
+@register(
+    "q180_rfm_segments",
+    _Q180_SQL,
+    doc=(
+        "RFM customer segmentation (recency / frequency / monetary "
+        "quartiles, the classic CRM binning): one keyed aggregate per "
+        "customer — monetary in integer CENTS via FLOOR(x*100+0.5) so "
+        "the quartile ORDER is integer math, never a float-sum tie — "
+        "then three exact-NTILE(4) assignments through the range-"
+        "bucketed global_ntile (each one wide shuffle; never the "
+        "single-task partition-less window), grouped to the 4x4x4 "
+        "segment census"
+    ),
+    tables=("orders",),
+)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.packing import global_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("rec"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).cast("long").alias("cents"),
+    )
+    t = global_ntile(c, ["rec", "ck"], 4, out_col="r_tile")
+    t = global_ntile(t, ["freq", "ck"], 4, out_col="f_tile")
+    t = global_ntile(t, ["cents", "ck"], 4, out_col="m_tile")
+    return (
+        t.groupBy("r_tile", "f_tile", "m_tile")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_tile", "f_tile", "m_tile")
+    )
