@@ -104,6 +104,8 @@ _PRIORITY: tuple[str, ...] = (
     "q178_pca_power",
     "q179_knn_label_audit",
     "q180_rfm_segments",
+    "q181_twap",
+    "q182_cusum_changepoint",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -120,10 +122,10 @@ _PRIORITY: tuple[str, ...] = (
     "cs12_python_datasource_writer",
     # -- (2) r1-era stale: multimodal --
     "m48_image_decode_features",
+    # ---- window boundary (50) — names below queue for round 7 ----
     "m49_audio_frame_sample",
     "m50_image_resize",
     # r2-era stale: set ops + scalar-function families
-    # ---- window boundary (50) — names below queue for round 7 ----
     "q27_except",
     "q28_string_funcs",
     "q29_date_funcs",

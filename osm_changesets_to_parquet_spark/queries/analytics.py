@@ -1084,3 +1084,170 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("r_tile", "f_tile", "m_tile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q181: time-weighted average price (TWAP) per user stream
+# ---------------------------------------------------------------------------
+
+_Q181_SQL = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id < 30
+),
+g AS (
+  SELECT user_id, cents,
+         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt
+  FROM o
+),
+t AS (
+  SELECT user_id, COUNT(*) AS n_spans, SUM(dt) AS total_dt,
+         SUM(CAST(cents AS HUGEINT) * dt) AS wsum
+  FROM g WHERE dt IS NOT NULL GROUP BY 1
+)
+SELECT user_id, CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(total_dt AS BIGINT) AS total_dt_us,
+       ROUND(CAST(wsum AS DOUBLE) / (CAST(total_dt AS DOUBLE) * 100.0), 6) AS twap
+FROM t ORDER BY user_id
+"""
+
+
+@register(
+    "q181_twap",
+    _Q181_SQL,
+    doc=(
+        "time-weighted average (the TWAP/sensor-hold metric): each "
+        "observation's value holds until the user's next event, so the "
+        "weight is the lead-gap in micros; values go through integer "
+        "CENTS and the weighted sum through DECIMAL(38,0) — exact "
+        "integer accumulation on both engines (a double sum would be "
+        "order-dependent, a BIGINT sum overflows at cents x micros "
+        "scale); the lead window partitions per user — thousands of "
+        "independent partitions, never a global window"
+    ),
+    tables=("events",),
+)
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    o = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = o.select(
+        "user_id", "cents", (F.lead("us").over(w) - F.col("us")).alias("dt")
+    ).where(F.col("dt").isNotNull())
+    t = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("dt").alias("total_dt"),
+        F.sum(
+            (F.col("cents") * F.col("dt")).cast("decimal(38,0)")
+        ).alias("wsum"),
+    )
+    return t.select(
+        "user_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("total_dt").cast("long").alias("total_dt_us"),
+        F.round(
+            F.col("wsum").cast("double")
+            / (F.col("total_dt").cast("double") * F.lit(100.0)),
+            6,
+        ).alias("twap"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Q182: CUSUM change-point detection over the daily value series
+# ---------------------------------------------------------------------------
+
+_Q182_SQL = f"""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // {US_PER_DAY} AS day,
+         ROUND(AVG(value), 4) AS x
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT event_type, ROUND(AVG(x), 6) AS mu FROM d GROUP BY 1),
+c AS (
+  SELECT d.event_type, d.day,
+         SUM(d.x - m.mu) OVER (
+           PARTITION BY d.event_type ORDER BY d.day
+         ) AS csum
+  FROM d JOIN m ON d.event_type = m.event_type
+),
+s AS (
+  SELECT event_type, day,
+         csum - LEAST(0, MIN(csum) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         )) AS cusum
+  FROM c
+),
+r AS (
+  SELECT event_type, day, cusum,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY cusum DESC, day
+         ) AS rnk
+  FROM s
+)
+SELECT event_type, CAST(day AS BIGINT) AS change_day,
+       ROUND(cusum, 4) AS max_cusum
+FROM r WHERE rnk = 1 ORDER BY event_type
+"""
+
+
+@register(
+    "q182_cusum_changepoint",
+    _Q182_SQL,
+    doc=(
+        "one-sided CUSUM change-point detection (Page 1954, public) "
+        "over the per-type DAILY mean series: the stateful recursion "
+        "S_t = max(0, S_t-1 + dev_t) rewrites closed-form as "
+        "csum_t - min(0, min earlier csum) — two sequential windows, "
+        "no recursion; the window input is pre-aggregated to O(days) "
+        "rows per type (the raw-event shuffle happens in the keyed "
+        "daily aggregate), so the per-type window is bounded by the "
+        "calendar, not the data"
+    ),
+    tables=("events",),
+)
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            (F.unix_micros("ts") / US_PER_DAY).cast("long").alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.round(F.avg("value"), 4).alias("x"))
+    )
+    m = d.groupBy("event_type").agg(F.round(F.avg("x"), 6).alias("mu"))
+    wc = Window.partitionBy("event_type").orderBy("day")
+    c = d.join(m, "event_type").withColumn(
+        "csum", F.sum(F.col("x") - F.col("mu")).over(wc)
+    )
+    wp = wc.rowsBetween(Window.unboundedPreceding, -1)
+    s = c.withColumn(
+        "cusum",
+        F.col("csum") - F.least(F.lit(0.0), F.min("csum").over(wp)),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("cusum").desc(), "day"
+    )
+    return (
+        s.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("day").cast("long").alias("change_day"),
+            F.round("cusum", 4).alias("max_cusum"),
+        )
+        .orderBy("event_type")
+    )
