@@ -106,6 +106,8 @@ _PRIORITY: tuple[str, ...] = (
     "q180_rfm_segments",
     "q181_twap",
     "q182_cusum_changepoint",
+    "q183_attribution",
+    "q184_benford_audit",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -119,10 +121,10 @@ _PRIORITY: tuple[str, ...] = (
     "q150_ann_persisted_index",
     "q151_ann_incremental",
     "s15_streaming_quality_router",
+    # ---- window boundary (50) — names below queue for round 7 ----
     "cs12_python_datasource_writer",
     # -- (2) r1-era stale: multimodal --
     "m48_image_decode_features",
-    # ---- window boundary (50) — names below queue for round 7 ----
     "m49_audio_frame_sample",
     "m50_image_resize",
     # r2-era stale: set ops + scalar-function families

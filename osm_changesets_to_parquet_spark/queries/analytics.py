@@ -1251,3 +1251,163 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q183: last-touch conversion attribution (as-of join + 7-day lookback)
+# ---------------------------------------------------------------------------
+
+_Q183_WINDOW_US = 7 * US_PER_DAY
+
+_Q183_SQL = f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT p.event_id, p.cents,
+         (SELECT t.event_type FROM events t
+           WHERE t.user_id = p.user_id
+             AND t.event_type IN ('view', 'click')
+             AND epoch_us(t.ts) < p.us
+             AND p.us - epoch_us(t.ts) <= {_Q183_WINDOW_US}
+           ORDER BY epoch_us(t.ts) DESC, t.event_id DESC LIMIT 1) AS channel
+  FROM p
+)
+SELECT COALESCE(channel, 'none') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "q183_attribution",
+    _Q183_SQL,
+    doc=(
+        "last-touch conversion attribution: every purchase credits the "
+        "most recent view/click STRICTLY before it within a 7-day "
+        "lookback (older-only touches => 'none').  Spelled through "
+        "operators/asof.merge_asof — union + running last over the "
+        "user-partitioned window, ONE shuffle, no row explosion at any "
+        "touch density (a band join would multiply rows); the 7-day "
+        "bound filters AFTER the as-of pick, which is equivalent "
+        "because any in-window touch is newer than every out-of-window "
+        "one; revenue rides integer cents"
+    ),
+    tables=("events",),
+)
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.asof import merge_asof
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    right = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "ts_us",
+        F.col("event_type").alias("ch"),
+        F.col("ts_us").alias("tus"),
+        F.col("event_id").alias("tid"),
+    )
+    j = merge_asof(
+        left,
+        right,
+        on="ts_us",
+        by="user_id",
+        value_cols=["ch", "tus", "tid"],
+        strict=True,
+        tie_break="tid",
+    )
+    channel = F.when(
+        F.col("tus").isNotNull()
+        & ((F.col("ts_us") - F.col("tus")) <= _Q183_WINDOW_US),
+        F.col("ch"),
+    ).otherwise(F.lit("none"))
+    return (
+        j.select(channel.alias("channel"), "cents")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q184: Benford first-digit audit (fraud/data-quality screen)
+# ---------------------------------------------------------------------------
+
+# expected Benford shares, Python-computed literals shared by both
+# engines (the NDCG discipline) — the only runtime float math is the
+# observed share division
+_BENFORD = [__import__("math").log10(1 + 1 / d) for d in range(1, 10)]
+
+_Q184_SQL = f"""
+WITH c AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         COUNT(*) AS n
+  FROM c GROUP BY 1
+),
+t AS (SELECT SUM(n) AS total FROM d)
+SELECT digit, CAST(n AS BIGINT) AS n_obs,
+       ROUND(n / CAST(t.total AS DOUBLE), 6) AS obs_share,
+       ([{", ".join(repr(v) for v in _BENFORD)}])[digit] AS benford_share
+FROM d, t ORDER BY digit
+"""
+
+
+@register(
+    "q184_benford_audit",
+    _Q184_SQL,
+    doc=(
+        "Benford first-significant-digit audit (Newcomb 1881 / Benford "
+        "1938, the standard forensic-accounting data-quality screen): "
+        "amounts fold to integer CENTS, the leading digit comes from "
+        "the exact integer decimal string (never float log10, whose "
+        "boundary ulps flip digits at powers of ten), one keyed "
+        "9-row aggregate; expected shares are shared literals"
+    ),
+    tables=("orders",),
+)
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    d = (
+        c.select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = d.agg(F.sum("n").alias("total"))
+    benford = F.element_at(
+        F.array(*[F.lit(v) for v in _BENFORD]), F.col("digit").cast("int")
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n_obs"),
+            F.round(F.col("n") / F.col("total").cast("double"), 6).alias(
+                "obs_share"
+            ),
+            benford.alias("benford_share"),
+        )
+        .orderBy("digit")
+    )
