@@ -108,6 +108,9 @@ _PRIORITY: tuple[str, ...] = (
     "q182_cusum_changepoint",
     "q183_attribution",
     "q184_benford_audit",
+    "q185_windowed_funnel",
+    "q186_path_mining",
+    "q187_pareto_concentration",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -118,10 +121,10 @@ _PRIORITY: tuple[str, ...] = (
     "q147_dsir_weights",
     "q148_tokenizer_fertility",
     "q149_decontaminate_spans",
+    # ---- window boundary (50) — names below queue for round 7 ----
     "q150_ann_persisted_index",
     "q151_ann_incremental",
     "s15_streaming_quality_router",
-    # ---- window boundary (50) — names below queue for round 7 ----
     "cs12_python_datasource_writer",
     # -- (2) r1-era stale: multimodal --
     "m48_image_decode_features",

@@ -1411,3 +1411,220 @@ def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q185: time-bounded funnel (each step within 1 hour of the previous)
+# ---------------------------------------------------------------------------
+
+_Q185_SQL = f"""
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+    AND epoch_us(e.ts) - v.t1 <= {US_PER_HOUR}
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+    AND epoch_us(e.ts) - c.t2 <= {US_PER_HOUR}
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click_1h,
+       (SELECT COUNT(*) FROM p) AS n_purchase_1h
+"""
+
+
+@register(
+    "q185_windowed_funnel",
+    _Q185_SQL,
+    doc=(
+        "time-bounded conversion funnel (q75 with the product-"
+        "analytics conversion window): each step must land strictly "
+        "after AND within 1 hour of the previous step's first "
+        "occurrence; same chained per-user conditional minima — every "
+        "join carries one row per user, never O(events)"
+    ),
+    tables=("events",),
+)
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("us") > F.col("t1"))
+            & ((F.col("us") - F.col("t1")) <= US_PER_HOUR)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("us") > F.col("t2"))
+            & ((F.col("us") - F.col("t2")) <= US_PER_HOUR)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_1h")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_1h")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q186: behavioral path mining (top event-type trigrams per user stream)
+# ---------------------------------------------------------------------------
+
+_Q186_SQL = """
+WITH s AS (
+  SELECT user_id, list(event_type ORDER BY epoch_us(ts), event_id) AS seq
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT unnest(list_transform(range(1, len(seq) - 1),
+         i -> seq[i] || '>' || seq[i+1] || '>' || seq[i+2])) AS path
+  FROM s WHERE len(seq) >= 3
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+FROM g GROUP BY path ORDER BY n DESC, path LIMIT 10
+"""
+
+
+@register(
+    "q186_path_mining",
+    _Q186_SQL,
+    doc=(
+        "behavioral path mining: the top-10 3-step event-type "
+        "sequences across all user streams — per-user ordered collect "
+        "(bounded by a user's own history, the q39 bigram discipline), "
+        "trigrams built IN-ROW (transform over sequence, no self-join "
+        "and no window), then one map-side-partial count + "
+        "TakeOrderedAndProject"
+    ),
+    tables=("events",),
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("us", "event_id", "event_type"))),
+        lambda s: s.event_type,
+    )
+    s = ev.groupBy("user_id").agg(seq.alias("seq")).where(F.size("seq") >= 3)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("seq") - 2),
+        lambda i: F.concat_ws(
+            ">",
+            F.element_at(F.col("seq"), i),
+            F.element_at(F.col("seq"), i + 1),
+            F.element_at(F.col("seq"), i + 2),
+        ),
+    )
+    return (
+        s.select(F.explode(tri).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q187: Pareto revenue concentration (the 80/20 census)
+# ---------------------------------------------------------------------------
+
+_Q187_SQL = """
+WITH c AS (
+  SELECT o_custkey AS ck,
+         CAST(SUM(FLOOR(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT ck, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, ck) AS cum,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, ck) AS rnk
+  FROM c
+),
+t AS (SELECT SUM(cents) AS total, COUNT(*) AS n FROM c)
+SELECT CAST(t.n AS BIGINT) AS n_customers,
+       CAST(t.total AS BIGINT) AS total_cents,
+       CAST((SELECT COUNT(*) FROM w, t WHERE 5 * (w.cum - w.cents) < 4 * t.total)
+            AS BIGINT) AS k80,
+       ROUND((SELECT SUM(cents) FROM w WHERE rnk <= 10)
+             / CAST(t.total AS DOUBLE), 6) AS top10_share
+FROM t
+"""
+
+
+@register(
+    "q187_pareto_concentration",
+    _Q187_SQL,
+    doc=(
+        "revenue-concentration census (the Pareto 80/20 question): "
+        "customers rank by integer-cents revenue (float-tie-proof), "
+        "k80 = how many top customers cover 80% of revenue — the "
+        "cumulative test is pure integer math (5*prev_cum < 4*total) — "
+        "plus the top-10 share; rank and running sum go through the "
+        "range-bucketed global_rank/global_cumsum (one wide shuffle "
+        "each, never a single-task window)"
+    ),
+    tables=("orders",),
+)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.packing import (
+        global_cumsum,
+        global_rank,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("cents")
+    )
+    # descending revenue order == ascending -cents; ck breaks ties
+    keyed = c.withColumn("neg", -F.col("cents"))
+    ranked = global_rank(keyed, ["neg", "ck"], out_col="rnk")
+    w = global_cumsum(ranked, "rnk", "cents", out_col="cum").drop("neg")
+    t = c.agg(
+        F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    wt = w.crossJoin(F.broadcast(t))
+    k80 = wt.where(
+        5 * (F.col("cum") - F.col("cents")) < 4 * F.col("total")
+    ).agg(F.count(F.lit(1)).alias("k80"))
+    top10 = wt.where(F.col("rnk") <= 10).agg(
+        (
+            F.sum("cents") / F.first("total").cast("double")
+        ).alias("top10_raw")
+    )
+    return (
+        t.crossJoin(F.broadcast(k80))
+        .crossJoin(F.broadcast(top10))
+        .select(
+            F.col("n").cast("long").alias("n_customers"),
+            F.col("total").cast("long").alias("total_cents"),
+            F.col("k80").cast("long").alias("k80"),
+            F.round(F.col("top10_raw"), 6).alias("top10_share"),
+        )
+    )
