@@ -127,6 +127,26 @@ TIER2_QUERIES = [
     "q168_budget_select",
     "q169_rolling_dau",
     "q170_autocorrelation",
+    # round-6 continuation: pair mining, eval stats, blocking,
+    # retrieval infra, sketch estimation, coreset/PCA, analytics
+    "q171_frequent_pairs",
+    "q172_roc_auc",
+    "q173_ab_ztest",
+    "q174_sorted_neighborhood",
+    "q175_cms_join_estimate",
+    "q176_inverted_index",
+    "q177_kcenter_coreset",
+    "s18_streaming_cms",
+    "q178_pca_power",
+    "q179_knn_label_audit",
+    "q180_rfm_segments",
+    "q181_twap",
+    "q182_cusum_changepoint",
+    "q183_attribution",
+    "q184_benford_audit",
+    "q185_windowed_funnel",
+    "q186_path_mining",
+    "q187_pareto_concentration",
 ]
 
 

@@ -507,3 +507,76 @@ def test_q155_grid_join_no_cartesian(spark, sf_dir):
     # spelling is the O(n²) plan this operator exists to avoid
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q171_pairs_in_row_no_self_join(spark, sf_dir):
+    # pair generation must be in-row (posexplode tail-slice), never a
+    # basket-table self-join: every join in the plan is an equi hash
+    # join (item-frequency semi + stat lookups), no cartesian shape
+    plan = _plan(spark, sf_dir, "q171_frequent_pairs")
+    assert "CartesianProduct" not in plan
+    # the single BNLJ is the broadcast of the 1-row basket-count frame
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "posexplode" in plan
+
+
+def test_q174_blocking_is_rank_offset_equi_join(spark, sf_dir):
+    # sorted-neighborhood candidates join on the rank+offset key — an
+    # equi join carrying O(n*w) rows, never a range/cross join; and the
+    # rank itself must ride the bucketed window, not a single task
+    plan = _plan(spark, sf_dir, "q174_sorted_neighborhood")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "Window [" in line and "row_number" in line:
+            assert "__bucket" in line, line
+
+
+def test_q172_auc_no_single_partition_data_window(spark, sf_dir):
+    # the strictly-below prefix count must ride global_cumsum's
+    # bucketed window; only the tiny per-bucket offset frame may be a
+    # single partition
+    plan = _plan(spark, sf_dir, "q172_roc_auc")
+    for line in plan.splitlines():
+        if "Window [" in line and "sum(" in line and "cnt" in line:
+            assert "__bucket" in line, line
+
+
+def test_q176_probe_touches_postings_not_corpus(spark, sf_dir):
+    # the AND-query probes explode ONLY the two matched tokens'
+    # posting shards: the token filter must be pushed into the
+    # aggregate subtree, and the doc intersection is an equi join
+    plan = _plan(spark, sf_dir, "q176_inverted_index")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # 1-row stat glue only
+
+
+def test_q177_kcenter_argmax_is_take_ordered(spark, sf_dir):
+    # each greedy round's argmax must be TakeOrderedAndProject — a
+    # per-partition heap — never a global sort of the corpus
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from osm_changesets_to_parquet_spark.operators.similarity import (
+        k_center_greedy,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    seed = e.where(F.col("vec_id") == 0).collect()[0]
+    arr = F.array(*[F.lit(float(x)) for x in seed["v"]])
+    dist = F.aggregate(
+        F.zip_with("v", arr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    step = (
+        e.withColumn("mind", dist)
+        .where(F.col("vec_id") != 0)
+        .orderBy(F.col("mind").desc(), "vec_id")
+        .limit(1)
+    )
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
