@@ -111,6 +111,9 @@ _PRIORITY: tuple[str, ...] = (
     "q185_windowed_funnel",
     "q186_path_mining",
     "q187_pareto_concentration",
+    "u6_udtf_analyze_dynamic_schema",
+    "q188_column_mi",
+    "q189_key_gini",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
@@ -118,10 +121,10 @@ _PRIORITY: tuple[str, ...] = (
     "q145_bpe_encode",
     "q146_quantized_rerank",
     "s14_streaming_neardup",
+    # ---- window boundary (50) — names below queue for round 7 ----
     "q147_dsir_weights",
     "q148_tokenizer_fertility",
     "q149_decontaminate_spans",
-    # ---- window boundary (50) — names below queue for round 7 ----
     "q150_ann_persisted_index",
     "q151_ann_incremental",
     "s15_streaming_quality_router",

@@ -1628,3 +1628,115 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("top10_raw"), 6).alias("top10_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q188: column-pair mutual information (contingency PMI table)
+# ---------------------------------------------------------------------------
+
+_Q188_SQL = """
+WITH j AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+t AS (SELECT SUM(n) AS total FROM j),
+ml AS (SELECT lang, SUM(n) AS nl FROM j GROUP BY 1),
+ms AS (SELECT source, SUM(n) AS ns FROM j GROUP BY 1)
+SELECT j.lang AS lang, j.source AS source, CAST(j.n AS BIGINT) AS n_joint,
+       ROUND(LN((CAST(j.n AS DOUBLE) * t.total) / (CAST(ml.nl AS DOUBLE) * ms.ns)), 6) AS pmi
+FROM j CROSS JOIN t
+JOIN ml ON ml.lang = j.lang
+JOIN ms ON ms.source = j.source
+ORDER BY j.lang, j.source
+"""
+
+
+@register(
+    "q188_column_mi",
+    _Q188_SQL,
+    doc=(
+        "column-dependence audit: the (lang, source) contingency table "
+        "with per-cell pointwise mutual information — the feature-"
+        "relevance / leakage screen run before training on categorical "
+        "columns.  One keyed count, two tiny broadcast marginals; the "
+        "ln argument is a ratio of exact integer products, so both "
+        "engines round the same double"
+    ),
+    tables=("documents",),
+)
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    j = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    t = j.agg(F.sum("n").alias("total"))
+    ml = j.groupBy("lang").agg(F.sum("n").alias("nl"))
+    ms = j.groupBy("source").agg(F.sum("n").alias("ns"))
+    return (
+        j.crossJoin(F.broadcast(t))
+        .join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .select(
+            "lang",
+            "source",
+            F.col("n").cast("long").alias("n_joint"),
+            F.round(
+                F.log(
+                    (F.col("n").cast("double") * F.col("total"))
+                    / (F.col("nl").cast("double") * F.col("ns"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q189: Gini coefficient of the join-key frequency distribution
+# ---------------------------------------------------------------------------
+
+_Q189_SQL = """
+WITH f AS (SELECT l_partkey AS k, COUNT(*) AS x FROM lineitem GROUP BY 1),
+r AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, k) AS i FROM f
+),
+s AS (SELECT SUM(x) AS total, COUNT(*) AS n, SUM(i * x) AS ix FROM r)
+SELECT CAST(n AS BIGINT) AS n_keys, CAST(total AS BIGINT) AS total_rows,
+       ROUND((2.0 * ix) / (CAST(n AS DOUBLE) * total) - (n + 1.0) / n, 6) AS gini
+FROM s
+"""
+
+
+@register(
+    "q189_key_gini",
+    _Q189_SQL,
+    doc=(
+        "Gini coefficient of a join key's frequency distribution — the "
+        "single-number skew audit complementing q133's per-key "
+        "profiler (0 = uniform, 1 = one key owns everything): "
+        "frequencies rank ascending through the range-bucketed "
+        "global_rank (ties broken by key), and Sum(i*x) is exact "
+        "integer math, so the closed-form Gini is the same double on "
+        "both engines"
+    ),
+    tables=("lineitem",),
+)
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.packing import global_rank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    r = global_rank(f, ["x", "k"], out_col="i")
+    s = r.agg(
+        F.sum("x").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("i") * F.col("x")).alias("ix"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_keys"),
+        F.col("total").cast("long").alias("total_rows"),
+        F.round(
+            (F.lit(2.0) * F.col("ix"))
+            / (F.col("n").cast("double") * F.col("total"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

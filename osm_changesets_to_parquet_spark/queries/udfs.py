@@ -174,3 +174,53 @@ def u5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "lang", "n_docs", F.round("mean_chars", 4).alias("mean_chars"), "max_chars"
     ).orderBy("lang")
+
+
+@register(
+    "u6_udtf_analyze_dynamic_schema",
+    """
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, toks[1] AS t0, toks[2] AS t1, toks[3] AS t2
+    FROM s ORDER BY doc_id
+    """,
+    doc=(
+        "POLYMORPHIC Python UDTF (Spark 4 analyze() API): the output "
+        "schema — one column per leading token, t0..t{n-1} — is "
+        "computed at PLAN time from the literal n argument by the "
+        "static analyze() hook, the dynamic-schema half of the UDTF "
+        "surface u4 doesn't exercise; rows evaluate lateral per "
+        "document, padding short docs with NULLs"
+    ),
+    tables=("documents",),
+)
+def u6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class LeadTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            k = int(n.value)
+            return AnalyzeResult(
+                StructType(
+                    [StructField(f"t{i}", StringType()) for i in range(k)]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").split(" ")
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(n)
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("u6_documents")
+    spark.udtf.register("lead_tokens", udtf(LeadTokens))
+    return spark.sql(
+        """
+        SELECT doc_id, t.t0, t.t1, t.t2
+        FROM u6_documents, LATERAL lead_tokens(text, 3) t
+        ORDER BY doc_id
+        """
+    )
