@@ -114,14 +114,15 @@ _PRIORITY: tuple[str, ...] = (
     "u6_udtf_analyze_dynamic_schema",
     "q188_column_mi",
     "q189_key_gini",
+    "q190_skyline",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
     "q144_bpe_merges",
     "q145_bpe_encode",
     "q146_quantized_rerank",
-    "s14_streaming_neardup",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "s14_streaming_neardup",
     "q147_dsir_weights",
     "q148_tokenizer_fertility",
     "q149_decontaminate_spans",

@@ -1740,3 +1740,63 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q190: 2-D skyline / Pareto front (preference query)
+# ---------------------------------------------------------------------------
+
+_Q190_SQL = """
+WITH c AS (
+  SELECT o_custkey AS ck,
+         CAST(SUM(FLOOR(o_totalprice * 100 + 0.5)) AS BIGINT) AS x,
+         COUNT(*) AS y
+  FROM orders GROUP BY 1
+),
+p AS (SELECT x, y, COUNT(*) AS n_customers FROM c GROUP BY 1, 2),
+s AS (
+  SELECT x, y, n_customers,
+         MAX(y) OVER (ORDER BY x DESC
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gmx,
+         MAX(y) OVER (PARTITION BY x) AS xmax
+  FROM p
+)
+SELECT x AS revenue_cents, CAST(y AS BIGINT) AS n_orders,
+       CAST(n_customers AS BIGINT) AS n_customers
+FROM s WHERE y = xmax AND (gmx IS NULL OR y > gmx)
+ORDER BY revenue_cents, n_orders
+"""
+
+
+@register(
+    "q190_skyline",
+    _Q190_SQL,
+    doc=(
+        "2-D skyline / Pareto front (Borzsony-Kossmann-Stocker 2001, "
+        "the preference-query operator): customers not dominated on "
+        "(revenue, order count), both maximized — revenue in integer "
+        "cents so dominance never hinges on a float-sum ulp.  "
+        "operators/skyline.py spells the sort-based algorithm WITHOUT "
+        "the partition-less window: distinct pairs, x-range buckets, "
+        "per-bucket suffix maxima broadcast (|buckets| rows), and a "
+        "bucket-partitioned strictly-greater-x RANGE frame; the oracle "
+        "runs the single-window textbook form"
+    ),
+    tables=("orders",),
+)
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.skyline import skyline_2d_max
+
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    out = skyline_2d_max(c, "x", "y", bounds=[2.0e7 * i for i in range(1, 32)])
+    return out.select(
+        F.col("x").alias("revenue_cents"),
+        F.col("y").cast("long").alias("n_orders"),
+        F.col("n_points").cast("long").alias("n_customers"),
+    ).orderBy("revenue_cents", "n_orders")

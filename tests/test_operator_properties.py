@@ -691,3 +691,39 @@ def test_rolling_distinct_users_matches_brute(spark, pairs):
     for d in days:
         want = len({u for dd, u in pairs if d - 6 <= dd <= d})
         assert got[d] == want, (d, pairs)
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    """skyline_2d_max == O(n^2) dominance scan on an anti-correlated
+    synthetic set (rich Pareto front), including duplicate pairs and
+    same-x columns."""
+    from osm_changesets_to_parquet_spark.operators.skyline import (
+        skyline_2d_max,
+    )
+
+    import itertools
+    rows = []
+    # deterministic anti-correlated lattice + noise from a fixed LCG
+    seed = 1234567
+    for i in range(400):
+        seed = (seed * 1103515245 + 12345) % (1 << 31)
+        x = seed % 100
+        seed = (seed * 1103515245 + 12345) % (1 << 31)
+        y = 100 - x + (seed % 25) - 12
+        rows.append((x, y))
+    rows += [(50, 70), (50, 70), (50, 10)]  # dup pair + same-x column
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"], r["n_points"])
+        for r in skyline_2d_max(df, "x", "y", bounds=[20.0, 40.0, 60.0, 80.0]).collect()
+    }
+    from collections import Counter
+    cnt = Counter(rows)
+    sky = set()
+    for (x, y), n in cnt.items():
+        dominated = any(
+            (a >= x and b >= y and (a > x or b > y)) for (a, b) in cnt
+        )
+        if not dominated:
+            sky.add((x, y, n))
+    assert got == sky and len(sky) >= 5
