@@ -1800,3 +1800,104 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").cast("long").alias("n_orders"),
         F.col("n_points").cast("long").alias("n_customers"),
     ).orderBy("revenue_cents", "n_orders")
+
+
+# ---------------------------------------------------------------------------
+# Q192: exact 1-D earth-mover drift between two cohorts
+# ---------------------------------------------------------------------------
+
+_Q192_SQL = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+         CASE WHEN ((epoch_us(ts) // {US_PER_DAY}) + 4) % 7 < 5
+              THEN 1 ELSE 0 END AS wk
+  FROM events
+),
+g AS (
+  SELECT event_type, v,
+         SUM(wk) AS na, SUM(1 - wk) AS nb
+  FROM e GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, SUM(na) AS tna, SUM(nb) AS tnb
+  FROM g GROUP BY 1
+),
+c AS (
+  SELECT g.event_type, g.v, t.tna, t.tnb,
+         SUM(g.na) OVER (PARTITION BY g.event_type ORDER BY g.v) AS ca,
+         SUM(g.nb) OVER (PARTITION BY g.event_type ORDER BY g.v) AS cb,
+         LEAD(g.v) OVER (PARTITION BY g.event_type ORDER BY g.v) AS nv
+  FROM g JOIN t ON g.event_type = t.event_type
+),
+s AS (
+  SELECT event_type, tna, tnb,
+         SUM(CAST(ABS(ca * tnb - cb * tna) * (nv - v) AS HUGEINT)) AS num
+  FROM c WHERE nv IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT event_type, CAST(tna AS BIGINT) AS n_weekday, CAST(tnb AS BIGINT) AS n_weekend,
+       ROUND(CAST(num AS DOUBLE) / (CAST(tna AS DOUBLE) * tnb) / 100.0, 4) AS emd
+FROM s ORDER BY event_type
+"""
+
+
+@register(
+    "q192_emd_drift",
+    _Q192_SQL,
+    doc=(
+        "exact 1-D earth-mover (Wasserstein-1) distance between the "
+        "weekday and weekend value distributions per event type — the "
+        "metric-aware drift monitor complementing q120's bin-based PSI: "
+        "EMD = integral |CDF_a - CDF_b| over the support, computed on "
+        "integer CENTS with the numerator |ca*Nb - cb*Na|*dv "
+        "accumulated in DECIMAL(38,0) — every term exact integer math, "
+        "the only float op is the final normalization.  The window "
+        "input is the per-(type, distinct-value) table — bounded by "
+        "the value support, not the event count"
+    ),
+    tables=("events",),
+)
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        (
+            ((F.unix_micros("ts") / US_PER_DAY).cast("long") + 4) % 7 < 5
+        ).cast("long").alias("wk"),
+    )
+    g = e.groupBy("event_type", "v").agg(
+        F.sum("wk").alias("na"), F.sum(F.lit(1) - F.col("wk")).alias("nb")
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum("na").alias("tna"), F.sum("nb").alias("tnb")
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    c = (
+        g.join(t, "event_type")
+        .withColumn("ca", F.sum("na").over(w))
+        .withColumn("cb", F.sum("nb").over(w))
+        .withColumn("nv", F.lead("v").over(w))
+        .where(F.col("nv").isNotNull())
+    )
+    s = c.groupBy("event_type", "tna", "tnb").agg(
+        F.sum(
+            (
+                F.abs(F.col("ca") * F.col("tnb") - F.col("cb") * F.col("tna"))
+                * (F.col("nv") - F.col("v"))
+            ).cast("decimal(38,0)")
+        ).alias("num")
+    )
+    return s.select(
+        "event_type",
+        F.col("tna").cast("long").alias("n_weekday"),
+        F.col("tnb").cast("long").alias("n_weekend"),
+        F.round(
+            F.col("num").cast("double")
+            / (F.col("tna").cast("double") * F.col("tnb"))
+            / F.lit(100.0),
+            4,
+        ).alias("emd"),
+    ).orderBy("event_type")
