@@ -115,13 +115,14 @@ _PRIORITY: tuple[str, ...] = (
     "q188_column_mi",
     "q189_key_gini",
     "q190_skyline",
+    "q191_dynamic_partition_pruning",
     "q192_emd_drift",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",
     "q144_bpe_merges",
-    "q145_bpe_encode",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q145_bpe_encode",
     "q146_quantized_rerank",
     "s14_streaming_neardup",
     "q147_dsir_weights",

@@ -758,3 +758,82 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q191: dynamic partition pruning (runtime file skipping from a join)
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY_Q191 = 86_400_000_000
+
+_Q191_SQL = f"""
+WITH hot AS (
+  SELECT DISTINCT epoch_us(ts) // {_US_PER_DAY_Q191} AS day
+  FROM events WHERE event_type = 'error' AND value > 200
+),
+f AS (
+  SELECT e.event_type, FLOOR(e.value * 100 + 0.5) AS cents
+  FROM events e JOIN hot ON epoch_us(e.ts) // {_US_PER_DAY_Q191} = hot.day
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM f GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "q191_dynamic_partition_pruning",
+    _Q191_SQL,
+    doc=(
+        "DYNAMIC partition pruning — the runtime half of the skipping "
+        "story (q159/q163 prune from static predicates): the event "
+        "fact is laid out hive-partitioned by day; the probe joins it "
+        "to a dimension only computable at RUN time (days containing a "
+        "severe error event — a SELECTIVE base-relation filter, which "
+        "the PartitionPruning rule requires on the dim side; a purely "
+        "aggregate-derived dim does NOT qualify), and Spark injects the "
+        "broadcast result as a DynamicPruningExpression into the fact "
+        "scan's PartitionFilters — quiet-day directories are never "
+        "read.  Plan shape pinned in tests/test_plans.py; the "
+        "partitioned write is one-time per fixture (_READY marker, "
+        "the q159 discipline)"
+    ),
+    tables=("events",),
+)
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"events_dayparts_{base}")
+    ready = os.path.join(path, "_READY")
+    if not os.path.exists(ready):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+            (F.unix_micros("ts") / _US_PER_DAY_Q191).cast("long").alias("day"),
+        )
+        # one task per day dir => exactly one file each; idempotent
+        ev.repartition("day").write.partitionBy("day").mode(
+            "overwrite"
+        ).parquet(path)
+        open(ready, "w").close()
+    fact = spark.read.parquet(path)
+    ev = load_table(spark, sf_dir, "events")
+    hot = (
+        ev.where((F.col("event_type") == "error") & (F.col("value") > 200))
+        .select(
+            (F.unix_micros("ts") / _US_PER_DAY_Q191).cast("int").alias("day")
+        )
+        .distinct()
+    )
+    f = fact.join(hot, "day")
+    return (
+        f.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -580,3 +580,11 @@ def test_q177_kcenter_argmax_is_take_ordered(spark, sf_dir):
     )
     plan = step._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q191_dynamic_partition_pruning_in_scan(spark, sf_dir):
+    # the fact scan must carry a DynamicPruningExpression in its
+    # partition filters — the runtime-pruning contract, not just a
+    # plain broadcast join
+    plan = _plan(spark, sf_dir, "q191_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower()
