@@ -1901,3 +1901,64 @@ def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("emd"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Q193: decile lift table (score-band conversion readout)
+# ---------------------------------------------------------------------------
+
+_Q193_SQL = """
+WITH e AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+         event_id
+  FROM events
+),
+t AS (
+  SELECT e.*, NTILE(10) OVER (ORDER BY cents, event_id) AS decile FROM e
+)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       ROUND(SUM(pos) / CAST(COUNT(*) AS DOUBLE), 6) AS conv_rate,
+       ROUND(SUM(cents) / CAST(COUNT(*) AS DOUBLE) / 100.0, 6) AS mean_value
+FROM t GROUP BY decile ORDER BY decile
+"""
+
+
+@register(
+    "q193_decile_lift",
+    _Q193_SQL,
+    doc=(
+        "decile lift / reliability table (the campaign-targeting "
+        "readout q172's AUC summarizes): events band into exact value "
+        "deciles via the range-bucketed global_ntile, each band "
+        "reports volume, conversion rate, and mean value — values ride "
+        "integer cents so band boundaries and means are float-proof"
+    ),
+    tables=("events",),
+)
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.packing import global_ntile
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+        "event_id",
+    )
+    t = global_ntile(e, ["cents", "event_id"], 10, out_col="decile")
+    return (
+        t.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.round(
+                F.sum("pos") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("conv_rate"),
+            F.round(
+                F.sum("cents") / F.count(F.lit(1)).cast("double") / F.lit(100.0),
+                6,
+            ).alias("mean_value"),
+        )
+        .orderBy("decile")
+    )
