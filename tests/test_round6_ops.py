@@ -655,3 +655,131 @@ def test_targeted_delete_emptied_bucket(spark, tmp_path):
         spark, store, doomed, "uid", str(tmp_path / "after"), n_buckets=16
     )
     assert [r.row_id for r in surv.collect()] == [2]
+
+
+# ---------------------------------------------------------------------------
+# Session-3 operator property tests (brute-force semantics guards —
+# the DuckDB oracle pins cross-engine parity; these pin the MATH)
+# ---------------------------------------------------------------------------
+
+
+def test_q172_auc_equals_pairwise_probability(spark, sf_dir):
+    """AUC from the rank statistic == P(score_pos > score_neg) +
+    0.5*P(tie), counted pairwise over the raw events."""
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from osm_changesets_to_parquet_spark.queries.analytics import q172
+
+    got = q172(spark, sf_dir).collect()[0]
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("value", "event_type")
+        .collect()
+    )
+    pos = sorted(r["value"] for r in rows if r["event_type"] == "purchase")
+    neg = sorted(r["value"] for r in rows if r["event_type"] != "purchase")
+    import bisect
+    wins = ties = 0
+    for p in pos:
+        wins += bisect.bisect_left(neg, p)
+        ties += bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(got["auc"] - auc) < 1e-5
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+
+
+def test_q182_cusum_closed_form_equals_recursion(spark, sf_dir):
+    """csum - min(0, earlier csum) == the textbook recursion
+    S_t = max(0, S_{t-1} + dev_t), replayed in Python per type."""
+    from osm_changesets_to_parquet_spark.queries.analytics import q182, US_PER_DAY
+    from osm_changesets_to_parquet_spark.catalog import load_table
+
+    got = {r["event_type"]: r for r in q182(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros("ts") / US_PER_DAY).cast("long").alias("day"),
+        "value",
+    )
+    d = (
+        ev.groupBy("event_type", "day")
+        .agg(F.round(F.avg("value"), 4).alias("x"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in d:
+        series.setdefault(r["event_type"], []).append((r["day"], r["x"]))
+    for et, pts in series.items():
+        pts.sort()
+        mu = round(sum(x for _, x in pts) / len(pts), 6)
+        s, best = 0.0, None
+        for day, x in pts:
+            s = max(0.0, s + (x - mu))
+            if best is None or s > best[1] + 1e-12:
+                best = (day, s)
+        assert got[et]["change_day"] == best[0]
+        assert abs(got[et]["max_cusum"] - best[1]) < 1e-3
+
+
+def test_q181_twap_matches_bruteforce(spark, sf_dir):
+    """DECIMAL-accumulated TWAP == a per-user Python replay over the
+    sorted event stream."""
+    from osm_changesets_to_parquet_spark.queries.analytics import q181
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    import math
+
+    got = {r["user_id"]: r for r in q181(spark, sf_dir).collect()}
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 30)
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_id", "value")
+        .collect()
+    )
+    streams: dict[int, list] = {}
+    for r in rows:
+        streams.setdefault(r["user_id"], []).append(
+            (r["us"], r["event_id"], int(math.floor(r["value"] * 100 + 0.5)))
+        )
+    for uid, evs in streams.items():
+        evs.sort()
+        wsum = tdt = 0
+        for (us, _, cents), (nus, _, _) in zip(evs, evs[1:]):
+            wsum += cents * (nus - us)
+            tdt += nus - us
+        if tdt == 0:
+            assert uid not in got
+            continue
+        assert got[uid]["total_dt_us"] == tdt
+        assert abs(got[uid]["twap"] - wsum / tdt / 100.0) < 1e-5
+
+
+def test_q192_emd_matches_bruteforce(spark, sf_dir):
+    """Integer-accumulated EMD == direct CDF-difference integral in
+    Python over the raw cohorts."""
+    from osm_changesets_to_parquet_spark.queries.analytics import q192, US_PER_DAY
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    import math
+    from collections import Counter
+
+    got = {r["event_type"]: r for r in q192(spark, sf_dir).collect()}
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    data: dict[str, tuple] = {}
+    for r in rows:
+        wk = ((r["us"] // US_PER_DAY) + 4) % 7 < 5
+        cents = int(math.floor(r["value"] * 100 + 0.5))
+        data.setdefault(r["event_type"], (Counter(), Counter()))[0 if wk else 1][
+            cents
+        ] += 1
+    for et, (a, b) in data.items():
+        na, nb = sum(a.values()), sum(b.values())
+        support = sorted(set(a) | set(b))
+        ca = cb = 0
+        emd = 0.0
+        for v, nv in zip(support, support[1:]):
+            ca += a.get(v, 0)
+            cb += b.get(v, 0)
+            emd += abs(ca / na - cb / nb) * (nv - v)
+        assert got[et]["n_weekday"] == na and got[et]["n_weekend"] == nb
+        assert abs(got[et]["emd"] - emd / 100.0) < 1e-3
