@@ -118,10 +118,11 @@ _PRIORITY: tuple[str, ...] = (
     "q191_dynamic_partition_pruning",
     "q192_emd_drift",
     "q193_decile_lift",
+    "s19_streaming_conversions",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
-    "q143_repeated_spans",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q143_repeated_spans",
     "q144_bpe_merges",
     "q145_bpe_encode",
     "q146_quantized_rerank",

@@ -539,3 +539,41 @@ def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_changesets_to_parquet_spark.streaming import run_s18_streaming_cms
 
     return run_s18_streaming_cms(spark, sf_dir)
+
+
+@register(
+    "s19_streaming_conversions",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    m AS (
+      SELECT p.user_id, p.event_id, p.us,
+             (SELECT v.us FROM ev v
+               WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                 AND (v.us, v.event_id) < (p.us, p.event_id)
+               ORDER BY v.us DESC, v.event_id DESC LIMIT 1) AS vus
+      FROM ev p WHERE p.event_type = 'purchase'
+    )
+    SELECT user_id, event_id AS purchase_event_id,
+           CAST(us - vus AS BIGINT) AS gap_us
+    FROM m WHERE vus IS NOT NULL AND us - vus <= 3600000000
+    ORDER BY purchase_event_id
+    """,
+    doc=(
+        "STREAMING pattern detection (the CEP / MATCH_RECOGNIZE "
+        "shape): purchase within 1h of the user's most recent view "
+        "emits a conversion as it happens — keyed state is ONE "
+        "timestamp per user, bounded by the population, where the "
+        "equivalent interval stream-join buffers a full window of "
+        "rows; oracle is the as-of correlated subquery over the same "
+        "(ts, event_id) total order"
+    ),
+    tables=("events",),
+)
+def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.streaming import (
+        run_s19_streaming_conversions,
+    )
+
+    return run_s19_streaming_conversions(spark, sf_dir)

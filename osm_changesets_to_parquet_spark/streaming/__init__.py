@@ -24,4 +24,5 @@ from osm_changesets_to_parquet_spark.streaming.jobs import (  # noqa: F401
     run_s16_streaming_transitions,
     run_s17_full_outer_join,
     run_s18_streaming_cms,
+    run_s19_streaming_conversions,
 )

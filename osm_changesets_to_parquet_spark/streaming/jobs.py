@@ -1036,3 +1036,67 @@ def run_s18_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "exact_cnt", "cms_est")
         .orderBy(F.col("exact_cnt").desc(), "token")
     )
+
+
+def run_s19_streaming_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING pattern detection (the CEP / MATCH_RECOGNIZE shape):
+    emit a conversion whenever a purchase arrives within 1 hour of the
+    user's most recent view — the stateful two-step pattern the
+    built-in stream joins express only as an interval join with a
+    whole-window buffer; keyed state here is ONE timestamp per user
+    (the last view), bounded by the user population.
+
+    Each micro-batch sorts its per-user rows by (ts_us, event_id) —
+    the replay's event-time order — walks them against the stored
+    last-view timestamp, and emits (purchase, gap) rows; a view simply
+    overwrites the state.  Same in-order-replay trade documented at
+    run_s16.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_max = 3_600_000_000
+
+    base = prepare_replay_dir(spark, sf_dir, late=False)
+    ev = _read_stream(spark, base).select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts_us", "event_id"])
+        last_view = state.get[0] if state.exists else None
+        out_ids, out_gaps = [], []
+        for ts, eid, et in zip(
+            rows["ts_us"], rows["event_id"], rows["event_type"]
+        ):
+            if et == "view":
+                last_view = int(ts)
+            elif et == "purchase" and last_view is not None:
+                gap = int(ts) - last_view
+                if 0 <= gap <= gap_max:
+                    out_ids.append(int(eid))
+                    out_gaps.append(gap)
+        if last_view is not None:
+            state.update((last_view,))
+        if not out_ids:
+            return
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)] * len(out_ids),
+                "purchase_event_id": out_ids,
+                "gap_us": out_gaps,
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, purchase_event_id long, gap_us long",
+        stateStructType="last_view long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    outs = _run_availablenow(out, mode="update")
+    return outs.select("user_id", "purchase_event_id", "gap_us").orderBy(
+        "purchase_event_id"
+    )
