@@ -147,6 +147,14 @@ TIER2_QUERIES = [
     "q185_windowed_funnel",
     "q186_path_mining",
     "q187_pareto_concentration",
+    "u6_udtf_analyze_dynamic_schema",
+    "q188_column_mi",
+    "q189_key_gini",
+    "q190_skyline",
+    "q191_dynamic_partition_pruning",
+    "q192_emd_drift",
+    "q193_decile_lift",
+    "s19_streaming_conversions",
 ]
 
 

@@ -55,20 +55,15 @@ def register(
 
 # The driver records correctness rows in registry order and its window
 # has held exactly 50 entries per round (CORRECTNESS_r01-r05.json) — so
-# ordering is part of the verification contract.  Round-6 priority
-# (VERDICT r05 item 3):
-# (1) the 10 queries NEW this round (s13 partitioned stream source,
-#     q142 persisted near-dup index, q143 repeated spans, q144/q145/
-#     q148 BPE train/encode/fertility, q146 quantized ANN rerank,
-#     s14 streaming near-dup, q147 DSIR weights, cs12 Python
-#     DataSource writer) — witnessed on first contact;
-# (2) the 26 r1/r2-era stale names (m48-m50 r01; q27-q33, q53-q63,
-#     q65-q67, q73/q74 r02 — all MATCH in the judge's independent r05
-#     HEAD sweep, but the driver's own rows predate rounds 3-5);
-# (3) the OLDEST r03-witnessed names filling the window to 50
-#     (conversion/sampling/profile/dedup-truth families).
-# Positions 51+ queue the round-7 rotation: the remaining r03 names
-# (q86-q100 etc.), then r04 in registration order.
+# ordering is part of the verification contract.  Round 6 registered
+# far more new queries than the window holds (sessions 1-3 added 60+),
+# so the window is entirely round-6-new names, newest first: this
+# session's q171-q193/u6/s18/s19, then session 2's q152-q170 block,
+# then as much of session 1's s13/q142+ block as fits.  The session-1
+# overflow (q143-q151, s14, s15, cs12 — never driver-witnessed but
+# all MATCH in the local HEAD sweeps) leads the round-7 rotation
+# queue, followed by the r1/r2-era stale names (m48-m50, q27-q33,
+# q53-q67, q73/q74) and the r03 backfill.
 _PRIORITY: tuple[str, ...] = (
     # -- (1) new this round --
     "q152_unigram_entropy",
