@@ -114,9 +114,11 @@ _PRIORITY: tuple[str, ...] = (
     "q192_emd_drift",
     "q193_decile_lift",
     "s19_streaming_conversions",
+    "q194_embedding_dim_stats",
+    "q195_negative_sampling",
+    # ---- window boundary (50) — names below queue for round 7 ----
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
-    # ---- window boundary (50) — names below queue for round 7 ----
     "q143_repeated_spans",
     "q144_bpe_merges",
     "q145_bpe_encode",

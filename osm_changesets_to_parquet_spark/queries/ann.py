@@ -1203,3 +1203,171 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_agree").cast("long").alias("n_agree"),
         (F.col("n_agree") <= 1).cast("long").alias("suspect"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Q194: per-dimension embedding distribution profile
+# ---------------------------------------------------------------------------
+
+_Q194_SQL = """
+WITH e AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+u AS (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e)
+SELECT CAST(pos AS BIGINT) AS pos,
+       ROUND(AVG(x), 6) AS mean_x,
+       ROUND(STDDEV(x), 6) AS std_x,
+       ROUND(quantile_cont(x, 0.5), 6) AS p50,
+       MIN(x) AS min_x, MAX(x) AS max_x
+FROM u GROUP BY pos ORDER BY pos
+"""
+
+
+@register(
+    "q194_embedding_dim_stats",
+    _Q194_SQL,
+    doc=(
+        "per-dimension embedding distribution profile (the pre-flight "
+        "audit before quantization / whitening — dead dims, scale "
+        "outliers, mean drift): posexplode to (pos, x), one keyed "
+        "aggregate computing mean / sample-std / EXACT interpolated "
+        "median (F.percentile == quantile_cont, the q09 contract) / "
+        "min / max per dimension — shuffle carries dim keys, never "
+        "corpus rows beyond the partial aggregation"
+    ),
+    tables=("embeddings",),
+)
+def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = emb.select(
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x")
+    )
+    return (
+        u.groupBy("pos0")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean_x"),
+            F.round(F.stddev("x"), 6).alias("std_x"),
+            F.round(F.percentile("x", F.lit(0.5)), 6).alias("p50"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+        )
+        .select(
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            "mean_x", "std_x", "p50", "min_x", "max_x",
+        )
+        .orderBy("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q195: deterministic hash negative sampling (contrastive training)
+# ---------------------------------------------------------------------------
+
+_Q195_K = 4
+
+
+def _q195_sql() -> str:
+    from osm_changesets_to_parquet_spark.operators.quality import ID_FOLD, KNUTH
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (SELECT COUNT(*) AS n_ids FROM e),
+a AS (SELECT vec_id AS aid, label AS alab, v AS av FROM e WHERE vec_id % 50 = 0),
+cand AS (
+  SELECT a.aid, a.alab, a.av, j.j,
+         ((((a.aid % {ID_FOLD}) * {KNUTH} + j.j * 97) % {ID_FOLD}) % n.n_ids) AS nid
+  FROM a CROSS JOIN (SELECT unnest(range(1, {_Q195_K + 1})) AS j) j CROSS JOIN n
+),
+m AS (
+  SELECT c.aid, c.j, c.nid, e.label AS nlab,
+         CAST(unnest(c.av) AS DOUBLE) AS x, CAST(unnest(e.v) AS DOUBLE) AS y
+  FROM cand c JOIN e ON e.vec_id = c.nid
+  WHERE c.nid != c.aid AND e.label != c.alab
+)
+SELECT aid AS anchor_id, j AS draw, nid AS neg_id,
+       ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 4) AS sim
+FROM m GROUP BY aid, j, nid
+ORDER BY anchor_id, draw
+"""
+
+
+@register(
+    "q195_negative_sampling",
+    _q195_sql(),
+    doc=(
+        "deterministic negative sampling for contrastive training "
+        "(word2vec / SimCLR discipline, public): each anchor draws "
+        f"{_Q195_K} pseudo-random corpus ids from the shared Knuth "
+        "id-hash (identical integer math in both engines — no RNG), "
+        "drops self/same-label collisions, fetches the negatives by "
+        "EQUI-join on the computed id (never a cross join against the "
+        "corpus), and scores hardness by exact cosine.  q135 mines "
+        "HARD negatives by ANN; this is the cheap uniform-draw "
+        "baseline that scales as O(anchors x k)"
+    ),
+    tables=("embeddings",),
+)
+def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.quality import ID_FOLD, KNUTH
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    n = e.agg(F.count(F.lit(1)).alias("n_ids"))
+    a = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("alab"),
+        F.col("v").alias("av"),
+    )
+    cand = (
+        a.withColumn(
+            "j", F.explode(F.array(*[F.lit(i) for i in range(1, _Q195_K + 1)]))
+        )
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "nid",
+            (
+                (
+                    (F.col("aid") % F.lit(ID_FOLD)) * F.lit(KNUTH)
+                    + F.col("j") * F.lit(97)
+                )
+                % F.lit(ID_FOLD)
+            )
+            % F.col("n_ids"),
+        )
+    )
+    neg = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlab"),
+        F.col("v").alias("nv"),
+    )
+    m = (
+        cand.join(neg, "nid")
+        .where((F.col("nid") != F.col("aid")) & (F.col("nlab") != F.col("alab")))
+    )
+    dot = F.aggregate(
+        F.zip_with("av", "nv", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    return m.select(
+        F.col("aid").alias("anchor_id"),
+        F.col("j").cast("long").alias("draw"),
+        F.col("nid").alias("neg_id"),
+        F.round(dot / (nrm(F.col("av")) * nrm(F.col("nv"))), 4).alias("sim"),
+    ).orderBy("anchor_id", "draw")
