@@ -117,6 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "q194_embedding_dim_stats",
     "q195_negative_sampling",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q196_poisson_bootstrap",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",
     "q143_repeated_spans",

@@ -1962,3 +1962,117 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q196: Poisson bootstrap standard error (deterministic, hash-seeded)
+# ---------------------------------------------------------------------------
+
+_Q196_R = 32
+# Poisson(1) CDF cut into 10000ths, shared literals (NDCG discipline):
+# k = number of thresholds strictly below the hash draw
+_Q196_CDF = [3679, 7358, 9197, 9810, 9963]
+
+
+def _q196_sql() -> str:
+    from osm_changesets_to_parquet_spark.operators.quality import ID_FOLD, KNUTH
+
+    thr = ", ".join(str(t) for t in _Q196_CDF)
+    return f"""
+WITH e AS (
+  SELECT event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+d AS (
+  SELECT r.r, e.cents,
+         ((((e.event_id % {ID_FOLD}) * {KNUTH} + r.r * 9973) % {ID_FOLD}) % 10000) AS h
+  FROM e CROSS JOIN (SELECT unnest(range(1, {_Q196_R + 1})) AS r) r
+),
+w AS (
+  SELECT r, cents,
+         (SELECT COUNT(*) FROM (SELECT unnest([{thr}]) AS t) WHERE t <= h) AS wt
+  FROM d
+),
+m AS (
+  SELECT r,
+         SUM(wt * cents) / CAST(SUM(wt) AS DOUBLE) / 100.0 AS rep_mean
+  FROM w GROUP BY r
+)
+SELECT CAST({_Q196_R} AS BIGINT) AS n_replicates,
+       ROUND((SELECT SUM(cents) / CAST(COUNT(*) AS DOUBLE) / 100.0 FROM e), 6) AS mean_value,
+       ROUND(STDDEV(rep_mean), 6) AS bootstrap_se
+FROM m
+"""
+
+
+@register(
+    "q196_poisson_bootstrap",
+    _q196_sql(),
+    doc=(
+        "Poisson bootstrap standard error (the streaming-friendly "
+        "big-data bootstrap — Chamandy et al. / Google 2012, public): "
+        f"each row draws {_Q196_R} Poisson(1) replicate weights from "
+        "the shared Knuth id-hash against Poisson CDF literals (no "
+        "RNG — identical integer draws in both engines), replicate "
+        "means reduce in one keyed aggregate (shuffle carries R keys "
+        "after map-side partials, never the data), SE = stddev of the "
+        "replicate means; values ride integer cents so every weighted "
+        "sum is exact"
+    ),
+    tables=("events",),
+)
+def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.quality import ID_FOLD, KNUTH
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    # in-row: 32 (replicate, weight) pairs from the hash draw; the
+    # weight is the count of CDF thresholds at or below the draw
+    thr = F.array(*[F.lit(t) for t in _Q196_CDF])
+    reps = F.transform(
+        F.sequence(F.lit(1), F.lit(_Q196_R)),
+        lambda r: F.struct(
+            r.alias("r"),
+            F.size(
+                F.filter(
+                    thr,
+                    lambda t: t
+                    <= (
+                        (
+                            (F.col("event_id") % F.lit(ID_FOLD)) * F.lit(KNUTH)
+                            + r * F.lit(9973)
+                        )
+                        % F.lit(ID_FOLD)
+                    )
+                    % F.lit(10000),
+                )
+            ).alias("wt"),
+        ),
+    )
+    w = e.select("cents", F.explode(reps).alias("rw")).select(
+        "cents", F.col("rw.r").alias("r"), F.col("rw.wt").alias("wt")
+    )
+    m = w.groupBy("r").agg(
+        (
+            F.sum(F.col("wt") * F.col("cents"))
+            / F.sum("wt").cast("double")
+            / F.lit(100.0)
+        ).alias("rep_mean")
+    )
+    base = e.agg(
+        F.round(
+            F.sum("cents") / F.count(F.lit(1)).cast("double") / F.lit(100.0), 6
+        ).alias("mean_value")
+    )
+    se = m.agg(F.round(F.stddev("rep_mean"), 6).alias("bootstrap_se"))
+    return (
+        base.crossJoin(F.broadcast(se))
+        .select(
+            F.lit(_Q196_R).cast("long").alias("n_replicates"),
+            "mean_value",
+            "bootstrap_se",
+        )
+    )
