@@ -1076,9 +1076,19 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).cast("long").alias("cents"),
     )
-    t = global_ntile(c, ["rec", "ck"], 4, out_col="r_tile")
-    t = global_ntile(t, ["freq", "ck"], 4, out_col="f_tile")
-    t = global_ntile(t, ["cents", "ck"], 4, out_col="m_tile")
+    # fixed monotone bounds skip the per-call approxQuantile driver
+    # action (three of them — q180's dominant cost in BENCH tier2);
+    # balance only affects parallelism, never the tile assignment
+    rec_bounds = [694e12 + 1.6e13 * i for i in range(1, 13)]  # 1992-2002
+    t = global_ntile(c, ["rec", "ck"], 4, out_col="r_tile", bounds=rec_bounds)
+    t = global_ntile(
+        t, ["freq", "ck"], 4, out_col="f_tile",
+        bounds=[1.5, 3.5, 6.5, 10.5, 15.5, 21.5, 28.5],
+    )
+    t = global_ntile(
+        t, ["cents", "ck"], 4, out_col="m_tile",
+        bounds=[4.0e7 * i for i in range(1, 16)],
+    )
     return (
         t.groupBy("r_tile", "f_tile", "m_tile")
         .agg(F.count(F.lit(1)).alias("n_customers"))
@@ -1946,7 +1956,12 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("long").alias("pos"),
         "event_id",
     )
-    t = global_ntile(e, ["cents", "event_id"], 10, out_col="decile")
+    # event values are bounded money-like (cents 1..~50000): fixed
+    # bounds skip the approxQuantile pass
+    t = global_ntile(
+        e, ["cents", "event_id"], 10, out_col="decile",
+        bounds=[5000.0 * i for i in range(1, 10)],
+    )
     return (
         t.groupBy("decile")
         .agg(
