@@ -114,9 +114,10 @@ _PRIORITY: tuple[str, ...] = (
     "q192_emd_drift",
     "q193_decile_lift",
     "s19_streaming_conversions",
+    "q197_table_digest",
     "q194_embedding_dim_stats",
-    "q195_negative_sampling",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q195_negative_sampling",
     "q196_poisson_bootstrap",
     "s13_partitioned_stream_source",
     "q142_neardup_persisted_index",

@@ -289,3 +289,55 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_join_rows").cast("long").alias("exact_join_rows"),
         F.col("cms_join_est").cast("long").alias("cms_join_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q197: order-insensitive table content digest (replica reconciliation)
+# ---------------------------------------------------------------------------
+
+def _q197_sql() -> str:
+    from osm_changesets_to_parquet_spark.queries.dedup_sim import _sql_charhash
+
+    row = ("l_orderkey || '|' || l_linenumber || '|' || l_partkey || '|' "
+           "|| CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)")
+    return f"""
+WITH h AS (SELECT {_sql_charhash(f"({row})")} AS rh FROM lineitem)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(rh) % {_P} AS BIGINT) AS digest
+FROM h
+"""
+
+
+@register(
+    "q197_table_digest",
+    _q197_sql(),
+    doc=(
+        "order-insensitive table content digest — the anti-entropy "
+        "primitive for comparing replicas / validating a migration "
+        "without moving data: each row folds to the portable "
+        "polynomial hash of its canonical key string (integers and "
+        "CENTS only — float formatting never enters a digest), and "
+        "the table digest is the commutative SUM mod p, so ANY "
+        "row order / partitioning yields the same value; one scan, "
+        "one 1-row aggregate, zero shuffle of data rows"
+    ),
+    tables=("lineitem",),
+)
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.dedup import char_hash
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = F.concat_ws(
+        "|",
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_partkey"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"),
+    )
+    h = li.select(char_hash(row).alias("rh"))
+    return h.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(F.col("rh").cast("decimal(38,0)")) % F.lit(_P))
+        .cast("long")
+        .alias("digest"),
+    )
