@@ -155,6 +155,10 @@ TIER2_QUERIES = [
     "q192_emd_drift",
     "q193_decile_lift",
     "s19_streaming_conversions",
+    "q194_embedding_dim_stats",
+    "q195_negative_sampling",
+    "q196_poisson_bootstrap",
+    "q197_table_digest",
 ]
 
 
