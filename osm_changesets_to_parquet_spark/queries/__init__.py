@@ -115,8 +115,10 @@ _PRIORITY: tuple[str, ...] = (
     "q193_decile_lift",
     "s19_streaming_conversions",
     "q197_table_digest",
-    "q194_embedding_dim_stats",
+    "q198_weighted_median",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q199_linear_interpolation",
+    "q194_embedding_dim_stats",
     "q195_negative_sampling",
     "q196_poisson_bootstrap",
     "s13_partitioned_stream_source",

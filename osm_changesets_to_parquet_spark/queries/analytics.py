@@ -2091,3 +2091,182 @@ def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bootstrap_se",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q198: weighted median (quantity-weighted price)
+# ---------------------------------------------------------------------------
+
+_Q198_SQL = """
+WITH v AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
+  FROM lineitem
+),
+g AS (SELECT cents, SUM(qty) AS w FROM v GROUP BY 1),
+t AS (SELECT SUM(w) AS tw FROM g),
+c AS (SELECT cents, SUM(w) OVER (ORDER BY cents) AS cw FROM g)
+SELECT ROUND(MIN(cents) / 100.0, 2) AS weighted_median,
+       CAST(t.tw AS BIGINT) AS total_weight
+FROM c, t WHERE 2 * c.cw >= t.tw GROUP BY t.tw
+"""
+
+
+@register(
+    "q198_weighted_median",
+    _Q198_SQL,
+    doc=(
+        "weighted median (the lower weighted median: first value whose "
+        "cumulative weight reaches half the total) — q09's percentile "
+        "with per-row importance weights: values and weights fold to "
+        "integers, the cumulative weight rides the range-bucketed "
+        "global_cumsum over the DISTINCT-value table (bounded by the "
+        "price support, not the row count), and the defining test "
+        "2*cum >= total is pure integer math"
+    ),
+    tables=("lineitem",),
+)
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.packing import global_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+    )
+    g = v.groupBy("cents").agg(F.sum("qty").alias("w"))
+    t = g.agg(F.sum("w").alias("tw"))
+    c = global_cumsum(
+        g, "cents", "w", out_col="cw",
+        bounds=[1.0e6 * i for i in range(1, 12)],
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("tw")
+        .agg(F.round(F.min("cents") / F.lit(100.0), 2).alias("weighted_median"))
+        .select(
+            "weighted_median", F.col("tw").cast("long").alias("total_weight")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q199: gap imputation by linear interpolation (q82's ffill upgraded)
+# ---------------------------------------------------------------------------
+
+_Q199_SQL = f"""
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // {US_PER_HOUR} AS hr,
+         ROUND(AVG(value), 4) AS v
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM b GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM span
+),
+j AS (
+  SELECT g.user_id, g.hr, b.v FROM grid g
+  LEFT JOIN b ON b.user_id = g.user_id AND b.hr = g.hr
+),
+w AS (
+  SELECT user_id, hr, v,
+         LAST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+         FIRST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hr
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hr
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh
+  FROM j
+)
+SELECT user_id, hr,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NULL OR nv IS NULL THEN NULL
+            ELSE ((2 * (CAST(FLOOR(pv * 10000 + 0.5) AS BIGINT) * (nh - hr)
+                        + CAST(FLOOR(nv * 10000 + 0.5) AS BIGINT) * (hr - ph))
+                   + (nh - ph)) // (2 * (nh - ph))) / 10000.0
+       END AS v_interp,
+       v IS NULL AS was_gap
+FROM w ORDER BY user_id, hr
+"""
+
+
+@register(
+    "q199_linear_interpolation",
+    _Q199_SQL,
+    doc=(
+        "time-series gap imputation by LINEAR interpolation between "
+        "the nearest observed neighbors (q82's forward-fill upgraded "
+        "to the unbiased estimator): per-user hourly grid, one shuffle "
+        "on user, two opposing ignorenulls window passes carrying "
+        "(value, hour) of the last/next observation; boundary gaps "
+        "with only one neighbor stay NULL on both engines"
+    ),
+    tables=("events",),
+)
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    b = (
+        ev.select(
+            "user_id",
+            (F.unix_micros("ts") / US_PER_HOUR).cast("long").alias("hr"),
+            "value",
+        )
+        .groupBy("user_id", "hr")
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+    )
+    span = b.groupBy("user_id").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = span.select("user_id", F.explode(F.sequence("h0", "h1")).alias("hr"))
+    j = grid.join(b, ["user_id", "hr"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("v").isNotNull(), F.col("hr"))
+    w = (
+        j.withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("ph", F.last(obs_hr, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("nh", F.first(obs_hr, ignorenulls=True).over(wn))
+    )
+    # interpolate in exact 1e-4 integer units with explicit half-up
+    # integer division — a float spelling lands on .00005 midpoints
+    # (the mean of two 4dp values) where Spark and DuckDB ROUND split
+    pv4 = F.floor(F.col("pv") * 10000 + F.lit(0.5)).cast("long")
+    nv4 = F.floor(F.col("nv") * 10000 + F.lit(0.5)).cast("long")
+    num = pv4 * (F.col("nh") - F.col("hr")) + nv4 * (F.col("hr") - F.col("ph"))
+    den = F.col("nh") - F.col("ph")
+    q4 = (2 * num + den).cast("long")
+    # integer floor-division (all terms positive): (x - x%d)/d is exact
+    interp = (q4 - (q4 % (2 * den))) / (2 * den) / F.lit(10000.0)
+    v_interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(interp)
+    )
+    return w.select(
+        "user_id",
+        "hr",
+        v_interp.alias("v_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    ).orderBy("user_id", "hr")
