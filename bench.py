@@ -159,6 +159,8 @@ TIER2_QUERIES = [
     "q195_negative_sampling",
     "q196_poisson_bootstrap",
     "q197_table_digest",
+    "q198_weighted_median",
+    "q199_linear_interpolation",
 ]
 
 
