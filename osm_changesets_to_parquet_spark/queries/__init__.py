@@ -115,8 +115,9 @@ _PRIORITY: tuple[str, ...] = (
     "q193_decile_lift",
     "s19_streaming_conversions",
     "q197_table_digest",
-    "q198_weighted_median",
+    "q200_tpch_q3",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "q198_weighted_median",
     "q199_linear_interpolation",
     "q194_embedding_dim_stats",
     "q195_negative_sampling",

@@ -755,3 +755,52 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q200: TPC-H Q3 (shipping priority) — verbatim shared-ANSI spelling
+# ---------------------------------------------------------------------------
+
+# The canonical benchmark query, adapted only where the shared-string
+# discipline demands it: revenue arithmetic rides DECIMAL(18,2) (the
+# q02 float-tie rule — SUM of 2-decimal products ROUNDs differently per
+# engine as raw doubles), the date column prints as its CAST(DATE AS
+# VARCHAR) ISO form (raw timestamps never leave a query), and the
+# ORDER BY gains l_orderkey so LIMIT is total.  o_shippriority is not
+# in the fixture schema; o_orderpriority stands in.
+_Q200_SQL = """
+SELECT l_orderkey,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS revenue,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)) AS orderdate,
+       o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < DATE '1996-06-30'
+  AND l_shipdate > DATE '1996-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "q200_tpch_q3",
+    _Q200_SQL,
+    doc=(
+        "TPC-H Q3 (shipping priority) run VERBATIM through spark.sql — "
+        "the same ANSI string is the DuckDB oracle (q161's shared-"
+        "string discipline): two selective dimension filters, the "
+        "classic customer-orders-lineitem join (customer side "
+        "broadcastable), grouped revenue in exact DECIMAL(18,2) "
+        "arithmetic, top-10 as TakeOrderedAndProject"
+    ),
+    tables=("customer", "orders", "lineitem"),
+)
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q200_SQL)
