@@ -161,6 +161,7 @@ TIER2_QUERIES = [
     "q197_table_digest",
     "q198_weighted_median",
     "q199_linear_interpolation",
+    "q200_tpch_q3",
 ]
 
 
