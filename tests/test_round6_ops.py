@@ -783,3 +783,120 @@ def test_q192_emd_matches_bruteforce(spark, sf_dir):
             emd += abs(ca / na - cb / nb) * (nv - v)
         assert got[et]["n_weekday"] == na and got[et]["n_weekend"] == nb
         assert abs(got[et]["emd"] - emd / 100.0) < 1e-3
+
+
+def test_q171_pairs_match_bruteforce(spark, sf_dir):
+    """A-priori pair supports == brute-force counting over the distinct
+    basket-item sets."""
+    from osm_changesets_to_parquet_spark.queries.analytics import q171, _Q171_SUP
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from collections import Counter
+    from itertools import combinations
+
+    got = {(r["x"], r["y"]): r["support"] for r in q171(spark, sf_dir).collect()}
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict[int, set] = {}
+    item_cnt: Counter = Counter()
+    for r in rows:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+        item_cnt[r["l_partkey"]] += 1
+    freq = {i for i, c in item_cnt.items() if c >= _Q171_SUP}
+    pair_cnt: Counter = Counter()
+    for items in baskets.values():
+        kept = sorted(i for i in items if i in freq)
+        for a, b in combinations(kept, 2):
+            pair_cnt[(a, b)] += 1
+    want = {p: c for p, c in pair_cnt.items() if c >= _Q171_SUP}
+    assert got == want
+
+
+def test_q186_trigrams_match_bruteforce(spark, sf_dir):
+    """Top-10 event trigrams == Python counting over per-user sorted
+    streams (ties broken identically)."""
+    from osm_changesets_to_parquet_spark.queries.analytics import q186
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from collections import Counter
+
+    got = [(r["path"], r["n"]) for r in q186(spark, sf_dir).collect()]
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts_us", "event_id")
+        .collect()
+    )
+    streams: dict[int, list] = {}
+    for r in rows:
+        streams.setdefault(r["user_id"], []).append(
+            (r["ts_us"], r["event_id"], r["event_type"])
+        )
+    cnt: Counter = Counter()
+    for evs in streams.values():
+        evs.sort()
+        seq = [t for _, _, t in evs]
+        for i in range(len(seq) - 2):
+            cnt[f"{seq[i]}>{seq[i+1]}>{seq[i+2]}"] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == want
+
+
+def test_q187_k80_matches_bruteforce(spark, sf_dir):
+    """k80 == the prefix length reaching 80% of revenue in the exact
+    integer-cents ranking."""
+    import math
+
+    from osm_changesets_to_parquet_spark.queries.analytics import q187
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from collections import defaultdict
+
+    got = q187(spark, sf_dir).collect()[0]
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    rev: dict[int, int] = defaultdict(int)
+    for r in rows:
+        rev[r["o_custkey"]] += int(math.floor(r["o_totalprice"] * 100 + 0.5))
+    cents = sorted(rev.values(), reverse=True)
+    total = sum(cents)
+    cum = k80 = 0
+    for c in cents:
+        if 5 * cum < 4 * total:
+            k80 += 1
+        cum += c
+    assert got["n_customers"] == len(cents)
+    assert got["total_cents"] == total
+    assert got["k80"] == k80
+
+
+def test_q174_blocking_pairs_complete(spark, sf_dir):
+    """Every emitted pair is a true within-window neighbor pair in the
+    (name, key) sort order, and every such pair below the distance
+    threshold is emitted (completeness over the brute-force window)."""
+    from osm_changesets_to_parquet_spark.queries.dedup_sim import (
+        _Q174_DIST,
+        _Q174_W,
+        q174,
+    )
+    from osm_changesets_to_parquet_spark.catalog import load_table
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    got = {(r["key_a"], r["key_b"]) for r in q174(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "part").select("p_partkey", "p_name").collect()
+    ordered = sorted(rows, key=lambda r: (r["p_name"], r["p_partkey"]))
+    want = set()
+    for i, a in enumerate(ordered):
+        for b in ordered[i + 1 : i + _Q174_W]:
+            if lev(a["p_name"], b["p_name"]) <= _Q174_DIST:
+                want.add((a["p_partkey"], b["p_partkey"]))
+    assert got == want
