@@ -588,3 +588,19 @@ def test_q191_dynamic_partition_pruning_in_scan(spark, sf_dir):
     # plain broadcast join
     plan = _plan(spark, sf_dir, "q191_dynamic_partition_pruning")
     assert "dynamicpruning" in plan.lower()
+
+
+def test_q190_skyline_no_partitionless_window(spark, sf_dir):
+    # every full-data window in the skyline plan is partitioned (by
+    # __bucket or by x); the only global window is the |buckets|-row
+    # suffix-max frame
+    plan = _plan(spark, sf_dir, "q190_skyline")
+    import re
+
+    for line in plan.splitlines():
+        if "Window [" in line and "windowspecdefinition(" in line:
+            spec = line.split("windowspecdefinition(")[1]
+            if spec.startswith("x#") or "__bucket" in spec:
+                continue
+            # global frame: must be the per-bucket suffix maxima
+            assert "__bucket" in line or "__mx" in line, line
