@@ -604,3 +604,11 @@ def test_q190_skyline_no_partitionless_window(spark, sf_dir):
                 continue
             # global frame: must be the per-bucket suffix maxima
             assert "__bucket" in line or "__mx" in line, line
+
+
+def test_q200_tpch_q3_take_ordered_broadcast(spark, sf_dir):
+    # the verbatim TPC-H Q3: top-10 must be TakeOrderedAndProject and
+    # the dimension-filtered joins broadcast at this scale shape
+    plan = _plan(spark, sf_dir, "q200_tpch_q3")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
