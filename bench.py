@@ -162,6 +162,7 @@ TIER2_QUERIES = [
     "q198_weighted_median",
     "q199_linear_interpolation",
     "q200_tpch_q3",
+    "q201_hll_overlap",
 ]
 
 

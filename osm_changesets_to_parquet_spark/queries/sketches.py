@@ -341,3 +341,84 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q201: HLL audience overlap (inclusion-exclusion on mergeable sketches)
+# ---------------------------------------------------------------------------
+
+_Q201_SQL = """
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS exact_a,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS exact_b,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM a JOIN b USING (user_id))
+         AS exact_overlap,
+       TRUE AS overlap_within_15pct
+"""
+
+
+@register(
+    "q201_hll_overlap",
+    _Q201_SQL,
+    doc=(
+        "audience-overlap estimation from MERGEABLE sketches (the "
+        "ad-tech / cohort-intersection primitive): |A n B| ~= est(A) + "
+        "est(B) - est(A u B), where the union estimate comes from "
+        "hll_union of the two DataSketches — never re-scanning either "
+        "side.  Estimates are not SQL-portable (q108's discipline), so "
+        "the hashed row carries the EXACT counts plus the boolean "
+        "15%%-tolerance verdict the Spark side computes; the "
+        "inclusion-exclusion error bound is the sum of three HLL "
+        "errors, hence the wider band than q108's 2%%"
+    ),
+    tables=("events",),
+)
+def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "view").select("user_id")
+    b = ev.where(F.col("event_type") == "purchase").select("user_id")
+    sk = (
+        a.agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("s"))
+        .withColumn("side", F.lit("a"))
+        .unionByName(
+            b.agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("s"))
+            .withColumn("side", F.lit("b"))
+        )
+    )
+    ests = sk.agg(
+        F.max(
+            F.when(F.col("side") == "a", F.hll_sketch_estimate("s"))
+        ).alias("est_a"),
+        F.max(
+            F.when(F.col("side") == "b", F.hll_sketch_estimate("s"))
+        ).alias("est_b"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col("s"), F.lit(False))
+        ).alias("est_u"),
+    )
+    # exact counts as DataFrames (no driver math in the emitted row)
+    ea = a.distinct().agg(F.count(F.lit(1)).alias("exact_a"))
+    eb = b.distinct().agg(F.count(F.lit(1)).alias("exact_b"))
+    eo = (
+        a.distinct()
+        .join(b.distinct(), "user_id")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    est_overlap = F.col("est_a") + F.col("est_b") - F.col("est_u")
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eo))
+        .crossJoin(F.broadcast(ests))
+        .select(
+            F.col("exact_a").cast("long").alias("exact_a"),
+            F.col("exact_b").cast("long").alias("exact_b"),
+            F.col("exact_overlap").cast("long").alias("exact_overlap"),
+            (
+                F.abs(est_overlap - F.col("exact_overlap"))
+                <= F.greatest(
+                    F.lit(0.15) * F.col("exact_overlap"), F.lit(10.0)
+                )
+            ).alias("overlap_within_15pct"),
+        )
+    )
