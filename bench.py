@@ -163,6 +163,7 @@ TIER2_QUERIES = [
     "q199_linear_interpolation",
     "q200_tpch_q3",
     "q201_hll_overlap",
+    "q202_matrix_projection",
 ]
 
 

@@ -1371,3 +1371,90 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nid").alias("neg_id"),
         F.round(dot / (nrm(F.col("av")) * nrm(F.col("nv"))), 4).alias("sim"),
     ).orderBy("anchor_id", "draw")
+
+
+# ---------------------------------------------------------------------------
+# Q202: dense projection (embedding x broadcast matrix — the serving shape)
+# ---------------------------------------------------------------------------
+
+_Q202_OUT = 8
+# deterministic projection matrix: P[j][i] = ((31*j + 17*i) % 13 - 6) / 10
+# — shared literals (the NDCG discipline), full rank over +/-0.6 steps
+_Q202_P = [
+    [((31 * j + 17 * i) % 13 - 6) / 10.0 for i in range(64)]
+    for j in range(_Q202_OUT)
+]
+
+
+def _q202_sql() -> str:
+    rows = []
+    for j, row in enumerate(_Q202_P):
+        lits = ", ".join(repr(x) for x in row)
+        rows.append(
+            f"list_reduce(list_transform(range(1, {DIM + 1}), "
+            f"i -> v[i] * ([{lits}])[i]), (x, y) -> x + y)"
+        )
+    comps = ", ".join(rows)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id, [{comps}] AS pv FROM e
+),
+n AS (
+  SELECT vec_id,
+         ROUND(SQRT(list_reduce(list_transform(pv, x -> x * x),
+                                (x, y) -> x + y)), 4) AS pnorm
+  FROM p
+)
+SELECT vec_id, pnorm FROM n ORDER BY pnorm DESC, vec_id LIMIT 10
+"""
+
+
+@register(
+    "q202_matrix_projection",
+    _q202_sql(),
+    doc=(
+        "dense linear projection 64 -> 8 (the dim-reduction / linear-"
+        "layer SERVING shape; q178 finds directions, this applies "
+        "them): the projection matrix is a broadcast literal, each "
+        "output component a JVM zip_with/aggregate fold — whole-stage-"
+        "codegen row-local math, zero shuffle until the top-10-by-"
+        "projected-norm TakeOrderedAndProject; the oracle replays the "
+        "identical fold order per component"
+    ),
+    tables=("embeddings",),
+)
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+    def comp(row: list[float]):
+        arr = F.array(*[F.lit(x) for x in row])
+        return F.aggregate(
+            F.zip_with("v", arr, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    pv = F.array(*[comp(row) for row in _Q202_P])
+    pnorm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform(pv, lambda x: x * x),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+        ),
+        4,
+    )
+    return (
+        e.select("vec_id", pnorm.alias("pnorm"))
+        .orderBy(F.col("pnorm").desc(), "vec_id")
+        .limit(10)
+    )
