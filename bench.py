@@ -164,6 +164,7 @@ TIER2_QUERIES = [
     "q200_tpch_q3",
     "q201_hll_overlap",
     "q202_matrix_projection",
+    "q203_grouped_percentiles",
 ]
 
 

@@ -2270,3 +2270,44 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
         v_interp.alias("v_interp"),
         F.col("v").isNull().alias("was_gap"),
     ).orderBy("user_id", "hr")
+
+
+# ---------------------------------------------------------------------------
+# Q203: grouped EXACT percentiles (q09's global exact, per group)
+# ---------------------------------------------------------------------------
+
+_Q203_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 4) AS p25,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.75), 4) AS p75,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "q203_grouped_percentiles",
+    _Q203_SQL,
+    doc=(
+        "grouped EXACT interpolated percentiles — the per-group "
+        "completion of the quantile story (q09 = global exact, q119 = "
+        "grouped approx with the mergeable-sketch error contract): "
+        "F.percentile over a groupBy is hash-matched against "
+        "quantile_cont per group; the per-group sort is bounded by the "
+        "group's own rows, and the shuffle carries group keys"
+    ),
+    tables=("events",),
+)
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.75)), 4).alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
