@@ -165,6 +165,7 @@ TIER2_QUERIES = [
     "q201_hll_overlap",
     "q202_matrix_projection",
     "q203_grouped_percentiles",
+    "q204_nearest_score_match",
 ]
 
 

@@ -2311,3 +2311,115 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q204: nearest-score matching (propensity-style control assignment)
+# ---------------------------------------------------------------------------
+
+_Q204_SQL = """
+WITH u AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS score,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+  FROM events GROUP BY user_id
+),
+a AS (SELECT AVG(np) AS mean_np FROM u),
+t AS (SELECT user_id, score FROM u, a WHERE np > a.mean_np),
+c AS (SELECT user_id, score FROM u, a WHERE np <= a.mean_np),
+m AS (
+  SELECT t.user_id, t.score,
+         (SELECT c.user_id FROM c
+           WHERE (c.score < t.score)
+              OR (c.score = t.score AND c.user_id < t.user_id)
+           ORDER BY c.score DESC, c.user_id DESC LIMIT 1) AS below_id,
+         (SELECT c.score FROM c
+           WHERE (c.score < t.score)
+              OR (c.score = t.score AND c.user_id < t.user_id)
+           ORDER BY c.score DESC, c.user_id DESC LIMIT 1) AS below_s,
+         (SELECT c.user_id FROM c
+           WHERE (c.score > t.score)
+              OR (c.score = t.score AND c.user_id > t.user_id)
+           ORDER BY c.score ASC, c.user_id ASC LIMIT 1) AS above_id,
+         (SELECT c.score FROM c
+           WHERE (c.score > t.score)
+              OR (c.score = t.score AND c.user_id > t.user_id)
+           ORDER BY c.score ASC, c.user_id ASC LIMIT 1) AS above_s
+  FROM t
+)
+SELECT user_id AS treated_id, CAST(score AS BIGINT) AS score,
+       CASE
+         WHEN below_id IS NULL THEN above_id
+         WHEN above_id IS NULL THEN below_id
+         WHEN ABS(score - below_s) <= ABS(above_s - score) THEN below_id
+         ELSE above_id
+       END AS control_id
+FROM m ORDER BY treated_id
+"""
+
+
+@register(
+    "q204_nearest_score_match",
+    _Q204_SQL,
+    doc=(
+        "nearest-score control matching (the propensity-matching shape "
+        "of causal inference, Rosenbaum & Rubin 1983 — public): each "
+        "treated user (above-mean purchaser) pairs with the control whose "
+        "activity score is nearest, ties to the lower side then lower "
+        "id.  Spelled as TWO merge_asof passes over the (score, "
+        "user_id) total order — backward gives nearest-below, forward "
+        "nearest-above, an arithmetic CASE picks the closer — one "
+        "shuffle each, no score-band join, no row explosion at any "
+        "control density.  The as-of input is the per-user AGGREGATE "
+        "(O(users), already reduced from events); at billions of users "
+        "the global order key buckets like global_cumsum with two "
+        "boundary rows stitched per bucket — the honest scale path, "
+        "documented not implemented"
+    ),
+    tables=("events",),
+)
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.asof import merge_asof
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    u = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") != "purchase").cast("long")).alias("score"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("np"),
+    )
+    a = u.agg(F.avg("np").alias("mean_np"))
+    u = u.crossJoin(F.broadcast(a))
+    # the as-of order key must be a total order: fold (score, user_id)
+    # into one integer key (scores are bounded event counts << 2^20)
+    key = (F.col("score") * F.lit(1 << 20) + F.col("user_id")).alias("k")
+    t = u.where(F.col("np") > F.col("mean_np")).select("user_id", "score", key)
+    c = u.where(F.col("np") <= F.col("mean_np")).select(
+        F.col("user_id").alias("cid"), F.col("score").alias("cs"), key
+    )
+    t1 = t.withColumn("g", F.lit(1))
+    c1 = c.withColumn("g", F.lit(1))
+    below = merge_asof(
+        t1, c1, on="k", by="g",
+        value_cols=["cid", "cs"], strict=True, tie_break="cid",
+        direction="backward",
+    ).select("user_id", "score", F.col("cid").alias("below_id"), F.col("cs").alias("below_s"))
+    above = merge_asof(
+        t1, c1, on="k", by="g",
+        value_cols=["cid", "cs"], strict=True, tie_break="cid",
+        direction="forward",
+    ).select(F.col("user_id").alias("user_id2"), F.col("cid").alias("above_id"), F.col("cs").alias("above_s"))
+    m = below.join(above, below["user_id"] == above["user_id2"]).drop("user_id2")
+    pick = (
+        F.when(F.col("below_id").isNull(), F.col("above_id"))
+        .when(F.col("above_id").isNull(), F.col("below_id"))
+        .when(
+            F.abs(F.col("score") - F.col("below_s"))
+            <= F.abs(F.col("above_s") - F.col("score")),
+            F.col("below_id"),
+        )
+        .otherwise(F.col("above_id"))
+    )
+    return m.select(
+        F.col("user_id").alias("treated_id"),
+        F.col("score").cast("long").alias("score"),
+        pick.alias("control_id"),
+    ).orderBy("treated_id")
