@@ -166,6 +166,7 @@ TIER2_QUERIES = [
     "q202_matrix_projection",
     "q203_grouped_percentiles",
     "q204_nearest_score_match",
+    "q205_sequential_patterns",
 ]
 
 

@@ -2423,3 +2423,75 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").cast("long").alias("score"),
         pick.alias("control_id"),
     ).orderBy("treated_id")
+
+
+# ---------------------------------------------------------------------------
+# Q205: gap-constrained sequential pattern mining (2-sequences)
+# ---------------------------------------------------------------------------
+
+_Q205_GAP = 5
+
+_Q205_SQL = f"""
+WITH s AS (
+  SELECT user_id, list(event_type ORDER BY epoch_us(ts), event_id) AS seq
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT unnest(flatten(list_transform(range(1, len(seq) + 1),
+           i -> list_transform(range(i + 1, LEAST(i + {_Q205_GAP}, len(seq)) + 1),
+                  j -> seq[i] || '>' || seq[j])))) AS pat
+  FROM s WHERE len(seq) >= 2
+)
+SELECT pat, CAST(COUNT(*) AS BIGINT) AS n
+FROM g GROUP BY pat ORDER BY n DESC, pat LIMIT 10
+"""
+
+
+@register(
+    "q205_sequential_patterns",
+    _Q205_SQL,
+    doc=(
+        "gap-constrained sequential pattern mining (the PrefixSpan / "
+        "SPADE 2-sequence step, public): count (a ... b) occurrences "
+        f"where b follows a within {_Q205_GAP} events in the user's "
+        "stream — q186 counts only CONTIGUOUS trigrams; the gap makes "
+        "this the order-sensitive co-occurrence miner.  Pairs generate "
+        "IN-ROW (nested transform + flatten over the collected "
+        "sequence — O(len x gap) per user, bounded by the user's own "
+        "history), then one map-side-partial count"
+    ),
+    tables=("events",),
+)
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("us", "event_id", "event_type"))),
+        lambda s: s.event_type,
+    )
+    s = ev.groupBy("user_id").agg(seq.alias("seq")).where(F.size("seq") >= 2)
+    # outer index stops at size-1: Spark's sequence() DESCENDS when
+    # start > end (the q39 trap), where DuckDB's range() is empty
+    pats = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("seq") - 1),
+            lambda i: F.transform(
+                F.sequence(
+                    i + 1, F.least(i + F.lit(_Q205_GAP), F.size("seq"))
+                ),
+                lambda j: F.concat_ws(
+                    ">",
+                    F.element_at(F.col("seq"), i),
+                    F.element_at(F.col("seq"), j),
+                ),
+            ),
+        )
+    )
+    return (
+        s.select(F.explode(pats).alias("pat"))
+        .groupBy("pat")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pat")
+        .limit(10)
+    )
