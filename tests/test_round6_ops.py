@@ -900,3 +900,65 @@ def test_q174_blocking_pairs_complete(spark, sf_dir):
             if lev(a["p_name"], b["p_name"]) <= _Q174_DIST:
                 want.add((a["p_partkey"], b["p_partkey"]))
     assert got == want
+
+
+def test_q196_weights_follow_poisson_pmf(spark, sf_dir):
+    """The hash-derived replicate weights are Poisson(1)-distributed:
+    empirical frequencies of k=0,1,2 within 3 sigma of the pmf, and
+    the mean weight within 2% of 1 (the bootstrap's resampling
+    contract)."""
+    import math
+
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from osm_changesets_to_parquet_spark.operators.quality import ID_FOLD, KNUTH
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    thr = [3679, 7358, 9197, 9810, 9963]
+    rows = ev.collect()
+    n = len(rows) * 32
+    from collections import Counter
+    cnt: Counter = Counter()
+    for r in rows:
+        for j in range(1, 33):
+            h = (((r["event_id"] % ID_FOLD) * KNUTH + j * 9973) % ID_FOLD) % 10000
+            cnt[sum(1 for t in thr if t <= h)] += 1
+    pmf = [math.exp(-1) / math.factorial(k) for k in range(3)]
+    for k in range(3):
+        p = cnt[k] / n
+        sigma = math.sqrt(pmf[k] * (1 - pmf[k]) / n)
+        assert abs(p - pmf[k]) < 3 * sigma + 0.005, (k, p, pmf[k])
+    mean_w = sum(k * c for k, c in cnt.items()) / n
+    assert abs(mean_w - 1.0) < 0.02
+
+
+def test_q205_patterns_match_bruteforce(spark, sf_dir):
+    """Gap-constrained 2-sequence counts == Python enumeration over
+    per-user sorted streams."""
+    from osm_changesets_to_parquet_spark.queries.analytics import (
+        _Q205_GAP,
+        q205,
+    )
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from collections import Counter
+
+    got = [(r["pat"], r["n"]) for r in q205(spark, sf_dir).collect()]
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts_us", "event_id")
+        .collect()
+    )
+    streams: dict[int, list] = {}
+    for r in rows:
+        streams.setdefault(r["user_id"], []).append(
+            (r["ts_us"], r["event_id"], r["event_type"])
+        )
+    cnt: Counter = Counter()
+    for evs in streams.values():
+        evs.sort()
+        seq = [t for _, _, t in evs]
+        for i in range(len(seq) - 1):
+            # j runs i+1 .. i+GAP inclusive (1-based LEAST(i+GAP, len))
+            for j in range(i + 1, min(i + _Q205_GAP, len(seq) - 1) + 1):
+                cnt[f"{seq[i]}>{seq[j]}"] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == want
