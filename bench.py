@@ -167,6 +167,7 @@ TIER2_QUERIES = [
     "q203_grouped_percentiles",
     "q204_nearest_score_match",
     "q205_sequential_patterns",
+    "s20_python_stream_sink",
 ]
 
 

@@ -117,6 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "q197_table_digest",
     "q200_tpch_q3",
     # ---- window boundary (50) — names below queue for round 7 ----
+    "s20_python_stream_sink",
     "q205_sequential_patterns",
     "q204_nearest_score_match",
     "q203_grouped_percentiles",

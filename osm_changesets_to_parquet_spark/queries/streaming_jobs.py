@@ -577,3 +577,30 @@ def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_s19_streaming_conversions(spark, sf_dir)
+
+
+@register(
+    "s20_python_stream_sink",
+    """
+    SELECT event_type, COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "STREAMING WRITE through the Python DataSource API — the "
+        "fourth quadrant (cs11 batch read / s13 stream read / cs12 "
+        "batch write): the events replay streams into executor-written "
+        "parquet chunks; each epoch's driver commit atomically "
+        "publishes _MANIFEST-{batchId}.json, and the read-back honors "
+        "ONLY manifests — torn epochs invisible, lossless end-to-end "
+        "vs the same aggregate over the source table"
+    ),
+    tables=("events",),
+)
+def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.streaming import (
+        run_s20_python_stream_sink,
+    )
+
+    return run_s20_python_stream_sink(spark, sf_dir)

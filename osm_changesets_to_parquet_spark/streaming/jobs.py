@@ -1100,3 +1100,60 @@ def run_s19_streaming_conversions(spark: SparkSession, sf_dir: str) -> DataFrame
     return outs.select("user_id", "purchase_event_id", "gap_us").orderBy(
         "purchase_event_id"
     )
+
+
+def run_s20_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING WRITE through the Python DataSource API — the fourth
+    quadrant (cs11 batch read, s13 partition-planned stream read, cs12
+    batch write): the events replay streams through
+    ``writeStream.format("events_chunks")``; each micro-batch
+    partition's rows land in an executor-written parquet file and the
+    driver's per-epoch ``commit(messages, batchId)`` atomically
+    publishes ``_MANIFEST-{batchId}.json`` — the manifest-only
+    visibility contract means a torn epoch publishes nothing.  The
+    verification reads back ONLY what the manifests name (the
+    manifest-honoring reader) and aggregates; hash-matching the same
+    aggregate over the source table proves the streaming path lossless
+    and exactly-once-visible.
+    """
+    import shutil as _shutil
+
+    from osm_changesets_to_parquet_spark.sources import events_sink_pyds
+
+    events_sink_pyds.register(spark)
+    base = prepare_replay_dir(spark, sf_dir, late=False)
+    stream = _read_stream(spark, base).select(
+        "event_id", "user_id", "event_type", "value", "ts_us"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"s20_stream_sink_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    _shutil.rmtree(out, ignore_errors=True)  # fresh epoch set per run
+    ckpt = tempfile.mkdtemp(prefix="s20_ckpt_")
+    _TEMP_DIRS.extend([out, ckpt])
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            stream.writeStream.format("events_chunks")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_to_completion(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    back = spark.read.format("events_chunks").option("path", out).load()
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )
