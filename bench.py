@@ -263,19 +263,32 @@ def main() -> None:
         tier2_total += dt
         print(f"tier2 {name} {dt:.2f}s", file=sys.stderr, flush=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "tier2": tier2,
-                "tier2_total": round(tier2_total, 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # Driver contract (VERDICT r06 item 1): the harness captures only the
+    # LAST ~2000 characters of stdout and parses the final line as JSON.
+    # The full tier-2 dump (~80 entries, >2.5 KB) therefore goes to an
+    # EARLIER stdout line + stderr; the final line is the compact headline
+    # (tier-1 per-query timings + totals) and must stay under ~1.5 KB.
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = json.dumps(
+        {"tier2": tier2, "tier2_total": round(tier2_total, 3), "sf": sf_val},
+        separators=(",", ":"),
     )
+    print(detail)
+    print(detail, file=sys.stderr, flush=True)
+    headline = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "tier2_total": round(tier2_total, 3),
+            "tier2_count": len(tier2),
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
+    )
+    assert len(headline) < 1500, f"headline line too long: {len(headline)}"
+    print(headline, flush=True)
     spark.stop()
 
 

@@ -54,69 +54,16 @@ def register(
 
 
 # The driver records correctness rows in registry order and its window
-# has held exactly 50 entries per round (CORRECTNESS_r01-r05.json) — so
-# ordering is part of the verification contract.  Round 6 registered
-# far more new queries than the window holds (sessions 1-3 added 60+),
-# so the window is entirely round-6-new names, newest first: this
-# session's q171-q193/u6/s18/s19, then session 2's q152-q170 block,
-# then as much of session 1's s13/q142+ block as fits.  The session-1
-# overflow (q143-q151, s14, s15, cs12 — never driver-witnessed but
-# all MATCH in the local HEAD sweeps) leads the round-7 rotation
-# queue, followed by the r1/r2-era stale names (m48-m50, q27-q33,
-# q53-q67, q73/q74) and the r03 backfill.
+# has held exactly 50 entries per round (CORRECTNESS_r01-r06.json) — so
+# ordering is part of the verification contract.  Round 7 leads with the
+# 25 round-6-overflow names that have never been driver-witnessed
+# (VERDICT r06 item 2's exact queue), then the queries whose
+# implementation CHANGED this round (q179 anchor respell + the rest of
+# the modulo-anchor family, the ADVICE-touched q144/q142/s14/cs12 are
+# already in the first block), then new round-7 registrations, then the
+# stalest r1/r2-era names oldest-first (VERDICT item 4).
 _PRIORITY: tuple[str, ...] = (
-    # -- (1) new this round --
-    "q152_unigram_entropy",
-    "q153_group_jaccard",
-    "q154_incremental_agg",
-    "q155_grid_join_2d",
-    "q156_event_transitions",
-    "q157_rolling_median",
-    "s16_streaming_transitions",
-    "q158_variant_shred",
-    "q159_manifest_skipping",
-    "q160_log_odds_terms",
-    "q161_sql_surface",
-    "q162_group_ols",
-    "q163_zorder_skipping",
-    "q164_recursive_cte",
-    "u5_arrow_grouped_stats",
-    "q165_mmr_rerank",
-    "q166_nearest_centroid",
-    "s17_full_outer_stream_join",
-    "q167_targeted_delete",
-    "q168_budget_select",
-    "q169_rolling_dau",
-    "q170_autocorrelation",
-    "q171_frequent_pairs",
-    "q172_roc_auc",
-    "q173_ab_ztest",
-    "q174_sorted_neighborhood",
-    "q175_cms_join_estimate",
-    "q176_inverted_index",
-    "q177_kcenter_coreset",
-    "s18_streaming_cms",
-    "q178_pca_power",
-    "q179_knn_label_audit",
-    "q180_rfm_segments",
-    "q181_twap",
-    "q182_cusum_changepoint",
-    "q183_attribution",
-    "q184_benford_audit",
-    "q185_windowed_funnel",
-    "q186_path_mining",
-    "q187_pareto_concentration",
-    "u6_udtf_analyze_dynamic_schema",
-    "q188_column_mi",
-    "q189_key_gini",
-    "q190_skyline",
-    "q191_dynamic_partition_pruning",
-    "q192_emd_drift",
-    "q193_decile_lift",
-    "s19_streaming_conversions",
-    "q197_table_digest",
-    "q200_tpch_q3",
-    # ---- window boundary (50) — names below queue for round 7 ----
+    # -- (1) never driver-witnessed (round-6 overflow, queue order) --
     "s20_python_stream_sink",
     "q205_sequential_patterns",
     "q204_nearest_score_match",
@@ -142,19 +89,39 @@ _PRIORITY: tuple[str, ...] = (
     "q151_ann_incremental",
     "s15_streaming_quality_router",
     "cs12_python_datasource_writer",
-    # -- (2) r1-era stale: multimodal --
+    # -- (2) changed this round (VERDICT item 3: fixed-k anchor respell) --
+    "q179_knn_label_audit",
+    "q121_ndcg_eval",
+    "e46_embedding_neardup",
+    "q132_contrastive_mining",
+    # -- (3) new round-7 registrations --
+    "cs13_parse_diagnostics",
+    "cs14_single_file_publish",
+    "q206_stratified_sample",
+    "q207_reservoir_sample",
+    "q208_isotonic_calibration",
+    "q209_session_entropy",
+    "q210_bipartite_projection",
+    "q211_haversine_join",
+    "q212_theil_sen",
+    "q213_mann_whitney",
+    "q214_chi2_feature_select",
+    "q215_winsorized_stats",
+    "q216_bloom_antijoin",
+    "q217_recency_weighted_ctr",
+    "s21_streaming_topk",
+    # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",
     "m50_image_resize",
-    # r2-era stale: set ops + scalar-function families
     "q27_except",
     "q28_string_funcs",
     "q29_date_funcs",
+    # ---- window boundary (50) — names below queue for round 8 ----
     "q30_math_funcs",
     "q31_json_extract",
     "q32_map_funcs",
     "q33_array_funcs",
-    # r2-era stale: relational extensions
     "q53_pivot",
     "q54_unpivot",
     "q55_grouping_sets",
@@ -169,9 +136,6 @@ _PRIORITY: tuple[str, ...] = (
     "q65_window_frame_funcs",
     "q66_values_lookup_join",
     "q67_distinct_multicol",
-    # the round-6 continuation's new registrations displaced the r2-era
-    # vector ops and the r03 backfill below the boundary; they lead the
-    # round-7 rotation queue
     "q73_vector_normalize",
     "q74_quantize_int8",
     "q64_conditional_agg",

@@ -330,10 +330,15 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Embedding near-dup -----------------------------------------------------
 
 
+_E46_ANCHORS = 8  # FIXED anchor count — independent of corpus size
+
+
 @register(
     "e46_embedding_neardup",
-    """
-    WITH anchors AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+    f"""
+    WITH anchors AS (SELECT vec_id, embedding FROM embeddings
+                     ORDER BY ((vec_id % 2147483648) * 2654435761) % 1000000007, vec_id
+                     LIMIT {_E46_ANCHORS}),
     z AS (
       SELECT a.vec_id AS id_a, e.vec_id AS id_b,
              CAST(unnest(a.embedding) AS DOUBLE) AS x,
@@ -350,17 +355,21 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
     doc=(
-        "embedding-cosine near-dup vs anchor set (vec_id %% 100 == 0), "
-        "sim >= 0.3; the all-pairs scale path is operators.similarity."
-        "pairwise_cosine_neardup (SRP-LSH bucketed), property-tested"
+        "embedding-cosine near-dup vs a FIXED-k hash-rank anchor set "
+        "(operators.anchors.fixed_k_anchors — anchor count independent "
+        "of corpus size, so the broadcast pass is Θ(k·n); VERDICT r06 "
+        "item 3 respell), sim >= 0.3; the all-pairs scale path is "
+        "operators.similarity.pairwise_cosine_neardup (SRP-LSH "
+        "bucketed), property-tested"
     ),
     tables=("embeddings",),
 )
 def e46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.anchors import fixed_k_anchors
     from osm_changesets_to_parquet_spark.operators.similarity import cosine_similarity_col
 
     emb = load_table(spark, sf_dir, "embeddings")
-    anchors = emb.where(F.col("vec_id") % 100 == 0).select(
+    anchors = fixed_k_anchors(emb, "vec_id", _E46_ANCHORS).select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
     )
     others = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))

@@ -612,3 +612,32 @@ def test_q200_tpch_q3_take_ordered_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q200_tpch_q3")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q179_fixed_anchors_and_no_corpus_sized_window(spark, sf_dir):
+    # the VERDICT r06 item 3 respell: the anchor draw must execute as
+    # TakeOrderedAndProject (fixed k, O(n) scan — never a corpus sort),
+    # and every corpus-sized window must be partitioned by (qid, __pid)
+    # — the two-phase top-k.  The only single-key (qid) window runs on
+    # the <= k * num_partitions pruned rows.
+    plan = _plan(spark, sf_dir, "q179_knn_label_audit")
+    assert "TakeOrderedAndProject" in plan
+    windows = [
+        line
+        for line in plan.splitlines()
+        if "Window [" in line and "windowspecdefinition(" in line
+    ]
+    assert len(windows) == 2, plan
+    # phase-1 window (deepest in the plan = listed later) carries the
+    # spark_partition_id pruning key
+    assert any("__pid" in line for line in windows), plan
+
+
+def test_q132_contrastive_single_aggregation_no_windows(spark, sf_dir):
+    # pos + neg argmax must be ONE min_by keyed aggregation over the
+    # broadcast-anchor candidate stream: zero Window nodes, map-side
+    # partial min_by, and no join between pos and neg branches (the
+    # old spelling ran two windowed rank passes + a join)
+    plan = _plan(spark, sf_dir, "q132_contrastive_mining")
+    assert "Window" not in plan
+    assert "partial_min_by" in plan or "min_by" in plan, plan
