@@ -392,16 +392,22 @@ def lsh_index_write(
     at 100 TB you band the corpus ONCE, write the index, and every
     increment probes the stored frame instead of re-banding petabytes.
 
-    Two parquet datasets under ``path``:
+    Two parquet datasets under ``path``, each under the base increment
+    label ``__bid=base`` (mirroring ``ivf_index_write``'s ``__gen=base``
+    layout) so that :func:`lsh_index_append`'s ``__bid=N`` increments
+    land at the SAME partition depth — mixing write and append on one
+    path previously produced leaf files at different depths and broke
+    parquet partition discovery with "Conflicting directory structures"
+    (ADVICE r06):
 
-    - ``bands``:    (id, band, bkey) — the probe side of the candidate
-      equi-join.  Written partitioned by ``band`` so a probe that only
+    - ``bands/__bid=base/band=*``: (id, bkey) — the probe side of the
+      candidate equi-join.  Partitioned by ``band`` so a probe that only
       touches some bands prunes files; on a real cluster you would
       additionally BUCKET BY ``bkey`` so the probe join co-locates
       without a shuffle of the corpus side.
-    - ``shingles``: (id, hs) — the distinct shingle-hash arrays the
-      exact-Jaccard verification reads (so verification never touches
-      corpus text either).
+    - ``shingles/__bid=base``: (id, hs) — the distinct shingle-hash
+      arrays the exact-Jaccard verification reads (so verification
+      never touches corpus text either).
 
     One scan of the corpus feeds both writes (the shingle frame is
     checkpointed; the signature subtree derives from it).
@@ -418,14 +424,14 @@ def lsh_index_write(
         )
         .write.mode("overwrite")
         .partitionBy("band")
-        .parquet(os.path.join(path, "bands"))
+        .parquet(os.path.join(path, "bands", "__bid=base"))
     )
     (
         sh.select(
             F.col(id_col).alias("id"), F.array_distinct("shingle_hashes").alias("hs")
         )
         .write.mode("overwrite")
-        .parquet(os.path.join(path, "shingles"))
+        .parquet(os.path.join(path, "shingles", "__bid=base"))
     )
 
 
@@ -438,14 +444,16 @@ def lsh_index_append(
     n: int = 3,
 ) -> None:
     """Append one increment's frames to a persisted banded index
-    (:func:`lsh_index_write` layout) under an IDEMPOTENT partition
-    label (e.g. ``__bid=3``): the increment writes
-    ``bands/<label>/band=*/`` and ``shingles/<label>/`` in overwrite
-    mode, so a retried streaming batch overwrites its own subdirectory
-    instead of double-appending — exactly-once index growth on top of
-    at-least-once foreachBatch delivery.  Readers see one logical
-    dataset through parquet partition discovery (the extra label
-    column is ignored by :func:`lsh_neardup_probe_index`'s selects).
+    under an IDEMPOTENT partition label (e.g. ``__bid=3``): the
+    increment writes ``bands/<label>/band=*/`` and ``shingles/<label>/``
+    in overwrite mode, so a retried streaming batch overwrites its own
+    subdirectory instead of double-appending — exactly-once index
+    growth on top of at-least-once foreachBatch delivery.  The label
+    sits at the SAME partition depth as :func:`lsh_index_write`'s
+    ``__bid=base``, so a base index plus appends form one discoverable
+    parquet dataset (the write-then-append-then-probe composition is
+    tested); :func:`lsh_neardup_probe_index` filters on the ``__bid``
+    column for retry-safe probes and otherwise ignores it.
     """
     import os
 
@@ -470,6 +478,14 @@ def lsh_index_append(
     )
 
 
+def _bid_num(col):
+    """Numeric order for ``__bid`` labels: ``base`` sorts before every
+    batch id.  The discovered partition column may be int (append-only
+    paths) or string (mixed with ``base``) — normalize via string."""
+    s = col.cast("string")
+    return F.when(s == "base", F.lit(-1)).otherwise(s.cast("long"))
+
+
 def lsh_neardup_probe_index(
     spark,
     index_path: str,
@@ -478,6 +494,7 @@ def lsh_neardup_probe_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    before_bid: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup probe against a PERSISTED index
     (:func:`lsh_index_write`): bands are computed for the incoming
@@ -490,15 +507,24 @@ def lsh_neardup_probe_index(
     computes both sides in-session): candidates are only new x old
     band collisions; every emitted pair carries the exact in-row
     Jaccard; recall is the banding collision bound.
+
+    ``before_bid`` (retry safety, ADVICE r06): when set, only index
+    increments with ``__bid`` strictly below it are probed (``base``
+    counts as -1) — a REPLAYED at-least-once foreachBatch batch that
+    already appended itself under ``__bid=N`` must not probe its own
+    prior append, or it would emit self-pairs (jac 1.0) and
+    intra-batch pairs and overwrite the correct output.  The filter is
+    a partition-column predicate, so pruning happens at file listing.
     """
     import os
 
-    bands_old = spark.read.parquet(os.path.join(index_path, "bands")).select(
-        F.col("id").alias("old_id"), "band", "bkey"
-    )
-    sh_old = spark.read.parquet(os.path.join(index_path, "shingles")).select(
-        F.col("id").alias("old_id"), F.col("hs").alias("hb")
-    )
+    bands_all = spark.read.parquet(os.path.join(index_path, "bands"))
+    sh_all = spark.read.parquet(os.path.join(index_path, "shingles"))
+    if before_bid is not None and "__bid" in bands_all.columns:
+        bands_all = bands_all.where(_bid_num(F.col("__bid")) < before_bid)
+        sh_all = sh_all.where(_bid_num(F.col("__bid")) < before_bid)
+    bands_old = bands_all.select(F.col("id").alias("old_id"), "band", "bkey")
+    sh_old = sh_all.select(F.col("id").alias("old_id"), F.col("hs").alias("hb"))
     elig = incoming.where(F.size(F.split(F.col(text_col), " ")) >= n)
     sh_new = truncate_lineage(shingles(elig, text_col, n))
     banded_new = minhash_signature(sh_new).select(

@@ -790,9 +790,16 @@ def _bpe_cte_chain(n_rounds: int) -> list[str]:
         ctes.append(
             f"t{r} AS (SELECT l, r, cnt FROM pc{r} ORDER BY cnt DESC, l, r LIMIT 1)"
         )
+        # LEFT JOIN ON TRUE (not a cross join): when a round finds no
+        # pair at all (vocabulary exhausted before n_rounds merges),
+        # t{r} is empty and a cross join would wipe the vocab — the
+        # CASE mirrors the Spark side's LEFT-join no-op guard
+        # (operators/text.py bpe_merge_steps), keeping seq unchanged
         ctes.append(
-            f"seq{r} AS (SELECT w, replace(seq, ' ' || t{r}.l || '  ' || t{r}.r || ' ', "
-            f"' ' || t{r}.l || t{r}.r || ' ') AS seq, wc FROM {prev}, t{r})"
+            f"seq{r} AS (SELECT w, CASE WHEN t{r}.l IS NULL THEN seq ELSE "
+            f"replace(seq, ' ' || t{r}.l || '  ' || t{r}.r || ' ', "
+            f"' ' || t{r}.l || t{r}.r || ' ') END AS seq, wc "
+            f"FROM {prev} LEFT JOIN t{r} ON TRUE)"
         )
     return ctes
 

@@ -227,8 +227,8 @@ def cs8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(sources/events_sink_pyds.py; cs11 is the batch read half, "
         "s13 the streaming half): events -> Arrow-batch executor "
         "writes (one parquet file per partition, rows never on the "
-        "driver) -> driver commit publishes _MANIFEST.json (the "
-        "reference's index.json discipline) -> read back through the "
+        "driver) -> driver commit publishes _MANIFEST.json (this "
+        "repo's atomic-visibility convention) -> read back through the "
         "manifest-honoring reader -> aggregate; hash-matches the same "
         "aggregate over the original table, so both halves must be "
         "lossless"

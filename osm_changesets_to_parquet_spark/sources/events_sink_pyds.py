@@ -5,12 +5,18 @@ DataSource API (cs11 reads, s13 streams, this one WRITES).
 one parquet file per input partition on the EXECUTORS (Arrow batches
 straight to pyarrow — rows never transit the driver), then the driver's
 ``commit()`` publishes a ``_MANIFEST.json`` naming exactly the files
-this job produced with their row counts — the same commit discipline
-as the reference's ``index.json`` (src/main.rs: the pipeline records
-what it converted so a re-run can skip it): readers honor the MANIFEST,
-not the directory listing, so a torn job (no manifest) publishes
-nothing and stale files from an earlier overwrite are invisible —
-atomic visibility without a rename dance.
+this job produced with their row counts — this repo's own
+atomic-visibility convention (tmp-write + os.replace; the reference
+has no manifest — its single-file output IS its atomicity story):
+readers honor the MANIFEST, not the directory listing, so a torn job
+(no manifest) publishes nothing and stale files from an earlier
+overwrite are invisible — atomic visibility without a rename dance.
+
+A batch OVERWRITE additionally retracts any ``_MANIFEST-<batchId>.json``
+manifests left by a previous streaming job at the same path (and a
+streaming query's batch-0 commit retracts stale batch/stream manifests
+from previous jobs): the reader unions every published manifest, so
+stale ones from a superseded job would double-count rows (ADVICE r06).
 
 The read path (``spark.read.format("events_chunks")``) plans one
 InputPartition per manifested file; executors read them with pyarrow —
@@ -60,7 +66,7 @@ class EventsChunkSink(DataSource):
         return EVENTS_DDL
 
     def writer(self, schema, overwrite: bool) -> "EventsChunkWriter":
-        return EventsChunkWriter(self.options)
+        return EventsChunkWriter(self.options, overwrite)
 
     def reader(self, schema) -> "EventsChunkReader":
         return EventsChunkReader(self.options)
@@ -69,11 +75,35 @@ class EventsChunkSink(DataSource):
         return EventsChunkStreamWriter(self.options)
 
 
+def _retract_stale_manifests(path: str, keep_batch: bool) -> None:
+    """Remove manifests a superseding job must invalidate: every
+    streaming ``_MANIFEST-<id>.json``, and (unless ``keep_batch``) the
+    batch ``_MANIFEST.json`` — the reader unions all published
+    manifests, so a stale one double-counts rows."""
+    import glob as _glob
+
+    stale = _glob.glob(os.path.join(path, "_MANIFEST-*.json"))
+    if not keep_batch:
+        stale.append(os.path.join(path, MANIFEST))
+    for name in stale:
+        try:
+            os.unlink(name)
+        except OSError:
+            pass
+
+
 class EventsChunkWriter(DataSourceArrowWriter):
-    def __init__(self, options) -> None:
+    def __init__(self, options, overwrite: bool = True) -> None:
         path = options.get("path")
         if not path:
             raise ValueError("events_chunks: the 'path' option is required")
+        if not overwrite:
+            # append would collide with a previous job's part-<pid>
+            # names and require manifest merging — refuse loudly
+            # rather than silently corrupt the manifest contract
+            raise ValueError(
+                "events_chunks: batch writes support mode('overwrite') only"
+            )
         self.path = path
 
     def write(self, iterator) -> EventsChunkCommit:
@@ -100,6 +130,10 @@ class EventsChunkWriter(DataSourceArrowWriter):
             key=lambda e: e["file"],
         )
         os.makedirs(self.path, exist_ok=True)
+        # an overwrite supersedes any previous STREAMING job at this
+        # path: its per-batch manifests must not survive, or the
+        # union-of-manifests reader double-counts (ADVICE r06)
+        _retract_stale_manifests(self.path, keep_batch=True)
         tmp = os.path.join(self.path, MANIFEST + ".tmp")
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(
@@ -213,6 +247,12 @@ class EventsChunkStreamWriter(DataSourceStreamWriter):
             key=lambda e: e["file"],
         )
         os.makedirs(self.path, exist_ok=True)
+        if batchId == 0:
+            # a FRESH streaming query supersedes whatever job used this
+            # path before (batch manifest or another stream's batch
+            # manifests) — a replayed batch 0 has no earlier own-batch
+            # manifests, so retracting everything is always safe here
+            _retract_stale_manifests(self.path, keep_batch=False)
         tmp = os.path.join(self.path, f"{MANIFEST}.{batchId}.tmp")
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(

@@ -747,7 +747,9 @@ def run_s14_streaming_neardup(
     every EARLIER batch (operators/dedup.py lsh_neardup_probe_index)
     and (b) appends its own bands/shingles under an idempotent
     ``__bid=N`` label (lsh_index_append), so a retried batch overwrites
-    itself — exactly-once results on at-least-once foreachBatch.
+    itself; the probe passes ``before_bid=batch_id`` so a REPLAYED
+    batch never sees its own prior append (no self-pairs on retry) —
+    together, exactly-once results on at-least-once foreachBatch.
 
     Emitted pairs are exactly the cross-batch near-dups (new_id's chunk
     strictly after old_id's chunk), each verified with the exact in-row
@@ -771,8 +773,13 @@ def run_s14_streaming_neardup(
             os.path.join(idx, "bands", "*", "*", "*.parquet")
         )
         if has_index:
+            # before_bid makes the probe retry-safe (ADVICE r06): a
+            # replayed batch that already appended itself under
+            # __bid=batch_id must not probe its own prior append —
+            # it would emit self-pairs (jac 1.0) and intra-batch
+            # pairs and overwrite the correct per-batch output
             pairs = D.lsh_neardup_probe_index(
-                spark, idx, batch_df, threshold=threshold
+                spark, idx, batch_df, threshold=threshold, before_bid=batch_id
             )
             pairs.write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"__bid={batch_id}")

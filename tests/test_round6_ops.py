@@ -962,3 +962,141 @@ def test_q205_patterns_match_bruteforce(spark, sf_dir):
                 cnt[f"{seq[i]}>{seq[j]}"] += 1
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == want
+
+
+def test_lsh_write_then_append_then_probe_composes(spark, sf_dir):
+    # ADVICE r06: lsh_index_write (base) and lsh_index_append
+    # (increments) must form ONE discoverable parquet dataset — the
+    # base now lands under __bid=base at the same partition depth as
+    # __bid=N, so probing a write+append index equals the in-session
+    # incremental result over the union corpus
+    import tempfile
+
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from osm_changesets_to_parquet_spark.operators.dedup import (
+        lsh_index_append,
+        lsh_index_write,
+        lsh_neardup_incremental,
+        lsh_neardup_probe_index,
+    )
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b = hash_bucket("doc_id", 100)
+    base_corpus = docs.where(b < 60)
+    increment = docs.where((b >= 60) & (b < 90))
+    incoming = docs.where(b >= 90)
+    idx = tempfile.mkdtemp(prefix="lsh_mixed_test_")
+    lsh_index_write(base_corpus, idx)
+    lsh_index_append(increment, idx, "__bid=0")
+    got = sorted(
+        map(
+            tuple,
+            lsh_neardup_probe_index(spark, idx, incoming, 0.6).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            lsh_neardup_incremental(
+                base_corpus.unionByName(increment), incoming, 0.6
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert len(want) > 0  # fixture must actually exercise the probe
+
+
+def test_lsh_probe_before_bid_excludes_own_append(spark, sf_dir):
+    # ADVICE r06 retry safety: a replayed foreachBatch batch that
+    # already appended itself under __bid=N must not probe its own
+    # prior append — before_bid=N filters it, so the probe result
+    # equals the pre-append result and contains no self-pairs
+    import tempfile
+
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from osm_changesets_to_parquet_spark.operators.dedup import (
+        lsh_index_append,
+        lsh_neardup_probe_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch0 = docs.where(F.col("doc_id") % 2 == 0)
+    batch1 = docs.where(F.col("doc_id") % 2 == 1)
+    idx = tempfile.mkdtemp(prefix="lsh_retry_test_")
+    lsh_index_append(batch0, idx, "__bid=0")
+    clean = sorted(
+        (r.new_id, r.old_id)
+        for r in lsh_neardup_probe_index(
+            spark, idx, batch1, 0.6, before_bid=1
+        ).collect()
+    )
+    # simulate the failure-after-append: batch 1's append landed, then
+    # the batch replays and probes again
+    lsh_index_append(batch1, idx, "__bid=1")
+    replay = sorted(
+        (r.new_id, r.old_id)
+        for r in lsh_neardup_probe_index(
+            spark, idx, batch1, 0.6, before_bid=1
+        ).collect()
+    )
+    assert replay == clean
+    assert all(a != b for a, b in replay)  # no self-pairs
+    # without the filter the poisoned probe DOES emit self-pairs —
+    # the failure mode the parameter exists to prevent
+    poisoned = lsh_neardup_probe_index(spark, idx, batch1, 0.6).collect()
+    assert any(r.new_id == r.old_id for r in poisoned)
+
+
+def test_events_chunks_overwrite_retracts_stale_stream_manifests(spark, sf_dir):
+    # ADVICE r06: a batch OVERWRITE at a path previously used by a
+    # streaming job must retract the stream's _MANIFEST-<id>.json
+    # files — the union-of-manifests reader would otherwise
+    # double-count rows
+    import json
+    import shutil
+    import tempfile
+
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from osm_changesets_to_parquet_spark.sources import events_sink_pyds
+
+    events_sink_pyds.register(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts_us"
+    )
+    n = ev.count()
+    path = tempfile.mkdtemp(prefix="events_chunks_stale_test_")
+    try:
+        (
+            ev.repartition(2)
+            .write.format("events_chunks")
+            .mode("overwrite")
+            .option("path", path)
+            .save()
+        )
+        # simulate a leftover streaming manifest naming a real file:
+        # without retraction the reader unions it and double-counts
+        with open(f"{path}/_MANIFEST.json") as f:
+            first = json.load(f)["files"][0]
+        with open(f"{path}/_MANIFEST-3.json", "w") as f:
+            json.dump({"batch": 3, "files": [first], "total_rows": first["rows"]}, f)
+        assert (
+            spark.read.format("events_chunks").option("path", path).load().count()
+            > n
+        ), "precondition: the stale manifest must actually double-count"
+        (
+            ev.repartition(2)
+            .write.format("events_chunks")
+            .mode("overwrite")
+            .option("path", path)
+            .save()
+        )
+        import os as _os
+
+        assert not _os.path.exists(f"{path}/_MANIFEST-3.json")
+        assert (
+            spark.read.format("events_chunks").option("path", path).load().count()
+            == n
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
