@@ -179,6 +179,46 @@ def compact_parquet_dir(
     return parquet_dir_stats(spark, dst_dir)[1]
 
 
+def publish_single_file(spark, src_dir: str, dest_file: str) -> int:
+    """Publish a parquet directory as ONE ``.parquet`` FILE at
+    ``dest_file`` — the reference's exact output artifact
+    (src/main.rs:416-425 writes a single file; Spark writes a
+    directory, which a DuckDB-over-HTTP consumer of the published
+    file would notice).  Returns the published byte size.
+
+    Mechanics: ``coalesce(1)`` rewrite into a scratch dir next to the
+    destination (narrow, no shuffle — one task streams every input
+    file), then a Hadoop-FileSystem rename of the lone part file onto
+    ``dest_file`` (atomic on HDFS/posix; last-hop copy on stores
+    without native rename) and scratch cleanup.  All paths go through
+    the FileSystem API, so any configured scheme works.  A single
+    file is by construction a single-task read — this is a PUBLISH
+    artifact for small-to-medium outputs (the planet changeset file
+    is ~10 GB), not a layout for cluster-parallel scans; keep the
+    directory form for those.
+    """
+    jvm = spark._jvm
+    scratch = dest_file + ".__single_file_tmp"
+    spark.read.parquet(src_dir).coalesce(1).write.mode("overwrite").parquet(
+        scratch, compression="snappy"
+    )
+    jscratch = jvm.org.apache.hadoop.fs.Path(scratch)
+    fs = jscratch.getFileSystem(spark._jsc.hadoopConfiguration())
+    parts = [
+        f
+        for f in fs.listStatus(jscratch)
+        if f.getPath().getName().endswith(".parquet")
+    ]
+    assert len(parts) == 1, f"coalesce(1) produced {len(parts)} files"
+    size = parts[0].getLen()
+    jdest = jvm.org.apache.hadoop.fs.Path(dest_file)
+    fs.delete(jdest, False)
+    if not fs.rename(parts[0].getPath(), jdest):
+        raise OSError(f"rename to {dest_file} failed")
+    fs.delete(jscratch, True)
+    return size
+
+
 # ---------------------------------------------------------------------------
 # File-level data skipping (manifest of per-file min/max, Iceberg-style)
 # ---------------------------------------------------------------------------

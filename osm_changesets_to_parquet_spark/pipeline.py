@@ -99,6 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="URL prefix recorded in index.json (e.g. an object-store public base)",
     )
+    p.add_argument(
+        "--single-file",
+        action="store_true",
+        help="publish --output as ONE .parquet file (the reference's exact "
+        "artifact, src/main.rs:416-425) instead of a parquet directory",
+    )
     p.add_argument("--master", default=None, help="spark master (default local[N])")
     return p
 
@@ -123,14 +129,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if own_session:
         spark = get_spark("changesets-to-parquet", master=args.master)
     t0 = time.perf_counter()
+    if args.single_file and args.partition_by_day:
+        raise SystemExit("--single-file and --partition-by-day are exclusive")
+    convert_out = (
+        args.output + ".__dir" if args.single_file else args.output
+    )
     rows = convert(
         spark,
         args.input,
-        args.output,
+        convert_out,
         batch_size=args.batch_size,
         continue_on_error=args.continue_on_error,
         partition_by_day=args.partition_by_day,
     )
+    if args.single_file:
+        # the reference writes exactly ONE file (src/main.rs:416-425);
+        # publish the directory as that artifact and drop the scratch
+        from osm_changesets_to_parquet_spark.operators.layout import (
+            publish_single_file,
+        )
+
+        publish_single_file(spark, convert_out, args.output)
+        jvm = spark._jvm
+        jdir = jvm.org.apache.hadoop.fs.Path(convert_out)
+        jdir.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jdir, True)
     dt = time.perf_counter() - t0
     print(
         json.dumps(

@@ -103,6 +103,96 @@ def cs2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cs13_parse_diagnostics",
+    f"""
+    SELECT CAST({fixtures.MIDFILE_CORRUPT_POSITION} AS BIGINT) AS position,
+           CAST(2 AS BIGINT) AS rows_parsed,
+           CAST(2 AS BIGINT) AS last_changeset_id,
+           TRUE AS has_error_detail,
+           TRUE AS has_head_snippet,
+           TRUE AS has_tail_snippet
+    """,
+    doc=(
+        "parse-error DIAGNOSTICS parity (reference src/main.rs:344-363: "
+        "on a parse failure it prints byte position, changesets "
+        "processed, last changeset id, the error, and 500-byte buffer "
+        "head/tail snippets): a mid-file corrupt element is read "
+        "through the strict osm_changesets Python DataSource, the task "
+        "failure carries a ChangesetParseError whose rendered report "
+        "survives Spark's driver-side stringification, and the fields "
+        "are extracted from the surfaced message — proving a user "
+        "debugging a corrupt planet dump sees position + progress + "
+        "bounded context, not an opaque zero-rows error"
+    ),
+)
+def cs13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from osm_changesets_to_parquet_spark.sources import changesets_pyds
+
+    changesets_pyds.register(spark)
+    xml = fixtures.write_midfile_corrupt_fixture()
+    df = (
+        spark.read.format("osm_changesets")
+        .option("path", xml)
+        .option("partitions", "1")
+        .load()
+    )
+    try:
+        df.collect()  # a 5-element fixture; the task MUST fail at #3
+        raise AssertionError("corrupt fixture unexpectedly parsed clean")
+    except Exception as e:  # noqa: BLE001 — Spark wraps the task error
+        msg = str(e)
+    pos = re.search(r"Position: (\d+)", msg)
+    proc = re.search(r"Changesets processed: (\d+)", msg)
+    last = re.search(r"Last changeset ID: (\d+)", msg)
+    return spark.createDataFrame(
+        [
+            (
+                int(pos.group(1)) if pos else -1,
+                int(proc.group(1)) if proc else -1,
+                int(last.group(1)) if last else -1,
+                "not well-formed" in msg,
+                "Buffer content at error (first 500 bytes):" in msg,
+                "Buffer content at error (last 500 bytes):" in msg,
+            )
+        ],
+        "position long, rows_parsed long, last_changeset_id long, "
+        "has_error_detail boolean, has_head_snippet boolean, "
+        "has_tail_snippet boolean",
+    )
+
+
+@register(
+    "cs14_single_file_publish",
+    fixtures.expected_values_sql(),
+    doc=(
+        "single-FILE output parity (reference src/main.rs:416-425 "
+        "writes exactly one changesets.parquet file; Spark writes a "
+        "directory): convert -> operators/layout.py "
+        "publish_single_file (coalesce(1) rewrite + Hadoop-FS rename "
+        "of the lone part onto the destination) -> verify the "
+        "published path is ONE plain .parquet file -> read it back "
+        "and hash-match the full expected rows; pipeline.py "
+        "--single-file drives the same path end-to-end"
+    ),
+)
+def cs14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.layout import (
+        publish_single_file,
+    )
+
+    xml = fixtures.write_fixture()
+    work = os.path.join(tempfile.gettempdir(), "osm_changeset_fixtures")
+    out_dir = os.path.join(work, "cs14_out_dir.parquet")
+    dest = os.path.join(work, "cs14_changesets.parquet")
+    convert(spark, xml, out_dir)
+    size = publish_single_file(spark, out_dir, dest)
+    assert os.path.isfile(dest) and os.path.getsize(dest) == size
+    return _as_ms_rows(spark.read.parquet(dest))
+
+
+@register(
     "cs3_bz2_multistream",
     fixtures.expected_values_sql(),
     doc=(

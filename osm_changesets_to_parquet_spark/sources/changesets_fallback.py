@@ -33,6 +33,62 @@ from osm_changesets_to_parquet_spark.schemas import CHANGESET_SCHEMA
 _COLS = [f.name for f in CHANGESET_SCHEMA.fields]
 
 
+class ChangesetParseError(ValueError):
+    """Reference-parity parse-failure report (src/main.rs:344-363): the
+    reference prints byte position, changesets processed so far, the
+    last successfully parsed changeset id, the underlying error, and
+    bounded head/tail snippets of the buffer at the error.  This
+    exception carries the same fields structurally AND renders them in
+    the message, so the report survives Spark's task-failure
+    stringification to the driver."""
+
+    SNIPPET = 500  # the reference's bound: first/last 500 bytes
+
+    def __init__(
+        self,
+        position: int,
+        rows_parsed: int,
+        last_changeset_id: int | None,
+        error: str,
+        fragment: str,
+    ) -> None:
+        head = fragment[: self.SNIPPET]
+        tail = fragment[-self.SNIPPET :]
+        msg = (
+            "=== XML PARSE ERROR ===\n"
+            f"Position: {position}\n"
+            f"Changesets processed: {rows_parsed}\n"
+            f"Last changeset ID: "
+            f"{last_changeset_id if last_changeset_id is not None else 'none'}\n"
+            f"Error: {error}\n"
+            f"Buffer content at error (first {self.SNIPPET} bytes):\n{head}\n"
+            f"Buffer content at error (last {self.SNIPPET} bytes):\n{tail}\n"
+            "======================="
+        )
+        super().__init__(msg)
+        self.position = position
+        self.rows_parsed = rows_parsed
+        self.last_changeset_id = last_changeset_id
+        self.error = error
+        self.buffer_head = head
+        self.buffer_tail = tail
+
+
+def _fragment_error(frag: str) -> str:
+    """The underlying ElementTree error for a fragment that failed the
+    strict parse — re-parsed here purely for the diagnostic report."""
+    import xml.etree.ElementTree as ET
+
+    start = frag.find("<changeset")
+    if start < 0:
+        return "no <changeset start tag in fragment"
+    try:
+        ET.fromstring("<r>" + frag[start:].replace("</osm>", "") + "</r>")
+    except ET.ParseError as e:
+        return str(e)
+    return "element parsed only when force-closed (truncated input)"
+
+
 def _parse_fragment(frag: str, retry_close: bool = True) -> list[dict]:
     """Parse one lineSep-framed fragment into changeset rows.
 

@@ -35,6 +35,8 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from osm_changesets_to_parquet_spark.schemas import CHANGESET_SCHEMA
 from osm_changesets_to_parquet_spark.sources.changesets_fallback import (
     _COLS,
+    ChangesetParseError,
+    _fragment_error,
     _parse_fragment,
 )
 
@@ -100,6 +102,8 @@ class ChangesetXmlReader(DataSourceReader):
         while pos != -1 and lo + pos < hi:
             starts.append(pos)
             pos = buf.find(_START, pos + 1)
+        count = 0  # changesets yielded by THIS task so far
+        last_id: int | None = None
         for i, s in enumerate(starts):
             if i + 1 < len(starts):
                 nxt = starts[i + 1]
@@ -120,15 +124,27 @@ class ChangesetXmlReader(DataSourceReader):
             )
             rows = _parse_fragment(frag, retry_close=False)
             if not rows:
-                raise ValueError(
-                    f"osm_changesets: element starting at byte {lo + s} "
-                    f"parsed to zero rows — truncated (an element may span "
-                    f"at most overflow={self.overflow} bytes past the split "
-                    f"boundary at {hi}; raise the 'overflow' option or lower "
-                    f"'partitions') or malformed XML; refusing to drop it "
-                    f"silently"
+                # the reference's parse-error report (src/main.rs:
+                # 344-363): position + progress + last id + bounded
+                # buffer snippets — the first thing a user needs on a
+                # corrupt planet dump, surfaced through the task error
+                raise ChangesetParseError(
+                    position=lo + s,
+                    rows_parsed=count,
+                    last_changeset_id=last_id,
+                    error=(
+                        f"{_fragment_error(frag)} — element parsed to "
+                        f"zero rows: truncated (an element may span at "
+                        f"most overflow={self.overflow} bytes past the "
+                        f"split boundary at {hi}; raise the 'overflow' "
+                        f"option or lower 'partitions') or malformed "
+                        f"XML; refusing to drop it silently"
+                    ),
+                    fragment=frag,
                 )
             for row in rows:
+                count += 1
+                last_id = row["id"]
                 ts = row["created_at"]
                 tc = row["closed_at"]
                 yield (

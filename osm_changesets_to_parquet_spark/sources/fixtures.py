@@ -92,6 +92,37 @@ def write_malformed_fixture(name: str = "malformed.xml") -> str:
     return write_fixture(name, MALFORMED_XML)
 
 
+# Mid-file corruption (cs13): elements 1-2 are valid, element 3 has
+# broken attribute quoting (the classic bit-rot/truncation artifact on
+# a planet dump), elements 4-5 are valid again — so a strict reader
+# must fail AT element 3 having processed exactly 2 changesets, and
+# the diagnostic report's position/progress fields are deterministic.
+MIDFILE_CORRUPT_XML = (
+    '<?xml version="1.0"?>\n<osm>\n'
+    '  <changeset id="1" created_at="2024-01-01T00:00:00Z" open="false"'
+    ' num_changes="5" comments_count="0"/>\n'
+    '  <changeset id="2" created_at="2024-01-02T00:00:00Z" open="false"'
+    ' num_changes="3" comments_count="1"/>\n'
+    '  <changeset id="3" created_at="2024-01-03T00:00:00Z" open="false'
+    ' num_changes="2" comments_count="0"/>\n'
+    '  <changeset id="4" created_at="2024-01-04T00:00:00Z" open="true"'
+    ' num_changes="1" comments_count="0"/>\n'
+    '  <changeset id="5" created_at="2024-01-05T00:00:00Z" open="false"'
+    ' num_changes="7" comments_count="2"/>\n'
+    "</osm>\n"
+)
+
+# the byte offset of the corrupt element's start tag — the Position
+# the reference's report prints (buffer_position at the failed event)
+MIDFILE_CORRUPT_POSITION = MIDFILE_CORRUPT_XML.encode("utf-8").find(
+    b'<changeset id="3"'
+)
+
+
+def write_midfile_corrupt_fixture(name: str = "midfile_corrupt.xml") -> str:
+    return write_fixture(name, MIDFILE_CORRUPT_XML)
+
+
 # --- Geo fixture: many changesets with bounding boxes (cs10) ---------------
 
 GEO_N = 40

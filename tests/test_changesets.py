@@ -310,3 +310,70 @@ def test_python_datasource_requires_path(spark):
     changesets_pyds.register(spark)
     with _pytest.raises(Exception):
         spark.read.format("osm_changesets").load().collect()
+
+
+def test_pyds_parse_error_report_fields():
+    # reference parity (src/main.rs:344-363): the strict reader's task
+    # error must carry position, progress, last id, the underlying
+    # error, and bounded head/tail buffer snippets — structurally on
+    # the exception AND rendered in the message
+    import pytest
+
+    from osm_changesets_to_parquet_spark.sources import fixtures
+    from osm_changesets_to_parquet_spark.sources.changesets_fallback import (
+        ChangesetParseError,
+    )
+    from osm_changesets_to_parquet_spark.sources.changesets_pyds import (
+        ChangesetXmlReader,
+    )
+
+    path = fixtures.write_midfile_corrupt_fixture()
+    reader = ChangesetXmlReader({"path": path, "partitions": "1"})
+    (part,) = reader.partitions()
+    with pytest.raises(ChangesetParseError) as ei:
+        list(reader.read(part))
+    e = ei.value
+    assert e.position == fixtures.MIDFILE_CORRUPT_POSITION
+    assert e.rows_parsed == 2
+    assert e.last_changeset_id == 2
+    assert "not well-formed" in e.error
+    assert 0 < len(e.buffer_head) <= 500
+    assert 0 < len(e.buffer_tail) <= 500
+    assert '<changeset id="3"' in e.buffer_head
+    msg = str(e)
+    for line in (
+        "=== XML PARSE ERROR ===",
+        f"Position: {fixtures.MIDFILE_CORRUPT_POSITION}",
+        "Changesets processed: 2",
+        "Last changeset ID: 2",
+        "Buffer content at error (first 500 bytes):",
+        "Buffer content at error (last 500 bytes):",
+    ):
+        assert line in msg
+
+
+def test_cli_single_file_publish(spark, tmp_path):
+    # reference parity (src/main.rs:416-425): --single-file publishes
+    # exactly ONE plain .parquet FILE (plus index.json beside it), the
+    # artifact a DuckDB-over-HTTP consumer of the reference reads
+    import json as _json
+    import os as _os
+
+    from osm_changesets_to_parquet_spark.pipeline import main
+
+    out = str(tmp_path / "changesets.parquet")
+    rc = main(
+        [
+            "--input", fixtures.write_fixture(),
+            "--output", out,
+            "--single-file",
+            "--publish-index",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert _os.path.isfile(out)  # a FILE, not a directory
+    assert not _os.path.exists(out + ".__dir")  # scratch cleaned up
+    assert spark.read.parquet(out).count() == 4
+    idx = _json.loads((tmp_path / "index.json").read_text())
+    assert idx["rows"] == 4
