@@ -179,6 +179,7 @@ def load_all_modules() -> None:
         relational_ext,
         sketches,
         sources_roundtrip,
+        stats,
         streaming_jobs,
         udfs,
         windows_streaming,
