@@ -306,3 +306,386 @@ def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_blocked",
         (F.col("bloom_pass") - F.col("exact_blocked")).alias("false_positives"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q210: bipartite co-occurrence projection (parts co-purchased in an order)
+# ---------------------------------------------------------------------------
+
+_Q210_K = 20
+
+_Q210_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS n_co_orders
+FROM pairs GROUP BY p1, p2
+ORDER BY n_co_orders DESC, p1, p2 LIMIT {_Q210_K}
+"""
+
+
+@register(
+    "q210_bipartite_projection",
+    _Q210_SQL,
+    doc=(
+        "bipartite graph projection (order-part incidence -> part-part "
+        "co-purchase edges, the item-item collaborative-filtering "
+        "precompute): DISTINCT incidence first, then a SELF-equi-join "
+        "keyed on the order — pair volume is Σ k_i² over per-order "
+        "basket sizes (bounded: ~4-13 lines/order), NOT |lineitem|², "
+        "and the join shuffles on l_orderkey so each basket's pairs "
+        "materialize on one task; top-k is TakeOrderedAndProject.  At "
+        "100 TB the guard is the basket-size cap (a pathological "
+        "mega-basket is the q133 skew-profile case first)"
+    ),
+    tables=("lineitem",),
+)
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "k")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_co_orders"))
+        .orderBy(F.col("n_co_orders").desc(), "p1", "p2")
+        .limit(_Q210_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q212: Theil–Sen robust trend slope per event type
+# ---------------------------------------------------------------------------
+
+_Q212_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         ROUND(SUM(value), 2) AS v
+  FROM events GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type, (b.v - a.v) / (b.d - a.d) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+)
+SELECT event_type,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM daily d
+        WHERE d.event_type = slopes.event_type) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(quantile_cont(s, 0.5), 4) AS theil_sen_slope
+FROM slopes GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "q212_theil_sen",
+    _Q212_SQL,
+    doc=(
+        "Theil–Sen robust trend estimator (median of all pairwise "
+        "slopes — 29% outlier breakdown vs OLS's zero) per event type "
+        "over DAILY rollups: the corpus-sized work is one keyed "
+        "aggregate to (type, day, 2dp-rounded sum); the O(days²) pair "
+        "set is built IN-ROW from the collected per-type day array "
+        "(bounded by the calendar, ~30 elements — never a corpus "
+        "self-join), exploded, and reduced by the exact interpolated "
+        "median (F.percentile == quantile_cont).  Rounding the daily "
+        "sums FIRST makes every slope the same double in both engines"
+    ),
+    tables=("events",),
+)
+def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    arr = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("d", "v"))).alias("a")
+    )
+    # in-row pairwise slopes: for element i, slopes against every later
+    # element — flatten(transform-with-index + slice)
+    slopes = F.flatten(
+        F.transform(
+            "a",
+            lambda x, i: F.transform(
+                F.slice(F.col("a"), i + 2, F.size("a")),
+                lambda y: (y["v"] - x["v"]) / (y["d"] - x["d"]),
+            ),
+        )
+    )
+    per = arr.select(
+        "event_type",
+        F.size("a").cast("long").alias("n_days"),
+        F.explode(slopes).alias("s"),
+    )
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.first("n_days").alias("n_days"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.percentile("s", F.lit(0.5)), 4).alias("theil_sen_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q213: Mann–Whitney U test (click vs error value distributions)
+# ---------------------------------------------------------------------------
+
+_Q213_A, _Q213_B = "click", "error"
+
+_Q213_SQL = f"""
+WITH e AS (
+  SELECT value AS score, CAST(event_type = '{_Q213_A}' AS BIGINT) AS g1
+  FROM events WHERE event_type IN ('{_Q213_A}', '{_Q213_B}')
+),
+s AS (SELECT score, COUNT(*) AS cnt, SUM(g1) AS n1s FROM e GROUP BY score),
+c AS (
+  SELECT score, cnt, n1s,
+         COALESCE(SUM(cnt) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM s
+),
+t AS (
+  SELECT SUM(n1s * (below + (cnt + 1) / 2.0)) AS r1,
+         CAST(SUM(n1s) AS BIGINT) AS n1,
+         CAST(SUM(cnt - n1s) AS BIGINT) AS n2,
+         SUM(CASE WHEN cnt > 1 THEN cnt*cnt*cnt - cnt ELSE 0 END) AS ties
+  FROM c
+)
+SELECT n1, n2,
+       ROUND(r1 - n1 * (n1 + 1) / 2.0, 1) AS u1,
+       ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * CAST(n2 AS DOUBLE) / 2.0)
+             / SQRT(n1 * CAST(n2 AS DOUBLE) / 12.0
+                    * ((n1 + n2 + 1) - ties / (CAST(n1 + n2 AS DOUBLE)
+                                               * (n1 + n2 - 1)))), 4) AS z
+FROM t
+"""
+
+
+@register(
+    "q213_mann_whitney",
+    _Q213_SQL,
+    doc=(
+        "Mann–Whitney U test (nonparametric two-sample location test) "
+        "between click and error value distributions, with exact "
+        "tie-averaged ranks and the tie-corrected normal "
+        "approximation: the q172 discipline — scores reduce to "
+        "per-distinct-score (cnt, group-1 count) first, the "
+        "strictly-below prefix comes from the range-bucketed "
+        "global_cumsum (never a single-task window), and rank sums "
+        "are exact .5-increment doubles so U is engine-exact; only "
+        "the final z divides/roots"
+    ),
+    tables=("events",),
+)
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.packing import global_cumsum
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where(F.col("event_type").isin(_Q213_A, _Q213_B)).select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == _Q213_A).cast("long").alias("g1"),
+    )
+    s = e.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("g1").alias("n1s")
+    )
+    c = global_cumsum(
+        s, "score", "cnt", out_col="below", exclusive=True,
+        bounds=[16.0 * i for i in range(1, 32)],
+    )
+    t = c.agg(
+        F.sum(
+            F.col("n1s") * (F.col("below") + (F.col("cnt") + F.lit(1)) / F.lit(2.0))
+        ).alias("r1"),
+        F.sum("n1s").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("n1s")).cast("long").alias("n2"),
+        F.sum(
+            F.when(
+                F.col("cnt") > 1,
+                F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"),
+            ).otherwise(F.lit(0))
+        ).alias("ties"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + F.lit(1)) / F.lit(2.0)
+    n = F.col("n1") + F.col("n2")
+    sigma = F.sqrt(
+        F.col("n1") * F.col("n2").cast("double") / F.lit(12.0)
+        * ((n + F.lit(1)) - F.col("ties") / (n.cast("double") * (n - F.lit(1))))
+    )
+    return t.select(
+        "n1",
+        "n2",
+        F.round(u1, 1).alias("u1"),
+        F.round(
+            (u1 - F.col("n1") * F.col("n2").cast("double") / F.lit(2.0)) / sigma, 4
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q214: chi-squared term/label association (feature selection)
+# ---------------------------------------------------------------------------
+
+_Q214_DF_TOP = 50
+_Q214_OUT = 10
+
+_Q214_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+lab AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS en FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(en) AS BIGINT) AS n_en FROM lab),
+df AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(lab.en) AS BIGINT) AS a
+  FROM tk JOIN lab USING (doc_id) GROUP BY tok
+),
+top AS (SELECT * FROM df ORDER BY df DESC, tok LIMIT {_Q214_DF_TOP}),
+x AS (
+  SELECT tok, df, a, df - a AS b, n_en - a AS c,
+         n_docs - n_en - (df - a) AS d, n_docs
+  FROM top, tot
+)
+SELECT tok, df, CAST(a AS BIGINT) AS n_term_en,
+       ROUND(n_docs * CAST(a*d - b*c AS DOUBLE) * CAST(a*d - b*c AS DOUBLE)
+             / NULLIF(CAST((a+b) AS DOUBLE) * (c+d) * (a+c) * (b+d), 0.0),
+             4) AS chi2
+FROM x
+ORDER BY chi2 DESC NULLS LAST, tok LIMIT {_Q214_OUT}
+"""
+
+
+@register(
+    "q214_chi2_feature_select",
+    _Q214_SQL,
+    doc=(
+        "chi-squared term-vs-label feature selection (the classic "
+        "text-classification feature ranker): distinct (doc, term) "
+        "incidence -> one term-keyed aggregate joined with the "
+        "broadcast per-doc label -> contingency cells A/B/C/D from "
+        "integer counts and the 2x2 chi2 formula — all counts are "
+        "engine-exact integers, the float formula is spelled "
+        "identically both sides (CAST the AD-BC difference to DOUBLE "
+        "before squaring: HUGEINT/overflow-proof), zero denominators "
+        "NULLIF-guarded (ANSI Spark throws on double x/0); "
+        "vocabulary-keyed shuffles only, top-df prefilter is "
+        "TakeOrderedAndProject"
+    ),
+    tables=("documents",),
+)
+def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    lab = docs.select("doc_id", (F.col("lang") == "en").cast("long").alias("en"))
+    tot = lab.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("en").alias("n_en")
+    )
+    df = (
+        tk.join(lab, "doc_id")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("en").alias("a"))
+    )
+    top = df.orderBy(F.col("df").desc(), "tok").limit(_Q214_DF_TOP)
+    x = top.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "df",
+        "a",
+        (F.col("df") - F.col("a")).alias("b"),
+        (F.col("n_en") - F.col("a")).alias("c"),
+        (F.col("n_docs") - F.col("n_en") - (F.col("df") - F.col("a"))).alias("d"),
+        "n_docs",
+    )
+    diff = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    denom = F.nullif(
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d")),
+        F.lit(0.0),
+    )
+    return x.select(
+        "tok",
+        "df",
+        F.col("a").cast("long").alias("n_term_en"),
+        F.round(F.col("n_docs") * diff * diff / denom, 4).alias("chi2"),
+    ).orderBy(F.col("chi2").desc_nulls_last(), "tok").limit(_Q214_OUT)
+
+
+# ---------------------------------------------------------------------------
+# q217: recency-weighted engagement (exponential time-decay aggregate)
+# ---------------------------------------------------------------------------
+
+_Q217_HALFLIFE_DAYS = 7.0
+
+_Q217_SQL = f"""
+WITH m AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+w AS (
+  SELECT event_type, value,
+         POWER(0.5, (m.mx - epoch_us(ts)) / 86400000000.0
+                    / {_Q217_HALFLIFE_DAYS}) AS wt
+  FROM events, m
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(wt), 4) AS decayed_count,
+       ROUND(SUM(wt * value) / SUM(wt), 4) AS decayed_mean_value
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "q217_recency_weighted_ctr",
+    _Q217_SQL,
+    doc=(
+        "exponentially time-decayed engagement profile (halflife 7 "
+        "days — the freshness weighting of ranking/CTR features): the "
+        "global max timestamp is a 1-row broadcast scalar; every "
+        "weight is row-local POWER(0.5, age/halflife) over integer "
+        "epoch-micro age (the shared time domain), folded by one "
+        "map-side-partial keyed aggregate — one scan, one tiny "
+        "shuffle; the q83 EWMA discipline generalized to unordered "
+        "decay"
+    ),
+    tables=("events",),
+)
+def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.agg(F.max("ts_us").alias("mx"))
+    wt = F.pow(
+        F.lit(0.5),
+        (F.col("mx") - F.col("ts_us"))
+        / F.lit(86400000000.0)
+        / F.lit(_Q217_HALFLIFE_DAYS),
+    )
+    return (
+        ev.crossJoin(F.broadcast(m))
+        .select("event_type", "value", wt.alias("wt"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("wt"), 4).alias("decayed_count"),
+            F.round(F.sum(F.col("wt") * F.col("value")) / F.sum("wt"), 4).alias(
+                "decayed_mean_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
