@@ -168,6 +168,23 @@ TIER2_QUERIES = [
     "q204_nearest_score_match",
     "q205_sequential_patterns",
     "s20_python_stream_sink",
+    # round 7: sampling, robust stats, rank tests, geo/graph joins,
+    # sketch-gated filtering, PAV calibration, streaming top-k
+    "cs13_parse_diagnostics",
+    "cs14_single_file_publish",
+    "q206_stratified_sample",
+    "q207_reservoir_sample",
+    "q208_isotonic_calibration",
+    "q209_session_entropy",
+    "q210_bipartite_projection",
+    "q211_haversine_join",
+    "q212_theil_sen",
+    "q213_mann_whitney",
+    "q214_chi2_feature_select",
+    "q215_winsorized_stats",
+    "q216_bloom_antijoin",
+    "q217_recency_weighted_ctr",
+    "s21_streaming_topk",
 ]
 
 

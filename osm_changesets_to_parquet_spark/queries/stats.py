@@ -689,3 +689,249 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q211: haversine radius join with lossless grid blocking
+# ---------------------------------------------------------------------------
+# Synthetic-but-deterministic coordinates derived from the keys (the
+# cs10 geo-fixture recipe: exact multiples of 0.25, |lat| <= 70.25),
+# spelled identically in both engines.  Distances are ROUND()ed to 6dp
+# BEFORE any comparison/argmin: the lattice has mathematically
+# equidistant pairs, and 6dp-rounding makes the tie EXPLICIT (broken by
+# s_suppkey) instead of resting on cross-engine libm last-ulp agreement.
+
+_Q211_RADIUS_KM = 500.0
+_Q211_CELL_DEG = 5
+# lossless neighbor envelope: dlat <= 500/111.19 = 4.5 deg (1 cell);
+# dlon <= 4.5/cos(70.25 deg) = 13.3 deg (3 cells) — lats cap at 70.25
+_Q211_LAT_OFF = (-1, 0, 1)
+_Q211_LON_OFF = (-3, -2, -1, 0, 1, 2, 3)
+
+_Q211_CLAT = "(((c_custkey * 7) % 140) - 70 + 0.25)"
+_Q211_CLON = "(((c_custkey * 13) % 340) - 170 + 0.5)"
+_Q211_SLAT = "(((s_suppkey * 11) % 140) - 70 + 0.25)"
+_Q211_SLON = "(((s_suppkey * 17) % 340) - 170 + 0.5)"
+
+_Q211_SQL = f"""
+WITH c AS (SELECT c_custkey, {_Q211_CLAT} AS la, {_Q211_CLON} AS lo FROM customer),
+s AS (SELECT s_suppkey, {_Q211_SLAT} AS la, {_Q211_SLON} AS lo FROM supplier),
+d AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         ROUND(2.0 * 6371.0 * asin(sqrt(
+           pow(sin(radians(s.la - c.la) / 2), 2)
+           + cos(radians(c.la)) * cos(radians(s.la))
+             * pow(sin(radians(s.lo - c.lo) / 2), 2))), 6) AS km
+  FROM c, s
+),
+near AS (SELECT * FROM d WHERE km <= {_Q211_RADIUS_KM}),
+r AS (
+  SELECT c_custkey, s_suppkey, km,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY km, s_suppkey) AS rn
+  FROM near
+)
+SELECT n.c_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_near,
+       ANY_VALUE(r.s_suppkey) AS nearest_suppkey,
+       ROUND(ANY_VALUE(r.km), 1) AS nearest_km
+FROM near n JOIN r ON r.c_custkey = n.c_custkey AND r.rn = 1
+GROUP BY n.c_custkey ORDER BY n.c_custkey
+"""
+
+
+@register(
+    "q211_haversine_join",
+    _Q211_SQL,
+    doc=(
+        "geo radius join (suppliers within 500 km of each customer, "
+        "plus the nearest one) with LOSSLESS grid blocking: both sides "
+        "key on floor(lat/5), floor(lon/5) cells; each customer probes "
+        "its 3x7 neighbor envelope (provably covers the radius for "
+        "|lat| <= 70.25 — dlat <= 4.5 deg, dlon <= 4.5/cos(70.25) = "
+        "13.3 deg) so candidates come from ONE equi-join on cell "
+        "coordinates — never the all-pairs cross join the brute-force "
+        "oracle runs; the exact haversine verifies candidates in-row, "
+        "and the per-customer count + min_by argmin are one keyed "
+        "aggregation (map-side partials, zero windows)"
+    ),
+    tables=("customer", "supplier"),
+)
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") * 7) % 140) - 70 + F.lit(0.25)).alias("cla"),
+        (((F.col("c_custkey") * 13) % 340) - 170 + F.lit(0.5)).alias("clo"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 11) % 140) - 70 + F.lit(0.25)).alias("sla"),
+        (((F.col("s_suppkey") * 17) % 340) - 170 + F.lit(0.5)).alias("slo"),
+    )
+    cell = lambda c: F.floor(c / F.lit(_Q211_CELL_DEG)).cast("long")
+    s_cells = supp.select(
+        "*", cell(F.col("sla")).alias("gla"), cell(F.col("slo")).alias("glo")
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(a).alias("da"), F.lit(o).alias("do"))
+            for a in _Q211_LAT_OFF
+            for o in _Q211_LON_OFF
+        ]
+    )
+    c_probes = cust.select(
+        "*", F.explode(offsets).alias("off")
+    ).select(
+        "c_custkey",
+        "cla",
+        "clo",
+        (cell(F.col("cla")) + F.col("off.da")).alias("gla"),
+        (cell(F.col("clo")) + F.col("off.do")).alias("glo"),
+    )
+    km = F.round(
+        F.lit(2.0)
+        * F.lit(6371.0)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("sla") - F.col("cla")) / 2), 2)
+                + F.cos(F.radians("cla"))
+                * F.cos(F.radians("sla"))
+                * F.pow(F.sin(F.radians(F.col("slo") - F.col("clo")) / 2), 2)
+            )
+        ),
+        6,
+    )
+    near = (
+        c_probes.join(s_cells, ["gla", "glo"])
+        .select("c_custkey", "s_suppkey", km.alias("km"))
+        .where(F.col("km") <= _Q211_RADIUS_KM)
+    )
+    return (
+        near.groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_near"),
+            F.min_by(
+                F.struct(F.col("s_suppkey").alias("sk"), F.col("km").alias("km")),
+                F.struct(F.col("km").alias("k"), F.col("s_suppkey").alias("s")),
+            ).alias("best"),
+        )
+        .select(
+            "c_custkey",
+            "n_near",
+            F.col("best.sk").alias("nearest_suppkey"),
+            F.round(F.col("best.km"), 1).alias("nearest_km"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q208: isotonic (PAV) score calibration per segment
+# ---------------------------------------------------------------------------
+
+_Q208_SQL = """
+WITH e AS (
+  SELECT user_id % 10 AS seg, value AS score, event_id,
+         CAST(event_type = 'purchase' AS BIGINT) AS y
+  FROM events
+),
+r AS (
+  SELECT seg, y,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY score, event_id) AS i
+  FROM e
+),
+cum AS (
+  SELECT seg, i, y, SUM(y) OVER (PARTITION BY seg ORDER BY i) AS cy
+  FROM r
+),
+m AS (
+  SELECT a.seg, a.i AS j, b.i AS k,
+         (b.cy - a.cy + a.y) * 1.0 / (b.i - a.i + 1) AS mean_jk
+  FROM cum a JOIN cum b ON a.seg = b.seg AND a.i <= b.i
+),
+sfx AS (
+  SELECT seg, j, k,
+         MIN(mean_jk) OVER (PARTITION BY seg, j ORDER BY k DESC) AS m1
+  FROM m
+),
+pm AS (
+  SELECT seg, j, k, MAX(m1) OVER (PARTITION BY seg, k ORDER BY j) AS iso
+  FROM sfx
+),
+fit AS (SELECT seg, k AS i, iso FROM pm WHERE j = k)
+SELECT f.seg AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(r2.y) AS BIGINT) AS n_pos,
+       ROUND(AVG((f.iso - r2.y) * (f.iso - r2.y)), 6) AS brier
+FROM fit f JOIN r r2 ON r2.seg = f.seg AND r2.i = f.i
+GROUP BY f.seg ORDER BY segment
+"""
+
+
+@register(
+    "q208_isotonic_calibration",
+    _Q208_SQL,
+    doc=(
+        "isotonic score calibration (pool-adjacent-violators) per "
+        "segment — the monotone probability-calibration step of a "
+        "ranking pipeline — with the calibrated Brier score as the "
+        "readout: the engine runs the O(n log n) PAV stack per segment "
+        "in ONE applyInPandas pass (a calibration segment fits an "
+        "executor; block pooling compares integer cross-products, so "
+        "every fitted value is an exact int/int division both engines "
+        "reproduce bit-for-bit); the oracle replays the minimax "
+        "identity iso_i = max_{j<=i} min_{k>=i} mean(y[j..k]) "
+        "(Robertson-Wright-Dykstra 1988) as two O(n^2) suffix-min / "
+        "prefix-max windows over the pairwise-mean table — brute "
+        "force the stack provably equals"
+    ),
+    tables=("events",),
+)
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("seg"),
+        F.col("value").alias("score"),
+        "event_id",
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+
+    def pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["score", "event_id"])
+        ys = pdf["y"].to_numpy()
+        # PAV stack: merge while previous block mean > current block
+        # mean — compared as INTEGER cross-products (labels are 0/1
+        # counts), so pooling decisions are exact; fitted values are
+        # int/int divisions emitted once per block at the end
+        sums: list[int] = []
+        cnts: list[int] = []
+        for yi in ys:
+            s, c = int(yi), 1
+            while sums and sums[-1] * c > s * cnts[-1]:
+                s += sums.pop()
+                c += cnts.pop()
+            sums.append(s)
+            cnts.append(c)
+        iso = np.repeat(
+            np.array([s / c for s, c in zip(sums, cnts)], dtype="float64"),
+            np.array(cnts),
+        )
+        return pd.DataFrame(
+            {"seg": pdf["seg"].iloc[0], "iso": iso, "y": ys}
+        )
+
+    fitted = ev.groupBy("seg").applyInPandas(pav, "seg long, iso double, y long")
+    return (
+        fitted.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.round(
+                F.avg((F.col("iso") - F.col("y")) * (F.col("iso") - F.col("y"))), 6
+            ).alias("brier"),
+        )
+        .select(F.col("seg").alias("segment"), "n", "n_pos", "brier")
+        .orderBy("segment")
+    )

@@ -604,3 +604,28 @@ def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_s20_python_stream_sink(spark, sf_dir)
+
+
+@register(
+    "s21_streaming_topk",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY user_id
+    ORDER BY cnt DESC, user_id LIMIT 10
+    """,
+    doc=(
+        "STREAMING global top-k (q24's continuous twin): per-user "
+        "counts accumulate through an update-mode streaming "
+        "aggregation whose state is one counter per user — bounded by "
+        "the key population, not the stream length; counter addition "
+        "commutes with micro-batching, so the streamed counts equal "
+        "the batch counts EXACTLY and the final "
+        "max-__bid-per-key + TakeOrdered(k) hash-matches the batch "
+        "top-10 oracle (streaming/jobs.py run_s21_streaming_topk)"
+    ),
+    tables=("events",),
+)
+def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.streaming import run_s21_streaming_topk
+
+    return run_s21_streaming_topk(spark, sf_dir)

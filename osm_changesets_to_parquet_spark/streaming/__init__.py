@@ -26,4 +26,5 @@ from osm_changesets_to_parquet_spark.streaming.jobs import (  # noqa: F401
     run_s18_streaming_cms,
     run_s19_streaming_conversions,
     run_s20_python_stream_sink,
+    run_s21_streaming_topk,
 )

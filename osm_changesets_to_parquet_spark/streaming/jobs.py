@@ -1164,3 +1164,32 @@ def run_s20_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def run_s21_streaming_topk(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Streaming top-k heavy users — the continuous twin of q24's
+    global top-k: per-user event counts accumulate through an
+    update-mode streaming aggregation (state = one counter per user,
+    bounded by the key population, NOT the stream length), each
+    micro-batch appending its changed keys under ``__bid``; the final
+    top-k reduces max-__bid-per-key then TakeOrders k rows.
+
+    Counter addition commutes with micro-batching, so the streamed
+    counts equal the batch counts EXACTLY and the result hash-matches
+    the batch SQL oracle.  At 100 TB/day the state store carries the
+    user population; the top-k itself is a per-batch O(k) concern for
+    a real-time consumer (here reduced once at stream end — the
+    replay-to-parquet harness shared by s4-s6/s18).
+    """
+    base = prepare_replay_dir(spark, sf_dir)
+    stream = _read_stream(spark, base)
+    counts = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    out = _run_availablenow(counts, mode="update")
+    latest = out.groupBy("user_id").agg(F.max_by("cnt", "__bid").alias("cnt"))
+    return (
+        latest.select("user_id", F.col("cnt").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(k)
+    )

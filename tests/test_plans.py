@@ -641,3 +641,39 @@ def test_q132_contrastive_single_aggregation_no_windows(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q132_contrastive_mining")
     assert "Window" not in plan
     assert "partial_min_by" in plan or "min_by" in plan, plan
+
+
+def test_q207_reservoir_is_take_ordered(spark, sf_dir):
+    # the fixed-k hash draw must execute as TakeOrderedAndProject
+    # (per-partition k-heap), never a global sort of the corpus
+    # (the plan's only Sort is the parent ordering the 20-row result
+    # by doc_id — corpus-sized sorting would show as a range exchange)
+    plan = _plan(spark, sf_dir, "q207_reservoir_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q211_haversine_candidates_equi_join(spark, sf_dir):
+    # grid blocking must plan as an equi-join on the cell coordinates —
+    # the all-pairs cross join is the oracle's cost, not the engine's
+    plan = _plan(spark, sf_dir, "q211_haversine_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q210_projection_keyed_join_partial_agg(spark, sf_dir):
+    # the bipartite projection must equi-join on the order key and
+    # take map-side partial counts on the (p1, p2) pairs
+    plan = _plan(spark, sf_dir, "q210_bipartite_projection")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q216_bloom_bits_broadcast(spark, sf_dir):
+    # the bit-set and blocklist probes must be broadcast (semi) joins —
+    # the fact table is never shuffled for membership testing
+    plan = _plan(spark, sf_dir, "q216_bloom_antijoin")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
