@@ -185,6 +185,11 @@ TIER2_QUERIES = [
     "q216_bloom_antijoin",
     "q217_recency_weighted_ctr",
     "s21_streaming_topk",
+    "q218_triangle_count",
+    "q219_kaplan_meier",
+    "q220_dow_seasonality",
+    "q221_anomaly_zscore",
+    "q222_bigram_perplexity",
 ]
 
 

@@ -110,14 +110,19 @@ _PRIORITY: tuple[str, ...] = (
     "q216_bloom_antijoin",
     "q217_recency_weighted_ctr",
     "s21_streaming_topk",
+    "q218_triangle_count",
+    "q219_kaplan_meier",
+    "q220_dow_seasonality",
+    "q221_anomaly_zscore",
+    "q222_bigram_perplexity",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
+    # ---- window boundary (50) — names below queue for round 8 ----
     "m49_audio_frame_sample",
     "m50_image_resize",
     "q27_except",
     "q28_string_funcs",
     "q29_date_funcs",
-    # ---- window boundary (50) — names below queue for round 8 ----
     "q30_math_funcs",
     "q31_json_extract",
     "q32_map_funcs",

@@ -935,3 +935,362 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("seg").alias("segment"), "n", "n_pos", "brier")
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q219: Kaplan–Meier survival (time to first purchase, right-censored)
+# ---------------------------------------------------------------------------
+
+_Q219_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+         MAX(epoch_us(ts)) AS tl
+  FROM events GROUP BY user_id
+),
+dur AS (
+  SELECT user_id,
+         CAST(COALESCE(tp - t0, tl - t0) // 86400000000 AS BIGINT) AS t,
+         CAST(tp IS NOT NULL AS BIGINT) AS died
+  FROM per_user
+),
+day AS (
+  SELECT t, CAST(SUM(died) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM dur GROUP BY t
+),
+risk AS (
+  SELECT t, d,
+         SUM(c) OVER (ORDER BY t DESC) AS n_risk
+  FROM day
+),
+km AS (
+  SELECT t, d, n_risk,
+         CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t) = 1
+              THEN 0.0
+              ELSE ROUND(EXP(SUM(CASE WHEN d < n_risk
+                                      THEN LN(1.0 - d * 1.0 / n_risk)
+                                      ELSE 0.0 END)
+                             OVER (ORDER BY t)), 4) END AS s_t
+  FROM risk
+)
+SELECT t AS day, d AS n_events, CAST(n_risk AS BIGINT) AS n_at_risk, s_t
+FROM km WHERE d > 0 ORDER BY day
+"""
+
+
+@register(
+    "q219_kaplan_meier",
+    _Q219_SQL,
+    doc=(
+        "Kaplan–Meier survival estimator (Kaplan & Meier 1958) for "
+        "time from a user's first event to first purchase, right-"
+        "censored at last observation: per-user durations are one "
+        "keyed aggregate; the life table groups to DAILY granularity "
+        "so the risk-set suffix sum and the survival prefix product "
+        "(EXP-SUM-LN, spelled identically both engines) are windows "
+        "over a CALENDAR-bounded frame (~30 rows — never the user "
+        "population); integer micro-second durations keep the day "
+        "index engine-exact"
+    ),
+    tables=("events",),
+)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+        ).alias("tp"),
+        F.max("ts_us").alias("tl"),
+    )
+    dur = per_user.select(
+        (
+            F.coalesce(F.col("tp") - F.col("t0"), F.col("tl") - F.col("t0"))
+            / F.lit(86400000000)
+        )
+        .cast("long")
+        .alias("t"),
+        F.col("tp").isNotNull().cast("long").alias("died"),
+    )
+    day = dur.groupBy("t").agg(
+        F.sum("died").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    # calendar-bounded (~30-row) frame: a partitionless window here is
+    # O(days), not O(users) — the documented exception (q190 pattern)
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = day.withColumn("n_risk", F.sum("c").over(w_desc))
+    # the final risk group can die out entirely (d == n_risk): survival
+    # is exactly 0 from there on — handled as an explicit flag so the
+    # LN-sum never sees log(0) (mirrored in the oracle's CASE)
+    dead = F.max((F.col("d") == F.col("n_risk")).cast("int")).over(w_asc)
+    ln_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(F.lit(1.0) - F.col("d") * F.lit(1.0) / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    km = risk.withColumn(
+        "s_t",
+        F.when(dead == 1, F.lit(0.0)).otherwise(
+            F.round(F.exp(F.sum(ln_term).over(w_asc)), 4)
+        ),
+    )
+    return (
+        km.where(F.col("d") > 0)
+        .select(
+            F.col("t").alias("day"),
+            F.col("d").cast("long").alias("n_events"),
+            F.col("n_risk").cast("long").alias("n_at_risk"),
+            "s_t",
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q220: day-of-week seasonality profile
+# ---------------------------------------------------------------------------
+
+# 2024-01-01 is a Monday: dow = days-since % 7 (0 = Monday) — explicit
+# integer arithmetic instead of engine dayofweek() (whose origin
+# convention differs between engines)
+_Q220_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+              AS BIGINT) AS dow,
+         value
+  FROM events
+),
+prof AS (
+  SELECT event_type, dow,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         ROUND(AVG(value), 4) AS mean_value
+  FROM e GROUP BY event_type, dow
+),
+tot AS (SELECT event_type, SUM(cnt) AS t FROM prof GROUP BY event_type)
+SELECT p.event_type, p.dow, p.cnt,
+       ROUND(p.cnt * 1.0 / tot.t, 4) AS share,
+       p.mean_value
+FROM prof p JOIN tot ON tot.event_type = p.event_type
+ORDER BY p.event_type, p.dow
+"""
+
+
+@register(
+    "q220_dow_seasonality",
+    _Q220_SQL,
+    doc=(
+        "day-of-week seasonality profile per event type (the weekly-"
+        "cycle feature of demand/traffic models): one (type, dow) "
+        "keyed aggregate + a |types|-row broadcast share join; the dow "
+        "index is explicit integer days-since-a-known-Monday % 7 — "
+        "engine dayofweek() origins differ (Spark 1=Sunday, DuckDB "
+        "0=Sunday), integer arithmetic doesn't"
+    ),
+    tables=("events",),
+)
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 7
+        )
+        .cast("long")
+        .alias("dow"),
+        "value",
+    )
+    prof = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    )
+    tot = prof.groupBy("event_type").agg(F.sum("cnt").alias("t"))
+    return (
+        prof.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "cnt",
+            F.round(F.col("cnt") * F.lit(1.0) / F.col("t"), 4).alias("share"),
+            "mean_value",
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221: daily-volume anomaly flags (z-score over per-type daily counts)
+# ---------------------------------------------------------------------------
+
+# variance from integer power sums — (S2 - S1^2/n)/(n-1) — instead of
+# STDDEV(): Spark's and DuckDB's stddev kernels use different
+# summation algorithms (Welford vs two-pass) whose last-ulp results
+# can differ; integer S1/S2 make every intermediate engine-exact
+_Q221_Z = 2.0
+
+_Q221_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(c) AS s1, SUM(c * c) AS s2
+  FROM daily GROUP BY event_type
+),
+z AS (
+  SELECT d.event_type, d.d, d.c,
+         (d.c - s1 * 1.0 / n_days)
+           / SQRT((s2 - s1 * 1.0 * s1 / n_days) / (n_days - 1)) AS zs
+  FROM daily d JOIN m ON m.event_type = d.event_type
+)
+SELECT event_type,
+       (SELECT CAST(ANY_VALUE(n_days) AS BIGINT) FROM m
+        WHERE m.event_type = z.event_type) AS n_days,
+       CAST(COUNT(*) FILTER (WHERE ABS(zs) >= {_Q221_Z}) AS BIGINT)
+         AS n_anomalous,
+       ROUND(MAX(ABS(zs)), 4) AS max_abs_z
+FROM z GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "q221_anomaly_zscore",
+    _Q221_SQL,
+    doc=(
+        "volume-anomaly screening: per-type daily counts z-scored "
+        "against the type's own mean/std, days with |z| >= 2 flagged; "
+        "variance is computed from INTEGER power sums (S2 - S1²/n over "
+        "n-1) rather than the engines' stddev kernels (Welford vs "
+        "two-pass differ in the last ulp), so every z is the same "
+        "double in both engines; shuffles carry (type, day) rollups "
+        "and |types|-row moment frames only"
+    ),
+    tables=("events",),
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    zs = (F.col("c") - F.col("s1") * F.lit(1.0) / F.col("n_days")) / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.lit(1.0) * F.col("s1") / F.col("n_days"))
+        / (F.col("n_days") - F.lit(1))
+    )
+    return (
+        daily.join(F.broadcast(m), "event_type")
+        .select("event_type", "n_days", zs.alias("zs"))
+        .groupBy("event_type")
+        .agg(
+            F.first("n_days").cast("long").alias("n_days"),
+            F.sum((F.abs(F.col("zs")) >= _Q221_Z).cast("long")).alias(
+                "n_anomalous"
+            ),
+            F.round(F.max(F.abs("zs")), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q222: bigram language-model perplexity per document (add-1 smoothing)
+# ---------------------------------------------------------------------------
+
+_Q222_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+big AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM (SELECT doc_id, tk, generate_subscripts(tk, 1) AS i FROM tok)
+  WHERE i < len(tk)
+),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM big GROUP BY w1, w2),
+uc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cu FROM big GROUP BY w1),
+v AS (
+  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS nv
+  FROM (SELECT w1 AS w FROM big UNION ALL SELECT w2 AS w FROM big)
+),
+scored AS (
+  SELECT b.doc_id,
+         -log2((bc.cb + 1) * 1.0 / (uc.cu + v.nv)) AS nll
+  FROM big b JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+             JOIN uc ON uc.w1 = b.w1, v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(nll), 4) AS mean_nll_bits
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "q222_bigram_perplexity",
+    _Q222_SQL,
+    doc=(
+        "bigram language-model surprisal per document (add-1 "
+        "smoothing; the q129 unigram quality scorer upgraded to "
+        "conditional probabilities — the classic cheap-LM perplexity "
+        "filter of corpus curation): bigrams are built IN-ROW from "
+        "the token array (no self-join), counted by one vocabulary-"
+        "keyed aggregate, and scored by joining each document bigram "
+        "back to the (w1,w2) and (w1) count tables — every "
+        "probability is an integer ratio, identical both engines, so "
+        "only the per-doc mean of log2 terms is float-summed (4dp)"
+    ),
+    tables=("documents",),
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    idx = F.sequence(F.lit(1), F.size("tk") - 1)
+    big = tk.where(F.size("tk") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("tk", i).alias("w1"),
+                    F.element_at("tk", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    uc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    v = (
+        big.select(F.col("w1").alias("w"))
+        .unionAll(big.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").alias("nv"))
+    )
+    nll = -F.log2((F.col("cb") + 1) * F.lit(1.0) / (F.col("cu") + F.col("nv")))
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("mean_nll_bits"),
+        )
+        .orderBy("doc_id")
+    )
