@@ -677,3 +677,17 @@ def test_q216_bloom_bits_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q216_bloom_antijoin")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q218_triangle_joins_all_equi(spark, sf_dir):
+    # degree orientation + the undirected-key wedge close must keep
+    # every DATA join an equi-join — a nested-loop close defeats the
+    # O(sqrt m) wedge bound.  (The only nested-loop joins allowed are
+    # the final 1-row count combiners — broadcast scalar cross joins.)
+    plan = _plan(spark, sf_dir, "q218_triangle_count")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line  # 1-row scalar combiner only
+        if "LeftSemi" in line:  # the wedge close: must be an equi-join
+            assert "SortMergeJoin" in line or "BroadcastHashJoin" in line, line
