@@ -190,6 +190,9 @@ TIER2_QUERIES = [
     "q220_dow_seasonality",
     "q221_anomaly_zscore",
     "q222_bigram_perplexity",
+    "q223_ks_drift",
+    "q224_gram_novelty",
+    "q225_source_overlap",
 ]
 
 

@@ -115,9 +115,12 @@ _PRIORITY: tuple[str, ...] = (
     "q220_dow_seasonality",
     "q221_anomaly_zscore",
     "q222_bigram_perplexity",
+    "q223_ks_drift",
+    # ---- window boundary (50) — names below queue for round 8 ----
+    "q224_gram_novelty",
+    "q225_source_overlap",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
-    # ---- window boundary (50) — names below queue for round 8 ----
     "m49_audio_frame_sample",
     "m50_image_resize",
     "q27_except",

@@ -1294,3 +1294,228 @@ def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q223: two-sample Kolmogorov–Smirnov drift test (en vs non-en lengths)
+# ---------------------------------------------------------------------------
+
+_Q223_SQL = """
+WITH e AS (
+  SELECT n_chars AS x, CAST(lang = 'en' AS BIGINT) AS g1 FROM documents
+),
+s AS (
+  SELECT x, CAST(SUM(g1) AS BIGINT) AS c1,
+         CAST(SUM(1 - g1) AS BIGINT) AS c2
+  FROM e GROUP BY x
+),
+c AS (
+  SELECT x,
+         SUM(c1) OVER (ORDER BY x) AS f1,
+         SUM(c2) OVER (ORDER BY x) AS f2
+  FROM s
+),
+t AS (SELECT CAST(SUM(g1) AS BIGINT) AS n1,
+             CAST(SUM(1 - g1) AS BIGINT) AS n2 FROM e),
+d AS (
+  SELECT c.x, ABS(f1 * 1.0 / n1 - f2 * 1.0 / n2) AS dd FROM c, t
+),
+best AS (SELECT x, dd, ROW_NUMBER() OVER (ORDER BY dd DESC, x) AS rn FROM d)
+SELECT t.n1, t.n2,
+       ROUND((SELECT dd FROM best WHERE rn = 1), 6) AS ks,
+       (SELECT x FROM best WHERE rn = 1) AS ks_at,
+       ROUND(SQRT(t.n1 * CAST(t.n2 AS DOUBLE) / (t.n1 + t.n2))
+             * (SELECT dd FROM best WHERE rn = 1), 4) AS ks_scaled
+FROM t
+"""
+
+
+@register(
+    "q223_ks_drift",
+    _Q223_SQL,
+    doc=(
+        "two-sample Kolmogorov–Smirnov statistic (en vs non-en "
+        "document length distributions — the distribution-drift gate "
+        "complementing q192's EMD): values reduce to per-distinct-"
+        "value group counts, both empirical CDFs come from the range-"
+        "bucketed global_cumsum (one wide shuffle, never a single-"
+        "task window), and every CDF step is an integer ratio — the "
+        "max |F1-F2| compares engine-exact doubles, argmax tie-broken "
+        "by value; sqrt(n1 n2/(n1+n2))·D is the scaled statistic of "
+        "the asymptotic test"
+    ),
+    tables=("documents",),
+)
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.packing import global_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select(
+        F.col("n_chars").alias("x"),
+        (F.col("lang") == "en").cast("long").alias("g1"),
+    )
+    s = e.groupBy("x").agg(
+        F.sum("g1").alias("c1"), F.sum(F.lit(1) - F.col("g1")).alias("c2")
+    )
+    c1 = global_cumsum(
+        s, "x", "c1", out_col="f1", exclusive=False,
+        bounds=[float(200 * i) for i in range(1, 32)],
+    )
+    c = global_cumsum(
+        c1, "x", "c2", out_col="f2", exclusive=False,
+        bounds=[float(200 * i) for i in range(1, 32)],
+    )
+    t = e.agg(
+        F.sum("g1").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("g1")).cast("long").alias("n2"),
+    )
+    d = c.crossJoin(F.broadcast(t)).select(
+        "x",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("f1") * F.lit(1.0) / F.col("n1")
+            - F.col("f2") * F.lit(1.0) / F.col("n2")
+        ).alias("dd"),
+    )
+    best = d.orderBy(F.col("dd").desc(), "x").limit(1)
+    return best.select(
+        "n1",
+        "n2",
+        F.round("dd", 6).alias("ks"),
+        F.col("x").alias("ks_at"),
+        F.round(
+            F.sqrt(
+                F.col("n1") * F.col("n2").cast("double") / (F.col("n1") + F.col("n2"))
+            )
+            * F.col("dd"),
+            4,
+        ).alias("ks_scaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q224: k-gram novelty profile (share of never-before-seen grams per doc)
+# ---------------------------------------------------------------------------
+
+_Q224_K = 8
+
+_Q224_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+gl AS (
+  SELECT doc_id, list_transform(range(1, len(tk) - {_Q224_K - 2}),
+           i -> array_to_string(list_slice(tk, i, i + {_Q224_K - 1}), ' ')) AS gs
+  FROM tok WHERE len(tk) >= {_Q224_K}
+),
+g AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM gl),
+fs AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) FILTER (WHERE fs.first_doc = g.doc_id) AS BIGINT)
+         AS n_novel,
+       ROUND(COUNT(*) FILTER (WHERE fs.first_doc = g.doc_id) * 1.0
+             / COUNT(*), 4) AS novel_share
+FROM g JOIN fs USING (gram)
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+@register(
+    "q224_gram_novelty",
+    _Q224_SQL,
+    doc=(
+        "k-gram novelty profile (Lee et al. 2022-adjacent: how much "
+        "of each document's 8-gram content is FIRST seen there, in "
+        "doc-id order — the marginal-contribution signal of "
+        "sequential corpus construction): per-doc DISTINCT gram "
+        "types, a gram-keyed MIN(doc_id) first-seen table, one join "
+        "back — shuffles carry xxhash64 gram keys (the q86/q143 "
+        "8-byte discipline; the oracle's raw-string grouping would "
+        "surface any collision as a mismatch), never gram text"
+    ),
+    tables=("documents",),
+)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.quality import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        word_ngrams(docs.select("doc_id", "text"), _Q224_K, keep=["doc_id"])
+        .select("doc_id", F.xxhash64("ngram").alias("gh"))
+        .distinct()
+    )
+    fs = g.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        g.join(fs, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            F.round(F.sum(novel) * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
+                "novel_share"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q225: cross-source contamination matrix (shared gram types per source pair)
+# ---------------------------------------------------------------------------
+
+_Q225_K = 8
+_Q225_TOP = 15
+
+_Q225_SQL = f"""
+WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+gl AS (
+  SELECT source, list_transform(range(1, len(tk) - {_Q225_K - 2}),
+           i -> array_to_string(list_slice(tk, i, i + {_Q225_K - 1}), ' ')) AS gs
+  FROM tok WHERE len(tk) >= {_Q225_K}
+),
+g AS (SELECT DISTINCT source, unnest(gs) AS gram FROM gl),
+pairs AS (
+  SELECT a.gram, a.source AS s1, b.source AS s2
+  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+)
+SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS shared_grams
+FROM pairs GROUP BY s1, s2
+ORDER BY shared_grams DESC, s1, s2 LIMIT {_Q225_TOP}
+"""
+
+
+@register(
+    "q225_source_overlap",
+    _Q225_SQL,
+    doc=(
+        "cross-source contamination matrix: for each source pair, how "
+        "many distinct 8-gram types they share (the q131 cross-source "
+        "exact-dup check generalized to shingle overlap — the scraped-"
+        "from-each-other signal): distinct (source, gram-hash) "
+        "incidence, pairs from a gram-keyed self-equi-join (pair "
+        "volume bounded by Σ sources-per-gram², sources <= corpus "
+        "source count), one keyed count, TakeOrdered top-15; gram "
+        "text never shuffles (xxhash64 keys, raw-string oracle)"
+    ),
+    tables=("documents",),
+)
+def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.quality import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        word_ngrams(docs.select("source", "text"), _Q225_K, keep=["source"])
+        .select("source", F.xxhash64("ngram").alias("gh"))
+        .distinct()
+    )
+    a = g.select(F.col("gh").alias("k"), F.col("source").alias("s1"))
+    b = g.select(F.col("gh").alias("k"), F.col("source").alias("s2"))
+    return (
+        a.join(b, "k")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .orderBy(F.col("shared_grams").desc(), "s1", "s2")
+        .limit(_Q225_TOP)
+    )
