@@ -193,6 +193,9 @@ TIER2_QUERIES = [
     "q223_ks_drift",
     "q224_gram_novelty",
     "q225_source_overlap",
+    "q226_lateral_topn",
+    "q227_doc_chunking",
+    "q228_dataset_mixing",
 ]
 
 

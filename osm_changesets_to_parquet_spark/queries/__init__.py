@@ -119,6 +119,9 @@ _PRIORITY: tuple[str, ...] = (
     # ---- window boundary (50) — names below queue for round 8 ----
     "q224_gram_novelty",
     "q225_source_overlap",
+    "q226_lateral_topn",
+    "q227_doc_chunking",
+    "q228_dataset_mixing",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

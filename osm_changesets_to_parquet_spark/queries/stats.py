@@ -1519,3 +1519,203 @@ def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shared_grams").desc(), "s1", "s2")
         .limit(_Q225_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q226: correlated LATERAL subquery with per-row ORDER BY ... LIMIT
+# ---------------------------------------------------------------------------
+
+_Q226_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.price
+FROM customer c, LATERAL (
+  SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+) t
+WHERE c.c_custkey <= 100
+ORDER BY c.c_custkey, price DESC, o_orderkey
+"""
+
+
+@register(
+    "q226_lateral_topn",
+    _Q226_SQL,
+    doc=(
+        "correlated LATERAL subquery with per-row ORDER BY ... LIMIT "
+        "(top-3 orders per customer) — run VERBATIM through spark.sql "
+        "like q161/q200, witnessing the one correlation shape the "
+        "registered surface didn't yet exercise: Catalyst's "
+        "DecorrelateInnerQuery must rewrite the per-row limit into a "
+        "partitioned rank filter over ONE join (the UDTF laterals "
+        "u4/u6 cover function-valued laterals; this is the subquery "
+        "form).  The same text runs unchanged on DuckDB"
+    ),
+    tables=("customer", "orders"),
+)
+def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q226_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q227: overlapping context-window chunking (RAG / pretraining prep)
+# ---------------------------------------------------------------------------
+
+_Q227_SIZE = 64
+_Q227_STRIDE = 48
+
+_Q227_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+n AS (SELECT doc_id, tk, len(tk) AS nt FROM tok),
+c AS (
+  SELECT doc_id, tk, nt, unnest(range(0,
+           1 + CAST(ceil(greatest(nt - {_Q227_SIZE}, 0) / {_Q227_STRIDE}.0)
+               AS BIGINT))) AS chunk_id
+  FROM n
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {_Q227_STRIDE} AS BIGINT) AS start_tok,
+       CAST(LEAST(chunk_id * {_Q227_STRIDE} + {_Q227_SIZE}, nt)
+            - chunk_id * {_Q227_STRIDE} AS BIGINT) AS n_tok,
+       tk[chunk_id * {_Q227_STRIDE} + 1] AS head_tok,
+       tk[LEAST(chunk_id * {_Q227_STRIDE} + {_Q227_SIZE}, nt)] AS tail_tok
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
+@register(
+    "q227_doc_chunking",
+    _Q227_SQL,
+    doc=(
+        "overlapping context-window chunking (size 64, stride 48 — "
+        "the RAG-indexing / pretraining-example prep step): chunk "
+        "count and bounds are IN-ROW integer arithmetic over the "
+        "token array (no shuffle at all until the presentation sort); "
+        "the last chunk clamps to the document end so coverage is "
+        "total and chunk starts stay on the stride grid.  DuckDB "
+        "range() is end-EXCLUSIVE vs Spark sequence()'s inclusive "
+        "end (the q205 trap) — the Spark side subtracts 1 from the "
+        "chunk-count bound"
+    ),
+    tables=("documents",),
+)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    nt = F.size("tk")
+    n_chunks = 1 + F.ceil(
+        F.greatest(nt - F.lit(_Q227_SIZE), F.lit(0)) / F.lit(float(_Q227_STRIDE))
+    ).cast("long")
+    c = tk.select(
+        "doc_id",
+        "tk",
+        nt.alias("nt"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * _Q227_STRIDE
+    end = F.least(start + _Q227_SIZE, F.col("nt"))
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_tok"),
+        (end - start).cast("long").alias("n_tok"),
+        F.element_at("tk", (start + 1).cast("int")).alias("head_tok"),
+        F.element_at("tk", end.cast("int")).alias("tail_tok"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# q228: dataset mixing to target language proportions
+# ---------------------------------------------------------------------------
+
+# target mixture shares (percent) — the pretraining data-mixing recipe
+_Q228_TARGETS = {"en": 50, "de": 15, "es": 15, "fr": 10, "zh": 10}
+_Q228_MOD = 1_000_000
+
+
+def _q228_sql() -> str:
+    tcase = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_Q228_TARGETS.items())
+    )
+    return f"""
+WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl FROM documents GROUP BY lang),
+t AS (SELECT lang, nl, CASE lang {tcase} ELSE 0 END AS tgt FROM n),
+sc AS (SELECT MIN(nl * 1.0 / tgt) AS scale FROM t WHERE tgt > 0),
+r AS (
+  SELECT t.lang, t.nl, t.tgt,
+         CAST(FLOOR(t.tgt * sc.scale / t.nl * {_Q228_MOD}) AS BIGINT) AS thr
+  FROM t, sc
+),
+kept AS (
+  SELECT d.lang, COUNT(*) AS kept
+  FROM documents d JOIN r ON r.lang = d.lang
+  WHERE {sql_hash_bucket("d.doc_id", _Q228_MOD)} < r.thr
+  GROUP BY d.lang
+)
+SELECT r.lang, r.nl AS n_docs, CAST(r.tgt AS BIGINT) AS target_pct,
+       CAST(COALESCE(kept.kept, 0) AS BIGINT) AS n_kept
+FROM r LEFT JOIN kept ON kept.lang = r.lang
+ORDER BY r.lang
+"""
+
+
+@register(
+    "q228_dataset_mixing",
+    _q228_sql(),
+    doc=(
+        "dataset mixing to target language proportions (the "
+        "pretraining mixture recipe: en 50 / de 15 / es 15 / fr 10 / "
+        "zh 10): the binding language sets the scale "
+        "(min nl/target), each language's acceptance THRESHOLD is a "
+        "broadcast scalar, and membership is the row-local "
+        "deterministic hash predicate — a pushable scan filter, no "
+        "per-language exact-k window over the corpus (rate-based "
+        "thresholding trades exact counts for a shuffle-free scan, "
+        "the right trade at 100 TB; realized counts are reported "
+        "for audit)"
+    ),
+    tables=("documents",),
+)
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+    tgt = None
+    for k, v in sorted(_Q228_TARGETS.items()):
+        tgt = (
+            F.when(F.col("lang") == k, F.lit(v))
+            if tgt is None
+            else tgt.when(F.col("lang") == k, F.lit(v))
+        )
+    tgt = tgt.otherwise(F.lit(0))
+    t = n.select("lang", "nl", tgt.alias("tgt"))
+    sc = t.where(F.col("tgt") > 0).agg(
+        F.min(F.col("nl") * F.lit(1.0) / F.col("tgt")).alias("scale")
+    )
+    r = t.crossJoin(F.broadcast(sc)).select(
+        "lang",
+        "nl",
+        "tgt",
+        F.floor(
+            F.col("tgt") * F.col("scale") / F.col("nl") * F.lit(_Q228_MOD)
+        )
+        .cast("long")
+        .alias("thr"),
+    )
+    kept = (
+        docs.join(F.broadcast(r), "lang")
+        .where(hash_bucket("doc_id", _Q228_MOD) < F.col("thr"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept"))
+    )
+    return (
+        r.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("nl").alias("n_docs"),
+            F.col("tgt").cast("long").alias("target_pct"),
+            F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
