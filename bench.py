@@ -196,6 +196,10 @@ TIER2_QUERIES = [
     "q226_lateral_topn",
     "q227_doc_chunking",
     "q228_dataset_mixing",
+    "q229_batch_sessionize",
+    "q230_weighted_reservoir",
+    "q231_wow_growth",
+    "u7_map_in_arrow",
 ]
 
 

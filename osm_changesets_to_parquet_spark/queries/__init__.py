@@ -122,6 +122,10 @@ _PRIORITY: tuple[str, ...] = (
     "q226_lateral_topn",
     "q227_doc_chunking",
     "q228_dataset_mixing",
+    "q229_batch_sessionize",
+    "q230_weighted_reservoir",
+    "q231_wow_growth",
+    "u7_map_in_arrow",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

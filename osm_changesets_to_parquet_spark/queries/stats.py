@@ -1719,3 +1719,186 @@ def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q229: batch sessionization (30-minute inactivity gaps)
+# ---------------------------------------------------------------------------
+
+_Q229_GAP_US = 30 * 60 * 1_000_000
+
+_Q229_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+),
+flag AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN LAG(t) OVER w IS NULL
+                   OR t - LAG(t) OVER w > {_Q229_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+sess AS (
+  SELECT user_id, t,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id) AS sid
+  FROM flag
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(t) - MIN(t) AS BIGINT) AS dur_us
+FROM sess GROUP BY user_id, sid ORDER BY user_id, session_idx
+"""
+
+
+@register(
+    "q229_batch_sessionize",
+    _Q229_SQL,
+    doc=(
+        "batch sessionization by 30-minute inactivity gap (the batch "
+        "twin of s3's streaming session_window, over the SAME gap "
+        "semantics): per-user LAG flags session starts, a per-user "
+        "running sum numbers them, one keyed aggregate rolls each "
+        "session up — every window is PARTITIONED BY user_id (state "
+        "bounded per key, the distributed-sessionization shape), and "
+        "time arithmetic stays in integer epoch micros"
+    ),
+    tables=("events",),
+)
+def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts_us").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    new_s = (
+        F.lag("t").over(w).isNull()
+        | (F.col("t") - F.lag("t").over(w) > _Q229_GAP_US)
+    ).cast("int")
+    sess = ev.withColumn("new_s", new_s).withColumn(
+        "sid", F.sum("new_s").over(w)
+    )
+    return (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("t") - F.min("t")).cast("long").alias("dur_us"),
+        )
+        .select(
+            "user_id",
+            F.col("sid").cast("long").alias("session_idx"),
+            "n_events",
+            "dur_us",
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q230: weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_Q230_K = 10
+_Q230_MOD = 1_000_003  # prime: hash buckets hit every residue
+
+
+def _q230_key_sql(id_expr: str, w_expr: str) -> str:
+    u = f"(({sql_hash_bucket(id_expr, _Q230_MOD)}) + 1) * 1.0 / {_Q230_MOD + 1}"
+    return f"LN({u}) / ({w_expr})"
+
+
+_Q230_SQL = f"""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars FROM documents
+  ORDER BY {_q230_key_sql("doc_id", "n_chars")} DESC, doc_id
+  LIMIT {_Q230_K}
+) ORDER BY doc_id
+"""
+
+
+@register(
+    "q230_weighted_reservoir",
+    _Q230_SQL,
+    doc=(
+        "weighted sampling WITHOUT replacement, k=10, weight=n_chars "
+        "(Efraimidis & Spirakis 2006 A-ES: each row keyed by "
+        "u^(1/w) — equivalently ln(u)/w — and the top-k keys are the "
+        "sample): u comes from the deterministic id hash instead of "
+        "an RNG, so the draw is reproducible across runs, engines, "
+        "and repartitioning — and the top-k is TakeOrderedAndProject "
+        "(per-partition k-heap), the same one-scan shape as q207 but "
+        "with inclusion probability proportional to weight"
+    ),
+    tables=("documents",),
+)
+def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = (hash_bucket("doc_id", _Q230_MOD) + 1) * F.lit(1.0) / F.lit(_Q230_MOD + 1)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .orderBy(key.desc(), F.col("doc_id"))
+        .limit(_Q230_K)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q231: week-over-week growth per event type
+# ---------------------------------------------------------------------------
+
+_Q231_SQL = """
+WITH wk AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+              AS BIGINT) AS week,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week, cnt,
+       CAST(LAG(cnt) OVER (PARTITION BY event_type ORDER BY week) AS BIGINT)
+         AS prev_cnt,
+       ROUND((cnt - LAG(cnt) OVER (PARTITION BY event_type ORDER BY week))
+             * 100.0
+             / NULLIF(LAG(cnt) OVER (PARTITION BY event_type ORDER BY week), 0),
+             2) AS wow_pct
+FROM wk ORDER BY event_type, week
+"""
+
+
+@register(
+    "q231_wow_growth",
+    _Q231_SQL,
+    doc=(
+        "week-over-week growth per event type — the KPI-dashboard "
+        "staple: the corpus reduces to one (type, week) keyed "
+        "aggregate (map-side partials); LAG and the growth ratio run "
+        "over |types| x |weeks| rows, integer week indexing from the "
+        "fixed epoch Monday, NULLIF-guarded division"
+    ),
+    tables=("events",),
+)
+def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            / F.lit(7)
+        )
+        .cast("long")
+        .alias("week"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("cnt").over(w)
+    return wk.select(
+        "event_type",
+        "week",
+        "cnt",
+        prev.cast("long").alias("prev_cnt"),
+        F.round(
+            (F.col("cnt") - prev) * F.lit(100.0) / F.nullif(prev, F.lit(0)), 2
+        ).alias("wow_pct"),
+    ).orderBy("event_type", "week")

@@ -224,3 +224,57 @@ def u6(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# u7: mapInArrow — raw Arrow RecordBatch transform (the last un-witnessed
+# vectorized-Python entry point: u1 scalar pandas_udf, u2 grouped-agg,
+# u3 applyInPandas, u4/u6 UDTF, u5 applyInArrow, m48-m50 mapInPandas)
+# ---------------------------------------------------------------------------
+
+_U7_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+            AS BIGINT) AS n_upper
+FROM documents ORDER BY doc_id
+"""
+
+
+@register(
+    "u7_map_in_arrow",
+    _U7_SQL,
+    doc=(
+        "mapInArrow: per-RecordBatch transform computed entirely with "
+        "pyarrow.compute kernels (count_substring for the token count "
+        "— len(split) == spaces+1 including empties, the DuckDB "
+        "string_split identity — and count_substring_regex for the "
+        "uppercase tally): zero per-row Python, zero pandas "
+        "conversion; the batch stays Arrow end-to-end, which is the "
+        "cheapest possible Python execution path Spark offers"
+    ),
+    tables=("documents",),
+)
+def u7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def counts(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column(b.schema.get_field_index("text"))
+            n_tok = pc.add(pc.count_substring(text, " "), 1)
+            n_upper = pc.count_substring_regex(text, "[A-Z]")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("doc_id")),
+                    pc.cast(n_tok, pa.int64()),
+                    pc.cast(n_upper, pa.int64()),
+                ],
+                names=["doc_id", "n_tok", "n_upper"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        counts, "doc_id long, n_tok long, n_upper long"
+    ).orderBy("doc_id")

@@ -691,3 +691,14 @@ def test_q218_triangle_joins_all_equi(spark, sf_dir):
             assert "Cross" in line, line  # 1-row scalar combiner only
         if "LeftSemi" in line:  # the wedge close: must be an equi-join
             assert "SortMergeJoin" in line or "BroadcastHashJoin" in line, line
+
+
+def test_q226_lateral_decorrelates_to_rank_join(spark, sf_dir):
+    # the correlated LATERAL ... LIMIT must decorrelate into one
+    # partitioned row_number + a single equi-join with the predicate
+    # pushed to both scans — never a per-outer-row nested loop
+    plan = _plan(spark, sf_dir, "q226_lateral_topn")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "row_number" in plan
+    assert plan.count("(o_custkey") >= 1  # pushed correlation predicate
