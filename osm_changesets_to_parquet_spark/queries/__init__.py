@@ -126,6 +126,10 @@ _PRIORITY: tuple[str, ...] = (
     "q230_weighted_reservoir",
     "q231_wow_growth",
     "u7_map_in_arrow",
+    "q232_spearman",
+    "q233_threshold_sweep",
+    "q234_bh_fdr",
+    "q235_naive_bayes",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",
@@ -188,6 +192,7 @@ def load_all_modules() -> None:
         dedup_sim,
         graph,
         llm_ops,
+        ml_eval,
         multimodal,
         quality,
         relational,

@@ -1,0 +1,496 @@
+"""Round-7 model-evaluation / classical-ML queries (q232+).
+
+The reference engine (/root/reference/src/main.rs — a 456-line
+XML->parquet converter) has no analytics surface; these queries extend
+the engine the way a training-data/eval pipeline needs (SURVEY §2.C):
+rank correlation, operating-point sweeps, multiple-testing control,
+and a naive-Bayes classifier — each spelled as shuffles over SMALL
+rollups (contingency cells, threshold grids, (cell) frames,
+vocabulary counts), never per-row global sorts.
+
+House determinism rules (SURVEY §2.B):
+- rank statistics are computed from CONTINGENCY COUNTS with integer
+  doubled-ranks (2*rank is an exact BIGINT even for .5 average
+  ranks), so every engine sums the same integers in any order;
+- continuous values are quantized to integer cents BEFORE power sums
+  (double summation is order-dependent across engines; integer
+  summation is not);
+- ln()-derived quantities are ROUND()ed at 6 dp before composition
+  (the q129 discipline) and argmax comparisons get extra slack (4 dp)
+  plus a total-order tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.operators.multitest import bh_stepup
+from osm_changesets_to_parquet_spark.operators.nbayes import naive_bayes_predict
+from osm_changesets_to_parquet_spark.operators.quality import (
+    hash_bucket,
+    sql_hash_bucket,
+)
+from osm_changesets_to_parquet_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# q232: Spearman rank correlation from contingency counts
+# ---------------------------------------------------------------------------
+
+_Q232_SQL = """
+WITH cells AS (
+  SELECT l_returnflag AS g,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2, 3
+),
+xm AS (SELECT g, x, CAST(SUM(cnt) AS BIGINT) AS cx FROM cells GROUP BY g, x),
+ym AS (SELECT g, y, CAST(SUM(cnt) AS BIGINT) AS cy FROM cells GROUP BY g, y),
+xr AS (
+  SELECT g, x,
+         2 * COALESCE(SUM(cx) OVER (PARTITION BY g ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cx + 1 AS tx
+  FROM xm
+),
+yr AS (
+  SELECT g, y,
+         2 * COALESCE(SUM(cy) OVER (PARTITION BY g ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cy + 1 AS ty
+  FROM ym
+),
+j AS (
+  SELECT c.g, c.cnt, xr.tx, yr.ty
+  FROM cells c
+  JOIN xr ON xr.g = c.g AND xr.x = c.x
+  JOIN yr ON yr.g = c.g AND yr.y = c.y
+),
+s AS (
+  SELECT g,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt * tx) AS BIGINT) AS sx,
+         CAST(SUM(cnt * ty) AS BIGINT) AS sy,
+         CAST(SUM(cnt * tx * ty) AS BIGINT) AS sxy,
+         CAST(SUM(cnt * tx * tx) AS BIGINT) AS sxx,
+         CAST(SUM(cnt * ty * ty) AS BIGINT) AS syy
+  FROM j GROUP BY g
+)
+SELECT g, n,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS rho
+FROM s ORDER BY g
+"""
+
+
+@register(
+    "q232_spearman",
+    _Q232_SQL,
+    doc=(
+        "tie-aware Spearman rank correlation (quantity vs discount "
+        "percent per returnflag) computed ENTIRELY from contingency "
+        "counts: average ranks come from cumulative marginal counts "
+        "(doubled so .5 average ranks stay exact BIGINTs), and rho is "
+        "Pearson on doubled ranks via integer power sums — no per-row "
+        "rank window ever touches the fact table, so the only "
+        "full-data shuffle is the (group,x,y) cell rollup (<=550 "
+        "cells/group); rank frames are |distinct-value|-sized and "
+        "broadcast back onto the cells"
+    ),
+    tables=("lineitem",),
+)
+def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("long").alias("x"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+        )
+        .groupBy("g", "x", "y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # marginal counts -> doubled average ranks; windows run over
+    # |distinct x| <= 50 rows per group, never over the fact table
+    before = Window.partitionBy("g").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    xr = (
+        cells.groupBy("g", "x")
+        .agg(F.sum("cnt").alias("cx"))
+        .select(
+            "g",
+            "x",
+            (
+                2 * F.coalesce(F.sum("cx").over(before), F.lit(0))
+                + F.col("cx")
+                + 1
+            ).alias("tx"),
+        )
+    )
+    before_y = Window.partitionBy("g").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    yr = (
+        cells.groupBy("g", "y")
+        .agg(F.sum("cnt").alias("cy"))
+        .select(
+            "g",
+            "y",
+            (
+                2 * F.coalesce(F.sum("cy").over(before_y), F.lit(0))
+                + F.col("cy")
+                + 1
+            ).alias("ty"),
+        )
+    )
+    j = cells.join(F.broadcast(xr), ["g", "x"]).join(F.broadcast(yr), ["g", "y"])
+    s = j.groupBy("g").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("tx")).alias("sx"),
+        F.sum(F.col("cnt") * F.col("ty")).alias("sy"),
+        F.sum(F.col("cnt") * F.col("tx") * F.col("ty")).alias("sxy"),
+        F.sum(F.col("cnt") * F.col("tx") * F.col("tx")).alias("sxx"),
+        F.sum(F.col("cnt") * F.col("ty") * F.col("ty")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (n_d * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        "g", "n", F.round(num / den, 6).alias("rho")
+    ).orderBy("g")
+
+
+# ---------------------------------------------------------------------------
+# q233: operating-point sweep (precision/recall/F1 per threshold)
+# ---------------------------------------------------------------------------
+
+_Q233_THRESHOLDS = (1, 5, 10, 20, 50, 100, 200)
+
+_Q233_SQL = f"""
+WITH t(thr) AS (
+  SELECT * FROM (VALUES {", ".join(f"({t})" for t in _Q233_THRESHOLDS)}) v(thr)
+),
+base AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos, value
+  FROM events
+)
+SELECT CAST(thr AS BIGINT) AS thr,
+       CAST(SUM(CASE WHEN pos = 1 AND value >= thr THEN 1 ELSE 0 END)
+            AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN pos = 0 AND value >= thr THEN 1 ELSE 0 END)
+            AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN pos = 1 AND value < thr THEN 1 ELSE 0 END)
+            AS BIGINT) AS fn,
+       ROUND(SUM(CASE WHEN pos = 1 AND value >= thr THEN 1 ELSE 0 END) * 1.0
+             / NULLIF(SUM(CASE WHEN value >= thr THEN 1 ELSE 0 END), 0),
+             6) AS precision_,
+       ROUND(SUM(CASE WHEN pos = 1 AND value >= thr THEN 1 ELSE 0 END) * 1.0
+             / NULLIF(SUM(pos), 0), 6) AS recall_,
+       ROUND(2.0 * SUM(CASE WHEN pos = 1 AND value >= thr THEN 1 ELSE 0 END)
+             / NULLIF(2 * SUM(CASE WHEN pos = 1 AND value >= thr THEN 1 ELSE 0
+                              END)
+                      + SUM(CASE WHEN pos = 0 AND value >= thr THEN 1 ELSE 0
+                            END)
+                      + SUM(CASE WHEN pos = 1 AND value < thr THEN 1 ELSE 0
+                            END), 0), 6) AS f1
+FROM base CROSS JOIN t
+GROUP BY thr ORDER BY thr
+"""
+
+
+@register(
+    "q233_threshold_sweep",
+    _Q233_SQL,
+    doc=(
+        "classifier operating-point sweep (is the event a purchase, "
+        "scored by its value): TP/FP/FN + precision/recall/F1 at 7 "
+        "thresholds in ONE scan — each threshold is a pair of "
+        "conditional sums in a single aggregate (map-side combined to "
+        "one 14-column row), then the 1-row frame is unpivoted with "
+        "stack(); the oracle's VALUES-cross-join rescans per "
+        "threshold, the engine never does"
+    ),
+    tables=("events",),
+)
+def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pos = F.col("event_type") == "purchase"
+    aggs = []
+    for t in _Q233_THRESHOLDS:
+        hit = F.col("value") >= t
+        aggs.append(
+            F.sum(F.when(pos & hit, 1).otherwise(0)).alias(f"tp_{t}")
+        )
+        aggs.append(
+            F.sum(F.when(~pos & hit, 1).otherwise(0)).alias(f"fp_{t}")
+        )
+        aggs.append(
+            F.sum(F.when(pos & ~hit, 1).otherwise(0)).alias(f"fn_{t}")
+        )
+    one = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t} AS BIGINT), tp_{t}, fp_{t}, fn_{t}"
+        for t in _Q233_THRESHOLDS
+    )
+    rows = one.selectExpr(
+        f"stack({len(_Q233_THRESHOLDS)}, {stack_args}) AS (thr, tp, fp, fn)"
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return (
+        rows.select(
+            "thr",
+            "tp",
+            "fp",
+            "fn",
+            F.round(tp * 1.0 / F.nullif(tp + fp, F.lit(0)), 6).alias(
+                "precision_"
+            ),
+            F.round(tp * 1.0 / F.nullif(tp + fn, F.lit(0)), 6).alias(
+                "recall_"
+            ),
+            F.round(
+                2.0 * tp / F.nullif(2 * tp + fp + fn, F.lit(0)), 6
+            ).alias("f1"),
+        )
+        .orderBy("thr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q234: Benjamini-Hochberg FDR control over per-cell mean shifts
+# ---------------------------------------------------------------------------
+
+_Q234_ALPHA = 0.05
+
+_Q234_SQL = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+              AS BIGINT) AS dow,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(v) AS BIGINT) AS s1,
+         CAST(SUM(v * v) AS BIGINT) AS s2
+  FROM e
+),
+cell AS (
+  SELECT event_type, dow,
+         CAST(COUNT(*) AS BIGINT) AS n_c,
+         CAST(SUM(v) AS BIGINT) AS s1c
+  FROM e GROUP BY event_type, dow
+),
+z AS (
+  SELECT c.event_type, c.dow, c.n_c,
+         (CAST(c.s1c AS DOUBLE) / c.n_c - CAST(g.s1 AS DOUBLE) / g.n_g)
+         / SQRT(((CAST(g.s2 AS DOUBLE)
+                  - CAST(g.s1 AS DOUBLE) * g.s1 / g.n_g) / (g.n_g - 1))
+                / c.n_c) AS zs
+  FROM cell c CROSS JOIN g
+),
+p AS (
+  SELECT event_type, dow, n_c, zs,
+         1.0 / (1.0 + zs * zs) AS pv,
+         ROW_NUMBER() OVER (ORDER BY 1.0 / (1.0 + zs * zs), event_type, dow)
+           AS rn,
+         COUNT(*) OVER () AS m
+  FROM z
+),
+k AS (
+  SELECT *,
+         MAX(CASE WHEN pv * m <= {_Q234_ALPHA} * rn THEN rn ELSE 0 END)
+           OVER () AS kmax
+  FROM p
+)
+SELECT event_type, dow, n_c,
+       ROUND(zs, 4) AS z,
+       ROUND(pv, 6) AS p_surrogate,
+       rn <= kmax AS rejected
+FROM k ORDER BY event_type, dow
+"""
+
+
+@register(
+    "q234_bh_fdr",
+    _Q234_SQL,
+    doc=(
+        "multiple-testing control: every (event_type, dow) cell gets a "
+        "one-sample z for its mean value-in-cents vs the global mean "
+        "(variance from INTEGER power sums over quantized cents — "
+        "double summation is order-dependent across engines, integer "
+        "summation is not), then Benjamini-Hochberg step-up at "
+        "alpha=0.05 rejects the top-k cells; the CDF is replaced by "
+        "the rational surrogate p=1/(1+z^2) (strictly monotone in "
+        "|z|, so the rank procedure is EXACT and engine-identical; "
+        "swap a calibrated CDF in production) — the step-up "
+        "(operators/multitest.bh_stepup) runs on the |cells|-row "
+        "frame (35 rows), the fact table is touched once for the "
+        "cell rollup; the fixture's value column is null w.r.t. "
+        "(type,dow), so ZERO rejections is the correct answer here — "
+        "the reject branch is pinned by the planted-shift unit test"
+    ),
+    tables=("events",),
+)
+def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            % 7
+        ).cast("long").alias("dow"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    g = e.agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    cell = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_c"), F.sum("v").alias("s1c")
+    )
+    var_g = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n_g")
+    ) / (F.col("n_g") - 1)
+    zs = (
+        F.col("s1c").cast("double") / F.col("n_c")
+        - F.col("s1").cast("double") / F.col("n_g")
+    ) / F.sqrt(var_g / F.col("n_c"))
+    z = cell.crossJoin(F.broadcast(g)).select(
+        "event_type", "dow", "n_c", zs.alias("zs")
+    )
+    # |cells|-row frame (5 types x 7 dows): bh_stepup's unpartitioned
+    # windows run over 35 rows, a documented-bounded WindowExec
+    p = z.withColumn("pv", 1.0 / (1.0 + F.col("zs") * F.col("zs")))
+    k = bh_stepup(p, "pv", _Q234_ALPHA, tie_cols=("event_type", "dow"))
+    return k.select(
+        "event_type",
+        "dow",
+        "n_c",
+        F.round("zs", 4).alias("z"),
+        F.round("pv", 6).alias("p_surrogate"),
+        "rejected",
+    ).orderBy("event_type", "dow")
+
+
+# ---------------------------------------------------------------------------
+# q235: multinomial naive Bayes (train on 80% split, confuse on 20%)
+# ---------------------------------------------------------------------------
+
+_Q235_TRAIN_PCT = 80
+
+_Q235_SQL = f"""
+WITH train AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE {sql_hash_bucket("doc_id", 100)} < {_Q235_TRAIN_PCT}
+),
+test AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE {sql_hash_bucket("doc_id", 100)} >= {_Q235_TRAIN_PCT}
+),
+ttok AS (
+  SELECT t.doc_id, t.lang, u.w
+  FROM train t, UNNEST(string_split(t.text, ' ')) AS u(w)
+),
+c AS (
+  SELECT w, lang, CAST(COUNT(*) AS BIGINT) AS c FROM ttok GROUP BY w, lang
+),
+nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_l FROM c GROUP BY lang),
+vocab AS (SELECT DISTINCT w FROM c),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+prior AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS d_l FROM train GROUP BY lang
+),
+ptot AS (SELECT CAST(SUM(d_l) AS BIGINT) AS d FROM prior),
+langs AS (
+  SELECT p.lang,
+         ROUND(LN(CAST(p.d_l AS DOUBLE) / ptot.d), 6) AS prior_ln,
+         ROUND(LN(CAST(nl.n_l AS DOUBLE) + v.v), 6) AS denom_ln
+  FROM prior p CROSS JOIN ptot CROSS JOIN v
+  JOIN nl ON nl.lang = p.lang
+),
+stok AS (
+  SELECT t.doc_id, t.lang AS true_lang, u.w
+  FROM test t, UNNEST(string_split(t.text, ' ')) AS u(w)
+),
+iv AS (
+  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_iv
+  FROM stok s WHERE EXISTS (SELECT 1 FROM vocab vb WHERE vb.w = s.w)
+  GROUP BY s.doc_id
+),
+matched AS (
+  SELECT s.doc_id, c.lang, ROUND(SUM(LN(CAST(c.c + 1 AS DOUBLE))), 6)
+           AS sum_ln
+  FROM stok s JOIN c ON c.w = s.w
+  GROUP BY s.doc_id, c.lang
+),
+scored AS (
+  SELECT d.doc_id, d.true_lang, l.lang,
+         l.prior_ln + COALESCE(m.sum_ln, 0)
+           - COALESCE(i.n_iv, 0) * l.denom_ln AS score
+  FROM (SELECT doc_id, lang AS true_lang FROM test) d
+  CROSS JOIN langs l
+  LEFT JOIN matched m ON m.doc_id = d.doc_id AND m.lang = l.lang
+  LEFT JOIN iv i ON i.doc_id = d.doc_id
+),
+pred AS (
+  SELECT doc_id, true_lang, lang AS pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY ROUND(score, 4) DESC, lang) AS rk
+  FROM scored
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred WHERE rk = 1
+GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+"""
+
+
+@register(
+    "q235_naive_bayes",
+    _Q235_SQL,
+    doc=(
+        "multinomial naive Bayes language classifier trained on the "
+        "deterministic 80% id-hash split and confused on the held-out "
+        "20%: Laplace-smoothed per-(token,lang) counts keyed by token "
+        "(vocabulary-sized shuffle), and the ln(c+1)-ln(N_l+V) "
+        "factoring means only MATCHED (token,lang) pairs ever join — "
+        "zero-count tokens contribute ln(1)=0 so the vocab x langs "
+        "cross product is never materialized; ln-derived scalars are "
+        "rounded at 6 dp before composition and the per-doc argmax "
+        "orders by ROUND(score,4) with a lang tie-break (the q129 "
+        "libm discipline); output is the |langs|^2 confusion matrix "
+        "— NOTE the fixture's text is label-free (uniform random "
+        "tokens), so fixture accuracy sits at the prior by "
+        "construction: the contract here is the exact smoothed-model "
+        "arithmetic (pinned against a Counter reimplementation and "
+        "a planted-vocabulary synthetic corpus in tests)"
+    ),
+    tables=("documents",),
+)
+def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket("doc_id", 100)
+    train = docs.where(bucket < _Q235_TRAIN_PCT)
+    test = docs.where(bucket >= _Q235_TRAIN_PCT)
+    pred = naive_bayes_predict(train, test)
+    return (
+        pred.select(
+            F.col("true_label").alias("true_lang"),
+            F.col("pred_label").alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -1,0 +1,205 @@
+"""Batch-A ml_eval property tests: each op checked against an
+independent brute-force / pandas reference on the sf0.001 tables
+(the SURVEY §5.2 brute-force-oracle discipline)."""
+
+from __future__ import annotations
+
+import collections
+import math
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _pd(sf_dir: str, table: str) -> pd.DataFrame:
+    return duckdb.sql(
+        f"SELECT * FROM '{sf_dir}/{table}.parquet'"
+    ).df()
+
+
+def test_spearman_matches_pandas(spark, sf_dir):
+    # contingency-count Spearman (q232) == pandas' per-row
+    # average-rank Spearman on the same columns
+    from osm_changesets_to_parquet_spark.queries.ml_eval import q232
+
+    got = {r.g: r.rho for r in q232(spark, sf_dir).collect()}
+    li = _pd(sf_dir, "lineitem")
+    li["x"] = li.l_quantity.astype("int64")
+    li["y"] = (li.l_discount * 100).round().astype("int64")
+    for g, grp in li.groupby("l_returnflag"):
+        rx = grp["x"].rank(method="average")
+        ry = grp["y"].rank(method="average")
+        want = rx.corr(ry)  # Pearson on average ranks == Spearman
+        assert abs(got[g] - want) < 1e-5, (g, got[g], want)
+
+
+def test_threshold_sweep_matches_pandas(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q233_THRESHOLDS,
+        q233,
+    )
+
+    rows = {r.thr: r for r in q233(spark, sf_dir).collect()}
+    ev = _pd(sf_dir, "events")
+    pos = ev.event_type == "purchase"
+    for t in _Q233_THRESHOLDS:
+        hit = ev.value >= t
+        tp = int((pos & hit).sum())
+        fp = int((~pos & hit).sum())
+        fn = int((pos & ~hit).sum())
+        r = rows[t]
+        assert (r.tp, r.fp, r.fn) == (tp, fp, fn), t
+        if tp + fp:
+            assert abs(r.precision_ - tp / (tp + fp)) < 1e-6
+        if 2 * tp + fp + fn:
+            assert abs(r.f1 - 2 * tp / (2 * tp + fp + fn)) < 1e-6
+
+
+def test_bh_fdr_matches_brute_force(spark, sf_dir):
+    # the step-up rejection set (q234) == a direct numpy BH on the
+    # same cents-quantized z statistics
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q234_ALPHA,
+        q234,
+    )
+
+    got = {
+        (r.event_type, r.dow): r.rejected
+        for r in q234(spark, sf_dir).collect()
+    }
+    ev = _pd(sf_dir, "events")
+    ev["dow"] = (
+        (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days % 7
+    ).astype("int64")
+    ev["v"] = (ev.value * 100).round().astype("int64")
+    n_g = len(ev)
+    s1, s2 = int(ev.v.sum()), int((ev.v * ev.v).sum())
+    mean_g = s1 / n_g
+    var_g = (s2 - s1 * s1 / n_g) / (n_g - 1)
+    cells = []
+    for (et, dow), grp in ev.groupby(["event_type", "dow"]):
+        z = (grp.v.mean() - mean_g) / math.sqrt(var_g / len(grp))
+        cells.append(((et, int(dow)), 1.0 / (1.0 + z * z)))
+    cells.sort(key=lambda kv: (kv[1], kv[0]))
+    m = len(cells)
+    kmax = 0
+    for i, (_, p) in enumerate(cells, start=1):
+        if p * m <= _Q234_ALPHA * i:
+            kmax = i
+    want = {key: i <= kmax for i, (key, _) in enumerate(cells, start=1)}
+    assert got == want
+    # the fixture's value is null w.r.t. (type, dow): the correct BH
+    # answer here is zero discoveries (the reject branch is exercised
+    # by test_bh_stepup_rejects_planted_signal below)
+    assert not any(got.values())
+
+
+def test_bh_stepup_rejects_planted_signal(spark):
+    # the step-up operator itself, on hand-built p-values with a known
+    # answer: m=8, alpha=0.1 -> thresholds i/80; ranks 1-3 pass
+    # directly, rank 4 (p=0.2) does not, and NOTHING above k=3 is
+    # rejected even though rank 2's p also clears rank 4's threshold
+    from osm_changesets_to_parquet_spark.operators.multitest import bh_stepup
+
+    ps = [0.001, 0.01, 0.03, 0.2, 0.5, 0.6, 0.9, 1.0]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "id INT, pv DOUBLE"
+    )
+    out = {r.id: r.rejected for r in bh_stepup(df, "pv", 0.1, ("id",)).collect()}
+    assert out == {i: p in (0.001, 0.01, 0.03) for i, p in enumerate(ps)}
+
+
+def test_bh_stepup_step_up_not_step_down(spark):
+    # the defining BH subtlety: a mid-rank p that fails its own
+    # threshold is STILL rejected when a later rank passes (step-up
+    # from the largest passing k), unlike Bonferroni/Holm
+    from osm_changesets_to_parquet_spark.operators.multitest import bh_stepup
+
+    # m=4, alpha=0.2 -> thresholds 0.05/0.10/0.15/0.20; rank 2
+    # (p=0.12 > 0.10) fails alone, but rank 3 (p=0.13 <= 0.15) passes
+    ps = [0.04, 0.12, 0.13, 0.9]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "id INT, pv DOUBLE"
+    )
+    out = {r.id: r.rejected for r in bh_stepup(df, "pv", 0.2, ("id",)).collect()}
+    assert out == {0: True, 1: True, 2: True, 3: False}
+
+
+def test_naive_bayes_matches_brute_force(spark, sf_dir):
+    # the relational NB (q235) == a Counter-based reimplementation of
+    # the same smoothed multinomial model on the same split
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q235_TRAIN_PCT,
+        q235,
+    )
+
+    got = {
+        (r.true_lang, r.pred_lang): r.n
+        for r in q235(spark, sf_dir).collect()
+    }
+    docs = _pd(sf_dir, "documents")
+    bucket = ((docs.doc_id % 2147483648) * 2654435761) % 100
+    train = docs[bucket < _Q235_TRAIN_PCT]
+    test = docs[bucket >= _Q235_TRAIN_PCT]
+    c: dict[str, collections.Counter] = collections.defaultdict(
+        collections.Counter
+    )
+    for _, row in train.iterrows():
+        c[row.lang].update(row.text.split(" "))
+    vocab = set().union(*(cnt.keys() for cnt in c.values()))
+    v = len(vocab)
+    n_l = {lang: sum(cnt.values()) for lang, cnt in c.items()}
+    d_l = train.lang.value_counts().to_dict()
+    d = len(train)
+    want: collections.Counter = collections.Counter()
+    for _, row in test.iterrows():
+        toks = [w for w in row.text.split(" ") if w in vocab]
+        best = None
+        for lang in sorted(c):
+            s = round(math.log(d_l[lang] / d), 6)
+            s += round(
+                sum(math.log(c[lang][w] + 1) for w in toks if c[lang][w]),
+                6,
+            )
+            s -= len(toks) * round(math.log(n_l[lang] + v), 6)
+            key = (-round(s, 4), lang)
+            if best is None or key < best:
+                best = key
+        want[(row.lang, best[1])] += 1
+    assert got == dict(want)
+    # the fixture's text is label-free (uniform random tokens), so no
+    # accuracy assertion here — learning is pinned on the planted
+    # corpus below; just sanity-check the confusion accounts for
+    # every held-out doc
+    assert sum(got.values()) == len(test)
+
+
+def test_naive_bayes_learns_planted_vocabulary(spark):
+    # on a corpus where classes have (mostly) disjoint vocabularies,
+    # the operator must classify held-out docs correctly — the reject
+    # branch of "does this thing actually learn"
+    import random
+
+    from osm_changesets_to_parquet_spark.operators.nbayes import (
+        naive_bayes_predict,
+    )
+
+    rng = random.Random(13)
+    vocab = {
+        "sports": ["goal", "match", "team", "score", "league"],
+        "cooking": ["recipe", "oven", "flour", "simmer", "spice"],
+    }
+    shared = ["the", "and", "today"]
+    rows = []
+    for i in range(80):
+        label = "sports" if i % 2 == 0 else "cooking"
+        words = [rng.choice(vocab[label] + shared) for _ in range(12)]
+        rows.append((i, label, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
+    train = df.where(F.col("doc_id") < 60)
+    test = df.where(F.col("doc_id") >= 60)
+    pred = naive_bayes_predict(train, test).collect()
+    assert len(pred) == 20
+    acc = sum(r.true_label == r.pred_label for r in pred) / len(pred)
+    assert acc >= 0.95, acc
