@@ -125,3 +125,60 @@ def pagerank(
             )
         )
     return ranks
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Peel to the k-core: the maximal subgraph where every node has
+    degree >= k.  Returns the surviving undirected edge list
+    ``(u: long, v: long)`` with u < v (possibly empty).
+
+    Classic iterative peeling (Batagelj-Zaversnik, distributed per
+    Montresor et al.): each round computes degrees (one keyed agg) and
+    drops edges touching an under-k node (two semi-joins), until an
+    edge-count fixpoint.  Rounds are bounded by the peeling depth of
+    the graph — O(log n) on real-world skewed graphs — and each round
+    is ONE count() action with lineage truncated, the q117
+    star-contraction discipline; no driver-side adjacency ever exists.
+
+    ``max_rounds`` is a runaway backstop (a path graph peels in O(n)
+    rounds; real corpora don't) — hitting it raises rather than
+    silently returning a non-core.
+    """
+    cur = (
+        edges.select(
+            F.col(src_col).cast("long").alias("a"),
+            F.col(dst_col).cast("long").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    cur = truncate_lineage(cur)
+    n_edges = cur.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            return cur
+        sym = cur.select(F.col("u").alias("n")).unionByName(
+            cur.select(F.col("v").alias("n"))
+        )
+        keep = (
+            sym.groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select("n")
+        )
+        nxt = cur.join(
+            keep.withColumnRenamed("n", "u"), "u", "semi"
+        ).join(keep.withColumnRenamed("n", "v"), "v", "semi").select("u", "v")
+        nxt = truncate_lineage(nxt)
+        n_next = nxt.count()
+        if n_next == n_edges:
+            return nxt
+        cur, n_edges = nxt, n_next
+    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")

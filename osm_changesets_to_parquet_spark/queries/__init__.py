@@ -130,6 +130,10 @@ _PRIORITY: tuple[str, ...] = (
     "q233_threshold_sweep",
     "q234_bh_fdr",
     "q235_naive_bayes",
+    "q236_holt_smoothing",
+    "q237_kendall_tau",
+    "q238_kcore",
+    "q239_calibration_bins",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from osm_changesets_to_parquet_spark.catalog import load_table
-from osm_changesets_to_parquet_spark.operators.graph import pagerank
+from osm_changesets_to_parquet_spark.operators.graph import k_core, pagerank
 from osm_changesets_to_parquet_spark.queries import register
 
 _D = 0.85
@@ -317,4 +317,101 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.agg(F.count(F.lit(1)).alias("n_nodes"))
         .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
         .crossJoin(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q238: k-core decomposition by iterative peeling (round 7)
+# ---------------------------------------------------------------------------
+
+_Q238_K = 3
+# the oracle statically unrolls this many peel rounds; peeling is
+# idempotent at the fixpoint, so any round beyond convergence is a
+# no-op — sf0.01 converges in 11 rounds, sf0.001 in 1
+_Q238_ROUNDS = 16
+
+
+def _peel_cte(r: int, k: int) -> str:
+    prev = f"p{r - 1}"
+    return f"""p{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  WHERE e.u IN (SELECT n FROM (
+          SELECT n, COUNT(*) c FROM (
+            SELECT u AS n FROM {prev} UNION ALL SELECT v AS n FROM {prev}
+          ) GROUP BY n) WHERE c >= {k})
+    AND e.v IN (SELECT n FROM (
+          SELECT n, COUNT(*) c FROM (
+            SELECT u AS n FROM {prev} UNION ALL SELECT v AS n FROM {prev}
+          ) GROUP BY n) WHERE c >= {k})
+)"""
+
+
+_Q238_SQL = f"""
+WITH inc AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p0 AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM inc a JOIN inc b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+{", ".join(_peel_cte(r, _Q238_K) for r in range(1, _Q238_ROUNDS + 1))}
+SELECT CAST({_Q238_K} AS BIGINT) AS k,
+       (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) FROM (
+          SELECT u AS n FROM p{_Q238_ROUNDS}
+          UNION ALL SELECT v FROM p{_Q238_ROUNDS})) AS n_nodes,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COALESCE(SUM(u + v), 0) AS BIGINT) AS edge_id_sum
+FROM p{_Q238_ROUNDS}
+"""
+
+
+@register(
+    "q238_kcore",
+    _Q238_SQL,
+    doc=(
+        f"{_Q238_K}-core of the repeat-co-purchase graph (parts that "
+        "share >= 2 orders — the multiplicity floor keeps the "
+        "projection sparse and heterogeneous): iterative peeling via "
+        "operators/graph.k_core — each round is one degree agg + two "
+        "semi-joins + ONE count() action with lineage truncated (the "
+        "q117 star-contraction discipline), terminating at the "
+        "edge-count fixpoint (11 rounds at sf0.01); the oracle "
+        f"unrolls {_Q238_ROUNDS} statically-chained peel rounds, "
+        "valid because peeling past the fixpoint is a no-op; output "
+        "is the core's (n_nodes, n_edges, edge-id checksum)"
+    ),
+    tables=("lineitem",),
+)
+def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    inc = li.select("l_orderkey", "l_partkey").distinct()
+    a = inc.alias("a")
+    b = inc.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("m"))
+        .where(F.col("m") >= 2)
+        .select("src", "dst")
+    )
+    core = k_core(edges, k=_Q238_K)
+    nodes = core.select(F.col("u").alias("n")).unionByName(
+        core.select(F.col("v").alias("n"))
+    )
+    return (
+        spark.range(1)
+        .select(F.lit(_Q238_K).cast("long").alias("k"))
+        .crossJoin(nodes.agg(F.count_distinct("n").alias("n_nodes")))
+        .crossJoin(
+            core.agg(
+                F.count(F.lit(1)).alias("n_edges"),
+                F.coalesce(F.sum(F.col("u") + F.col("v")), F.lit(0))
+                .cast("long")
+                .alias("edge_id_sum"),
+            )
+        )
     )

@@ -494,3 +494,270 @@ def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q236: Holt double exponential smoothing (level + trend forecast)
+# ---------------------------------------------------------------------------
+
+# alpha = beta = 0.5: every smoothing op is multiply-by-0.5 / add of
+# exact doubles — the identical IEEE op sequence in python and SQL, so
+# the recursion is bit-deterministic with no rounding discipline needed
+_Q236_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+  FROM daily
+),
+nn AS (SELECT event_type, CAST(MAX(rn) AS BIGINT) AS n FROM idx GROUP BY 1),
+init AS (
+  SELECT i1.event_type, i1.y AS l, i2.y - i1.y AS b
+  FROM idx i1
+  JOIN idx i2 ON i2.event_type = i1.event_type AND i2.rn = 2
+  WHERE i1.rn = 1
+),
+r(event_type, t, l, b) AS (
+  SELECT event_type, 1, l, b FROM init
+  UNION ALL
+  SELECT r.event_type, r.t + 1,
+         0.5 * d.y + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * d.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+  FROM r JOIN idx d ON d.event_type = r.event_type AND d.rn = r.t + 1
+)
+SELECT r.event_type, nn.n AS n_days,
+       ROUND(r.l, 4) AS level,
+       ROUND(r.b, 4) AS trend,
+       ROUND(r.l + 7 * r.b, 4) AS forecast_7d
+FROM r JOIN nn ON nn.event_type = r.event_type AND r.t = nn.n
+ORDER BY r.event_type
+"""
+
+
+@register(
+    "q236_holt_smoothing",
+    _Q236_SQL,
+    doc=(
+        "Holt double exponential smoothing over per-type daily counts "
+        "(level + trend, 7-day-ahead forecast): the engine runs the "
+        "inherently-sequential recursion per key inside ONE "
+        "applyInPandas over the |days|-row rollup (92 rows/key — the "
+        "fact table is reduced first, so the Python stage sees "
+        "kilobytes), the oracle mirrors it as a recursive CTE; "
+        "alpha=beta=0.5 makes every smoothing op dyadic, so both "
+        "engines walk the identical IEEE op sequence bit-for-bit"
+    ),
+    tables=("events",),
+)
+def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        ys = [float(v) for v in pdf["y"]]
+        if len(ys) < 2:
+            lvl, tr = (ys[0] if ys else 0.0), 0.0
+        else:
+            lvl, tr = ys[0], ys[1] - ys[0]
+            for y in ys[1:]:
+                new_l = 0.5 * y + 0.5 * (lvl + tr)
+                tr = 0.5 * (new_l - lvl) + 0.5 * tr
+                lvl = new_l
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(ys)],
+                "level": [lvl],
+                "trend": [tr],
+            }
+        )
+
+    out = daily.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type string, n_days long, level double, trend double",
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        F.round("level", 4).alias("level"),
+        F.round("trend", 4).alias("trend"),
+        F.round(F.col("level") + 7 * F.col("trend"), 4).alias("forecast_7d"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q237: Kendall tau-b between daily volume and daily revenue
+# ---------------------------------------------------------------------------
+
+_Q237_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc,
+         CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tie_x,
+         CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS tie_y
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(conc) AS BIGINT) AS concordant,
+       CAST(SUM(disc) AS BIGINT) AS discordant,
+       ROUND((SUM(conc) - SUM(disc))
+             / SQRT((COUNT(*) - CAST(SUM(tie_x) AS DOUBLE))
+                    * (COUNT(*) - CAST(SUM(tie_y) AS DOUBLE))), 6) AS tau_b
+FROM pairs GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "q237_kendall_tau",
+    _Q237_SQL,
+    doc=(
+        "Kendall tau-b between daily event volume and daily revenue "
+        "cents per type: concordant/discordant/tie counts from the "
+        "O(days^2) pair self-join — quadratic in DAYS (92 -> 4186 "
+        "pairs/key), NOT in rows, because the fact table is rolled up "
+        "to (type, day) integers first; every comparison is exact "
+        "integer sign arithmetic, tau-b's tie correction included"
+    ),
+    tables=("events",),
+)
+def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).cast("long").alias("d"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
+        )
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    dx = F.col("a.x") - F.col("b.x")
+    dy = F.col("a.y") - F.col("b.y")
+    pairs = (
+        a.join(b, F.col("a.event_type") == F.col("b.event_type"))
+        .where(F.col("a.d") < F.col("b.d"))
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.when(dx * dy > 0, 1).otherwise(0).alias("conc"),
+            F.when(dx * dy < 0, 1).otherwise(0).alias("disc"),
+            F.when(F.col("a.x") == F.col("b.x"), 1).otherwise(0).alias("tie_x"),
+            F.when(F.col("a.y") == F.col("b.y"), 1).otherwise(0).alias("tie_y"),
+        )
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("conc").alias("concordant"),
+        F.sum("disc").alias("discordant"),
+        F.sum("tie_x").alias("tx"),
+        F.sum("tie_y").alias("ty"),
+    )
+    tau = (F.col("concordant") - F.col("discordant")) / F.sqrt(
+        (F.col("n_pairs") - F.col("tx").cast("double"))
+        * (F.col("n_pairs") - F.col("ty").cast("double"))
+    )
+    return s.select(
+        "event_type",
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.round(tau, 6).alias("tau_b"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q239: calibration bins + Brier score for a pseudo-probability
+# ---------------------------------------------------------------------------
+
+_Q239_SQL = """
+WITH scored AS (
+  SELECT CAST(FLOOR(value * 10000 / (value + 50)) AS BIGINT) AS s_bp,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+)
+SELECT CAST(FLOOR(s_bp / 1000.0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(s_bp) AS DOUBLE) / (COUNT(*) * 10000.0), 6)
+         AS mean_pred,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos,
+       ROUND(CAST(SUM((s_bp - 10000 * y) * (s_bp - 10000 * y)) AS DOUBLE)
+             / (COUNT(*) * 100000000.0), 6) AS brier
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "q239_calibration_bins",
+    _Q239_SQL,
+    doc=(
+        "reliability diagram + per-bin Brier score for the "
+        "value-derived pseudo-probability s = v/(v+50) of an event "
+        "being a purchase: the score is quantized to integer BASIS "
+        "POINTS at the scan (FLOOR of a deterministic double), so "
+        "every downstream sum — mean prediction, positive rate, and "
+        "the Brier (s_bp - 10000y)^2 — is exact order-independent "
+        "integer arithmetic; one scan, |bins| output rows"
+    ),
+    tables=("events",),
+)
+def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.floor(
+            F.col("value") * 10000 / (F.col("value") + 50)
+        ).cast("long").alias("s_bp"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    err = F.col("s_bp") - 10000 * F.col("y")
+    return (
+        scored.groupBy(
+            F.floor(F.col("s_bp") / 1000.0).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("s_bp").cast("double") / (F.count(F.lit(1)) * 10000.0), 6
+            ).alias("mean_pred"),
+            F.round(
+                F.sum("y").cast("double") / F.count(F.lit(1)), 6
+            ).alias("frac_pos"),
+            F.round(
+                F.sum(err * err).cast("double")
+                / (F.count(F.lit(1)) * 100000000.0),
+                6,
+            ).alias("brier"),
+        )
+        .orderBy("bin")
+    )

@@ -1,0 +1,143 @@
+"""Batch-B property tests (q236-q239): brute-force / planted-structure
+references for Holt smoothing, Kendall tau-b, k-core, calibration."""
+
+from __future__ import annotations
+
+import collections
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _daily(sf_dir: str) -> pd.DataFrame:
+    return duckdb.sql(
+        f"""
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d,
+               COUNT(*) AS x,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+        FROM '{sf_dir}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+
+
+def test_holt_matches_sequential_brute(spark, sf_dir):
+    # the applyInPandas recursion == a driver-side sequential replay
+    # of the same alpha=beta=0.5 updates on the same daily series
+    from osm_changesets_to_parquet_spark.queries.ml_eval import q236
+
+    got = {r.event_type: r for r in q236(spark, sf_dir).collect()}
+    for et, grp in _daily(sf_dir).groupby("event_type"):
+        ys = [float(v) for v in grp.sort_values("d")["x"]]
+        lvl, tr = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            new_l = 0.5 * y + 0.5 * (lvl + tr)
+            tr = 0.5 * (new_l - lvl) + 0.5 * tr
+            lvl = new_l
+        r = got[et]
+        assert r.n_days == len(ys)
+        assert abs(r.level - round(lvl, 4)) < 1e-9
+        assert abs(r.trend - round(tr, 4)) < 1e-9
+        assert abs(r.forecast_7d - round(lvl + 7 * tr, 4)) < 1e-9
+
+
+def test_holt_linear_series_is_fixed_point(spark):
+    # on a perfectly linear series, Holt's (level, trend) is a fixed
+    # point: level tracks the line exactly and trend equals the slope
+    lvl, tr = 10.0, 3.0  # init: l=y0, b=y1-y0=3
+    ys = [10.0 + 3.0 * t for t in range(40)]
+    for y in ys[1:]:
+        new_l = 0.5 * y + 0.5 * (lvl + tr)
+        tr = 0.5 * (new_l - lvl) + 0.5 * tr
+        lvl = new_l
+    assert abs(lvl - ys[-1]) < 1e-9
+    assert abs(tr - 3.0) < 1e-9
+
+
+def test_kendall_tau_matches_pair_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import q237
+
+    got = {r.event_type: r for r in q237(spark, sf_dir).collect()}
+    for et, grp in _daily(sf_dir).groupby("event_type"):
+        xs = [int(v) for v in grp.sort_values("d")["x"]]
+        ys = [int(v) for v in grp.sort_values("d")["y"]]
+        n = len(xs)
+        conc = disc = tx = ty = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                s = (xs[i] - xs[j]) * (ys[i] - ys[j])
+                conc += s > 0
+                disc += s < 0
+                tx += xs[i] == xs[j]
+                ty += ys[i] == ys[j]
+        n0 = n * (n - 1) // 2
+        r = got[et]
+        assert (r.n_pairs, r.concordant, r.discordant) == (n0, conc, disc)
+        want = (conc - disc) / ((n0 - tx) * (n0 - ty)) ** 0.5
+        assert abs(r.tau_b - round(want, 6)) < 1e-9
+
+
+def test_kcore_planted_clique_survives_pendants(spark):
+    # a K5 clique with a pendant path hanging off one vertex: the
+    # 3-core must be exactly the clique (pendants peel over multiple
+    # rounds — exercises the iteration, not just one pass)
+    from osm_changesets_to_parquet_spark.operators.graph import k_core
+
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    path = [(4, 10), (10, 11), (11, 12), (12, 13)]
+    df = spark.createDataFrame(clique + path, "src LONG, dst LONG")
+    core = sorted((r.u, r.v) for r in k_core(df, k=3).collect())
+    assert core == sorted(clique)
+
+
+def test_kcore_matches_peeling_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.graph import q238
+
+    row = q238(spark, sf_dir).collect()[0]
+    edges = duckdb.sql(
+        f"""
+        WITH inc AS (SELECT DISTINCT l_orderkey, l_partkey
+                     FROM '{sf_dir}/lineitem.parquet')
+        SELECT a.l_partkey u, b.l_partkey v FROM inc a JOIN inc b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """
+    ).fetchall()
+    E = set(edges)
+    while True:
+        deg: collections.Counter = collections.Counter()
+        for u, v in E:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {n for n, d in deg.items() if d >= 3}
+        E2 = {(u, v) for u, v in E if u in keep and v in keep}
+        if E2 == E:
+            break
+        E = E2
+    nodes = {n for uv in E for n in uv}
+    assert row.n_nodes == len(nodes)
+    assert row.n_edges == len(E)
+    assert row.edge_id_sum == sum(u + v for u, v in E)
+
+
+def test_calibration_bins_matches_pandas(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import q239
+
+    got = {r.bin: r for r in q239(spark, sf_dir).collect()}
+    ev = duckdb.sql(
+        f"SELECT event_type, value FROM '{sf_dir}/events.parquet'"
+    ).df()
+    import math
+
+    sbp = (ev.value * 10000 / (ev.value + 50)).map(math.floor).astype("int64")
+    y = (ev.event_type == "purchase").astype("int64")
+    binned = pd.DataFrame({"bin": sbp // 1000, "s": sbp, "y": y})
+    for b, grp in binned.groupby("bin"):
+        r = got[b]
+        assert r.n == len(grp)
+        assert abs(r.mean_pred - round(grp.s.sum() / (len(grp) * 1e4), 6)) < 1e-9
+        assert abs(r.frac_pos - round(grp.y.mean(), 6)) < 1e-9
+        brier = ((grp.s - 10000 * grp.y) ** 2).sum() / (len(grp) * 1e8)
+        assert abs(r.brier - round(brier, 6)) < 1e-9
