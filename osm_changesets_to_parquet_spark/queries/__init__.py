@@ -134,6 +134,9 @@ _PRIORITY: tuple[str, ...] = (
     "q237_kendall_tau",
     "q238_kcore",
     "q239_calibration_bins",
+    "q240_leadlag_xcorr",
+    "q241_vocab_coverage",
+    "q242_cramers_v",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

@@ -761,3 +761,315 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q240: lead-lag cross-correlation between two event series
+# ---------------------------------------------------------------------------
+
+_Q240_A = "view"
+_Q240_B = "purchase"
+_Q240_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+
+_Q240_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('{_Q240_A}', '{_Q240_B}')
+  GROUP BY 1, 2
+),
+lags(lag) AS (
+  SELECT * FROM (VALUES {", ".join(f"({x})" for x in _Q240_LAGS)}) v(lag)
+),
+pairs AS (
+  SELECT l.lag, a.c AS x, b.c AS y
+  FROM lags l
+  JOIN daily a ON a.event_type = '{_Q240_A}'
+  JOIN daily b ON b.event_type = '{_Q240_B}' AND b.d = a.d + l.lag
+),
+s AS (
+  SELECT lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS r
+FROM s ORDER BY lag
+"""
+
+
+@register(
+    "q240_leadlag_xcorr",
+    _Q240_SQL,
+    doc=(
+        f"lead-lag cross-correlation between the daily '{_Q240_A}' and "
+        f"'{_Q240_B}' volume series at lags {_Q240_LAGS[0]}..+"
+        f"{_Q240_LAGS[-1]} (does one series LEAD the other — the "
+        "q170 autocorrelation machinery, crossed): the fact table "
+        "rolls up to (type, day) integer counts first, the 7-row lag "
+        "frame cross-joins onto the |days| rollup, and Pearson per "
+        "lag comes from exact integer power sums — boundary days "
+        "shrink n per lag, handled by per-lag n in the formula"
+    ),
+    tables=("events",),
+)
+def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin(_Q240_A, _Q240_B))
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).cast("long").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = daily.where(F.col("event_type") == _Q240_A).select(
+        F.col("d").alias("da"), F.col("c").alias("x")
+    )
+    b = daily.where(F.col("event_type") == _Q240_B).select(
+        F.col("d").alias("db"), F.col("c").alias("y")
+    )
+    lags = spark.createDataFrame(
+        [(x,) for x in _Q240_LAGS], "lag LONG"
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (n_d * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select("lag", "n", F.round(num / den, 6).alias("r")).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# q241: vocabulary coverage curve (tokenizer budget design)
+# ---------------------------------------------------------------------------
+
+_Q241_KS = (10, 50, 100, 250, 500)
+
+_Q241_SQL = f"""
+WITH tok AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS g
+  FROM tok, UNNEST(range(1, len(ws))) AS u(i)
+),
+f AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY g),
+ranked AS (
+  SELECT c,
+         ROW_NUMBER() OVER (ORDER BY c DESC, g) AS rk,
+         CAST(SUM(c) OVER () AS BIGINT) AS total,
+         CAST(SUM(c) OVER (ORDER BY c DESC, g
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum
+  FROM f
+),
+ks(k) AS (SELECT * FROM (VALUES {", ".join(f"({k})" for k in _Q241_KS)}) v(k))
+SELECT CAST(k AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS vocab_size,
+       ROUND(CAST(MAX(CASE WHEN rk <= k THEN cum ELSE 0 END) AS DOUBLE)
+             / ANY_VALUE(total), 6) AS coverage
+FROM ranked CROSS JOIN ks
+GROUP BY k ORDER BY k
+"""
+
+
+@register(
+    "q241_vocab_coverage",
+    _Q241_SQL,
+    doc=(
+        "vocabulary coverage curve over word BIGRAMS (the tokenizer-"
+        "budget question: what share of occurrences does a top-k "
+        "vocabulary cover): in-row gram construction (zero shuffle "
+        "before the type rollup), then rank + running share over the "
+        "|gram types|-sized frequency table — the only window in the "
+        "plan is VOCABULARY-sized (~900 types here), never corpus-"
+        "sized, the q144 BPE discipline; total order by (count desc, "
+        "gram) pins rank ties"
+    ),
+    tables=("documents",),
+)
+def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat(split(text, ' ')[i - 1], ' ', "
+                "split(text, ' ')[i]))"
+            )
+        ).alias("g")
+    )
+    f = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    # vocabulary-sized windows (|gram types|, ~900 rows)
+    order = Window.orderBy(F.col("c").desc(), F.col("g"))
+    whole = Window.partitionBy().orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = f.select(
+        "c",
+        F.row_number().over(order).alias("rk"),
+        F.sum("c").over(whole).alias("total"),
+        F.sum("c").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    vocab_size = f.agg(F.count(F.lit(1)).alias("vocab_size"))
+    ks = spark.createDataFrame([(k,) for k in _Q241_KS], "k LONG")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.round(
+                F.max(
+                    F.when(F.col("rk") <= F.col("k"), F.col("cum")).otherwise(0)
+                ).cast("double")
+                / F.first("total"),
+                6,
+            ).alias("coverage")
+        )
+        .crossJoin(F.broadcast(vocab_size))
+        .select("k", "vocab_size", "coverage")
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q242: Cramér's V association matrix over categorical pairs
+# ---------------------------------------------------------------------------
+
+
+def _q242_pair_sql(name: str, a: str, b: str) -> str:
+    return f"""
+SELECT '{name}' AS pair,
+       CAST(SUM(o) AS BIGINT) AS n,
+       ROUND(SUM(POWER(o - e, 2) / e), 4) AS chi2,
+       ROUND(SQRT(SUM(POWER(o - e, 2) / e)
+             / (SUM(o) * (LEAST((SELECT COUNT(DISTINCT {a}) FROM base),
+                                (SELECT COUNT(DISTINCT {b}) FROM base))
+                          - 1))), 6) AS v
+FROM (
+  SELECT o,
+         CAST(ra AS DOUBLE) * rb / tot AS e
+  FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS o, {a} AS av, {b} AS bv
+    FROM base GROUP BY {a}, {b}
+  ) cell
+  JOIN (SELECT {a} AS av, CAST(COUNT(*) AS BIGINT) AS ra
+        FROM base GROUP BY {a}) x USING (av)
+  JOIN (SELECT {b} AS bv, CAST(COUNT(*) AS BIGINT) AS rb
+        FROM base GROUP BY {b}) y USING (bv)
+  CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM base) t
+)"""
+
+
+_Q242_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+              AS BIGINT) AS dow,
+         CAST(hour(ts) // 6 AS BIGINT) AS hb
+  FROM events
+)
+{_q242_pair_sql("event_type~dow", "event_type", "dow")}
+UNION ALL
+{_q242_pair_sql("event_type~hour_bucket", "event_type", "hb")}
+UNION ALL
+{_q242_pair_sql("dow~hour_bucket", "dow", "hb")}
+ORDER BY pair
+"""
+
+
+def _q242_pair(base: DataFrame, name: str, a: str, b: str) -> DataFrame:
+    cell = base.groupBy(F.col(a).alias("av"), F.col(b).alias("bv")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    ra = base.groupBy(F.col(a).alias("av")).agg(F.count(F.lit(1)).alias("ra"))
+    rb = base.groupBy(F.col(b).alias("bv")).agg(F.count(F.lit(1)).alias("rb"))
+    tot = base.agg(F.count(F.lit(1)).alias("tot"))
+    card = base.agg(
+        F.least(
+            F.count_distinct(F.col(a)), F.count_distinct(F.col(b))
+        ).alias("minrc")
+    )
+    e = F.col("ra").cast("double") * F.col("rb") / F.col("tot")
+    j = (
+        cell.join(F.broadcast(ra), "av")
+        .join(F.broadcast(rb), "bv")
+        .crossJoin(F.broadcast(tot))
+        .select("o", e.alias("e"))
+    )
+    return (
+        j.agg(
+            F.sum("o").alias("n"),
+            F.sum(F.pow(F.col("o") - F.col("e"), 2) / F.col("e")).alias("chi2r"),
+        )
+        .crossJoin(F.broadcast(card))
+        .select(
+            F.lit(name).alias("pair"),
+            F.col("n"),
+            F.round("chi2r", 4).alias("chi2"),
+            F.round(
+                F.sqrt(F.col("chi2r") / (F.col("n") * (F.col("minrc") - 1))), 6
+            ).alias("v"),
+        )
+    )
+
+
+@register(
+    "q242_cramers_v",
+    _Q242_SQL,
+    doc=(
+        "Cramér's V association matrix over the categorical pairs "
+        "(event_type, dow, hour-bucket): observed/expected from "
+        "integer contingency + marginal rollups (cells joined to "
+        "broadcast marginals — the q214 chi2 machinery generalized to "
+        "pairwise), V = sqrt(chi2 / (n*(min(r,c)-1))); three cell "
+        "rollups over one scan each, every output value derived from "
+        "exact integer counts"
+    ),
+    tables=("events",),
+)
+def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            % 7
+        ).cast("long").alias("dow"),
+        F.floor(F.hour("ts") / 6).cast("long").alias("hb"),
+    )
+    return (
+        _q242_pair(base, "event_type~dow", "event_type", "dow")
+        .unionByName(
+            _q242_pair(base, "event_type~hour_bucket", "event_type", "hb")
+        )
+        .unionByName(_q242_pair(base, "dow~hour_bucket", "dow", "hb"))
+        .orderBy("pair")
+    )

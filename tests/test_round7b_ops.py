@@ -7,7 +7,6 @@ import collections
 
 import duckdb
 import pandas as pd
-from pyspark.sql import functions as F
 
 
 def _daily(sf_dir: str) -> pd.DataFrame:
@@ -141,3 +140,77 @@ def test_calibration_bins_matches_pandas(spark, sf_dir):
         assert abs(r.frac_pos - round(grp.y.mean(), 6)) < 1e-9
         brier = ((grp.s - 10000 * grp.y) ** 2).sum() / (len(grp) * 1e8)
         assert abs(r.brier - round(brier, 6)) < 1e-9
+
+
+def test_leadlag_xcorr_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from osm_changesets_to_parquet_spark.queries.ml_eval import q240
+
+    got = {r.lag: r for r in q240(spark, sf_dir).collect()}
+    d = _daily(sf_dir)
+    a = d[d.event_type == "view"].set_index("d")["x"]
+    b = d[d.event_type == "purchase"].set_index("d")["x"]
+    for lag in (-3, -2, -1, 0, 1, 2, 3):
+        xs, ys = [], []
+        for day, x in a.items():
+            if day + lag in b.index:
+                xs.append(int(x))
+                ys.append(int(b[day + lag]))
+        r = float(np.corrcoef(xs, ys)[0, 1])
+        assert got[lag].n == len(xs)
+        assert abs(got[lag].r - r) < 1e-5, lag
+
+
+def test_vocab_coverage_matches_counter(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q241_KS,
+        q241,
+    )
+
+    got = {r.k: r for r in q241(spark, sf_dir).collect()}
+    texts = duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    c: collections.Counter = collections.Counter()
+    for (t,) in texts:
+        ws = t.split(" ")
+        c.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    total = sum(c.values())
+    freqs = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    for k in _Q241_KS:
+        cov = sum(v for _, v in freqs[:k]) / total
+        assert got[k].vocab_size == len(c)
+        assert abs(got[k].coverage - round(cov, 6)) < 1e-9, k
+    # coverage must be a nondecreasing curve ending at 1 when k >= V
+    covs = [got[k].coverage for k in _Q241_KS]
+    assert covs == sorted(covs)
+    if _Q241_KS[-1] >= len(c):
+        assert covs[-1] == 1.0
+
+
+def test_cramers_v_matches_pandas_crosstab(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import q242
+
+    got = {r.pair: r for r in q242(spark, sf_dir).collect()}
+    ev = duckdb.sql(
+        f"""SELECT event_type,
+              CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+                   AS BIGINT) AS dow,
+              CAST(hour(ts) // 6 AS BIGINT) AS hb
+            FROM '{sf_dir}/events.parquet'"""
+    ).df()
+    for name, a, b in (
+        ("event_type~dow", "event_type", "dow"),
+        ("event_type~hour_bucket", "event_type", "hb"),
+        ("dow~hour_bucket", "dow", "hb"),
+    ):
+        ct = pd.crosstab(ev[a], ev[b])
+        n = ct.values.sum()
+        e = ct.sum(axis=1).values[:, None] * ct.sum(axis=0).values[None, :] / n
+        chi2 = (((ct.values - e) ** 2) / e).sum()
+        v = (chi2 / (n * (min(ct.shape) - 1))) ** 0.5
+        r = got[name]
+        assert r.n == n
+        assert abs(r.chi2 - round(chi2, 4)) < 1e-6, name
+        assert abs(r.v - round(v, 6)) < 1e-8, name
