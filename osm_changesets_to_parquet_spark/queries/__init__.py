@@ -137,6 +137,7 @@ _PRIORITY: tuple[str, ...] = (
     "q240_leadlag_xcorr",
     "q241_vocab_coverage",
     "q242_cramers_v",
+    "q243_pq_adc",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

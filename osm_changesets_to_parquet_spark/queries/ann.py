@@ -1517,3 +1517,215 @@ def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pnorm").desc(), "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q243: product quantization + ADC scoring (round 7)
+# ---------------------------------------------------------------------------
+
+_Q243_M = 4          # subspaces (64 dims -> 4 x 16)
+_Q243_SUB = 16       # dims per subspace
+_Q243_K = 16         # centroids per subspace codebook
+_Q243_NQ = 8         # query panel size (hash ranks 17..24)
+_Q243_TOPK = 10
+
+_Q243_SQL = f"""
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         ROW_NUMBER() OVER (ORDER BY {{anchor_key}}, vec_id) AS rk
+  FROM embeddings
+  ORDER BY {{anchor_key}}, vec_id LIMIT {_Q243_K + _Q243_NQ}
+),
+quant AS (
+  SELECT vec_id,
+         CAST((generate_subscripts(embedding, 1) - 1) // {_Q243_SUB}
+              AS BIGINT) AS m,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings
+),
+cb AS (
+  SELECT r.rk AS j, qt.m, qt.pos, qt.q AS cq
+  FROM ranked r JOIN quant qt ON qt.vec_id = r.vec_id
+  WHERE r.rk <= {_Q243_K}
+),
+enc_d AS (
+  SELECT v.vec_id, v.m, c.j,
+         CAST(SUM((v.q - c.cq) * (v.q - c.cq)) AS BIGINT) AS d
+  FROM quant v JOIN cb c ON c.pos = v.pos AND c.m = v.m
+  GROUP BY v.vec_id, v.m, c.j
+),
+codes AS (
+  SELECT vec_id, m, j AS code
+  FROM (SELECT vec_id, m, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, j) AS rn
+        FROM enc_d)
+  WHERE rn = 1
+),
+qpanel AS (SELECT vec_id AS qid FROM ranked WHERE rk > {_Q243_K}),
+lut AS (
+  SELECT p.qid, c.m, c.j,
+         CAST(SUM((v.q - c.cq) * (v.q - c.cq)) AS BIGINT) AS qd
+  FROM qpanel p
+  JOIN quant v ON v.vec_id = p.qid
+  JOIN cb c ON c.pos = v.pos AND c.m = v.m
+  GROUP BY p.qid, c.m, c.j
+),
+adc AS (
+  SELECT l.qid, k.vec_id, CAST(SUM(l.qd) AS BIGINT) AS adc_d
+  FROM codes k JOIN lut l ON l.m = k.m AND l.j = k.code
+  GROUP BY l.qid, k.vec_id
+),
+exact AS (
+  SELECT p.qid, v.vec_id,
+         CAST(SUM((qv.q - v.q) * (qv.q - v.q)) AS BIGINT) AS ex_d
+  FROM qpanel p
+  JOIN quant qv ON qv.vec_id = p.qid
+  JOIN quant v ON v.pos = qv.pos
+  GROUP BY p.qid, v.vec_id
+),
+adc_top AS (
+  SELECT qid, vec_id, rn FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d, vec_id) AS rn
+    FROM adc) WHERE rn <= {_Q243_TOPK}
+),
+ex_top AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ex_d, vec_id) AS rn
+    FROM exact) WHERE rn <= {_Q243_TOPK}
+)
+SELECT a.qid,
+       CAST(MAX(CASE WHEN a.rn = 1 THEN a.vec_id END) AS BIGINT) AS adc_top1,
+       ROUND(CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / {_Q243_TOPK}, 2) AS recall_at_{_Q243_TOPK}
+FROM adc_top a
+LEFT JOIN ex_top e ON e.qid = a.qid AND e.vec_id = a.vec_id
+GROUP BY a.qid ORDER BY a.qid
+"""
+
+# splice the shared anchor-order key (operators/anchors.py authority)
+from osm_changesets_to_parquet_spark.operators.anchors import (  # noqa: E402
+    sql_anchor_order as _sql_anchor_order,
+)
+
+_Q243_SQL = _Q243_SQL.format(anchor_key=_sql_anchor_order("vec_id"))
+
+
+@register(
+    "q243_pq_adc",
+    _Q243_SQL,
+    doc=(
+        f"product quantization ANN: {_Q243_M}x{_Q243_SUB}-dim "
+        f"subspaces, {_Q243_K}-centroid codebooks seeded from the "
+        "fixed-k hash-anchor panel (the q179 discipline — codebook "
+        "and query panel sizes are CONSTANTS, never corpus "
+        "fractions), vectors quantized to integer milli-units at the "
+        "scan so every distance is EXACT integer arithmetic (no "
+        "float-summation order anywhere); encode = argmin over k "
+        "broadcast centroids per subspace (Θ(n·D·k/M) work, the "
+        "standard PQ encode cost), query scoring = the 512-row "
+        "(qid,m,j) ADC lookup table broadcast onto the n·M code "
+        "table — the 100 TB path stores CODES (M bytes/vector), not "
+        "vectors; per-query rankings run through per_anchor_topk so "
+        "no reducer holds a corpus-sized frame; output = ADC top-1 + "
+        f"recall@{_Q243_TOPK} vs the exact integer top-{_Q243_TOPK} "
+        "(Jégou et al., PAMI 2011)"
+    ),
+    tables=("embeddings",),
+)
+def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.anchors import (
+        fixed_k_anchors,
+        per_anchor_topk,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # panel: 16 codebook seeds + 8 queries by deterministic hash rank
+    panel = fixed_k_anchors(emb, "vec_id", _Q243_K + _Q243_NQ)
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+    from osm_changesets_to_parquet_spark.operators.anchors import ANCHOR_MOD
+
+    wp = Window.orderBy(hash_bucket("vec_id", ANCHOR_MOD), F.col("vec_id"))
+    ranked = panel.withColumn("rk", F.row_number().over(wp))
+
+    quant = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos0") / _Q243_SUB).cast("long").alias("m"),
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("v").cast("double") * 1000).cast("long").alias("q"),
+    )
+    cb = (
+        ranked.where(F.col("rk") <= _Q243_K)
+        .select("vec_id", F.col("rk").alias("j"))
+        .join(quant, "vec_id")
+        .select("j", "m", "pos", F.col("q").alias("cq"))
+    )
+    diff = F.col("q") - F.col("cq")
+    enc_d = (
+        quant.join(F.broadcast(cb), ["m", "pos"])
+        .groupBy("vec_id", "m", "j")
+        .agg(F.sum(diff * diff).alias("d"))
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy("d", "j")
+    codes = (
+        enc_d.withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("j").alias("code"))
+    )
+    qpanel = ranked.where(F.col("rk") > _Q243_K).select(
+        F.col("vec_id").alias("qid")
+    )
+    lut = (
+        qpanel.join(quant, F.col("qid") == F.col("vec_id"))
+        .drop("vec_id")
+        .join(F.broadcast(cb), ["m", "pos"])
+        .groupBy("qid", "m", "j")
+        .agg(F.sum(diff * diff).alias("qd"))
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut.withColumnRenamed("j", "code")), ["m", "code"]
+        )
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd").alias("adc_d"))
+    )
+    qquant = qpanel.join(
+        quant.select(
+            F.col("vec_id").alias("qid"), "pos", F.col("q").alias("qq")
+        ),
+        "qid",
+    )
+    exact = (
+        quant.join(F.broadcast(qquant), "pos")
+        .groupBy("qid", "vec_id")
+        .agg(F.sum((F.col("qq") - F.col("q")) * (F.col("qq") - F.col("q"))).alias("ex_d"))
+    )
+    adc_top = per_anchor_topk(
+        adc, ["qid"], [F.col("adc_d"), F.col("vec_id")], _Q243_TOPK
+    )
+    ex_top = per_anchor_topk(
+        exact, ["qid"], [F.col("ex_d"), F.col("vec_id")], _Q243_TOPK
+    ).select("qid", "vec_id")
+    return (
+        adc_top.join(
+            ex_top.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left"
+        )
+        .groupBy("qid")
+        .agg(
+            F.max(
+                F.when(F.col("rnk") == 1, F.col("vec_id"))
+            ).cast("long").alias("adc_top1"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / _Q243_TOPK,
+                2,
+            ).alias(f"recall_at_{_Q243_TOPK}"),
+        )
+        .orderBy("qid")
+    )

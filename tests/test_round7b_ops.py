@@ -214,3 +214,80 @@ def test_cramers_v_matches_pandas_crosstab(spark, sf_dir):
         assert r.n == n
         assert abs(r.chi2 - round(chi2, 4)) < 1e-6, name
         assert abs(r.v - round(v, 6)) < 1e-8, name
+
+
+def test_pq_adc_matches_numpy_brute(spark, sf_dir):
+    # full PQ pipeline parity: quantize -> seed codebooks -> encode ->
+    # ADC -> recall@10, reimplemented with numpy on the same panel
+    import numpy as np
+
+    from osm_changesets_to_parquet_spark.queries.ann import (
+        _Q243_K,
+        _Q243_M,
+        _Q243_NQ,
+        _Q243_SUB,
+        _Q243_TOPK,
+        q243,
+    )
+
+    got = {r.qid: r for r in q243(spark, sf_dir).collect()}
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    # quantize to integer milli-units (round half away from zero,
+    # matching SQL ROUND)
+    raw = np.array([r[1] for r in rows], dtype=np.float64) * 1000
+    q = (np.sign(raw) * np.floor(np.abs(raw) + 0.5)).astype(np.int64)
+    rank_key = ((ids % 2147483648) * 2654435761) % 1000000007
+    order = np.lexsort((ids, rank_key))
+    seeds = order[:_Q243_K]
+    queries = order[_Q243_K : _Q243_K + _Q243_NQ]
+    # encode: per subspace, nearest seed subvector (tie -> smaller j)
+    codes = np.zeros((len(ids), _Q243_M), dtype=np.int64)
+    for m in range(_Q243_M):
+        sl = slice(m * _Q243_SUB, (m + 1) * _Q243_SUB)
+        d = ((q[:, None, sl] - q[seeds][None, :, sl]) ** 2).sum(axis=2)
+        codes[:, m] = np.argmin(d, axis=1)  # ties -> lowest index = j-1
+    for qi in queries:
+        qid = int(ids[qi])
+        adc = np.zeros(len(ids), dtype=np.int64)
+        for m in range(_Q243_M):
+            sl = slice(m * _Q243_SUB, (m + 1) * _Q243_SUB)
+            lut = ((q[qi, sl][None, :] - q[seeds][:, sl]) ** 2).sum(axis=1)
+            adc += lut[codes[:, m]]
+        ex = ((q - q[qi][None, :]) ** 2).sum(axis=1)
+        adc_order = np.lexsort((ids, adc))[:_Q243_TOPK]
+        ex_order = np.lexsort((ids, ex))[:_Q243_TOPK]
+        recall = len(set(ids[adc_order]) & set(ids[ex_order])) / _Q243_TOPK
+        r = got[qid]
+        assert r.adc_top1 == ids[adc_order[0]], qid
+        assert abs(r.recall_at_10 - round(recall, 2)) < 1e-9, qid
+
+
+def test_pq_adc_exact_for_codebook_seeds(spark, sf_dir):
+    # a codebook seed's code in every subspace is ITSELF (distance 0),
+    # so ADC(query, seed) must equal the exact quantized distance —
+    # the defining PQ identity that catches LUT/join-key mistakes
+    import numpy as np
+
+    from osm_changesets_to_parquet_spark.queries.ann import (
+        _Q243_K,
+        _Q243_M,
+        _Q243_SUB,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    raw = np.array([r[1] for r in rows], dtype=np.float64) * 1000
+    q = (np.sign(raw) * np.floor(np.abs(raw) + 0.5)).astype(np.int64)
+    rank_key = ((ids % 2147483648) * 2654435761) % 1000000007
+    order = np.lexsort((ids, rank_key))
+    seeds = order[:_Q243_K]
+    # each seed must be its own nearest centroid in every subspace
+    for m in range(_Q243_M):
+        sl = slice(m * _Q243_SUB, (m + 1) * _Q243_SUB)
+        d = ((q[seeds][:, None, sl] - q[seeds][None, :, sl]) ** 2).sum(axis=2)
+        assert (np.argmin(d, axis=1) == np.arange(len(seeds))).all()
