@@ -200,6 +200,16 @@ TIER2_QUERIES = [
     "q230_weighted_reservoir",
     "q231_wow_growth",
     "u7_map_in_arrow",
+    # round-7 session-2 additions: the perf-interesting shapes (the
+    # cheap single-agg ones — q233/q239/q240/q242 — stay out to keep
+    # the canary tight)
+    "q232_spearman",
+    "q235_naive_bayes",
+    "q236_holt_smoothing",
+    "q237_kendall_tau",
+    "q238_kcore",
+    "q241_vocab_coverage",
+    "q243_pq_adc",
 ]
 
 

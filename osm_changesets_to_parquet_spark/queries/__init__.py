@@ -138,6 +138,9 @@ _PRIORITY: tuple[str, ...] = (
     "q241_vocab_coverage",
     "q242_cramers_v",
     "q243_pq_adc",
+    "q244_activity_streaks",
+    "q245_quantile_normalize",
+    "cs15_xml_expr_roundtrip",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

@@ -2495,3 +2495,70 @@ def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pat")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q244: longest consecutive-day activity streak (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+_Q244_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d
+  FROM events
+),
+islands AS (
+  SELECT user_id, d,
+         d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS isl
+  FROM active
+),
+streaks AS (
+  SELECT user_id, isl, CAST(COUNT(*) AS BIGINT) AS len
+  FROM islands GROUP BY user_id, isl
+),
+best AS (
+  SELECT user_id,
+         MAX(len) AS max_streak,
+         CAST(SUM(len) AS BIGINT) AS n_active_days
+  FROM streaks GROUP BY user_id
+)
+SELECT user_id, max_streak, n_active_days
+FROM best ORDER BY max_streak DESC, user_id LIMIT 10
+"""
+
+
+@register(
+    "q244_activity_streaks",
+    _Q244_SQL,
+    doc=(
+        "longest consecutive-day activity streak per user "
+        "(gaps-and-islands: island id = day - row_number, constant "
+        "within a run of consecutive days — the CALENDAR-gap twin of "
+        "q229's time-gap sessionization): per-user windows are "
+        "bounded by the date range (<= 92 rows), the island rollup "
+        "shuffles (user, island) keys, and the global top-10 is "
+        "orderBy+limit = TakeOrderedAndProject, never a full sort"
+    ),
+    tables=("events",),
+)
+def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = active.withColumn("isl", F.col("d") - F.row_number().over(w))
+    streaks = islands.groupBy("user_id", "isl").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max("len").alias("max_streak"),
+        F.sum("len").alias("n_active_days"),
+    )
+    return best.orderBy(F.col("max_streak").desc(), "user_id").limit(10)

@@ -837,3 +837,92 @@ def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q245: cross-source quantile normalization (round 7)
+# ---------------------------------------------------------------------------
+
+_Q245_SQL = """
+WITH src_rank AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n_s
+  FROM documents
+),
+gstat AS (
+  SELECT n_chars AS gval,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gr
+  FROM documents
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+mapped AS (
+  SELECT s.source, g.gval
+  FROM src_rank s CROSS JOIN nn
+  JOIN gstat g
+    ON g.gr = ((2 * s.r - 1) * nn.n + 2 * s.n_s - 1) // (2 * s.n_s)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(gval) AS DOUBLE) / COUNT(*), 4) AS mean_mapped,
+       CAST(MIN(gval) AS BIGINT) AS min_mapped,
+       CAST(MAX(gval) AS BIGINT) AS max_mapped
+FROM mapped GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "q245_quantile_normalize",
+    _Q245_SQL,
+    doc=(
+        "cross-source quantile normalization of doc lengths (the "
+        "score-alignment step before a GLOBAL quality threshold: each "
+        "doc's value is replaced by the global order statistic at its "
+        "source-relative midrank, so per-source scale/shift biases "
+        "vanish): the mapped index ceil((2r-1)N / 2n_s) is EXACT "
+        "integer arithmetic, the global order-statistic table comes "
+        "from operators/packing.global_rank (range-bucketed, one wide "
+        "shuffle, never a single-task window) and the per-source rank "
+        "window partitions by source (respell via global_rank per "
+        "source if a single source outgrows an executor)"
+    ),
+    tables=("documents",),
+)
+def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from osm_changesets_to_parquet_spark.operators.packing import global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    src_rank = docs.select(
+        "source",
+        F.row_number().over(ws).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_s"),
+    )
+    glob = global_rank(docs, ["n_chars", "doc_id"], out_col="gr").select(
+        F.col("n_chars").alias("gval"), "gr"
+    )
+    nn = docs.agg(F.count(F.lit(1)).alias("n"))
+    mapped = (
+        src_rank.crossJoin(F.broadcast(nn))
+        .withColumn("k", F.expr(
+            "((2 * r - 1) * n + 2 * n_s - 1) div (2 * n_s)"
+        ))
+        .join(glob, F.col("gr") == F.col("k"))
+    )
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("gval").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_mapped"),
+            F.min("gval").cast("long").alias("min_mapped"),
+            F.max("gval").cast("long").alias("max_mapped"),
+        )
+        .orderBy("source")
+    )

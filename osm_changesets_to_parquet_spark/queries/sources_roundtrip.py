@@ -261,3 +261,73 @@ def cs12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# cs15: XML expression round-trip (to_xml -> from_xml)
+# ---------------------------------------------------------------------------
+
+# The reference's entire job is XML record parsing (src/main.rs:294-367,
+# the quick-xml event loop).  cs0/cs7/cs11 witness FILE-level XML
+# ingest; this witnesses the EXPRESSION-level pair to_xml/from_xml —
+# what a user reaches for when XML arrives embedded in a column (e.g. a
+# Kafka payload) rather than as files.  DuckDB has no XML functions, so
+# the oracle asserts round-trip FIDELITY instead: if Spark's
+# parse-back mangled any row, ok_rows or the checksum would diverge
+# from the oracle's direct computation on the source table.
+_CS15_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS ok_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_checksum
+FROM orders
+"""
+
+
+@register(
+    "cs15_xml_expr_roundtrip",
+    _CS15_SQL,
+    doc=(
+        "to_xml/from_xml expression round-trip over orders (the "
+        "reference's domain — src/main.rs:294-367 parses changeset "
+        "XML records; cs0/cs7/cs11 cover file ingest, this covers "
+        "XML-in-a-column): each row is serialized to an XML string "
+        "and parsed back under an explicit schema, and the output "
+        "counts rows whose parsed fields ALL equal the originals — "
+        "the oracle computes the same counts/checksums directly from "
+        "the table, so any Spark-side mangling (row drop, type "
+        "coercion, escaping bug) hash-mismatches; both expressions "
+        "are JVM-side, zero Python in the path"
+    ),
+    tables=("orders",),
+)
+def cs15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    xml = src.withColumn(
+        "x",
+        F.to_xml(
+            F.struct("o_orderkey", "o_orderstatus", "cents"),
+            {"rowTag": "order"},
+        ),
+    )
+    schema = "o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT"
+    back = xml.withColumn(
+        "p", F.from_xml(F.col("x"), schema, {"rowTag": "order"})
+    )
+    ok = (
+        (F.col("p.o_orderkey") == F.col("o_orderkey"))
+        & (F.col("p.o_orderstatus") == F.col("o_orderstatus"))
+        & (F.col("p.cents") == F.col("cents"))
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("ok_rows"),
+        F.sum(F.col("p.o_orderkey")).cast("long").alias("key_checksum"),
+        F.sum(F.col("p.cents")).cast("long").alias("cents_checksum"),
+    )

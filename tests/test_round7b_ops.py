@@ -291,3 +291,76 @@ def test_pq_adc_exact_for_codebook_seeds(spark, sf_dir):
         sl = slice(m * _Q243_SUB, (m + 1) * _Q243_SUB)
         d = ((q[seeds][:, None, sl] - q[seeds][None, :, sl]) ** 2).sum(axis=2)
         assert (np.argmin(d, axis=1) == np.arange(len(seeds))).all()
+
+
+def test_activity_streaks_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.analytics import q244
+
+    got = [(r.user_id, r.max_streak, r.n_active_days)
+           for r in q244(spark, sf_dir).collect()]
+    rows = duckdb.sql(
+        f"""SELECT DISTINCT user_id,
+              CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS BIGINT) AS d
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    days: dict[int, list] = collections.defaultdict(list)
+    for u, d in rows:
+        days[u].append(d)
+    best = []
+    for u, ds in days.items():
+        ds = sorted(ds)
+        streak = mx = 1
+        for a, b in zip(ds, ds[1:]):
+            streak = streak + 1 if b == a + 1 else 1
+            mx = max(mx, streak)
+        best.append((u, mx, len(ds)))
+    best.sort(key=lambda t: (-t[1], t[0]))
+    assert got == best[:10]
+
+
+def test_quantile_normalize_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.curation import q245
+
+    got = {r.source: r for r in q245(spark, sf_dir).collect()}
+    rows = duckdb.sql(
+        f"SELECT doc_id, source, n_chars FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    glob = sorted(rows, key=lambda r: (r[2], r[0]))
+    N = len(glob)
+    by_src: dict[str, list] = collections.defaultdict(list)
+    for did, src, nc in rows:
+        by_src[src].append((nc, did))
+    for src, docs in by_src.items():
+        docs.sort()
+        n_s = len(docs)
+        mapped = []
+        for r0, _ in enumerate(docs, start=1):
+            k = ((2 * r0 - 1) * N + 2 * n_s - 1) // (2 * n_s)
+            mapped.append(glob[k - 1][2])
+        g = got[src]
+        assert g.n_docs == n_s
+        assert abs(g.mean_mapped - round(sum(mapped) / n_s, 4)) < 1e-9
+        assert g.min_mapped == min(mapped)
+        assert g.max_mapped == max(mapped)
+    # normalization property: identical global distribution shape per
+    # equal-sized source => identical mapped extremes across sources
+    sizes = {len(v) for v in by_src.values()}
+    if len(sizes) == 1:
+        assert len({(g.min_mapped, g.max_mapped) for g in got.values()}) == 1
+
+
+def test_xml_roundtrip_escapes_special_chars(spark):
+    # to_xml must escape &, <, > and from_xml must unescape them —
+    # the bug class the cs15 checksum can't see on the clean fixture
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 'a & b < c > "d"'), (2, "plain")], "id LONG, s STRING"
+    )
+    xml = df.withColumn(
+        "x", F.to_xml(F.struct("id", "s"), {"rowTag": "r"})
+    ).withColumn("p", F.from_xml(F.col("x"), "id BIGINT, s STRING", {"rowTag": "r"}))
+    rows = xml.select("s", "p.s").collect()
+    for orig, back in rows:
+        assert back == orig, (orig, back)
