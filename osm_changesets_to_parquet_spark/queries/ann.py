@@ -1714,7 +1714,9 @@ def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id")
     return (
         adc_top.join(
-            ex_top.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left"
+            F.broadcast(ex_top.withColumn("hit", F.lit(1))),
+            ["qid", "vec_id"],
+            "left",
         )
         .groupBy("qid")
         .agg(

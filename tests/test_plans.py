@@ -702,3 +702,45 @@ def test_q226_lateral_decorrelates_to_rank_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "row_number" in plan
     assert plan.count("(o_custkey") >= 1  # pushed correlation predicate
+
+
+def test_q232_spearman_rank_frames_broadcast_no_corpus_window(spark, sf_dir):
+    # both doubled-rank frames must broadcast back onto the cells, and
+    # every window must be partitioned by the group key over
+    # |distinct value| rows — no partitionless/corpus-sized frame
+    plan = _plan(spark, sf_dir, "q232_spearman")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line and "Window [" in line:
+            assert "windowspecdefinition(g#" in line, line
+
+
+def test_q243_pq_adc_broadcast_lut_and_two_phase_topk(spark, sf_dir):
+    # the anchor panel must be TakeOrderedAndProject; codebook + ADC
+    # LUT joins broadcast; rankings two-phase (__pid local prune); and
+    # nothing falls back to a sort-merge or cartesian plan
+    plan = _plan(spark, sf_dir, "q243_pq_adc")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "__pid" in plan  # per_anchor_topk local phase present
+
+
+def test_q244_streaks_take_ordered_user_windows(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q244_activity_streaks")
+    assert "TakeOrderedAndProject(limit=10" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line and "Window [" in line:
+            assert "user_id#" in line, line  # bounded per-user frames
+
+
+def test_q245_quantile_normalize_bucketed_global_rank(spark, sf_dir):
+    # the global order-statistic table must come from the bucketed
+    # global_rank (per-bucket windows + the |buckets|-row offset
+    # frame), and the mapped-index join must broadcast — never a
+    # corpus-wide sort-merge
+    plan = _plan(spark, sf_dir, "q245_quantile_normalize")
+    assert "__bucket" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
