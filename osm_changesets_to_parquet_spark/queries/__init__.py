@@ -141,6 +141,8 @@ _PRIORITY: tuple[str, ...] = (
     "q244_activity_streaks",
     "q245_quantile_normalize",
     "cs15_xml_expr_roundtrip",
+    "q246_conformal_interval",
+    "q247_wilson_ci",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

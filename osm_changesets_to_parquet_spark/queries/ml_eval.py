@@ -1073,3 +1073,214 @@ def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_q242_pair(base, "dow~hour_bucket", "dow", "hb"))
         .orderBy("pair")
     )
+
+
+# ---------------------------------------------------------------------------
+# q246: split-conformal prediction intervals (per-type, integer-exact)
+# ---------------------------------------------------------------------------
+
+_Q246_ALPHA_PCT = 10  # target 90% coverage
+
+_Q246_SQL = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS v,
+         {sql_hash_bucket("event_id", 100)} AS b
+  FROM events
+),
+model AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_t,
+         CAST(SUM(v) AS BIGINT) AS s1
+  FROM e WHERE b < 60 GROUP BY event_type
+),
+cal AS (
+  SELECT e.event_type, ABS(e.v * m.n_t - m.s1) AS resid, m.n_t, m.s1
+  FROM e JOIN model m ON m.event_type = e.event_type
+  WHERE e.b >= 60 AND e.b < 80
+),
+qidx AS (
+  SELECT event_type, n_t, s1,
+         CAST(COUNT(*) AS BIGINT) AS n_cal,
+         ((COUNT(*) + 1) * (100 - {_Q246_ALPHA_PCT}) + 99) // 100 AS k
+  FROM cal GROUP BY event_type, n_t, s1
+),
+qhat AS (
+  SELECT c.event_type, q.n_cal, q.n_t, q.s1, c.resid AS qh
+  FROM (
+    SELECT event_type, resid,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY resid) AS rn
+    FROM cal
+  ) c JOIN qidx q ON q.event_type = c.event_type AND c.rn = q.k
+),
+test AS (
+  SELECT e.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN ABS(e.v * h.n_t - h.s1) <= h.qh
+                       THEN 1 ELSE 0 END) AS BIGINT) AS covered
+  FROM e JOIN qhat h ON h.event_type = e.event_type
+  WHERE e.b >= 80 GROUP BY e.event_type
+)
+SELECT h.event_type, h.n_cal, t.n_test,
+       ROUND(CAST(h.qh AS DOUBLE) / h.n_t / 100, 4) AS qhat_value,
+       ROUND(CAST(t.covered AS DOUBLE) / t.n_test, 4) AS coverage
+FROM qhat h JOIN test t ON t.event_type = h.event_type
+ORDER BY h.event_type
+"""
+
+
+@register(
+    "q246_conformal_interval",
+    _Q246_SQL,
+    doc=(
+        "split-conformal prediction intervals per type (model = "
+        "train-split mean, nonconformity = |value - mean|): the "
+        "60/20/20 hash split is the q70 discipline; residuals are "
+        "SCALED to |v*n_t - s1| so every comparison is EXACT integer "
+        "arithmetic (the per-type scale factor is order-preserving), "
+        "q-hat is the ceil((n+1)(1-alpha))-th order statistic via a "
+        "per-type rank window (bounded by the calibration split; "
+        "respell through packing.global_rank if one type outgrows an "
+        "executor), and held-out coverage must land near 1-alpha — "
+        "the conformal guarantee (Vovk; Angelopoulos & Bates 2023)"
+    ),
+    tables=("events",),
+)
+def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        hash_bucket("event_id", 100).alias("b"),
+    )
+    model = (
+        e.where(F.col("b") < 60)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_t"), F.sum("v").alias("s1"))
+    )
+    cal = (
+        e.where((F.col("b") >= 60) & (F.col("b") < 80))
+        .join(F.broadcast(model), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("v") * F.col("n_t") - F.col("s1")).alias("resid"),
+            "n_t",
+            "s1",
+        )
+    )
+    qidx = cal.groupBy("event_type", "n_t", "s1").agg(
+        F.count(F.lit(1)).alias("n_cal"),
+    ).withColumn(
+        "k",
+        F.expr(f"((n_cal + 1) * (100 - {_Q246_ALPHA_PCT}) + 99) div 100"),
+    )
+    w = Window.partitionBy("event_type").orderBy("resid")
+    ranked = cal.select(
+        F.col("event_type").alias("et_r"),
+        "resid",
+        F.row_number().over(w).alias("rn"),
+    )
+    qhat = ranked.join(
+        F.broadcast(qidx),
+        (F.col("et_r") == F.col("event_type")) & (F.col("rn") == F.col("k")),
+    ).select(
+        "event_type",
+        "n_cal",
+        "n_t",
+        "s1",
+        F.col("resid").alias("qh"),
+    )
+    test = (
+        e.where(F.col("b") >= 80)
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") * F.col("n_t") - F.col("s1"))
+                    <= F.col("qh"),
+                    1,
+                ).otherwise(0)
+            ).alias("covered"),
+        )
+    )
+    return (
+        qhat.join(test, "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "n_test",
+            F.round(F.col("qh").cast("double") / F.col("n_t") / 100, 4).alias(
+                "qhat_value"
+            ),
+            F.round(
+                F.col("covered").cast("double") / F.col("n_test"), 4
+            ).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q247: Wilson score confidence intervals for per-type proportions
+# ---------------------------------------------------------------------------
+
+_Q247_Z = 1.96
+_Q247_CUT = 100  # "high-value" event: value >= 100
+
+_Q247_SQL = f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value >= {_Q247_CUT} THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n, k,
+       ROUND((CAST(k AS DOUBLE) / n + {_Q247_Z} * {_Q247_Z} / (2 * n)
+              - {_Q247_Z} * SQRT((CAST(k AS DOUBLE) / n)
+                  * (1 - CAST(k AS DOUBLE) / n) / n
+                  + {_Q247_Z} * {_Q247_Z} / (4.0 * n * n)))
+             / (1 + {_Q247_Z} * {_Q247_Z} / n), 6) AS lo,
+       ROUND((CAST(k AS DOUBLE) / n + {_Q247_Z} * {_Q247_Z} / (2 * n)
+              + {_Q247_Z} * SQRT((CAST(k AS DOUBLE) / n)
+                  * (1 - CAST(k AS DOUBLE) / n) / n
+                  + {_Q247_Z} * {_Q247_Z} / (4.0 * n * n)))
+             / (1 + {_Q247_Z} * {_Q247_Z} / n), 6) AS hi
+FROM s ORDER BY event_type
+"""
+
+
+@register(
+    "q247_wilson_ci",
+    _Q247_SQL,
+    doc=(
+        "Wilson score 95% confidence interval for the per-type "
+        "high-value proportion (the interval that behaves at p near "
+        "0/1 where the Wald interval collapses): one conditional-sum "
+        "rollup per type, closed-form interval from exact integer "
+        "(n, k) — identical double arithmetic both engines, no "
+        "simulation, no CDF"
+    ),
+    tables=("events",),
+)
+def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") >= _Q247_CUT, 1).otherwise(0)).alias("k"),
+    )
+    z = _Q247_Z
+    p = F.col("k").cast("double") / F.col("n")
+    n = F.col("n")
+    center = p + z * z / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    return s.select(
+        "event_type",
+        "n",
+        "k",
+        F.round((center - half) / denom, 6).alias("lo"),
+        F.round((center + half) / denom, 6).alias("hi"),
+    ).orderBy("event_type")

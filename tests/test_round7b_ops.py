@@ -364,3 +364,68 @@ def test_xml_roundtrip_escapes_special_chars(spark):
     rows = xml.select("s", "p.s").collect()
     for orig, back in rows:
         assert back == orig, (orig, back)
+
+
+def test_conformal_matches_brute_and_coverage_guarantee(spark, sf_dir):
+    import math
+
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q246_ALPHA_PCT,
+        q246,
+    )
+
+    got = {r.event_type: r for r in q246(spark, sf_dir).collect()}
+    rows = duckdb.sql(
+        f"""SELECT event_type, CAST(ROUND(value*100) AS BIGINT) v,
+              ((event_id % 2147483648) * 2654435761) % 100 AS b
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    by_t: dict[str, dict] = collections.defaultdict(
+        lambda: {"train": [], "cal": [], "test": []}
+    )
+    for et, v, b in rows:
+        split = "train" if b < 60 else ("cal" if b < 80 else "test")
+        by_t[et][split].append(v)
+    for et, d in by_t.items():
+        n_t, s1 = len(d["train"]), sum(d["train"])
+        resid = sorted(abs(v * n_t - s1) for v in d["cal"])
+        n_cal = len(resid)
+        k = math.ceil((n_cal + 1) * (100 - _Q246_ALPHA_PCT) / 100)
+        qh = resid[k - 1]
+        covered = sum(abs(v * n_t - s1) <= qh for v in d["test"])
+        r = got[et]
+        assert r.n_cal == n_cal and r.n_test == len(d["test"])
+        assert abs(r.qhat_value - round(qh / n_t / 100, 4)) < 1e-9
+        assert abs(r.coverage - round(covered / len(d["test"]), 4)) < 1e-9
+        # the conformal guarantee: expected coverage >= 1 - alpha, up
+        # to binomial noise on the held-out fold (2 sigma at n_test)
+        target = (100 - _Q246_ALPHA_PCT) / 100
+        slack = 2 * (target * (1 - target) / len(d["test"])) ** 0.5
+        assert r.coverage >= target - slack, (et, r)
+
+
+def test_wilson_ci_matches_brute_and_brackets_p(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q247_CUT,
+        _Q247_Z,
+        q247,
+    )
+
+    got = {r.event_type: r for r in q247(spark, sf_dir).collect()}
+    rows = duckdb.sql(
+        f"""SELECT event_type, COUNT(*) n,
+              SUM(CASE WHEN value >= {_Q247_CUT} THEN 1 ELSE 0 END) k
+            FROM '{sf_dir}/events.parquet' GROUP BY 1"""
+    ).fetchall()
+    z = _Q247_Z
+    for et, n, k in rows:
+        p = k / n
+        center = p + z * z / (2 * n)
+        half = z * ((p * (1 - p) / n + z * z / (4 * n * n)) ** 0.5)
+        denom = 1 + z * z / n
+        r = got[et]
+        assert (r.n, r.k) == (n, k)
+        assert abs(r.lo - round((center - half) / denom, 6)) < 1e-9
+        assert abs(r.hi - round((center + half) / denom, 6)) < 1e-9
+        # interval sanity: brackets the point estimate, inside [0,1]
+        assert 0.0 <= r.lo <= p <= r.hi <= 1.0
