@@ -143,6 +143,10 @@ _PRIORITY: tuple[str, ...] = (
     "cs15_xml_expr_roundtrip",
     "q246_conformal_interval",
     "q247_wilson_ci",
+    "q248_diff_in_diff",
+    "q249_retrieval_metrics",
+    "q250_zipf_slope",
+    "q251_target_encoding_loo",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

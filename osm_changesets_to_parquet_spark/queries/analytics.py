@@ -2536,7 +2536,7 @@ FROM best ORDER BY max_streak DESC, user_id LIMIT 10
         "(gaps-and-islands: island id = day - row_number, constant "
         "within a run of consecutive days — the CALENDAR-gap twin of "
         "q229's time-gap sessionization): per-user windows are "
-        "bounded by the date range (<= 92 rows), the island rollup "
+        "bounded by the date range (<= 30 rows), the island rollup "
         "shuffles (user, island) keys, and the global top-10 is "
         "orderBy+limit = TakeOrderedAndProject, never a full sort"
     ),

@@ -1731,3 +1731,168 @@ def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# q249: retrieval eval — MRR + MAP@10 over exact integer distances
+# ---------------------------------------------------------------------------
+
+_Q249_NQ = 8
+_Q249_K = 10
+
+_Q249_SQL = f"""
+WITH ranked AS (
+  SELECT vec_id, label,
+         ROW_NUMBER() OVER (ORDER BY {{anchor_key}}, vec_id) AS rk
+  FROM embeddings
+  ORDER BY {{anchor_key}}, vec_id LIMIT {_Q249_NQ}
+),
+quant AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings
+),
+dists AS (
+  SELECT r.vec_id AS qid, r.label AS qlabel, v.vec_id, ANY_VALUE(v.label)
+           AS vlabel,
+         CAST(SUM((v.q - qv.q) * (v.q - qv.q)) AS BIGINT) AS d
+  FROM ranked r
+  JOIN quant qv ON qv.vec_id = r.vec_id
+  JOIN quant v ON v.pos = qv.pos AND v.vec_id <> r.vec_id
+  GROUP BY r.vec_id, r.label, v.vec_id
+),
+top AS (
+  SELECT qid, qlabel, vlabel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
+  FROM dists QUALIFY rnk <= {_Q249_K}
+),
+flags AS (
+  SELECT qid, rnk,
+         CASE WHEN vlabel = qlabel THEN 1 ELSE 0 END AS rel,
+         SUM(CASE WHEN vlabel = qlabel THEN 1 ELSE 0 END)
+           OVER (PARTITION BY qid ORDER BY rnk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rel
+  FROM top
+),
+rtotal AS (
+  SELECT r.vec_id AS qid, CAST(COUNT(*) AS BIGINT) AS n_rel_total
+  FROM ranked r JOIN embeddings e
+    ON e.label = r.label AND e.vec_id <> r.vec_id
+  GROUP BY r.vec_id
+)
+SELECT f.qid, t.n_rel_total,
+       ROUND(COALESCE(MAX(CASE WHEN f.rel = 1 THEN 1.0 / f.rnk END), 0), 4)
+         AS rr,
+       ROUND(COALESCE(SUM(CASE WHEN f.rel = 1
+                          THEN CAST(f.cum_rel AS DOUBLE) / f.rnk END), 0)
+             / LEAST(t.n_rel_total, {_Q249_K}), 4) AS ap10
+FROM flags f JOIN rtotal t ON t.qid = f.qid
+GROUP BY f.qid, t.n_rel_total ORDER BY f.qid
+"""
+
+_Q249_SQL = _Q249_SQL.format(anchor_key=_sql_anchor_order("vec_id"))
+
+
+@register(
+    "q249_retrieval_metrics",
+    _Q249_SQL,
+    doc=(
+        f"retrieval evaluation (MRR + MAP@{_Q249_K}) for label-match "
+        "relevance over exact nearest neighbors: the fixed-k "
+        "hash-anchor query panel broadcasts onto the corpus, "
+        "distances are integer milli-unit L2 (the q243 quantization "
+        "— zero float-summation exposure in the RANKING), top-10 per "
+        "query via per_anchor_topk, reciprocal rank and average "
+        "precision from a 10-row-per-query cumulative window; "
+        "complements q121's NDCG with the binary-relevance metrics"
+    ),
+    tables=("embeddings",),
+)
+def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from osm_changesets_to_parquet_spark.operators.anchors import (
+        fixed_k_anchors,
+        per_anchor_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = fixed_k_anchors(emb, "vec_id", _Q249_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel")
+    )
+    quant = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.round(F.col("v").cast("double") * 1000).cast("long").alias("q"),
+    )
+    qquant = anchors.join(
+        quant.select(F.col("vec_id").alias("qid"), "pos", F.col("q").alias("qq")),
+        "qid",
+    )
+    dists = (
+        quant.join(F.broadcast(qquant), "pos")
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "qlabel", "vec_id")
+        .agg(
+            F.first("label").alias("vlabel"),
+            F.sum(
+                (F.col("qq") - F.col("q")) * (F.col("qq") - F.col("q"))
+            ).alias("d"),
+        )
+    )
+    top = per_anchor_topk(
+        dists, ["qid"], [F.col("d"), F.col("vec_id")], _Q249_K
+    )
+    w_cum = Window.partitionBy("qid").orderBy("rnk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rel = F.when(F.col("vlabel") == F.col("qlabel"), 1).otherwise(0)
+    flags = top.select(
+        "qid",
+        "rnk",
+        rel.alias("rel"),
+        F.sum(rel).over(w_cum).alias("cum_rel"),
+    )
+    rtotal = (
+        anchors.join(
+            emb.select(F.col("vec_id").alias("cid"), F.col("label").alias("clabel")),
+            F.col("clabel") == F.col("qlabel"),
+        )
+        .where(F.col("cid") != F.col("qid"))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_rel_total"))
+    )
+    return (
+        flags.join(F.broadcast(rtotal), "qid")
+        .groupBy("qid", "n_rel_total")
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.max(F.when(F.col("rel") == 1, 1.0 / F.col("rnk"))),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("rr"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("rel") == 1,
+                            F.col("cum_rel").cast("double") / F.col("rnk"),
+                        )
+                    ),
+                    F.lit(0.0),
+                )
+                / F.least(F.col("n_rel_total"), F.lit(_Q249_K)),
+                4,
+            ).alias("ap10"),
+        )
+        .select("qid", "n_rel_total", "rr", "ap10")
+        .orderBy("qid")
+    )

@@ -547,7 +547,7 @@ ORDER BY r.event_type
         "Holt double exponential smoothing over per-type daily counts "
         "(level + trend, 7-day-ahead forecast): the engine runs the "
         "inherently-sequential recursion per key inside ONE "
-        "applyInPandas over the |days|-row rollup (92 rows/key — the "
+        "applyInPandas over the |days|-row rollup (30 rows/key — the "
         "fact table is reduced first, so the Python stage sees "
         "kilobytes), the oracle mirrors it as a recursive CTE; "
         "alpha=beta=0.5 makes every smoothing op dyadic, so both "
@@ -641,7 +641,7 @@ FROM pairs GROUP BY event_type ORDER BY event_type
     doc=(
         "Kendall tau-b between daily event volume and daily revenue "
         "cents per type: concordant/discordant/tie counts from the "
-        "O(days^2) pair self-join — quadratic in DAYS (92 -> 4186 "
+        "O(days^2) pair self-join — quadratic in DAYS (30 -> 435 "
         "pairs/key), NOT in rows, because the fact table is rolled up "
         "to (type, day) integers first; every comparison is exact "
         "integer sign arithmetic, tau-b's tie correction included"
@@ -1284,3 +1284,187 @@ def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("lo"),
         F.round((center + half) / denom, 6).alias("hi"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q248: difference-in-differences estimator (2x2 panel, integer-exact)
+# ---------------------------------------------------------------------------
+
+_Q248_POST_DAY = 15  # midpoint of the 30-day fixture window
+
+_Q248_SQL = f"""
+WITH e AS (
+  SELECT event_type,
+         {sql_hash_bucket("user_id", 2)} AS treated,
+         CASE WHEN CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS BIGINT) >= {_Q248_POST_DAY} THEN 1 ELSE 0 END AS post,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+cell AS (
+  SELECT event_type, treated, post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s
+  FROM e GROUP BY 1, 2, 3
+),
+wide AS (
+  SELECT event_type,
+         MAX(CASE WHEN treated = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n
+             END) AS t_post,
+         MAX(CASE WHEN treated = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n
+             END) AS t_pre,
+         MAX(CASE WHEN treated = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n
+             END) AS c_post,
+         MAX(CASE WHEN treated = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n
+             END) AS c_pre,
+         CAST(SUM(n) AS BIGINT) AS n_total
+  FROM cell GROUP BY event_type
+)
+SELECT event_type, n_total,
+       ROUND(t_pre / 100, 4) AS treated_pre,
+       ROUND(t_post / 100, 4) AS treated_post,
+       ROUND(c_pre / 100, 4) AS control_pre,
+       ROUND(c_post / 100, 4) AS control_post,
+       ROUND(((t_post - t_pre) - (c_post - c_pre)) / 100, 4) AS did
+FROM wide ORDER BY event_type
+"""
+
+
+@register(
+    "q248_diff_in_diff",
+    _Q248_SQL,
+    doc=(
+        "difference-in-differences over the 2x2 (treated x pre/post) "
+        "panel per type — treatment assignment is the deterministic "
+        "user-id hash (a synthetic rollout), post = day >= 15: four "
+        "cell means from INTEGER cents power sums, DiD = "
+        "(Tpost-Tpre)-(Cpost-Cpre); one cell rollup over one scan, a "
+        "|types|x4 frame after — the fixture's value is "
+        "assignment-independent so did ~ 0 is the correct null "
+        "answer (the estimator's arithmetic is what the oracle and "
+        "the brute-force test pin)"
+    ),
+    tables=("events",),
+)
+def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        hash_bucket("user_id", 2).alias("treated"),
+        F.when(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).cast("long")
+            >= _Q248_POST_DAY,
+            1,
+        ).otherwise(0).alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    cell = e.groupBy("event_type", "treated", "post").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+
+    def cell_mean(t: int, p: int):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), mean)
+        )
+
+    wide = cell.groupBy("event_type").agg(
+        cell_mean(1, 1).alias("t_post"),
+        cell_mean(1, 0).alias("t_pre"),
+        cell_mean(0, 1).alias("c_post"),
+        cell_mean(0, 0).alias("c_pre"),
+        F.sum("n").alias("n_total"),
+    )
+    return wide.select(
+        "event_type",
+        "n_total",
+        F.round(F.col("t_pre") / 100, 4).alias("treated_pre"),
+        F.round(F.col("t_post") / 100, 4).alias("treated_post"),
+        F.round(F.col("c_pre") / 100, 4).alias("control_pre"),
+        F.round(F.col("c_post") / 100, 4).alias("control_post"),
+        F.round(
+            ((F.col("t_post") - F.col("t_pre"))
+             - (F.col("c_post") - F.col("c_pre"))) / 100,
+            4,
+        ).alias("did"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q251: leave-one-out target encoding (the leakage-safe spelling)
+# ---------------------------------------------------------------------------
+
+_Q251_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+              AS BIGINT) AS dow,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_t,
+         CAST(SUM(v) AS BIGINT) AS s_t
+  FROM e GROUP BY event_type
+),
+enc AS (
+  SELECT e.dow,
+         CAST(s.s_t - e.v AS DOUBLE) / (s.n_t - 1) AS loo,
+         e.v
+  FROM e JOIN stats s ON s.event_type = e.event_type
+)
+SELECT dow,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(loo) / 100, 4) AS mean_loo,
+       ROUND(MIN(loo) / 100, 4) AS min_loo,
+       ROUND(MAX(loo) / 100, 4) AS max_loo
+FROM enc GROUP BY dow ORDER BY dow
+"""
+
+
+@register(
+    "q251_target_encoding_loo",
+    _Q251_SQL,
+    doc=(
+        "leave-one-out target encoding of event_type by mean value "
+        "(the leakage-safe categorical featurization: each row's "
+        "encoding (s_t - v)/(n_t - 1) EXCLUDES its own target, so "
+        "the feature never memorizes the row): per-type (n, s) "
+        "integer sums broadcast back onto the scan — one rollup + "
+        "one map-side join, the encoded column never shuffles; "
+        "reported as per-dow distribution of the encodings "
+        "(cross-grouping shows the encoding varies only through "
+        "composition, the no-leakage signature)"
+    ),
+    tables=("events",),
+)
+def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            % 7
+        ).cast("long").alias("dow"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t"), F.sum("v").alias("s_t")
+    )
+    loo = (F.col("s_t") - F.col("v")).cast("double") / (F.col("n_t") - 1)
+    enc = e.join(F.broadcast(stats), "event_type").select(
+        "dow", loo.alias("loo")
+    )
+    return (
+        enc.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("loo") / 100, 4).alias("mean_loo"),
+            F.round(F.min("loo") / 100, 4).alias("min_loo"),
+            F.round(F.max("loo") / 100, 4).alias("max_loo"),
+        )
+        .orderBy("dow")
+    )

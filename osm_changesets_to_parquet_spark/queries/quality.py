@@ -1360,3 +1360,86 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     return unigram_entropy(docs, keep=["doc_id", "lang"]).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q250: Zipf rank-frequency slope (corpus-law diagnostic, round 7)
+# ---------------------------------------------------------------------------
+
+_Q250_SQL = """
+WITH tok AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS g
+  FROM tok, UNNEST(range(1, len(ws))) AS u(i)
+),
+f AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY g),
+pts AS (
+  SELECT ROUND(LN(ROW_NUMBER() OVER (ORDER BY c DESC, g)), 6) AS x,
+         ROUND(LN(c), 6) AS y
+  FROM f
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts
+)
+SELECT n AS n_types,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+         AS intercept
+FROM s
+"""
+
+
+@register(
+    "q250_zipf_slope",
+    _Q250_SQL,
+    doc=(
+        "Zipf rank-frequency law fit over word bigrams: OLS slope of "
+        "ln(count) on ln(rank) — the corpus-health diagnostic (natural "
+        "text sits near slope -1; synthetic/templated corpora flatten, "
+        "which is exactly what this near-uniform fixture shows): rank "
+        "comes from the |gram types|-sized frequency window (the q241 "
+        "discipline), ln values ROUND()ed at 6 dp before the power "
+        "sums (q129 libm rule), closed-form OLS from the sums"
+    ),
+    tables=("documents",),
+)
+def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat(split(text, ' ')[i - 1], ' ', "
+                "split(text, ' ')[i]))"
+            )
+        ).alias("g")
+    )
+    f = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    order = Window.orderBy(F.col("c").desc(), F.col("g"))
+    pts = f.select(
+        F.round(F.log(F.row_number().over(order).cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 6).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_types"),
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    )

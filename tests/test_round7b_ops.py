@@ -429,3 +429,123 @@ def test_wilson_ci_matches_brute_and_brackets_p(spark, sf_dir):
         assert abs(r.hi - round((center + half) / denom, 6)) < 1e-9
         # interval sanity: brackets the point estimate, inside [0,1]
         assert 0.0 <= r.lo <= p <= r.hi <= 1.0
+
+
+def test_diff_in_diff_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q248_POST_DAY,
+        q248,
+    )
+
+    got = {r.event_type: r for r in q248(spark, sf_dir).collect()}
+    rows = duckdb.sql(
+        f"""SELECT event_type,
+              ((user_id % 2147483648) * 2654435761) % 2 AS treated,
+              CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS BIGINT) AS d,
+              CAST(ROUND(value*100) AS BIGINT) AS v
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    cells: dict = collections.defaultdict(lambda: [0, 0])
+    for et, tr, d, v in rows:
+        c = cells[(et, tr, 1 if d >= _Q248_POST_DAY else 0)]
+        c[0] += 1
+        c[1] += v
+    for et in {r[0] for r in rows}:
+        m = {
+            (tr, po): cells[(et, tr, po)][1] / cells[(et, tr, po)][0]
+            for tr in (0, 1)
+            for po in (0, 1)
+        }
+        did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+        r = got[et]
+        assert abs(r.did - round(did / 100, 4)) < 1e-9, et
+        assert abs(r.treated_pre - round(m[(1, 0)] / 100, 4)) < 1e-9
+
+
+def test_retrieval_metrics_match_brute(spark, sf_dir):
+    import numpy as np
+
+    from osm_changesets_to_parquet_spark.queries.ann import (
+        _Q249_K,
+        _Q249_NQ,
+        q249,
+    )
+
+    got = {r.qid: r for r in q249(spark, sf_dir).collect()}
+    rows = duckdb.sql(
+        f"SELECT vec_id, label, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    labels = np.array([r[1] for r in rows], dtype=np.int64)
+    raw = np.array([r[2] for r in rows], dtype=np.float64) * 1000
+    q = (np.sign(raw) * np.floor(np.abs(raw) + 0.5)).astype(np.int64)
+    rank_key = ((ids % 2147483648) * 2654435761) % 1000000007
+    queries = np.lexsort((ids, rank_key))[:_Q249_NQ]
+    for qi in queries:
+        qid = int(ids[qi])
+        d = ((q - q[qi][None, :]) ** 2).sum(axis=1)
+        mask = ids != qid
+        order = np.lexsort((ids[mask], d[mask]))[:_Q249_K]
+        rel = (labels[mask][order] == labels[qi]).astype(int)
+        rr = 0.0
+        ap_sum, cum = 0.0, 0
+        for k, r0 in enumerate(rel, start=1):
+            if r0:
+                cum += 1
+                ap_sum += cum / k
+                if rr == 0.0:
+                    rr = 1.0 / k
+        n_rel_total = int((labels[mask] == labels[qi]).sum())
+        ap = ap_sum / min(n_rel_total, _Q249_K)
+        r = got[qid]
+        assert r.n_rel_total == n_rel_total
+        assert abs(r.rr - round(rr, 4)) < 1e-9, qid
+        assert abs(r.ap10 - round(ap, 4)) < 1e-9, qid
+
+
+def test_zipf_slope_matches_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    from osm_changesets_to_parquet_spark.queries.quality import q250
+
+    row = q250(spark, sf_dir).collect()[0]
+    texts = duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    c: collections.Counter = collections.Counter()
+    for (t,) in texts:
+        ws = t.split(" ")
+        c.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    freqs = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = np.array([round(math.log(i), 6) for i in range(1, len(freqs) + 1)])
+    ys = np.array([round(math.log(v), 6) for _, v in freqs])
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert row.n_types == len(freqs)
+    assert abs(row.slope - round(float(slope), 4)) < 1e-3
+    assert abs(row.intercept - round(float(intercept), 4)) < 1e-3
+    assert row.slope < 0  # frequency must decay with rank
+
+
+def test_target_encoding_loo_excludes_own_row(spark):
+    # the defining LOO property: a category with one wildly different
+    # row — that row's encoding must NOT contain its own value
+    from pyspark.sql import functions as F
+
+    spark_df = spark.createDataFrame(
+        [("a", 10), ("a", 10), ("a", 1000)], "cat STRING, v LONG"
+    )
+    stats = spark_df.groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n_t"), F.sum("v").alias("s_t")
+    )
+    enc = spark_df.join(stats, "cat").select(
+        "v",
+        ((F.col("s_t") - F.col("v")).cast("double") / (F.col("n_t") - 1)).alias(
+            "loo"
+        ),
+    )
+    rows = {r.v: r.loo for r in enc.collect()}
+    assert rows[1000] == 10.0  # outlier's encoding is the OTHER rows' mean
+    assert rows[10] == 505.0
