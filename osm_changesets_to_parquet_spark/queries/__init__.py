@@ -147,6 +147,9 @@ _PRIORITY: tuple[str, ...] = (
     "q249_retrieval_metrics",
     "q250_zipf_slope",
     "q251_target_encoding_loo",
+    "q252_kfold_cv",
+    "q253_learning_curve",
+    "q254_randomization_test",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

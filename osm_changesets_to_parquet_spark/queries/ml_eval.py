@@ -1468,3 +1468,320 @@ def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# q252: k-fold cross-validation in ONE pass (no k training passes)
+# ---------------------------------------------------------------------------
+
+_Q252_FOLDS = 5
+
+_Q252_SQL = f"""
+WITH e AS (
+  SELECT event_type,
+         {sql_hash_bucket("event_id", _Q252_FOLDS)} AS fold,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+per_fold AS (
+  SELECT event_type, fold,
+         CAST(COUNT(*) AS BIGINT) AS n_f,
+         CAST(SUM(v) AS BIGINT) AS s_f
+  FROM e GROUP BY event_type, fold
+),
+per_type AS (
+  SELECT event_type,
+         CAST(SUM(n_f) AS BIGINT) AS n_t,
+         CAST(SUM(s_f) AS BIGINT) AS s_t
+  FROM per_fold GROUP BY event_type
+),
+err AS (
+  SELECT e.event_type, e.fold,
+         ABS(e.v * (t.n_t - f.n_f) - (t.s_t - f.s_f)) AS num,
+         t.n_t - f.n_f AS denom
+  FROM e
+  JOIN per_fold f ON f.event_type = e.event_type AND f.fold = e.fold
+  JOIN per_type t ON t.event_type = e.event_type
+)
+SELECT event_type, CAST(fold AS BIGINT) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_fold,
+       ROUND(CAST(SUM(num) AS DOUBLE) / ANY_VALUE(denom) / COUNT(*) / 100, 4)
+         AS mae
+FROM err GROUP BY event_type, fold ORDER BY event_type, fold
+"""
+
+
+@register(
+    "q252_kfold_cv",
+    _Q252_SQL,
+    doc=(
+        f"{_Q252_FOLDS}-fold cross-validation of the per-type mean "
+        "predictor in ONE data pass: held-out fold f's model is "
+        "(s_t - s_f)/(n_t - n_f) — train-on-the-other-folds by "
+        "SUBTRACTION from the total sums, never k re-scans (the "
+        "scale point: k-fold CV of any sufficient-statistic model is "
+        "one rollup + one broadcast join); absolute errors are "
+        "scaled to |v*(n_t-n_f) - (s_t-s_f)| so every sum is exact "
+        "integer arithmetic, divided once per (type, fold) cell"
+    ),
+    tables=("events",),
+)
+def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        hash_bucket("event_id", _Q252_FOLDS).alias("fold"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    per_fold = e.groupBy("event_type", "fold").agg(
+        F.count(F.lit(1)).alias("n_f"), F.sum("v").alias("s_f")
+    )
+    per_type = per_fold.groupBy("event_type").agg(
+        F.sum("n_f").alias("n_t"), F.sum("s_f").alias("s_t")
+    )
+    err = (
+        e.join(F.broadcast(per_fold), ["event_type", "fold"])
+        .join(F.broadcast(per_type), "event_type")
+        .select(
+            "event_type",
+            "fold",
+            F.abs(
+                F.col("v") * (F.col("n_t") - F.col("n_f"))
+                - (F.col("s_t") - F.col("s_f"))
+            ).alias("num"),
+            (F.col("n_t") - F.col("n_f")).alias("denom"),
+        )
+    )
+    return (
+        err.groupBy("event_type", F.col("fold").cast("long").alias("fold"))
+        .agg(
+            F.count(F.lit(1)).alias("n_fold"),
+            F.round(
+                F.sum("num").cast("double")
+                / F.first("denom")
+                / F.count(F.lit(1))
+                / 100,
+                4,
+            ).alias("mae"),
+        )
+        .orderBy("event_type", "fold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q253: learning curve (nested hash subsets, fixed held-out test)
+# ---------------------------------------------------------------------------
+
+_Q253_SIZES = (10, 20, 40, 80)
+
+_Q253_SQL = f"""
+WITH e AS (
+  SELECT event_type,
+         {sql_hash_bucket("event_id", 100)} AS b,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+sizes(p) AS (
+  SELECT * FROM (VALUES {", ".join(f"({p})" for p in _Q253_SIZES)}) v(p)
+),
+train AS (
+  SELECT s.p, e.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_p,
+         CAST(SUM(e.v) AS BIGINT) AS s_p
+  FROM e CROSS JOIN sizes s WHERE e.b < s.p
+  GROUP BY s.p, e.event_type
+),
+test_err AS (
+  SELECT t.p, e.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(ABS(e.v * t.n_p - t.s_p)) AS BIGINT) AS num,
+         ANY_VALUE(t.n_p) AS n_p
+  FROM e JOIN train t ON t.event_type = e.event_type
+  WHERE e.b >= 80
+  GROUP BY t.p, e.event_type
+)
+SELECT event_type, CAST(p AS BIGINT) AS train_pct, n_p AS n_train, n_test,
+       ROUND(CAST(num AS DOUBLE) / n_p / n_test / 100, 4) AS mae
+FROM test_err ORDER BY event_type, train_pct
+"""
+
+
+@register(
+    "q253_learning_curve",
+    _Q253_SQL,
+    doc=(
+        "learning curve of the per-type mean predictor: NESTED "
+        "deterministic train subsets (bucket < 10/20/40/80 — each is "
+        "a superset of the last, the sample-efficiency diagnostic's "
+        "requirement) against one fixed held-out test (bucket >= "
+        "80); per-size sufficient statistics from one conditional "
+        "rollup, test errors scaled to |v*n_p - s_p| integers, one "
+        "division per (type, size) cell — 4 curves, 2 scans, no "
+        "per-size re-training pass"
+    ),
+    tables=("events",),
+)
+def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        hash_bucket("event_id", 100).alias("b"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    sizes = spark.createDataFrame([(p,) for p in _Q253_SIZES], "p LONG")
+    train = (
+        e.crossJoin(F.broadcast(sizes))
+        .where(F.col("b") < F.col("p"))
+        .groupBy("p", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_p"), F.sum("v").alias("s_p"))
+    )
+    test_err = (
+        e.where(F.col("b") >= 80)
+        .join(F.broadcast(train), "event_type")
+        .groupBy("p", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.abs(F.col("v") * F.col("n_p") - F.col("s_p"))
+            ).alias("num"),
+            F.first("n_p").alias("n_p"),
+        )
+    )
+    return test_err.select(
+        "event_type",
+        F.col("p").alias("train_pct"),
+        F.col("n_p").alias("n_train"),
+        "n_test",
+        F.round(
+            F.col("num").cast("double") / F.col("n_p") / F.col("n_test") / 100,
+            4,
+        ).alias("mae"),
+    ).orderBy("event_type", "train_pct")
+
+
+# ---------------------------------------------------------------------------
+# q254: randomization test for a two-group mean difference
+# ---------------------------------------------------------------------------
+
+_Q254_N_PERMS = 19
+_Q254_SALT = 9973
+
+_Q254_SQL = f"""
+WITH base AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+stats AS (
+  SELECT j,
+         CAST(SUM(CASE WHEN gj = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN gj = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN gj = 0 THEN v ELSE 0 END) AS BIGINT) AS s0,
+         CAST(SUM(CASE WHEN gj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+  FROM (
+    SELECT j,
+           CASE WHEN j = 0 THEN g
+                ELSE {sql_hash_bucket(f"event_id + j * {_Q254_SALT}", 2)}
+           END AS gj,
+           v
+    FROM base CROSS JOIN (
+      SELECT * FROM UNNEST(range(0, {_Q254_N_PERMS + 1})) AS u(j)
+    )
+  ) GROUP BY j
+),
+diffs AS (
+  SELECT j,
+         ABS(CAST(s1 AS DOUBLE) * n0 - CAST(s0 AS DOUBLE) * n1) AS absnum,
+         CAST(n1 AS DOUBLE) * n0 AS denom,
+         (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) AS diff
+  FROM stats
+),
+obs AS (SELECT absnum, denom, diff FROM diffs WHERE j = 0)
+SELECT ROUND(obs.diff / 100, 4) AS obs_diff,
+       CAST(COUNT(*) FILTER (WHERE d.j > 0
+              AND d.absnum * obs.denom >= obs.absnum * d.denom)
+            AS BIGINT) AS n_extreme,
+       ROUND((1.0 + COUNT(*) FILTER (WHERE d.j > 0
+              AND d.absnum * obs.denom >= obs.absnum * d.denom))
+             / (1.0 + {_Q254_N_PERMS}), 4) AS p_value
+FROM diffs d CROSS JOIN obs
+GROUP BY obs.diff, obs.absnum, obs.denom
+"""
+
+
+@register(
+    "q254_randomization_test",
+    _Q254_SQL,
+    doc=(
+        "randomization test for the purchase-vs-view mean-value gap: "
+        f"{_Q254_N_PERMS} deterministic hash reassignments (salted "
+        "id-hash parity — randomization inference with reproducible "
+        "'permutations', the engine-wide no-RNG rule) each recompute "
+        "the group-mean difference from integer sums in the SAME "
+        "single scan (a 20-way conditional rollup, not 20 passes); "
+        "the two-sided p compares |s1*n0 - s0*n1| cross-multiplied — "
+        "deterministic double products of exact integers, no "
+        "division-order exposure in the DECISION"
+    ),
+    tables=("events",),
+)
+def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    js = spark.createDataFrame(
+        [(j,) for j in range(_Q254_N_PERMS + 1)], "j LONG"
+    )
+    assigned = base.crossJoin(F.broadcast(js)).select(
+        "j",
+        F.when(F.col("j") == 0, F.col("g"))
+        .otherwise(
+            hash_bucket(
+                F.col("event_id") + F.col("j") * _Q254_SALT, 2
+            )
+        )
+        .alias("gj"),
+        "v",
+    )
+    stats = assigned.groupBy("j").agg(
+        F.sum(F.when(F.col("gj") == 1, F.col("v")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("gj") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("gj") == 0, F.col("v")).otherwise(0)).alias("s0"),
+        F.sum(F.when(F.col("gj") == 0, 1).otherwise(0)).alias("n0"),
+    )
+    diffs = stats.select(
+        "j",
+        F.abs(
+            F.col("s1").cast("double") * F.col("n0")
+            - F.col("s0").cast("double") * F.col("n1")
+        ).alias("absnum"),
+        (F.col("n1").cast("double") * F.col("n0")).alias("denom"),
+        (
+            F.col("s1").cast("double") / F.col("n1")
+            - F.col("s0").cast("double") / F.col("n0")
+        ).alias("diff"),
+    )
+    obs = diffs.where(F.col("j") == 0).select(
+        F.col("absnum").alias("o_absnum"),
+        F.col("denom").alias("o_denom"),
+        F.col("diff").alias("o_diff"),
+    )
+    extreme = F.when(
+        (F.col("j") > 0)
+        & (F.col("absnum") * F.col("o_denom") >= F.col("o_absnum") * F.col("denom")),
+        1,
+    ).otherwise(0)
+    return (
+        diffs.crossJoin(F.broadcast(obs))
+        .agg(
+            F.round(F.first("o_diff") / 100, 4).alias("obs_diff"),
+            F.sum(extreme).cast("long").alias("n_extreme"),
+            F.round(
+                (1.0 + F.sum(extreme)) / (1.0 + _Q254_N_PERMS), 4
+            ).alias("p_value"),
+        )
+    )

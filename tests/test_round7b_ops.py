@@ -549,3 +549,113 @@ def test_target_encoding_loo_excludes_own_row(spark):
     rows = {r.v: r.loo for r in enc.collect()}
     assert rows[1000] == 10.0  # outlier's encoding is the OTHER rows' mean
     assert rows[10] == 505.0
+
+
+def _events_cents(sf_dir: str):
+    return duckdb.sql(
+        f"""SELECT event_id, event_type,
+              CAST(ROUND(value*100) AS BIGINT) AS v
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+
+
+def test_kfold_cv_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q252_FOLDS,
+        q252,
+    )
+
+    got = {(r.event_type, r.fold): r for r in q252(spark, sf_dir).collect()}
+    rows = _events_cents(sf_dir)
+    per: dict = collections.defaultdict(list)
+    for eid, et, v in rows:
+        fold = ((eid % 2147483648) * 2654435761) % _Q252_FOLDS
+        per[(et, fold)].append(v)
+    totals = collections.defaultdict(lambda: [0, 0])
+    for (et, fold), vs in per.items():
+        totals[et][0] += len(vs)
+        totals[et][1] += sum(vs)
+    for (et, fold), vs in per.items():
+        n_t, s_t = totals[et]
+        n_o, s_o = n_t - len(vs), s_t - sum(vs)
+        mae = sum(abs(v * n_o - s_o) for v in vs) / n_o / len(vs) / 100
+        r = got[(et, fold)]
+        assert r.n_fold == len(vs)
+        assert abs(r.mae - round(mae, 4)) < 1e-9, (et, fold)
+
+
+def test_learning_curve_matches_brute_and_uses_nested_sets(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q253_SIZES,
+        q253,
+    )
+
+    got = {
+        (r.event_type, r.train_pct): r for r in q253(spark, sf_dir).collect()
+    }
+    rows = _events_cents(sf_dir)
+    for p in _Q253_SIZES:
+        per_train: dict = collections.defaultdict(lambda: [0, 0])
+        per_test: dict = collections.defaultdict(list)
+        for eid, et, v in rows:
+            b = ((eid % 2147483648) * 2654435761) % 100
+            if b < p:
+                per_train[et][0] += 1
+                per_train[et][1] += v
+            if b >= 80:
+                per_test[et].append(v)
+        for et, (n_p, s_p) in per_train.items():
+            vs = per_test[et]
+            mae = sum(abs(v * n_p - s_p) for v in vs) / n_p / len(vs) / 100
+            r = got[(et, p)]
+            assert r.n_train == n_p and r.n_test == len(vs)
+            assert abs(r.mae - round(mae, 4)) < 1e-9, (et, p)
+    # nesting: n_train strictly increases with pct per type
+    for et in {r[1] for r in rows}:
+        ns = [got[(et, p)].n_train for p in _Q253_SIZES]
+        assert ns == sorted(ns) and len(set(ns)) == len(ns)
+
+
+def test_randomization_test_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q254_N_PERMS,
+        _Q254_SALT,
+        q254,
+    )
+
+    row = q254(spark, sf_dir).collect()[0]
+    rows = [
+        (eid, et, v)
+        for eid, et, v in _events_cents(sf_dir)
+        if et in ("purchase", "view")
+    ]
+
+    def stat(assign):
+        s1 = n1 = s0 = n0 = 0
+        for (eid, et, v), g in zip(rows, assign):
+            if g:
+                s1 += v
+                n1 += 1
+            else:
+                s0 += v
+                n0 += 1
+        return s1, n1, s0, n0
+
+    obs = stat([et == "purchase" for _, et, _ in rows])
+    o_num = abs(obs[0] * obs[3] - obs[2] * obs[1])
+    o_den = obs[1] * obs[3]
+    extreme = 0
+    for j in range(1, _Q254_N_PERMS + 1):
+        a = [
+            (((eid + j * _Q254_SALT) % 2147483648) * 2654435761) % 2 == 1
+            for eid, _, _ in rows
+        ]
+        s = stat(a)
+        if abs(s[0] * s[3] - s[2] * s[1]) * o_den >= o_num * (s[1] * s[3]):
+            extreme += 1
+    assert row.n_extreme == extreme
+    assert abs(
+        row.p_value - round((1 + extreme) / (1 + _Q254_N_PERMS), 4)
+    ) < 1e-9
+    want_diff = obs[0] / obs[1] - obs[2] / obs[3]
+    assert abs(row.obs_diff - round(want_diff / 100, 4)) < 1e-9
