@@ -150,6 +150,7 @@ _PRIORITY: tuple[str, ...] = (
     "q252_kfold_cv",
     "q253_learning_curve",
     "q254_randomization_test",
+    "s22_streaming_anomaly",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

@@ -629,3 +629,87 @@ def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_changesets_to_parquet_spark.streaming import run_s21_streaming_topk
 
     return run_s21_streaming_topk(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# s22: streaming anomaly flags against PRIOR-batch moments (round 7)
+# ---------------------------------------------------------------------------
+
+_S22_SQL = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+idx AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (ORDER BY ts_us, event_id) - 1 AS rn,
+         COUNT(*) OVER () AS n
+  FROM e
+),
+ch AS (
+  SELECT event_type, v,
+         rn // CAST(CEIL(n * 1.0 / 5) AS BIGINT) AS chunk
+  FROM idx
+),
+roll AS (
+  SELECT event_type, chunk,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(v) AS BIGINT) AS s1,
+         CAST(SUM(v * v) AS BIGINT) AS s2
+  FROM ch GROUP BY 1, 2
+),
+prior AS (
+  SELECT event_type, chunk,
+         CAST(COALESCE(SUM(c) OVER w, 0) AS BIGINT) AS pn,
+         CAST(COALESCE(SUM(s1) OVER w, 0) AS BIGINT) AS ps1,
+         CAST(COALESCE(SUM(s2) OVER w, 0) AS BIGINT) AS ps2,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY chunk) AS seq
+  FROM roll
+  WINDOW w AS (PARTITION BY event_type ORDER BY chunk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT c.event_type,
+       CAST(p.seq AS BIGINT) AS batch_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(SUM(CASE WHEN p.pn >= 30
+                  AND CAST(c.v * p.pn - p.ps1 AS HUGEINT)
+                      * CAST(c.v * p.pn - p.ps1 AS HUGEINT)
+                      * (p.pn - 1)
+                    > 4 * CAST(p.pn AS HUGEINT)
+                      * (CAST(p.pn AS HUGEINT) * p.ps2
+                         - CAST(p.ps1 AS HUGEINT) * p.ps1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM ch c JOIN prior p ON p.event_type = c.event_type AND p.chunk = c.chunk
+GROUP BY c.event_type, p.seq
+ORDER BY c.event_type, batch_seq
+"""
+
+
+@register(
+    "s22_streaming_anomaly",
+    _S22_SQL,
+    doc=(
+        "STREAMING anomaly screening (q221's continuous twin, with "
+        "the defining online-detector twist no other s-job exercises: "
+        "each batch is judged against the state BEFORE the batch "
+        "updates it, so an anomaly cannot mask itself by inflating "
+        "the variance it is scored against): per-type "
+        "applyInPandasWithState carrying (batches, n, s1, s2) cents "
+        "power sums; the z^2>4 flag is the division-free inequality "
+        "(v*n-s1)^2*(n-1) > 4n(n*s2-s1^2), evaluated in "
+        "arbitrary-precision Python ints engine-side and HUGEINT "
+        "oracle-side — exact at any scale; the oracle reconstructs "
+        "the 5-chunk replay via the (ts_us,event_id) global order "
+        "and an exclusive cumulative window "
+        "(streaming/jobs.py run_s22_streaming_anomaly)"
+    ),
+    tables=("events",),
+)
+def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.streaming import (
+        run_s22_streaming_anomaly,
+    )
+
+    return run_s22_streaming_anomaly(spark, sf_dir)

@@ -1193,3 +1193,77 @@ def run_s21_streaming_topk(
         .orderBy(F.col("cnt").desc(), "user_id")
         .limit(k)
     )
+
+
+def run_s22_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly screening: flag events whose value deviates
+    >2 sigma from the PRIOR batches' running moments for their type.
+
+    The defining stateful-semantics twist vs s6/s16: the decision for a
+    batch uses state BEFORE the batch updates it (an online detector
+    must not let an anomaly mask itself by inflating the variance it is
+    judged against).  State per type = (batches_seen, n, s1, s2) cents
+    power sums; the flag compare is done in arbitrary-precision Python
+    ints ((v*n - s1)^2 * (n-1) > 4 * n * (n*s2 - s1^2) — the z^2 > 4
+    inequality cleared of divisions), so there is NO float and NO
+    overflow at any scale; the oracle mirrors it through HUGEINT.
+
+    Emits one row per (type, batch): batch sequence, batch size, and
+    flags — the replay arrives in event-time order, so the per-batch
+    output equals the chunk-windowed batch oracle exactly.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    base = prepare_replay_dir(spark, sf_dir, late=False)
+    ev = _read_stream(spark, base).select("event_type", "value")
+
+    def update(key, pdf_iter, state: GroupState):
+        (event_type,) = key
+        if state.exists:
+            seen, n, s1, s2 = state.get
+        else:
+            seen, n, s1, s2 = 0, 0, 0, 0
+        n, s1, s2 = int(n), int(s1), int(s2)
+        n_batch = 0
+        n_flagged = 0
+        bn, bs1, bs2 = 0, 0, 0
+        for pdf in pdf_iter:
+            for val in pdf["value"]:
+                # cents, rounded half away from zero (SQL ROUND; never
+                # python round() — half-even, the /verify gotcha)
+                x = float(val) * 100
+                v = int(x + 0.5) if x >= 0 else -int(-x + 0.5)
+                n_batch += 1
+                if n >= 30:
+                    lhs = (v * n - s1) ** 2 * (n - 1)
+                    rhs = 4 * n * (n * s2 - s1 * s1)
+                    if lhs > rhs:
+                        n_flagged += 1
+                bn += 1
+                bs1 += v
+                bs2 += v * v
+        state.update((seen + 1, n + bn, s1 + bs1, s2 + bs2))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "batch_seq": [seen + 1],
+                "n_batch": [n_batch],
+                "n_flagged": [n_flagged],
+            }
+        )
+
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, batch_seq long, n_batch long, n_flagged long"
+        ),
+        stateStructType="seen long, n long, s1 long, s2 long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    outs = _run_availablenow(out, mode="append")
+    return (
+        outs.select("event_type", "batch_seq", "n_batch", "n_flagged")
+        .orderBy("event_type", "batch_seq")
+    )

@@ -659,3 +659,27 @@ def test_randomization_test_matches_brute(spark, sf_dir):
     ) < 1e-9
     want_diff = obs[0] / obs[1] - obs[2] / obs[3]
     assert abs(row.obs_diff - round(want_diff / 100, 4)) < 1e-9
+
+
+def test_streaming_anomaly_prior_state_semantics(spark, sf_dir):
+    # the defining property: batch 1 can flag NOTHING (no prior
+    # moments), later batches can; per-type batch sizes sum to the
+    # type's event count; 5 batches per type (the replay chunking)
+    from osm_changesets_to_parquet_spark.queries.streaming_jobs import s22
+
+    rows = s22(spark, sf_dir).collect()
+    per_type: dict = collections.defaultdict(list)
+    for r in rows:
+        per_type[r.event_type].append(r)
+    counts = dict(
+        duckdb.sql(
+            f"SELECT event_type, COUNT(*) FROM '{sf_dir}/events.parquet' "
+            "GROUP BY 1"
+        ).fetchall()
+    )
+    for et, rs in per_type.items():
+        rs.sort(key=lambda r: r.batch_seq)
+        assert [r.batch_seq for r in rs] == list(range(1, len(rs) + 1))
+        assert rs[0].n_flagged == 0  # no prior state in batch 1
+        assert sum(r.n_batch for r in rs) == counts[et]
+        assert any(r.n_flagged > 0 for r in rs[1:]), et  # detector alive
