@@ -151,6 +151,8 @@ _PRIORITY: tuple[str, ...] = (
     "q253_learning_curve",
     "q254_randomization_test",
     "s22_streaming_anomaly",
+    "q255_markov_eval",
+    "q256_heaps_law",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

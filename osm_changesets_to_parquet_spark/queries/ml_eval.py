@@ -1785,3 +1785,223 @@ def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q255: next-event prediction eval (Markov top-1 baseline)
+# ---------------------------------------------------------------------------
+
+_Q255_TRAIN_PCT = 80
+
+_Q255_SQL = f"""
+WITH t AS (
+  SELECT user_id, event_type,
+         {sql_hash_bucket("user_id", 100)} < {_Q255_TRAIN_PCT} AS is_train,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(epoch_us(ts) AS BIGINT),
+                                        event_id) AS src
+  FROM events
+),
+trans AS (SELECT src, event_type AS dst, is_train FROM t WHERE src IS NOT NULL),
+model AS (
+  SELECT src, dst AS pred FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+                     ORDER BY COUNT(*) DESC, dst) AS rk
+    FROM trans WHERE is_train GROUP BY src, dst
+  ) WHERE rk = 1
+)
+SELECT x.src,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       ANY_VALUE(m.pred) AS predicted,
+       CAST(SUM(CASE WHEN x.dst = m.pred THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(SUM(CASE WHEN x.dst = m.pred THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 4) AS accuracy
+FROM trans x JOIN model m ON m.src = x.src
+WHERE NOT x.is_train
+GROUP BY x.src ORDER BY x.src
+"""
+
+
+@register(
+    "q255_markov_eval",
+    _Q255_SQL,
+    doc=(
+        "next-event prediction evaluated on held-out USERS (the "
+        "behavior-model baseline: train a first-order Markov top-1 "
+        "predictor on 80% of users by id hash, score transitions of "
+        "the other 20%): per-user LAG windows are bounded by a "
+        "user's event count (the q156 shape), the model is the "
+        "|types|^2 count rollup argmaxed with a dst tie-break and "
+        "BROADCAST onto the test transitions — splitting by USER not "
+        "by row is the leakage discipline (a row split would let a "
+        "user's own future leak into training)"
+    ),
+    tables=("events",),
+)
+def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t = ev.select(
+        "user_id",
+        "event_type",
+        (hash_bucket("user_id", 100) < _Q255_TRAIN_PCT).alias("is_train"),
+        F.lag("event_type").over(w).alias("src"),
+    ).where(F.col("src").isNotNull())
+    counts = (
+        t.where(F.col("is_train"))
+        .groupBy("src", F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rk = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("dst"))
+    model = (
+        counts.withColumn("rk", F.row_number().over(w_rk))
+        .where(F.col("rk") == 1)
+        .select("src", F.col("dst").alias("pred"))
+    )
+    test = t.where(~F.col("is_train")).select(
+        "src", F.col("event_type").alias("dst")
+    )
+    hit = F.when(F.col("dst") == F.col("pred"), 1).otherwise(0)
+    return (
+        test.join(F.broadcast(model), "src")
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.first("pred").alias("predicted"),
+            F.sum(hit).alias("n_correct"),
+            F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 4).alias("accuracy"),
+        )
+        .orderBy("src")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q256: Heaps' law vocabulary-growth curve (q250's companion)
+# ---------------------------------------------------------------------------
+
+_Q256_PCTS = (20, 40, 60, 80, 100)
+
+_Q256_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS drk,
+         COUNT(*) OVER () AS nd
+  FROM documents
+),
+grams AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS g, drk
+  FROM d, UNNEST(range(1, len(ws))) AS u(i)
+),
+first_seen AS (SELECT g, CAST(MIN(drk) AS BIGINT) AS fr FROM grams GROUP BY g),
+per_doc AS (
+  SELECT drk, CAST(COUNT(*) AS BIGINT) AS toks FROM grams GROUP BY drk
+),
+ck(p) AS (SELECT * FROM (VALUES {", ".join(f"({p})" for p in _Q256_PCTS)}) v(p)),
+pts AS (
+  SELECT ck.p,
+         (SELECT CAST(SUM(toks) AS BIGINT) FROM per_doc, (SELECT ANY_VALUE(nd)
+            AS nd FROM d) x
+          WHERE drk <= (ck.p * x.nd + 99) // 100) AS n_tokens,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM first_seen, (SELECT
+            ANY_VALUE(nd) AS nd FROM d) x
+          WHERE fr <= (ck.p * x.nd + 99) // 100) AS v_types
+  FROM ck
+),
+fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(ROUND(LN(n_tokens), 6)) AS sx,
+         SUM(ROUND(LN(v_types), 6)) AS sy,
+         SUM(ROUND(LN(n_tokens), 6) * ROUND(LN(v_types), 6)) AS sxy,
+         SUM(ROUND(LN(n_tokens), 6) * ROUND(LN(n_tokens), 6)) AS sxx
+  FROM pts
+)
+SELECT CAST(p AS BIGINT) AS pct, n_tokens, v_types,
+       ROUND(CAST(v_types AS DOUBLE) / n_tokens, 6) AS ttr,
+       ROUND((fit.k * fit.sxy - fit.sx * fit.sy)
+             / (fit.k * fit.sxx - fit.sx * fit.sx), 4) AS heaps_beta
+FROM pts CROSS JOIN fit ORDER BY pct
+"""
+
+
+@register(
+    "q256_heaps_law",
+    _Q256_SQL,
+    doc=(
+        "Heaps' law vocabulary-growth curve over word bigrams "
+        "(q250's companion corpus law — V(n) ~ K*n^beta; natural "
+        "text sits near beta 0.5, a CLOSED vocabulary like this "
+        "fixture flattens toward 0): cumulative distinct types at "
+        "each corpus prefix come from gram-keyed MIN(first-doc-rank) "
+        "— the q224 novelty machinery, so checkpoints are threshold "
+        "COUNTS over the vocabulary table, never a re-scan per "
+        "checkpoint; beta is the ln-ln OLS over the checkpoint "
+        "frame (q250 discipline)"
+    ),
+    tables=("documents",),
+)
+def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    d = docs.select(
+        "doc_id",
+        F.row_number().over(w).alias("drk"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> concat(split(text, ' ')[i - 1], ' ', "
+                    "split(text, ' ')[i]))"
+                )
+            ).alias("g"),
+        )
+        .join(F.broadcast(d), "doc_id")
+    )
+    first_seen = grams.groupBy("g").agg(F.min("drk").cast("long").alias("fr"))
+    per_doc = grams.groupBy("drk").agg(F.count(F.lit(1)).alias("toks"))
+    ck = spark.createDataFrame([(p,) for p in _Q256_PCTS], "p LONG")
+    ckn = ck.crossJoin(F.broadcast(nd)).select(
+        "p", F.expr("(p * nd + 99) div 100").alias("kdoc")
+    )
+    n_tokens = (
+        per_doc.crossJoin(F.broadcast(ckn))
+        .where(F.col("drk") <= F.col("kdoc"))
+        .groupBy("p")
+        .agg(F.sum("toks").alias("n_tokens"))
+    )
+    v_types = (
+        first_seen.crossJoin(F.broadcast(ckn))
+        .where(F.col("fr") <= F.col("kdoc"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("v_types"))
+    )
+    pts = n_tokens.join(v_types, "p")
+    x = F.round(F.log(F.col("n_tokens").cast("double")), 6)
+    y = F.round(F.log(F.col("v_types").cast("double")), 6)
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    beta = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("p").alias("pct"),
+            "n_tokens",
+            "v_types",
+            F.round(
+                F.col("v_types").cast("double") / F.col("n_tokens"), 6
+            ).alias("ttr"),
+            F.round(beta, 4).alias("heaps_beta"),
+        )
+        .orderBy("pct")
+    )

@@ -683,3 +683,74 @@ def test_streaming_anomaly_prior_state_semantics(spark, sf_dir):
         assert rs[0].n_flagged == 0  # no prior state in batch 1
         assert sum(r.n_batch for r in rs) == counts[et]
         assert any(r.n_flagged > 0 for r in rs[1:]), et  # detector alive
+
+
+def test_markov_eval_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q255_TRAIN_PCT,
+        q255,
+    )
+
+    got = {r.src: r for r in q255(spark, sf_dir).collect()}
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_type,
+              CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id
+            FROM '{sf_dir}/events.parquet'
+            ORDER BY user_id, ts_us, event_id"""
+    ).fetchall()
+    seqs: dict = collections.defaultdict(list)
+    for uid, et, _, _ in rows:
+        seqs[uid].append(et)
+    train_c: dict = collections.defaultdict(collections.Counter)
+    test_t: dict = collections.defaultdict(list)
+    for uid, seq in seqs.items():
+        is_train = ((uid % 2147483648) * 2654435761) % 100 < _Q255_TRAIN_PCT
+        for a, b in zip(seq, seq[1:]):
+            if is_train:
+                train_c[a][b] += 1
+            else:
+                test_t[a].append(b)
+    for src, cnts in train_c.items():
+        pred = min(cnts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        dsts = test_t.get(src, [])
+        if not dsts:
+            continue
+        correct = sum(d == pred for d in dsts)
+        r = got[src]
+        assert r.predicted == pred, src
+        assert (r.n_test, r.n_correct) == (len(dsts), correct)
+        assert abs(r.accuracy - round(correct / len(dsts), 4)) < 1e-9
+
+
+def test_heaps_law_matches_brute_and_monotone(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q256_PCTS,
+        q256,
+    )
+
+    got = {r.pct: r for r in q256(spark, sf_dir).collect()}
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    nd = len(rows)
+    seen: set = set()
+    toks = 0
+    marks = {p: (p * nd + 99) // 100 for p in _Q256_PCTS}
+    snaps = {}
+    for i, (_, t) in enumerate(rows, start=1):
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            seen.add(f"{a} {b}")
+            toks += 1
+        for p, k in marks.items():
+            if i == k:
+                snaps[p] = (toks, len(seen))
+    for p in _Q256_PCTS:
+        r = got[p]
+        assert (r.n_tokens, r.v_types) == snaps[p], p
+    # growth curve must be nondecreasing in both coordinates
+    ns = [got[p].n_tokens for p in _Q256_PCTS]
+    vs = [got[p].v_types for p in _Q256_PCTS]
+    assert ns == sorted(ns) and vs == sorted(vs)
+    # the fixture's closed 31-token vocabulary => near-flat beta
+    assert 0.0 <= got[100].heaps_beta < 0.5
