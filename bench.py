@@ -210,6 +210,9 @@ TIER2_QUERIES = [
     "q238_kcore",
     "q241_vocab_coverage",
     "q243_pq_adc",
+    "q249_retrieval_metrics",
+    "q255_markov_eval",
+    "s22_streaming_anomaly",
 ]
 
 

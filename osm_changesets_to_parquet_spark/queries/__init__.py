@@ -117,6 +117,9 @@ _PRIORITY: tuple[str, ...] = (
     "q222_bigram_perplexity",
     "q223_ks_drift",
     # ---- window boundary (50) — names below queue for round 8 ----
+    # (q224-u7 are round-7 session-1 overflow; q232+ are session-2
+    # registrations, 27 new queries verified at sf0.001+sf0.01 and in
+    # the full-registry sweep — all awaiting first driver witness)
     "q224_gram_novelty",
     "q225_source_overlap",
     "q226_lateral_topn",
