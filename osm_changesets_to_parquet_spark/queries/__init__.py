@@ -156,6 +156,8 @@ _PRIORITY: tuple[str, ...] = (
     "s22_streaming_anomaly",
     "q255_markov_eval",
     "q256_heaps_law",
+    "q257_label_propagation",
+    "q258_degree_assortativity",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

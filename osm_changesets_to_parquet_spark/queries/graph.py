@@ -415,3 +415,212 @@ def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q257: synchronous label propagation (4 unrolled rounds)
+# ---------------------------------------------------------------------------
+
+_Q257_ROUNDS = 4
+# composite argmax key: maximize count, tie-break to the SMALLEST
+# label — encoded as one BIGINT (labels are part keys < 10^9)
+_Q257_KEY = "cnt * 1000000000 - lbl"
+
+
+def _lpa_cte(r: int) -> str:
+    prev = f"l{r - 1}"
+    return f"""l{r} AS MATERIALIZED (
+  SELECT node, arg_max(lbl, {_Q257_KEY}) AS lbl FROM (
+    SELECT s.dst AS node, p.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM sym s JOIN {prev} p ON p.node = s.src
+    GROUP BY s.dst, p.lbl
+  ) GROUP BY node
+)"""
+
+
+_Q257_SQL = f"""
+WITH inc AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM inc a JOIN inc b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sym AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS lbl FROM sym
+),
+{", ".join(_lpa_cte(r) for r in range(1, _Q257_ROUNDS + 1))}
+SELECT CAST(lbl AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l{_Q257_ROUNDS}
+GROUP BY lbl ORDER BY n_members DESC, community LIMIT 20
+"""
+
+
+@register(
+    "q257_label_propagation",
+    _Q257_SQL,
+    doc=(
+        f"synchronous label propagation ({_Q257_ROUNDS} fixed rounds) "
+        "over the repeat-co-purchase graph: each round is ONE "
+        "(node,label) count rollup + ONE keyed max_by argmax — the "
+        "(count, smallest-label) composite key is encoded as a single "
+        "BIGINT cnt*1e9-lbl so the argmax is a plain aggregation, "
+        "never a per-node window; lineage truncated per round (q84 "
+        "discipline); FIXED round count because sync LPA can "
+        "oscillate — a fixed-round snapshot is deterministic and "
+        "oracle-unrollable (MATERIALIZED CTEs, the q238 lesson); "
+        "output = 20 largest communities"
+    ),
+    tables=("lineitem",),
+)
+def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    inc = li.select("l_orderkey", "l_partkey").distinct()
+    a = inc.alias("a")
+    b = inc.alias("b")
+    e = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("m"))
+        .where(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    sym = truncate_lineage(sym)
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").cast("long").alias("lbl")
+    )
+    for _ in range(_Q257_ROUNDS):
+        msg = sym.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).groupBy(F.col("dst").alias("node"), "lbl").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = msg.groupBy("node").agg(
+            F.max_by(
+                "lbl", F.col("cnt") * F.lit(1_000_000_000) - F.col("lbl")
+            ).alias("lbl")
+        )
+        labels = truncate_lineage(labels)
+    return (
+        labels.groupBy(F.col("lbl").cast("long").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q258: degree assortativity (Pearson over directed edge endpoints)
+# ---------------------------------------------------------------------------
+
+_Q258_SQL = """
+WITH inc AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM inc a JOIN inc b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT src AS n, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY src),
+pairs AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM sym s JOIN deg du ON du.n = s.src JOIN deg dv ON dv.n = s.dst
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs
+)
+SELECT n AS n_directed_edges,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS assortativity
+FROM s
+"""
+
+
+@register(
+    "q258_degree_assortativity",
+    _Q258_SQL,
+    doc=(
+        "degree assortativity (Newman 2002): Pearson correlation of "
+        "endpoint degrees over the DIRECTED edge list of the "
+        "repeat-co-purchase graph — do high-degree parts co-purchase "
+        "with high-degree parts?  Degrees are one keyed rollup "
+        "broadcast onto the edges, the coefficient comes from exact "
+        "integer power sums (the q232 discipline); negative = "
+        "hub-leaf structure, positive = rich-club"
+    ),
+    tables=("lineitem",),
+)
+def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    inc = li.select("l_orderkey", "l_partkey").distinct()
+    a = inc.alias("a")
+    b = inc.alias("b")
+    e = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("m"))
+        .where(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("n")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    pairs = (
+        sym.join(
+            F.broadcast(deg.select(F.col("n").alias("src"), F.col("d").alias("x"))),
+            "src",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("n").alias("dst"), F.col("d").alias("y"))),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (n_d * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

@@ -754,3 +754,61 @@ def test_heaps_law_matches_brute_and_monotone(spark, sf_dir):
     assert ns == sorted(ns) and vs == sorted(vs)
     # the fixture's closed 31-token vocabulary => near-flat beta
     assert 0.0 <= got[100].heaps_beta < 0.5
+
+
+def _multi_edges(sf_dir: str):
+    return duckdb.sql(
+        f"""WITH inc AS (SELECT DISTINCT l_orderkey, l_partkey
+                         FROM '{sf_dir}/lineitem.parquet')
+            SELECT a.l_partkey u, b.l_partkey v FROM inc a JOIN inc b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
+    ).fetchall()
+
+
+def test_label_propagation_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.graph import (
+        _Q257_ROUNDS,
+        q257,
+    )
+
+    got = [(r.community, r.n_members) for r in q257(spark, sf_dir).collect()]
+    edges = _multi_edges(sf_dir)
+    adj: dict = collections.defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    lbl = {n: n for n in adj}
+    for _ in range(_Q257_ROUNDS):
+        new = {}
+        for n, nbrs in adj.items():
+            c = collections.Counter(lbl[m] for m in nbrs)
+            new[n] = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lbl = new
+    sizes = collections.Counter(lbl.values())
+    want = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
+
+
+def test_assortativity_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.graph import q258
+
+    row = q258(spark, sf_dir).collect()[0]
+    edges = _multi_edges(sf_dir)
+    deg: collections.Counter = collections.Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    xs, ys = [], []
+    for u, v in edges:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    r = (n * sxy - sx * sy) / ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    assert row.n_directed_edges == n
+    assert abs(row.assortativity - round(r, 6)) < 1e-9
+    assert -1.0 <= row.assortativity <= 1.0
