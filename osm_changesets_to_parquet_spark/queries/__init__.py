@@ -158,6 +158,8 @@ _PRIORITY: tuple[str, ...] = (
     "q256_heaps_law",
     "q257_label_propagation",
     "q258_degree_assortativity",
+    "q259_seasonal_decomposition",
+    "q260_term_burstiness",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

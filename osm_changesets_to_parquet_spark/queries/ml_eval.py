@@ -2005,3 +2005,209 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# q259: classical additive seasonal decomposition (trend/dow/resid)
+# ---------------------------------------------------------------------------
+
+_Q259_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+ma AS (
+  SELECT event_type, d, y, d % 7 AS dow,
+         SUM(y) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) / 7.0
+           AS trend,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w
+  FROM daily
+),
+dw AS (
+  SELECT event_type, d % 7 AS dow,
+         CAST(SUM(y) AS BIGINT) AS s_dw, CAST(COUNT(*) AS BIGINT) AS n_dw
+  FROM daily GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, CAST(SUM(y) AS BIGINT) AS s_t,
+         CAST(COUNT(*) AS BIGINT) AS n_t
+  FROM daily GROUP BY event_type
+),
+resid AS (
+  SELECT m.event_type,
+         m.y - m.trend
+           - (CAST(dw.s_dw AS DOUBLE) / dw.n_dw
+              - CAST(g.s_t AS DOUBLE) / g.n_t) AS r,
+         m.y
+  FROM ma m
+  JOIN dw ON dw.event_type = m.event_type AND dw.dow = m.dow
+  JOIN g ON g.event_type = m.event_type
+  WHERE m.w = 7
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days_used,
+       ROUND((SUM(CAST(y AS DOUBLE) * y) - SUM(CAST(y AS DOUBLE))
+              * SUM(CAST(y AS DOUBLE)) / COUNT(*)) / COUNT(*), 4)
+         AS var_total,
+       ROUND((SUM(r * r) - SUM(r) * SUM(r) / COUNT(*)) / COUNT(*), 4)
+         AS var_resid,
+       ROUND(1 - ((SUM(r * r) - SUM(r) * SUM(r) / COUNT(*)) / COUNT(*))
+             / ((SUM(CAST(y AS DOUBLE) * y) - SUM(CAST(y AS DOUBLE))
+                 * SUM(CAST(y AS DOUBLE)) / COUNT(*)) / COUNT(*)), 4)
+         AS pct_explained
+FROM resid GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "q259_seasonal_decomposition",
+    _Q259_SQL,
+    doc=(
+        "classical additive decomposition of per-type daily volume "
+        "(trend = centered 7-day MA, seasonal = dow-mean minus grand "
+        "mean, residual = the rest): the fixture's generator has a "
+        "REAL weekday effect (dow-0 runs ~30% above dow-6), so "
+        "pct_explained is genuinely positive; per-type windows run "
+        "over the 30-day rollup, only full 7-day MA windows "
+        "contribute (w=7 filter — the decomposition must not use "
+        "truncated trend estimates at the series edges); residual "
+        "variance sums are 24-term per-type frames rounded at 4dp"
+    ),
+    tables=("events",),
+)
+def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    ma = daily.select(
+        "event_type",
+        "d",
+        "y",
+        (F.col("d") % 7).alias("dow"),
+        (F.sum("y").over(w7) / 7.0).alias("trend"),
+        F.count(F.lit(1)).over(w7).alias("w"),
+    )
+    dw = daily.groupBy("event_type", (F.col("d") % 7).alias("dow")).agg(
+        F.sum("y").alias("s_dw"), F.count(F.lit(1)).alias("n_dw")
+    )
+    g = daily.groupBy("event_type").agg(
+        F.sum("y").alias("s_t"), F.count(F.lit(1)).alias("n_t")
+    )
+    resid = (
+        ma.where(F.col("w") == 7)
+        .join(F.broadcast(dw), ["event_type", "dow"])
+        .join(F.broadcast(g), "event_type")
+        .select(
+            "event_type",
+            "y",
+            (
+                F.col("y")
+                - F.col("trend")
+                - (
+                    F.col("s_dw").cast("double") / F.col("n_dw")
+                    - F.col("s_t").cast("double") / F.col("n_t")
+                )
+            ).alias("r"),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    y_d = F.col("y").cast("double")
+    var_y = (F.sum(y_d * F.col("y")) - F.sum(y_d) * F.sum(y_d) / cnt) / cnt
+    var_r = (
+        F.sum(F.col("r") * F.col("r")) - F.sum("r") * F.sum("r") / cnt
+    ) / cnt
+    return (
+        resid.groupBy("event_type")
+        .agg(
+            cnt.alias("n_days_used"),
+            F.round(var_y, 4).alias("var_total"),
+            F.round(var_r, 4).alias("var_resid"),
+            F.round(1 - var_r / var_y, 4).alias("pct_explained"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q260: term burstiness (index of dispersion over per-doc counts)
+# ---------------------------------------------------------------------------
+
+_Q260_SQL = """
+WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+per_doc AS (
+  SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w, doc_id
+),
+s AS (
+  SELECT w,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM per_doc GROUP BY w
+)
+SELECT w,
+       s1 AS total_count,
+       ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nd.n) / s1, 6)
+         AS dispersion
+FROM s CROSS JOIN nd
+ORDER BY dispersion DESC, w LIMIT 10
+"""
+
+
+@register(
+    "q260_term_burstiness",
+    _Q260_SQL,
+    doc=(
+        "term burstiness via the index of dispersion D = var/mean of "
+        "per-document counts (Church & Gale: content words are bursty "
+        "D>>1, function words Poisson D~1 — a curation signal for "
+        "templated/boilerplate corpora): zero-docs contribute nothing "
+        "to the power sums so D = (s2 - s1^2/N)/s1 needs only the "
+        "NONZERO (term, doc) rollup plus the document count — exact "
+        "integer sums, one division per term; the fixture's uniform "
+        "generator sits at the Poisson null (D~1), which the brute "
+        "test pins as a property"
+    ),
+    tables=("documents",),
+)
+def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    per_doc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = per_doc.groupBy("w").agg(
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    disp = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / F.col("s1")
+    return (
+        s.crossJoin(F.broadcast(nd))
+        .select(
+            "w",
+            F.col("s1").alias("total_count"),
+            F.round(disp, 6).alias("dispersion"),
+        )
+        .orderBy(F.col("dispersion").desc(), "w")
+        .limit(10)
+    )

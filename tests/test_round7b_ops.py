@@ -812,3 +812,64 @@ def test_assortativity_matches_brute(spark, sf_dir):
     assert row.n_directed_edges == n
     assert abs(row.assortativity - round(r, 6)) < 1e-9
     assert -1.0 <= row.assortativity <= 1.0
+
+
+def test_seasonal_decomposition_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import q259
+
+    got = {r.event_type: r for r in q259(spark, sf_dir).collect()}
+    d = _daily(sf_dir)
+    for et, grp in d.groupby("event_type"):
+        grp = grp.sort_values("d")
+        ys = [int(v) for v in grp["x"]]
+        ds = [int(v) for v in grp["d"]]
+        s_t, n_t = sum(ys), len(ys)
+        dw: dict = collections.defaultdict(lambda: [0, 0])
+        for day, y in zip(ds, ys):
+            dw[day % 7][0] += y
+            dw[day % 7][1] += 1
+        rs, used_y = [], []
+        for i in range(len(ys)):
+            if i < 3 or i >= len(ys) - 3:
+                continue
+            trend = sum(ys[i - 3 : i + 4]) / 7.0
+            sdw, ndw = dw[ds[i] % 7]
+            seasonal = sdw / ndw - s_t / n_t
+            rs.append(ys[i] - trend - seasonal)
+            used_y.append(ys[i])
+        n = len(rs)
+        var_y = (sum(y * y for y in used_y) - sum(used_y) ** 2 / n) / n
+        var_r = (sum(r * r for r in rs) - sum(rs) ** 2 / n) / n
+        g = got[et]
+        assert g.n_days_used == n
+        assert abs(g.var_total - round(var_y, 4)) < 1e-6
+        assert abs(g.var_resid - round(var_r, 4)) < 1e-6
+        # the fixture has a REAL weekday effect: decomposition must
+        # explain a strictly positive share of variance
+        assert g.pct_explained > 0.05, et
+
+
+def test_term_burstiness_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import q260
+
+    got = [(r.w, r.total_count, r.dispersion)
+           for r in q260(spark, sf_dir).collect()]
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    nd = len(texts)
+    per: dict = collections.defaultdict(collections.Counter)
+    for did, t in texts:
+        per_doc = collections.Counter(t.split(" "))
+        for w, c in per_doc.items():
+            per[w][did] = c
+    rows = []
+    for w, cnts in per.items():
+        s1 = sum(cnts.values())
+        s2 = sum(c * c for c in cnts.values())
+        rows.append((w, s1, round((s2 - s1 * s1 / nd) / s1, 6)))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    assert got == rows[:10]
+    # the uniform fixture sits near the Poisson null, mildly
+    # over-dispersed by doc-length variation — never extreme
+    assert all(0.5 < d < 3.0 for _, _, d in got)
