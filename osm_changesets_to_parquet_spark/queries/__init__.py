@@ -160,6 +160,8 @@ _PRIORITY: tuple[str, ...] = (
     "q258_degree_assortativity",
     "q259_seasonal_decomposition",
     "q260_term_burstiness",
+    "q261_cohort_ltv",
+    "q262_similarity_histogram",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

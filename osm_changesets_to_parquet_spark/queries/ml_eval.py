@@ -2211,3 +2211,201 @@ def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dispersion").desc(), "w")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q261: cohort LTV curve (cumulative revenue per user by cohort age)
+# ---------------------------------------------------------------------------
+
+_Q261_SQL = """
+WITH e AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) // 7 AS wk,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+first_wk AS (
+  SELECT user_id, CAST(MIN(wk) AS BIGINT) AS cohort FROM e GROUP BY user_id
+),
+cohort_size AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM first_wk GROUP BY cohort
+),
+cell AS (
+  SELECT f.cohort, e.wk - f.cohort AS age,
+         CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users,
+         CAST(SUM(e.v) AS BIGINT) AS rev
+  FROM e JOIN first_wk f ON f.user_id = e.user_id
+  GROUP BY f.cohort, e.wk - f.cohort
+),
+cum AS (
+  SELECT cohort, age, active_users,
+         CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_rev
+  FROM cell
+)
+SELECT c.cohort, CAST(c.age AS BIGINT) AS age, s.n_users, c.active_users,
+       ROUND(CAST(c.cum_rev AS DOUBLE) / 100, 2) AS cum_revenue,
+       ROUND(CAST(c.cum_rev AS DOUBLE) / s.n_users / 100, 4)
+         AS ltv_per_user
+FROM cum c JOIN cohort_size s ON s.cohort = c.cohort
+ORDER BY c.cohort, age
+"""
+
+
+@register(
+    "q261_cohort_ltv",
+    _Q261_SQL,
+    doc=(
+        "cohort LTV curves (q76 retention's revenue twin): cohort = "
+        "first-activity week, cells = (cohort, age) integer cents "
+        "rollups, cumulative revenue via a window over <=5 ages per "
+        "cohort, normalized by the FIXED cohort size (not the "
+        "shrinking active count — LTV is per enrolled user); every "
+        "sum is exact integer cents"
+    ),
+    tables=("events",),
+)
+def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr(
+            "datediff(cast(ts as date), date'2024-01-01') div 7"
+        ).cast("long").alias("wk"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    first_wk = e.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    cohort_size = first_wk.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    cell = (
+        e.join(first_wk, "user_id")
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("age"))
+        .agg(
+            F.count_distinct("user_id").alias("active_users"),
+            F.sum("v").alias("rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cell.select(
+        "cohort",
+        F.col("age").cast("long").alias("age"),
+        "active_users",
+        F.sum("rev").over(w).alias("cum_rev"),
+    )
+    return (
+        cum.join(F.broadcast(cohort_size), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "n_users",
+            "active_users",
+            F.round(F.col("cum_rev").cast("double") / 100, 2).alias(
+                "cum_revenue"
+            ),
+            F.round(
+                F.col("cum_rev").cast("double") / F.col("n_users") / 100, 4
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q262: pairwise-similarity histogram (dedup-threshold diagnostic)
+# ---------------------------------------------------------------------------
+
+_Q262_NA = 32
+_Q262_BIN = 100_000
+
+_Q262_SQL = f"""
+WITH anchors AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY {{anchor_key}}, vec_id LIMIT {_Q262_NA}
+),
+quant AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings
+),
+dots AS (
+  SELECT a.vec_id AS aid, v.vec_id,
+         CAST(SUM(av.q * v.q) AS BIGINT) AS dot
+  FROM anchors a
+  JOIN quant av ON av.vec_id = a.vec_id
+  JOIN quant v ON v.pos = av.pos AND v.vec_id <> a.vec_id
+  GROUP BY a.vec_id, v.vec_id
+)
+SELECT CAST(FLOOR(dot / {_Q262_BIN}.0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(dot) AS BIGINT) AS min_dot,
+       CAST(MAX(dot) AS BIGINT) AS max_dot
+FROM dots GROUP BY 1 ORDER BY bin
+"""
+
+from osm_changesets_to_parquet_spark.operators.anchors import (  # noqa: E402
+    sql_anchor_order as _sql_anchor_order,
+)
+
+_Q262_SQL = _Q262_SQL.format(anchor_key=_sql_anchor_order("vec_id"))
+
+
+@register(
+    "q262_similarity_histogram",
+    _Q262_SQL,
+    doc=(
+        "pairwise-similarity histogram over a fixed-k anchor panel "
+        "(the threshold-choosing diagnostic BEFORE committing to a "
+        "SemDeDup/near-dup cutoff: where does the corpus's similarity "
+        "mass sit?): dot products of integer milli-quantized vectors "
+        "are exact BIGINTs, binning FLOORs the integer dot — no "
+        "double ever decides a bin — and the anchor panel is "
+        f"CONSTANT-k ({_Q262_NA}), so the pass is Θ(k·n·D), never "
+        "all-pairs (the q179 discipline)"
+    ),
+    tables=("embeddings",),
+)
+def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.anchors import (
+        fixed_k_anchors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = fixed_k_anchors(emb, "vec_id", _Q262_NA).select(
+        F.col("vec_id").alias("aid")
+    )
+    quant = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("v").cast("double") * 1000).cast("long").alias("q"),
+    )
+    aq = anchors.join(
+        quant.select(F.col("vec_id").alias("aid"), "pos", F.col("q").alias("aq")),
+        "aid",
+    )
+    dots = (
+        quant.join(F.broadcast(aq), "pos")
+        .where(F.col("vec_id") != F.col("aid"))
+        .groupBy("aid", "vec_id")
+        .agg(F.sum(F.col("aq") * F.col("q")).alias("dot"))
+    )
+    return (
+        dots.groupBy(
+            F.floor(F.col("dot") / float(_Q262_BIN)).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("dot").alias("min_dot"),
+            F.max("dot").alias("max_dot"),
+        )
+        .orderBy("bin")
+    )

@@ -873,3 +873,79 @@ def test_term_burstiness_matches_brute(spark, sf_dir):
     # the uniform fixture sits near the Poisson null, mildly
     # over-dispersed by doc-length variation — never extreme
     assert all(0.5 < d < 3.0 for _, _, d in got)
+
+
+def test_cohort_ltv_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import q261
+
+    got = {(r.cohort, r.age): r for r in q261(spark, sf_dir).collect()}
+    rows = duckdb.sql(
+        f"""SELECT user_id,
+              CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS BIGINT) // 7 AS wk,
+              CAST(ROUND(value*100) AS BIGINT) AS v
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    first = {}
+    for uid, wk, _ in rows:
+        first[uid] = min(first.get(uid, wk), wk)
+    size = collections.Counter(first.values())
+    cell_rev: dict = collections.defaultdict(int)
+    cell_users: dict = collections.defaultdict(set)
+    for uid, wk, v in rows:
+        key = (first[uid], wk - first[uid])
+        cell_rev[key] += v
+        cell_users[key].add(uid)
+    by_cohort: dict = collections.defaultdict(list)
+    for (c, a) in cell_rev:
+        by_cohort[c].append(a)
+    for c, ages in by_cohort.items():
+        cum = 0
+        for a in sorted(ages):
+            cum += cell_rev[(c, a)]
+            r = got[(c, a)]
+            assert r.n_users == size[c]
+            assert r.active_users == len(cell_users[(c, a)])
+            assert abs(r.cum_revenue - round(cum / 100, 2)) < 1e-9
+            assert abs(r.ltv_per_user - round(cum / size[c] / 100, 4)) < 1e-9
+    # LTV must be nondecreasing in age within a cohort (revenue >= 0)
+    for c, ages in by_cohort.items():
+        ltvs = [got[(c, a)].ltv_per_user for a in sorted(ages)]
+        assert ltvs == sorted(ltvs)
+
+
+def test_similarity_histogram_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q262_BIN,
+        _Q262_NA,
+        q262,
+    )
+
+    got = {r.bin: r for r in q262(spark, sf_dir).collect()}
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    raw = np.array([r[1] for r in rows], dtype=np.float64) * 1000
+    q = (np.sign(raw) * np.floor(np.abs(raw) + 0.5)).astype(np.int64)
+    rank_key = ((ids % 2147483648) * 2654435761) % 1000000007
+    anchors = np.lexsort((ids, rank_key))[:_Q262_NA]
+    import math
+
+    hist: dict = collections.defaultdict(list)
+    for ai in anchors:
+        dots = q @ q[ai]
+        for i, d in enumerate(dots):
+            if ids[i] == ids[ai]:
+                continue
+            hist[math.floor(d / _Q262_BIN)].append(int(d))
+    assert set(got) == set(hist)
+    total = 0
+    for b, ds in hist.items():
+        r = got[b]
+        assert r.n_pairs == len(ds)
+        assert (r.min_dot, r.max_dot) == (min(ds), max(ds))
+        total += len(ds)
+    assert total == _Q262_NA * (len(ids) - 1)  # full panel coverage
