@@ -162,6 +162,7 @@ _PRIORITY: tuple[str, ...] = (
     "q260_term_burstiness",
     "q261_cohort_ltv",
     "q262_similarity_histogram",
+    "q263_token_bucket",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

@@ -2409,3 +2409,104 @@ def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q263: token-bucket rate limiter replay (clamped nonlinear recurrence)
+# ---------------------------------------------------------------------------
+
+_Q263_CAP = 5
+_Q263_REFILL_US = 43_200_000_000  # 1 token per 12h of gap
+
+
+_Q263_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id)
+           AS rn
+  FROM events
+),
+r(user_id, rn, ts_us, tokens_after, throttled, event_type) AS (
+  SELECT user_id, rn, ts_us, {_Q263_CAP} - 1, FALSE, event_type
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.rn, n.ts_us,
+         CASE WHEN LEAST({_Q263_CAP}, r.tokens_after
+                    + (n.ts_us - r.ts_us) // {_Q263_REFILL_US}) >= 1
+              THEN LEAST({_Q263_CAP}, r.tokens_after
+                    + (n.ts_us - r.ts_us) // {_Q263_REFILL_US}) - 1
+              ELSE LEAST({_Q263_CAP}, r.tokens_after
+                    + (n.ts_us - r.ts_us) // {_Q263_REFILL_US}) END,
+         LEAST({_Q263_CAP}, r.tokens_after
+               + (n.ts_us - r.ts_us) // {_Q263_REFILL_US}) < 1,
+         n.event_type
+  FROM r JOIN e n ON n.user_id = r.user_id AND n.rn = r.rn + 1
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN throttled THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_throttled,
+       ROUND(SUM(CASE WHEN throttled THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+         AS throttle_rate
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "q263_token_bucket",
+    _Q263_SQL,
+    doc=(
+        f"token-bucket rate-limiter replay (capacity {_Q263_CAP}, one "
+        "token per 12h of gap — calibrated so ~half the fixture throttles): the CLAMPED nonlinear recurrence "
+        "min(C, tokens + gap//refill) that no window/cumsum can "
+        "express — the engine runs it per user inside ONE "
+        "applyInPandas over (ts_us, event_id)-sorted groups (bounded "
+        "by a user's event count), the oracle is a true recursive CTE "
+        "walking rn -> rn+1; every quantity is integer micros/tokens, "
+        "so engine and oracle are exactly equal; output = per-type "
+        "throttle accounting (which event types burst past the "
+        "limiter)"
+    ),
+    tables=("events",),
+)
+def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        out_type, out_thr = [], []
+        tokens = _Q263_CAP
+        prev_ts = None
+        for ts_us, et in zip(pdf["ts_us"], pdf["event_type"]):
+            ts_us = int(ts_us)
+            if prev_ts is not None:
+                tokens = min(
+                    _Q263_CAP, tokens + (ts_us - prev_ts) // _Q263_REFILL_US
+                )
+            throttled = tokens < 1
+            if not throttled:
+                tokens -= 1
+            out_type.append(et)
+            out_thr.append(1 if throttled else 0)
+            prev_ts = ts_us
+        return pd.DataFrame({"event_type": out_type, "throttled": out_thr})
+
+    per_event = ev.select(
+        "user_id", "event_id", "ts_us", "event_type"
+    ).groupBy("user_id").applyInPandas(
+        replay, "event_type string, throttled int"
+    )
+    thr = F.sum("throttled")
+    return (
+        per_event.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            thr.cast("long").alias("n_throttled"),
+            F.round(thr * 1.0 / F.count(F.lit(1)), 4).alias("throttle_rate"),
+        )
+        .orderBy("event_type")
+    )

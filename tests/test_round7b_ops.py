@@ -949,3 +949,42 @@ def test_similarity_histogram_matches_numpy(spark, sf_dir):
         assert (r.min_dot, r.max_dot) == (min(ds), max(ds))
         total += len(ds)
     assert total == _Q262_NA * (len(ids) - 1)  # full panel coverage
+
+
+def test_token_bucket_matches_brute_and_throttles(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q263_CAP,
+        _Q263_REFILL_US,
+        q263,
+    )
+
+    got = {r.event_type: r for r in q263(spark, sf_dir).collect()}
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) ts_us,
+              event_id
+            FROM '{sf_dir}/events.parquet' ORDER BY user_id, ts_us, event_id"""
+    ).fetchall()
+    seqs: dict = collections.defaultdict(list)
+    for u, et, ts, _ in rows:
+        seqs[u].append((ts, et))
+    want_n: collections.Counter = collections.Counter()
+    want_thr: collections.Counter = collections.Counter()
+    for u, evs in seqs.items():
+        tokens = _Q263_CAP
+        prev = None
+        for ts, et in evs:
+            if prev is not None:
+                tokens = min(_Q263_CAP, tokens + (ts - prev) // _Q263_REFILL_US)
+            want_n[et] += 1
+            if tokens < 1:
+                want_thr[et] += 1
+            else:
+                tokens -= 1
+            prev = ts
+    for et, r in got.items():
+        assert r.n_events == want_n[et]
+        assert r.n_throttled == want_thr[et], et
+    total_thr = sum(r.n_throttled for r in got.values())
+    total = sum(r.n_events for r in got.values())
+    # calibration: the limiter must bite on a real share, not all/none
+    assert 0.05 < total_thr / total < 0.95
