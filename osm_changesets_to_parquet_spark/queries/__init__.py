@@ -163,6 +163,7 @@ _PRIORITY: tuple[str, ...] = (
     "q261_cohort_ltv",
     "q262_similarity_histogram",
     "q263_token_bucket",
+    "q264_rrf_fusion",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

@@ -1896,3 +1896,223 @@ def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "n_rel_total", "rr", "ap10")
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# q264: reciprocal-rank fusion of exact and PQ-ADC rankings
+# ---------------------------------------------------------------------------
+
+_Q264_RRF_K = 60
+_Q264_LIST = 20   # depth of each input ranking
+_Q264_TOP = 10    # fused output depth
+
+_Q264_SQL = f"""
+WITH ranked AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY {{anchor_key}}, vec_id) AS rk
+  FROM embeddings
+  ORDER BY {{anchor_key}}, vec_id LIMIT {_Q243_K + _Q243_NQ}
+),
+quant AS (
+  SELECT vec_id,
+         CAST((generate_subscripts(embedding, 1) - 1) // {_Q243_SUB}
+              AS BIGINT) AS m,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings
+),
+cb AS (
+  SELECT r.rk AS j, qt.m, qt.pos, qt.q AS cq
+  FROM ranked r JOIN quant qt ON qt.vec_id = r.vec_id
+  WHERE r.rk <= {_Q243_K}
+),
+enc_d AS (
+  SELECT v.vec_id, v.m, c.j,
+         CAST(SUM((v.q - c.cq) * (v.q - c.cq)) AS BIGINT) AS d
+  FROM quant v JOIN cb c ON c.pos = v.pos AND c.m = v.m
+  GROUP BY v.vec_id, v.m, c.j
+),
+codes AS (
+  SELECT vec_id, m, j AS code
+  FROM (SELECT vec_id, m, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, j) AS rn
+        FROM enc_d)
+  WHERE rn = 1
+),
+qpanel AS (SELECT vec_id AS qid FROM ranked WHERE rk > {_Q243_K}),
+lut AS (
+  SELECT p.qid, c.m, c.j,
+         CAST(SUM((v.q - c.cq) * (v.q - c.cq)) AS BIGINT) AS qd
+  FROM qpanel p
+  JOIN quant v ON v.vec_id = p.qid
+  JOIN cb c ON c.pos = v.pos AND c.m = v.m
+  GROUP BY p.qid, c.m, c.j
+),
+adc AS (
+  SELECT l.qid, k.vec_id, CAST(SUM(l.qd) AS BIGINT) AS adc_d
+  FROM codes k JOIN lut l ON l.m = k.m AND l.j = k.code
+  WHERE k.vec_id NOT IN (SELECT qid FROM qpanel)
+  GROUP BY l.qid, k.vec_id
+),
+exact AS (
+  SELECT p.qid, v.vec_id,
+         CAST(SUM((qv.q - v.q) * (qv.q - v.q)) AS BIGINT) AS ex_d
+  FROM qpanel p
+  JOIN quant qv ON qv.vec_id = p.qid
+  JOIN quant v ON v.pos = qv.pos
+  WHERE v.vec_id NOT IN (SELECT qid FROM qpanel)
+  GROUP BY p.qid, v.vec_id
+),
+adc_r AS (
+  SELECT qid, vec_id, rn FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d, vec_id) AS rn
+    FROM adc) WHERE rn <= {_Q264_LIST}
+),
+ex_r AS (
+  SELECT qid, vec_id, rn FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ex_d, vec_id) AS rn
+    FROM exact) WHERE rn <= {_Q264_LIST}
+),
+fused AS (
+  SELECT COALESCE(a.qid, e.qid) AS qid,
+         COALESCE(a.vec_id, e.vec_id) AS vec_id,
+         COALESCE(1.0 / ({_Q264_RRF_K} + a.rn), 0)
+           + COALESCE(1.0 / ({_Q264_RRF_K} + e.rn), 0) AS score
+  FROM adc_r a FULL OUTER JOIN ex_r e
+    ON e.qid = a.qid AND e.vec_id = a.vec_id
+)
+SELECT qid, CAST(frk AS BIGINT) AS fused_rank, vec_id,
+       ROUND(score, 6) AS rrf_score
+FROM (
+  SELECT qid, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id) AS frk
+  FROM fused
+) WHERE frk <= {_Q264_TOP}
+ORDER BY qid, fused_rank
+"""
+
+_Q264_SQL = _Q264_SQL.format(anchor_key=_sql_anchor_order("vec_id"))
+
+
+@register(
+    "q264_rrf_fusion",
+    _Q264_SQL,
+    doc=(
+        f"reciprocal-rank fusion (Cormack et al. 2009, k={_Q264_RRF_K}) "
+        "of the exact integer-L2 ranking and the PQ-ADC ranking "
+        "(q243's codebook): the standard hybrid-search ensemble — "
+        f"each ranker contributes 1/({_Q264_RRF_K}+rank) for its "
+        f"top-{_Q264_LIST}, absent lists contribute 0 via the FULL "
+        "OUTER join of the two per-query rank lists (bounded "
+        f"{_Q264_LIST}-row frames per query, never corpus-sized); "
+        "the fused score is a sum of exactly TWO deterministic "
+        "rationals, so ordering is engine-exact with a vec_id "
+        "tie-break; self-hits are excluded from BOTH rankers"
+    ),
+    tables=("embeddings",),
+)
+def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from osm_changesets_to_parquet_spark.operators.anchors import (
+        fixed_k_anchors,
+        per_anchor_topk,
+    )
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+    from osm_changesets_to_parquet_spark.operators.anchors import ANCHOR_MOD
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    panel = fixed_k_anchors(emb, "vec_id", _Q243_K + _Q243_NQ)
+    wp = Window.orderBy(hash_bucket("vec_id", ANCHOR_MOD), F.col("vec_id"))
+    ranked = panel.withColumn("rk", F.row_number().over(wp))
+    quant = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos0") / _Q243_SUB).cast("long").alias("m"),
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("v").cast("double") * 1000).cast("long").alias("q"),
+    )
+    cb = (
+        ranked.where(F.col("rk") <= _Q243_K)
+        .select("vec_id", F.col("rk").alias("j"))
+        .join(quant, "vec_id")
+        .select("j", "m", "pos", F.col("q").alias("cq"))
+    )
+    diff = F.col("q") - F.col("cq")
+    enc_d = (
+        quant.join(F.broadcast(cb), ["m", "pos"])
+        .groupBy("vec_id", "m", "j")
+        .agg(F.sum(diff * diff).alias("d"))
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy("d", "j")
+    codes = (
+        enc_d.withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("j").alias("code"))
+    )
+    qpanel = ranked.where(F.col("rk") > _Q243_K).select(
+        F.col("vec_id").alias("qid")
+    )
+    lut = (
+        qpanel.join(quant, F.col("qid") == F.col("vec_id"))
+        .drop("vec_id")
+        .join(F.broadcast(cb), ["m", "pos"])
+        .groupBy("qid", "m", "j")
+        .agg(F.sum(diff * diff).alias("qd"))
+    )
+    not_query = F.broadcast(qpanel.withColumnRenamed("qid", "vec_id"))
+    adc = (
+        codes.join(not_query, "vec_id", "anti")
+        .join(F.broadcast(lut.withColumnRenamed("j", "code")), ["m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd").alias("adc_d"))
+    )
+    qquant = qpanel.join(
+        quant.select(
+            F.col("vec_id").alias("qid"), "pos", F.col("q").alias("qq")
+        ),
+        "qid",
+    )
+    exact = (
+        quant.join(not_query, "vec_id", "anti")
+        .join(F.broadcast(qquant), "pos")
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum((F.col("qq") - F.col("q")) * (F.col("qq") - F.col("q"))).alias(
+                "ex_d"
+            )
+        )
+    )
+    adc_r = per_anchor_topk(
+        adc, ["qid"], [F.col("adc_d"), F.col("vec_id")], _Q264_LIST
+    ).select("qid", "vec_id", F.col("rnk").alias("a_rn"))
+    ex_r = per_anchor_topk(
+        exact, ["qid"], [F.col("ex_d"), F.col("vec_id")], _Q264_LIST
+    ).select("qid", "vec_id", F.col("rnk").alias("e_rn"))
+    fused = (
+        adc_r.join(ex_r, ["qid", "vec_id"], "full_outer")
+        .select(
+            "qid",
+            "vec_id",
+            (
+                F.coalesce(1.0 / (_Q264_RRF_K + F.col("a_rn")), F.lit(0.0))
+                + F.coalesce(1.0 / (_Q264_RRF_K + F.col("e_rn")), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    top = per_anchor_topk(
+        fused, ["qid"], [F.col("score").desc(), F.col("vec_id")], _Q264_TOP,
+        rank_col="frk",
+    )
+    return top.select(
+        "qid",
+        F.col("frk").cast("long").alias("fused_rank"),
+        "vec_id",
+        F.round("score", 6).alias("rrf_score"),
+    ).orderBy("qid", "fused_rank")

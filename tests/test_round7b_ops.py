@@ -988,3 +988,76 @@ def test_token_bucket_matches_brute_and_throttles(spark, sf_dir):
     total = sum(r.n_events for r in got.values())
     # calibration: the limiter must bite on a real share, not all/none
     assert 0.05 < total_thr / total < 0.95
+
+
+def test_rrf_fusion_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from osm_changesets_to_parquet_spark.queries.ann import (
+        _Q243_K,
+        _Q243_M,
+        _Q243_NQ,
+        _Q243_SUB,
+        _Q264_LIST,
+        _Q264_RRF_K,
+        _Q264_TOP,
+        q264,
+    )
+
+    got: dict = collections.defaultdict(list)
+    for r in q264(spark, sf_dir).collect():
+        got[r.qid].append((r.fused_rank, r.vec_id, r.rrf_score))
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    raw = np.array([r[1] for r in rows], dtype=np.float64) * 1000
+    q = (np.sign(raw) * np.floor(np.abs(raw) + 0.5)).astype(np.int64)
+    rank_key = ((ids % 2147483648) * 2654435761) % 1000000007
+    order = np.lexsort((ids, rank_key))
+    seeds = order[:_Q243_K]
+    queries = order[_Q243_K : _Q243_K + _Q243_NQ]
+    panel_ids = set(ids[order[: _Q243_K + _Q243_NQ]][_Q243_K:])
+    codes = np.zeros((len(ids), _Q243_M), dtype=np.int64)
+    for m in range(_Q243_M):
+        sl = slice(m * _Q243_SUB, (m + 1) * _Q243_SUB)
+        d = ((q[:, None, sl] - q[seeds][None, :, sl]) ** 2).sum(axis=2)
+        codes[:, m] = np.argmin(d, axis=1)
+    cand_mask = ~np.isin(ids, list(panel_ids))
+    for qi in queries:
+        qid = int(ids[qi])
+        adc = np.zeros(len(ids), dtype=np.int64)
+        for m in range(_Q243_M):
+            sl = slice(m * _Q243_SUB, (m + 1) * _Q243_SUB)
+            lut = ((q[qi, sl][None, :] - q[seeds][:, sl]) ** 2).sum(axis=1)
+            adc += lut[codes[:, m]]
+        ex = ((q - q[qi][None, :]) ** 2).sum(axis=1)
+        a_rank = {
+            int(ids[cand_mask][i]): r + 1
+            for r, i in enumerate(
+                np.lexsort((ids[cand_mask], adc[cand_mask]))[:_Q264_LIST]
+            )
+        }
+        e_rank = {
+            int(ids[cand_mask][i]): r + 1
+            for r, i in enumerate(
+                np.lexsort((ids[cand_mask], ex[cand_mask]))[:_Q264_LIST]
+            )
+        }
+        scores = {}
+        for vid in set(a_rank) | set(e_rank):
+            s = 0.0
+            if vid in a_rank:
+                s += 1.0 / (_Q264_RRF_K + a_rank[vid])
+            if vid in e_rank:
+                s += 1.0 / (_Q264_RRF_K + e_rank[vid])
+            scores[vid] = s
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_Q264_TOP]
+        rs = sorted(got[qid])
+        assert [v for _, v, _ in rs] == [v for v, _ in want], qid
+        for (_, _, sc), (_, ws) in zip(rs, want):
+            assert abs(sc - round(ws, 6)) < 1e-9
+        # consensus property: a doc ranked #1 by BOTH lists must fuse #1
+        both_first = [v for v in scores if a_rank.get(v) == 1 and e_rank.get(v) == 1]
+        if both_first:
+            assert rs[0][1] == both_first[0]
