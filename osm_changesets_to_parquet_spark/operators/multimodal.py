@@ -199,3 +199,65 @@ def sample_audio_frames(
             ).astype({"doc_id": "int64", "frame_id": "int32", "frame_mean": "float64"})
 
     return df.select(F.col(id_col), "payload").mapInPandas(run, AUDIO_FRAME_SCHEMA)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    window: int = 8,
+    modulus: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking over opaque binary payloads — the
+    rsync/LBFS technique for deduplicating LARGE binaries where
+    fixed-offset chunking breaks on a single inserted byte: a chunk
+    boundary falls AFTER byte i whenever the rolling sum of the last
+    ``window`` bytes is divisible by ``modulus``, so boundaries move
+    WITH the content and an insertion only perturbs its own chunk.
+
+    This is the purist constraint-free variant (every qualifying
+    position cuts; expected chunk length = ``modulus``); production
+    adds min/max chunk bounds, which makes cut selection sequential —
+    a bounded per-doc walk in this same mapInPandas, or the recursive
+    oracle spelling (q263's pattern).  The rolling sum is the WEAK
+    layer of rsync's signature; swap a Rabin fingerprint for real
+    adversarial inputs.
+
+    One Arrow-batched pass over (id, payload); output one row per
+    chunk (id, chunk string) — ASCII payloads decode losslessly, so
+    the SQL oracle can reproduce every boundary via ascii()+windowed
+    sums.  Dedup statistics downstream group on the chunk key.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, chunks = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload)
+                cuts = set()
+                s = 0
+                for i in range(1, len(data) + 1):
+                    s += data[i - 1]
+                    if i > window:
+                        s -= data[i - 1 - window]
+                    if i >= window and s % modulus == 0:
+                        cuts.add(i)
+                cuts.add(len(data))
+                prev = 0
+                for cut in sorted(cuts):
+                    if cut > prev:
+                        ids.append(int(doc_id))
+                        chunks.append(data[prev:cut].decode("utf-8"))
+                        prev = cut
+            yield pd.DataFrame({id_col: ids, "chunk": chunks}).astype(
+                {id_col: "int64"}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("chunk", T.StringType()),
+        ]
+    )
+    return df.select(F.col(id_col), "payload").mapInPandas(run, schema)

@@ -150,3 +150,105 @@ def m51(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_copies") > 1)
         .orderBy("keep_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# m52: content-defined chunk dedup over binary payloads (round 7)
+# ---------------------------------------------------------------------------
+
+_M52_SQL = """
+WITH pos AS (
+  SELECT doc_id, text, i, ascii(substr(text, i, 1)) AS b
+  FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)
+),
+h AS (
+  SELECT doc_id, text, i,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS hs,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS w
+  FROM pos
+),
+cuts AS (
+  SELECT doc_id, text, i AS cut FROM h WHERE w = 8 AND hs % 16 = 0
+  UNION
+  SELECT doc_id, text, length(text) FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         substr(text,
+                COALESCE(LAG(cut) OVER (PARTITION BY doc_id ORDER BY cut),
+                         0) + 1,
+                cut - COALESCE(LAG(cut) OVER (PARTITION BY doc_id
+                                              ORDER BY cut), 0)) AS chunk
+  FROM cuts
+),
+per_chunk AS (
+  SELECT chunk,
+         CAST(COUNT(*) AS BIGINT) AS occurrences,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(LENGTH(chunk) AS BIGINT) AS len
+  FROM chunks GROUP BY chunk
+)
+SELECT (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM chunks) AS n_docs,
+       CAST(SUM(occurrences) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(COUNT(*) FILTER (WHERE n_docs >= 2) AS BIGINT)
+         AS n_cross_doc_chunks,
+       ROUND(1 - CAST(SUM(len) AS DOUBLE)
+             / SUM(len * occurrences), 4) AS dedup_saving
+FROM per_chunk
+"""
+
+
+@register(
+    "m52_cdc_chunk_dedup",
+    _M52_SQL,
+    doc=(
+        "content-defined chunking dedup over the opaque binary "
+        "payload (rsync/LBFS: boundaries follow the CONTENT via a "
+        "rolling 8-byte sum % 16, so one inserted byte perturbs one "
+        "chunk, not every fixed offset after it — the large-binary "
+        "twin of q143's span dedup): operators/multimodal.cdc_chunks "
+        "runs the chunker in ONE Arrow mapInPandas pass, dedup stats "
+        "group on the chunk key (shuffle carries chunks, ~16 bytes "
+        "each); ASCII payloads decode losslessly so the oracle "
+        "reproduces every boundary relationally via ascii() + "
+        "windowed sums; output = corpus-level chunk dedup accounting "
+        "incl. the byte-savings ratio"
+    ),
+    tables=("documents",),
+)
+def m52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.multimodal import cdc_chunks
+
+    chunks = cdc_chunks(_docs_with_payload(spark, sf_dir))
+    per_chunk = chunks.groupBy("chunk").agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.count_distinct("doc_id").alias("n_docs_c"),
+        F.max(F.length("chunk")).cast("long").alias("len"),
+    )
+    n_docs = chunks.agg(F.count_distinct("doc_id").alias("n_docs"))
+    return (
+        per_chunk.agg(
+            F.sum("occurrences").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_distinct_chunks"),
+            F.sum(F.when(F.col("n_docs_c") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_cross_doc_chunks"),
+            F.round(
+                1
+                - F.sum("len").cast("double")
+                / F.sum(F.col("len") * F.col("occurrences")),
+                4,
+            ).alias("dedup_saving"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "n_docs",
+            "n_chunks",
+            "n_distinct_chunks",
+            "n_cross_doc_chunks",
+            "dedup_saving",
+        )
+    )

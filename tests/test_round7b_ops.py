@@ -1061,3 +1061,61 @@ def test_rrf_fusion_matches_numpy(spark, sf_dir):
         both_first = [v for v in scores if a_rank.get(v) == 1 and e_rank.get(v) == 1]
         if both_first:
             assert rs[0][1] == both_first[0]
+
+
+def _cdc_brute(data: bytes, window: int = 8, modulus: int = 16) -> list:
+    cuts = set()
+    s = 0
+    for i in range(1, len(data) + 1):
+        s += data[i - 1]
+        if i > window:
+            s -= data[i - 1 - window]
+        if i >= window and s % modulus == 0:
+            cuts.add(i)
+    cuts.add(len(data))
+    out, prev = [], 0
+    for cut in sorted(cuts):
+        if cut > prev:
+            out.append(data[prev:cut].decode())
+            prev = cut
+    return out
+
+
+def test_cdc_chunks_match_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.multimodal import m52
+
+    row = m52(spark, sf_dir).collect()[0]
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    per_chunk: dict = collections.defaultdict(lambda: [0, set()])
+    n_chunks = 0
+    for did, t in texts:
+        for ch in _cdc_brute(t.encode()):
+            per_chunk[ch][0] += 1
+            per_chunk[ch][1].add(did)
+            n_chunks += 1
+    assert row.n_docs == len(texts)
+    assert row.n_chunks == n_chunks
+    assert row.n_distinct_chunks == len(per_chunk)
+    assert row.n_cross_doc_chunks == sum(
+        1 for _, docs in per_chunk.values() if len(docs) >= 2
+    )
+    total = sum(len(c) * occ for c, (occ, _) in per_chunk.items())
+    dist = sum(len(c) for c in per_chunk)
+    assert abs(row.dedup_saving - round(1 - dist / total, 4)) < 1e-9
+    # on a shared-vocabulary corpus the chunker must find real reuse
+    # (~0.16 at sf0.001, grows with corpus size)
+    assert row.dedup_saving > 0.1
+
+
+def test_cdc_is_shift_resilient(spark):
+    # the defining CDC property: inserting ONE byte near the front
+    # must leave most chunks identical (fixed-offset chunking would
+    # shift every boundary after the insertion)
+    base = ("the quick brown fox jumps over the lazy dog " * 8).encode()
+    shifted = base[:5] + b"X" + base[5:]
+    a = collections.Counter(_cdc_brute(base))
+    b = collections.Counter(_cdc_brute(shifted))
+    shared = sum((a & b).values())
+    assert shared / sum(a.values()) > 0.7, (shared, sum(a.values()))
