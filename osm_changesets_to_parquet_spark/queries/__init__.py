@@ -165,6 +165,7 @@ _PRIORITY: tuple[str, ...] = (
     "q263_token_bucket",
     "q264_rrf_fusion",
     "m52_cdc_chunk_dedup",
+    "q265_cohens_kappa",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

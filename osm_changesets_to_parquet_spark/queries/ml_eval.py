@@ -2510,3 +2510,85 @@ def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q265: Cohen's kappa between two labeling heuristics
+# ---------------------------------------------------------------------------
+
+_Q265_CUT_A = 50
+_Q265_CUT_B = 40
+
+_Q265_SQL = f"""
+WITH lab AS (
+  SELECT event_type,
+         CASE WHEN value >= {_Q265_CUT_A} THEN 1 ELSE 0 END AS a,
+         CASE WHEN value >= {_Q265_CUT_B} THEN 1 ELSE 0 END AS b
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM lab GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(CAST(n11 + n00 AS DOUBLE) / n, 4) AS p_observed,
+       ROUND((CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+              + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / n / n, 4)
+         AS p_expected,
+       ROUND((CAST(n11 + n00 AS DOUBLE) / n
+              - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                 + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / n / n)
+             / (1 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                     + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / n / n),
+             4) AS kappa
+FROM s ORDER BY event_type
+"""
+
+
+@register(
+    "q265_cohens_kappa",
+    _Q265_SQL,
+    doc=(
+        "Cohen's kappa between two labeling heuristics (value >= 50 "
+        "vs the more lenient >= 40 — the annotator-agreement audit "
+        "before trusting heuristic labels at scale): the 2x2 "
+        "agreement table is ONE conditional rollup of exact integer "
+        "counts per type, kappa = (po - pe)/(1 - pe) in closed form "
+        "— chance-corrected agreement, where raw overlap (po ~ 0.9 "
+        "here) flatters raters that both say 'no' to everything"
+    ),
+    tables=("events",),
+)
+def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = F.when(F.col("value") >= _Q265_CUT_A, 1).otherwise(0)
+    b = F.when(F.col("value") >= _Q265_CUT_B, 1).otherwise(0)
+    s = ev.select("event_type", a.alias("a"), b.alias("b")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+    )
+    n = F.col("n")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00"))
+    ) / n / n
+    return s.select(
+        "event_type",
+        "n",
+        F.round(po, 4).alias("p_observed"),
+        F.round(pe, 4).alias("p_expected"),
+        F.round((po - pe) / (1 - pe), 4).alias("kappa"),
+    ).orderBy("event_type")

@@ -1119,3 +1119,33 @@ def test_cdc_is_shift_resilient(spark):
     b = collections.Counter(_cdc_brute(shifted))
     shared = sum((a & b).values())
     assert shared / sum(a.values()) > 0.7, (shared, sum(a.values()))
+
+
+def test_cohens_kappa_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q265_CUT_A,
+        _Q265_CUT_B,
+        q265,
+    )
+
+    got = {r.event_type: r for r in q265(spark, sf_dir).collect()}
+    ev = duckdb.sql(
+        f"SELECT event_type, value FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    cells: dict = collections.defaultdict(collections.Counter)
+    for et, v in ev:
+        cells[et][(v >= _Q265_CUT_A, v >= _Q265_CUT_B)] += 1
+    for et, c in cells.items():
+        n = sum(c.values())
+        po = (c[(True, True)] + c[(False, False)]) / n
+        pa1 = (c[(True, True)] + c[(True, False)]) / n
+        pb1 = (c[(True, True)] + c[(False, True)]) / n
+        pe = pa1 * pb1 + (1 - pa1) * (1 - pb1)
+        kappa = (po - pe) / (1 - pe)
+        r = got[et]
+        assert r.n == n
+        assert abs(r.p_observed - round(po, 4)) < 1e-9
+        assert abs(r.kappa - round(kappa, 4)) < 1e-3, et
+        # correlated raters must agree above chance; B is strictly
+        # more lenient so agreement is imperfect
+        assert 0.5 < r.kappa < 1.0, et
