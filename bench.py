@@ -213,6 +213,10 @@ TIER2_QUERIES = [
     "q249_retrieval_metrics",
     "q255_markov_eval",
     "s22_streaming_anomaly",
+    "q257_label_propagation",
+    "q263_token_bucket",
+    "q264_rrf_fusion",
+    "m52_cdc_chunk_dedup",
 ]
 
 

@@ -1,12 +1,17 @@
-"""Round-7 model-evaluation / classical-ML queries (q232+).
+"""Round-7 session-2 queries (q232+): model evaluation, classical
+ML, inference, time-series, and rate/cohort analytics.
 
 The reference engine (/root/reference/src/main.rs — a 456-line
 XML->parquet converter) has no analytics surface; these queries extend
-the engine the way a training-data/eval pipeline needs (SURVEY §2.C):
-rank correlation, operating-point sweeps, multiple-testing control,
-and a naive-Bayes classifier — each spelled as shuffles over SMALL
-rollups (contingency cells, threshold grids, (cell) frames,
-vocabulary counts), never per-row global sorts.
+the engine the way a training-data/eval pipeline needs (SURVEY §2.C).
+The module groups by REGISTRATION ERA, not family — the per-family
+index lives in SURVEY §2 (graph ops landed in queries/graph.py, ANN
+in queries/ann.py, corpus laws in queries/quality.py).  Common shape:
+everything is spelled as shuffles over SMALL rollups (contingency
+cells, threshold grids, sufficient statistics, vocabulary counts),
+never per-row global sorts — and the handful of inherently-sequential
+recurrences (Holt, token bucket) run per-key inside one applyInPandas
+with recursive-CTE oracles.
 
 House determinism rules (SURVEY §2.B):
 - rank statistics are computed from CONTINGENCY COUNTS with integer
