@@ -166,6 +166,7 @@ _PRIORITY: tuple[str, ...] = (
     "q264_rrf_fusion",
     "m52_cdc_chunk_dedup",
     "q265_cohens_kappa",
+    "q266_ratio_metric_delta",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

@@ -2597,3 +2597,95 @@ def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 4).alias("p_expected"),
         F.round((po - pe) / (1 - pe), 4).alias("kappa"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q266: delta-method CI for a ratio metric, clustered by user
+# ---------------------------------------------------------------------------
+
+_Q266_Z = 1.96
+
+_Q266_SQL = f"""
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, user_id
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM per_user GROUP BY event_type
+),
+d AS (
+  SELECT event_type, n, sx, sy,
+         CAST(sx AS DOUBLE) / sy AS r,
+         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+           AS vx,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1)
+           AS vy,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1)
+           AS cxy,
+         CAST(sy AS DOUBLE) / n AS ybar
+  FROM s
+)
+SELECT event_type, n AS n_users,
+       ROUND(r / 100, 6) AS ratio,
+       ROUND(SQRT((vx - 2 * r * cxy + r * r * vy) / n / (ybar * ybar))
+             / 100, 6) AS se,
+       ROUND((r - {_Q266_Z} * SQRT((vx - 2 * r * cxy + r * r * vy)
+             / n / (ybar * ybar))) / 100, 6) AS lo,
+       ROUND((r + {_Q266_Z} * SQRT((vx - 2 * r * cxy + r * r * vy)
+             / n / (ybar * ybar))) / 100, 6) AS hi
+FROM d ORDER BY event_type
+"""
+
+
+@register(
+    "q266_ratio_metric_delta",
+    _Q266_SQL,
+    doc=(
+        "delta-method confidence interval for a RATIO metric "
+        "(mean value per event) CLUSTERED BY USER — the A/B-infra "
+        "subtlety event-level variance gets wrong: events of one "
+        "user are correlated, so the i.i.d. unit is the user and "
+        "var(R) ~ (vx - 2R·cov + R²·vy)/(n·ȳ²) over PER-USER sums "
+        "(Deng et al., KDD 2018 ratio-metric practice); every input "
+        "to the closed form is an exact integer power sum over the "
+        "(type,user) rollup"
+    ),
+    tables=("events",),
+)
+def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    s = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    r = F.col("sx").cast("double") / F.col("sy")
+    vx = (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n) / (n - 1)
+    vy = (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n) / (n - 1)
+    cxy = (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / n) / (n - 1)
+    ybar = F.col("sy").cast("double") / n
+    se = F.sqrt((vx - 2 * r * cxy + r * r * vy) / n / (ybar * ybar))
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.round(r / 100, 6).alias("ratio"),
+        F.round(se / 100, 6).alias("se"),
+        F.round((r - _Q266_Z * se) / 100, 6).alias("lo"),
+        F.round((r + _Q266_Z * se) / 100, 6).alias("hi"),
+    ).orderBy("event_type")

@@ -1149,3 +1149,37 @@ def test_cohens_kappa_matches_brute(spark, sf_dir):
         # correlated raters must agree above chance; B is strictly
         # more lenient so agreement is imperfect
         assert 0.5 < r.kappa < 1.0, et
+
+
+def test_ratio_metric_delta_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q266_Z,
+        q266,
+    )
+
+    got = {r.event_type: r for r in q266(spark, sf_dir).collect()}
+    rows = duckdb.sql(
+        f"""SELECT event_type, user_id,
+              SUM(CAST(ROUND(value*100) AS BIGINT)) x, COUNT(*) y
+            FROM '{sf_dir}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    per: dict = collections.defaultdict(list)
+    for et, _, x, y in rows:
+        per[et].append((int(x), int(y)))
+    for et, us in per.items():
+        n = len(us)
+        sx = sum(x for x, _ in us)
+        sy = sum(y for _, y in us)
+        r0 = sx / sy
+        vx = (sum(x * x for x, _ in us) - sx * sx / n) / (n - 1)
+        vy = (sum(y * y for _, y in us) - sy * sy / n) / (n - 1)
+        cxy = (sum(x * y for x, y in us) - sx * sy / n) / (n - 1)
+        ybar = sy / n
+        se = ((vx - 2 * r0 * cxy + r0 * r0 * vy) / n / (ybar * ybar)) ** 0.5
+        g = got[et]
+        assert g.n_users == n
+        assert abs(g.ratio - round(r0 / 100, 6)) < 1e-9
+        assert abs(g.se - round(se / 100, 6)) < 1e-6
+        assert abs(g.lo - round((r0 - _Q266_Z * se) / 100, 6)) < 1e-5
+        # sanity: CI brackets the point estimate, se strictly positive
+        assert g.lo < g.ratio < g.hi and g.se > 0
