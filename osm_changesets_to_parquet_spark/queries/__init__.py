@@ -167,6 +167,7 @@ _PRIORITY: tuple[str, ...] = (
     "m52_cdc_chunk_dedup",
     "q265_cohens_kappa",
     "q266_ratio_metric_delta",
+    "q267_importance_ess",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

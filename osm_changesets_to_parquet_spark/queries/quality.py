@@ -1443,3 +1443,116 @@ def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q267: effective sample size of the DSIR importance weights (round 7)
+# ---------------------------------------------------------------------------
+
+_Q267_SQL = f"""
+WITH tgt AS (SELECT doc_id, text FROM documents
+             WHERE {QL.sql_hash_bucket('doc_id', 100)} < 10),
+raw AS (SELECT doc_id, text FROM documents
+        WHERE {QL.sql_hash_bucket('doc_id', 100)} >= 10),
+tok_t AS (SELECT unnest(string_split(text, ' ')) AS w FROM tgt),
+tok_r AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM raw),
+ct AS (SELECT w, COUNT(*) AS c FROM tok_t WHERE w <> '' GROUP BY w),
+cr AS (SELECT w, COUNT(*) AS c FROM tok_r WHERE w <> '' GROUP BY w),
+vocab AS (
+  SELECT COALESCE(ct.w, cr.w) AS w,
+         COALESCE(ct.c, 0) AS c_t, COALESCE(cr.c, 0) AS c_r
+  FROM ct FULL OUTER JOIN cr ON ct.w = cr.w
+),
+tot AS (
+  SELECT CAST(SUM(c_t) AS DOUBLE) AS nt, CAST(SUM(c_r) AS DOUBLE) AS nr,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM vocab
+),
+lwt AS (
+  SELECT w, LN((c_t + 1) / (nt + v)) - LN((c_r + 1) / (nr + v)) AS lw
+  FROM vocab, tot
+),
+scored AS (
+  SELECT tok_r.doc_id, ROUND(SUM(lwt.lw), 4) AS lw
+  FROM tok_r JOIN lwt ON lwt.w = tok_r.w
+  WHERE tok_r.w <> ''
+  GROUP BY tok_r.doc_id
+),
+m AS (SELECT MAX(lw) AS mx FROM scored),
+e AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(EXP(lw - mx)) AS s1,
+         SUM(EXP(2 * (lw - mx))) AS s2
+  FROM scored CROSS JOIN m
+)
+SELECT n AS n_docs,
+       ROUND(s1 * s1 / s2, 2) AS ess,
+       ROUND(s1 * s1 / s2 / n, 4) AS ess_fraction,
+       ROUND(1 / s1, 4) AS max_weight_share
+FROM e
+"""
+
+
+@register(
+    "q267_importance_ess",
+    _Q267_SQL,
+    doc=(
+        "effective sample size of the q147 DSIR importance weights "
+        "(Kong 1992: ESS = (Σw)²/Σw² — THE degeneracy diagnostic "
+        "before importance-weighted training: ESS ~ n means weights "
+        "are informative-but-balanced, ESS ~ 1 means one document "
+        "dominates and the reweighted corpus is a mirage): computed "
+        "in log space via the max-shifted log-sum-exp (EXP of raw "
+        "log-weights would under/overflow), per-doc log-weights "
+        "rounded 4dp first (the q147 contract); also reports the "
+        "largest single normalized weight 1/s1"
+    ),
+    tables=("documents",),
+)
+def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = QL.hash_bucket("doc_id", 100)
+    target, raw = docs.where(b < 10), docs.where(b >= 10)
+    tok_t = target.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    tok_r = raw.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    ct = tok_t.groupBy("w").agg(F.count(F.lit(1)).alias("c_t"))
+    cr = tok_r.groupBy("w").agg(F.count(F.lit(1)).alias("c_r"))
+    vocab = ct.join(cr, "w", "full_outer").select(
+        "w",
+        F.coalesce("c_t", F.lit(0)).alias("c_t"),
+        F.coalesce("c_r", F.lit(0)).alias("c_r"),
+    )
+    tot = vocab.agg(
+        F.sum("c_t").cast("double").alias("nt"),
+        F.sum("c_r").cast("double").alias("nr"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    lw = vocab.crossJoin(F.broadcast(tot)).select(
+        "w",
+        (
+            F.log((F.col("c_t") + 1) / (F.col("nt") + F.col("v")))
+            - F.log((F.col("c_r") + 1) / (F.col("nr") + F.col("v")))
+        ).alias("lw"),
+    )
+    scored = (
+        tok_r.join(lw, "w")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lw"), 4).alias("lw"))
+    )
+    m = scored.agg(F.max("lw").alias("mx"))
+    e = scored.crossJoin(F.broadcast(m)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.exp(F.col("lw") - F.col("mx"))).alias("s1"),
+        F.sum(F.exp(2 * (F.col("lw") - F.col("mx")))).alias("s2"),
+    )
+    ess = F.col("s1") * F.col("s1") / F.col("s2")
+    return e.select(
+        F.col("n").alias("n_docs"),
+        F.round(ess, 2).alias("ess"),
+        F.round(ess / F.col("n"), 4).alias("ess_fraction"),
+        F.round(1 / F.col("s1"), 4).alias("max_weight_share"),
+    )

@@ -1183,3 +1183,43 @@ def test_ratio_metric_delta_matches_brute(spark, sf_dir):
         assert abs(g.lo - round((r0 - _Q266_Z * se) / 100, 6)) < 1e-5
         # sanity: CI brackets the point estimate, se strictly positive
         assert g.lo < g.ratio < g.hi and g.se > 0
+
+
+def test_importance_ess_matches_brute(spark, sf_dir):
+    import math
+
+    from osm_changesets_to_parquet_spark.queries.quality import q267
+
+    row = q267(spark, sf_dir).collect()[0]
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    tgt_toks: collections.Counter = collections.Counter()
+    raw_docs = []
+    for did, t in texts:
+        b = ((did % 2147483648) * 2654435761) % 100
+        toks = [w for w in t.split(" ") if w]
+        if b < 10:
+            tgt_toks.update(toks)
+        else:
+            raw_docs.append(toks)
+    raw_toks: collections.Counter = collections.Counter()
+    for toks in raw_docs:
+        raw_toks.update(toks)
+    vocab = set(tgt_toks) | set(raw_toks)
+    nt, nr, v = sum(tgt_toks.values()), sum(raw_toks.values()), len(vocab)
+    lw = {
+        w: math.log((tgt_toks[w] + 1) / (nt + v))
+        - math.log((raw_toks[w] + 1) / (nr + v))
+        for w in vocab
+    }
+    weights = [round(sum(lw[w] for w in toks), 4) for toks in raw_docs]
+    mx = max(weights)
+    s1 = sum(math.exp(x - mx) for x in weights)
+    s2 = sum(math.exp(2 * (x - mx)) for x in weights)
+    ess = s1 * s1 / s2
+    assert row.n_docs == len(weights)
+    assert abs(row.ess - round(ess, 2)) < 0.05
+    # ESS must be a real fraction of n: neither degenerate (~1) nor
+    # trivially full (~n) on a corpus with varying doc lengths
+    assert 1.0 < row.ess < row.n_docs
