@@ -168,6 +168,7 @@ _PRIORITY: tuple[str, ...] = (
     "q265_cohens_kappa",
     "q266_ratio_metric_delta",
     "q267_importance_ess",
+    "q268_rank_biased_overlap",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

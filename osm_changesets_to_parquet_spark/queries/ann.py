@@ -2116,3 +2116,228 @@ def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("score", 6).alias("rrf_score"),
     ).orderBy("qid", "fused_rank")
+
+
+# ---------------------------------------------------------------------------
+# q268: rank-biased overlap between the exact and ADC rankings
+# ---------------------------------------------------------------------------
+
+_Q268_P = 0.9
+# tail coefficients S(m) = sum_{d=m..LIST} p^(d-1)/d, computed ONCE in
+# Python and injected as identical double literals into BOTH the SQL
+# and the engine — no engine ever calls pow(), so there is no libm
+# surface in the metric at all
+_Q268_TAIL = []
+for _m in range(1, _Q264_LIST + 1):
+    _Q268_TAIL.append(
+        sum(_Q268_P ** (d - 1) / d for d in range(_m, _Q264_LIST + 1))
+    )
+
+_Q268_SQL = f"""
+WITH ranked AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY {{anchor_key}}, vec_id) AS rk
+  FROM embeddings
+  ORDER BY {{anchor_key}}, vec_id LIMIT {_Q243_K + _Q243_NQ}
+),
+quant AS (
+  SELECT vec_id,
+         CAST((generate_subscripts(embedding, 1) - 1) // {_Q243_SUB}
+              AS BIGINT) AS m,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings
+),
+cb AS (
+  SELECT r.rk AS j, qt.m, qt.pos, qt.q AS cq
+  FROM ranked r JOIN quant qt ON qt.vec_id = r.vec_id
+  WHERE r.rk <= {_Q243_K}
+),
+enc_d AS (
+  SELECT v.vec_id, v.m, c.j,
+         CAST(SUM((v.q - c.cq) * (v.q - c.cq)) AS BIGINT) AS d
+  FROM quant v JOIN cb c ON c.pos = v.pos AND c.m = v.m
+  GROUP BY v.vec_id, v.m, c.j
+),
+codes AS (
+  SELECT vec_id, m, j AS code
+  FROM (SELECT vec_id, m, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, j) AS rn
+        FROM enc_d)
+  WHERE rn = 1
+),
+qpanel AS (SELECT vec_id AS qid FROM ranked WHERE rk > {_Q243_K}),
+lut AS (
+  SELECT p.qid, c.m, c.j,
+         CAST(SUM((v.q - c.cq) * (v.q - c.cq)) AS BIGINT) AS qd
+  FROM qpanel p
+  JOIN quant v ON v.vec_id = p.qid
+  JOIN cb c ON c.pos = v.pos AND c.m = v.m
+  GROUP BY p.qid, c.m, c.j
+),
+adc AS (
+  SELECT l.qid, k.vec_id, CAST(SUM(l.qd) AS BIGINT) AS adc_d
+  FROM codes k JOIN lut l ON l.m = k.m AND l.j = k.code
+  WHERE k.vec_id NOT IN (SELECT qid FROM qpanel)
+  GROUP BY l.qid, k.vec_id
+),
+exact AS (
+  SELECT p.qid, v.vec_id,
+         CAST(SUM((qv.q - v.q) * (qv.q - v.q)) AS BIGINT) AS ex_d
+  FROM qpanel p
+  JOIN quant qv ON qv.vec_id = p.qid
+  JOIN quant v ON v.pos = qv.pos
+  WHERE v.vec_id NOT IN (SELECT qid FROM qpanel)
+  GROUP BY p.qid, v.vec_id
+),
+adc_r AS (
+  SELECT qid, vec_id, rn FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d, vec_id) AS rn
+    FROM adc) WHERE rn <= {_Q264_LIST}
+),
+ex_r AS (
+  SELECT qid, vec_id, rn FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ex_d, vec_id) AS rn
+    FROM exact) WHERE rn <= {_Q264_LIST}
+),
+tail(m, s) AS (
+  SELECT * FROM (VALUES {{tail_values}}) v(m, s)
+),
+common AS (
+  SELECT a.qid, GREATEST(a.rn, e.rn) AS mx
+  FROM adc_r a JOIN ex_r e ON e.qid = a.qid AND e.vec_id = a.vec_id
+)
+SELECT q.qid,
+       CAST(COUNT(c.mx) AS BIGINT) AS n_common,
+       ROUND((1 - {_Q268_P}) * COALESCE(SUM(t.s), 0), 6) AS rbo
+FROM qpanel q
+LEFT JOIN common c ON c.qid = q.qid
+LEFT JOIN tail t ON t.m = c.mx
+GROUP BY q.qid ORDER BY q.qid
+"""
+
+_Q268_SQL = _Q268_SQL.format(
+    anchor_key=_sql_anchor_order("vec_id"),
+    tail_values=", ".join(
+        f"({m + 1}, {s!r})" for m, s in enumerate(_Q268_TAIL)
+    ),
+)
+
+
+@register(
+    "q268_rank_biased_overlap",
+    _Q268_SQL,
+    doc=(
+        f"rank-biased overlap (Webber et al. 2010, p={_Q268_P}, "
+        f"truncated at depth {_Q264_LIST}, no extrapolation) between "
+        "the exact and PQ-ADC rankings — the top-weighted agreement "
+        "metric q264 fuses and this one GRADES: each doc in both "
+        "lists contributes the tail sum S(max(rank_a, rank_b)), and "
+        "the 20 tail coefficients are computed ONCE in Python and "
+        "injected as identical double literals into both engines — "
+        "neither engine ever calls pow(), zero libm surface; "
+        "per-query work is a join of two bounded 20-row lists"
+    ),
+    tables=("embeddings",),
+)
+def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from osm_changesets_to_parquet_spark.operators.anchors import (
+        ANCHOR_MOD,
+        fixed_k_anchors,
+        per_anchor_topk,
+    )
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    panel = fixed_k_anchors(emb, "vec_id", _Q243_K + _Q243_NQ)
+    wp = Window.orderBy(hash_bucket("vec_id", ANCHOR_MOD), F.col("vec_id"))
+    ranked = panel.withColumn("rk", F.row_number().over(wp))
+    quant = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos0") / _Q243_SUB).cast("long").alias("m"),
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("v").cast("double") * 1000).cast("long").alias("q"),
+    )
+    cb = (
+        ranked.where(F.col("rk") <= _Q243_K)
+        .select("vec_id", F.col("rk").alias("j"))
+        .join(quant, "vec_id")
+        .select("j", "m", "pos", F.col("q").alias("cq"))
+    )
+    diff = F.col("q") - F.col("cq")
+    enc_d = (
+        quant.join(F.broadcast(cb), ["m", "pos"])
+        .groupBy("vec_id", "m", "j")
+        .agg(F.sum(diff * diff).alias("d"))
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy("d", "j")
+    codes = (
+        enc_d.withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("j").alias("code"))
+    )
+    qpanel = ranked.where(F.col("rk") > _Q243_K).select(
+        F.col("vec_id").alias("qid")
+    )
+    lut = (
+        qpanel.join(quant, F.col("qid") == F.col("vec_id"))
+        .drop("vec_id")
+        .join(F.broadcast(cb), ["m", "pos"])
+        .groupBy("qid", "m", "j")
+        .agg(F.sum(diff * diff).alias("qd"))
+    )
+    not_query = F.broadcast(qpanel.withColumnRenamed("qid", "vec_id"))
+    adc = (
+        codes.join(not_query, "vec_id", "anti")
+        .join(F.broadcast(lut.withColumnRenamed("j", "code")), ["m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd").alias("adc_d"))
+    )
+    qquant = qpanel.join(
+        quant.select(
+            F.col("vec_id").alias("qid"), "pos", F.col("q").alias("qq")
+        ),
+        "qid",
+    )
+    exact = (
+        quant.join(not_query, "vec_id", "anti")
+        .join(F.broadcast(qquant), "pos")
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(
+                (F.col("qq") - F.col("q")) * (F.col("qq") - F.col("q"))
+            ).alias("ex_d")
+        )
+    )
+    adc_r = per_anchor_topk(
+        adc, ["qid"], [F.col("adc_d"), F.col("vec_id")], _Q264_LIST
+    ).select("qid", "vec_id", F.col("rnk").alias("a_rn"))
+    ex_r = per_anchor_topk(
+        exact, ["qid"], [F.col("ex_d"), F.col("vec_id")], _Q264_LIST
+    ).select("qid", "vec_id", F.col("rnk").alias("e_rn"))
+    tail = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(m + 1, s) for m, s in enumerate(_Q268_TAIL)], "m LONG, s DOUBLE"
+        )
+    )
+    common = adc_r.join(ex_r, ["qid", "vec_id"]).select(
+        "qid", F.greatest("a_rn", "e_rn").alias("m")
+    )
+    return (
+        qpanel.join(common.join(tail, "m"), "qid", "left")
+        .groupBy("qid")
+        .agg(
+            F.count("m").alias("n_common"),
+            F.round(
+                (1 - _Q268_P) * F.coalesce(F.sum("s"), F.lit(0.0)), 6
+            ).alias("rbo"),
+        )
+        .orderBy("qid")
+    )

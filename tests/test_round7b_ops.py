@@ -1223,3 +1223,69 @@ def test_importance_ess_matches_brute(spark, sf_dir):
     # ESS must be a real fraction of n: neither degenerate (~1) nor
     # trivially full (~n) on a corpus with varying doc lengths
     assert 1.0 < row.ess < row.n_docs
+
+
+def test_rbo_matches_brute_and_bounds(spark, sf_dir):
+    import numpy as np
+
+    from osm_changesets_to_parquet_spark.queries.ann import (
+        _Q243_K,
+        _Q243_M,
+        _Q243_NQ,
+        _Q243_SUB,
+        _Q264_LIST,
+        _Q268_P,
+        _Q268_TAIL,
+        q268,
+    )
+
+    got = {r.qid: r for r in q268(spark, sf_dir).collect()}
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    raw = np.array([r[1] for r in rows], dtype=np.float64) * 1000
+    q = (np.sign(raw) * np.floor(np.abs(raw) + 0.5)).astype(np.int64)
+    rank_key = ((ids % 2147483648) * 2654435761) % 1000000007
+    order = np.lexsort((ids, rank_key))
+    seeds = order[:_Q243_K]
+    queries = order[_Q243_K : _Q243_K + _Q243_NQ]
+    panel_ids = set(int(x) for x in ids[queries])
+    codes = np.zeros((len(ids), _Q243_M), dtype=np.int64)
+    for m in range(_Q243_M):
+        sl = slice(m * _Q243_SUB, (m + 1) * _Q243_SUB)
+        d = ((q[:, None, sl] - q[seeds][None, :, sl]) ** 2).sum(axis=2)
+        codes[:, m] = np.argmin(d, axis=1)
+    cand = ~np.isin(ids, list(panel_ids))
+    # perfect self-agreement check: RBO of a list with itself == the
+    # truncated maximum (1-p) * sum(p^(d-1)) ... = sum of per-rank
+    # contributions where max(ra, rb) = d
+    max_rbo = (1 - _Q268_P) * sum(_Q268_TAIL[d] for d in range(_Q264_LIST))
+    for qi in queries:
+        qid = int(ids[qi])
+        adc = np.zeros(len(ids), dtype=np.int64)
+        for m in range(_Q243_M):
+            sl = slice(m * _Q243_SUB, (m + 1) * _Q243_SUB)
+            lut = ((q[qi, sl][None, :] - q[seeds][:, sl]) ** 2).sum(axis=1)
+            adc += lut[codes[:, m]]
+        ex = ((q - q[qi][None, :]) ** 2).sum(axis=1)
+        a_rank = {
+            int(ids[cand][i]): r + 1
+            for r, i in enumerate(
+                np.lexsort((ids[cand], adc[cand]))[:_Q264_LIST]
+            )
+        }
+        e_rank = {
+            int(ids[cand][i]): r + 1
+            for r, i in enumerate(
+                np.lexsort((ids[cand], ex[cand]))[:_Q264_LIST]
+            )
+        }
+        both = set(a_rank) & set(e_rank)
+        rbo = (1 - _Q268_P) * sum(
+            _Q268_TAIL[max(a_rank[v], e_rank[v]) - 1] for v in both
+        )
+        r = got[qid]
+        assert r.n_common == len(both), qid
+        assert abs(r.rbo - round(rbo, 6)) < 1e-9, qid
+        assert 0.0 <= r.rbo <= max_rbo + 1e-9
