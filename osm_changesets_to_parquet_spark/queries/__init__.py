@@ -169,6 +169,8 @@ _PRIORITY: tuple[str, ...] = (
     "q266_ratio_metric_delta",
     "q267_importance_ess",
     "q268_rank_biased_overlap",
+    "q269_woe_iv",
+    "q270_churn_labels",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

@@ -2689,3 +2689,173 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((r - _Q266_Z * se) / 100, 6).alias("lo"),
         F.round((r + _Q266_Z * se) / 100, 6).alias("hi"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q269: weight-of-evidence bins + information value (scorecard classic)
+# ---------------------------------------------------------------------------
+
+_Q269_BINS = 10
+
+_Q269_SQL = f"""
+WITH base AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+binned AS (
+  SELECT NTILE({_Q269_BINS}) OVER (ORDER BY v, y DESC) AS bin, y
+  FROM base
+),
+cell AS (
+  SELECT bin,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(1 - y) AS BIGINT) AS neg
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS tp, CAST(SUM(neg) AS BIGINT) AS tn
+  FROM cell
+)
+SELECT CAST(bin AS BIGINT) AS bin, pos, neg,
+       ROUND(LN((CAST(pos AS DOUBLE) / tp) / (CAST(neg AS DOUBLE) / tn)), 6)
+         AS woe,
+       ROUND((CAST(pos AS DOUBLE) / tp - CAST(neg AS DOUBLE) / tn)
+             * LN((CAST(pos AS DOUBLE) / tp) / (CAST(neg AS DOUBLE) / tn)),
+             6) AS iv_term
+FROM cell CROSS JOIN tot
+ORDER BY bin
+"""
+
+
+@register(
+    "q269_woe_iv",
+    _Q269_SQL,
+    doc=(
+        f"weight-of-evidence binning + information value ({_Q269_BINS} "
+        "equal-frequency bins of value vs the purchase label — the "
+        "credit-scorecard feature-strength classic complementing q214 "
+        "chi2 and q188 MI): the NTILE order is made TOTAL by the "
+        "(v, y DESC) tie-break (cents collide across rows, and an "
+        "untied NTILE would split ties engine-arbitrarily), per-bin "
+        "(pos, neg) are exact integer counts, WoE/IV are one ln per "
+        "bin rounded 6dp; IV = sum of iv_term — near 0 here because "
+        "the fixture's value is label-independent, which is the "
+        "honest null"
+    ),
+    tables=("events",),
+)
+def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    # global NTILE over the full table: the one corpus-sized window in
+    # this query — respell via packing.global_rank + integer bin
+    # arithmetic at 100 TB (q137's documented path); kept direct here
+    # to witness NTILE itself
+    w = Window.orderBy(F.col("v"), F.col("y").desc())
+    binned = base.select(F.ntile(_Q269_BINS).over(w).alias("bin"), "y")
+    cell = binned.groupBy("bin").agg(
+        F.sum("y").alias("pos"),
+        F.sum(1 - F.col("y")).alias("neg"),
+    )
+    tot = cell.agg(
+        F.sum("pos").alias("tp"), F.sum("neg").alias("tn")
+    )
+    pr = F.col("pos").cast("double") / F.col("tp")
+    nr = F.col("neg").cast("double") / F.col("tn")
+    woe = F.log(pr / nr)
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "pos",
+            "neg",
+            F.round(woe, 6).alias("woe"),
+            F.round((pr - nr) * woe, 6).alias("iv_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q270: churn label construction + cohort base rates
+# ---------------------------------------------------------------------------
+
+_Q270_QUIET_DAYS = 7
+
+_Q270_SQL = f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d
+  FROM events
+),
+horizon AS (SELECT CAST(MAX(d) AS BIGINT) AS max_d FROM e),
+per_user AS (
+  SELECT user_id,
+         CAST(MIN(d) AS BIGINT) AS first_d,
+         CAST(MAX(d) AS BIGINT) AS last_d,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM e GROUP BY user_id
+)
+SELECT first_d // 7 AS cohort_week,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN last_d < h.max_d - {_Q270_QUIET_DAYS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+       ROUND(SUM(CASE WHEN last_d < h.max_d - {_Q270_QUIET_DAYS}
+                 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS churn_rate,
+       ROUND(AVG(CAST(n_events AS DOUBLE)), 4) AS avg_events
+FROM per_user CROSS JOIN horizon h
+GROUP BY cohort_week ORDER BY cohort_week
+"""
+
+
+@register(
+    "q270_churn_labels",
+    _Q270_SQL,
+    doc=(
+        "churn LABEL CONSTRUCTION (the step before any churn model: "
+        f"churned = no activity in the last {_Q270_QUIET_DAYS} days "
+        "of the observation window, horizon anchored to the DATA's "
+        "max day so the label is replay-stable, never wall-clock): "
+        "per-user first/last/count rollup, broadcast scalar horizon, "
+        "base rates by acquisition cohort — exact integer day "
+        "arithmetic throughout"
+    ),
+    tables=("events",),
+)
+def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("d"),
+    )
+    horizon = e.agg(F.max("d").alias("max_d"))
+    per_user = e.groupBy("user_id").agg(
+        F.min("d").alias("first_d"),
+        F.max("d").alias("last_d"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    churned = F.when(
+        F.col("last_d") < F.col("max_d") - _Q270_QUIET_DAYS, 1
+    ).otherwise(0)
+    return (
+        per_user.crossJoin(F.broadcast(horizon))
+        .groupBy(F.expr("first_d div 7").alias("cohort_week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(churned).alias("n_churned"),
+            F.round(F.sum(churned) * 1.0 / F.count(F.lit(1)), 4).alias(
+                "churn_rate"
+            ),
+            F.round(F.avg(F.col("n_events").cast("double")), 4).alias(
+                "avg_events"
+            ),
+        )
+        .orderBy("cohort_week")
+    )

@@ -1289,3 +1289,77 @@ def test_rbo_matches_brute_and_bounds(spark, sf_dir):
         assert r.n_common == len(both), qid
         assert abs(r.rbo - round(rbo, 6)) < 1e-9, qid
         assert 0.0 <= r.rbo <= max_rbo + 1e-9
+
+
+def test_woe_iv_matches_brute(spark, sf_dir):
+    import math
+
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q269_BINS,
+        q269,
+    )
+
+    got = {r.bin: r for r in q269(spark, sf_dir).collect()}
+    rows = duckdb.sql(
+        f"""SELECT CAST(ROUND(value*100) AS BIGINT) v,
+              CASE WHEN event_type='purchase' THEN 1 ELSE 0 END y
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    rows.sort(key=lambda r: (r[0], -r[1]))
+    n = len(rows)
+    # NTILE semantics: first n % k bins get ceil(n/k) rows
+    k = _Q269_BINS
+    big, small = n // k + 1, n // k
+    n_big = n % k
+    idx = 0
+    cells = {}
+    for b in range(1, k + 1):
+        size = big if b <= n_big else small
+        chunk = rows[idx : idx + size]
+        idx += size
+        cells[b] = (sum(y for _, y in chunk), sum(1 - y for _, y in chunk))
+    tp = sum(p for p, _ in cells.values())
+    tn = sum(q0 for _, q0 in cells.values())
+    iv = 0.0
+    for b, (p, q0) in cells.items():
+        woe = math.log((p / tp) / (q0 / tn))
+        r = got[b]
+        assert (r.pos, r.neg) == (p, q0), b
+        assert abs(r.woe - round(woe, 6)) < 1e-9, b
+        iv += (p / tp - q0 / tn) * woe
+    # the fixture's value is label-independent: IV must be small —
+    # every iv_term is nonnegative-biased at finite n, so allow the
+    # small-sample inflation (0.032 at sf0.001; folklore's "useless
+    # feature" cut is 0.02 at production n)
+    assert sum(r.iv_term for r in got.values()) < 0.1
+
+
+def test_churn_labels_match_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q270_QUIET_DAYS,
+        q270,
+    )
+
+    got = {r.cohort_week: r for r in q270(spark, sf_dir).collect()}
+    rows = duckdb.sql(
+        f"""SELECT user_id,
+              CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS BIGINT) d
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    per: dict = {}
+    max_d = max(d for _, d in rows)
+    for u, d in rows:
+        lo, hi, c = per.get(u, (d, d, 0))
+        per[u] = (min(lo, d), max(hi, d), c + 1)
+    coh: dict = collections.defaultdict(lambda: [0, 0, 0])
+    for u, (lo, hi, c) in per.items():
+        cw = lo // 7
+        coh[cw][0] += 1
+        coh[cw][1] += 1 if hi < max_d - _Q270_QUIET_DAYS else 0
+        coh[cw][2] += c
+    for cw, (nu, nc, ne) in coh.items():
+        r = got[cw]
+        assert (r.n_users, r.n_churned) == (nu, nc), cw
+        assert abs(r.churn_rate - round(nc / nu, 4)) < 1e-9
+        assert abs(r.avg_events - round(ne / nu, 4)) < 1e-9
