@@ -171,6 +171,7 @@ _PRIORITY: tuple[str, ...] = (
     "q268_rank_biased_overlap",
     "q269_woe_iv",
     "q270_churn_labels",
+    "q271_rendezvous_sharding",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

@@ -1363,3 +1363,44 @@ def test_churn_labels_match_brute(spark, sf_dir):
         assert (r.n_users, r.n_churned) == (nu, nc), cw
         assert abs(r.churn_rate - round(nc / nu, 4)) < 1e-9
         assert abs(r.avg_events - round(ne / nu, 4)) < 1e-9
+
+
+def test_rendezvous_sharding_matches_brute_and_hrw_guarantee(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q271_SALT,
+        _Q271_SHARDS,
+        q271,
+    )
+
+    row = q271(spark, sf_dir).collect()[0]
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    P = 1_000_000_007
+
+    def score(d, s):
+        h = ((d + s * _Q271_SALT) % 2147483648) * 2654435761 % P
+        return ((h * h) % P) * 100 + s
+
+    def assign(d, k):
+        return max(range(k), key=lambda s: score(d, s))
+
+    a8 = {d: assign(d, _Q271_SHARDS) for d in ids}
+    a9 = {d: assign(d, _Q271_SHARDS + 1) for d in ids}
+    moved = sum(a8[d] != a9[d] for d in ids)
+    sizes = collections.Counter(a9.values())
+    assert row.n_keys == len(ids)
+    assert row.moved == moved
+    assert (row.max_shard, row.min_shard) == (max(sizes.values()), min(sizes.values()))
+    # the HRW guarantee: adding one shard moves ~1/(k+1) of keys —
+    # binomial noise bounds around 1/9 at n=len(ids)
+    import math
+
+    p0 = 1 / (_Q271_SHARDS + 1)
+    slack = 3 * math.sqrt(p0 * (1 - p0) / len(ids))
+    assert abs(row.moved_frac - p0) < slack + 0.01, row.moved_frac
+    # balance: no shard more than 2x the fair share
+    assert row.max_shard < 2 * len(ids) / (_Q271_SHARDS + 1)
