@@ -172,6 +172,7 @@ _PRIORITY: tuple[str, ...] = (
     "q269_woe_iv",
     "q270_churn_labels",
     "q271_rendezvous_sharding",
+    "q272_greedy_set_cover",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

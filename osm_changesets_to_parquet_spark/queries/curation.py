@@ -926,3 +926,123 @@ def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q272: greedy set cover — budgeted coverage-maximizing selection
+# ---------------------------------------------------------------------------
+
+_Q272_K = 5
+
+
+def _q272_round(r: int) -> str:
+    prev_cov = (
+        "SELECT g FROM c" + str(r - 1) if r > 1 else "SELECT NULL AS g WHERE 1=0"
+    )
+    return f"""p{r} AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS new_g
+  FROM dg
+  WHERE g NOT IN ({prev_cov})
+    AND doc_id NOT IN (SELECT doc_id FROM (
+      {" UNION ALL ".join(f"SELECT doc_id FROM p{i}" for i in range(1, r)) or "SELECT NULL AS doc_id WHERE 1=0"}
+    ))
+  GROUP BY doc_id ORDER BY new_g DESC, doc_id LIMIT 1
+),
+c{r} AS MATERIALIZED (
+  SELECT DISTINCT g FROM dg
+  WHERE doc_id IN ({" UNION ALL ".join(f"SELECT doc_id FROM p{i}" for i in range(1, r + 1))})
+)"""
+
+
+_Q272_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+dg AS MATERIALIZED (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+  FROM tok, UNNEST(range(1, len(ws))) AS u(i)
+),
+uni AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS u FROM dg),
+{", ".join(_q272_round(r) for r in range(1, _Q272_K + 1))}
+SELECT rk, doc_id, new_g,
+       ROUND(CAST(cum AS DOUBLE) / uni.u, 4) AS cum_coverage
+FROM (
+  {" UNION ALL ".join(
+      f"SELECT {r} AS rk, p{r}.doc_id, p{r}.new_g,"
+      f" (SELECT COUNT(*) FROM c{r}) AS cum FROM p{r}"
+      for r in range(1, _Q272_K + 1))}
+) CROSS JOIN uni
+ORDER BY rk
+"""
+
+
+@register(
+    "q272_greedy_set_cover",
+    _Q272_SQL,
+    doc=(
+        f"greedy set cover, {_Q272_K} rounds — the budgeted "
+        "coverage-maximizing selection (pick the eval/training "
+        "examples that cover the most still-uncovered vocabulary; "
+        "the (1-1/e)-approximate classic, the DISCRETE cousin of "
+        "q177 k-center / q165 MMR which live in embedding space): "
+        "each round is one anti-join + count rollup + a 1-row argmax "
+        "action (bounded driver loop, the IVF-seed discipline), the "
+        "covered set updates by a distinct-union with lineage "
+        "truncated; the oracle unrolls the rounds as MATERIALIZED "
+        "CTEs (q238 lesson); pinned vs python greedy"
+    ),
+    tables=("documents",),
+)
+def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dg = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> concat(split(text, ' ')[i - 1], ' ', "
+                    "split(text, ' ')[i]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    dg = truncate_lineage(dg)
+    universe = dg.select("g").distinct().count()
+    covered = None
+    picked: list[int] = []
+    rows = []
+    cum = 0
+    for r in range(1, _Q272_K + 1):
+        cand = dg
+        if picked:
+            cand = cand.where(~F.col("doc_id").isin(picked))
+        if covered is not None:
+            cand = cand.join(covered, "g", "anti")
+        # 1-row argmax: a bounded driver action per round (k rounds
+        # total), never a corpus collect
+        top = (
+            cand.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("new_g"))
+            .orderBy(F.col("new_g").desc(), "doc_id")
+            .limit(1)
+            .collect()
+        )
+        doc_id, new_g = int(top[0].doc_id), int(top[0].new_g)
+        picked.append(doc_id)
+        cum += new_g
+        rows.append((r, doc_id, new_g, round(cum / universe, 4)))
+        new_cov = dg.where(F.col("doc_id") == doc_id).select("g")
+        covered = (
+            new_cov if covered is None
+            else covered.unionByName(new_cov).distinct()
+        )
+        covered = truncate_lineage(covered)
+    return docs.sparkSession.createDataFrame(
+        rows, "rk INT, doc_id LONG, new_g LONG, cum_coverage DOUBLE"
+    ).orderBy("rk")

@@ -1404,3 +1404,37 @@ def test_rendezvous_sharding_matches_brute_and_hrw_guarantee(spark, sf_dir):
     assert abs(row.moved_frac - p0) < slack + 0.01, row.moved_frac
     # balance: no shard more than 2x the fair share
     assert row.max_shard < 2 * len(ids) / (_Q271_SHARDS + 1)
+
+
+def test_greedy_set_cover_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.curation import (
+        _Q272_K,
+        q272,
+    )
+
+    got = [(r.rk, r.doc_id, r.new_g, r.cum_coverage)
+           for r in q272(spark, sf_dir).collect()]
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    grams = {}
+    for did, t in texts:
+        ws = t.split(" ")
+        grams[did] = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+    universe = set().union(*grams.values())
+    covered: set = set()
+    picked: set = set()
+    want = []
+    for r in range(1, _Q272_K + 1):
+        best = min(
+            ((-len(g - covered), d) for d, g in grams.items()
+             if d not in picked),
+        )
+        new_g, d = -best[0], best[1]
+        picked.add(d)
+        covered |= grams[d]
+        want.append((r, d, new_g, round(len(covered) / len(universe), 4)))
+    assert got == want
+    # greedy property: marginal gains are nonincreasing
+    gains = [g for _, _, g, _ in got]
+    assert gains == sorted(gains, reverse=True)
