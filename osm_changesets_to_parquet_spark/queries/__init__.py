@@ -173,6 +173,8 @@ _PRIORITY: tuple[str, ...] = (
     "q270_churn_labels",
     "q271_rendezvous_sharding",
     "q272_greedy_set_cover",
+    "q273_apriori_triples",
+    "q274_good_turing",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

@@ -1556,3 +1556,77 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ess / F.col("n"), 4).alias("ess_fraction"),
         F.round(1 / F.col("s1"), 4).alias("max_weight_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q274: Good-Turing frequency-of-frequencies + unseen mass (round 7)
+# ---------------------------------------------------------------------------
+
+_Q274_SQL = """
+WITH tok AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS g
+  FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+       UNNEST(range(1, len(ws))) AS u(i)
+),
+f AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS r FROM tok GROUP BY g),
+fof AS (
+  SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM f GROUP BY r
+),
+tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n FROM fof)
+SELECT fof.r, fof.n_r,
+       ROUND(CAST(fof.r * fof.n_r AS DOUBLE) / tot.n, 6) AS mass,
+       ROUND((SELECT CAST(n_r AS DOUBLE) FROM fof WHERE r = 1) / tot.n, 6)
+         AS unseen_mass_estimate
+FROM fof CROSS JOIN tot
+ORDER BY fof.r LIMIT 15
+"""
+
+
+@register(
+    "q274_good_turing",
+    _Q274_SQL,
+    doc=(
+        "Good-Turing frequency-of-frequencies over word bigrams: the "
+        "count-of-counts table (how many types occur exactly r "
+        "times), per-r probability mass, and Turing's estimate of "
+        "the UNSEEN mass N1/N (the singleton share — how much "
+        "probability the corpus has never shown you; the q256 Heaps "
+        "curve's probabilistic twin): two keyed rollups (gram, then "
+        "count-of-counts), a scalar total, all exact integers until "
+        "the final division"
+    ),
+    tables=("documents",),
+)
+def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat(split(text, ' ')[i - 1], ' ', "
+                "split(text, ' ')[i]))"
+            )
+        ).alias("g")
+    )
+    f = tok.groupBy("g").agg(F.count(F.lit(1)).alias("r"))
+    fof = f.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    tot = fof.agg(F.sum(F.col("r") * F.col("n_r")).alias("n"))
+    n1 = fof.where(F.col("r") == 1).select(
+        F.col("n_r").cast("double").alias("n1")
+    )
+    return (
+        fof.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            "n_r",
+            F.round(
+                (F.col("r") * F.col("n_r")).cast("double") / F.col("n"), 6
+            ).alias("mass"),
+            F.round(F.col("n1") / F.col("n"), 6).alias(
+                "unseen_mass_estimate"
+            ),
+        )
+        .orderBy("r")
+        .limit(15)
+    )

@@ -1438,3 +1438,57 @@ def test_greedy_set_cover_matches_brute(spark, sf_dir):
     # greedy property: marginal gains are nonincreasing
     gains = [g for _, _, g, _ in got]
     assert gains == sorted(gains, reverse=True)
+
+
+def test_apriori_triples_match_brute(spark, sf_dir):
+    import itertools
+
+    from osm_changesets_to_parquet_spark.queries.analytics import (
+        _Q273_TRI_SUP,
+        q273,
+    )
+
+    got = sorted(
+        (r.a, r.b, r.c, r.support) for r in q273(spark, sf_dir).collect()
+    )
+    rows = duckdb.sql(
+        f"""SELECT DISTINCT l_orderkey, l_partkey
+            FROM '{sf_dir}/lineitem.parquet'"""
+    ).fetchall()
+    baskets: dict = collections.defaultdict(set)
+    for o, p in rows:
+        baskets[o].add(p)
+    # brute force: count EVERY triple across baskets (no pruning) —
+    # apriori must find exactly the same frequent set
+    tri: collections.Counter = collections.Counter()
+    for items in baskets.values():
+        if len(items) < 3:
+            continue
+        for t in itertools.combinations(sorted(items), 3):
+            tri[t] += 1
+    want = sorted(
+        (a, b, c, s) for (a, b, c), s in tri.items() if s >= _Q273_TRI_SUP
+    )
+    assert got == want
+    assert len(got) > 0  # the fixture must exercise the triple level
+
+
+def test_good_turing_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.quality import q274
+
+    got = {r.r: r for r in q274(spark, sf_dir).collect()}
+    texts = duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    c: collections.Counter = collections.Counter()
+    for (t,) in texts:
+        ws = t.split(" ")
+        c.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    fof = collections.Counter(c.values())
+    n = sum(c.values())
+    for r, row in got.items():
+        assert row.n_r == fof[r], r
+        assert abs(row.mass - round(r * fof[r] / n, 6)) < 1e-9
+        assert abs(row.unseen_mass_estimate - round(fof[1] / n, 6)) < 1e-9
+    # total mass across ALL r sums to 1 (check over the brute table)
+    assert abs(sum(r * k / n for r, k in fof.items()) - 1.0) < 1e-12
