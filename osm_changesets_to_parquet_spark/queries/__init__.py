@@ -175,6 +175,8 @@ _PRIORITY: tuple[str, ...] = (
     "q272_greedy_set_cover",
     "q273_apriori_triples",
     "q274_good_turing",
+    "q275_ab_power_mde",
+    "q276_capture_recapture",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

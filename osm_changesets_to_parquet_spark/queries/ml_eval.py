@@ -2965,3 +2965,157 @@ def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(bal))
         .select("n_keys", "moved", "moved_frac", "max_shard", "min_shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q275: A/B power analysis — minimum detectable effect per arm size
+# ---------------------------------------------------------------------------
+
+_Q275_Z_ALPHA = 1.96   # two-sided alpha = 0.05
+_Q275_Z_POWER = 0.8416  # 80% power
+
+_Q275_SQL = f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n, k,
+       ROUND(CAST(k AS DOUBLE) / n, 6) AS p_base,
+       ROUND(({_Q275_Z_ALPHA} + {_Q275_Z_POWER})
+             * SQRT(2 * (CAST(k AS DOUBLE) / n)
+                    * (1 - CAST(k AS DOUBLE) / n) / (n / 2.0)), 6)
+         AS mde_abs,
+       ROUND(({_Q275_Z_ALPHA} + {_Q275_Z_POWER})
+             * SQRT(2 * (CAST(k AS DOUBLE) / n)
+                    * (1 - CAST(k AS DOUBLE) / n) / (n / 2.0))
+             / (CAST(k AS DOUBLE) / n), 6) AS mde_rel
+FROM s ORDER BY event_type
+"""
+
+
+@register(
+    "q275_ab_power_mde",
+    _Q275_SQL,
+    doc=(
+        "A/B experiment design: minimum detectable effect for the "
+        "per-type high-value proportion if today's traffic were split "
+        "50/50 — MDE = (z_a/2 + z_power)·sqrt(2p(1-p)/(n/2)), the "
+        "two-proportion power closed form at alpha=.05/power=.80 "
+        "(z quantiles are LITERALS, no CDF at runtime): the "
+        "'is this experiment even worth running' gate computed from "
+        "one integer rollup per type — complements q173's post-hoc "
+        "z-test and q247's interval with the PRE-hoc design number"
+    ),
+    tables=("events",),
+)
+def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") >= 100, 1).otherwise(0)).alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    mde = (_Q275_Z_ALPHA + _Q275_Z_POWER) * F.sqrt(
+        2 * p * (1 - p) / (F.col("n") / 2.0)
+    )
+    return s.select(
+        "event_type",
+        "n",
+        "k",
+        F.round(p, 6).alias("p_base"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / p, 6).alias("mde_rel"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q276: capture-recapture (Lincoln-Petersen) population estimate
+# ---------------------------------------------------------------------------
+
+_Q276_W1 = (0, 7)    # capture window 1: days [0, 7)
+_Q276_W2 = (14, 21)  # capture window 2: days [14, 21)
+
+_Q276_SQL = f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d
+  FROM events
+),
+c1 AS (SELECT DISTINCT user_id FROM e
+       WHERE d >= {_Q276_W1[0]} AND d < {_Q276_W1[1]}),
+c2 AS (SELECT DISTINCT user_id FROM e
+       WHERE d >= {_Q276_W2[0]} AND d < {_Q276_W2[1]}),
+s AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c1) AS n1,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM c2) AS n2,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM c1 WHERE user_id IN (SELECT user_id FROM c2)) AS m,
+         (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM e) AS truth
+)
+SELECT n1, n2, m, truth,
+       ROUND(CAST(n1 AS DOUBLE) * n2 / m, 2) AS lincoln_petersen,
+       ROUND(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1, 2)
+         AS chapman,
+       ROUND(ABS(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1 - truth)
+             / truth, 4) AS chapman_rel_err
+FROM s
+"""
+
+
+@register(
+    "q276_capture_recapture",
+    _Q276_SQL,
+    doc=(
+        "capture-recapture population estimation (Lincoln-Petersen + "
+        "the bias-corrected Chapman estimator): two disjoint week "
+        "windows are the 'captures', overlap m gives N^ = n1*n2/m — "
+        "the estimate-the-universe-from-samples trick (how many "
+        "distinct users/documents EXIST when you can only afford to "
+        "scan samples); two semi-join cardinalities + one distinct "
+        "count, and because the fixture's full truth is computable "
+        "the output includes the estimator's actual relative error"
+    ),
+    tables=("events",),
+)
+def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("d"),
+    )
+    c1 = e.where(
+        (F.col("d") >= _Q276_W1[0]) & (F.col("d") < _Q276_W1[1])
+    ).select("user_id").distinct()
+    c2 = e.where(
+        (F.col("d") >= _Q276_W2[0]) & (F.col("d") < _Q276_W2[1])
+    ).select("user_id").distinct()
+    n1 = c1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = c2.agg(F.count(F.lit(1)).alias("n2"))
+    m = c1.join(c2, "user_id", "semi").agg(F.count(F.lit(1)).alias("m"))
+    truth = e.agg(F.count_distinct("user_id").alias("truth"))
+    lp = F.col("n1").cast("double") * F.col("n2") / F.col("m")
+    chapman = (
+        (F.col("n1") + 1).cast("double") * (F.col("n2") + 1) / (F.col("m") + 1)
+        - 1
+    )
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "n1",
+            "n2",
+            "m",
+            "truth",
+            F.round(lp, 2).alias("lincoln_petersen"),
+            F.round(chapman, 2).alias("chapman"),
+            F.round(
+                F.abs(chapman - F.col("truth")) / F.col("truth"), 4
+            ).alias("chapman_rel_err"),
+        )
+    )

@@ -1492,3 +1492,56 @@ def test_good_turing_matches_brute(spark, sf_dir):
         assert abs(row.unseen_mass_estimate - round(fof[1] / n, 6)) < 1e-9
     # total mass across ALL r sums to 1 (check over the brute table)
     assert abs(sum(r * k / n for r, k in fof.items()) - 1.0) < 1e-12
+
+
+def test_ab_power_mde_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q275_Z_ALPHA,
+        _Q275_Z_POWER,
+        q275,
+    )
+
+    got = {r.event_type: r for r in q275(spark, sf_dir).collect()}
+    rows = duckdb.sql(
+        f"""SELECT event_type, COUNT(*) n,
+              SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) k
+            FROM '{sf_dir}/events.parquet' GROUP BY 1"""
+    ).fetchall()
+    for et, n, k in rows:
+        p = k / n
+        mde = (_Q275_Z_ALPHA + _Q275_Z_POWER) * (
+            2 * p * (1 - p) / (n / 2)
+        ) ** 0.5
+        r = got[et]
+        assert abs(r.mde_abs - round(mde, 6)) < 1e-9
+        # sanity: MDE shrinks with sqrt(n) — recompute at 4n and check
+        mde_4n = (_Q275_Z_ALPHA + _Q275_Z_POWER) * (
+            2 * p * (1 - p) / (2 * n)
+        ) ** 0.5
+        assert abs(mde_4n - mde / 2) < 1e-12
+
+
+def test_capture_recapture_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q276_W1,
+        _Q276_W2,
+        q276,
+    )
+
+    row = q276(spark, sf_dir).collect()[0]
+    rows = duckdb.sql(
+        f"""SELECT user_id,
+              CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS BIGINT) d
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    c1 = {u for u, d in rows if _Q276_W1[0] <= d < _Q276_W1[1]}
+    c2 = {u for u, d in rows if _Q276_W2[0] <= d < _Q276_W2[1]}
+    truth = len({u for u, _ in rows})
+    n1, n2, m = len(c1), len(c2), len(c1 & c2)
+    assert (row.n1, row.n2, row.m, row.truth) == (n1, n2, m, truth)
+    chapman = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    assert abs(row.chapman - round(chapman, 2)) < 1e-9
+    # the estimator must land in the right ballpark on a population
+    # every user of which is highly active (capture prob ~1)
+    assert row.chapman_rel_err < 0.25, row
