@@ -177,6 +177,8 @@ _PRIORITY: tuple[str, ...] = (
     "q274_good_turing",
     "q275_ab_power_mde",
     "q276_capture_recapture",
+    "q277_partial_correlation",
+    "q278_profile_cosine",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

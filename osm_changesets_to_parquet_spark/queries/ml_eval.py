@@ -3119,3 +3119,195 @@ def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chapman_rel_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q277: partial correlation (volume~revenue controlling for time)
+# ---------------------------------------------------------------------------
+
+_Q277_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS z,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(z) AS BIGINT) AS sz,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * z) AS BIGINT) AS sxz,
+         CAST(SUM(y * z) AS BIGINT) AS syz,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(z * z) AS BIGINT) AS szz
+  FROM daily GROUP BY event_type
+),
+r AS (
+  SELECT event_type, n,
+         (n * sxy - CAST(sx AS DOUBLE) * sy)
+           / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                  * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+           AS rxy,
+         (n * sxz - CAST(sx AS DOUBLE) * sz)
+           / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                  * (n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz))
+           AS rxz,
+         (n * syz - CAST(sy AS DOUBLE) * sz)
+           / SQRT((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+                  * (n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz))
+           AS ryz
+  FROM s
+)
+SELECT event_type, n AS n_days,
+       ROUND(rxy, 6) AS r_xy,
+       ROUND((rxy - rxz * ryz)
+             / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)), 6) AS r_xy_given_t
+FROM r ORDER BY event_type
+"""
+
+
+@register(
+    "q277_partial_correlation",
+    _Q277_SQL,
+    doc=(
+        "partial correlation of daily volume vs daily revenue "
+        "CONTROLLING FOR the time index — r_xy.z = "
+        "(r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)), the 'is the "
+        "association real or just a shared trend' test that completes "
+        "the correlation family (Pearson q240, Spearman q232, Kendall "
+        "q237): all three pairwise r's from ONE integer power-sum "
+        "rollup of the (type, day) frame, one closed form after"
+    ),
+    tables=("events",),
+)
+def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("z"),
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    n = F.col("n")
+
+    def corr(sab, sa, sb, saa, sbb):
+        return (n * F.col(sab) - F.col(sa).cast("double") * F.col(sb)) / F.sqrt(
+            (n * F.col(saa).cast("double") - F.col(sa).cast("double") * F.col(sa))
+            * (n * F.col(sbb).cast("double") - F.col(sb).cast("double") * F.col(sb))
+        )
+
+    rxy = corr("sxy", "sx", "sy", "sxx", "syy")
+    rxz = corr("sxz", "sx", "sz", "sxx", "szz")
+    ryz = corr("syz", "sy", "sz", "syy", "szz")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(
+            (rxy - rxz * ryz) / F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6
+        ).alias("r_xy_given_t"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q278: behavioral-profile cosine similarity matrix
+# ---------------------------------------------------------------------------
+
+_Q278_SQL = """
+WITH prof AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+  FROM prof a JOIN prof b ON a.h = b.h AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT event_type, CAST(SUM(c * c) AS BIGINT) AS nn FROM prof GROUP BY 1
+)
+SELECT p.ta, p.tb,
+       ROUND(CAST(p.dot AS DOUBLE)
+             / SQRT(CAST(na.nn AS DOUBLE) * nb.nn), 6) AS cosine
+FROM pairs p
+JOIN norms na ON na.event_type = p.ta
+JOIN norms nb ON nb.event_type = p.tb
+ORDER BY p.ta, p.tb
+"""
+
+
+@register(
+    "q278_profile_cosine",
+    _Q278_SQL,
+    doc=(
+        "behavioral-profile similarity: each type's 24-hour activity "
+        "histogram as a vector, pairwise cosine over the |types|² "
+        "matrix — 'which event types share a daily rhythm' (the "
+        "entity-profile twin of q36's document cosine): dots and "
+        "norms are exact integer sums over the (type, hour) rollup, "
+        "the join key is the HOUR so the shuffle carries 24·|types| "
+        "rows, never events"
+    ),
+    tables=("events",),
+)
+def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = prof.alias("a")
+    b = prof.alias("b")
+    pairs = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    norms = prof.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).alias("nn")
+    )
+    return (
+        pairs.join(
+            F.broadcast(norms.select(F.col("event_type").alias("ta"),
+                                     F.col("nn").alias("na"))), "ta"
+        )
+        .join(
+            F.broadcast(norms.select(F.col("event_type").alias("tb"),
+                                     F.col("nn").alias("nb"))), "tb"
+        )
+        .select(
+            "ta",
+            "tb",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("ta", "tb")
+    )

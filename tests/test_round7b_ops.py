@@ -1545,3 +1545,47 @@ def test_capture_recapture_matches_brute(spark, sf_dir):
     # the estimator must land in the right ballpark on a population
     # every user of which is highly active (capture prob ~1)
     assert row.chapman_rel_err < 0.25, row
+
+
+def test_partial_correlation_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from osm_changesets_to_parquet_spark.queries.ml_eval import q277
+
+    got = {r.event_type: r for r in q277(spark, sf_dir).collect()}
+    d = _daily(sf_dir)
+    for et, grp in d.groupby("event_type"):
+        x = grp["x"].to_numpy(dtype=float)
+        y = grp["y"].to_numpy(dtype=float)
+        z = grp["d"].to_numpy(dtype=float)
+        rxy = np.corrcoef(x, y)[0, 1]
+        rxz = np.corrcoef(x, z)[0, 1]
+        ryz = np.corrcoef(y, z)[0, 1]
+        want = (rxy - rxz * ryz) / ((1 - rxz**2) * (1 - ryz**2)) ** 0.5
+        r = got[et]
+        assert abs(r.r_xy - rxy) < 1e-5
+        assert abs(r.r_xy_given_t - want) < 1e-5, et
+
+
+def test_profile_cosine_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from osm_changesets_to_parquet_spark.queries.ml_eval import q278
+
+    got = {(r.ta, r.tb): r.cosine for r in q278(spark, sf_dir).collect()}
+    rows = duckdb.sql(
+        f"""SELECT event_type, hour(ts) h, COUNT(*) c
+            FROM '{sf_dir}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    prof: dict = collections.defaultdict(lambda: np.zeros(24, dtype=np.int64))
+    for et, h, c in rows:
+        prof[et][h] = c
+    types = sorted(prof)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            a, b = prof[ta], prof[tb]
+            want = (a @ b) / ((a @ a) * (b @ b)) ** 0.5
+            assert abs(got[(ta, tb)] - round(float(want), 6)) < 1e-9
+            # uniform-rhythm fixture: all profiles are near-parallel
+            # (0.85+ at sf0.001 where hourly counts are noisy)
+            assert got[(ta, tb)] > 0.7
