@@ -179,6 +179,9 @@ _PRIORITY: tuple[str, ...] = (
     "q276_capture_recapture",
     "q277_partial_correlation",
     "q278_profile_cosine",
+    "q279_engagement_auc",
+    "q280_cost_threshold",
+    "q281_session_lift",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

@@ -3311,3 +3311,336 @@ def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ta", "tb")
     )
+
+
+# ---------------------------------------------------------------------------
+# q279: future-engagement AUC (temporal label/score split)
+# ---------------------------------------------------------------------------
+
+_Q279_HEAVY = 16  # label: >= 16 events in the final week (~median)
+
+_Q279_SQL = f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d
+  FROM events
+),
+h AS (SELECT CAST(MAX(d) AS BIGINT) AS max_d FROM e),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN d <= h.max_d - 14 THEN 1 ELSE 0 END) AS BIGINT)
+           AS early,
+         CASE WHEN SUM(CASE WHEN d > h.max_d - 7 THEN 1 ELSE 0 END)
+                   >= {_Q279_HEAVY} THEN 1 ELSE 0 END AS heavy
+  FROM e CROSS JOIN h GROUP BY user_id
+),
+s AS (
+  SELECT early AS score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(heavy) AS BIGINT) AS pos
+  FROM per_user GROUP BY early
+),
+c AS (
+  SELECT score, cnt, pos,
+         COALESCE(SUM(cnt) OVER (
+           ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS below
+  FROM s
+),
+t AS (
+  SELECT SUM(pos * (below + (cnt + 1) / 2.0)) AS rank_sum,
+         CAST(SUM(pos) AS BIGINT) AS npos,
+         CAST(SUM(cnt - pos) AS BIGINT) AS nneg
+  FROM c
+)
+SELECT npos AS n_heavy, nneg AS n_light,
+       ROUND((rank_sum - CAST(npos AS DOUBLE) * (npos + 1) / 2.0)
+             / (CAST(npos AS DOUBLE) * nneg), 6) AS auc
+FROM t
+"""
+
+
+@register(
+    "q279_engagement_auc",
+    _Q279_SQL,
+    doc=(
+        "future-engagement prediction eval with a TEMPORAL split (the "
+        "label-leakage trap this query demonstrates avoiding: score = "
+        "activity up to day max-14, label = heavy usage in the LAST "
+        "week — disjoint windows, so the score cannot contain its own "
+        "label; a recency score against a recency label would fake "
+        "AUC ~1 — and on this always-active fixture a churn label has "
+        "NO negatives at any scale, which is why the target is the "
+        "heavy/light median split): q172's tie-aware rank-sum AUC "
+        "over the |distinct scores| rollup"
+    ),
+    tables=("events",),
+)
+def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("d"),
+    )
+    h = e.agg(F.max("d").alias("max_d"))
+    per_user = (
+        e.crossJoin(F.broadcast(h))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("d") <= F.col("max_d") - 14, 1).otherwise(0)
+            ).alias("early"),
+            F.when(
+                F.sum(
+                    F.when(F.col("d") > F.col("max_d") - 7, 1).otherwise(0)
+                )
+                >= _Q279_HEAVY,
+                1,
+            ).otherwise(0).alias("heavy"),
+        )
+    )
+    s = per_user.groupBy(F.col("early").alias("score")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("heavy").alias("pos")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = s.withColumn("below", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    t = c.agg(
+        F.sum(
+            F.col("pos") * (F.col("below") + (F.col("cnt") + 1) / 2.0)
+        ).alias("rank_sum"),
+        F.sum("pos").alias("npos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("nneg"),
+    )
+    return t.select(
+        F.col("npos").alias("n_heavy"),
+        F.col("nneg").alias("n_light"),
+        F.round(
+            (
+                F.col("rank_sum")
+                - F.col("npos").cast("double") * (F.col("npos") + 1) / 2.0
+            )
+            / (F.col("npos").cast("double") * F.col("nneg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q280: cost-sensitive threshold choice (decision-theoretic q233)
+# ---------------------------------------------------------------------------
+
+_Q280_V_TP = 5
+_Q280_C_FP = 1
+_Q280_C_FN = 2
+
+_Q280_SQL = f"""
+WITH t(thr) AS (
+  SELECT * FROM (VALUES {", ".join(f"({t})" for t in _Q233_THRESHOLDS)}) v(thr)
+),
+base AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos, value
+  FROM events
+),
+m AS (
+  SELECT CAST(thr AS BIGINT) AS thr,
+         CAST(SUM(CASE WHEN pos = 1 AND value >= thr THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN pos = 0 AND value >= thr THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN pos = 1 AND value < thr THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn
+  FROM base CROSS JOIN t GROUP BY thr
+)
+SELECT thr, tp, fp, fn,
+       CAST({_Q280_V_TP} * tp - {_Q280_C_FP} * fp - {_Q280_C_FN} * fn
+            AS BIGINT) AS profit,
+       ({_Q280_V_TP} * tp - {_Q280_C_FP} * fp - {_Q280_C_FN} * fn) =
+         MAX({_Q280_V_TP} * tp - {_Q280_C_FP} * fp - {_Q280_C_FN} * fn)
+           OVER () AS is_best
+FROM m ORDER BY thr
+"""
+
+
+@register(
+    "q280_cost_threshold",
+    _Q280_SQL,
+    doc=(
+        "cost-sensitive threshold choice — q233's sweep made "
+        f"decision-theoretic: profit(t) = {_Q280_V_TP}·TP − "
+        f"{_Q280_C_FP}·FP − {_Q280_C_FN}·FN with an asymmetric cost "
+        "matrix (a missed purchase costs twice a false alert), "
+        "argmax flagged over the |thresholds|-row frame; exact "
+        "integer profit arithmetic — the operating point a business "
+        "actually deploys is rarely max-F1"
+    ),
+    tables=("events",),
+)
+def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pos = F.col("event_type") == "purchase"
+    aggs = []
+    for t in _Q233_THRESHOLDS:
+        hit = F.col("value") >= t
+        aggs.append(F.sum(F.when(pos & hit, 1).otherwise(0)).alias(f"tp_{t}"))
+        aggs.append(F.sum(F.when(~pos & hit, 1).otherwise(0)).alias(f"fp_{t}"))
+        aggs.append(F.sum(F.when(pos & ~hit, 1).otherwise(0)).alias(f"fn_{t}"))
+    one = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t} AS BIGINT), tp_{t}, fp_{t}, fn_{t}"
+        for t in _Q233_THRESHOLDS
+    )
+    rows = one.selectExpr(
+        f"stack({len(_Q233_THRESHOLDS)}, {stack_args}) AS (thr, tp, fp, fn)"
+    )
+    profit = (
+        _Q280_V_TP * F.col("tp")
+        - _Q280_C_FP * F.col("fp")
+        - _Q280_C_FN * F.col("fn")
+    )
+    whole = Window.partitionBy().orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        rows.withColumn("profit", profit.cast("long"))
+        .withColumn("is_best", F.col("profit") == F.max("profit").over(whole))
+        .orderBy("thr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q281: session-basket lift (which event types co-occur in a session)
+# ---------------------------------------------------------------------------
+
+_Q281_GAP_US = 1_800_000_000  # 30 min, the q229 session gap
+
+_Q281_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         LAG(CAST(epoch_us(ts) AS BIGINT)) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS prev
+  FROM events
+),
+marks AS (
+  SELECT user_id, event_type, ts_us,
+         CASE WHEN prev IS NULL OR ts_us - prev > {_Q281_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+sess AS (
+  SELECT user_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM marks
+),
+baskets AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+n_s AS (
+  SELECT CAST(COUNT(DISTINCT user_id || '#' || sid) AS BIGINT) AS n
+  FROM baskets
+),
+item AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS supp
+  FROM baskets GROUP BY event_type
+),
+pair AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(COUNT(*) AS BIGINT) AS supp_ab
+  FROM baskets a
+  JOIN baskets b ON b.user_id = a.user_id AND b.sid = a.sid
+                AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ta, p.tb, p.supp_ab,
+       ROUND(CAST(p.supp_ab AS DOUBLE) * n_s.n / (ia.supp * ib.supp), 4)
+         AS lift
+FROM pair p
+JOIN item ia ON ia.event_type = p.ta
+JOIN item ib ON ib.event_type = p.tb
+CROSS JOIN n_s
+ORDER BY p.ta, p.tb
+"""
+
+
+@register(
+    "q281_session_lift",
+    _Q281_SQL,
+    doc=(
+        "session-basket lift: 30-min-gap sessions (the q229 "
+        "spelling) become the BASKETS, and event-type pairs get "
+        "lift = N·supp(ab)/(supp(a)·supp(b)) — the product-analytics "
+        "'which actions travel together within a visit' (q171's "
+        "order-basket pairs re-based on behavioral sessions); "
+        "per-user windows for sessionization, then every count is a "
+        "(session, type)-distinct integer rollup; lift>1 = "
+        "attraction, <1 = repulsion"
+    ),
+    tables=("events",),
+)
+def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.lag("ts_us").over(w).alias("prev"),
+    )
+    marks = o.withColumn(
+        "new_s",
+        F.when(
+            F.col("prev").isNull()
+            | (F.col("ts_us") - F.col("prev") > _Q281_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = marks.withColumn("sid", F.sum("new_s").over(w_cum))
+    baskets = sess.select("user_id", "sid", "event_type").distinct()
+    n_s = baskets.select("user_id", "sid").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("supp"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sid") == F.col("b.sid")),
+        )
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+    )
+    return (
+        pair.join(
+            F.broadcast(item.select(F.col("event_type").alias("ta"),
+                                    F.col("supp").alias("sa"))), "ta"
+        )
+        .join(
+            F.broadcast(item.select(F.col("event_type").alias("tb"),
+                                    F.col("supp").alias("sb"))), "tb"
+        )
+        .crossJoin(F.broadcast(n_s))
+        .select(
+            "ta",
+            "tb",
+            "supp_ab",
+            F.round(
+                F.col("supp_ab").cast("double") * F.col("n")
+                / (F.col("sa") * F.col("sb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("ta", "tb")
+    )

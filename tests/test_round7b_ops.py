@@ -1589,3 +1589,101 @@ def test_profile_cosine_matches_numpy(spark, sf_dir):
             # uniform-rhythm fixture: all profiles are near-parallel
             # (0.85+ at sf0.001 where hourly counts are noisy)
             assert got[(ta, tb)] > 0.7
+
+
+def test_engagement_auc_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q279_HEAVY,
+        q279,
+    )
+
+    row = q279(spark, sf_dir).collect()[0]
+    rows = duckdb.sql(
+        f"""SELECT user_id,
+              CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS BIGINT) d
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    max_d = max(d for _, d in rows)
+    per: dict = collections.defaultdict(lambda: [0, 0])
+    for u, d in rows:
+        if d <= max_d - 14:
+            per[u][0] += 1
+        if d > max_d - 7:
+            per[u][1] += 1
+    pos = [(e, 1) for e, late in per.values() if late >= _Q279_HEAVY]
+    neg = [(e, 0) for e, late in per.values() if late < _Q279_HEAVY]
+    assert (row.n_heavy, row.n_light) == (len(pos), len(neg))
+    # brute AUC via pair counting with half-credit ties
+    wins = ties = 0
+    for ep, _ in pos:
+        for en, _ in neg:
+            if ep > en:
+                wins += 1
+            elif ep == en:
+                ties += 1
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(row.auc - round(auc, 6)) < 1e-9
+    assert 0.0 < row.auc < 1.0  # both classes populated, non-degenerate
+
+
+def test_cost_threshold_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q233_THRESHOLDS,
+        _Q280_C_FN,
+        _Q280_C_FP,
+        _Q280_V_TP,
+        q280,
+    )
+
+    got = {r.thr: r for r in q280(spark, sf_dir).collect()}
+    ev = duckdb.sql(
+        f"SELECT event_type, value FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    profits = {}
+    for t in _Q233_THRESHOLDS:
+        tp = sum(1 for et, v in ev if et == "purchase" and v >= t)
+        fp = sum(1 for et, v in ev if et != "purchase" and v >= t)
+        fn = sum(1 for et, v in ev if et == "purchase" and v < t)
+        profits[t] = _Q280_V_TP * tp - _Q280_C_FP * fp - _Q280_C_FN * fn
+        assert got[t].profit == profits[t]
+    best = max(profits.values())
+    for t in _Q233_THRESHOLDS:
+        assert got[t].is_best == (profits[t] == best)
+    assert sum(1 for r in got.values() if r.is_best) >= 1
+
+
+def test_session_lift_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q281_GAP_US,
+        q281,
+    )
+
+    got = {(r.ta, r.tb): r for r in q281(spark, sf_dir).collect()}
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) ts_us,
+              event_id
+            FROM '{sf_dir}/events.parquet' ORDER BY user_id, ts_us, event_id"""
+    ).fetchall()
+    baskets: dict = collections.defaultdict(set)
+    prev: dict = {}
+    sid: dict = collections.defaultdict(int)
+    for u, et, ts, _ in rows:
+        if u in prev and ts - prev[u] > _Q281_GAP_US:
+            sid[u] += 1
+        prev[u] = ts
+        baskets[(u, sid[u])].add(et)
+    n = len(baskets)
+    item: collections.Counter = collections.Counter()
+    pair: collections.Counter = collections.Counter()
+    for items in baskets.values():
+        for a in items:
+            item[a] += 1
+        for a in items:
+            for b in items:
+                if a < b:
+                    pair[(a, b)] += 1
+    for (a, b), s in pair.items():
+        r = got[(a, b)]
+        assert r.supp_ab == s, (a, b)
+        assert abs(r.lift - round(s * n / (item[a] * item[b]), 4)) < 1e-9
