@@ -182,6 +182,8 @@ _PRIORITY: tuple[str, ...] = (
     "q279_engagement_auc",
     "q280_cost_threshold",
     "q281_session_lift",
+    "q282_quantile_treatment_effect",
+    "q283_cuped",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

@@ -3644,3 +3644,235 @@ def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ta", "tb")
     )
+
+
+# ---------------------------------------------------------------------------
+# q282: quantile treatment effects (per-decile arm differences)
+# ---------------------------------------------------------------------------
+
+_Q282_SQL = """
+WITH e AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+         {treat} AS arm,
+         event_id
+  FROM events
+),
+binned AS (
+  SELECT arm, v,
+         NTILE(10) OVER (PARTITION BY arm ORDER BY v, event_id) AS dec
+  FROM e
+),
+q AS (
+  SELECT arm, dec, CAST(MAX(v) AS BIGINT) AS q_v
+  FROM binned GROUP BY arm, dec
+)
+SELECT t.dec AS decile,
+       ROUND(CAST(t.q_v AS DOUBLE) / 100, 2) AS treated_q,
+       ROUND(CAST(c.q_v AS DOUBLE) / 100, 2) AS control_q,
+       ROUND(CAST(t.q_v - c.q_v AS DOUBLE) / 100, 2) AS qte
+FROM q t JOIN q c ON c.dec = t.dec AND c.arm = 0
+WHERE t.arm = 1
+ORDER BY decile
+"""
+
+_Q282_SQL = _Q282_SQL.format(treat=sql_hash_bucket("user_id", 2))
+
+
+@register(
+    "q282_quantile_treatment_effect",
+    _Q282_SQL,
+    doc=(
+        "quantile treatment effects — the heterogeneity view a mean "
+        "difference (q248/q173) hides: per-arm decile boundaries of "
+        "value (NTILE made TOTAL by the (v, event_id) tie-break, the "
+        "q269 discipline) differenced decile-by-decile; an effect "
+        "concentrated in the tail shows up ONLY here; arms are the "
+        "deterministic user-id hash, boundaries are exact integer "
+        "cents — on the null fixture every QTE ~ 0, the honest "
+        "answer"
+    ),
+    tables=("events",),
+)
+def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        hash_bucket("user_id", 2).alias("arm"),
+        "event_id",
+    )
+    # per-arm NTILE: the one corpus-sized window pair (one per arm);
+    # respell via packing.global_rank + integer bin arithmetic at
+    # 100 TB (q137/q269's documented path)
+    w = Window.partitionBy("arm").orderBy("v", "event_id")
+    binned = e.select("arm", "v", F.ntile(10).over(w).alias("dec"))
+    q = binned.groupBy("arm", "dec").agg(F.max("v").alias("q_v"))
+    t = q.where(F.col("arm") == 1).select(
+        F.col("dec").alias("decile"), F.col("q_v").alias("tq")
+    )
+    c = q.where(F.col("arm") == 0).select(
+        F.col("dec").alias("decile"), F.col("q_v").alias("cq")
+    )
+    return (
+        t.join(c, "decile")
+        .select(
+            "decile",
+            F.round(F.col("tq").cast("double") / 100, 2).alias("treated_q"),
+            F.round(F.col("cq").cast("double") / 100, 2).alias("control_q"),
+            F.round(
+                (F.col("tq") - F.col("cq")).cast("double") / 100, 2
+            ).alias("qte"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q283: CUPED variance reduction (pre-period covariate adjustment)
+# ---------------------------------------------------------------------------
+
+_Q283_SQL = f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+h AS (SELECT CAST(MAX(d) AS BIGINT) AS max_d FROM e),
+per_user AS (
+  SELECT user_id,
+         {sql_hash_bucket("user_id", 2)} AS arm,
+         CAST(SUM(CASE WHEN d <= h.max_d - 15 THEN v ELSE 0 END) AS BIGINT)
+           AS x_pre,
+         CAST(SUM(CASE WHEN d > h.max_d - 15 THEN v ELSE 0 END) AS BIGINT)
+           AS y_post
+  FROM e CROSS JOIN h GROUP BY user_id
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_pre) AS BIGINT) AS sx,
+         CAST(SUM(y_post) AS BIGINT) AS sy,
+         CAST(SUM(x_pre * y_post) AS BIGINT) AS sxy,
+         CAST(SUM(x_pre * x_pre) AS BIGINT) AS sxx,
+         CAST(SUM(y_post * y_post) AS BIGINT) AS syy
+  FROM per_user
+),
+theta AS (
+  SELECT n, CAST(sx AS DOUBLE) / n AS xbar,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS th,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1)
+           AS var_y,
+         POWER(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n, 2)
+           / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+              * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n))
+           AS rho2
+  FROM s
+),
+adj AS (
+  SELECT p.arm,
+         CAST(COUNT(*) AS BIGINT) AS n_arm,
+         AVG(CAST(p.y_post AS DOUBLE)) AS raw_mean,
+         AVG(p.y_post - t.th * (p.x_pre - t.xbar)) AS cuped_mean
+  FROM per_user p CROSS JOIN theta t
+  GROUP BY p.arm
+)
+SELECT a1.n_arm AS n_treated, a0.n_arm AS n_control,
+       ROUND((a1.raw_mean - a0.raw_mean) / 100, 4) AS raw_diff,
+       ROUND((a1.cuped_mean - a0.cuped_mean) / 100, 4) AS cuped_diff,
+       ROUND((SELECT rho2 FROM theta), 4) AS variance_reduction
+FROM adj a1 JOIN adj a0 ON a1.arm = 1 AND a0.arm = 0
+"""
+
+
+@register(
+    "q283_cuped",
+    _Q283_SQL,
+    doc=(
+        "CUPED variance reduction (Deng et al., WSDM 2013 — the "
+        "standard A/B sensitivity boost): per-user PRE-period value "
+        "(days <= max-15) adjusts the POST-period metric via "
+        "theta = cov(y,x)/var(x), and the variance-reduction factor "
+        "is rho² (reported — ~0.005 here because the fixture's users "
+        "share ONE activity rate, so pre/post sums are independent "
+        "Poisson noise: the honest null; heterogeneous real users "
+        "give 0.3-0.7); "
+        "everything from one per-user integer rollup + one "
+        "power-sum frame; the per-row adjustment is a broadcast "
+        "scalar join — CUPED at 100 TB is two cheap passes"
+    ),
+    tables=("events",),
+)
+def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    h = e.agg(F.max("d").alias("max_d"))
+    per_user = (
+        e.crossJoin(F.broadcast(h))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("d") <= F.col("max_d") - 15, F.col("v")).otherwise(0)
+            ).alias("x_pre"),
+            F.sum(
+                F.when(F.col("d") > F.col("max_d") - 15, F.col("v")).otherwise(0)
+            ).alias("y_post"),
+        )
+        .withColumn("arm", hash_bucket("user_id", 2))
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_pre").alias("sx"),
+        F.sum("y_post").alias("sy"),
+        F.sum(F.col("x_pre") * F.col("y_post")).alias("sxy"),
+        F.sum(F.col("x_pre") * F.col("x_pre")).alias("sxx"),
+        F.sum(F.col("y_post") * F.col("y_post")).alias("syy"),
+    )
+    n = F.col("n")
+    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / n
+    varx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n
+    vary = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n
+    theta = s.select(
+        (F.col("sx").cast("double") / n).alias("xbar"),
+        (cov / varx).alias("th"),
+        (F.pow(cov, 2) / (varx * vary)).alias("rho2"),
+    )
+    adj = (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_arm"),
+            F.avg(F.col("y_post").cast("double")).alias("raw_mean"),
+            F.avg(
+                F.col("y_post") - F.col("th") * (F.col("x_pre") - F.col("xbar"))
+            ).alias("cuped_mean"),
+        )
+    )
+    a1 = adj.where(F.col("arm") == 1).select(
+        F.col("n_arm").alias("n_treated"),
+        F.col("raw_mean").alias("rm1"),
+        F.col("cuped_mean").alias("cm1"),
+    )
+    a0 = adj.where(F.col("arm") == 0).select(
+        F.col("n_arm").alias("n_control"),
+        F.col("raw_mean").alias("rm0"),
+        F.col("cuped_mean").alias("cm0"),
+    )
+    rho2 = theta.select(F.round("rho2", 4).alias("variance_reduction"))
+    return (
+        a1.crossJoin(a0)
+        .crossJoin(F.broadcast(rho2))
+        .select(
+            "n_treated",
+            "n_control",
+            F.round((F.col("rm1") - F.col("rm0")) / 100, 4).alias("raw_diff"),
+            F.round((F.col("cm1") - F.col("cm0")) / 100, 4).alias("cuped_diff"),
+            "variance_reduction",
+        )
+    )

@@ -1687,3 +1687,76 @@ def test_session_lift_matches_brute(spark, sf_dir):
         r = got[(a, b)]
         assert r.supp_ab == s, (a, b)
         assert abs(r.lift - round(s * n / (item[a] * item[b]), 4)) < 1e-9
+
+
+def test_qte_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import q282
+
+    got = {r.decile: r for r in q282(spark, sf_dir).collect()}
+    rows = duckdb.sql(
+        f"""SELECT ((user_id % 2147483648) * 2654435761) % 2 arm,
+              CAST(ROUND(value*100) AS BIGINT) v, event_id
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    for arm in (0, 1):
+        vs = sorted((v, e) for a, v, e in rows if a == arm)
+        n = len(vs)
+        big, n_big = n // 10 + 1, n % 10
+        idx = 0
+        for dec in range(1, 11):
+            size = big if dec <= n_big else n // 10
+            chunk = vs[idx : idx + size]
+            idx += size
+            q_v = max(v for v, _ in chunk)
+            r = got[dec]
+            want = r.treated_q if arm == 1 else r.control_q
+            assert abs(want - round(q_v / 100, 2)) < 1e-9, (arm, dec)
+    # null fixture: QTE hovers near zero in the body of the
+    # distribution; decile 10's boundary is the per-arm MAX — an
+    # extreme order statistic with heavy-tail noise — so it is
+    # parity-checked above but not bounded here
+    assert all(abs(r.qte) < 10 for d, r in got.items() if d <= 9)
+
+
+def test_cuped_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import q283
+
+    row = q283(spark, sf_dir).collect()[0]
+    rows = duckdb.sql(
+        f"""SELECT user_id,
+              CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS BIGINT) d,
+              CAST(ROUND(value*100) AS BIGINT) v
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    max_d = max(d for _, d, _ in rows)
+    per: dict = collections.defaultdict(lambda: [0, 0])
+    for u, d, v in rows:
+        if d <= max_d - 15:
+            per[u][0] += v
+        else:
+            per[u][1] += v
+    xs = [x for x, _ in per.values()]
+    ys = [y for _, y in per.values()]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    cov = sum(x * y for x, y in zip(xs, ys)) - sx * sy / n
+    varx = sum(x * x for x in xs) - sx * sx / n
+    vary = sum(y * y for y in ys) - sy * sy / n
+    th, xbar = cov / varx, sx / n
+    arms: dict = collections.defaultdict(lambda: [0, 0.0, 0.0])
+    for u, (x, y) in per.items():
+        a = ((u % 2147483648) * 2654435761) % 2
+        arms[a][0] += 1
+        arms[a][1] += y
+        arms[a][2] += y - th * (x - xbar)
+    raw = arms[1][1] / arms[1][0] - arms[0][1] / arms[0][0]
+    cuped = arms[1][2] / arms[1][0] - arms[0][2] / arms[0][0]
+    assert (row.n_treated, row.n_control) == (arms[1][0], arms[0][0])
+    assert abs(row.raw_diff - round(raw / 100, 4)) < 1e-6
+    assert abs(row.cuped_diff - round(cuped / 100, 4)) < 1e-6
+    rho2 = cov * cov / (varx * vary)
+    assert abs(row.variance_reduction - round(rho2, 4)) < 1e-6
+    # the homogeneous-rate fixture's honest null: pre/post per-user
+    # sums are independent noise, rho2 ~ 0
+    assert 0.0 <= row.variance_reduction < 0.15
