@@ -184,6 +184,8 @@ _PRIORITY: tuple[str, ...] = (
     "q281_session_lift",
     "q282_quantile_treatment_effect",
     "q283_cuped",
+    "q284_srm_check",
+    "q285_dedup_roi",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

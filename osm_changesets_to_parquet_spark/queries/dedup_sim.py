@@ -1307,3 +1307,107 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= _Q174_DIST)
         .orderBy("key_a", "key_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q285: dedup ROI curve (removal cost/benefit per Jaccard threshold)
+# ---------------------------------------------------------------------------
+
+_Q285_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
+
+_Q285_SQL = f"""
+WITH tok AS ({_SQL_TOK}),
+sh AS (SELECT doc_id, list_distinct({_SQL_SHINGLE_HASHES}) AS hs FROM tok),
+ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+tpairs AS (
+  SELECT id_a, id_b,
+         ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jac
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.3
+),
+ts(t) AS (
+  SELECT * FROM (VALUES {", ".join(f"({t})" for t in _Q285_THRESHOLDS)}) v(t)
+),
+removed AS (
+  SELECT ts.t, p.id_b
+  FROM tpairs p JOIN ts ON p.jac >= ts.t
+  GROUP BY ts.t, p.id_b
+),
+corpus AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT ts.t AS threshold,
+       CAST(COUNT(r.id_b) AS BIGINT) AS n_removed,
+       CAST(COALESCE(SUM(d.n_chars), 0) AS BIGINT) AS chars_removed,
+       ROUND(COALESCE(SUM(d.n_chars), 0) * 1.0
+             / ANY_VALUE(corpus.total_chars), 4) AS pct_chars_removed
+FROM ts
+LEFT JOIN removed r ON r.t = ts.t
+LEFT JOIN documents d ON d.doc_id = r.id_b
+CROSS JOIN corpus
+GROUP BY ts.t ORDER BY threshold
+"""
+
+
+@register(
+    "q285_dedup_roi",
+    _Q285_SQL,
+    doc=(
+        "dedup ROI curve — pick the near-dup aggressiveness by "
+        "MEASURED cost/benefit, not folklore: exact 3-gram Jaccard "
+        "pairs >= 0.3 (the q35a shingle machinery, co-occurrence "
+        "self-join — never all-pairs) evaluated at 4 thresholds with "
+        "the keep-min-id pairwise rule (removed = any doc that is "
+        "the LARGER id of a qualifying pair — an upper bound on "
+        "transitive-cluster removal, stated; q68 has the exact "
+        "closure), reporting docs and corpus-char share removed per "
+        "threshold; monotone decreasing in threshold by construction"
+    ),
+    tables=("documents",),
+)
+def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.3)
+    ts = docs.sparkSession.createDataFrame(
+        [(t,) for t in _Q285_THRESHOLDS], "t DOUBLE"
+    )
+    removed = (
+        pairs.crossJoin(F.broadcast(ts))
+        .where(F.col("jac") >= F.col("t"))
+        .select("t", "id_b")
+        .distinct()
+    )
+    corpus = docs.agg(
+        F.sum("n_chars").alias("total_chars"),
+    )
+    joined = removed.join(
+        docs.select(F.col("doc_id").alias("id_b"), "n_chars"), "id_b"
+    )
+    per_t = joined.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_removed"),
+        F.sum("n_chars").alias("chars_removed"),
+    )
+    return (
+        ts.join(per_t, "t", "left")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            F.col("t").alias("threshold"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("chars_removed", F.lit(0)).cast("long").alias(
+                "chars_removed"
+            ),
+            F.round(
+                F.coalesce("chars_removed", F.lit(0)) * 1.0
+                / F.col("total_chars"),
+                4,
+            ).alias("pct_chars_removed"),
+        )
+        .orderBy("threshold")
+    )

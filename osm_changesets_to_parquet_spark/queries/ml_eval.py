@@ -3876,3 +3876,63 @@ def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
             "variance_reduction",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q284: sample-ratio-mismatch check (experiment health gate)
+# ---------------------------------------------------------------------------
+
+_Q284_CHI2_CRIT = 3.841  # chi2(1 dof) 95% critical value, a literal
+
+_Q284_SQL = f"""
+WITH u AS (
+  SELECT DISTINCT user_id, {sql_hash_bucket("user_id", 2)} AS arm
+  FROM events
+),
+s AS (
+  SELECT CAST(SUM(arm) AS BIGINT) AS n1,
+         CAST(SUM(1 - arm) AS BIGINT) AS n0
+  FROM u
+)
+SELECT n1 AS n_treated, n0 AS n_control,
+       ROUND(POWER(n1 - (n1 + n0) / 2.0, 2) / ((n1 + n0) / 2.0)
+             + POWER(n0 - (n1 + n0) / 2.0, 2) / ((n1 + n0) / 2.0), 4)
+         AS chi2,
+       (POWER(n1 - (n1 + n0) / 2.0, 2) / ((n1 + n0) / 2.0)
+        + POWER(n0 - (n1 + n0) / 2.0, 2) / ((n1 + n0) / 2.0))
+         > {_Q284_CHI2_CRIT} AS srm_detected
+FROM s
+"""
+
+
+@register(
+    "q284_srm_check",
+    _Q284_SQL,
+    doc=(
+        "sample-ratio mismatch — the FIRST health check of any "
+        "experiment readout (a biased assignment invalidates every "
+        "downstream metric): chi² of the observed arm counts vs the "
+        "declared 50/50, flagged against the 3.841 critical value "
+        "(a LITERAL, no CDF); one distinct-user rollup — and the "
+        "check doubles as an audit of the engine's own hash_bucket "
+        "assignment (the fixture splits 75/75, chi²=0)"
+    ),
+    tables=("events",),
+)
+def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct().select(
+        hash_bucket("user_id", 2).alias("arm")
+    )
+    s = u.agg(
+        F.sum("arm").alias("n1"),
+        F.sum(1 - F.col("arm")).alias("n0"),
+    )
+    e = (F.col("n1") + F.col("n0")) / 2.0
+    chi2 = F.pow(F.col("n1") - e, 2) / e + F.pow(F.col("n0") - e, 2) / e
+    return s.select(
+        F.col("n1").cast("long").alias("n_treated"),
+        F.col("n0").cast("long").alias("n_control"),
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > _Q284_CHI2_CRIT).alias("srm_detected"),
+    )

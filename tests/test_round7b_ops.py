@@ -1760,3 +1760,57 @@ def test_cuped_matches_brute(spark, sf_dir):
     # the homogeneous-rate fixture's honest null: pre/post per-user
     # sums are independent noise, rho2 ~ 0
     assert 0.0 <= row.variance_reduction < 0.15
+
+
+def test_srm_check_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import q284
+
+    row = q284(spark, sf_dir).collect()[0]
+    users = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT user_id FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+    }
+    n1 = sum(1 for u in users if ((u % 2147483648) * 2654435761) % 2 == 1)
+    n0 = len(users) - n1
+    e = (n1 + n0) / 2
+    chi2 = (n1 - e) ** 2 / e + (n0 - e) ** 2 / e
+    assert (row.n_treated, row.n_control) == (n1, n0)
+    assert abs(row.chi2 - round(chi2, 4)) < 1e-9
+    assert row.srm_detected == (chi2 > 3.841)
+    # the hash split must itself be healthy — a failing SRM here
+    # would mean the engine-wide hash_bucket is biased
+    assert not row.srm_detected
+
+
+def test_dedup_roi_matches_brute_and_monotone(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.operators.dedup import jaccard_pairs
+    from osm_changesets_to_parquet_spark.queries.dedup_sim import (
+        _Q285_THRESHOLDS,
+        q285,
+    )
+    from osm_changesets_to_parquet_spark.catalog import load_table
+
+    got = {r.threshold: r for r in q285(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = [(r.id_b, r.jac) for r in
+             jaccard_pairs(docs, threshold=0.3).collect()]
+    chars = dict(
+        duckdb.sql(
+            f"SELECT doc_id, n_chars FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    total = sum(chars.values())
+    for t in _Q285_THRESHOLDS:
+        removed = {b for b, j in pairs if j >= t}
+        r = got[t]
+        assert r.n_removed == len(removed), t
+        assert r.chars_removed == sum(chars[b] for b in removed)
+        assert abs(
+            r.pct_chars_removed - round(r.chars_removed / total, 4)
+        ) < 1e-9
+    # ROI curve must be monotone nonincreasing in the threshold
+    removed_seq = [got[t].n_removed for t in _Q285_THRESHOLDS]
+    assert removed_seq == sorted(removed_seq, reverse=True)
+    assert removed_seq[0] > 0  # the 0.3 cut must actually remove docs
