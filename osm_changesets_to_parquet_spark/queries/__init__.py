@@ -186,6 +186,7 @@ _PRIORITY: tuple[str, ...] = (
     "q283_cuped",
     "q284_srm_check",
     "q285_dedup_roi",
+    "q286_page_hinkley",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

@@ -3936,3 +3936,117 @@ def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 4).alias("chi2"),
         (chi2 > _Q284_CHI2_CRIT).alias("srm_detected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q286: Page-Hinkley change detector over daily volumes
+# ---------------------------------------------------------------------------
+
+_Q286_DELTA = 0.0   # magnitude tolerance
+_Q286_LAMBDA = 30.0  # alert threshold (max_ph spans 27-46 at sf0.01 - mixed outcome)
+
+_Q286_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, d, x,
+         SUM(x) OVER seq AS s,
+         ROW_NUMBER() OVER seq AS i
+  FROM daily
+  WINDOW seq AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+m AS (
+  SELECT event_type, d,
+         SUM(x - CAST(s AS DOUBLE) / i - {_Q286_DELTA}) OVER seq AS mt
+  FROM w
+  WINDOW seq AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+a AS (
+  SELECT event_type, d, mt,
+         mt - MIN(mt) OVER seq AS ph
+  FROM m
+  WINDOW seq AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN ph > {_Q286_LAMBDA} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alert_days,
+       CAST(MIN(CASE WHEN ph > {_Q286_LAMBDA} THEN d END) AS BIGINT)
+         AS first_alert_day,
+       ROUND(MAX(ph), 4) AS max_ph
+FROM a GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "q286_page_hinkley",
+    _Q286_SQL,
+    doc=(
+        "Page-Hinkley change detection over per-type daily volume — "
+        "the SEQUENTIAL drift alarm (complements the batch "
+        "two-sample drifts KS q223 / PSI q120 / EMD q192): "
+        "PH_t = m_t - min_{i<=t} m_i with m_t = Σ(x_i - mean_i), "
+        "which looks sequential but is THREE ordered cumulative "
+        "windows over the 30-row daily rollup — both engines "
+        "accumulate ordered frames in the same order, so the doubles "
+        "agree bit-for-bit; alert when PH exceeds the lambda "
+        "literal; on the upward-trendless fixture alerts reflect "
+        "genuine volume drift if any, else zero — both read directly"
+    ),
+    tables=("events",),
+)
+def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    seq = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = daily.select(
+        "event_type",
+        "d",
+        "x",
+        F.sum("x").over(seq).alias("s"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("d")
+        ).alias("i"),
+    )
+    m = w.select(
+        "event_type",
+        "d",
+        F.sum(
+            F.col("x") - F.col("s").cast("double") / F.col("i") - _Q286_DELTA
+        ).over(seq).alias("mt"),
+    )
+    a = m.select(
+        "event_type",
+        "d",
+        (F.col("mt") - F.min("mt").over(seq)).alias("ph"),
+    )
+    alert = F.when(F.col("ph") > _Q286_LAMBDA, 1).otherwise(0)
+    return (
+        a.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(alert).cast("long").alias("n_alert_days"),
+            F.min(
+                F.when(F.col("ph") > _Q286_LAMBDA, F.col("d"))
+            ).cast("long").alias("first_alert_day"),
+            F.round(F.max("ph"), 4).alias("max_ph"),
+        )
+        .orderBy("event_type")
+    )

@@ -1814,3 +1814,37 @@ def test_dedup_roi_matches_brute_and_monotone(spark, sf_dir):
     removed_seq = [got[t].n_removed for t in _Q285_THRESHOLDS]
     assert removed_seq == sorted(removed_seq, reverse=True)
     assert removed_seq[0] > 0  # the 0.3 cut must actually remove docs
+
+
+def test_page_hinkley_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q286_DELTA,
+        _Q286_LAMBDA,
+        q286,
+    )
+
+    got = {r.event_type: r for r in q286(spark, sf_dir).collect()}
+    d = _daily(sf_dir)
+    for et, grp in d.groupby("event_type"):
+        grp = grp.sort_values("d")
+        xs = [int(v) for v in grp["x"]]
+        ds = [int(v) for v in grp["d"]]
+        s = 0
+        mt = 0.0
+        mmin = float("inf")
+        alerts, first, mx = 0, None, float("-inf")
+        for i, (x, day) in enumerate(zip(xs, ds), start=1):
+            s += x
+            mt += x - s / i - _Q286_DELTA
+            mmin = min(mmin, mt)
+            ph = mt - mmin
+            mx = max(mx, ph)
+            if ph > _Q286_LAMBDA:
+                alerts += 1
+                if first is None:
+                    first = day
+        r = got[et]
+        assert r.n_days == len(xs)
+        assert r.n_alert_days == alerts, et
+        assert r.first_alert_day == first
+        assert abs(r.max_ph - round(mx, 4)) < 1e-9
