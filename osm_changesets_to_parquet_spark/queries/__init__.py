@@ -187,6 +187,8 @@ _PRIORITY: tuple[str, ...] = (
     "q284_srm_check",
     "q285_dedup_roi",
     "q286_page_hinkley",
+    "q287_subgroup_auc_gap",
+    "q288_lsh_planner",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

@@ -4050,3 +4050,208 @@ def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q287: subgroup metric gap (per-group AUC disparity)
+# ---------------------------------------------------------------------------
+
+_Q287_SQL = f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d
+  FROM events
+),
+h AS (SELECT CAST(MAX(d) AS BIGINT) AS max_d FROM e),
+per_user AS (
+  SELECT user_id, {sql_hash_bucket("user_id", 2)} AS grp,
+         CAST(SUM(CASE WHEN d <= h.max_d - 14 THEN 1 ELSE 0 END) AS BIGINT)
+           AS early,
+         CASE WHEN SUM(CASE WHEN d > h.max_d - 7 THEN 1 ELSE 0 END)
+                   >= {_Q279_HEAVY} THEN 1 ELSE 0 END AS heavy
+  FROM e CROSS JOIN h GROUP BY user_id
+),
+s AS (
+  SELECT grp, early AS score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(heavy) AS BIGINT) AS pos
+  FROM per_user GROUP BY grp, early
+),
+c AS (
+  SELECT grp, score, cnt, pos,
+         COALESCE(SUM(cnt) OVER (PARTITION BY grp ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM s
+),
+t AS (
+  SELECT grp,
+         SUM(pos * (below + (cnt + 1) / 2.0)) AS rank_sum,
+         CAST(SUM(pos) AS BIGINT) AS npos,
+         CAST(SUM(cnt - pos) AS BIGINT) AS nneg
+  FROM c GROUP BY grp
+),
+aucs AS (
+  SELECT grp, npos, nneg,
+         (rank_sum - CAST(npos AS DOUBLE) * (npos + 1) / 2.0)
+           / NULLIF(CAST(npos AS DOUBLE) * nneg, 0) AS auc
+  FROM t
+)
+SELECT a1.npos + a1.nneg AS n_group1, a0.npos + a0.nneg AS n_group0,
+       ROUND(a1.auc, 6) AS auc_group1,
+       ROUND(a0.auc, 6) AS auc_group0,
+       ROUND(ABS(a1.auc - a0.auc), 6) AS auc_gap
+FROM aucs a1 JOIN aucs a0 ON a1.grp = 1 AND a0.grp = 0
+"""
+
+
+@register(
+    "q287_subgroup_auc_gap",
+    _Q287_SQL,
+    doc=(
+        "subgroup metric disparity — the fairness-style audit of "
+        "q279's engagement model: the SAME temporal-split AUC "
+        "computed per user-hash subgroup, reporting both AUCs and "
+        "the absolute gap (a model can look fine on average while "
+        "failing one segment); the rank-sum machinery partitions by "
+        "group, everything else is the q279 spelling; hash subgroups "
+        "are exchangeable so the honest gap here is small subgroup "
+        "NOISE — the machinery is what real protected attributes "
+        "would plug into"
+    ),
+    tables=("events",),
+)
+def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("d"),
+    )
+    h = e.agg(F.max("d").alias("max_d"))
+    per_user = (
+        e.crossJoin(F.broadcast(h))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("d") <= F.col("max_d") - 14, 1).otherwise(0)
+            ).alias("early"),
+            F.when(
+                F.sum(
+                    F.when(F.col("d") > F.col("max_d") - 7, 1).otherwise(0)
+                )
+                >= _Q279_HEAVY,
+                1,
+            ).otherwise(0).alias("heavy"),
+        )
+        .withColumn("grp", hash_bucket("user_id", 2))
+    )
+    s = per_user.groupBy("grp", F.col("early").alias("score")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("heavy").alias("pos")
+    )
+    w = Window.partitionBy("grp").orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = s.withColumn("below", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    t = c.groupBy("grp").agg(
+        F.sum(
+            F.col("pos") * (F.col("below") + (F.col("cnt") + 1) / 2.0)
+        ).alias("rank_sum"),
+        F.sum("pos").alias("npos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("nneg"),
+    )
+    auc = (
+        F.col("rank_sum")
+        - F.col("npos").cast("double") * (F.col("npos") + 1) / 2.0
+    ) / F.nullif(F.col("npos").cast("double") * F.col("nneg"), F.lit(0.0))
+    # a subgroup with an empty class has no defined AUC — NULL, not a
+    # crash (hit at sf0.001 where a 7-user group can lack positives)
+    aucs = t.select("grp", "npos", "nneg", auc.alias("auc"))
+    a1 = aucs.where(F.col("grp") == 1).select(
+        (F.col("npos") + F.col("nneg")).alias("n_group1"),
+        F.col("auc").alias("auc1"),
+    )
+    a0 = aucs.where(F.col("grp") == 0).select(
+        (F.col("npos") + F.col("nneg")).alias("n_group0"),
+        F.col("auc").alias("auc0"),
+    )
+    return a1.crossJoin(a0).select(
+        "n_group1",
+        "n_group0",
+        F.round("auc1", 6).alias("auc_group1"),
+        F.round("auc0", 6).alias("auc_group0"),
+        F.round(F.abs(F.col("auc1") - F.col("auc0")), 6).alias("auc_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q288: LSH parameter planner (candidate-probability S-curves)
+# ---------------------------------------------------------------------------
+
+_Q288_SQL = """
+WITH grid AS (
+  SELECT CAST(j AS BIGINT) AS jpct, j / 100.0 AS jac
+  FROM UNNEST(range(5, 100, 5)) AS u(j)
+),
+p AS (
+  SELECT jpct, jac,
+         jac * jac * jac * jac AS band4,
+         jac * jac AS band2
+  FROM grid
+),
+q AS (
+  SELECT jpct, jac,
+         (1 - band4) * (1 - band4) AS m4_2,
+         (1 - band2) * (1 - band2) AS m2_2
+  FROM p
+),
+r AS (
+  SELECT jpct, jac,
+         m4_2 * m4_2 AS m4_4, m2_2 * m2_2 AS m2_4 FROM q
+),
+s AS (
+  SELECT jpct, jac,
+         m4_4 * m4_4 AS miss_8x4,
+         m2_4 * m2_4 * m2_4 * m2_4 AS miss_16x2
+  FROM r
+)
+SELECT jpct AS jaccard_pct,
+       ROUND(1 - miss_8x4, 6) AS p_candidate_8x4,
+       ROUND(1 - miss_16x2, 6) AS p_candidate_16x2
+FROM s ORDER BY jaccard_pct
+"""
+
+
+@register(
+    "q288_lsh_planner",
+    _Q288_SQL,
+    doc=(
+        "LSH parameter planner — the design tool BEHIND q35b's "
+        "8-bands×4-rows choice: candidate probability "
+        "1-(1-J^r)^b across the Jaccard grid for two configurations "
+        "(8×4 vs 16×2), showing where each S-curve puts its "
+        "threshold; every power is spelled as EXPLICIT repeated "
+        "multiplication/squaring (J⁴ = ((J²))², (1-x)⁸ = (((x²)²)²) "
+        "— zero pow()/libm calls, bit-identical in any engine); the "
+        "grid is generated, no table scanned — a pure planning query"
+    ),
+    tables=(),
+)
+def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = spark.createDataFrame(
+        [(j,) for j in range(5, 100, 5)], "jpct LONG"
+    ).select("jpct", (F.col("jpct") / 100.0).alias("jac"))
+    j = F.col("jac")
+    band4 = j * j * j * j
+    band2 = j * j
+    m4_2 = (1 - band4) * (1 - band4)
+    m2_2 = (1 - band2) * (1 - band2)
+    m4_4 = m4_2 * m4_2
+    m2_4 = m2_2 * m2_2
+    miss_8x4 = m4_4 * m4_4
+    miss_16x2 = m2_4 * m2_4 * m2_4 * m2_4
+    return grid.select(
+        F.col("jpct").alias("jaccard_pct"),
+        F.round(1 - miss_8x4, 6).alias("p_candidate_8x4"),
+        F.round(1 - miss_16x2, 6).alias("p_candidate_16x2"),
+    ).orderBy("jaccard_pct")

@@ -1848,3 +1848,64 @@ def test_page_hinkley_matches_brute(spark, sf_dir):
         assert r.n_alert_days == alerts, et
         assert r.first_alert_day == first
         assert abs(r.max_ph - round(mx, 4)) < 1e-9
+
+
+def test_subgroup_auc_gap_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q279_HEAVY,
+        q287,
+    )
+
+    row = q287(spark, sf_dir).collect()[0]
+    rows = duckdb.sql(
+        f"""SELECT user_id,
+              CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS BIGINT) d
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    max_d = max(d for _, d in rows)
+    per: dict = collections.defaultdict(lambda: [0, 0])
+    for u, d in rows:
+        if d <= max_d - 14:
+            per[u][0] += 1
+        if d > max_d - 7:
+            per[u][1] += 1
+
+    def auc_of(users):
+        pos = [per[u][0] for u in users if per[u][1] >= _Q279_HEAVY]
+        neg = [per[u][0] for u in users if per[u][1] < _Q279_HEAVY]
+        if not pos or not neg:
+            return None
+        wins = sum(1 for p in pos for q0 in neg if p > q0)
+        ties = sum(1 for p in pos for q0 in neg if p == q0)
+        return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+    g1 = [u for u in per if ((u % 2147483648) * 2654435761) % 2 == 1]
+    g0 = [u for u in per if ((u % 2147483648) * 2654435761) % 2 == 0]
+    a1, a0 = auc_of(g1), auc_of(g0)
+    assert (row.n_group1, row.n_group0) == (len(g1), len(g0))
+    for want, got_v in ((a1, row.auc_group1), (a0, row.auc_group0)):
+        if want is None:
+            assert got_v is None
+        else:
+            assert abs(got_v - round(want, 6)) < 1e-9
+    if a1 is not None and a0 is not None:
+        assert abs(row.auc_gap - round(abs(a1 - a0), 6)) < 1e-9
+
+
+def test_lsh_planner_matches_closed_form(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import q288
+
+    got = {r.jaccard_pct: r for r in q288(spark, sf_dir).collect()}
+    for jp in range(5, 100, 5):
+        j = jp / 100.0
+        p84 = 1 - (1 - j**4) ** 8
+        p162 = 1 - (1 - j**2) ** 16
+        r = got[jp]
+        assert abs(r.p_candidate_8x4 - round(p84, 6)) < 1e-9, jp
+        assert abs(r.p_candidate_16x2 - round(p162, 6)) < 1e-9, jp
+    # S-curve facts: 16x2 dominates at low J (more, shorter bands),
+    # both curves are monotone increasing
+    assert got[20].p_candidate_16x2 > got[20].p_candidate_8x4
+    curve = [got[jp].p_candidate_8x4 for jp in range(5, 100, 5)]
+    assert curve == sorted(curve)
