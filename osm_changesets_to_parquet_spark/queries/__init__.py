@@ -189,6 +189,8 @@ _PRIORITY: tuple[str, ...] = (
     "q286_page_hinkley",
     "q287_subgroup_auc_gap",
     "q288_lsh_planner",
+    "q289_kruskal_wallis",
+    "q290_logrank",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

@@ -4255,3 +4255,263 @@ def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1 - miss_8x4, 6).alias("p_candidate_8x4"),
         F.round(1 - miss_16x2, 6).alias("p_candidate_16x2"),
     ).orderBy("jaccard_pct")
+
+
+# ---------------------------------------------------------------------------
+# q289: Kruskal-Wallis k-sample rank test (q213's k-group extension)
+# ---------------------------------------------------------------------------
+
+_Q289_SQL = """
+WITH e AS (
+  SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+vc AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY v
+),
+tr AS (
+  SELECT v, cnt,
+         2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS t2
+  FROM vc
+),
+gv AS (
+  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cg FROM e GROUP BY g, v
+),
+rg AS (
+  SELECT gv.g,
+         CAST(SUM(gv.cg) AS BIGINT) AS n_g,
+         CAST(SUM(gv.cg * tr.t2) AS BIGINT) AS s2_g
+  FROM gv JOIN tr ON tr.v = gv.v
+  GROUP BY gv.g
+),
+tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         SUM(POWER(s2_g / 2.0, 2) / n_g) AS rterm
+  FROM rg
+),
+ties AS (
+  SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS t3 FROM vc
+),
+h AS (
+  SELECT tot.n,
+         12.0 / (tot.n * (tot.n + 1.0)) * tot.rterm - 3 * (tot.n + 1.0)
+           AS h_raw,
+         1 - CAST(ties.t3 AS DOUBLE)
+             / (CAST(tot.n AS DOUBLE) * tot.n * tot.n - tot.n) AS c
+  FROM tot CROSS JOIN ties
+)
+SELECT n, CAST((SELECT COUNT(*) FROM rg) AS BIGINT) AS n_groups,
+       ROUND(h_raw, 4) AS h,
+       ROUND(h_raw / c, 4) AS h_tie_adjusted
+FROM h
+"""
+
+
+@register(
+    "q289_kruskal_wallis",
+    _Q289_SQL,
+    doc=(
+        "Kruskal-Wallis k-sample rank test (q213 Mann-Whitney's "
+        "k-group extension — does ANY type's value distribution "
+        "differ): pooled average ranks via the q232 doubled-rank "
+        "contingency trick (2·rank stays an exact BIGINT through "
+        "ties), per-group rank sums from the (group, value) rollup "
+        "joined to the value-domain-sized rank frame (|distinct "
+        "cents|, never corpus rows), H with the exact tie "
+        "correction 1-Σ(t³-t)/(N³-N); H_adj ~ chi²(k-1) under the "
+        "null — ~4 expected on this label-free fixture"
+    ),
+    tables=("events",),
+)
+def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    vc = e.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    # value-domain-sized window (|distinct cents|), not corpus-sized
+    tr = vc.select(
+        "v",
+        (
+            2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).alias("t2"),
+    )
+    gv = e.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cg"))
+    rg = (
+        gv.join(F.broadcast(tr), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("cg").alias("n_g"),
+            F.sum(F.col("cg") * F.col("t2")).alias("s2_g"),
+        )
+    )
+    tot = rg.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_g").alias("n"),
+        F.sum(F.pow(F.col("s2_g") / 2.0, 2) / F.col("n_g")).alias("rterm"),
+    )
+    ties = vc.agg(
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("t3")
+    )
+    n = F.col("n")
+    h_raw = 12.0 / (n * (n + 1.0)) * F.col("rterm") - 3 * (n + 1.0)
+    c = 1 - F.col("t3").cast("double") / (
+        n.cast("double") * n * n - n
+    )
+    return (
+        tot.crossJoin(F.broadcast(ties))
+        .select(
+            "n",
+            "n_groups",
+            F.round(h_raw, 4).alias("h"),
+            F.round(h_raw / c, 4).alias("h_tie_adjusted"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q290: log-rank test (two-arm survival comparison, q219's inferential twin)
+# ---------------------------------------------------------------------------
+
+_Q290_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         {sql_hash_bucket("user_id", 2)} AS arm,
+         MIN(epoch_us(ts)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+         MAX(epoch_us(ts)) AS tl
+  FROM events GROUP BY user_id
+),
+dur AS (
+  SELECT arm,
+         CAST(COALESCE(tp - t0, tl - t0) // 86400000000 AS BIGINT) AS t,
+         CAST(tp IS NOT NULL AS BIGINT) AS died
+  FROM per_user
+),
+day AS (
+  SELECT t, arm,
+         CAST(SUM(died) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM dur GROUP BY t, arm
+),
+grid AS (
+  SELECT DISTINCT dy.t, a.arm
+  FROM (SELECT DISTINCT t FROM day) dy
+  CROSS JOIN (SELECT 0 AS arm UNION ALL SELECT 1) a
+),
+full_day AS (
+  SELECT g.t, g.arm, COALESCE(day.d, 0) AS d, COALESCE(day.c, 0) AS c
+  FROM grid g LEFT JOIN day ON day.t = g.t AND day.arm = g.arm
+),
+risk AS (
+  SELECT t, arm, d,
+         SUM(c) OVER (PARTITION BY arm ORDER BY t DESC) AS n_risk
+  FROM full_day
+),
+wide AS (
+  SELECT t,
+         SUM(CASE WHEN arm = 1 THEN d ELSE 0 END) AS d1,
+         SUM(d) AS dt,
+         SUM(CASE WHEN arm = 1 THEN n_risk ELSE 0 END) AS n1,
+         SUM(n_risk) AS nt
+  FROM risk GROUP BY t
+),
+terms AS (
+  SELECT t, d1,
+         dt * CAST(n1 AS DOUBLE) / nt AS e1,
+         CASE WHEN nt > 1
+              THEN dt * (CAST(n1 AS DOUBLE) / nt)
+                   * (1 - CAST(n1 AS DOUBLE) / nt)
+                   * (nt - dt) / (nt - 1.0)
+              ELSE 0.0 END AS v1
+  FROM wide WHERE dt > 0
+)
+SELECT CAST(SUM(d1) AS BIGINT) AS observed_1,
+       ROUND(SUM(e1), 4) AS expected_1,
+       ROUND(POWER(SUM(d1) - SUM(e1), 2) / SUM(v1), 4) AS logrank_chi2
+FROM terms
+"""
+
+
+@register(
+    "q290_logrank",
+    _Q290_SQL,
+    doc=(
+        "log-rank test between two hash arms on time-to-first-"
+        "purchase (q219 Kaplan-Meier's inferential twin — the "
+        "standard survival-curve comparison): at each event time the "
+        "hypergeometric expected deaths and variance for arm 1 come "
+        "from the at-risk table (a reverse cumulative window per arm "
+        "over the |distinct days| frame, densified so both arms "
+        "carry at-risk counts at every event time), chi² = "
+        "(O−E)²/ΣV; on the random split the honest chi² is ~chi²(1)"
+    ),
+    tables=("events",),
+)
+def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+        ).alias("tp"),
+        F.max("ts_us").alias("tl"),
+    ).withColumn("arm", hash_bucket("user_id", 2))
+    dur = per_user.select(
+        "arm",
+        (
+            F.coalesce(F.col("tp") - F.col("t0"), F.col("tl") - F.col("t0"))
+            / F.lit(86400000000)
+        ).cast("long").alias("t_raw"),
+        F.col("tp").isNotNull().cast("long").alias("died"),
+    ).select(F.expr("t_raw").alias("t"), "arm", "died")
+    day = dur.groupBy("t", "arm").agg(
+        F.sum("died").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    arms = ev.sparkSession.createDataFrame([(0,), (1,)], "arm LONG")
+    grid = day.select("t").distinct().crossJoin(F.broadcast(arms))
+    full_day = grid.join(day, ["t", "arm"], "left").select(
+        "t",
+        "arm",
+        F.coalesce("d", F.lit(0)).alias("d"),
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    w = Window.partitionBy("arm").orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = full_day.select(
+        "t", "arm", "d", F.sum("c").over(w).alias("n_risk")
+    )
+    wide = risk.groupBy("t").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("d")).otherwise(0)).alias("d1"),
+        F.sum("d").alias("dt"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("n_risk")).otherwise(0)
+        ).alias("n1"),
+        F.sum("n_risk").alias("nt"),
+    )
+    frac = F.col("n1").cast("double") / F.col("nt")
+    terms = wide.where(F.col("dt") > 0).select(
+        "d1",
+        (F.col("dt") * frac).alias("e1"),
+        F.when(
+            F.col("nt") > 1,
+            F.col("dt") * frac * (1 - frac)
+            * (F.col("nt") - F.col("dt")) / (F.col("nt") - 1.0),
+        ).otherwise(0.0).alias("v1"),
+    )
+    return terms.agg(
+        F.sum("d1").cast("long").alias("observed_1"),
+        F.round(F.sum("e1"), 4).alias("expected_1"),
+        F.round(
+            F.pow(F.sum("d1") - F.sum("e1"), 2) / F.sum("v1"), 4
+        ).alias("logrank_chi2"),
+    )

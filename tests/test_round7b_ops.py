@@ -1909,3 +1909,70 @@ def test_lsh_planner_matches_closed_form(spark, sf_dir):
     assert got[20].p_candidate_16x2 > got[20].p_candidate_8x4
     curve = [got[jp].p_candidate_8x4 for jp in range(5, 100, 5)]
     assert curve == sorted(curve)
+
+
+def test_kruskal_wallis_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import q289
+
+    row = q289(spark, sf_dir).collect()[0]
+    rows = duckdb.sql(
+        f"""SELECT event_type, CAST(ROUND(value*100) AS BIGINT) v
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    # average ranks by value
+    rank: dict = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and vals[j] == vals[i]:
+            j += 1
+        rank[vals[i]] = (i + 1 + j) / 2  # average of ranks i+1..j
+        i = j
+    groups: dict = collections.defaultdict(list)
+    for g, v in rows:
+        groups[g].append(rank[v])
+    h = 12 / (n * (n + 1)) * sum(
+        sum(rs) ** 2 / len(rs) for rs in groups.values()
+    ) - 3 * (n + 1)
+    ties: collections.Counter = collections.Counter(vals)
+    c = 1 - sum(t**3 - t for t in ties.values()) / (n**3 - n)
+    assert row.n == n and row.n_groups == len(groups)
+    assert abs(row.h - round(h, 4)) < 1e-6
+    assert abs(row.h_tie_adjusted - round(h / c, 4)) < 1e-6
+    # label-free fixture: H ~ chi2(4), far below e.g. 50
+    assert 0 <= row.h_tie_adjusted < 50
+
+
+def test_logrank_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import q290
+
+    row = q290(spark, sf_dir).collect()[0]
+    rows = duckdb.sql(
+        f"""SELECT user_id, MIN(epoch_us(ts)) t0,
+              MIN(CASE WHEN event_type='purchase' THEN epoch_us(ts) END) tp,
+              MAX(epoch_us(ts)) tl
+            FROM '{sf_dir}/events.parquet' GROUP BY user_id"""
+    ).fetchall()
+    subj = []
+    for u, t0, tp, tl in rows:
+        arm = ((u % 2147483648) * 2654435761) % 2
+        t = ((tp - t0) if tp is not None else (tl - t0)) // 86400000000
+        subj.append((arm, t, tp is not None))
+    times = sorted({t for _, t, d in subj if d})
+    o1 = e1 = v1 = 0.0
+    for t in times:
+        n1 = sum(1 for a, tt, _ in subj if a == 1 and tt >= t)
+        nt = sum(1 for _, tt, _ in subj if tt >= t)
+        d1 = sum(1 for a, tt, d in subj if a == 1 and tt == t and d)
+        dt = sum(1 for _, tt, d in subj if tt == t and d)
+        o1 += d1
+        e1 += dt * n1 / nt
+        if nt > 1:
+            v1 += dt * (n1 / nt) * (1 - n1 / nt) * (nt - dt) / (nt - 1)
+    assert row.observed_1 == int(o1)
+    assert abs(row.expected_1 - round(e1, 4)) < 1e-6
+    assert abs(row.logrank_chi2 - round((o1 - e1) ** 2 / v1, 4)) < 1e-4
+    # random split: chi2(1) — anything above 15 would mean a bug
+    assert 0 <= row.logrank_chi2 < 15
