@@ -191,6 +191,8 @@ _PRIORITY: tuple[str, ...] = (
     "q288_lsh_planner",
     "q289_kruskal_wallis",
     "q290_logrank",
+    "q291_fleiss_kappa",
+    "q292_minhash_error_audit",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

@@ -1411,3 +1411,103 @@ def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# q292: MinHash estimator error audit (estimated vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+_Q292_TRUTH_CTES = f"""tok AS ({_SQL_TOK}),
+shd AS (SELECT doc_id, list_distinct({_SQL_SHINGLE_HASHES}) AS hs FROM tok),
+ex AS (SELECT doc_id, unnest(hs) AS h FROM shd),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+tpairs AS (
+  SELECT id_a, id_b,
+         ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jac
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.3
+)"""
+
+_Q292_SQL = f"""
+WITH {_Q292_TRUTH_CTES},
+sh2 AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM tok),
+sig AS (SELECT doc_id, {_sql_sig_entries()} AS sig FROM sh2),
+est AS (
+  SELECT t.id_a, t.id_b, t.jac,
+         ROUND(len(list_filter(range(1, {D.N_HASHES} + 1),
+                   i -> sa.sig[i] = sb.sig[i])) / {D.N_HASHES}.0, 4) AS jest
+  FROM tpairs t
+  JOIN sig sa ON sa.doc_id = t.id_a
+  JOIN sig sb ON sb.doc_id = t.id_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(jest - jac), 4) AS mean_bias,
+       ROUND(AVG(ABS(jest - jac)), 4) AS mean_abs_err,
+       ROUND(MAX(ABS(jest - jac)), 4) AS max_abs_err
+FROM est
+"""
+
+
+@register(
+    "q292_minhash_error_audit",
+    _Q292_SQL,
+    doc=(
+        f"MinHash estimator calibration audit: for every exact-"
+        f"Jaccard pair >= 0.3, the {D.N_HASHES}-hash signature "
+        "estimate (share of agreeing components) vs the true J — "
+        "bias, MAE, and worst case; theory says SE ~ sqrt(J(1-J)/32) "
+        "~ 0.09 at J=0.5, and this measures whether the engine's "
+        "actual MINHASH_A/B constants deliver it (the audit q35b's "
+        "recall test can't do — recall checks candidates, this "
+        "checks the ESTIMATOR); signatures and truth share one "
+        "shingle pass"
+    ),
+    tables=("documents",),
+)
+def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.3)
+    sigs = D.minhash_signature(D.shingles(docs)).select("doc_id", "sig")
+    est = (
+        pairs.join(
+            sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .select(
+            "jac",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "sig_a",
+                        "sig_b",
+                        lambda x, y: (x == y).cast("int"),
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / D.N_HASHES,
+                4,
+            ).alias("jest"),
+        )
+    )
+    return est.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(F.col("jest") - F.col("jac")), 4).alias("mean_bias"),
+        F.round(F.avg(F.abs(F.col("jest") - F.col("jac"))), 4).alias(
+            "mean_abs_err"
+        ),
+        F.round(F.max(F.abs(F.col("jest") - F.col("jac"))), 4).alias(
+            "max_abs_err"
+        ),
+    )

@@ -4515,3 +4515,80 @@ def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.sum("d1") - F.sum("e1"), 2) / F.sum("v1"), 4
         ).alias("logrank_chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q291: Fleiss' kappa — k-rater chance-corrected agreement
+# ---------------------------------------------------------------------------
+
+_Q291_CUTS = (40, 50, 60)  # three heuristic raters
+
+_Q291_SQL = f"""
+WITH r AS (
+  SELECT event_id,
+         {" + ".join(f"CASE WHEN value >= {c} THEN 1 ELSE 0 END" for c in _Q291_CUTS)}
+           AS n_pos
+  FROM events
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_pos) AS BIGINT) AS tot_pos,
+         CAST(SUM(n_pos * n_pos + (3 - n_pos) * (3 - n_pos)) AS BIGINT)
+           AS sq_sum
+  FROM r
+)
+SELECT n AS n_items,
+       ROUND((CAST(sq_sum AS DOUBLE) - n * 3) / (n * 3 * 2.0), 6)
+         AS p_observed,
+       ROUND(POWER(CAST(tot_pos AS DOUBLE) / (n * 3), 2)
+             + POWER(1 - CAST(tot_pos AS DOUBLE) / (n * 3), 2), 6)
+         AS p_expected,
+       ROUND(((CAST(sq_sum AS DOUBLE) - n * 3) / (n * 3 * 2.0)
+              - (POWER(CAST(tot_pos AS DOUBLE) / (n * 3), 2)
+                 + POWER(1 - CAST(tot_pos AS DOUBLE) / (n * 3), 2)))
+             / (1 - (POWER(CAST(tot_pos AS DOUBLE) / (n * 3), 2)
+                     + POWER(1 - CAST(tot_pos AS DOUBLE) / (n * 3), 2))),
+             6) AS fleiss_kappa
+FROM s
+"""
+
+
+@register(
+    "q291_fleiss_kappa",
+    _Q291_SQL,
+    doc=(
+        "Fleiss' kappa (1971) — q265's Cohen generalized to THREE "
+        "raters (the value>=40/50/60 heuristics): per-item agreement "
+        "P_i = (Σ n_ij² - k)/(k(k-1)) reduces to ONE integer rollup "
+        "of n_pos and n_pos², chance agreement from the pooled "
+        "category shares, kappa closed-form; the three correlated "
+        "thresholds agree far above chance but below 1 — the "
+        "multi-annotator audit shape"
+    ),
+    tables=("events",),
+)
+def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    n_pos = sum(
+        (F.when(F.col("value") >= c, 1).otherwise(0) for c in _Q291_CUTS),
+        F.lit(0),
+    )
+    r = ev.select(n_pos.alias("n_pos"))
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_pos").alias("tot_pos"),
+        F.sum(
+            F.col("n_pos") * F.col("n_pos")
+            + (3 - F.col("n_pos")) * (3 - F.col("n_pos"))
+        ).alias("sq_sum"),
+    )
+    n = F.col("n")
+    po = (F.col("sq_sum").cast("double") - n * 3) / (n * 3 * 2.0)
+    share = F.col("tot_pos").cast("double") / (n * 3)
+    pe = F.pow(share, 2) + F.pow(1 - share, 2)
+    return s.select(
+        n.alias("n_items"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((po - pe) / (1 - pe), 6).alias("fleiss_kappa"),
+    )

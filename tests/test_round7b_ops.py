@@ -1976,3 +1976,61 @@ def test_logrank_matches_brute(spark, sf_dir):
     assert abs(row.logrank_chi2 - round((o1 - e1) ** 2 / v1, 4)) < 1e-4
     # random split: chi2(1) — anything above 15 would mean a bug
     assert 0 <= row.logrank_chi2 < 15
+
+
+def test_fleiss_kappa_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q291_CUTS,
+        q291,
+    )
+
+    row = q291(spark, sf_dir).collect()[0]
+    vals = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT value FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+    ]
+    k = len(_Q291_CUTS)
+    n = len(vals)
+    npos = [sum(1 for c in _Q291_CUTS if v >= c) for v in vals]
+    p_i = [(p * p + (k - p) * (k - p) - k) / (k * (k - 1)) for p in npos]
+    po = sum(p_i) / n
+    share = sum(npos) / (n * k)
+    pe = share**2 + (1 - share) ** 2
+    kappa = (po - pe) / (1 - pe)
+    assert row.n_items == n
+    assert abs(row.p_observed - round(po, 6)) < 1e-9
+    assert abs(row.fleiss_kappa - round(kappa, 6)) < 1e-6
+    # correlated-but-unequal thresholds: well above chance, below 1
+    assert 0.5 < row.fleiss_kappa < 1.0
+
+
+def test_minhash_error_within_theory(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.operators.dedup import (
+        N_HASHES,
+        minhash_signature,
+        shingles,
+        jaccard_pairs,
+    )
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from osm_changesets_to_parquet_spark.queries.dedup_sim import q292
+
+    row = q292(spark, sf_dir).collect()[0]
+    # brute: recompute per-pair estimates from collected signatures
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = {
+        r.doc_id: list(r.sig)
+        for r in minhash_signature(shingles(docs)).select("doc_id", "sig").collect()
+    }
+    pairs = [(r.id_a, r.id_b, r.jac)
+             for r in jaccard_pairs(docs, threshold=0.3).collect()]
+    errs = []
+    for a, b, jac in pairs:
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / N_HASHES
+        errs.append(round(est, 4) - jac)
+    assert row.n_pairs == len(pairs)
+    assert abs(row.mean_abs_err - round(sum(abs(e) for e in errs) / len(errs), 4)) < 1e-6
+    assert abs(row.max_abs_err - round(max(abs(e) for e in errs), 4)) < 1e-9
+    # the estimator must sit inside ~2x the binomial SE at J~0.5
+    assert row.mean_abs_err < 2 * (0.25 / N_HASHES) ** 0.5
