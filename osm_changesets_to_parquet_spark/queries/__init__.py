@@ -193,6 +193,7 @@ _PRIORITY: tuple[str, ...] = (
     "q290_logrank",
     "q291_fleiss_kappa",
     "q292_minhash_error_audit",
+    "q293_vocab_forecast",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

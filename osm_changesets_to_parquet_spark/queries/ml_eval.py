@@ -4592,3 +4592,161 @@ def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("p_expected"),
         F.round((po - pe) / (1 - pe), 6).alias("fleiss_kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q293: vocabulary saturation forecast (extrapolating the Heaps fit)
+# ---------------------------------------------------------------------------
+
+_Q293_MULTIPLIERS = (2, 5, 10)
+
+_Q293_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS drk,
+         COUNT(*) OVER () AS nd
+  FROM documents
+),
+grams AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS g, drk
+  FROM d, UNNEST(range(1, len(ws))) AS u(i)
+),
+first_seen AS (SELECT g, CAST(MIN(drk) AS BIGINT) AS fr FROM grams GROUP BY g),
+per_doc AS (
+  SELECT drk, CAST(COUNT(*) AS BIGINT) AS toks FROM grams GROUP BY drk
+),
+ck(p) AS (SELECT * FROM (VALUES (20), (40), (60), (80), (100)) v(p)),
+pts AS (
+  SELECT ck.p,
+         (SELECT CAST(SUM(toks) AS BIGINT) FROM per_doc,
+            (SELECT ANY_VALUE(nd) AS nd FROM d) x
+          WHERE drk <= (ck.p * x.nd + 99) // 100) AS n_tokens,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM first_seen,
+            (SELECT ANY_VALUE(nd) AS nd FROM d) x
+          WHERE fr <= (ck.p * x.nd + 99) // 100) AS v_types
+  FROM ck
+),
+fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(ROUND(LN(n_tokens), 6)) AS sx,
+         SUM(ROUND(LN(v_types), 6)) AS sy,
+         SUM(ROUND(LN(n_tokens), 6) * ROUND(LN(v_types), 6)) AS sxy,
+         SUM(ROUND(LN(n_tokens), 6) * ROUND(LN(n_tokens), 6)) AS sxx
+  FROM pts
+),
+coef AS (
+  SELECT (k * sxy - sx * sy) / (k * sxx - sx * sx) AS beta,
+         (sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k
+           AS lnk
+  FROM fit
+),
+now_pt AS (
+  SELECT n_tokens AS n_now, v_types AS v_now FROM pts WHERE p = 100
+)
+SELECT CAST(m AS BIGINT) AS tokens_multiplier,
+       CAST(now_pt.n_now * m AS BIGINT) AS projected_tokens,
+       CAST(ROUND(EXP(coef.lnk + coef.beta
+                      * ROUND(LN(CAST(now_pt.n_now AS DOUBLE) * m), 6)))
+            AS BIGINT) AS projected_vocab,
+       now_pt.v_now AS current_vocab
+FROM (SELECT * FROM (VALUES {", ".join(f"({m})" for m in _Q293_MULTIPLIERS)})
+      v(m)) ms
+CROSS JOIN coef CROSS JOIN now_pt
+ORDER BY tokens_multiplier
+"""
+
+
+@register(
+    "q293_vocab_forecast",
+    _Q293_SQL,
+    doc=(
+        "vocabulary saturation forecast — the capacity-planning use "
+        "of q256's Heaps fit: V(m·N) = K·(m·N)^β extrapolated to "
+        "2×/5×/10× today's token count from the measured (K, β) "
+        "(should you budget a bigger tokenizer vocab before scaling "
+        "the corpus?); same ln-rounding fit discipline as q256, the "
+        "single EXP per row rounded to a whole type count; on this "
+        "CLOSED-vocabulary fixture the forecast stays near today's "
+        "vocab — exactly what β≈0.1 predicts"
+    ),
+    tables=("documents",),
+)
+def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    d = docs.select("doc_id", F.row_number().over(w).alias("drk"))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat(split(text, ' ')[i - 1], ' ', "
+                "split(text, ' ')[i]))"
+            )
+        ).alias("g"),
+    ).join(F.broadcast(d), "doc_id")
+    first_seen = grams.groupBy("g").agg(F.min("drk").cast("long").alias("fr"))
+    per_doc = grams.groupBy("drk").agg(F.count(F.lit(1)).alias("toks"))
+    ck = docs.sparkSession.createDataFrame(
+        [(p,) for p in (20, 40, 60, 80, 100)], "p LONG"
+    )
+    ckn = ck.crossJoin(F.broadcast(nd)).select(
+        "p", F.expr("(p * nd + 99) div 100").alias("kdoc")
+    )
+    n_tokens = (
+        per_doc.crossJoin(F.broadcast(ckn))
+        .where(F.col("drk") <= F.col("kdoc"))
+        .groupBy("p")
+        .agg(F.sum("toks").alias("n_tokens"))
+    )
+    v_types = (
+        first_seen.crossJoin(F.broadcast(ckn))
+        .where(F.col("fr") <= F.col("kdoc"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("v_types"))
+    )
+    pts = n_tokens.join(v_types, "p")
+    x = F.round(F.log(F.col("n_tokens").cast("double")), 6)
+    y = F.round(F.log(F.col("v_types").cast("double")), 6)
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    beta = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    coef = fit.select(
+        beta.alias("beta"),
+        ((F.col("sy") - beta * F.col("sx")) / F.col("k")).alias("lnk"),
+    )
+    now_pt = pts.where(F.col("p") == 100).select(
+        F.col("n_tokens").alias("n_now"), F.col("v_types").alias("v_now")
+    )
+    ms = docs.sparkSession.createDataFrame(
+        [(m,) for m in _Q293_MULTIPLIERS], "m LONG"
+    )
+    return (
+        ms.crossJoin(F.broadcast(coef))
+        .crossJoin(F.broadcast(now_pt))
+        .select(
+            F.col("m").alias("tokens_multiplier"),
+            (F.col("n_now") * F.col("m")).cast("long").alias(
+                "projected_tokens"
+            ),
+            F.round(
+                F.exp(
+                    F.col("lnk")
+                    + F.col("beta")
+                    * F.round(
+                        F.log(F.col("n_now").cast("double") * F.col("m")), 6
+                    )
+                )
+            ).cast("long").alias("projected_vocab"),
+            F.col("v_now").alias("current_vocab"),
+        )
+        .orderBy("tokens_multiplier")
+    )

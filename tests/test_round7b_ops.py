@@ -2034,3 +2034,51 @@ def test_minhash_error_within_theory(spark, sf_dir):
     assert abs(row.max_abs_err - round(max(abs(e) for e in errs), 4)) < 1e-9
     # the estimator must sit inside ~2x the binomial SE at J~0.5
     assert row.mean_abs_err < 2 * (0.25 / N_HASHES) ** 0.5
+
+
+def test_vocab_forecast_matches_brute_and_is_sane(spark, sf_dir):
+    import math
+
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q293_MULTIPLIERS,
+        q293,
+    )
+
+    got = {r.tokens_multiplier: r for r in q293(spark, sf_dir).collect()}
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    nd = len(texts)
+    seen: set = set()
+    toks = 0
+    marks = {p: (p * nd + 99) // 100 for p in (20, 40, 60, 80, 100)}
+    pts = []
+    for i, (_, t) in enumerate(texts, start=1):
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            seen.add(f"{a} {b}")
+            toks += 1
+        for p, kd in marks.items():
+            if i == kd:
+                pts.append((toks, len(seen)))
+    xs = [round(math.log(n), 6) for n, _ in pts]
+    ys = [round(math.log(v), 6) for _, v in pts]
+    k = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    lnk = (sy - beta * sx) / k
+    n_now, v_now = pts[-1]
+    for m in _Q293_MULTIPLIERS:
+        want = round(math.exp(lnk + beta * round(math.log(n_now * m), 6)))
+        r = got[m]
+        assert r.projected_tokens == n_now * m
+        assert r.projected_vocab == want, m
+        assert r.current_vocab == v_now
+    # closed-vocabulary fixture: beta ~ 0.1, so even 10x tokens adds
+    # little vocab — the forecast must stay within 2x of today
+    assert got[10].projected_vocab < 2 * v_now
+    # and forecasts must be nondecreasing in the multiplier
+    seq = [got[m].projected_vocab for m in _Q293_MULTIPLIERS]
+    assert seq == sorted(seq)
