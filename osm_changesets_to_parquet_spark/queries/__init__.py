@@ -194,6 +194,8 @@ _PRIORITY: tuple[str, ...] = (
     "q291_fleiss_kappa",
     "q292_minhash_error_audit",
     "q293_vocab_forecast",
+    "q294_markov_entropy_rate",
+    "q295_similarity_transitivity",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

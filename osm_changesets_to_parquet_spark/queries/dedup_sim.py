@@ -1511,3 +1511,85 @@ def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_abs_err"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q295: similarity-graph transitivity audit (round 7)
+# ---------------------------------------------------------------------------
+
+_Q295_SQL = f"""
+WITH {_Q292_TRUTH_CTES},
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM tpairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM tpairs
+),
+wedge AS (
+  SELECT a.v AS x, b.v AS y
+  FROM sym a JOIN sym b ON a.u = b.u AND a.v < b.v
+),
+closed AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_closed
+  FROM wedge w
+  WHERE EXISTS (SELECT 1 FROM tpairs t
+                WHERE t.id_a = w.x AND t.id_b = w.y)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tpairs) AS n_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM wedge) AS n_wedges,
+       closed.n_closed,
+       ROUND(CASE WHEN (SELECT COUNT(*) FROM wedge) > 0
+             THEN closed.n_closed * 1.0 / (SELECT COUNT(*) FROM wedge)
+             ELSE NULL END, 4) AS transitivity
+FROM closed
+"""
+
+
+@register(
+    "q295_similarity_transitivity",
+    _Q295_SQL,
+    doc=(
+        "transitivity audit of the exact-Jaccard similarity graph "
+        "(J >= 0.3): of all wedges a~b, a~c, what share close into "
+        "a~c — HIGH transitivity justifies q68's connected-component "
+        "clustering (members really are mutually similar), LOW means "
+        "CC chains unrelated docs through hubs and the canonical-pick "
+        "q138 discipline matters; wedges via the apex self-join of "
+        "the symmetric pair list, closure via an equi-semi-join on "
+        "the ordered pair key (the q218 triangle discipline applied "
+        "to the similarity graph)"
+    ),
+    tables=("documents",),
+)
+def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.3).select("id_a", "id_b")
+    sym = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    a = sym.alias("a")
+    b = sym.alias("b")
+    wedge = (
+        a.join(b, F.col("a.u") == F.col("b.u"))
+        .where(F.col("a.v") < F.col("b.v"))
+        .select(F.col("a.v").alias("id_a"), F.col("b.v").alias("id_b"))
+    )
+    closed = wedge.join(pairs, ["id_a", "id_b"], "semi")
+    n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_wedges = wedge.agg(F.count(F.lit(1)).alias("n_wedges"))
+    n_closed = closed.agg(F.count(F.lit(1)).alias("n_closed"))
+    return (
+        n_pairs.crossJoin(F.broadcast(n_wedges))
+        .crossJoin(F.broadcast(n_closed))
+        .select(
+            "n_pairs",
+            "n_wedges",
+            "n_closed",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.col("n_closed") * 1.0 / F.col("n_wedges"),
+                ),
+                4,
+            ).alias("transitivity"),
+        )
+    )

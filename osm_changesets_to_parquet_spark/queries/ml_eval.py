@@ -4750,3 +4750,99 @@ def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tokens_multiplier")
     )
+
+
+# ---------------------------------------------------------------------------
+# q294: entropy rate of the behavioral Markov chain
+# ---------------------------------------------------------------------------
+
+_Q294_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+           ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS src
+  FROM events
+),
+t AS (
+  SELECT src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS c
+  FROM o WHERE src IS NOT NULL GROUP BY 1, 2
+),
+row_tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS rt FROM t GROUP BY src),
+grand AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM t),
+h AS (
+  SELECT t.src,
+         ROUND(-SUM((CAST(t.c AS DOUBLE) / rt.rt)
+                    * LN(CAST(t.c AS DOUBLE) / rt.rt)) / LN(2), 6)
+           AS h_row,
+         CAST(ANY_VALUE(rt.rt) AS BIGINT) AS rt
+  FROM t JOIN row_tot rt ON rt.src = t.src
+  GROUP BY t.src
+)
+SELECT CAST((SELECT COUNT(*) FROM h) AS BIGINT) AS n_states,
+       ROUND(SUM(h.h_row * h.rt / grand.n), 4) AS entropy_rate_bits,
+       ROUND(LN((SELECT COUNT(*) FROM h)) / LN(2), 4) AS max_entropy_bits,
+       ROUND(1 - SUM(h.h_row * h.rt / grand.n)
+             / (LN((SELECT COUNT(*) FROM h)) / LN(2)), 4) AS predictability
+FROM h CROSS JOIN grand
+GROUP BY grand.n
+"""
+
+
+@register(
+    "q294_markov_entropy_rate",
+    _Q294_SQL,
+    doc=(
+        "entropy rate of the empirical behavior chain — how "
+        "predictable is the next event, in bits (the "
+        "information-theoretic ceiling for any next-event model like "
+        "q255's): H = Σ π_i H(row_i) with π the empirical source "
+        "share, per-row entropies over the |types|² transition "
+        "rollup, ln-to-bits; predictability = 1 − H/log₂|states| — "
+        "~0 on this uniform-behavior fixture (the honest null: "
+        "q255's top-1 accuracy ~1/|types| agrees)"
+    ),
+    tables=("events",),
+)
+def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    o = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("src")
+    ).where(F.col("src").isNotNull())
+    t = o.groupBy("src", F.col("event_type").alias("dst")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    row_tot = t.groupBy("src").agg(F.sum("c").alias("rt"))
+    grand = t.agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("rt")
+    h = (
+        t.join(F.broadcast(row_tot), "src")
+        .groupBy("src")
+        .agg(
+            F.round(-F.sum(p * F.log(p)) / F.lit(float(__import__("math").log(2))), 6).alias("h_row"),
+            F.first("rt").alias("rt"),
+        )
+    )
+    n_states = h.agg(F.count(F.lit(1)).alias("ns"))
+    ln2 = float(__import__("math").log(2))
+    return (
+        h.crossJoin(F.broadcast(grand))
+        .crossJoin(F.broadcast(n_states))
+        .groupBy("n", "ns")
+        .agg(
+            F.sum(F.col("h_row") * F.col("rt") / F.col("n")).alias("er_raw"),
+        )
+        .select(
+            F.col("ns").cast("long").alias("n_states"),
+            F.round("er_raw", 4).alias("entropy_rate_bits"),
+            F.round(F.log(F.col("ns").cast("double")) / ln2, 4).alias(
+                "max_entropy_bits"
+            ),
+            F.round(
+                1
+                - F.col("er_raw")
+                / (F.log(F.col("ns").cast("double")) / ln2),
+                4,
+            ).alias("predictability"),
+        )
+    )

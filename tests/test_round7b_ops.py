@@ -2082,3 +2082,68 @@ def test_vocab_forecast_matches_brute_and_is_sane(spark, sf_dir):
     # and forecasts must be nondecreasing in the multiplier
     seq = [got[m].projected_vocab for m in _Q293_MULTIPLIERS]
     assert seq == sorted(seq)
+
+
+def test_markov_entropy_rate_matches_brute(spark, sf_dir):
+    import math
+
+    from osm_changesets_to_parquet_spark.queries.ml_eval import q294
+
+    row = q294(spark, sf_dir).collect()[0]
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT), event_id
+            FROM '{sf_dir}/events.parquet' ORDER BY user_id, 3, 4"""
+    ).fetchall()
+    seqs: dict = collections.defaultdict(list)
+    for u, et, _, _ in rows:
+        seqs[u].append(et)
+    trans: dict = collections.defaultdict(collections.Counter)
+    for seq in seqs.values():
+        for a, b in zip(seq, seq[1:]):
+            trans[a][b] += 1
+    n = sum(sum(c.values()) for c in trans.values())
+    er = 0.0
+    for src, c in trans.items():
+        rt = sum(c.values())
+        h = round(
+            -sum((v / rt) * math.log(v / rt) for v in c.values())
+            / math.log(2),
+            6,
+        )
+        er += h * rt / n
+    ns = len(trans)
+    assert row.n_states == ns
+    assert abs(row.entropy_rate_bits - round(er, 4)) < 1e-6
+    pred = 1 - er / (math.log(ns) / math.log(2))
+    assert abs(row.predictability - round(pred, 4)) < 1e-4
+    # uniform-behavior fixture: near the entropy ceiling
+    assert row.predictability < 0.05
+
+
+def test_similarity_transitivity_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.operators.dedup import jaccard_pairs
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from osm_changesets_to_parquet_spark.queries.dedup_sim import q295
+
+    row = q295(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    adj: dict = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    wedges = closed = 0
+    for u, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                wedges += 1
+                if (ns[i], ns[j]) in pairs:
+                    closed += 1
+    assert row.n_pairs == len(pairs)
+    assert (row.n_wedges, row.n_closed) == (wedges, closed)
+    if wedges:
+        assert abs(row.transitivity - round(closed / wedges, 4)) < 1e-9
