@@ -196,6 +196,8 @@ _PRIORITY: tuple[str, ...] = (
     "q293_vocab_forecast",
     "q294_markov_entropy_rate",
     "q295_similarity_transitivity",
+    "q296_sprt",
+    "q297_nbinom_fit",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

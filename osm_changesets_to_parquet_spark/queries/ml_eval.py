@@ -4846,3 +4846,171 @@ def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("predictability"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q296: Wald SPRT replay (sequential test of the purchase share)
+# ---------------------------------------------------------------------------
+
+_Q296_P0 = 0.19
+_Q296_P1 = 0.21
+_Q296_LNA = 2.9444  # ln((1-beta)/alpha) ~ ln(0.95/0.05), literal
+_Q296_LNB = -2.9444
+
+_Q296_SQL = f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+llr AS (
+  SELECT d, k, n,
+         SUM(k * ROUND(LN({_Q296_P1} / {_Q296_P0}), 6)
+             + (n - k) * ROUND(LN((1 - {_Q296_P1}) / (1 - {_Q296_P0})), 6))
+           OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS s
+  FROM daily
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(MAX(s), 4) AS max_llr,
+       ROUND(MIN(s), 4) AS min_llr,
+       CAST(MIN(CASE WHEN s >= {_Q296_LNA} THEN d END) AS BIGINT)
+         AS accept_h1_day,
+       CAST(MIN(CASE WHEN s <= {_Q296_LNB} THEN d END) AS BIGINT)
+         AS accept_h0_day
+FROM llr
+"""
+
+
+@register(
+    "q296_sprt",
+    _Q296_SQL,
+    doc=(
+        "Wald's SPRT (1945) replayed over the daily purchase share — "
+        "the sequential test that STOPS as soon as the evidence "
+        "crosses a boundary, vs the fixed-n tests q173/q275 size in "
+        "advance: the log-likelihood ratio between p0=0.19 and "
+        "p1=0.21 accumulates via ONE ordered cumulative window over "
+        "the 30-day rollup (per-day increment = k·ln(p1/p0) + "
+        "(n−k)·ln(q1/q0), the ln factors ROUND()ed once as shared "
+        "scalars), boundaries ±ln(0.95/0.05) as literals; the true "
+        "share ~0.198 sits between the hypotheses, so the honest "
+        "outcome is often NO decision in 30 days — exactly what SPRT "
+        "is supposed to do with inconclusive evidence"
+    ),
+    tables=("events",),
+)
+def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("d")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    lp = round(math.log(_Q296_P1 / _Q296_P0), 6)
+    lq = round(math.log((1 - _Q296_P1) / (1 - _Q296_P0)), 6)
+    seq = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    llr = daily.select(
+        "d",
+        F.sum(F.col("k") * lp + (F.col("n") - F.col("k")) * lq)
+        .over(seq)
+        .alias("s"),
+    )
+    return llr.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.max("s"), 4).alias("max_llr"),
+        F.round(F.min("s"), 4).alias("min_llr"),
+        F.min(
+            F.when(F.col("s") >= _Q296_LNA, F.col("d"))
+        ).cast("long").alias("accept_h1_day"),
+        F.min(
+            F.when(F.col("s") <= _Q296_LNB, F.col("d"))
+        ).cast("long").alias("accept_h0_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q297: negative-binomial fit of per-user activity (overdispersion)
+# ---------------------------------------------------------------------------
+
+_Q297_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM per_user
+),
+mv AS (
+  SELECT n,
+         CAST(s1 AS DOUBLE) / n AS mean_c,
+         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)
+           AS var_c
+  FROM s
+)
+SELECT n AS n_users,
+       ROUND(mean_c, 4) AS mean_events,
+       ROUND(var_c, 4) AS var_events,
+       ROUND(var_c / mean_c, 4) AS dispersion,
+       ROUND(CASE WHEN var_c > mean_c
+             THEN mean_c * mean_c / (var_c - mean_c) END, 4) AS nb_r,
+       ROUND(CASE WHEN var_c > mean_c
+             THEN mean_c / var_c END, 4) AS nb_p
+FROM mv
+"""
+
+
+@register(
+    "q297_nbinom_fit",
+    _Q297_SQL,
+    doc=(
+        "negative-binomial (Gamma-Poisson) fit of per-user event "
+        "counts by method of moments — THE distribution question "
+        "behind capacity planning and q266's clustering correction: "
+        "r = m²/(v−m), p = m/v from one integer power-sum rollup; "
+        "dispersion v/m > 1 means heterogeneous users (NB), ~1 means "
+        "one shared Poisson rate — this fixture sits near 1, "
+        "CONSISTENT with q283's rho²~0 and q294's flat entropy (three "
+        "independent queries agreeing on the generator's homogeneity); "
+        "nb_r/nb_p are NULL when v <= m, where NB degenerates"
+    ),
+    tables=("events",),
+)
+def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    n = F.col("n")
+    mean_c = F.col("s1").cast("double") / n
+    var_c = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / n
+    ) / (n - 1)
+    return s.select(
+        n.alias("n_users"),
+        F.round(mean_c, 4).alias("mean_events"),
+        F.round(var_c, 4).alias("var_events"),
+        F.round(var_c / mean_c, 4).alias("dispersion"),
+        F.round(
+            F.when(var_c > mean_c, mean_c * mean_c / (var_c - mean_c)), 4
+        ).alias("nb_r"),
+        F.round(F.when(var_c > mean_c, mean_c / var_c), 4).alias("nb_p"),
+    )

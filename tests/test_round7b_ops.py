@@ -2147,3 +2147,63 @@ def test_similarity_transitivity_matches_brute(spark, sf_dir):
     assert (row.n_wedges, row.n_closed) == (wedges, closed)
     if wedges:
         assert abs(row.transitivity - round(closed / wedges, 4)) < 1e-9
+
+
+def test_sprt_matches_brute(spark, sf_dir):
+    import math
+
+    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+        _Q296_LNA,
+        _Q296_LNB,
+        _Q296_P0,
+        _Q296_P1,
+        q296,
+    )
+
+    row = q296(spark, sf_dir).collect()[0]
+    d = _daily(sf_dir)
+    daily = duckdb.sql(
+        f"""SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) d,
+              SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) k,
+              COUNT(*) n
+            FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    lp = round(math.log(_Q296_P1 / _Q296_P0), 6)
+    lq = round(math.log((1 - _Q296_P1) / (1 - _Q296_P0)), 6)
+    s = 0.0
+    mx, mn = float("-inf"), float("inf")
+    h1 = h0 = None
+    for day, k, n in daily:
+        s += k * lp + (n - k) * lq
+        mx, mn = max(mx, s), min(mn, s)
+        if h1 is None and s >= _Q296_LNA:
+            h1 = day
+        if h0 is None and s <= _Q296_LNB:
+            h0 = day
+    assert row.n_days == len(daily)
+    assert abs(row.max_llr - round(mx, 4)) < 1e-6
+    assert abs(row.min_llr - round(mn, 4)) < 1e-6
+    assert row.accept_h1_day == h1 and row.accept_h0_day == h0
+
+
+def test_nbinom_fit_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.queries.ml_eval import q297
+
+    row = q297(spark, sf_dir).collect()[0]
+    counts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet' GROUP BY user_id"
+        ).fetchall()
+    ]
+    n = len(counts)
+    m = sum(counts) / n
+    v = (sum(c * c for c in counts) - sum(counts) ** 2 / n) / (n - 1)
+    assert row.n_users == n
+    assert abs(row.mean_events - round(m, 4)) < 1e-6
+    assert abs(row.dispersion - round(v / m, 4)) < 1e-6
+    if v > m:
+        assert abs(row.nb_r - round(m * m / (v - m), 4)) < 1e-4
+    else:
+        assert row.nb_r is None
