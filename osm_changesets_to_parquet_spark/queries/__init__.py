@@ -198,6 +198,7 @@ _PRIORITY: tuple[str, ...] = (
     "q295_similarity_transitivity",
     "q296_sprt",
     "q297_nbinom_fit",
+    "q298_lsh_stage_quality",
     # -- (4) stalest (r1/r2-era) oldest-first --
     "m48_image_decode_features",
     "m49_audio_frame_sample",

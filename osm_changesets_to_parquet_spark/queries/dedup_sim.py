@@ -1593,3 +1593,82 @@ def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transitivity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q298: LSH candidate-stage quality report (round 7)
+# ---------------------------------------------------------------------------
+
+_Q298_SQL = f"""
+WITH {_TRUTH_CTES},
+sh2 AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM tok),
+sig AS (SELECT doc_id, {_sql_sig_entries()} AS sig FROM sh2),
+bands AS (
+  SELECT doc_id,
+         generate_subscripts([{", ".join(_sql_band_fold(b) for b in range(D.N_BANDS))}], 1) AS band,
+         unnest([{", ".join(_sql_band_fold(b) for b in range(D.N_BANDS))}]) AS bkey
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+hit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM cand c
+  WHERE EXISTS (SELECT 1 FROM tpairs t
+                WHERE t.id_a = c.id_a AND t.id_b = c.id_b)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tpairs) AS n_truth,
+       hit.n_hit,
+       ROUND(hit.n_hit * 1.0
+             / NULLIF((SELECT COUNT(*) FROM cand), 0), 4) AS precision_,
+       ROUND(hit.n_hit * 1.0
+             / NULLIF((SELECT COUNT(*) FROM tpairs), 0), 4) AS recall_
+FROM hit
+"""
+
+
+@register(
+    "q298_lsh_stage_quality",
+    _Q298_SQL,
+    doc=(
+        "LSH candidate-stage quality report — the PRODUCTION "
+        "observability q35b's unit-test recall property can't give "
+        "you: candidates from the 8x4 banding vs the exact J>=0.6 "
+        "truth, reporting candidate count, precision (how much "
+        "exact-verification work the bands save) and recall (what "
+        "the bands MISS — the q288 planner's S-curve, measured); "
+        "both sides reuse the engine's exact MINHASH constants; a "
+        "recall drop in this query on fresh data means the banding "
+        "no longer fits the corpus's similarity profile"
+    ),
+    tables=("documents",),
+)
+def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = D.lsh_candidates(docs).select("id_a", "id_b")
+    truth = D.jaccard_pairs(docs, threshold=0.6).select("id_a", "id_b")
+    n_c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_h = cand.join(truth, ["id_a", "id_b"], "semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_c.crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(n_h))
+        .select(
+            "n_candidates",
+            "n_truth",
+            "n_hit",
+            F.round(
+                F.col("n_hit") * 1.0 / F.nullif(F.col("n_candidates"), F.lit(0)),
+                4,
+            ).alias("precision_"),
+            F.round(
+                F.col("n_hit") * 1.0 / F.nullif(F.col("n_truth"), F.lit(0)), 4
+            ).alias("recall_"),
+        )
+    )

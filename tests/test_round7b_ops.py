@@ -2207,3 +2207,31 @@ def test_nbinom_fit_matches_brute(spark, sf_dir):
         assert abs(row.nb_r - round(m * m / (v - m), 4)) < 1e-4
     else:
         assert row.nb_r is None
+
+
+def test_lsh_stage_quality_matches_brute(spark, sf_dir):
+    from osm_changesets_to_parquet_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidates,
+    )
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from osm_changesets_to_parquet_spark.queries.dedup_sim import q298
+
+    row = q298(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    cand = {(r.id_a, r.id_b) for r in lsh_candidates(docs).collect()}
+    truth = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    hit = cand & truth
+    assert (row.n_candidates, row.n_truth, row.n_hit) == (
+        len(cand),
+        len(truth),
+        len(hit),
+    )
+    # the q35b design property: banding at 8x4 must not MISS truth
+    # pairs at J >= 0.6 on this corpus (recall 1.0 here; w.h.p. in
+    # general, already probabilistically asserted in test_dedup)
+    assert row.recall_ == 1.0
+    assert 0 < row.precision_ <= 1.0
