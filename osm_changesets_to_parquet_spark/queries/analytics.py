@@ -2625,8 +2625,10 @@ def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cnt") >= _Q273_PAIR_SUP)
         .select("pa", "pb")
     )
-    x = fp.alias("x")
-    y = fp.alias("y")
+    # the frequent-pair frame is tiny (63-3445 rows) — broadcast the
+    # self-join and the pruning semi-join instead of SMJ-ing them
+    x = F.broadcast(fp).alias("x")
+    y = F.broadcast(fp).alias("y")
     cand = (
         x.join(y, F.col("x.pa") == F.col("y.pa"))
         .where(F.col("x.pb") < F.col("y.pb"))
@@ -2636,7 +2638,7 @@ def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y.pb").alias("c"),
         )
         .join(
-            fp.select(F.col("pa").alias("b"), F.col("pb").alias("c")),
+            F.broadcast(fp.select(F.col("pa").alias("b"), F.col("pb").alias("c"))),
             ["b", "c"],
             "semi",
         )

@@ -3602,7 +3602,16 @@ def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     sess = marks.withColumn("sid", F.sum("new_s").over(w_cum))
-    baskets = sess.select("user_id", "sid", "event_type").distinct()
+    # baskets feed FOUR consumers (n_s, item, both pair sides): cut
+    # lineage once so the sessionization windows run a single time
+    # instead of five
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    baskets = truncate_lineage(
+        sess.select("user_id", "sid", "event_type").distinct()
+    )
     n_s = baskets.select("user_id", "sid").distinct().agg(
         F.count(F.lit(1)).alias("n")
     )

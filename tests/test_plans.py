@@ -744,3 +744,25 @@ def test_q245_quantile_normalize_bucketed_global_rank(spark, sf_dir):
     assert "__bucket" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q273_apriori_candidates_broadcast(spark, sf_dir):
+    # the Apriori candidate generation joins TINY frequent-pair frames
+    # — all broadcast, never a sort-merge of the pair table; the
+    # 3-way support count builds from the broadcast candidate set
+    plan = _plan(spark, sf_dir, "q273_apriori_triples")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_q281_session_lift_materializes_baskets_once(spark, sf_dir):
+    # baskets feed four consumers: lineage is cut after the
+    # sessionization, so the LAG + running-sum window pair appears
+    # ONCE in the executed plan (pre-fix: five recomputations)
+    plan = _plan(spark, sf_dir, "q281_session_lift")
+    lags = [
+        line
+        for line in plan.splitlines()
+        if "lag(ts_us" in line and "Window [" in line
+    ]
+    assert len(lags) == 0, plan  # behind the lineage cut -> scan nodes
