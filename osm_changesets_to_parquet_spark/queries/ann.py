@@ -1660,6 +1660,14 @@ def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).alias("pos"),
         F.round(F.col("v").cast("double") * 1000).cast("long").alias("q"),
     )
+    # quant feeds the codebook, encode, LUT and exact branches: cut
+    # lineage once so the posexplode over embeddings runs a single
+    # time instead of per consumer
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage as _tl,
+    )
+
+    quant = _tl(quant)
     cb = (
         ranked.where(F.col("rk") <= _Q243_K)
         .select("vec_id", F.col("rk").alias("j"))
@@ -2037,6 +2045,14 @@ def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).alias("pos"),
         F.round(F.col("v").cast("double") * 1000).cast("long").alias("q"),
     )
+    # quant feeds the codebook, encode, LUT and exact branches: cut
+    # lineage once so the posexplode over embeddings runs a single
+    # time instead of per consumer
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage as _tl,
+    )
+
+    quant = _tl(quant)
     cb = (
         ranked.where(F.col("rk") <= _Q243_K)
         .select("vec_id", F.col("rk").alias("j"))
@@ -2265,6 +2281,14 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).alias("pos"),
         F.round(F.col("v").cast("double") * 1000).cast("long").alias("q"),
     )
+    # quant feeds the codebook, encode, LUT and exact branches: cut
+    # lineage once so the posexplode over embeddings runs a single
+    # time instead of per consumer
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage as _tl,
+    )
+
+    quant = _tl(quant)
     cb = (
         ranked.where(F.col("rk") <= _Q243_K)
         .select("vec_id", F.col("rk").alias("j"))
