@@ -1611,8 +1611,15 @@ def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = tok.groupBy("g").agg(F.count(F.lit(1)).alias("r"))
     fof = f.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
     tot = fof.agg(F.sum(F.col("r") * F.col("n_r")).alias("n"))
-    n1 = fof.where(F.col("r") == 1).select(
-        F.col("n_r").cast("double").alias("n1")
+    # an ALWAYS-one-row frame: when the corpus has no singletons at
+    # all (true at sf0.1 — the closed vocab saturates) the unseen
+    # mass is NULL, matching the oracle's scalar subquery; a
+    # filter-then-crossJoin would return ZERO rows instead (the sf0.1
+    # gate caught exactly this)
+    n1 = fof.agg(
+        F.sum(F.when(F.col("r") == 1, F.col("n_r")))
+        .cast("double")
+        .alias("n1")
     )
     return (
         fof.crossJoin(F.broadcast(tot))
