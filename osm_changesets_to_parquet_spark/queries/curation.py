@@ -1033,6 +1033,12 @@ def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .collect()
         )
+        if not top:
+            # coverage saturated before k picks: every remaining doc
+            # adds zero new grams AND none remain uncovered — the
+            # oracle's LIMIT 1 over the empty candidate set likewise
+            # emits no row, so both sides return < k rows
+            break
         doc_id, new_g = int(top[0].doc_id), int(top[0].new_g)
         picked.append(doc_id)
         cum += new_g
