@@ -122,6 +122,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
             return 0
 
+    # flag validation happens BEFORE any SparkSession exists, so a usage
+    # error can't leak a running JVM (ADVICE r07)
+    if args.single_file and args.partition_by_day:
+        raise SystemExit("--single-file and --partition-by-day are exclusive")
+
     from osm_changesets_to_parquet_spark.session import get_spark
     from osm_changesets_to_parquet_spark.sources.changesets import convert
 
@@ -129,30 +134,36 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if own_session:
         spark = get_spark("changesets-to-parquet", master=args.master)
     t0 = time.perf_counter()
-    if args.single_file and args.partition_by_day:
-        raise SystemExit("--single-file and --partition-by-day are exclusive")
-    convert_out = (
-        args.output + ".__dir" if args.single_file else args.output
-    )
-    rows = convert(
-        spark,
-        args.input,
-        convert_out,
-        batch_size=args.batch_size,
-        continue_on_error=args.continue_on_error,
-        partition_by_day=args.partition_by_day,
-    )
-    if args.single_file:
-        # the reference writes exactly ONE file (src/main.rs:416-425);
-        # publish the directory as that artifact and drop the scratch
-        from osm_changesets_to_parquet_spark.operators.layout import (
-            publish_single_file,
+    try:
+        convert_out = (
+            args.output + ".__dir" if args.single_file else args.output
         )
+        rows = convert(
+            spark,
+            args.input,
+            convert_out,
+            batch_size=args.batch_size,
+            continue_on_error=args.continue_on_error,
+            partition_by_day=args.partition_by_day,
+        )
+        if args.single_file:
+            # the reference writes exactly ONE file (src/main.rs:416-425);
+            # publish the directory as that artifact and drop the scratch
+            from osm_changesets_to_parquet_spark.operators.layout import (
+                publish_single_file,
+            )
 
-        publish_single_file(spark, convert_out, args.output)
-        jvm = spark._jvm
-        jdir = jvm.org.apache.hadoop.fs.Path(convert_out)
-        jdir.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jdir, True)
+            publish_single_file(spark, convert_out, args.output)
+            jvm = spark._jvm
+            jdir = jvm.org.apache.hadoop.fs.Path(convert_out)
+            jdir.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jdir, True)
+    except BaseException:
+        # a convert/publish/cleanup failure must not strand an
+        # own_session JVM either (ADVICE r07); success-path stop stays
+        # at the end so the index write can use the live session's fs
+        if own_session:
+            spark.stop()
+        raise
     dt = time.perf_counter() - t0
     print(
         json.dumps(

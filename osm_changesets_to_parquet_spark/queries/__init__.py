@@ -54,72 +54,20 @@ def register(
 
 
 # The driver records correctness rows in registry order and its window
-# has held exactly 50 entries per round (CORRECTNESS_r01-r06.json) — so
-# ordering is part of the verification contract.  Round 7 leads with the
-# 25 round-6-overflow names that have never been driver-witnessed
-# (VERDICT r06 item 2's exact queue), then the queries whose
-# implementation CHANGED this round (q179 anchor respell + the rest of
-# the modulo-anchor family, the ADVICE-touched q144/q142/s14/cs12 are
-# already in the first block), then new round-7 registrations, then the
-# stalest r1/r2-era names oldest-first (VERDICT item 4).
+# has held exactly 50 entries per round (CORRECTNESS_r01-r07.json) — so
+# ordering is part of the verification contract.  Round 8 executes
+# VERDICT r07 item 1 (burn the witness debt): new/changed-this-round
+# names lead (witnessed on first contact), then the never-witnessed
+# round-7 overflow in queue order — the window covers through q267;
+# the remainder (q268-q298) plus the stalest r1-r3-era names are the
+# reserved round-9 window (VERDICT r07 item 2).  Names witnessed in
+# r6/r7 drop out of _PRIORITY entirely (they follow in module order).
 _PRIORITY: tuple[str, ...] = (
-    # -- (1) never driver-witnessed (round-6 overflow, queue order) --
-    "s20_python_stream_sink",
-    "q205_sequential_patterns",
-    "q204_nearest_score_match",
-    "q203_grouped_percentiles",
-    "q202_matrix_projection",
-    "q201_hll_overlap",
-    "q198_weighted_median",
-    "q199_linear_interpolation",
-    "q194_embedding_dim_stats",
-    "q195_negative_sampling",
-    "q196_poisson_bootstrap",
-    "s13_partitioned_stream_source",
-    "q142_neardup_persisted_index",
-    "q143_repeated_spans",
-    "q144_bpe_merges",
-    "q145_bpe_encode",
-    "q146_quantized_rerank",
-    "s14_streaming_neardup",
-    "q147_dsir_weights",
-    "q148_tokenizer_fertility",
-    "q149_decontaminate_spans",
-    "q150_ann_persisted_index",
-    "q151_ann_incremental",
-    "s15_streaming_quality_router",
-    "cs12_python_datasource_writer",
-    # -- (2) changed this round (VERDICT item 3: fixed-k anchor respell) --
-    "q179_knn_label_audit",
-    "q121_ndcg_eval",
-    "e46_embedding_neardup",
-    "q132_contrastive_mining",
-    # -- (3) new round-7 registrations --
-    "cs13_parse_diagnostics",
-    "cs14_single_file_publish",
-    "q206_stratified_sample",
-    "q207_reservoir_sample",
-    "q208_isotonic_calibration",
-    "q209_session_entropy",
-    "q210_bipartite_projection",
-    "q211_haversine_join",
-    "q212_theil_sen",
-    "q213_mann_whitney",
-    "q214_chi2_feature_select",
-    "q215_winsorized_stats",
-    "q216_bloom_antijoin",
-    "q217_recency_weighted_ctr",
-    "s21_streaming_topk",
-    "q218_triangle_count",
-    "q219_kaplan_meier",
-    "q220_dow_seasonality",
-    "q221_anomaly_zscore",
-    "q222_bigram_perplexity",
-    "q223_ks_drift",
-    # ---- window boundary (50) — names below queue for round 8 ----
-    # (q224-u7 are round-7 session-1 overflow; q232+ are session-2
-    # registrations, 27 new queries verified at sf0.001+sf0.01 and in
-    # the full-registry sweep — all awaiting first driver witness)
+    # -- (1) new/changed this round (round 8) --
+    "s23_stream_crash_recovery",  # NEW: checkpoint kill+restart witness
+    "cs13_parse_diagnostics",  # CHANGED: task-scoped progress label (ADVICE r07)
+    "q238_kcore",  # CHANGED: oracle convergence guard (ADVICE r07)
+    # -- (2) never driver-witnessed (round-7 overflow, queue order) --
     "q224_gram_novelty",
     "q225_source_overlap",
     "q226_lateral_topn",
@@ -135,7 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "q235_naive_bayes",
     "q236_holt_smoothing",
     "q237_kendall_tau",
-    "q238_kcore",
+    # (q238_kcore is in block (1) — changed this round)
     "q239_calibration_bins",
     "q240_leadlag_xcorr",
     "q241_vocab_coverage",
@@ -168,6 +116,9 @@ _PRIORITY: tuple[str, ...] = (
     "q265_cohens_kappa",
     "q266_ratio_metric_delta",
     "q267_importance_ess",
+    # ---- window boundary (50) — names below queue for round 9 ----
+    # (q268-q298 are the round-7 session-2 remainder, never driver-
+    # witnessed; then the stalest r1-r3-era names oldest-first)
     "q268_rank_biased_overlap",
     "q269_woe_iv",
     "q270_churn_labels",

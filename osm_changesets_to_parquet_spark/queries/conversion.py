@@ -140,11 +140,14 @@ def cs13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         df.collect()  # a 5-element fixture; the task MUST fail at #3
-        raise AssertionError("corrupt fixture unexpectedly parsed clean")
     except Exception as e:  # noqa: BLE001 — Spark wraps the task error
         msg = str(e)
+    else:
+        # outside the except handler so this HARD-fails the query
+        # instead of degrading into the field-extraction path (ADVICE r07)
+        raise AssertionError("corrupt fixture unexpectedly parsed clean")
     pos = re.search(r"Position: (\d+)", msg)
-    proc = re.search(r"Changesets processed: (\d+)", msg)
+    proc = re.search(r"Changesets processed \(this task\): (\d+)", msg)
     last = re.search(r"Last changeset ID: (\d+)", msg)
     return spark.createDataFrame(
         [

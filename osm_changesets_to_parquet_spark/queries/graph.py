@@ -360,7 +360,15 @@ SELECT CAST({_Q238_K} AS BIGINT) AS k,
           SELECT u AS n FROM p{_Q238_ROUNDS}
           UNION ALL SELECT v FROM p{_Q238_ROUNDS})) AS n_nodes,
        CAST(COUNT(*) AS BIGINT) AS n_edges,
-       CAST(COALESCE(SUM(u + v), 0) AS BIGINT) AS edge_id_sum
+       -- convergence guard (ADVICE r07): the static unroll is only
+       -- valid if the peel reached its fixpoint within _Q238_ROUNDS;
+       -- at a scale factor deep enough to still be shedding edges in
+       -- the last round, fail LOUDLY instead of reporting a non-core
+       CAST(CASE WHEN (SELECT COUNT(*) FROM p{_Q238_ROUNDS})
+                   <> (SELECT COUNT(*) FROM p{_Q238_ROUNDS - 1})
+                 THEN error('q238 oracle: peel not converged within '
+                            || '{_Q238_ROUNDS} rounds - raise _Q238_ROUNDS')
+                 ELSE COALESCE(SUM(u + v), 0) END AS BIGINT) AS edge_id_sum
 FROM p{_Q238_ROUNDS}
 """
 

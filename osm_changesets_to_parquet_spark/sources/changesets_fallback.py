@@ -57,7 +57,11 @@ class ChangesetParseError(ValueError):
         msg = (
             "=== XML PARSE ERROR ===\n"
             f"Position: {position}\n"
-            f"Changesets processed: {rows_parsed}\n"
+            # counters are TASK-scoped (each partition counts its own
+            # byte range), unlike the reference's single-threaded global
+            # count — label them so a multi-partition read can't mislead
+            # someone gauging progress through a corrupt dump (ADVICE r07)
+            f"Changesets processed (this task): {rows_parsed}\n"
             f"Last changeset ID: "
             f"{last_changeset_id if last_changeset_id is not None else 'none'}\n"
             f"Error: {error}\n"

@@ -88,8 +88,14 @@ def _retract_stale_manifests(path: str, keep_batch: bool) -> None:
     for name in stale:
         try:
             os.unlink(name)
+        except FileNotFoundError:
+            pass  # already gone — retraction's goal is met
         except OSError:
-            pass
+            # a stale manifest that survives (e.g. permissions) makes
+            # the union-of-manifests reader double-count — the exact
+            # corruption retraction exists to prevent; fail the commit
+            # loudly instead of publishing beside it (ADVICE r07)
+            raise
 
 
 class EventsChunkWriter(DataSourceArrowWriter):

@@ -344,7 +344,7 @@ def test_pyds_parse_error_report_fields():
     for line in (
         "=== XML PARSE ERROR ===",
         f"Position: {fixtures.MIDFILE_CORRUPT_POSITION}",
-        "Changesets processed: 2",
+        "Changesets processed (this task): 2",
         "Last changeset ID: 2",
         "Buffer content at error (first 500 bytes):",
         "Buffer content at error (last 500 bytes):",
