@@ -76,148 +76,53 @@ BENCH_QUERIES = [
     "q146_quantized_rerank",
 ]
 
-# Second tier (VERDICT r05 item 7): a fixed wider set run ONCE each (no
+# Second tier (VERDICT r05 item 7): a wider set run ONCE each (no
 # min-of-3) so registry-wide regressions show up numerically instead of
-# anecdotally — families the headline set doesn't touch: iterative
-# graph, containment/prefix-filter/SemDeDup dedup, ranking/eval, PMI,
-# skew profiling, global deciles, incremental near-dup, sketches, the
-# three Python DataSource paths (batch read, write, partitioned stream).
-TIER2_QUERIES = [
-    "q84_pagerank",
-    "q101_containment_pairs",
-    "q102_semdedup",
-    "q109_bm25_topk",
-    "q121_ndcg_eval",
-    "q123_pmi_collocations",
-    "q125_jaccard_prefix_filter",
-    "q133_join_skew_profile",
-    "q137_equifreq_deciles",
-    "q139_incremental_neardup",
-    "q141_heavyhitters",
-    # (q135_contrastive_ann is calibration-pinned to sf<=0.01 — excluded)
-    "cs11_python_datasource",
-    "cs12_python_datasource_writer",
-    "s13_partitioned_stream_source",
-    "s14_streaming_neardup",
-    "q147_dsir_weights",
-    "q148_tokenizer_fertility",
-    "q149_decontaminate_spans",
-    "q150_ann_persisted_index",
-    "q151_ann_incremental",
-    "s15_streaming_quality_router",
-    "q152_unigram_entropy",
-    "q153_group_jaccard",
-    "q154_incremental_agg",
-    "q155_grid_join_2d",
-    "q156_event_transitions",
-    "q157_rolling_median",
-    "s16_streaming_transitions",
-    "q158_variant_shred",
-    "q159_manifest_skipping",
-    "q160_log_odds_terms",
-    "q161_sql_surface",
-    "q162_group_ols",
-    "q163_zorder_skipping",
-    "q164_recursive_cte",
-    "u5_arrow_grouped_stats",
-    "q165_mmr_rerank",
-    "q166_nearest_centroid",
-    "s17_full_outer_stream_join",
-    "q167_targeted_delete",
-    "q168_budget_select",
-    "q169_rolling_dau",
-    "q170_autocorrelation",
-    # round-6 continuation: pair mining, eval stats, blocking,
-    # retrieval infra, sketch estimation, coreset/PCA, analytics
-    "q171_frequent_pairs",
-    "q172_roc_auc",
-    "q173_ab_ztest",
-    "q174_sorted_neighborhood",
-    "q175_cms_join_estimate",
-    "q176_inverted_index",
-    "q177_kcenter_coreset",
-    "s18_streaming_cms",
-    "q178_pca_power",
-    "q179_knn_label_audit",
-    "q180_rfm_segments",
-    "q181_twap",
-    "q182_cusum_changepoint",
-    "q183_attribution",
-    "q184_benford_audit",
-    "q185_windowed_funnel",
-    "q186_path_mining",
-    "q187_pareto_concentration",
-    "u6_udtf_analyze_dynamic_schema",
-    "q188_column_mi",
-    "q189_key_gini",
-    "q190_skyline",
-    "q191_dynamic_partition_pruning",
-    "q192_emd_drift",
-    "q193_decile_lift",
-    "s19_streaming_conversions",
-    "q194_embedding_dim_stats",
-    "q195_negative_sampling",
-    "q196_poisson_bootstrap",
-    "q197_table_digest",
-    "q198_weighted_median",
-    "q199_linear_interpolation",
-    "q200_tpch_q3",
-    "q201_hll_overlap",
-    "q202_matrix_projection",
-    "q203_grouped_percentiles",
-    "q204_nearest_score_match",
-    "q205_sequential_patterns",
-    "s20_python_stream_sink",
-    # round 7: sampling, robust stats, rank tests, geo/graph joins,
-    # sketch-gated filtering, PAV calibration, streaming top-k
-    "cs13_parse_diagnostics",
-    "cs14_single_file_publish",
-    "q206_stratified_sample",
-    "q207_reservoir_sample",
-    "q208_isotonic_calibration",
-    "q209_session_entropy",
-    "q210_bipartite_projection",
-    "q211_haversine_join",
-    "q212_theil_sen",
-    "q213_mann_whitney",
-    "q214_chi2_feature_select",
-    "q215_winsorized_stats",
-    "q216_bloom_antijoin",
-    "q217_recency_weighted_ctr",
-    "s21_streaming_topk",
-    "q218_triangle_count",
-    "q219_kaplan_meier",
-    "q220_dow_seasonality",
-    "q221_anomaly_zscore",
-    "q222_bigram_perplexity",
-    "q223_ks_drift",
-    "q224_gram_novelty",
-    "q225_source_overlap",
-    "q226_lateral_topn",
-    "q227_doc_chunking",
-    "q228_dataset_mixing",
-    "q229_batch_sessionize",
-    "q230_weighted_reservoir",
-    "q231_wow_growth",
-    "u7_map_in_arrow",
-    # round-7 session-2 additions: the perf-interesting shapes (the
-    # cheap single-agg ones — q233/q239/q240/q242 — stay out to keep
-    # the canary tight)
-    "q232_spearman",
-    "q235_naive_bayes",
-    "q236_holt_smoothing",
-    "q237_kendall_tau",
-    "q238_kcore",
-    "q241_vocab_coverage",
-    "q243_pq_adc",
-    "q249_retrieval_metrics",
-    "q255_markov_eval",
-    "s22_streaming_anomaly",
-    "q257_label_propagation",
-    "q263_token_bucket",
-    "q264_rrf_fusion",
-    "m52_cdc_chunk_dedup",
-]
+# anecdotally.  Since round 8 (VERDICT r07 item 3) the subset ROTATES:
+# every registered query outside tier-1 has a fixed rotation class
+# crc32(name) % 3, and round N times class N % 3 — so every query gets
+# a tracked number at least every 3 rounds (compare BENCH_r{N} against
+# BENCH_r{N-3}, the previous run of the same class), instead of the
+# old fixed 126-name list under which 225 queries could regress with
+# no tracked number ever noticing.  The round number is 1 + the
+# highest BENCH_r{K}.json the driver has committed to the repo root —
+# deterministic, no env var needed, and stable under re-runs within a
+# round.
+TIER2_EXCLUDE = {
+    # calibration-pinned to sf<=0.01: its IVF nprobe exactness was
+    # swept against the sf0.001/0.01 fixtures only (queries/ann.py)
+    "q135_contrastive_ann",
+}
+
+
+def _bench_round() -> int:
+    """1 + the highest BENCH_r{K}.json recorded in the repo root."""
+    import re as _re
+
+    best = 0
+    for p in Path(REPO).glob("BENCH_r*.json"):
+        m = _re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
+def tier2_names(all_names, rnd: int) -> list[str]:
+    """The round's tier-2 canary subset (registry order).
+
+    Class = crc32(name) % 3 — stable under registry growth (an inserted
+    name never shifts another name's class, unlike index % 3), so a
+    query's numbers stay comparable across its own rounds forever.
+    """
+    import zlib
+
+    return [
+        n
+        for n in all_names
+        if n not in BENCH_QUERIES
+        and n not in TIER2_EXCLUDE
+        and zlib.crc32(n.encode()) % 3 == rnd % 3
+    ]
 
 
 def _size_aware_shuffle_partitions(sf_dir: str, cpus: int) -> int:
@@ -300,11 +205,10 @@ def main() -> None:
     # catch 2x plan regressions, not 5% drift; always-cold numbers are
     # comparable round-over-round, and warm+min-of-3 would triple the
     # bench wall-clock for no added signal at that sensitivity)
+    rnd = _bench_round()
     tier2: dict[str, float] = {}
     tier2_total = 0.0
-    for name in TIER2_QUERIES:
-        if name not in qs:
-            continue
+    for name in tier2_names(list(qs), rnd):
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
@@ -319,7 +223,8 @@ def main() -> None:
     # (tier-1 per-query timings + totals) and must stay under ~1.5 KB.
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = json.dumps(
-        {"tier2": tier2, "tier2_total": round(tier2_total, 3), "sf": sf_val},
+        {"tier2": tier2, "tier2_total": round(tier2_total, 3),
+         "tier2_round": rnd, "tier2_rule": "crc32(name)%3==round%3", "sf": sf_val},
         separators=(",", ":"),
     )
     print(detail)

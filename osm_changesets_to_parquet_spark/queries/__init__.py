@@ -67,6 +67,9 @@ _PRIORITY: tuple[str, ...] = (
     "s23_stream_crash_recovery",  # NEW: checkpoint kill+restart witness
     "cs13_parse_diagnostics",  # CHANGED: task-scoped progress label (ADVICE r07)
     "q238_kcore",  # CHANGED: oracle convergence guard (ADVICE r07)
+    "q299_scd2_intervals",  # NEW: SCD2 dimension build
+    "q300_pit_enrich",  # NEW: point-in-time as-of enrichment
+    "q301_interval_coverage",  # NEW: interval-union sweep line
     # -- (2) never driver-witnessed (round-7 overflow, queue order) --
     "q224_gram_novelty",
     "q225_source_overlap",
@@ -113,12 +116,12 @@ _PRIORITY: tuple[str, ...] = (
     "q263_token_bucket",
     "q264_rrf_fusion",
     "m52_cdc_chunk_dedup",
+    # ---- window boundary (50) — names below queue for round 9 ----
+    # (q265-q298 are the round-7 session-2 remainder, never driver-
+    # witnessed; then the stalest r1-r3-era names oldest-first)
     "q265_cohens_kappa",
     "q266_ratio_metric_delta",
     "q267_importance_ess",
-    # ---- window boundary (50) — names below queue for round 9 ----
-    # (q268-q298 are the round-7 session-2 remainder, never driver-
-    # witnessed; then the stalest r1-r3-era names oldest-first)
     "q268_rank_biased_overlap",
     "q269_woe_iv",
     "q270_churn_labels",
@@ -221,6 +224,7 @@ def load_all_modules() -> None:
         sources_roundtrip,
         stats,
         streaming_jobs,
+        temporal,
         udfs,
         windows_streaming,
     )

@@ -713,3 +713,41 @@ def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_s22_streaming_anomaly(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# s23: checkpoint crash-recovery witness (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s23_stream_crash_recovery",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           TRUE AS recovered
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "STREAMING crash recovery (exactly-once ACROSS RESTARTS): a "
+        "checkpointed update-mode per-type aggregation is killed "
+        "mid-replay by an injected failure placed BETWEEN the sink's "
+        "physical write and the checkpoint commit (the worst spot: "
+        "offsets uncommitted, output already on disk), restarted from "
+        "the same checkpoint, and the recovered final state "
+        "hash-matches the uninterrupted batch aggregate — state rolls "
+        "back to the last committed store version and the replayed "
+        "batch is absorbed by the sink's overwrite-by-batch-id "
+        "idempotency (streaming/jobs.py run_s23_crash_recovery); "
+        "integer-cents sums keep the equality bit-exact"
+    ),
+    tables=("events",),
+)
+def s23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.streaming import (
+        run_s23_crash_recovery,
+    )
+
+    return run_s23_crash_recovery(spark, sf_dir)

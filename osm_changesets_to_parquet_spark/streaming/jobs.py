@@ -1267,3 +1267,99 @@ def run_s22_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         outs.select("event_type", "batch_seq", "n_batch", "n_flagged")
         .orderBy("event_type", "batch_seq")
     )
+
+
+S23_CRASH_BATCH = 2  # mid-replay (5 one-file micro-batches: 0..4)
+
+
+def run_s23_crash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ACROSS RESTARTS — the crash-recovery witness: a
+    checkpointed update-mode aggregation is KILLED mid-replay by an
+    injected sink failure, restarted from the same checkpoint, and the
+    recovered final state must hash-match the uninterrupted batch
+    aggregate (the oracle).
+
+    The injected crash is the adversarial placement: batch
+    ``S23_CRASH_BATCH``'s foreachBatch body WRITES its output
+    directory and THEN raises — the failure lands between the sink's
+    physical write and the checkpoint's commit-log record.  On restart
+    Spark must therefore (a) roll per-key state back to the last
+    COMMITTED batch's store version (no partial-state leak from the
+    failed attempt), and (b) REPLAY the crashed batch under the same
+    batch id, which the sink's overwrite-by-batch-id layout absorbs
+    idempotently.  A replay without state rollback would double-count
+    the crashed batch's events; a checkpoint that recorded offsets
+    before the sink committed would lose them — either corruption
+    hash-mismatches the oracle, so the at-least-once + idempotent-sink
+    = exactly-once contract is witnessed, not assumed.
+
+    Values are aggregated in integer CENTS (round-half-away then cast,
+    mirrored in the oracle) so recovery equality is bit-exact, never
+    float-tolerance.
+    """
+    base = prepare_replay_dir(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="s23_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="s23_ckpt_")
+    _TEMP_DIRS.extend([out_dir, ckpt_dir])
+    # '_'-prefixed: invisible to the parquet reader's file listing
+    crash_marker = os.path.join(out_dir, "_CRASHED")
+
+    agg = (
+        _read_stream(spark, base)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"__bid={batch_id}")
+        )
+        if batch_id == S23_CRASH_BATCH and not os.path.exists(crash_marker):
+            open(crash_marker, "w").close()
+            raise RuntimeError(
+                f"s23 injected crash: batch {batch_id} written, not committed"
+            )
+
+    def start():
+        return (
+            agg.writeStream.outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        crashed = start()
+        try:
+            crashed.awaitTermination()
+        except Exception as e:  # StreamingQueryException wraps the cause
+            if "s23 injected crash" not in str(e):
+                raise
+        else:
+            raise AssertionError("s23: injected crash did not fire")
+        restarted = start()  # SAME checkpoint — recovery, not a rerun
+        restarted.awaitTermination()  # must complete clean this time
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert os.path.exists(crash_marker), "s23: crash path never executed"
+
+    out = spark.read.parquet(out_dir)
+    latest = out.groupBy("event_type").agg(
+        F.max_by("n_events", "__bid").alias("n_events"),
+        F.max_by("value_cents", "__bid").alias("value_cents"),
+    )
+    return latest.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_cents").cast("long").alias("value_cents"),
+        # control-flow above proves: one crash fired, restart completed
+        F.lit(True).alias("recovered"),
+    ).orderBy("event_type")
