@@ -70,6 +70,11 @@ _PRIORITY: tuple[str, ...] = (
     "q299_scd2_intervals",  # NEW: SCD2 dimension build
     "q300_pit_enrich",  # NEW: point-in-time as-of enrichment
     "q301_interval_coverage",  # NEW: interval-union sweep line
+    "q302_brier_decomposition",  # NEW: Murphy forecast triptych
+    "q303_stump_split",  # NEW: integer-exact stump split search
+    "q304_k_anonymity",  # NEW: QI equivalence-class audit
+    "q305_fk_integrity",  # NEW: FK orphan + expectation audit
+    "q306_neyman_allocation",  # NEW: minimum-variance stratified budget
     # -- (2) never driver-witnessed (round-7 overflow, queue order) --
     "q224_gram_novelty",
     "q225_source_overlap",
@@ -111,14 +116,14 @@ _PRIORITY: tuple[str, ...] = (
     "q258_degree_assortativity",
     "q259_seasonal_decomposition",
     "q260_term_burstiness",
+    # ---- window boundary (50) — names below queue for round 9 ----
+    # (q261-q298 are the round-7 session-2 remainder, never driver-
+    # witnessed; then the stalest r1-r3-era names oldest-first)
     "q261_cohort_ltv",
     "q262_similarity_histogram",
     "q263_token_bucket",
     "q264_rrf_fusion",
     "m52_cdc_chunk_dedup",
-    # ---- window boundary (50) — names below queue for round 9 ----
-    # (q265-q298 are the round-7 session-2 remainder, never driver-
-    # witnessed; then the stalest r1-r3-era names oldest-first)
     "q265_cohens_kappa",
     "q266_ratio_metric_delta",
     "q267_importance_ess",
@@ -213,6 +218,7 @@ def load_all_modules() -> None:
         conversion,
         curation,
         dedup_sim,
+        governance,
         graph,
         llm_ops,
         ml_eval,

@@ -1,0 +1,202 @@
+"""Round-8 governance / data-quality queries: k-anonymity audit and
+referential-integrity audit (q304-q305).
+
+The production shapes: a privacy review of a quasi-identifier
+combination before a dataset release (k-anonymity: how many rows sit
+in equivalence classes smaller than k), and the pre-ship constraint
+audit every warehouse snapshot runs (FK orphans + row-level
+expectations).  Both are single-pass keyed aggregations / anti-joins —
+the key columns shuffle, never payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.operators.dq import (
+    fk_orphans,
+    rule_violations,
+    violation_count,
+)
+from osm_changesets_to_parquet_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# q304: k-anonymity audit over a quasi-identifier combination
+# ---------------------------------------------------------------------------
+
+_Q304_K = 5
+
+# quasi-identifiers: nation x market segment x $1000 balance band —
+# the classic "not identifying alone, identifying together" triple;
+# the band FLOOR is over exact cents/1e5 as a double (identical
+# expression both engines, negative balances floor toward -inf)
+_Q304_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT) / 100000.0)
+              AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(SUM(k) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(SUM(CASE WHEN k < {_Q304_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_classes,
+       CAST(SUM(CASE WHEN k < {_Q304_K} THEN k ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       ROUND(CAST(SUM(CASE WHEN k < {_Q304_K} THEN k ELSE 0 END) AS DOUBLE)
+             / SUM(k), 6) AS suppression_rate
+FROM classes
+"""
+
+
+@register(
+    "q304_k_anonymity",
+    _Q304_SQL,
+    doc=(
+        f"k-anonymity audit (k={_Q304_K}) of the quasi-identifier "
+        "triple (nation, market segment, $1000 balance band): one "
+        "keyed aggregation builds the equivalence classes, one rollup "
+        "reports how many classes and rows fall below k — the "
+        "suppression rate a release would need.  Two map-side-partial "
+        "aggregations; the shuffle carries QI keys + counts only.  A "
+        "second aggregation level (not a window) makes the rollup "
+        "O(classes), never O(rows)"
+    ),
+    tables=("customer",),
+)
+def q304(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(
+                F.round(F.col("c_acctbal") * 100).cast("long") / 100000.0
+            )
+            .cast("long")
+            .alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    small = F.col("k") < _Q304_K
+    return classes.agg(
+        F.sum("k").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("k").cast("long").alias("min_k"),
+        F.sum(F.when(small, 1).otherwise(0)).cast("long").alias("n_small_classes"),
+        F.sum(F.when(small, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.round(
+            F.sum(F.when(small, F.col("k")).otherwise(0)).cast("double")
+            / F.sum("k"),
+            6,
+        ).alias("suppression_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q305: referential-integrity + expectation audit
+# ---------------------------------------------------------------------------
+
+_Q305_SQL = """
+SELECT 'events_user_in_customer' AS check_name, CAST((
+  SELECT COUNT(*) FROM events e
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+     OR e.user_id IS NULL) AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'lineitem_discount_in_unit', CAST((
+  SELECT COUNT(*) FROM lineitem
+  WHERE NOT COALESCE(l_discount >= 0 AND l_discount <= 1, FALSE)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_order_fk', CAST((
+  SELECT COUNT(*) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+     OR l.l_orderkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_part_fk', CAST((
+  SELECT COUNT(*) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+     OR l.l_partkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_positive_quantity', CAST((
+  SELECT COUNT(*) FROM lineitem
+  WHERE NOT COALESCE(l_quantity > 0, FALSE)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_supplier_fk', CAST((
+  SELECT COUNT(*) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+     OR l.l_suppkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'orders_customer_fk', CAST((
+  SELECT COUNT(*) FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+     OR o.o_custkey IS NULL) AS BIGINT)
+ORDER BY check_name
+"""
+
+
+@register(
+    "q305_fk_integrity",
+    _Q305_SQL,
+    doc=(
+        "pre-ship constraint audit: five declared foreign keys checked "
+        "for orphans via LEFT ANTI joins (operators/dq.fk_orphans — "
+        "null-safe so NULL FKs count as violations instead of slipping "
+        "through null-rejecting equality) plus two row-level "
+        "expectations (positive quantity, discount in [0,1]); each "
+        "check shuffles only the key column, parents broadcast.  The "
+        "fixtures are constraint-clean (all-zero counts — the honest "
+        "pass state); the violation branches are pinned with planted "
+        "orphans/NULLs/out-of-range rows in "
+        "tests/test_round8_ops.py"
+    ),
+    tables=("lineitem", "orders", "part", "supplier", "customer", "events"),
+)
+def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    checks = [
+        violation_count(
+            "events_user_in_customer",
+            fk_orphans(events, "user_id", customer, "c_custkey"),
+        ),
+        violation_count(
+            "lineitem_discount_in_unit",
+            rule_violations(
+                li, (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1)
+            ),
+        ),
+        violation_count(
+            "lineitem_order_fk",
+            fk_orphans(li, "l_orderkey", orders, "o_orderkey"),
+        ),
+        violation_count(
+            "lineitem_part_fk", fk_orphans(li, "l_partkey", part, "p_partkey")
+        ),
+        violation_count(
+            "lineitem_positive_quantity",
+            rule_violations(li, F.col("l_quantity") > 0),
+        ),
+        violation_count(
+            "lineitem_supplier_fk",
+            fk_orphans(li, "l_suppkey", supplier, "s_suppkey"),
+        ),
+        violation_count(
+            "orders_customer_fk",
+            fk_orphans(orders, "o_custkey", customer, "c_custkey"),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")

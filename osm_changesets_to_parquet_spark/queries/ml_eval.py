@@ -5023,3 +5023,255 @@ def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nb_r"),
         F.round(F.when(var_c > mean_c, mean_c / var_c), 4).alias("nb_p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q302: Murphy decomposition of the Brier score (round 8)
+# ---------------------------------------------------------------------------
+
+# Murphy (1973): for a DISCRETE forecast system (each event forecast =
+# its bin's mean prediction), Brier = REL - RES + UNC exactly.  Inputs
+# are q239's basis-point pseudo-probability s = v/(v+50) (integer bp at
+# the scan) and y = is-purchase; per-bin sufficient statistics are
+# exact integers (n_k, S_k = sum s, Y_k = sum y), the 10-bin rollup
+# composes them in doubles with IDENTICAL expression trees both
+# engines, and every output is ROUND(.,6).
+_Q302_SQL = """
+WITH scored AS (
+  SELECT CAST(FLOOR(value * 10000 / (value + 50)) AS BIGINT) AS s_bp,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+bins AS (
+  SELECT CAST(FLOOR(s_bp / 1000.0) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_k,
+         CAST(SUM(s_bp) AS BIGINT) AS s_k,
+         CAST(SUM(y) AS BIGINT) AS y_k,
+         CAST(SUM((s_bp - 10000 * y) * (s_bp - 10000 * y)) AS BIGINT) AS sq_k
+  FROM scored GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_k) AS BIGINT) AS n, CAST(SUM(y_k) AS BIGINT) AS y
+  FROM bins
+)
+SELECT ROUND(SUM((CAST(s_k AS DOUBLE) - 10000.0 * y_k)
+                 * (CAST(s_k AS DOUBLE) - 10000.0 * y_k) / n_k)
+             / (tot.n * 100000000.0), 6) AS rel,
+       ROUND(SUM((CAST(y_k AS DOUBLE) * tot.n - CAST(n_k AS DOUBLE) * tot.y)
+                 * (CAST(y_k AS DOUBLE) * tot.n - CAST(n_k AS DOUBLE) * tot.y)
+                 / n_k)
+             / (CAST(tot.n AS DOUBLE) * tot.n * tot.n), 6) AS res,
+       ROUND(CAST(tot.y AS DOUBLE) / tot.n
+             * (1.0 - CAST(tot.y AS DOUBLE) / tot.n), 6) AS unc,
+       ROUND(SUM(CAST(sq_k AS DOUBLE)) / (tot.n * 100000000.0), 6)
+         AS brier_raw
+FROM bins, tot
+GROUP BY tot.n, tot.y
+"""
+
+
+@register(
+    "q302_brier_decomposition",
+    _Q302_SQL,
+    doc=(
+        "Murphy (1973) decomposition of the Brier score for the "
+        "value-derived purchase forecast, over q239's decile bins: "
+        "reliability (calibration gap), resolution (how far bin base "
+        "rates spread from the prior), and uncertainty (the prior's "
+        "own variance) — the standard forecast-quality triptych; for "
+        "the binned forecast system rel - res + unc IS the binned "
+        "Brier identically (pinned to 1e-12 in "
+        "tests/test_round8_ops.py), and brier_raw (unbinned) is "
+        "reported beside it.  One scan, one 10-row bin rollup, one "
+        "1-row total frame joined back — O(bins) after the scan"
+    ),
+    tables=("events",),
+)
+def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.floor(F.col("value") * 10000 / (F.col("value") + 50))
+        .cast("long")
+        .alias("s_bp"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    sq = (F.col("s_bp") - 10000 * F.col("y")) * (
+        F.col("s_bp") - 10000 * F.col("y")
+    )
+    bins = scored.groupBy(
+        F.floor(F.col("s_bp") / 1000.0).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.sum("s_bp").cast("long").alias("s_k"),
+        F.sum("y").cast("long").alias("y_k"),
+        F.sum(sq).cast("long").alias("sq_k"),
+    )
+    tot = bins.agg(
+        F.sum("n_k").cast("long").alias("n"),
+        F.sum("y_k").cast("long").alias("y"),
+    )
+    a = F.col("s_k").cast("double") - 10000.0 * F.col("y_k")
+    b = F.col("y_k").cast("double") * F.col("n") - F.col("n_k").cast(
+        "double"
+    ) * F.col("y")
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .groupBy("n", "y")
+        .agg(
+            F.round(
+                F.sum(a * a / F.col("n_k")) / (F.col("n") * 100000000.0), 6
+            ).alias("rel"),
+            F.round(
+                F.sum(b * b / F.col("n_k"))
+                / (
+                    F.col("n").cast("double")
+                    * F.col("n")
+                    * F.col("n")
+                ),
+                6,
+            ).alias("res"),
+            F.round(
+                F.col("y").cast("double")
+                / F.col("n")
+                * (F.lit(1.0) - F.col("y").cast("double") / F.col("n")),
+                6,
+            ).alias("unc"),
+            F.round(
+                F.sum(F.col("sq_k").cast("double"))
+                / (F.col("n") * 100000000.0),
+                6,
+            ).alias("brier_raw"),
+        )
+        .drop("n", "y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q303: decision-stump split search (round 8)
+# ---------------------------------------------------------------------------
+
+# best single split per feature by MISCLASSIFICATION error — chosen
+# over Gini so the whole search is exact integer arithmetic (Gini's
+# per-split rational n_L*n_R denominators cannot be compared exactly
+# in SQL without per-pair cross-multiplication; error counts can)
+_Q303_SQL = """
+WITH pts AS (
+  SELECT 'acctbal_cents' AS feature,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+  FROM customer
+  UNION ALL
+  SELECT 'nationkey', CAST(c_nationkey AS BIGINT),
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+  FROM customer
+),
+g AS (
+  SELECT feature, v, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM pts GROUP BY feature, v
+),
+sweep AS (
+  SELECT feature, v,
+         SUM(cnt) OVER w AS nl, SUM(pos) OVER w AS pl,
+         SUM(cnt) OVER f AS n, SUM(pos) OVER f AS p
+  FROM g
+  WINDOW w AS (PARTITION BY feature ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         f AS (PARTITION BY feature)
+),
+scored AS (
+  SELECT feature, v,
+         (nl - GREATEST(pl, nl - pl))
+           + ((n - nl) - GREATEST(p - pl, (n - nl) - (p - pl))) AS err,
+         n - GREATEST(p, n - p) AS base_err, n,
+         ROW_NUMBER() OVER (
+           PARTITION BY feature
+           ORDER BY (nl - GREATEST(pl, nl - pl))
+                    + ((n - nl) - GREATEST(p - pl, (n - nl) - (p - pl))), v
+         ) AS rn
+  FROM sweep
+)
+SELECT feature, CAST(v AS BIGINT) AS split_value, CAST(err AS BIGINT) AS err,
+       CAST(base_err AS BIGINT) AS base_err, CAST(n AS BIGINT) AS n
+FROM scored WHERE rn = 1 ORDER BY feature
+"""
+
+
+@register(
+    "q303_stump_split",
+    _Q303_SQL,
+    doc=(
+        "decision-stump split search: for each feature, the threshold "
+        "v* minimizing total misclassification error of the split "
+        "(x <= v -> majority-left, x > v -> majority-right), found by "
+        "one sorted sweep over the feature's VALUE DOMAIN — group to "
+        "(feature, value) sufficient statistics first (the shuffle "
+        "carries distinct values + two counts, never rows), then "
+        "per-feature cumulative windows over the value-domain-sized "
+        "frame (the q289 rank-frame discipline; a wide feature set "
+        "at 100 TB swaps the per-feature window for one "
+        "global_cumsum per feature).  Misclassification over Gini "
+        "keeps the argmin exact-integer; ties break toward the "
+        "smallest threshold"
+    ),
+    tables=("customer",),
+)
+def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    y = F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+    pts = cust.select(
+        F.lit("acctbal_cents").alias("feature"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("v"),
+        y.alias("y"),
+    ).unionByName(
+        cust.select(
+            F.lit("nationkey").alias("feature"),
+            F.col("c_nationkey").cast("long").alias("v"),
+            y.alias("y"),
+        )
+    )
+    g = pts.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = Window.partitionBy("feature")
+    sweep = g.select(
+        "feature",
+        "v",
+        F.sum("cnt").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+        F.sum("cnt").over(f).alias("n"),
+        F.sum("pos").over(f).alias("p"),
+    )
+    nl, pl, n, p = F.col("nl"), F.col("pl"), F.col("n"), F.col("p")
+    err = (nl - F.greatest(pl, nl - pl)) + (
+        (n - nl) - F.greatest(p - pl, (n - nl) - (p - pl))
+    )
+    scored = sweep.select(
+        "feature",
+        "v",
+        err.alias("err"),
+        (n - F.greatest(p, n - p)).alias("base_err"),
+        "n",
+        F.row_number()
+        .over(Window.partitionBy("feature").orderBy(err, "v"))
+        .alias("rn"),
+    )
+    return (
+        scored.where(F.col("rn") == 1)
+        .select(
+            "feature",
+            F.col("v").cast("long").alias("split_value"),
+            F.col("err").cast("long").alias("err"),
+            F.col("base_err").cast("long").alias("base_err"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("feature")
+    )

@@ -1902,3 +1902,92 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cnt") - prev) * F.lit(100.0) / F.nullif(prev, F.lit(0)), 2
         ).alias("wow_pct"),
     ).orderBy("event_type", "week")
+
+
+# ---------------------------------------------------------------------------
+# q306: Neyman allocation for stratified sampling (round 8)
+# ---------------------------------------------------------------------------
+
+_Q306_BUDGET = 100
+
+# Neyman (1934): allocate a fixed sample budget n across strata
+# proportionally to N_h * S_h — big and variable strata get more.
+# Variance comes from integer cents power sums (the q221 discipline:
+# engines' stddev kernels differ in the last ulp; an explicit
+# (s2 - s1^2/N)/(N-1) double expression evaluated identically does
+# not), and s1^2 is squared AS DOUBLE so sf0.1-scale sums cannot
+# overflow a BIGINT mid-expression.
+_Q306_SQL = f"""
+WITH s AS (
+  SELECT c_mktsegment AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                  * CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s2
+  FROM customer GROUP BY 1
+),
+sd AS (
+  SELECT segment, n_h,
+         SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_h)
+              / (n_h - 1)) AS s_h
+  FROM s
+)
+SELECT segment, n_h,
+       ROUND(s_h / 100.0, 4) AS sd_dollars,
+       CAST(FLOOR({_Q306_BUDGET} * (n_h * s_h)
+                  / (SELECT SUM(n_h * s_h) FROM sd) + 0.5) AS BIGINT)
+         AS alloc
+FROM sd ORDER BY segment
+"""
+
+
+@register(
+    "q306_neyman_allocation",
+    _Q306_SQL,
+    doc=(
+        f"Neyman-optimal allocation of a {_Q306_BUDGET}-unit sample "
+        "budget across market-segment strata (allocation proportional "
+        "to N_h x S_h, the minimum-variance split of a stratified "
+        "mean estimate — the principled upgrade over q206's "
+        "fixed-rate stratification): per-stratum variance from exact "
+        "integer cents power sums, one keyed aggregation + one 5-row "
+        "weight frame; rounding is FLOOR(x + 0.5) spelled identically "
+        "both engines (never engine-native ROUND on a ratio)"
+    ),
+    tables=("customer",),
+)
+def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    s = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_h"),
+            F.sum(cents).cast("long").alias("s1"),
+            F.sum(cents * cents).cast("long").alias("s2"),
+        )
+    )
+    s_h = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n_h")
+        )
+        / (F.col("n_h") - 1)
+    )
+    sd = s.select("segment", "n_h", s_h.alias("s_h"))
+    tot = sd.agg(F.sum(F.col("n_h") * F.col("s_h")).alias("w"))
+    return (
+        sd.crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            "n_h",
+            F.round(F.col("s_h") / 100.0, 4).alias("sd_dollars"),
+            F.floor(
+                F.lit(_Q306_BUDGET) * (F.col("n_h") * F.col("s_h")) / F.col("w")
+                + 0.5
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+        .orderBy("segment")
+    )

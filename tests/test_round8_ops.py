@@ -1,0 +1,232 @@
+"""Round-8 operator properties: temporal family (q299-q301), Brier
+decomposition identity (q302), stump split brute-force (q303),
+governance audits incl. the PLANTED-violation branches the clean
+fixtures leave dead (q304-q305), and the dq operators."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark import queries as Q
+from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.operators.dq import (
+    fk_orphans,
+    rule_violations,
+)
+
+Q.load_all_modules()
+
+
+def _events_pdf(spark, sf_dir) -> pd.DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts_us", "value", "props")
+        .toPandas()
+    )
+
+
+# ---------------------------------------------------------------------------
+# temporal family: brute-force replays in pandas
+# ---------------------------------------------------------------------------
+
+
+def test_q299_scd2_chain_brute_force(spark, sf_dir):
+    out = Q.REGISTRY["q299_scd2_intervals"].fn(spark, sf_dir).toPandas()
+    ev = _events_pdf(spark, sf_dir)
+    sign = ev[ev.event_type == "signup"].sort_values(["user_id", "ts_us", "event_id"])
+    rows = []
+    for uid, g in sign.groupby("user_id"):
+        ts = list(g.ts_us)
+        for i, (_, r) in enumerate(g.iterrows()):
+            nxt = ts[i + 1] if i + 1 < len(ts) else None
+            rows.append((uid, r.event_id, int(r.ts_us), nxt, nxt is None))
+    assert len(out) == len(rows)
+    got = {(r.user_id, r.change_id): (r.valid_from_us, r.valid_to_us, r.is_current)
+           for r in out.itertuples()}
+    for uid, cid, frm, to, cur in rows:
+        gf, gt, gc = got[(uid, cid)]
+        assert gf == frm and gc == cur
+        assert (gt is None or pd.isna(gt)) if to is None else gt == to
+    # intervals tile: within a user, valid_to == next valid_from
+    for uid, g in out.groupby("user_id"):
+        g = g.sort_values("valid_from_us")
+        for a, b in zip(g.valid_to_us[:-1], g.valid_from_us[1:]):
+            assert a == b
+
+
+def test_q300_pit_never_uses_future_change(spark, sf_dir):
+    out = Q.REGISTRY["q300_pit_enrich"].fn(spark, sf_dir).toPandas()
+    ev = _events_pdf(spark, sf_dir)
+    ev["k"] = ev.props.str.extract(r'"k": (\d+)').astype(float)
+    sign = ev[ev.event_type == "signup"]
+    pur = ev[ev.event_type == "purchase"]
+    expected = {}
+    for r in pur.itertuples():
+        cand = sign[(sign.user_id == r.user_id) & (sign.ts_us <= r.ts_us)]
+        if len(cand):
+            best = cand.sort_values(["ts_us", "event_id"]).iloc[-1]
+            expected[r.event_id] = int(best.k)
+    assert len(out) == len(expected)
+    for r in out.itertuples():
+        assert expected[r.event_id] == r.attr
+
+
+def test_q301_coverage_brute_force(spark, sf_dir):
+    out = Q.REGISTRY["q301_interval_coverage"].fn(spark, sf_dir).toPandas()
+    ev = _events_pdf(spark, sf_dir)
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    ev["e"] = ev.ts_us + ev.cents * 600_000
+    for r in out.itertuples():
+        g = ev[ev.user_id == r.user_id].sort_values(["ts_us", "event_id"])
+        islands, covered = 0, 0
+        cur_s = cur_e = None
+        for iv in g.itertuples():
+            if cur_e is None or iv.ts_us > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                islands += 1
+                cur_s, cur_e = iv.ts_us, iv.e
+            else:
+                cur_e = max(cur_e, iv.e)
+        if cur_e is not None:
+            covered += cur_e - cur_s
+        assert (r.n_islands, r.covered_us) == (islands, covered)
+        # union length can never exceed the sum of lengths or the span
+        assert r.covered_us <= int(g.cents.sum()) * 600_000
+
+
+# ---------------------------------------------------------------------------
+# q302: the Murphy identity for the binned forecast system
+# ---------------------------------------------------------------------------
+
+
+def test_q302_murphy_identity(spark, sf_dir):
+    row = Q.REGISTRY["q302_brier_decomposition"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _events_pdf(spark, sf_dir)
+    s_bp = (ev.value * 10000 / (ev.value + 50)).apply(int)  # floor of positives
+    y = (ev.event_type == "purchase").astype(int)
+    df = pd.DataFrame({"bin": s_bp // 1000, "s": s_bp, "y": y})
+    n = len(df)
+    ybar = df.y.mean()
+    rel = res = brier_binned = 0.0
+    for _, g in df.groupby("bin"):
+        p_k = g.s.mean() / 10000.0
+        o_k = g.y.mean()
+        rel += len(g) * (p_k - o_k) ** 2
+        res += len(g) * (o_k - ybar) ** 2
+        brier_binned += ((p_k - g.y) ** 2).sum()
+    rel, res, brier_binned = rel / n, res / n, brier_binned / n
+    unc = ybar * (1 - ybar)
+    # the exact Murphy identity for a discrete (binned) forecast system
+    assert abs((rel - res + unc) - brier_binned) < 1e-12
+    assert abs(row.rel - rel) < 1e-6 + 1e-9
+    assert abs(row.res - res) < 1e-6 + 1e-9
+    assert abs(row.unc - unc) < 1e-6 + 1e-9
+    brier_raw = (((df.s / 10000.0) - df.y) ** 2).mean()
+    assert abs(row.brier_raw - brier_raw) < 1e-6 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q303: brute-force split enumeration
+# ---------------------------------------------------------------------------
+
+
+def test_q303_stump_matches_exhaustive_search(spark, sf_dir):
+    out = Q.REGISTRY["q303_stump_split"].fn(spark, sf_dir).toPandas()
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_acctbal", "c_nationkey", "c_mktsegment"
+    ).toPandas()
+    y = (cust.c_mktsegment == "BUILDING").astype(int)
+    feats = {
+        "acctbal_cents": (cust.c_acctbal * 100).round().astype("int64"),
+        "nationkey": cust.c_nationkey.astype("int64"),
+    }
+    for feature, x in feats.items():
+        n, p = len(x), int(y.sum())
+        best = None
+        for v in sorted(x.unique()):
+            left = x <= v
+            nl, pl = int(left.sum()), int(y[left].sum())
+            err = (nl - max(pl, nl - pl)) + ((n - nl) - max(p - pl, (n - nl) - (p - pl)))
+            if best is None or (err, v) < best:
+                best = (err, v)
+        row = out[out.feature == feature].iloc[0]
+        assert (row.err, row.split_value) == best
+        assert row.base_err == n - max(p, n - p)
+        assert row.err <= row.base_err  # a split never hurts this criterion
+
+
+def test_q303_planted_perfect_split(spark):
+    # a feature that separates the classes perfectly must reach err 0
+    # at the boundary value (the branch the real fixture never hits)
+    pdf = [(i, i, 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(pdf, "id long, v long, y long")
+    from pyspark.sql import Window
+
+    g = df.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy()
+    sweep = g.select(
+        "v",
+        F.sum("cnt").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+        F.sum("cnt").over(tot).alias("n"),
+        F.sum("pos").over(tot).alias("p"),
+    )
+    nl, pl, n, p = F.col("nl"), F.col("pl"), F.col("n"), F.col("p")
+    err = (nl - F.greatest(pl, nl - pl)) + (
+        (n - nl) - F.greatest(p - pl, (n - nl) - (p - pl))
+    )
+    best = sweep.select("v", err.alias("err")).orderBy("err", "v").first()
+    assert (best.err, best.v) == (0, 49)
+
+
+# ---------------------------------------------------------------------------
+# governance: planted-violation branches
+# ---------------------------------------------------------------------------
+
+
+def test_fk_orphans_planted(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,), (None,)], "pk long")
+    orphans = fk_orphans(child, "fk", parent, "pk")
+    assert {r.id for r in orphans.collect()} == {3, 4}  # missing AND NULL fk
+
+
+def test_rule_violations_planted(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], "id long, qty double"
+    )
+    bad = rule_violations(df, F.col("qty") > 0)
+    # violations: negative AND NULL (an expectation must not pass unknowns)
+    assert {r.id for r in bad.collect()} == {2, 3}
+
+
+def test_q305_all_clean_on_fixture_and_planted_orphan_counts(spark, sf_dir):
+    out = Q.REGISTRY["q305_fk_integrity"].fn(spark, sf_dir).toPandas()
+    assert len(out) == 7
+    assert (out.n_violations == 0).all()  # the honest pass state
+    # planted: two orphans + one NULL in a child of 5
+    child = spark.createDataFrame(
+        [(i, k) for i, k in enumerate([1, 1, 7, 8, None])], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    assert fk_orphans(child, "fk", parent, "pk").count() == 3
+
+
+def test_q304_planted_small_classes(spark):
+    # 1 class of 6 (safe at k=5) + 2 classes of 2 (at risk)
+    rows = [("a", i) for i in range(6)] + [("b", 0), ("b", 1)] + [("c", 0), ("c", 1)]
+    df = spark.createDataFrame(rows, "qi string, id long")
+    classes = df.groupBy("qi").agg(F.count(F.lit(1)).alias("k"))
+    agg = classes.agg(
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)).alias("risk"),
+        F.sum("k").alias("n"),
+        F.min("k").alias("min_k"),
+    ).first()
+    assert (agg.risk, agg.n, agg.min_k) == (4, 10, 2)
