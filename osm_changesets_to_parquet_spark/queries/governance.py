@@ -159,44 +159,81 @@ ORDER BY check_name
     tables=("lineitem", "orders", "part", "supplier", "customer", "events"),
 )
 def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # all five lineitem checks ride ONE scan: each parent's key set
+    # broadcasts with a marker column, three LEFT joins attach
+    # existence flags, and a single aggregate counts every violation
+    # class — the naive per-check spelling scans the fact table five
+    # times (exactly the multi-consumer recompute trap; the q243/q281
+    # round-7 lesson applied at design time)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_discount"
+    )
+
+    def key_set(df: DataFrame, key: str, marker: str) -> DataFrame:
+        return F.broadcast(
+            df.select(F.col(key).alias(f"__{marker}_k"))
+            .where(F.col(key).isNotNull())
+            .distinct()
+            .withColumn(f"__{marker}", F.lit(True))
+        )
+
     orders = load_table(spark, sf_dir, "orders")
-    part = load_table(spark, sf_dir, "part")
-    supplier = load_table(spark, sf_dir, "supplier")
+    joined = (
+        li.join(
+            key_set(orders, "o_orderkey", "ord"),
+            li["l_orderkey"] == F.col("__ord_k"),
+            "left",
+        )
+        .join(
+            key_set(load_table(spark, sf_dir, "part"), "p_partkey", "prt"),
+            li["l_partkey"] == F.col("__prt_k"),
+            "left",
+        )
+        .join(
+            key_set(
+                load_table(spark, sf_dir, "supplier"), "s_suppkey", "sup"
+            ),
+            li["l_suppkey"] == F.col("__sup_k"),
+            "left",
+        )
+    )
+
+    def n_bad(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    li_counts = joined.agg(
+        n_bad(~F.coalesce(F.col("__ord"), F.lit(False))).alias("ord_fk"),
+        n_bad(~F.coalesce(F.col("__prt"), F.lit(False))).alias("prt_fk"),
+        n_bad(~F.coalesce(F.col("__sup"), F.lit(False))).alias("sup_fk"),
+        n_bad(
+            ~F.coalesce(F.col("l_quantity") > 0, F.lit(False))
+        ).alias("qty"),
+        n_bad(
+            ~F.coalesce(
+                (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1),
+                F.lit(False),
+            )
+        ).alias("disc"),
+    )
+    li_rows = li_counts.selectExpr(
+        "stack(5, 'lineitem_order_fk', ord_fk, 'lineitem_part_fk', prt_fk, "
+        "'lineitem_supplier_fk', sup_fk, 'lineitem_positive_quantity', qty, "
+        "'lineitem_discount_in_unit', disc) AS (check_name, n_violations)"
+    )
+
     customer = load_table(spark, sf_dir, "customer")
-    events = load_table(spark, sf_dir, "events")
-    checks = [
+    other = violation_count(
+        "orders_customer_fk",
+        fk_orphans(orders, "o_custkey", customer, "c_custkey"),
+    ).unionByName(
         violation_count(
             "events_user_in_customer",
-            fk_orphans(events, "user_id", customer, "c_custkey"),
-        ),
-        violation_count(
-            "lineitem_discount_in_unit",
-            rule_violations(
-                li, (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1)
+            fk_orphans(
+                load_table(spark, sf_dir, "events"),
+                "user_id",
+                customer,
+                "c_custkey",
             ),
-        ),
-        violation_count(
-            "lineitem_order_fk",
-            fk_orphans(li, "l_orderkey", orders, "o_orderkey"),
-        ),
-        violation_count(
-            "lineitem_part_fk", fk_orphans(li, "l_partkey", part, "p_partkey")
-        ),
-        violation_count(
-            "lineitem_positive_quantity",
-            rule_violations(li, F.col("l_quantity") > 0),
-        ),
-        violation_count(
-            "lineitem_supplier_fk",
-            fk_orphans(li, "l_suppkey", supplier, "s_suppkey"),
-        ),
-        violation_count(
-            "orders_customer_fk",
-            fk_orphans(orders, "o_custkey", customer, "c_custkey"),
-        ),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionByName(c)
-    return out.orderBy("check_name")
+        )
+    )
+    return li_rows.unionByName(other).orderBy("check_name")

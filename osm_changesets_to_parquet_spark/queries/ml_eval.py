@@ -5098,13 +5098,22 @@ def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = (F.col("s_bp") - 10000 * F.col("y")) * (
         F.col("s_bp") - 10000 * F.col("y")
     )
-    bins = scored.groupBy(
-        F.floor(F.col("s_bp") / 1000.0).cast("long").alias("bin")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_k"),
-        F.sum("s_bp").cast("long").alias("s_k"),
-        F.sum("y").cast("long").alias("y_k"),
-        F.sum(sq).cast("long").alias("sq_k"),
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    # the bin frame feeds BOTH the total frame and the final rollup —
+    # materialize the 10 rows once or the events scan runs twice (the
+    # round-7 multi-consumer recompute lesson, applied at design time)
+    bins = truncate_lineage(
+        scored.groupBy(
+            F.floor(F.col("s_bp") / 1000.0).cast("long").alias("bin")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_k"),
+            F.sum("s_bp").cast("long").alias("s_k"),
+            F.sum("y").cast("long").alias("y_k"),
+            F.sum(sq).cast("long").alias("sq_k"),
+        )
     )
     tot = bins.agg(
         F.sum("n_k").cast("long").alias("n"),

@@ -1974,7 +1974,13 @@ def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / (F.col("n_h") - 1)
     )
-    sd = s.select("segment", "n_h", s_h.alias("s_h"))
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    # the 5-row stratum frame feeds both the weight total and the final
+    # select — materialize once (multi-consumer recompute discipline)
+    sd = truncate_lineage(s.select("segment", "n_h", s_h.alias("s_h")))
     tot = sd.agg(F.sum(F.col("n_h") * F.col("s_h")).alias("w"))
     return (
         sd.crossJoin(F.broadcast(tot))

@@ -766,3 +766,43 @@ def test_q281_session_lift_materializes_baskets_once(spark, sf_dir):
         if "lag(ts_us" in line and "Window [" in line
     ]
     assert len(lags) == 0, plan  # behind the lineage cut -> scan nodes
+
+
+def test_q305_single_lineitem_scan_all_parents_broadcast(spark, sf_dir):
+    # the fused audit: five lineitem checks ride ONE scan (the naive
+    # per-check spelling scans the fact table five times) and every
+    # parent key set is broadcast — no fact-side shuffle for the FK
+    # probes
+    plan = _plan(spark, sf_dir, "q305_fk_integrity")
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q303_one_exchange_per_feature_sweep(spark, sf_dir):
+    # the stump sweep groups to (feature, value) sufficient stats
+    # FIRST (partial agg before the shuffle), and the cumulative /
+    # total windows share the per-feature partitioning — no extra
+    # exchange between the windows, no single-partition data window
+    plan = _plan(spark, sf_dir, "q303_stump_split")
+    assert "partial" in plan.lower()  # map-side combine before shuffle
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "feature" in line, line
+
+
+def test_q300_single_user_shuffle(spark, sf_dir):
+    # the as-of enrichment is ONE hash exchange on the entity key; the
+    # forward-fill window rides it (no per-fact join explosion, which
+    # is the oracle's spelling, and no additional exchange)
+    plan = _plan(spark, sf_dir, "q300_pit_enrich")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q301_islands_share_one_exchange(spark, sf_dir):
+    # sweep-line windows (running max-end, island numbering) and the
+    # island aggregate all ride the same user_id partitioning: exactly
+    # one full-data hash exchange
+    plan = _plan(spark, sf_dir, "q301_interval_coverage")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
