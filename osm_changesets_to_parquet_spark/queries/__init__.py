@@ -75,6 +75,9 @@ _PRIORITY: tuple[str, ...] = (
     "q304_k_anonymity",  # NEW: QI equivalence-class audit
     "q305_fk_integrity",  # NEW: FK orphan + expectation audit
     "q306_neyman_allocation",  # NEW: minimum-variance stratified budget
+    "m53_phash_neardup",  # NEW: perceptual-hash banded near-dup audit
+    "q307_kneser_ney",  # NEW: KN-smoothed bigram LM
+    "s24_stream_pit_enrich",  # NEW: streaming as-of feature fill
     # -- (2) never driver-witnessed (round-7 overflow, queue order) --
     "q224_gram_novelty",
     "q225_source_overlap",
@@ -113,12 +116,12 @@ _PRIORITY: tuple[str, ...] = (
     "q255_markov_eval",
     "q256_heaps_law",
     "q257_label_propagation",
+    # ---- window boundary (50) — names below queue for round 9 ----
+    # (q258-q298 are the round-7 session-2 remainder, never driver-
+    # witnessed; then the stalest r1-r3-era names oldest-first)
     "q258_degree_assortativity",
     "q259_seasonal_decomposition",
     "q260_term_burstiness",
-    # ---- window boundary (50) — names below queue for round 9 ----
-    # (q261-q298 are the round-7 session-2 remainder, never driver-
-    # witnessed; then the stalest r1-r3-era names oldest-first)
     "q261_cohort_ltv",
     "q262_similarity_histogram",
     "q263_token_bucket",

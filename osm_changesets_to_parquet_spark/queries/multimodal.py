@@ -252,3 +252,135 @@ def m52(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dedup_saving",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m53: perceptual-hash (aHash) near-dup audit over decoded pixels (round 8)
+# ---------------------------------------------------------------------------
+
+_M53_SQL = """
+WITH px AS (
+  SELECT d.doc_id, t.i,
+         CAST('0x' || substring(sha256(d.text), 2*t.i + 1, 2) AS INT) AS p
+  FROM documents d CROSS JOIN range(32) t(i)
+  WHERE d.text IS NOT NULL
+),
+s AS (SELECT doc_id, CAST(SUM(p) AS BIGINT) AS ps FROM px GROUP BY doc_id),
+h AS (
+  SELECT px.doc_id,
+         CAST(SUM(CASE WHEN px.p * 32 > s.ps
+                       THEN CAST(1 AS BIGINT) << px.i ELSE 0 END)
+              AS BIGINT) AS ah
+  FROM px JOIN s ON s.doc_id = px.doc_id
+  GROUP BY px.doc_id
+),
+b AS (
+  SELECT doc_id, ah, t.bi AS band, (ah >> (8 * t.bi)) & 255 AS bv
+  FROM h CROSS JOIN range(4) t(bi)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, c.doc_id AS db, a.ah AS ha, c.ah AS hb
+  FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv
+                   AND a.doc_id < c.doc_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM h) AS n_docs,
+       (SELECT CAST(SUM(ah) AS BIGINT) FROM h) AS hash_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(SUM(CASE WHEN bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 2
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_neardup
+FROM cand
+"""
+
+
+@register(
+    "m53_phash_neardup",
+    _M53_SQL,
+    doc=(
+        "perceptual-hash near-duplicate audit over the DECODED pixel "
+        "strip (the multimodal dedup crossover): each image's 32-px "
+        "strip (m48's Arrow mapInPandas decode path) hashes to a "
+        "32-bit average-hash — bit i set iff px_i*32 > sum(px), exact "
+        "integer compare, no mean division — then 4x8-bit LSH bands "
+        "bucket candidates and bit_count(xor) verifies hamming<=2; "
+        "the pigeonhole bound makes banding EXACT for radius 2 (two "
+        "differing bits cannot dirty all four bands).  On the "
+        "deterministic stub decode the hashes are sha-random, so the "
+        "fixture's honest answer is candidates ~ n^2/512 and near-dups "
+        "only for byte-identical payloads (0 below sf0.1); the output "
+        "is therefore a one-row audit (doc count, hash checksum that "
+        "pins every per-doc hash, candidate + confirmed counts) "
+        "rather than an empty pair list.  The hash table materializes "
+        "ONCE (Python decode never re-runs); the band self-join "
+        "shuffles (band, 8-bit value) keys"
+    ),
+    tables=("documents",),
+)
+def m53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    feats = decode_image_features(_docs_with_payload(spark, sf_dir))
+    with_sum = feats.select(
+        "doc_id",
+        "pixels",
+        F.aggregate(
+            "pixels", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("ps"),
+    )
+    # the Python-API shiftleft wants a literal shift amount; the SQL
+    # form takes a column, so the bit fold is one F.expr (still pure
+    # JVM higher-order functions over the Arrow-decoded array)
+    ah = F.expr(
+        "aggregate(zip_with(pixels, sequence(0, 31),"
+        " (p, i) -> IF(p * 32 > ps,"
+        "  shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    h = truncate_lineage(with_sum.select("doc_id", ah.alias("ah")))
+    bands = h.select(
+        "doc_id",
+        "ah",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("ah"), 8 * bi)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bv"),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "ah", "bb.band", "bb.bv")
+    a = bands.select(
+        F.col("band"), F.col("bv"), F.col("doc_id").alias("da"), F.col("ah").alias("ha")
+    )
+    c = bands.select(
+        F.col("band"), F.col("bv"), F.col("doc_id").alias("db"), F.col("ah").alias("hb")
+    )
+    cand = (
+        a.join(c, ["band", "bv"])
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db", "ha", "hb")
+        .distinct()
+    )
+    near = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 2
+    return (
+        h.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ah").cast("long").alias("hash_sum"),
+        )
+        .crossJoin(
+            cand.agg(
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.coalesce(
+                    F.sum(F.when(near, 1).otherwise(0)), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_neardup"),
+            )
+        )
+    )

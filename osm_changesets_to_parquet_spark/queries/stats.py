@@ -1997,3 +1997,98 @@ def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q307: Kneser-Ney smoothed bigram probabilities (round 8)
+# ---------------------------------------------------------------------------
+
+# absolute discount (Kneser & Ney 1995); dyadic so the subtraction is
+# exact in binary floating point on both engines
+_Q307_D = 0.75
+_Q307_TOPK = 20
+
+_Q307_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+big AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM (SELECT tk, generate_subscripts(tk, 1) AS i FROM tok)
+  WHERE i < len(tk)
+),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM big GROUP BY w1, w2),
+uc AS (
+  SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu,
+         CAST(COUNT(*) AS BIGINT) AS nfol
+  FROM bc GROUP BY w1
+),
+pre AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS npre FROM bc GROUP BY w2),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM bc),
+top AS (SELECT w1, w2, cb FROM bc ORDER BY cb DESC, w1, w2 LIMIT {_Q307_TOPK})
+SELECT t.w1, t.w2, t.cb,
+       ROUND(GREATEST(t.cb - {_Q307_D}, 0) / uc.cu
+             + ({_Q307_D} * uc.nfol / uc.cu)
+               * (CAST(pre.npre AS DOUBLE) / tot.ntypes), 6) AS p_kn
+FROM top t JOIN uc ON uc.w1 = t.w1 JOIN pre ON pre.w2 = t.w2, tot
+ORDER BY t.cb DESC, t.w1, t.w2
+"""
+
+
+@register(
+    "q307_kneser_ney",
+    _Q307_SQL,
+    doc=(
+        "Kneser-Ney smoothed bigram probabilities (the production LM "
+        "smoother, upgrading q222's add-1: absolute discount D=0.75 "
+        "with the discounted mass backed off to CONTINUATION "
+        "probability — how many distinct contexts a word follows, not "
+        "how often it occurs; the classic 'San Francisco' fix): one "
+        "bigram rollup feeds all four count tables (materialized "
+        "once — the bigram-type table is the sufficient statistic; "
+        "raw bigrams are never rescanned), the top-k ranking is "
+        "TakeOrdered, and the probability composes integer counts "
+        "with a dyadic discount so both engines evaluate identical "
+        "doubles.  Shuffles carry vocabulary keys only"
+    ),
+    tables=("documents",),
+)
+def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(F.split("text", " ").alias("tk")).where(F.size("tk") >= 2)
+    big = tk.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.struct(
+                    F.element_at("tk", i).alias("w1"),
+                    F.element_at("tk", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = truncate_lineage(
+        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    uc = bc.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("cu"),
+        F.count(F.lit(1)).cast("long").alias("nfol"),
+    )
+    pre = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("npre"))
+    tot = bc.agg(F.count(F.lit(1)).cast("long").alias("ntypes"))
+    top = bc.orderBy(F.col("cb").desc(), "w1", "w2").limit(_Q307_TOPK)
+    p_kn = F.round(
+        F.greatest(F.col("cb") - _Q307_D, F.lit(0.0)) / F.col("cu")
+        + (F.lit(_Q307_D) * F.col("nfol") / F.col("cu"))
+        * (F.col("npre").cast("double") / F.col("ntypes")),
+        6,
+    )
+    return (
+        top.join(uc, "w1")
+        .join(pre, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "cb", p_kn.alias("p_kn"))
+        .orderBy(F.col("cb").desc(), "w1", "w2")
+    )

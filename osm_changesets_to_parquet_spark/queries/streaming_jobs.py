@@ -751,3 +751,51 @@ def s23(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_s23_crash_recovery(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# s24: streaming point-in-time enrichment (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s24_stream_pit_enrich",
+    """
+    WITH chg AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             CAST(ROUND(value * 100) AS BIGINT) AS attr
+      FROM events WHERE event_type = 'signup'
+    ),
+    pur AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+      SELECT p.event_id, p.user_id, p.t, p.cents, c.attr,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.t DESC, c.event_id DESC) AS rn
+      FROM pur p JOIN chg c ON c.user_id = p.user_id AND c.t <= p.t
+    )
+    SELECT event_id, user_id, CAST(t AS BIGINT) AS ts_us, attr,
+           CAST(cents AS BIGINT) AS cents
+    FROM ranked WHERE rn = 1 ORDER BY event_id
+    """,
+    doc=(
+        "STREAMING point-in-time enrichment (q300's online twin — the "
+        "feature-store materialization path): per-user state holds the "
+        "latest signup's cents-attribute; each micro-batch's purchases "
+        "are tagged with the attribute active at their EVENT time, "
+        "applying rows in (ts, kind, id) order with signups before "
+        "same-instant purchases — leakage-free online, and because "
+        "forward-fill commutes with event-time-ordered micro-batching "
+        "the streamed result hash-matches the batch as-of oracle "
+        "exactly (streaming/jobs.py run_s24_stream_pit); state is "
+        "three scalars per user, bounded by the entity population"
+    ),
+    tables=("events",),
+)
+def s24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.streaming import run_s24_stream_pit
+
+    return run_s24_stream_pit(spark, sf_dir)

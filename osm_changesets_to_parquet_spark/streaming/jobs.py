@@ -1363,3 +1363,86 @@ def run_s23_crash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         # control-flow above proves: one crash fired, restart completed
         F.lit(True).alias("recovered"),
     ).orderBy("event_type")
+
+
+def run_s24_stream_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time enrichment — q300's online twin (the
+    feature-store MATERIALIZATION path): per-user state carries the
+    latest signup's (ts, event_id, cents-attr); every purchase in a
+    micro-batch is tagged with the attribute active AT ITS EVENT TIME.
+
+    Order discipline: within a batch, rows apply in (ts, kind,
+    event_id) order with signups before same-instant purchases —
+    exactly q300's window order; across batches the replay arrives in
+    global event-time order, so state is always "everything strictly
+    earlier".  (A same-microsecond signup/purchase pair for one user
+    could straddle a batch boundary in (ts, event_id) arrival order;
+    the fixtures contain zero same-user ts ties at any sf — probed —
+    and a production deployment would chunk on (ts, kind, id).)
+    State is THREE scalars per user — bounded by the entity
+    population, never the stream length.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    base = prepare_replay_dir(spark, sf_dir)
+    ev = (
+        _read_stream(spark, base)
+        .where(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "event_id", "ts_us", "event_type", "value")
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            s_ts, s_eid, s_attr = state.get
+            has = True
+        else:
+            s_ts = s_eid = s_attr = 0
+            has = False
+        frames = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(frames) if frames else pd.DataFrame(
+            columns=["user_id", "event_id", "ts_us", "event_type", "value"]
+        )
+        pdf["kind"] = (pdf["event_type"] == "purchase").astype(int)
+        pdf = pdf.sort_values(["ts_us", "kind", "event_id"])
+        out_eid, out_ts, out_attr, out_cents = [], [], [], []
+        for r in pdf.itertuples():
+            if r.kind == 0:
+                x = float(r.value) * 100  # cents, round half away (SQL ROUND)
+                s_attr = int(x + 0.5) if x >= 0 else -int(-x + 0.5)
+                s_ts, s_eid, has = int(r.ts_us), int(r.event_id), True
+            elif has:
+                x = float(r.value) * 100
+                out_eid.append(int(r.event_id))
+                out_ts.append(int(r.ts_us))
+                out_attr.append(s_attr)
+                out_cents.append(int(x + 0.5) if x >= 0 else -int(-x + 0.5))
+        if has:
+            # never materialize a sentinel state: a user with no signup
+            # yet must stay stateless, or the next batch would read
+            # exists=True and enrich pre-signup purchases with attr=0
+            state.update((s_ts, s_eid, s_attr))
+        yield pd.DataFrame(
+            {
+                "event_id": pd.Series(out_eid, dtype="int64"),
+                "user_id": pd.Series([user_id] * len(out_eid), dtype="int64"),
+                "ts_us": pd.Series(out_ts, dtype="int64"),
+                "attr": pd.Series(out_attr, dtype="int64"),
+                "cents": pd.Series(out_cents, dtype="int64"),
+            }
+        )
+
+    enriched = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_id long, user_id long, ts_us long, attr long, cents long"
+        ),
+        stateStructType="s_ts long, s_eid long, s_attr long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    outs = _run_availablenow(enriched, mode="append")
+    return outs.select("event_id", "user_id", "ts_us", "attr", "cents").orderBy(
+        "event_id"
+    )

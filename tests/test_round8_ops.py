@@ -230,3 +230,43 @@ def test_q304_planted_small_classes(spark):
         F.min("k").alias("min_k"),
     ).first()
     assert (agg.risk, agg.n, agg.min_k) == (4, 10, 2)
+
+
+# ---------------------------------------------------------------------------
+# m53: planted duplicates + the pigeonhole exactness property
+# ---------------------------------------------------------------------------
+
+
+def test_m53_pigeonhole_banding_exact_for_radius_2():
+    # 4 bands x 8 bits over a 32-bit hash: any <=2-bit difference
+    # leaves >=2 bands untouched, so band-bucketing finds EVERY
+    # hamming<=2 pair — exhaustive over all C(32,2)+32+1 masks
+    masks = [0] + [1 << i for i in range(32)] + [
+        (1 << i) | (1 << j) for i in range(32) for j in range(i + 1, 32)
+    ]
+    for m in masks:
+        assert any((m >> (8 * b)) & 255 == 0 for b in range(4)), hex(m)
+
+
+def test_m53_planted_exact_duplicates(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["alpha doc", "alpha doc", "beta doc", "gamma doc"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["web"] * 4),
+            "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = Q.REGISTRY["m53_phash_neardup"].fn(spark, str(tmp_path)).first()
+    # identical payloads -> identical sha -> identical aHash -> one
+    # confirmed near-dup pair; the two distinct docs stay un-paired
+    # unless their random hashes collide in a band (possible) but can
+    # never pass the hamming<=2 verification (2^-32-scale chance)
+    assert out.n_docs == 4
+    assert out.n_neardup == 1
