@@ -78,6 +78,8 @@ _PRIORITY: tuple[str, ...] = (
     "m53_phash_neardup",  # NEW: perceptual-hash banded near-dup audit
     "q307_kneser_ney",  # NEW: KN-smoothed bigram LM
     "s24_stream_pit_enrich",  # NEW: streaming as-of feature fill
+    "q308_edge_embeddedness",  # NEW: per-edge triangle support + Jaccard
+    "q309_l_diversity",  # NEW: attribute-disclosure audit
     # -- (2) never driver-witnessed (round-7 overflow, queue order) --
     "q224_gram_novelty",
     "q225_source_overlap",
@@ -114,11 +116,11 @@ _PRIORITY: tuple[str, ...] = (
     "q254_randomization_test",
     "s22_streaming_anomaly",
     "q255_markov_eval",
+    # ---- window boundary (50) — names below queue for round 9 ----
+    # (q256-q298 are the round-7 session-2 remainder, never driver-
+    # witnessed; then the stalest r1-r3-era names oldest-first)
     "q256_heaps_law",
     "q257_label_propagation",
-    # ---- window boundary (50) — names below queue for round 9 ----
-    # (q258-q298 are the round-7 session-2 remainder, never driver-
-    # witnessed; then the stalest r1-r3-era names oldest-first)
     "q258_degree_assortativity",
     "q259_seasonal_decomposition",
     "q260_term_burstiness",

@@ -237,3 +237,87 @@ def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return li_rows.unionByName(other).orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# q309: l-diversity audit — q304's attribute-disclosure complement
+# ---------------------------------------------------------------------------
+
+_Q309_SQL = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT) / 100000.0)
+              AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS l,
+         CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_debt
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_homogeneous,
+       CAST(SUM(CASE WHEN l = 1 THEN k ELSE 0 END) AS BIGINT)
+         AS rows_disclosed,
+       CAST(SUM(CASE WHEN l = 1 AND n_debt = k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_all_debt,
+       ROUND(CAST(SUM(CASE WHEN l = 1 THEN k ELSE 0 END) AS DOUBLE)
+             / SUM(k), 6) AS disclosure_rate
+FROM classes
+"""
+
+
+@register(
+    "q309_l_diversity",
+    _Q309_SQL,
+    doc=(
+        "l-diversity audit over q304's quasi-identifier classes with "
+        "'in debt' (negative balance) as the sensitive attribute: a "
+        "class that is k-anonymous but HOMOGENEOUS in the sensitive "
+        "value (l=1) still discloses it for every member — the "
+        "Machanavajjhala et al. attack k-anonymity misses; reports "
+        "homogeneous-class count, rows disclosed, how many are "
+        "all-debt (the damaging direction), and the disclosure rate.  "
+        "Same two-level aggregation shape as q304: QI keys + "
+        "counts shuffle, rollup is O(classes)"
+    ),
+    tables=("customer",),
+)
+def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    debt = F.when(F.col("c_acctbal") < 0, 1).otherwise(0)
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(
+                F.round(F.col("c_acctbal") * 100).cast("long") / 100000.0
+            )
+            .cast("long")
+            .alias("bal_band"),
+            debt.alias("debt"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.count_distinct("debt").cast("long").alias("l"),
+            F.sum("debt").cast("long").alias("n_debt"),
+        )
+    )
+    homo = F.col("l") == 1
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(F.when(homo, 1).otherwise(0)).cast("long").alias("n_homogeneous"),
+        F.sum(F.when(homo, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("rows_disclosed"),
+        F.sum(F.when(homo & (F.col("n_debt") == F.col("k")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_all_debt"),
+        F.round(
+            F.sum(F.when(homo, F.col("k")).otherwise(0)).cast("double")
+            / F.sum("k"),
+            6,
+        ).alias("disclosure_rate"),
+    )

@@ -632,3 +632,137 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_directed_edges"),
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q308: edge embeddedness — per-edge triangle support (round 8)
+# ---------------------------------------------------------------------------
+
+_Q308_TOPK = 20
+
+# oracle: independent spelling — common neighbors via the symmetrized
+# adjacency self-join (the engine goes through oriented wedges; the
+# two agree exactly, which is the point)
+_Q308_SQL = f"""
+WITH inc AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM inc a JOIN inc b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+adj AS (SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY n),
+t AS (
+  SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS tri
+  FROM e JOIN adj a ON a.n = e.u JOIN adj b ON b.n = e.v AND b.m = a.m
+  GROUP BY e.u, e.v
+),
+top AS (
+  SELECT u, v, tri FROM t ORDER BY tri DESC, u, v LIMIT {_Q308_TOPK}
+)
+SELECT top.u, top.v, top.tri,
+       ROUND(CAST(top.tri AS DOUBLE)
+             / (du.d + dv.d - 2 - top.tri), 6) AS jaccard
+FROM top JOIN deg du ON du.n = top.u JOIN deg dv ON dv.n = top.v
+ORDER BY top.tri DESC, top.u, top.v
+"""
+
+
+@register(
+    "q308_edge_embeddedness",
+    _Q308_SQL,
+    doc=(
+        "edge embeddedness (per-EDGE triangle support + neighborhood "
+        "Jaccard — the tie-strength metric of Granovetter-style graph "
+        "curation, and the standard edge feature for link prediction): "
+        "rides q218's degree-oriented wedge machinery — each closed "
+        "wedge (s,x,y) is one triangle, exploded to its three "
+        "undirected edges and counted per edge, so the hub-degree "
+        "blowup never appears; the oracle counts common neighbors "
+        "through the symmetrized adjacency self-join (an independent "
+        "spelling).  Jaccard = tri/(deg_u + deg_v - 2 - tri) composed "
+        "from integers, ROUND 6; top-k is TakeOrdered with a total "
+        "(tri desc, u, v) order"
+    ),
+    tables=("lineitem",),
+)
+def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    inc = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = inc.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = inc.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    # the edge list feeds degree, orientation, wedge close AND the
+    # final top-k join — materialize once
+    e = truncate_lineage(
+        a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    deg = e.select(F.col("u").alias("n")).unionAll(
+        e.select(F.col("v").alias("n"))
+    ).groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    du_ = deg.select(F.col("n").alias("u"), F.col("d").alias("d_u"))
+    dv_ = deg.select(F.col("n").alias("v"), F.col("d").alias("d_v"))
+    u_first = (F.col("d_u") < F.col("d_v")) | (
+        (F.col("d_u") == F.col("d_v")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e.join(du_, "u")
+        .join(dv_, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    oa = o.select(F.col("s").alias("ws"), F.col("t").alias("x"))
+    ob = o.select(F.col("s").alias("ws"), F.col("t").alias("y"))
+    wedge = oa.join(ob, "ws").where(F.col("x") < F.col("y"))
+    undirected = o.select(
+        F.least("s", "t").alias("x"), F.greatest("s", "t").alias("y")
+    )
+    # INNER join (not semi): the wedge source s is needed — each closed
+    # wedge is a triangle {s, x, y}
+    tris = wedge.join(undirected, ["x", "y"]).select(
+        F.col("ws").alias("s"), "x", "y"
+    )
+    per_edge = (
+        tris.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("s", "x").alias("u"),
+                        F.greatest("s", "x").alias("v"),
+                    ),
+                    F.struct(
+                        F.least("s", "y").alias("u"),
+                        F.greatest("s", "y").alias("v"),
+                    ),
+                    F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+                )
+            ).alias("ed")
+        )
+        .select("ed.u", "ed.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    top = per_edge.orderBy(F.col("tri").desc(), "u", "v").limit(_Q308_TOPK)
+    return (
+        top.join(du_.withColumnRenamed("d_u", "du"), "u")
+        .join(dv_.withColumnRenamed("d_v", "dv"), "v")
+        .select(
+            "u",
+            "v",
+            "tri",
+            F.round(
+                F.col("tri").cast("double")
+                / (F.col("du") + F.col("dv") - 2 - F.col("tri")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("tri").desc(), "u", "v")
+    )
