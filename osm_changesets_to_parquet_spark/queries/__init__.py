@@ -80,6 +80,8 @@ _PRIORITY: tuple[str, ...] = (
     "s24_stream_pit_enrich",  # NEW: streaming as-of feature fill
     "q308_edge_embeddedness",  # NEW: per-edge triangle support + Jaccard
     "q309_l_diversity",  # NEW: attribute-disclosure audit
+    "q310_feature_hashing",  # NEW: hashing-trick collision audit
+    "q311_logistic_irls",  # NEW: distributed logistic fit, 6 IRLS rounds
     # -- (2) never driver-witnessed (round-7 overflow, queue order) --
     "q224_gram_novelty",
     "q225_source_overlap",
@@ -114,11 +116,11 @@ _PRIORITY: tuple[str, ...] = (
     "q252_kfold_cv",
     "q253_learning_curve",
     "q254_randomization_test",
+    # ---- window boundary (50) — names below queue for round 9 ----
+    # (s22/q255-q298 are the round-7 session-2 remainder, never
+    # driver-witnessed; then the stalest r1-r3-era names oldest-first)
     "s22_streaming_anomaly",
     "q255_markov_eval",
-    # ---- window boundary (50) — names below queue for round 9 ----
-    # (q256-q298 are the round-7 session-2 remainder, never driver-
-    # witnessed; then the stalest r1-r3-era names oldest-first)
     "q256_heaps_law",
     "q257_label_propagation",
     "q258_degree_assortativity",

@@ -1052,3 +1052,88 @@ def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.sparkSession.createDataFrame(
         rows, "rk INT, doc_id LONG, new_g LONG, cum_coverage DOUBLE"
     ).orderBy("rk")
+
+
+# ---------------------------------------------------------------------------
+# q310: feature-hashing collision audit (round 8)
+# ---------------------------------------------------------------------------
+
+_Q310_NB = 256  # 2^8 hash buckets
+
+# bucket = first 16 bits of md5(token) mod NB — md5 hex is the one
+# string hash both engines compute IDENTICALLY (xxhash64 is
+# Spark-internal; DuckDB hash() is DuckDB-internal), and 16 bits is
+# plenty for 256 buckets
+_Q310_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS occ FROM tok
+       WHERE w <> '' GROUP BY w),
+b AS (
+  SELECT CAST('0x' || substring(md5(w), 1, 4) AS INT) % {_Q310_NB} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(occ) AS BIGINT) AS occurrences
+  FROM tc GROUP BY 1
+)
+SELECT CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+       CAST(SUM(CASE WHEN n_tokens > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_collision_buckets,
+       CAST(SUM(CASE WHEN n_tokens > 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_colliding,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_bucket_tokens,
+       ROUND(CAST(SUM(CASE WHEN n_tokens > 1 THEN occurrences ELSE 0 END)
+                  AS DOUBLE) / SUM(occurrences), 6) AS occ_collision_rate
+FROM b
+"""
+
+
+@register(
+    "q310_feature_hashing",
+    _Q310_SQL,
+    doc=(
+        f"feature-hashing (hashing-trick) collision audit at "
+        f"{_Q310_NB} buckets: how many vocabulary features share a "
+        "bucket, the worst bucket, and the share of token OCCURRENCES "
+        "riding a collided bucket (what actually corrupts a hashed "
+        "feature vector) — the audit run before committing to a "
+        "hashed feature space.  Bucket = md5-prefix mod buckets, the "
+        "one string hash both engines evaluate identically; shuffles "
+        "carry (token, count) then (bucket, counts) — the rollup is "
+        "O(vocabulary) then O(buckets), never O(corpus)"
+    ),
+    tables=("documents",),
+)
+def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    tc = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("occ"))
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int") % _Q310_NB
+    )
+    b = tc.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("occ").cast("long").alias("occurrences"),
+    )
+    coll = F.col("n_tokens") > 1
+    return b.agg(
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+        F.sum(F.when(coll, 1).otherwise(0)).cast("long").alias(
+            "n_collision_buckets"
+        ),
+        F.sum(F.when(coll, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_colliding"),
+        F.max("n_tokens").cast("long").alias("max_bucket_tokens"),
+        F.round(
+            F.sum(F.when(coll, F.col("occurrences")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("occurrences"),
+            6,
+        ).alias("occ_collision_rate"),
+    )
