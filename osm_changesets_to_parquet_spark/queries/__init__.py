@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "q309_l_diversity",  # NEW: attribute-disclosure audit
     "q310_feature_hashing",  # NEW: hashing-trick collision audit
     "q311_logistic_irls",  # NEW: distributed logistic fit, 6 IRLS rounds
+    "q312_histogram_quantiles",  # NEW: mergeable quantile sketch + audit
     # -- (2) never driver-witnessed (round-7 overflow, queue order) --
     "q224_gram_novelty",
     "q225_source_overlap",
@@ -115,10 +116,10 @@ _PRIORITY: tuple[str, ...] = (
     "q251_target_encoding_loo",
     "q252_kfold_cv",
     "q253_learning_curve",
-    "q254_randomization_test",
     # ---- window boundary (50) — names below queue for round 9 ----
-    # (s22/q255-q298 are the round-7 session-2 remainder, never
+    # (q254/s22/q255-q298 are the round-7 session-2 remainder, never
     # driver-witnessed; then the stalest r1-r3-era names oldest-first)
+    "q254_randomization_test",
     "s22_streaming_anomaly",
     "q255_markov_eval",
     "q256_heaps_law",

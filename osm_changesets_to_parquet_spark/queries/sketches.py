@@ -422,3 +422,191 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_within_15pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q312: equi-width histogram quantiles + error audit vs exact (round 8)
+# ---------------------------------------------------------------------------
+
+_Q312_BINS = 1024
+_Q312_QBP = (5000, 9000, 9900)  # P50 / P90 / P99 in basis points
+
+_Q312_SQL = f"""
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+),
+st AS (
+  SELECT CAST(MIN(c) AS BIGINT) AS lo, CAST(MAX(c) AS BIGINT) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM v
+),
+hist AS (
+  SELECT CAST(FLOOR((c - st.lo) * {_Q312_BINS} / (st.hi - st.lo + 1.0))
+              AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM v, st GROUP BY 1
+),
+hcum AS (
+  SELECT bin, SUM(cnt) OVER (ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+  FROM hist
+),
+vcum AS (
+  SELECT c, SUM(cnt) OVER (ORDER BY c
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+  FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY c)
+),
+q AS (SELECT unnest(ARRAY{list(_Q312_QBP)}) AS q_bp),
+r AS (
+  SELECT q_bp, CAST(CEIL(q_bp * st.n / 10000.0) AS BIGINT) AS rk,
+         st.lo, st.hi
+  FROM q, st
+),
+approx AS (
+  SELECT r.q_bp,
+         MIN(CASE WHEN h.cum >= r.rk THEN h.bin END) AS bin,
+         r.lo, r.hi
+  FROM r, hcum h GROUP BY r.q_bp, r.lo, r.hi
+),
+exact AS (
+  SELECT r.q_bp, MIN(CASE WHEN x.cum >= r.rk THEN x.c END) AS exact_cents
+  FROM r, vcum x GROUP BY r.q_bp
+)
+SELECT a.q_bp,
+       CAST(e.exact_cents AS BIGINT) AS exact_cents,
+       CAST(a.lo + FLOOR(a.bin * (a.hi - a.lo + 1.0) / {_Q312_BINS})
+            AS BIGINT) AS approx_lo_cents,
+       CAST(e.exact_cents
+            - (a.lo + FLOOR(a.bin * (a.hi - a.lo + 1.0) / {_Q312_BINS}))
+            AS BIGINT) AS err_cents,
+       CAST(CEIL((a.hi - a.lo + 1.0) / {_Q312_BINS}) AS BIGINT)
+         AS width_cents,
+       e.exact_cents
+         >= a.lo + FLOOR(a.bin * (a.hi - a.lo + 1.0) / {_Q312_BINS})
+       AND e.exact_cents
+         < a.lo + FLOOR((a.bin + 2) * (a.hi - a.lo + 1.0) / {_Q312_BINS})
+         AS within_bound
+FROM approx a JOIN exact e ON e.q_bp = a.q_bp
+ORDER BY a.q_bp
+"""
+
+
+@register(
+    "q312_histogram_quantiles",
+    _Q312_SQL,
+    doc=(
+        f"mergeable {_Q312_BINS}-bin equi-width histogram quantile "
+        "sketch WITH its error audit: P50/P90/P99 of line-item price "
+        "read from the bin cumulative (the sketch any map-side task "
+        "can build and any reducer can merge by adding counters — the "
+        "one-pass 100 TB quantile path) against the exact value-domain "
+        "rank, reporting the error in cents and whether it respects "
+        "the provable one-bin-width bound.  Integer cents end to end; "
+        "the only windows run over the 1024-bin frame and the "
+        "value-domain frame (the q289 bounded-frame discipline); "
+        "rank selection is an always-one-row MIN(CASE) aggregate, "
+        "never filter-then-crossJoin (the q274 empty-frame lesson)"
+    ),
+    tables=("lineitem",),
+)
+def q312(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    v = truncate_lineage(
+        load_table(spark, sf_dir, "lineitem").select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+        )
+    )
+    st = F.broadcast(
+        v.agg(
+            F.min("c").cast("long").alias("lo"),
+            F.max("c").cast("long").alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    binexpr = F.floor(
+        (F.col("c") - F.col("lo"))
+        * _Q312_BINS
+        / (F.col("hi") - F.col("lo") + 1.0)
+    ).cast("long")
+    hist = (
+        v.crossJoin(st)
+        .groupBy(binexpr.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    hcum = hist.select(
+        "bin",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+    )
+    # the exact side's cumulative runs over the VALUE DOMAIN, which
+    # grows with the data — range-bucketed global cumsum, never a
+    # single-task window (the 1024-bin hcum frame above is bounded by
+    # construction, so a plain window is fine there)
+    from osm_changesets_to_parquet_spark.operators.packing import (
+        global_cumsum,
+    )
+
+    vals = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    vcum = global_cumsum(vals, "c", "cnt", out_col="cum").select("c", "cum")
+    r = (
+        spark.createDataFrame([(q,) for q in _Q312_QBP], "q_bp long")
+        .crossJoin(st)
+        .select(
+            "q_bp",
+            F.ceil(F.col("q_bp") * F.col("n") / 10000.0)
+            .cast("long")
+            .alias("rk"),
+            "lo",
+            "hi",
+        )
+    )
+    approx = (
+        r.crossJoin(hcum)
+        .groupBy("q_bp", "lo", "hi")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.col("rk"), F.col("bin"))
+            ).alias("bin")
+        )
+    )
+    exact = (
+        r.crossJoin(vcum)
+        .groupBy("q_bp")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.col("rk"), F.col("c"))
+            ).alias("exact_cents")
+        )
+    )
+    width1 = (F.col("hi") - F.col("lo") + 1.0) / _Q312_BINS
+    approx_lo = F.col("lo") + F.floor(F.col("bin") * width1)
+    return (
+        approx.join(exact, "q_bp")
+        .select(
+            "q_bp",
+            F.col("exact_cents").cast("long").alias("exact_cents"),
+            approx_lo.cast("long").alias("approx_lo_cents"),
+            (F.col("exact_cents") - approx_lo).cast("long").alias("err_cents"),
+            F.ceil(width1).cast("long").alias("width_cents"),
+            (
+                (F.col("exact_cents") >= approx_lo)
+                & (
+                    F.col("exact_cents")
+                    < F.col("lo") + F.floor((F.col("bin") + 2) * width1)
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy("q_bp")
+    )
