@@ -806,3 +806,18 @@ def test_q301_islands_share_one_exchange(spark, sf_dir):
     # one full-data hash exchange
     plan = _plan(spark, sf_dir, "q301_interval_coverage")
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_q312_exact_cumsum_is_range_bucketed(spark, sf_dir):
+    # the exact-quantile side must ride global_cumsum (value domain
+    # grows with data); the ONLY partition-less window allowed is the
+    # 1024-bin histogram cumulative, whose frame is bounded by
+    # construction
+    plan = _plan(spark, sf_dir, "q312_histogram_quantiles")
+    unpartitioned = [
+        line
+        for line in plan.splitlines()
+        if "Window [" in line and "__bucket" not in line
+    ]
+    assert len(unpartitioned) <= 1, unpartitioned
+    assert "__bucket" in plan  # the range-bucketed cumsum is present
