@@ -117,6 +117,12 @@ _PRIORITY: tuple[str, ...] = (
     "q252_kfold_cv",
     "q253_learning_curve",
     # ---- window boundary (50) — names below queue for round 9 ----
+    # -- (3) round-8 session-2 registrations (never witnessed; they
+    #    lead the round-9 window, before the round-7 remainder) --
+    "q313_t_closeness",
+    "q314_mcnemar",
+    "q315_cochran_armitage",
+    "q316_brown_forsythe",
     # (q254/s22/q255-q298 are the round-7 session-2 remainder, never
     # driver-witnessed; then the stalest r1-r3-era names oldest-first)
     "q254_randomization_test",

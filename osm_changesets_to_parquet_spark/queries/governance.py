@@ -321,3 +321,194 @@ def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("disclosure_rate"),
     )
+
+# ---------------------------------------------------------------------------
+# q313: t-closeness audit (EMD of per-class vs global sensitive dist)
+# ---------------------------------------------------------------------------
+
+_Q313_T_BP = 2000  # threshold t = 0.20, held in basis points for integer compares
+
+# Completes the privacy triptych (q304 k-anonymity, q309 l-diversity):
+# t-closeness bounds how far any QI equivalence class's SENSITIVE-value
+# distribution drifts from the global one.  Sensitive attribute: the
+# customer's lifetime-spend band ($1M bands of exact cents; customers
+# with no orders band to -1, a real ordered value).  EMD over an
+# ordered domain is the L1 distance of the two CDFs / (m-1); with
+# integer counts the per-value term is
+#   |cum_class * n_total - cum_global * k| / (k * n_total)
+# so the numerator sums EXACTLY in BIGINT and floats appear only in the
+# final reported ratios.  The t > 0.2 violation count is an integer
+# cross-multiplication (10000*num > t_bp*k*n*(m-1)) — no float boundary
+# in any counted branch.  BIGINT headroom: cum*n <= k*n and the
+# violation compare needs t_bp*k*n*(m-1) < 2^63 — holds to n ~ 3e12
+# rows with k <= 100 and m <= 30.
+_Q313_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(FLOOR(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    / 100000000.0) AS BIGINT) AS sv
+  FROM orders GROUP BY 1
+),
+base AS (
+  SELECT c.c_nationkey, c.c_mktsegment,
+         CAST(FLOOR(CAST(ROUND(c.c_acctbal * 100) AS BIGINT) / 100000.0)
+              AS BIGINT) AS bal_band,
+         COALESCE(s.sv, -1) AS sv
+  FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT sv) AS BIGINT) AS m FROM base),
+gdist AS (SELECT sv, CAST(COUNT(*) AS BIGINT) AS gq FROM base GROUP BY 1),
+cls AS (
+  SELECT c_nationkey, c_mktsegment, bal_band,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM base GROUP BY 1, 2, 3
+),
+cell AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, sv,
+         CAST(COUNT(*) AS BIGINT) AS cp
+  FROM base GROUP BY 1, 2, 3, 4
+),
+grid AS (
+  SELECT cls.c_nationkey, cls.c_mktsegment, cls.bal_band, cls.k,
+         g.sv, g.gq, COALESCE(cell.cp, 0) AS cp
+  FROM cls CROSS JOIN gdist g
+  LEFT JOIN cell
+    ON cell.c_nationkey = cls.c_nationkey
+   AND cell.c_mktsegment = cls.c_mktsegment
+   AND cell.bal_band = cls.bal_band
+   AND cell.sv = g.sv
+),
+cum AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, k,
+         SUM(cp) OVER (PARTITION BY c_nationkey, c_mktsegment, bal_band
+                       ORDER BY sv
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cpc,
+         SUM(gq) OVER (PARTITION BY c_nationkey, c_mktsegment, bal_band
+                       ORDER BY sv
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cqc
+  FROM grid
+),
+emd AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, k,
+         CAST(SUM(ABS(cpc * t.n - cqc * k)) AS BIGINT) AS num,
+         CAST(MAX(t.n) AS BIGINT) AS n, CAST(MAX(t.m) AS BIGINT) AS m
+  FROM cum CROSS JOIN tot t
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MAX(m) AS BIGINT) AS m_values,
+       ROUND(MAX(CAST(num AS DOUBLE)
+                 / NULLIF(CAST(k AS DOUBLE) * n * (m - 1), 0.0)), 6)
+         AS t_max,
+       CAST(SUM(CASE WHEN 10000 * num > {_Q313_T_BP} * k * n * (m - 1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_over_t,
+       ROUND(AVG(CAST(num AS DOUBLE)
+                 / NULLIF(CAST(k AS DOUBLE) * n * (m - 1), 0.0)), 6)
+         AS mean_t
+FROM emd
+"""
+
+
+@register(
+    "q313_t_closeness",
+    _Q313_SQL,
+    doc=(
+        "t-closeness audit (t=0.20) completing the q304/q309 privacy "
+        "triptych: per-QI-class EMD between the class's sensitive "
+        "lifetime-spend-band distribution and the global one, over the "
+        "ORDERED band domain (EMD = L1 of the CDFs / (m-1)).  The CDF "
+        "difference is cross-multiplied to the integer "
+        "|cum_p*n - cum_q*k| so the per-class numerator is an EXACT "
+        "BIGINT sum, and the violation count compares integers "
+        "(10000*num vs t_bp*k*n*(m-1)) — floats only in the two "
+        "reported ratios.  Shuffles carry QI keys + band counts; the "
+        "densified grid is classes x m (m = band-domain size, ~7), "
+        "built from a broadcast of the m-row global distribution; "
+        "per-class windows run over m-row frames, never over rows.  "
+        "Spend bands come from one orders rollup joined to customer on "
+        "the dimension key."
+    ),
+    tables=("customer", "orders"),
+)
+def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.floor(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            / 100000000.0
+        )
+        .cast("long")
+        .alias("sv")
+    )
+    base = (
+        cust.join(spend, cust["c_custkey"] == spend["o_custkey"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.round(F.col("c_acctbal") * 100).cast("long") / 100000.0)
+            .cast("long")
+            .alias("bal_band"),
+            F.coalesce(F.col("sv"), F.lit(-1)).alias("sv"),
+        )
+    )
+    tot = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct("sv").cast("long").alias("m"),
+        )
+    )
+    glob = F.broadcast(
+        base.groupBy("sv").agg(F.count(F.lit(1)).cast("long").alias("gq"))
+    )
+    qi = ["c_nationkey", "c_mktsegment", "bal_band"]
+    cls = base.groupBy(*qi).agg(F.count(F.lit(1)).cast("long").alias("k"))
+    cell = base.groupBy(*qi, "sv").agg(
+        F.count(F.lit(1)).cast("long").alias("cp")
+    )
+    grid = (
+        cls.crossJoin(glob)
+        .join(cell, [*qi, "sv"], "left")
+        .select(*qi, "k", "sv", "gq", F.coalesce("cp", F.lit(0)).alias("cp"))
+    )
+    w = (
+        Window.partitionBy(*qi)
+        .orderBy("sv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        *qi,
+        "k",
+        F.sum("cp").over(w).alias("cpc"),
+        F.sum("gq").over(w).alias("cqc"),
+    )
+    emd = (
+        cum.crossJoin(tot)
+        .groupBy(*qi, "k")
+        .agg(
+            F.sum(F.abs(F.col("cpc") * F.col("n") - F.col("cqc") * F.col("k")))
+            .cast("long")
+            .alias("num"),
+            F.max("n").cast("long").alias("n"),
+            F.max("m").cast("long").alias("m"),
+        )
+    )
+    ratio = F.col("num").cast("double") / F.nullif(
+        F.col("k").cast("double") * F.col("n") * (F.col("m") - 1), F.lit(0.0)
+    )
+    over = (
+        10000 * F.col("num")
+        > _Q313_T_BP * F.col("k") * F.col("n") * (F.col("m") - 1)
+    )
+    return emd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.max("m").cast("long").alias("m_values"),
+        F.round(F.max(ratio), 6).alias("t_max"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("n_over_t"),
+        F.round(F.avg(ratio), 6).alias("mean_t"),
+    )

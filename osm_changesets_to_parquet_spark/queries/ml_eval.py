@@ -5402,3 +5402,181 @@ def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(b1) * 1000, 6).alias("beta1_per_10usd"),
         F.lit(_Q311_ROUNDS).cast("long").alias("n_rounds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q314: McNemar paired-classifier test (round 8)
+# ---------------------------------------------------------------------------
+
+_Q314_NCHARS = 306  # rule A threshold: global median-ish n_chars
+_Q314_SPACES = 60   # rule B threshold: >= 61 whitespace tokens
+
+# Two deterministic rule classifiers predict lang='en' on the SAME
+# documents (A: n_chars > 306; B: token count > 60 via space count).
+# McNemar tests whether their accuracies differ using only the
+# DISCORDANT pairs (b = A right/B wrong, c = B right/A wrong); the
+# continuity-corrected statistic (|b-c|-1)^2/(b+c) is a ratio of exact
+# integers.  The fixture's lang labels are independent of text (the
+# label-free-corpus property pinned in round 7), so the honest result
+# is a small statistic; the b+c=0 degenerate branch is NULLIF-guarded
+# and pinned by a synthetic test.
+_Q314_SQL = f"""
+WITH d AS (
+  SELECT (n_chars > {_Q314_NCHARS}) = (lang = 'en') AS a_ok,
+         ((LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))
+            > {_Q314_SPACES}) = (lang = 'en') AS b_ok
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN a_ok THEN 1 ELSE 0 END) AS BIGINT) AS a_correct,
+       CAST(SUM(CASE WHEN b_ok THEN 1 ELSE 0 END) AS BIGINT) AS b_correct,
+       CAST(SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_only_a,
+       CAST(SUM(CASE WHEN b_ok AND NOT a_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_only_b,
+       ROUND(
+         CAST(GREATEST(ABS(SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+                           - SUM(CASE WHEN b_ok AND NOT a_ok THEN 1 ELSE 0 END))
+                       - 1, 0) AS DOUBLE)
+         * GREATEST(ABS(SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+                        - SUM(CASE WHEN b_ok AND NOT a_ok THEN 1 ELSE 0 END))
+                    - 1, 0)
+         / NULLIF(CAST(SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+                       + SUM(CASE WHEN b_ok AND NOT a_ok THEN 1 ELSE 0 END)
+                       AS DOUBLE), 0.0), 6) AS mcnemar_chi2
+FROM d
+"""
+
+
+@register(
+    "q314_mcnemar",
+    _Q314_SQL,
+    doc=(
+        "McNemar paired test for two classifiers evaluated on the SAME "
+        "rows (the correct test when comparing models on one eval set "
+        "— unpaired z-tests overstate significance): both rule "
+        "classifiers and the agreement flags are computed in one "
+        "projection, one aggregation derives the discordant cells b/c, "
+        "and the continuity-corrected (|b-c|-1)^2/(b+c) statistic is a "
+        "ratio of exact BIGINTs (the GREATEST(...,0) clamp handles "
+        "|b-c|<=1 the standard way).  One scan, one reduce, no "
+        "shuffle wider than the single rollup row; b+c=0 is "
+        "NULLIF-guarded (ANSI Spark throws on x/0)"
+    ),
+    tables=("documents",),
+)
+def q314(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    en = F.col("lang") == "en"
+    a_ok = (F.col("n_chars") > _Q314_NCHARS) == en
+    b_ok = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+        > _Q314_SPACES
+    ) == en
+    d = docs.select(a_ok.alias("a_ok"), b_ok.alias("b_ok"))
+    b = F.sum(F.when(F.col("a_ok") & ~F.col("b_ok"), 1).otherwise(0))
+    c = F.sum(F.when(F.col("b_ok") & ~F.col("a_ok"), 1).otherwise(0))
+    corr = F.greatest(F.abs(b - c) - 1, F.lit(0))
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("a_ok"), 1).otherwise(0)).cast("long").alias("a_correct"),
+        F.sum(F.when(F.col("b_ok"), 1).otherwise(0)).cast("long").alias("b_correct"),
+        b.cast("long").alias("n_only_a"),
+        c.cast("long").alias("n_only_b"),
+        F.round(
+            corr.cast("double") * corr / F.nullif((b + c).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("mcnemar_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q315: Cochran-Armitage trend test (round 8)
+# ---------------------------------------------------------------------------
+
+# Dose-response shape: does the fraction of 'F' (fulfilled) orders
+# TREND with the ordered priority score x=1..5?  The statistic is
+# assembled from five integer power sums (Armitage 1955):
+#   A = N*sum(x*r) - R*sum(x*n)          (trend numerator)
+#   B = N*sum(x^2*n) - sum(x*n)^2        (score dispersion)
+#   Z^2 = N*A^2 / (R*(N-R)*B)
+# A and B stay BIGINT (headroom to N ~ 1.5e8); A is CAST to DOUBLE
+# before squaring (the q214 overflow lesson).  Priorities are uniform
+# over status in the fixture, so the honest statistic is ~chi2(1) noise.
+_Q315_SQL = """
+WITH g AS (
+  SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(r) AS BIGINT) AS rr,
+         CAST(SUM(x * r) AS BIGINT) AS sxr,
+         CAST(SUM(x * n) AS BIGINT) AS sxn,
+         CAST(SUM(x * x * n) AS BIGINT) AS sxxn
+  FROM g
+)
+SELECT nn AS n, rr AS n_success,
+       CAST(nn * sxr - rr * sxn AS BIGINT) AS trend_num,
+       ROUND(nn * CAST(nn * sxr - rr * sxn AS DOUBLE)
+                * CAST(nn * sxr - rr * sxn AS DOUBLE)
+             / NULLIF(CAST(rr AS DOUBLE) * (nn - rr)
+                      * (nn * sxxn - sxn * sxn), 0.0), 6) AS ca_z2
+FROM t
+"""
+
+
+@register(
+    "q315_cochran_armitage",
+    _Q315_SQL,
+    doc=(
+        "Cochran-Armitage trend test for a binary outcome across "
+        "ORDERED groups (the dose-response test chi-squared "
+        "independence ignores): per-priority success counts reduce to "
+        "five integer power sums, and the z^2 statistic is one "
+        "arithmetic expression over them — trend numerator and score "
+        "dispersion are exact BIGINT cross-multiplications, the "
+        "numerator CAST to DOUBLE before squaring (q214 overflow "
+        "lesson), zero denominator NULLIF-guarded.  One scan, one "
+        "5-row group frame, one scalar row out; nothing shuffles but "
+        "the 5 group rows"
+    ),
+    tables=("orders",),
+)
+def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    g = (
+        orders.select(
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("x"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("f"),
+        )
+        .groupBy("x")
+        .agg(
+            F.sum("f").cast("long").alias("r"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("r").cast("long").alias("rr"),
+        F.sum(F.col("x") * F.col("r")).cast("long").alias("sxr"),
+        F.sum(F.col("x") * F.col("n")).cast("long").alias("sxn"),
+        F.sum(F.col("x") * F.col("x") * F.col("n")).cast("long").alias("sxxn"),
+    )
+    a = (F.col("nn") * F.col("sxr") - F.col("rr") * F.col("sxn")).cast("double")
+    denom = F.nullif(
+        F.col("rr").cast("double")
+        * (F.col("nn") - F.col("rr"))
+        * (F.col("nn") * F.col("sxxn") - F.col("sxn") * F.col("sxn")),
+        F.lit(0.0),
+    )
+    return t.select(
+        F.col("nn").alias("n"),
+        F.col("rr").alias("n_success"),
+        (F.col("nn") * F.col("sxr") - F.col("rr") * F.col("sxn"))
+        .cast("long")
+        .alias("trend_num"),
+        F.round(F.col("nn") * a * a / denom, 6).alias("ca_z2"),
+    )

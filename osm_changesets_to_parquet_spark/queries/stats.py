@@ -2092,3 +2092,159 @@ def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "cb", p_kn.alias("p_kn"))
         .orderBy(F.col("cb").desc(), "w1", "w2")
     )
+
+
+# ---------------------------------------------------------------------------
+# q316: Brown-Forsythe variance-homogeneity test (round 8)
+# ---------------------------------------------------------------------------
+
+# Levene's test with the MEDIAN center (Brown & Forsythe 1974) — the
+# robust pre-check before pooling variances across groups.  Per-group
+# medians are exact value-domain rank selections (the q289/q312
+# machinery): rank floor((n+1)/2) and ceil((n+1)/2) read from the
+# per-group value cumulative, kept as the DOUBLED median m1+m2 so the
+# even-n midpoint stays integer.  Deviations z = |2c - med2| are then
+# exact BIGINTs and the ANOVA-F over z needs only the integer power
+# sums (S_j, Q_j, n_j) — per-group sums CAST to DOUBLE before squaring
+# (q214 lesson; S_j^2 would overflow BIGINT past sf~0.1).  The honest
+# fixture answer: per-type value distributions share one generator, so
+# F is small.
+_Q316_SQL = """
+WITH vals AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+),
+gcnt AS (
+  SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY 1, 2
+),
+gn AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM gcnt GROUP BY 1
+),
+gcum AS (
+  SELECT event_type, c,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM gcnt
+),
+med AS (
+  SELECT x.event_type,
+         CAST(MIN(CASE WHEN x.cum >= FLOOR((gn.n + 1) / 2.0) THEN x.c END)
+              + MIN(CASE WHEN x.cum >= CEIL((gn.n + 1) / 2.0) THEN x.c END)
+              AS BIGINT) AS med2
+  FROM gcum x JOIN gn ON gn.event_type = x.event_type
+  GROUP BY 1
+),
+z AS (
+  SELECT v.event_type, ABS(2 * v.c - m.med2) AS z
+  FROM vals v JOIN med m ON m.event_type = v.event_type
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(z) AS BIGINT) AS sz,
+         CAST(SUM(z * z) AS BIGINT) AS qz
+  FROM z GROUP BY 1
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+         SUM(CAST(sz AS DOUBLE) * sz / n) AS sq_over_n,
+         SUM(CAST(sz AS DOUBLE)) AS stot,
+         SUM(CAST(qz AS DOUBLE)) AS qtot
+  FROM s
+)
+SELECT nn AS n, k AS k_groups,
+       ROUND(sq_over_n - stot * stot / nn, 2) AS ssb,
+       ROUND(qtot - sq_over_n, 2) AS ssw,
+       ROUND(((sq_over_n - stot * stot / nn) / (k - 1))
+             / NULLIF((qtot - sq_over_n) / (nn - k), 0.0), 6) AS bf_f
+FROM t
+"""
+
+
+@register(
+    "q316_brown_forsythe",
+    _Q316_SQL,
+    doc=(
+        "Brown-Forsythe variance-homogeneity test across event types "
+        "(median-centered Levene — the robust gate before pooled-"
+        "variance tests): per-group exact medians via value-domain "
+        "rank selection (doubled-median m1+m2 keeps even-n midpoints "
+        "integer), absolute deviations z = |2c - med2| exact BIGINT, "
+        "then the one-way F over z from integer power sums with "
+        "per-group sums CAST to DOUBLE before squaring.  Shuffles "
+        "carry (type, cents) value-domain rows and 5-row rollups; the "
+        "only windows run over per-type value domains (q289 "
+        "discipline); the median frame is a 5-row broadcast into the "
+        "deviation scan"
+    ),
+    tables=("events",),
+)
+def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    gcnt = vals.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    gn = gcnt.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gcum = gcnt.select("event_type", "c", F.sum("cnt").over(w).alias("cum"))
+    med = (
+        gcum.join(gn, "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.floor((F.col("n") + 1) / 2.0),
+                        F.col("c"),
+                    )
+                )
+                + F.min(
+                    F.when(
+                        F.col("cum") >= F.ceil((F.col("n") + 1) / 2.0),
+                        F.col("c"),
+                    )
+                )
+            )
+            .cast("long")
+            .alias("med2")
+        )
+    )
+    z = vals.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(2 * F.col("c") - F.col("med2")).alias("z")
+    )
+    s = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("qz"),
+    )
+    t = s.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.col("sz").cast("double") * F.col("sz") / F.col("n")).alias(
+            "sq_over_n"
+        ),
+        F.sum(F.col("sz").cast("double")).alias("stot"),
+        F.sum(F.col("qz").cast("double")).alias("qtot"),
+    )
+    ssb = F.col("sq_over_n") - F.col("stot") * F.col("stot") / F.col("nn")
+    ssw = F.col("qtot") - F.col("sq_over_n")
+    return t.select(
+        F.col("nn").alias("n"),
+        F.col("k").alias("k_groups"),
+        F.round(ssb, 2).alias("ssb"),
+        F.round(ssw, 2).alias("ssw"),
+        F.round(
+            (ssb / (F.col("k") - 1))
+            / F.nullif(ssw / (F.col("nn") - F.col("k")), F.lit(0.0)),
+            6,
+        ).alias("bf_f"),
+    )

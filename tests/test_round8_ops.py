@@ -320,3 +320,126 @@ def test_q311_irls_learns_planted_signal(spark):
     # planted coefficients closely (measured MLE: b1=0.00398, b0=-1.92)
     assert abs(b1 - 0.004) < 0.0003, b1
     assert abs(b0 - (-2.0)) < 0.2, b0
+
+
+# ---------------------------------------------------------------------------
+# round-8 session-2 batch 1: q313-q316 (t-closeness, McNemar, CA, BF)
+# ---------------------------------------------------------------------------
+
+
+def test_q313_emd_brute_force(spark, sf_dir):
+    from fractions import Fraction
+
+    out = Q.REGISTRY["q313_t_closeness"].fn(spark, sf_dir).first()
+    cust = load_table(spark, sf_dir, "customer").toPandas()
+    orders = load_table(spark, sf_dir, "orders").toPandas()
+    cents = (orders.o_totalprice * 100).round().astype("int64")
+    spend = cents.groupby(orders.o_custkey).sum()
+    sv = cust.c_custkey.map(lambda k: spend.get(k, -100000000) // 100000000)
+    bal = ((cust.c_acctbal * 100).round().astype("int64") // 100000)
+    import collections
+
+    cls = collections.defaultdict(collections.Counter)
+    for qi, v in zip(zip(cust.c_nationkey, cust.c_mktsegment, bal), sv):
+        cls[qi][int(v)] += 1
+    glob = collections.Counter()
+    for c in cls.values():
+        glob.update(c)
+    vals = sorted(glob)
+    n = sum(glob.values())
+    m = len(vals)
+    ts = []
+    for c in cls.values():
+        k = sum(c.values())
+        cp = cq = 0
+        num = 0
+        for v in vals:
+            cp += c.get(v, 0)
+            cq += glob[v]
+            num += abs(cp * n - cq * k)
+        ts.append(Fraction(num, k * n * (m - 1)))
+    assert out.n_classes == len(cls)
+    assert out.m_values == m
+    assert out.n_over_t == sum(t > Fraction(1, 5) for t in ts)
+    assert abs(out.t_max - float(max(ts))) < 1e-9
+
+
+def test_q314_planted_divergence_and_degenerate(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # A (n_chars > 306) always right, B (spaces > 60) always wrong:
+    # en docs are long with few spaces, non-en short with many spaces
+    texts = ["x" * 400] * 6 + [("y " * 70).strip()] * 6
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(12), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 6 + ["de"] * 6),
+            "source": pa.array(["web"] * 12),
+            "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+        }
+    )
+    d1 = tmp_path / "div"
+    d1.mkdir()
+    pq.write_table(t, str(d1 / "documents.parquet"))
+    out = Q.REGISTRY["q314_mcnemar"].fn(spark, str(d1)).first()
+    assert (out.n_only_a, out.n_only_b) == (12, 0)
+    assert out.mcnemar_chi2 == round(11 * 11 / 12, 6)
+    # degenerate: A and B always agree -> b+c=0 -> NULL statistic
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array([("y " * 250).strip(), "y z"]),
+            "lang": pa.array(["en", "de"]),
+            "source": pa.array(["web", "web"]),
+            "n_chars": pa.array([499, 3], type=pa.int64()),
+        }
+    )
+    d2 = tmp_path / "deg"
+    d2.mkdir()
+    pq.write_table(t2, str(d2 / "documents.parquet"))
+    row = Q.REGISTRY["q314_mcnemar"].fn(spark, str(d2)).first()
+    assert (row.n_only_a, row.n_only_b) == (0, 0)
+    assert row.mcnemar_chi2 is None
+
+
+def test_q315_planted_monotone_trend(spark, tmp_path):
+    # success rate rises 10% -> 90% across priorities 1..5: the trend
+    # branch the uniform fixture leaves at ~0 must light up
+    rows = []
+    for x in range(1, 6):
+        succ = 2 * x - 1  # 1,3,5,7,9 of 10
+        for i in range(10):
+            rows.append((f"{x}-P", "F" if i < succ else "O"))
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_orderstatus string")
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    out = Q.REGISTRY["q315_cochran_armitage"].fn(spark, str(tmp_path)).first()
+    assert out.n == 50 and out.n_success == 25
+    assert out.trend_num > 0  # increasing trend
+    # exact CA z^2 for this design: A=N*Sxr-R*Sxn, B=N*Sxxn-Sxn^2
+    a = 50 * (1 * 1 + 2 * 3 + 3 * 5 + 4 * 7 + 5 * 9) - 25 * 150
+    bb = 50 * 550 - 150 * 150
+    expect = 50 * a * a / (25 * 25 * bb)
+    assert abs(out.ca_z2 - round(expect, 6)) < 1e-9
+    assert out.ca_z2 > 10  # decisively non-null
+
+
+def test_q316_planted_variance_gap(spark, tmp_path):
+    import datetime
+
+    # two groups with equal medians, one 10x wider: BF must reject
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    for i in range(40):
+        rows.append((i, t0, 0, "narrow", 100.0 + ((i % 5) - 2) * 0.01, "{}"))
+    for i in range(40):
+        rows.append((100 + i, t0, 0, "wide", 100.0 + ((i % 5) - 2) * 10.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = Q.REGISTRY["q316_brown_forsythe"].fn(spark, str(tmp_path)).first()
+    assert out.n == 80 and out.k_groups == 2
+    # z means: narrow 1 cent, wide 1000 cents (doubled: 2 and 2000)
+    assert out.bf_f > 100
