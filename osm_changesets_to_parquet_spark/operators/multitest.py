@@ -59,3 +59,48 @@ def bh_stepup(
         ).over(whole),
     )
     return k.withColumn("rejected", F.col("rn") <= F.col("kmax")).drop("kmax")
+
+
+def holm_stepdown(
+    hyps: DataFrame,
+    p_col: str,
+    alpha: float,
+    tie_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Holm step-down (FWER control) over one row per hypothesis.
+
+    Orders by (p, *tie_cols) ascending and rejects the maximal PREFIX
+    of ranks whose every member satisfies p_(i) <= alpha / (m - i + 1)
+    — equivalently, everything strictly before the FIRST unmet
+    threshold (Holm 1979).  Because the thresholds tighten as rank
+    grows while p grows too, the reject set is always a subset of
+    bh_stepup's at the same alpha (FWER <= FDR rejection power) —
+    asserted by tests, not assumed.
+
+    Adds columns: ``rn`` (1-based rank), ``m`` (hypothesis count),
+    ``rejected`` (boolean).  Same scale contract as ``bh_stepup``:
+    runs on the post-aggregation one-row-per-hypothesis frame, where
+    the unpartitioned windows are bounded by |hypotheses|.
+    """
+    order: list[Column] = [F.col(p_col).asc()]
+    order += [F.col(c).asc() for c in tie_cols]
+    w_rank = Window.orderBy(*order)
+    whole = Window.partitionBy().orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = hyps.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "m", F.count(F.lit(1)).over(whole)
+    )
+    # first rank whose Holm threshold is unmet; everything before it
+    # is rejected (NULL => all met => reject everything)
+    kfirst = F.min(
+        F.when(
+            F.col(p_col) * (F.col("m") - F.col("rn") + 1) > F.lit(alpha),
+            F.col("rn"),
+        )
+    ).over(whole)
+    k = ranked.withColumn("kfirst", kfirst)
+    return k.withColumn(
+        "rejected",
+        F.col("rn") < F.coalesce(F.col("kfirst"), F.col("m") + 1),
+    ).drop("kfirst")

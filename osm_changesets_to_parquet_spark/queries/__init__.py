@@ -123,6 +123,10 @@ _PRIORITY: tuple[str, ...] = (
     "q314_mcnemar",
     "q315_cochran_armitage",
     "q316_brown_forsythe",
+    "q317_anova_f",
+    "q318_cvm_two_sample",
+    "q319_holm_stepdown",
+    "q320_nelson_aalen",
     # (q254/s22/q255-q298 are the round-7 session-2 remainder, never
     # driver-witnessed; then the stalest r1-r3-era names oldest-first)
     "q254_randomization_test",

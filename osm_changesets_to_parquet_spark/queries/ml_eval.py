@@ -5580,3 +5580,139 @@ def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trend_num"),
         F.round(F.col("nn") * a * a / denom, 6).alias("ca_z2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q319: Holm step-down FWER control vs BH side-by-side (round 8)
+# ---------------------------------------------------------------------------
+
+_Q319_ALPHA = 0.05
+
+_Q319_SQL = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+              AS BIGINT) AS dow,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(v) AS BIGINT) AS s1,
+         CAST(SUM(v * v) AS BIGINT) AS s2
+  FROM e
+),
+cell AS (
+  SELECT event_type, dow,
+         CAST(COUNT(*) AS BIGINT) AS n_c,
+         CAST(SUM(v) AS BIGINT) AS s1c
+  FROM e GROUP BY event_type, dow
+),
+z AS (
+  SELECT c.event_type, c.dow, c.n_c,
+         (CAST(c.s1c AS DOUBLE) / c.n_c - CAST(g.s1 AS DOUBLE) / g.n_g)
+         / SQRT(((CAST(g.s2 AS DOUBLE)
+                  - CAST(g.s1 AS DOUBLE) * g.s1 / g.n_g) / (g.n_g - 1))
+                / c.n_c) AS zs
+  FROM cell c CROSS JOIN g
+),
+p AS (
+  SELECT event_type, dow, zs,
+         1.0 / (1.0 + zs * zs) AS pv,
+         ROW_NUMBER() OVER (ORDER BY 1.0 / (1.0 + zs * zs), event_type, dow)
+           AS rn,
+         COUNT(*) OVER () AS m
+  FROM z
+),
+k AS (
+  SELECT *,
+         MIN(CASE WHEN pv * (m - rn + 1) > {_Q319_ALPHA} THEN rn END)
+           OVER () AS kfirst,
+         MAX(CASE WHEN pv * m <= {_Q319_ALPHA} * rn THEN rn ELSE 0 END)
+           OVER () AS kmax
+  FROM p
+)
+SELECT event_type, dow,
+       ROUND(zs, 4) AS z,
+       ROUND(pv, 6) AS p_surrogate,
+       CAST(rn AS BIGINT) AS rn,
+       CAST(m AS BIGINT) AS m,
+       rn < COALESCE(kfirst, m + 1) AS rejected_holm,
+       rn <= kmax AS rejected_bh
+FROM k ORDER BY event_type, dow
+"""
+
+
+@register(
+    "q319_holm_stepdown",
+    _Q319_SQL,
+    doc=(
+        "Holm step-down FWER control on q234's per-(type,dow) mean-"
+        "shift hypotheses, reported SIDE-BY-SIDE with BH step-up so "
+        "the reject sets' strictness ordering (Holm is always a "
+        "subset at the same alpha) is visible in one frame: the cell "
+        "z's come from integer power sums, the rational surrogate "
+        "p=1/(1+z^2) keeps the rank procedure engine-exact, and both "
+        "procedures run on the 35-row post-aggregation frame "
+        "(operators/multitest.holm_stepdown + bh_stepup — the "
+        "documented bounded-window exception).  Fixture answer: zero "
+        "rejections from either (the honest null); the reject branch "
+        "and the subset property are pinned by planted tests"
+    ),
+    tables=("events",),
+)
+def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.multitest import (
+        holm_stepdown,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            % 7
+        ).cast("long").alias("dow"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    g = e.agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    cell = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_c"), F.sum("v").alias("s1c")
+    )
+    var_g = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n_g")
+    ) / (F.col("n_g") - 1)
+    zs = (
+        F.col("s1c").cast("double") / F.col("n_c")
+        - F.col("s1").cast("double") / F.col("n_g")
+    ) / F.sqrt(var_g / F.col("n_c"))
+    p = (
+        cell.crossJoin(F.broadcast(g))
+        .select("event_type", "dow", zs.alias("zs"))
+        .withColumn("pv", 1.0 / (1.0 + F.col("zs") * F.col("zs")))
+    )
+    # both procedures on the 35-row hypothesis frame; BH's rank/m are
+    # identical to Holm's (same order spec), so join back on the keys
+    hs = holm_stepdown(p, "pv", _Q319_ALPHA, tie_cols=("event_type", "dow"))
+    hb = bh_stepup(p, "pv", _Q319_ALPHA, tie_cols=("event_type", "dow")).select(
+        "event_type", "dow", F.col("rejected").alias("rejected_bh")
+    )
+    return (
+        hs.join(hb, ["event_type", "dow"])
+        .select(
+            "event_type",
+            "dow",
+            F.round("zs", 4).alias("z"),
+            F.round("pv", 6).alias("p_surrogate"),
+            F.col("rn").cast("long").alias("rn"),
+            F.col("m").cast("long").alias("m"),
+            F.col("rejected").alias("rejected_holm"),
+            "rejected_bh",
+        )
+        .orderBy("event_type", "dow")
+    )

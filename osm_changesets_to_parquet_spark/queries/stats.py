@@ -2248,3 +2248,319 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bf_f"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q317: one-way ANOVA F + effect size from integer power sums (round 8)
+# ---------------------------------------------------------------------------
+
+# Parametric location test completing the comparison family (q289
+# Kruskal-Wallis is its rank-based sibling, q316 Brown-Forsythe its
+# scale-test gate): does mean line-item quantity differ by return
+# flag?  l_quantity is integral, so the group statistics (n, sum,
+# sum-of-squares) are EXACT BIGINTs with headroom to ~1e13 rows; the
+# F ratio and eta^2 are one arithmetic expression over them, with
+# per-group sums CAST to DOUBLE before squaring (q214 lesson).  The
+# honest fixture answer is F ~ 1 (quantity is independent of flag).
+_Q317_SQL = """
+WITH g AS (
+  SELECT l_returnflag AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS s2
+  FROM lineitem GROUP BY 1
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+         SUM(CAST(s1 AS DOUBLE) * s1 / n) AS sqn,
+         SUM(CAST(s1 AS DOUBLE)) AS stot,
+         SUM(CAST(s2 AS DOUBLE)) AS qtot
+  FROM g
+)
+SELECT nn AS n, k AS k_groups,
+       ROUND(sqn - stot * stot / nn, 4) AS ss_between,
+       ROUND(qtot - sqn, 4) AS ss_within,
+       ROUND(((sqn - stot * stot / nn) / (k - 1))
+             / NULLIF((qtot - sqn) / (nn - k), 0.0), 6) AS f_stat,
+       ROUND((sqn - stot * stot / nn)
+             / NULLIF(qtot - stot * stot / nn, 0.0), 6) AS eta2
+FROM t
+"""
+
+
+@register(
+    "q317_anova_f",
+    _Q317_SQL,
+    doc=(
+        "one-way ANOVA F plus eta^2 effect size across return-flag "
+        "groups, assembled entirely from integer power sums (count, "
+        "sum, sum-of-squares per group — the classic one-pass "
+        "map-side-combinable sufficient statistic): one fact scan, one "
+        "3-row group frame, one scalar row out; per-group sums CAST "
+        "to DOUBLE before squaring, zero denominators NULLIF-guarded.  "
+        "Completes the group-comparison family: q289 tests ranks "
+        "(distribution), q316 tests spread, this tests means"
+    ),
+    tables=("lineitem",),
+)
+def q317(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    g = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q).cast("long").alias("s1"),
+        F.sum(q * q).cast("long").alias("s2"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.col("s1").cast("double") * F.col("s1") / F.col("n")).alias("sqn"),
+        F.sum(F.col("s1").cast("double")).alias("stot"),
+        F.sum(F.col("s2").cast("double")).alias("qtot"),
+    )
+    ssb = F.col("sqn") - F.col("stot") * F.col("stot") / F.col("nn")
+    ssw = F.col("qtot") - F.col("sqn")
+    sst = F.col("qtot") - F.col("stot") * F.col("stot") / F.col("nn")
+    return t.select(
+        F.col("nn").alias("n"),
+        F.col("k").alias("k_groups"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1))
+            / F.nullif(ssw / (F.col("nn") - F.col("k")), F.lit(0.0)),
+            6,
+        ).alias("f_stat"),
+        F.round(ssb / F.nullif(sst, F.lit(0.0)), 6).alias("eta2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q318: Cramér–von Mises two-sample test (round 8)
+# ---------------------------------------------------------------------------
+
+# Distribution-equality test that, unlike the q223 KS sup-norm, is
+# sensitive across the WHOLE distribution: T = nm/N^2 * sum over the
+# pooled sample of (F_n - G_m)^2.  The ECDF difference at value x is
+# (a*m - b*n)/(n*m) with a,b the cumulative counts — an exact BIGINT
+# cross-multiplication (headroom to ~3e9 rows/side), CAST to DOUBLE
+# before squaring, weighted by the pooled multiplicity.  The honest
+# fixture answer is small (click and view values share a generator).
+_Q318_SQL = """
+WITH v AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+         CAST(event_type = 'click' AS BIGINT) AS is1
+  FROM events WHERE event_type IN ('click', 'view')
+),
+cnt AS (
+  SELECT c, CAST(SUM(is1) AS BIGINT) AS c1,
+         CAST(COUNT(*) - SUM(is1) AS BIGINT) AS c2
+  FROM v GROUP BY c
+),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2 FROM cnt),
+cum AS (
+  SELECT c, c1 + c2 AS w,
+         SUM(c1) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a,
+         SUM(c2) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b
+  FROM cnt
+),
+s AS (
+  SELECT SUM(w * CAST(cum.a * t.n2 - cum.b * t.n1 AS DOUBLE)
+               * CAST(cum.a * t.n2 - cum.b * t.n1 AS DOUBLE)) AS wsum,
+         CAST(MAX(t.n1) AS BIGINT) AS n1, CAST(MAX(t.n2) AS BIGINT) AS n2
+  FROM cum CROSS JOIN tot t
+)
+SELECT n1, n2,
+       ROUND(wsum / (CAST(n1 AS DOUBLE) * n2 * (n1 + n2) * (n1 + n2)), 6)
+         AS t_cvm
+FROM s
+"""
+
+
+@register(
+    "q318_cvm_two_sample",
+    _Q318_SQL,
+    doc=(
+        "Cramér–von Mises two-sample statistic for click-vs-view "
+        "value distributions — the integrated-squared-ECDF-difference "
+        "complement to q223's KS sup-norm: per-value counts for both "
+        "samples in ONE keyed aggregate, cumulatives over the value "
+        "domain (the q289 value-domain-frame discipline; respell via "
+        "operators/packing.global_cumsum past ~1e7 distinct values), "
+        "ECDF differences cross-multiplied to exact BIGINT a*m - b*n "
+        "and CAST to DOUBLE before squaring.  One fact scan, shuffles "
+        "carry (cents, counts) only"
+    ),
+    tables=("events",),
+)
+def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        (F.col("event_type") == "click").cast("long").alias("is1"),
+    )
+    cnt = v.groupBy("c").agg(
+        F.sum("is1").cast("long").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("is1")).cast("long").alias("c2"),
+    )
+    tot = F.broadcast(
+        cnt.agg(
+            F.sum("c1").cast("long").alias("n1"),
+            F.sum("c2").cast("long").alias("n2"),
+        )
+    )
+    w = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cnt.select(
+        "c",
+        (F.col("c1") + F.col("c2")).alias("w"),
+        F.sum("c1").over(w).alias("a"),
+        F.sum("c2").over(w).alias("b"),
+    )
+    diff = (F.col("a") * F.col("n2") - F.col("b") * F.col("n1")).cast("double")
+    s = cum.crossJoin(tot).agg(
+        F.sum(F.col("w") * diff * diff).alias("wsum"),
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+    )
+    return s.select(
+        "n1",
+        "n2",
+        F.round(
+            F.col("wsum")
+            / (
+                F.col("n1").cast("double")
+                * F.col("n2")
+                * (F.col("n1") + F.col("n2"))
+                * (F.col("n1") + F.col("n2"))
+            ),
+            6,
+        ).alias("t_cvm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q320: Nelson–Aalen cumulative hazard (round 8)
+# ---------------------------------------------------------------------------
+
+# The hazard-scale complement to q219's Kaplan–Meier: H(t) = sum of
+# d_i/n_i over event days <= t, with Aalen's variance sum d_i/n_i^2
+# and the Fleming–Harrington survival exp(-H) (never exactly 0, unlike
+# KM — no log(0) guard needed).  Same life table as q219: per-user
+# durations in integer epoch micros, daily granularity, so every
+# window runs over the ~30-row calendar frame.
+_Q320_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+         MAX(epoch_us(ts)) AS tl
+  FROM events GROUP BY user_id
+),
+dur AS (
+  SELECT CAST(COALESCE(tp - t0, tl - t0) // 86400000000 AS BIGINT) AS t,
+         CAST(tp IS NOT NULL AS BIGINT) AS died
+  FROM per_user
+),
+day AS (
+  SELECT t, CAST(SUM(died) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM dur GROUP BY t
+),
+risk AS (
+  SELECT t, d, SUM(c) OVER (ORDER BY t DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS n_risk
+  FROM day
+),
+na AS (
+  SELECT t, d, n_risk,
+         SUM(d * 1.0 / n_risk)
+           OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h,
+         SUM(d * 1.0 / (CAST(n_risk AS DOUBLE) * n_risk))
+           OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vh
+  FROM risk
+)
+SELECT t AS day, d AS n_events, CAST(n_risk AS BIGINT) AS n_at_risk,
+       ROUND(h, 6) AS h_t, ROUND(vh, 6) AS var_h,
+       ROUND(EXP(-h), 6) AS s_fleming
+FROM na WHERE d > 0 ORDER BY day
+"""
+
+
+@register(
+    "q320_nelson_aalen",
+    _Q320_SQL,
+    doc=(
+        "Nelson–Aalen cumulative-hazard estimator with Aalen's "
+        "variance and the Fleming–Harrington survival exp(-H) — the "
+        "hazard-scale complement to q219's Kaplan–Meier on the same "
+        "right-censored time-to-first-purchase life table: per-user "
+        "durations are one keyed aggregate over integer epoch micros; "
+        "the risk-set suffix sum and both cumulative hazard sums are "
+        "windows over the CALENDAR-bounded (~30-row) day frame, never "
+        "over users.  Unlike KM, H is a plain sum (no product), so no "
+        "log(0) guard is needed even when the last risk set dies out"
+    ),
+    tables=("events",),
+)
+def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+        ).alias("tp"),
+        F.max("ts_us").alias("tl"),
+    )
+    dur = per_user.select(
+        (
+            F.coalesce(F.col("tp") - F.col("t0"), F.col("tl") - F.col("t0"))
+            / F.lit(86400000000)
+        )
+        .cast("long")
+        .alias("t"),
+        F.col("tp").isNotNull().cast("long").alias("died"),
+    )
+    day = dur.groupBy("t").agg(
+        F.sum("died").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = day.withColumn("n_risk", F.sum("c").over(w_desc))
+    h = F.sum(F.col("d") * 1.0 / F.col("n_risk")).over(w_asc)
+    vh = F.sum(
+        F.col("d") * 1.0 / (F.col("n_risk").cast("double") * F.col("n_risk"))
+    ).over(w_asc)
+    na = risk.select(
+        "t",
+        "d",
+        "n_risk",
+        h.alias("h"),
+        vh.alias("vh"),
+    )
+    return (
+        na.where(F.col("d") > 0)
+        .select(
+            F.col("t").alias("day"),
+            F.col("d").cast("long").alias("n_events"),
+            F.col("n_risk").cast("long").alias("n_at_risk"),
+            F.round("h", 6).alias("h_t"),
+            F.round("vh", 6).alias("var_h"),
+            F.round(F.exp(-F.col("h")), 6).alias("s_fleming"),
+        )
+        .orderBy("day")
+    )

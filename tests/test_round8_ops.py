@@ -443,3 +443,108 @@ def test_q316_planted_variance_gap(spark, tmp_path):
     assert out.n == 80 and out.k_groups == 2
     # z means: narrow 1 cent, wide 1000 cents (doubled: 2 and 2000)
     assert out.bf_f > 100
+
+
+# ---------------------------------------------------------------------------
+# round-8 session-2 batch 2: q317-q320 (ANOVA, CvM, Holm, Nelson-Aalen)
+# ---------------------------------------------------------------------------
+
+
+def test_q317_anova_brute_force(spark, sf_dir):
+    out = Q.REGISTRY["q317_anova_f"].fn(spark, sf_dir).first()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    ).toPandas()
+    q = li.l_quantity.astype("int64")
+    n = len(q)
+    groups = [g for _, g in q.groupby(li.l_returnflag)]
+    k = len(groups)
+    grand = q.mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out.n == n and out.k_groups == k
+    assert abs(out.f_stat - f) < 1e-4
+    assert abs(out.eta2 - ssb / (ssb + ssw)) < 1e-6
+
+
+def test_q318_cvm_brute_force_and_planted_shift(spark, sf_dir, tmp_path):
+    import numpy as np
+
+    out = Q.REGISTRY["q318_cvm_two_sample"].fn(spark, sf_dir).first()
+    ev = _events_pdf(spark, sf_dir)
+    x = (ev[ev.event_type == "click"].value * 100).round().astype("int64").to_numpy()
+    y = (ev[ev.event_type == "view"].value * 100).round().astype("int64").to_numpy()
+    n, m = len(x), len(y)
+    pooled = np.concatenate([x, y])
+    vals = np.unique(pooled)
+    a = np.searchsorted(np.sort(x), vals, side="right")
+    b = np.searchsorted(np.sort(y), vals, side="right")
+    w = np.searchsorted(np.sort(pooled), vals, side="right") - np.searchsorted(
+        np.sort(pooled), vals, side="left"
+    )
+    t_cvm = float((w * (a * m - b * n).astype("float64") ** 2).sum()) / (
+        n * m * (n + m) ** 2
+    )
+    assert (out.n1, out.n2) == (n, m)
+    assert abs(out.t_cvm - t_cvm) < 1e-6
+    # planted: a hard location shift must blow the statistic up
+    import datetime
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    for i in range(200):
+        rows.append((i, t0, 0, "click", 10.0 + (i % 5), "{}"))
+        rows.append((1000 + i, t0, 0, "view", 200.0 + (i % 5), "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    shifted = Q.REGISTRY["q318_cvm_two_sample"].fn(spark, str(tmp_path)).first()
+    # disjoint supports: T -> nm/N^2 * sum w * 1 over one side's mass
+    assert shifted.t_cvm > 0.1
+    assert shifted.t_cvm > 50 * out.t_cvm
+
+
+def test_q319_holm_subset_of_bh_and_planted_rejections(spark):
+    from osm_changesets_to_parquet_spark.operators.multitest import (
+        bh_stepup,
+        holm_stepdown,
+    )
+
+    # planted p-values with a clear signal block: Holm must reject a
+    # (possibly strict) subset of BH's rejections at the same alpha
+    ps = [0.0001, 0.0004, 0.002, 0.006, 0.011, 0.2, 0.5, 0.8, 0.9, 0.95]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(ps)], "hid long, pv double")
+    hs = {r.hid: r.rejected for r in holm_stepdown(df, "pv", 0.05, ("hid",)).collect()}
+    hb = {r.hid: r.rejected for r in bh_stepup(df, "pv", 0.05, ("hid",)).collect()}
+    assert any(hs.values())  # reject branch exercised
+    for hid, rej in hs.items():
+        assert (not rej) or hb[hid]  # Holm subset of BH
+    # hand-checked Holm at alpha=.05 over m=10:
+    # thresholds .005, .00556, .00625, .00714, .00833 ...
+    # p=(1e-4, 4e-4, 2e-3) pass; p=.006 at rank 4 (thr .00714) passes;
+    # p=.011 at rank 5 (thr .00833) FAILS -> reject first 4 only
+    assert [hs[i] for i in range(10)] == [True] * 4 + [False] * 6
+    # fixture: both procedures all-false (honest null)
+    out = Q.REGISTRY["q319_holm_stepdown"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    assert (~out.rejected_holm).all() and (~out.rejected_bh).all()
+
+
+def test_q320_nelson_aalen_vs_km(spark, sf_dir):
+    na = Q.REGISTRY["q320_nelson_aalen"].fn(spark, sf_dir).toPandas()
+    km = Q.REGISTRY["q219_kaplan_meier"].fn(spark, sf_dir).toPandas()
+    assert list(na.day) == list(km.day)
+    assert (na.n_at_risk == km.n_at_risk).all()
+    assert (na.n_events == km.n_events).all()
+    # 1-x <= e^-x: Fleming-Harrington survival dominates KM pointwise
+    for s_fh, s_km in zip(na.s_fleming, km.s_t):
+        assert s_fh >= s_km - 1e-9
+    # brute-force H(t): cumulative d/n over the life table
+    h = 0.0
+    for r in na.itertuples():
+        h += r.n_events / r.n_at_risk
+        assert abs(r.h_t - h) < 1e-6
+    # monotone nonincreasing variance increments... variance itself is
+    # nondecreasing in t
+    assert (na.var_h.diff().dropna() >= -1e-12).all()
