@@ -127,6 +127,9 @@ _PRIORITY: tuple[str, ...] = (
     "q318_cvm_two_sample",
     "q319_holm_stepdown",
     "q320_nelson_aalen",
+    "q321_forecast_backtest",
+    "q322_simpson_paradox",
+    "q323_connected_components",
     # (q254/s22/q255-q298 are the round-7 session-2 remainder, never
     # driver-witnessed; then the stalest r1-r3-era names oldest-first)
     "q254_randomization_test",

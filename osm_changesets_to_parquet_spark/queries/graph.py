@@ -766,3 +766,104 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("tri").desc(), "u", "v")
     )
+
+
+# ---------------------------------------------------------------------------
+# q323: connected components of the repeat-co-purchase graph (round 8)
+# ---------------------------------------------------------------------------
+
+# the oracle statically unrolls this many min-label rounds; propagation
+# is idempotent at the fixpoint (sf0.001 converges in 4 rounds,
+# sf0.01/sf0.1 in 11), with a loud error() guard if a deeper graph ever
+# needs more — the q238 convergence-guard discipline
+_Q323_ROUNDS = 16
+
+
+def _cc_cte(r: int) -> str:
+    prev = f"l{r - 1}"
+    return f"""l{r} AS MATERIALIZED (
+  SELECT n.id, LEAST(n.lbl, MIN(x.lbl)) AS lbl
+  FROM {prev} n JOIN adj a ON a.u = n.id JOIN {prev} x ON x.id = a.v
+  GROUP BY n.id, n.lbl
+)"""
+
+
+_Q323_SQL = f"""
+WITH inc AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS MATERIALIZED (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM inc a JOIN inc b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+adj AS MATERIALIZED (
+  SELECT p1 AS u, p2 AS v FROM pr UNION ALL SELECT p2 AS u, p1 AS v FROM pr
+),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM adj),
+{", ".join(_cc_cte(r) for r in range(1, _Q323_ROUNDS + 1))},
+hist AS (
+  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM l{_Q323_ROUNDS} GROUP BY lbl
+)
+SELECT CAST(sz AS BIGINT) AS size,
+       -- labels only ever decrease, so fixpoint <=> equal label sums;
+       -- if round {_Q323_ROUNDS} still moved labels, fail LOUDLY
+       CAST(CASE WHEN (SELECT SUM(lbl) FROM l{_Q323_ROUNDS})
+                   <> (SELECT SUM(lbl) FROM l{_Q323_ROUNDS - 1})
+                 THEN error('q323 oracle: min-label propagation not '
+                            || 'converged within {_Q323_ROUNDS} rounds '
+                            || '- raise _Q323_ROUNDS')
+                 ELSE COUNT(*) END AS BIGINT) AS n_components
+FROM hist GROUP BY sz ORDER BY size
+"""
+
+
+@register(
+    "q323_connected_components",
+    _Q323_SQL,
+    doc=(
+        "connected components of the repeat-co-purchase graph (q238's "
+        "projection: parts sharing >= 2 orders) as a component-size "
+        "histogram — the general-graph registration of "
+        "operators/clusters.connected_components, which near-dup "
+        "clustering (q68/q106/s14) exercises only on shallow "
+        "bucket-clique graphs: iterative min-label propagation, ONE "
+        "job per round (the convergence counter rides the checkpoint "
+        "action as an observe() metric), lineage truncated per round, "
+        "O(diameter) rounds (11 at sf0.01/sf0.1; the "
+        "connected_components_star small/large-star respell is the "
+        f"documented long-chain escape hatch).  Oracle: "
+        f"{_Q323_ROUNDS} statically unrolled MATERIALIZED min-label "
+        "rounds with the q238 loud-error convergence guard"
+    ),
+    tables=("lineitem",),
+)
+def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.clusters import (
+        connected_components,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    inc = li.select("l_orderkey", "l_partkey").distinct()
+    a = inc.alias("a")
+    b = inc.alias("b")
+    pairs = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("m"))
+        .where(F.col("m") >= 2)
+        .select("p1", "p2")
+    )
+    comp = connected_components(pairs, "p1", "p2")
+    sizes = comp.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+        .orderBy("size")
+    )

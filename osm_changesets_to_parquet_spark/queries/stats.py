@@ -2564,3 +2564,261 @@ def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q321: seasonal-naive forecast backtest (MASE / sMAPE) (round 8)
+# ---------------------------------------------------------------------------
+
+_Q321_SEASON = 7  # weekly seasonality, the q220/q259 dow signal
+
+# The missing eval half of the forecasting family (q236 Holt fits,
+# q259 decomposes — this BACKTESTS): forecast each day's per-type
+# event count with the seasonal-naive y[t-7] and score MAE, sMAPE and
+# MASE (scaled by the in-sample naive-1 MAE, Hyndman & Koehler 2006).
+# Counts are integers, so every error sum is exact BIGINT; the only
+# float sums are the ~23 bounded sMAPE terms per type.  The day grid
+# is DENSIFIED (types x days, zero-filled) so LAG(7) always aligns to
+# the calendar, not to the previous observed row.
+_Q321_SQL = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day
+  FROM events
+),
+span AS (SELECT CAST(MAX(day) AS BIGINT) AS dmax FROM e),
+days AS (SELECT UNNEST(generate_series(0, (SELECT dmax FROM span))) AS day),
+types AS (SELECT DISTINCT event_type FROM e),
+cnt AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM e GROUP BY 1, 2
+),
+dense AS (
+  SELECT t.event_type, d.day, COALESCE(c.y, 0) AS y
+  FROM types t CROSS JOIN days d
+  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.day = d.day
+),
+lagged AS (
+  SELECT event_type, day, y,
+         LAG(y, {_Q321_SEASON})
+           OVER (PARTITION BY event_type ORDER BY day) AS yhat,
+         LAG(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS yprev
+  FROM dense
+),
+m AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN yhat IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS h,
+         CAST(SUM(CASE WHEN yhat IS NOT NULL THEN ABS(y - yhat) END)
+              AS BIGINT) AS sae,
+         SUM(CASE WHEN yhat IS NOT NULL THEN
+               CASE WHEN y + yhat = 0 THEN 0.0
+                    ELSE 2.0 * ABS(y - yhat) / (y + yhat) END END) AS ssm,
+         CAST(SUM(CASE WHEN yprev IS NOT NULL THEN ABS(y - yprev) END)
+              AS BIGINT) AS snv,
+         CAST(SUM(CASE WHEN yprev IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS hn
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, h AS horizon,
+       ROUND(CAST(sae AS DOUBLE) / h, 6) AS mae,
+       ROUND(ssm / h, 6) AS smape,
+       ROUND((CAST(sae AS DOUBLE) / h)
+             / NULLIF(CAST(snv AS DOUBLE) / hn, 0.0), 6) AS mase
+FROM m ORDER BY event_type
+"""
+
+
+@register(
+    "q321_forecast_backtest",
+    _Q321_SQL,
+    doc=(
+        "seasonal-naive forecast backtest per event type: the weekly "
+        "lag-7 forecast scored with MAE, sMAPE and MASE (error scaled "
+        "by the in-sample naive-1 MAE — the scale-free skill metric "
+        "of Hyndman & Koehler 2006; MASE < 1 beats drift).  The day "
+        "grid is densified types x calendar (zero-filled) so the lag "
+        "is calendar-true; absolute-error sums are exact BIGINTs; "
+        "windows run over per-type ~30-row calendar frames; one fact "
+        "scan, shuffles carry (type, day, count) rollups only.  "
+        "Completes the forecasting family: q236 fits, q259 "
+        "decomposes, q321 backtests"
+    ),
+    tables=("events",),
+)
+def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("day"),
+    )
+    span = e.agg(F.max("day").cast("long").alias("dmax"))
+    days = span.select(
+        F.explode(F.sequence(F.lit(0), F.col("dmax"))).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    cnt = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    dense = (
+        types.crossJoin(F.broadcast(days))
+        .join(cnt, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("y", F.lit(0)).alias("y")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = dense.select(
+        "event_type",
+        "y",
+        F.lag("y", _Q321_SEASON).over(w).alias("yhat"),
+        F.lag("y", 1).over(w).alias("yprev"),
+    )
+    have = F.col("yhat").isNotNull()
+    havep = F.col("yprev").isNotNull()
+    smape_term = F.when(
+        have,
+        F.when(F.col("y") + F.col("yhat") == 0, F.lit(0.0)).otherwise(
+            2.0 * F.abs(F.col("y") - F.col("yhat")) / (F.col("y") + F.col("yhat"))
+        ),
+    )
+    m = lagged.groupBy("event_type").agg(
+        F.sum(F.when(have, 1).otherwise(0)).cast("long").alias("h"),
+        F.sum(F.when(have, F.abs(F.col("y") - F.col("yhat"))))
+        .cast("long")
+        .alias("sae"),
+        F.sum(smape_term).alias("ssm"),
+        F.sum(F.when(havep, F.abs(F.col("y") - F.col("yprev"))))
+        .cast("long")
+        .alias("snv"),
+        F.sum(F.when(havep, 1).otherwise(0)).cast("long").alias("hn"),
+    )
+    return m.select(
+        "event_type",
+        F.col("h").alias("horizon"),
+        F.round(F.col("sae").cast("double") / F.col("h"), 6).alias("mae"),
+        F.round(F.col("ssm") / F.col("h"), 6).alias("smape"),
+        F.round(
+            (F.col("sae").cast("double") / F.col("h"))
+            / F.nullif(F.col("snv").cast("double") / F.col("hn"), F.lit(0.0)),
+            6,
+        ).alias("mase"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q322: Simpson's-paradox audit (overall vs pooled-within slope) (round 8)
+# ---------------------------------------------------------------------------
+
+# The aggregation-reversal detector every metrics platform needs: the
+# discount->quantity slope computed over ALL line items vs the
+# pooled-WITHIN-return-flag slope (the weighted average of per-group
+# regressions).  A sign flip between them is Simpson's paradox — the
+# grouping variable is a confounder.  All sufficient statistics are
+# exact BIGINT power sums; covariances become doubles only at the
+# final expression (per-group sx*sy stays under 2^53 to ~sf1; beyond,
+# both engines compute the identical IEEE product).
+_Q322_SQL = """
+WITH d AS (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem
+),
+g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM d GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(sx) AS BIGINT) AS tsx,
+         CAST(SUM(sy) AS BIGINT) AS tsy, CAST(SUM(sxy) AS BIGINT) AS tsxy,
+         CAST(SUM(sxx) AS BIGINT) AS tsxx,
+         SUM(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) AS wnum,
+         SUM(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS wden,
+         CAST(SUM(CASE WHEN CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n
+                            > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM g
+)
+SELECT tn AS n, k AS n_groups, n_pos AS n_pos_groups,
+       ROUND((CAST(tsxy AS DOUBLE) - CAST(tsx AS DOUBLE) * tsy / tn)
+             / NULLIF(CAST(tsxx AS DOUBLE) - CAST(tsx AS DOUBLE) * tsx / tn,
+                      0.0), 6) AS slope_overall,
+       ROUND(wnum / NULLIF(wden, 0.0), 6) AS slope_within,
+       ((CAST(tsxy AS DOUBLE) - CAST(tsx AS DOUBLE) * tsy / tn) * wnum) < 0
+         AS reversal
+FROM t
+"""
+
+
+@register(
+    "q322_simpson_paradox",
+    _Q322_SQL,
+    doc=(
+        "Simpson's-paradox audit: the discount-vs-quantity OLS slope "
+        "over all line items against the pooled-within-return-flag "
+        "slope (per-group regressions aggregated by their covariance "
+        "weights) — a sign flip means the grouping confounds the "
+        "aggregate trend and per-segment reporting would invert the "
+        "conclusion.  One fact scan to 3-group integer power sums; "
+        "everything after is scalar arithmetic; the reversal flag "
+        "compares engine-identical doubles built from exact BIGINTs.  "
+        "Fixture answer: no reversal (discount and quantity are "
+        "independent everywhere); the reversal branch is pinned by a "
+        "planted confounder test"
+    ),
+    tables=("lineitem",),
+)
+def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    g = d.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    gcov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    gden = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    t = g.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("sx").cast("long").alias("tsx"),
+        F.sum("sy").cast("long").alias("tsy"),
+        F.sum("sxy").cast("long").alias("tsxy"),
+        F.sum("sxx").cast("long").alias("tsxx"),
+        F.sum(gcov).alias("wnum"),
+        F.sum(gden).alias("wden"),
+        F.sum(F.when(gcov > 0, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    ocov = (
+        F.col("tsxy").cast("double")
+        - F.col("tsx").cast("double") * F.col("tsy") / F.col("tn")
+    )
+    oden = (
+        F.col("tsxx").cast("double")
+        - F.col("tsx").cast("double") * F.col("tsx") / F.col("tn")
+    )
+    return t.select(
+        F.col("tn").alias("n"),
+        F.col("k").alias("n_groups"),
+        F.col("n_pos").alias("n_pos_groups"),
+        F.round(ocov / F.nullif(oden, F.lit(0.0)), 6).alias("slope_overall"),
+        F.round(F.col("wnum") / F.nullif(F.col("wden"), F.lit(0.0)), 6).alias(
+            "slope_within"
+        ),
+        (ocov * F.col("wnum") < 0).alias("reversal"),
+    )

@@ -548,3 +548,100 @@ def test_q320_nelson_aalen_vs_km(spark, sf_dir):
     # monotone nonincreasing variance increments... variance itself is
     # nondecreasing in t
     assert (na.var_h.diff().dropna() >= -1e-12).all()
+
+
+# ---------------------------------------------------------------------------
+# round-8 session-2 batch 3: q321-q323 (backtest, Simpson, components)
+# ---------------------------------------------------------------------------
+
+
+def test_q321_backtest_brute_force(spark, sf_dir):
+    out = Q.REGISTRY["q321_forecast_backtest"].fn(spark, sf_dir).toPandas()
+    ev = _events_pdf(spark, sf_dir)
+    day = (ev.ts_us // 86_400_000_000) - (ev.ts_us // 86_400_000_000).min()
+    # ts_us floor-div epoch-day aligns with date_diff from 2024-01-01
+    # because the fixture starts on that date
+    dmax = int(day.max())
+    for r in out.itertuples():
+        g = ev[ev.event_type == r.event_type]
+        gd = (g.ts_us // 86_400_000_000) - (ev.ts_us // 86_400_000_000).min()
+        y = [int((gd == t).sum()) for t in range(dmax + 1)]
+        errs = [abs(y[t] - y[t - 7]) for t in range(7, dmax + 1)]
+        naive = [abs(y[t] - y[t - 1]) for t in range(1, dmax + 1)]
+        smape = [
+            0.0 if y[t] + y[t - 7] == 0 else 2 * abs(y[t] - y[t - 7]) / (y[t] + y[t - 7])
+            for t in range(7, dmax + 1)
+        ]
+        assert r.horizon == len(errs)
+        assert abs(r.mae - sum(errs) / len(errs)) < 1e-6
+        assert abs(r.smape - sum(smape) / len(smape)) < 1e-6
+        assert abs(r.mase - (sum(errs) / len(errs)) / (sum(naive) / len(naive))) < 1e-6
+
+
+def test_q322_planted_simpson_reversal(spark, tmp_path):
+    # classic confounding: within each group quantity FALLS with
+    # discount, but the high-discount group has much higher base
+    # quantity -> the pooled slope rises.  The audit must flag it.
+    rows = []
+    for i in range(50):  # group A: x in {0..4}, y = 10 - x + small dither
+        x = i % 5
+        rows.append(("A", float(x) / 100.0, float(10 - x)))
+    for i in range(50):  # group B: x in {6..10}, y = 100 - (x-6)
+        x = 6 + (i % 5)
+        rows.append(("B", float(x) / 100.0, float(100 - (x - 6))))
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_discount double, l_quantity double"
+    )
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = Q.REGISTRY["q322_simpson_paradox"].fn(spark, str(tmp_path)).first()
+    assert out.n_groups == 2 and out.n_pos_groups == 0
+    assert out.slope_within < 0 < out.slope_overall
+    assert bool(out.reversal)
+
+
+def test_q323_components_brute_force(spark, sf_dir):
+    out = Q.REGISTRY["q323_connected_components"].fn(spark, sf_dir).toPandas()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().toPandas()
+    import collections
+
+    per_order = collections.defaultdict(set)
+    for r in li.itertuples():
+        per_order[r.l_orderkey].add(r.l_partkey)
+    cnt = collections.Counter()
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                cnt[(ps[i], ps[j])] += 1
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (u, v), c in cnt.items():
+        if c >= 2:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+    comp = collections.Counter(find(x) for x in parent)
+    hist = collections.Counter(comp.values())
+    assert {int(r.size): int(r.n_components) for r in out.itertuples()} == dict(hist)
+
+
+def test_q323_planted_two_chains(spark):
+    from osm_changesets_to_parquet_spark.operators.clusters import (
+        connected_components,
+    )
+
+    # two long chains exercise multi-round propagation; labels must be
+    # each chain's minimum id
+    pairs = [(i, i + 1) for i in range(0, 9)] + [(100 + i, 101 + i) for i in range(0, 5)]
+    df = spark.createDataFrame(pairs, "p1 long, p2 long")
+    lab = {r.id: r.label for r in connected_components(df, "p1", "p2").collect()}
+    assert all(lab[i] == 0 for i in range(10))
+    assert all(lab[100 + i] == 100 for i in range(6))
