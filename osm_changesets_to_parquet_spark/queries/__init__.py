@@ -130,6 +130,8 @@ _PRIORITY: tuple[str, ...] = (
     "q321_forecast_backtest",
     "q322_simpson_paradox",
     "q323_connected_components",
+    "s25_stream_quantile_sketch",
+    "m54_video_scene_cuts",
     # (q254/s22/q255-q298 are the round-7 session-2 remainder, never
     # driver-witnessed; then the stalest r1-r3-era names oldest-first)
     "q254_randomization_test",

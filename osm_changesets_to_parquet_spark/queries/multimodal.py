@@ -384,3 +384,87 @@ def m53(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m54: video scene-cut detection over stub-decoded frames (round 8)
+# ---------------------------------------------------------------------------
+
+_M54_FRAMES = 8
+_M54_FRAME_LEN = 4
+_M54_CUT = 48.0  # mean-amplitude jump threshold (exact quarter units)
+
+_M54_SQL = f"""
+WITH fm AS (
+  SELECT d.doc_id, CAST(f.i AS INT) AS frame_id,
+         AVG({_BYTE.format(i='(4*f.i + j.j)')}) AS frame_mean
+  FROM documents d CROSS JOIN range({_M54_FRAMES}) f(i)
+       CROSS JOIN range({_M54_FRAME_LEN}) j(j)
+  WHERE d.text IS NOT NULL
+  GROUP BY d.doc_id, f.i
+),
+lg AS (
+  SELECT doc_id, frame_id, frame_mean,
+         LAG(frame_mean) OVER (PARTITION BY doc_id ORDER BY frame_id)
+           AS prev
+  FROM fm
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN prev IS NOT NULL
+                      AND ABS(frame_mean - prev) > {_M54_CUT}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(SUM(CASE WHEN prev IS NOT NULL
+                      AND ABS(frame_mean - prev) > {_M54_CUT}
+                     THEN (CAST(1 AS BIGINT) << frame_id)
+                     ELSE 0 END) AS BIGINT) AS cut_mask
+FROM lg GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "m54_video_scene_cuts",
+    _M54_SQL,
+    doc=(
+        "video scene-cut detection over the stub decode: the payload "
+        f"frame-samples into {_M54_FRAMES} frames of {_M54_FRAME_LEN} "
+        "samples inside ONE Arrow mapInPandas pass (the m49 fan-out "
+        "operator at video stride), then a cut fires wherever the "
+        "frame-mean jumps by more than the threshold vs the previous "
+        "frame — per-doc lag windows over the 8-frame bounded frame, "
+        "emitted as a cut count + position bitmask.  Frame means of "
+        "uint8 samples are exact quarter-integers, so the threshold "
+        "compare is engine-exact; real codecs stay env-blocked (no "
+        "PIL/ffmpeg — SURVEY §9), the Spark-side plumbing is the "
+        "deliverable, hash-matched against the sha256-byte oracle"
+    ),
+    tables=("documents",),
+)
+def m54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    frames = sample_audio_frames(
+        _docs_with_payload(spark, sf_dir, "video"),
+        _M54_FRAME_LEN,
+        _M54_FRAME_LEN,
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    lg = frames.withColumn("prev", F.lag("frame_mean").over(w))
+    cut = F.col("prev").isNotNull() & (
+        F.abs(F.col("frame_mean") - F.col("prev")) > _M54_CUT
+    )
+    return (
+        lg.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum(F.when(cut, 1).otherwise(0)).cast("long").alias("n_cuts"),
+            F.sum(
+                F.when(
+                    cut,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), frame_id)"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("cut_mask"),
+        )
+        .orderBy("doc_id")
+    )

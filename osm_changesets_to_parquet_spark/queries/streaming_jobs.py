@@ -799,3 +799,79 @@ def s24(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_changesets_to_parquet_spark.streaming import run_s24_stream_pit
 
     return run_s24_stream_pit(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# s25: streaming mergeable quantile sketch + error audit (round 8)
+# ---------------------------------------------------------------------------
+
+_S25_SQL = """
+WITH v AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+hist AS (
+  SELECT LEAST(c // 64, 1023) AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM v GROUP BY 1
+),
+hcum AS (
+  SELECT bin, SUM(cnt) OVER (ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+  FROM hist
+),
+vcum AS (
+  SELECT c, SUM(cnt) OVER (ORDER BY c
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+  FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY c)
+),
+q AS (SELECT UNNEST(ARRAY[5000, 9000, 9900]) AS q_bp),
+r AS (
+  SELECT q_bp, CAST(CEIL(q_bp * st.n / 10000.0) AS BIGINT) AS rk
+  FROM q, st
+),
+approx AS (
+  SELECT r.q_bp, MIN(CASE WHEN h.cum >= r.rk THEN h.bin END) AS bin
+  FROM r, hcum h GROUP BY r.q_bp
+),
+exact AS (
+  SELECT r.q_bp, MIN(CASE WHEN x.cum >= r.rk THEN x.c END) AS exact_cents
+  FROM r, vcum x GROUP BY r.q_bp
+)
+SELECT a.q_bp,
+       CAST(e.exact_cents AS BIGINT) AS exact_cents,
+       CAST(a.bin * 64 AS BIGINT) AS approx_lo_cents,
+       CAST(e.exact_cents - a.bin * 64 AS BIGINT) AS err_cents,
+       e.exact_cents >= a.bin * 64 AND e.exact_cents < (a.bin + 2) * 64
+         AS within_bound
+FROM approx a JOIN exact e ON e.q_bp = a.q_bp
+ORDER BY a.q_bp
+"""
+
+
+@register(
+    "s25_stream_quantile_sketch",
+    _S25_SQL,
+    doc=(
+        "STREAMING mergeable quantile sketch (q312's continuous twin): "
+        "micro-batches fold into a fixed 1024-bin equi-width histogram "
+        "through an update-mode streaming aggregation — state bounded "
+        "at 1024 counters forever, the defining mergeable-summary "
+        "property — with the bin domain pinned A PRIORI ([0, 65536) "
+        "cents, 64/bin; a stream cannot size bins from min/max the "
+        "way batch q312 does).  Counter addition commutes with "
+        "micro-batching, so the streamed histogram equals the batch "
+        "one exactly; P50/P90/P99 read-offs are audited against exact "
+        "value-domain ranks (range-bucketed global cumsum) with the "
+        "one-bin-width bound (streaming/jobs.py "
+        "run_s25_streaming_quantile_sketch)"
+    ),
+    tables=("events",),
+)
+def s25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.streaming import (
+        run_s25_streaming_quantile_sketch,
+    )
+
+    return run_s25_streaming_quantile_sketch(spark, sf_dir)

@@ -1446,3 +1446,109 @@ def run_s24_stream_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs.select("event_id", "user_id", "ts_us", "attr", "cents").orderBy(
         "event_id"
     )
+
+
+S25_BINS = 1024
+S25_WIDTH_CENTS = 64  # fixed a-priori domain [0, 65536) cents
+S25_QBP = (5000, 9000, 9900)
+
+
+def run_s25_streaming_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING mergeable quantile sketch — q312's continuous twin:
+    each micro-batch folds event values into the fixed 1024-bin
+    equi-width histogram through an update-mode streaming aggregation
+    whose state is bounded at 1024 counters no matter how long the
+    stream runs.  Unlike batch q312 (which sizes bins from the
+    observed min/max), a STREAM must pin the bin domain a priori —
+    the production config decision this job documents: [0, 65536)
+    cents at 64 cents/bin, values past the domain clamping into the
+    top bin (none in the fixtures; a clamped domain widens the error
+    bound for the clamped tail only).
+
+    Counter addition commutes with micro-batching, so the streamed
+    histogram equals the batch histogram EXACTLY; P50/P90/P99 read
+    from the bin cumulative are then audited against the exact
+    value-domain ranks (computed batch-side over the same table via
+    the range-bucketed global cumsum) with the one-bin-width
+    guarantee, hash-matched by the same SQL oracle.
+    """
+    from pyspark.sql.window import Window
+
+    from osm_changesets_to_parquet_spark.operators.packing import (
+        global_cumsum,
+    )
+
+    base = prepare_replay_dir(spark, sf_dir, late=False)
+    stream = _read_stream(spark, base)
+    cents = F.round(F.col("value") * 100).cast("long")
+    binexpr = F.least(
+        F.floor(cents / S25_WIDTH_CENTS).cast("long"),
+        F.lit(S25_BINS - 1),
+    )
+    hist_stream = stream.select(binexpr.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    out = _run_availablenow(hist_stream, mode="update")
+    sketch = out.groupBy("bin").agg(
+        F.max_by("cnt", "__bid").cast("long").alias("cnt")
+    )
+    # quantile read-off from the streamed sketch (bounded 1024-row frame)
+    hcum = sketch.select(
+        "bin",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+    )
+    # exact audit side over the batch table (the stream's source of truth)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    st = F.broadcast(ev.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    vals = ev.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("vcnt"))
+    vcum = global_cumsum(vals, "c", "vcnt", out_col="cum").select("c", "cum")
+    r = (
+        spark.createDataFrame([(q,) for q in S25_QBP], "q_bp long")
+        .crossJoin(st)
+        .select(
+            "q_bp",
+            F.ceil(F.col("q_bp") * F.col("n") / 10000.0).cast("long").alias("rk"),
+        )
+    )
+    approx = (
+        r.crossJoin(hcum)
+        .groupBy("q_bp")
+        .agg(F.min(F.when(F.col("cum") >= F.col("rk"), F.col("bin"))).alias("bin"))
+    )
+    exact = (
+        r.crossJoin(vcum)
+        .groupBy("q_bp")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.col("rk"), F.col("c"))
+            ).alias("exact_cents")
+        )
+    )
+    approx_lo = F.col("bin") * S25_WIDTH_CENTS
+    return (
+        approx.join(exact, "q_bp")
+        .select(
+            "q_bp",
+            F.col("exact_cents").cast("long").alias("exact_cents"),
+            approx_lo.cast("long").alias("approx_lo_cents"),
+            (F.col("exact_cents") - approx_lo).cast("long").alias("err_cents"),
+            (
+                (F.col("exact_cents") >= approx_lo)
+                & (
+                    F.col("exact_cents")
+                    < (F.col("bin") + 2) * S25_WIDTH_CENTS
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy("q_bp")
+    )

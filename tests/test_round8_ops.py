@@ -645,3 +645,41 @@ def test_q323_planted_two_chains(spark):
     lab = {r.id: r.label for r in connected_components(df, "p1", "p2").collect()}
     assert all(lab[i] == 0 for i in range(10))
     assert all(lab[100 + i] == 100 for i in range(6))
+
+
+# ---------------------------------------------------------------------------
+# round-8 session-2 batch 4: s25 streaming sketch + m54 scene cuts
+# ---------------------------------------------------------------------------
+
+
+def test_s25_sketch_bound_holds(spark, sf_dir):
+    out = Q.REGISTRY["s25_stream_quantile_sketch"].fn(spark, sf_dir).toPandas()
+    assert list(out.q_bp) == [5000, 9000, 9900]
+    # CMS-style guarantee for an equi-width histogram: the exact
+    # quantile lies inside [bin_lo, bin_lo + 2*width)
+    assert out.within_bound.all()
+    assert ((out.err_cents >= 0) & (out.err_cents < 128)).all()
+    # the read-off must sit on a bin boundary of the pinned domain
+    assert (out.approx_lo_cents % 64 == 0).all()
+
+
+def test_m54_scene_cuts_brute_force(spark, sf_dir):
+    import hashlib
+
+    out = Q.REGISTRY["m54_video_scene_cuts"].fn(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).where(F.col("text").isNotNull()).toPandas()
+    expect = {}
+    for r in docs.itertuples():
+        strip = hashlib.sha256(r.text.encode()).digest()
+        means = [sum(strip[4 * f : 4 * f + 4]) / 4.0 for f in range(8)]
+        cuts = [
+            f
+            for f in range(1, 8)
+            if abs(means[f] - means[f - 1]) > 48.0
+        ]
+        expect[r.doc_id] = (8, len(cuts), sum(1 << f for f in cuts))
+    assert len(out) == len(expect)
+    for r in out.itertuples():
+        assert expect[r.doc_id] == (r.n_frames, r.n_cuts, r.cut_mask)
