@@ -132,6 +132,11 @@ _PRIORITY: tuple[str, ...] = (
     "q323_connected_components",
     "s25_stream_quantile_sketch",
     "m54_video_scene_cuts",
+    # -- (3b) round-8 session-3 registrations (never witnessed; queue
+    #    directly after the session-2 names) --
+    "q324_hits",
+    "q331_wl_refinement",
+    "q333_khop_reach",
     # (q254/s22/q255-q298 are the round-7 session-2 remainder, never
     # driver-witnessed; then the stalest r1-r3-era names oldest-first)
     "q254_randomization_test",

@@ -867,3 +867,427 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
         .orderBy("size")
     )
+
+
+# ---------------------------------------------------------------------------
+# q324: HITS hubs & authorities over the customer->part order graph (round 8)
+# ---------------------------------------------------------------------------
+
+# Kleinberg (1999).  Two full iterations (auth <- hubs, hub <- auths)
+# with the q243 integer-quantization discipline in place of per-round
+# float normalization: iteration 1 runs on exact BIGINTs (h0 = 1 makes
+# a1 the indegree), the intermediate scores are L1-normalized as an
+# exact BIGINT/BIGINT ratio and QUANTIZED to integer nano-units
+# (floor(x*1e9 + 0.5)), so iteration 2 is again pure integer sums and
+# both engines see bit-identical doubles at every step.  Headroom: the
+# quantized scale caps every partial at <= 1e9 * deg, so the integer
+# sums survive to ~1e9-edge graphs (vs the un-normalized form, whose
+# |C|^3-ish growth overflows BIGINT near sf~0.5).
+_Q324_MAX_PART = 200
+_Q324_Q = 1_000_000_000
+
+_Q324_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_partkey <= {_Q324_MAX_PART}
+),
+a1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS s FROM e GROUP BY p),
+h1 AS (
+  SELECT e.c, CAST(SUM(a1.s) AS BIGINT) AS s
+  FROM e JOIN a1 ON a1.p = e.p GROUP BY e.c
+),
+th1 AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM h1),
+h1q AS (
+  SELECT c, CAST(FLOOR(s * {_Q324_Q}.0 / (SELECT t FROM th1) + 0.5)
+                 AS BIGINT) AS q
+  FROM h1
+),
+a2 AS (
+  SELECT e.p, CAST(SUM(h1q.q) AS BIGINT) AS s
+  FROM e JOIN h1q ON h1q.c = e.c GROUP BY e.p
+),
+ta2 AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM a2),
+a2q AS (
+  SELECT p, CAST(FLOOR(s * {_Q324_Q}.0 / (SELECT t FROM ta2) + 0.5)
+                 AS BIGINT) AS q
+  FROM a2
+),
+h2 AS (
+  SELECT e.c, CAST(SUM(a2q.q) AS BIGINT) AS s
+  FROM e JOIN a2q ON a2q.p = e.p GROUP BY e.c
+),
+th2 AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM h2)
+SELECT side, id, score FROM (
+  SELECT 'auth' AS side, p AS id,
+         ROUND(s * 1.0 / (SELECT t FROM ta2), 6) AS score FROM a2
+  UNION ALL
+  SELECT 'hub' AS side, c AS id,
+         ROUND(s * 1.0 / (SELECT t FROM th2), 6) AS score FROM h2
+)
+ORDER BY side, id
+"""
+
+
+@register(
+    "q324_hits",
+    _Q324_SQL,
+    doc=(
+        "HITS hubs & authorities (Kleinberg 1999) over the directed "
+        "customer->part order bipartite graph, 2 full iterations: "
+        "iteration 1 is exact integer sums (uniform start makes the "
+        "first authority pass the indegree), the L1 normalization "
+        "between iterations is an exact BIGINT/BIGINT ratio quantized "
+        "to integer nano-units (the q243 discipline — per-round float "
+        "normalization would make every subsequent sum order-"
+        "dependent), iteration 2 is again pure integer sums.  Per "
+        "iteration: one join of scores onto the edge list + one keyed "
+        "sum — shuffles carry (node, BIGINT) pairs only; the edge "
+        "list is materialized once and reused by all four passes"
+    ),
+    tables=("orders", "lineitem"),
+)
+def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") <= _Q324_MAX_PART
+    )
+    e = truncate_lineage(
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a1 = e.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    h1 = (
+        e.join(a1, "p")
+        .groupBy("c")
+        .agg(F.sum("s").cast("long").alias("s"))
+    )
+    th1 = h1.agg(F.sum("s").cast("long").alias("t"))
+    h1q = h1.crossJoin(F.broadcast(th1)).select(
+        "c",
+        F.floor(F.col("s") * F.lit(float(_Q324_Q)) / F.col("t") + 0.5)
+        .cast("long")
+        .alias("q"),
+    )
+    a2 = truncate_lineage(
+        e.join(h1q, "c").groupBy("p").agg(F.sum("q").cast("long").alias("s"))
+    )
+    ta2 = a2.agg(F.sum("s").cast("long").alias("t"))
+    a2q = a2.crossJoin(F.broadcast(ta2)).select(
+        "p",
+        F.floor(F.col("s") * F.lit(float(_Q324_Q)) / F.col("t") + 0.5)
+        .cast("long")
+        .alias("q"),
+    )
+    h2 = truncate_lineage(
+        e.join(a2q, "p").groupBy("c").agg(F.sum("q").cast("long").alias("s"))
+    )
+    th2 = h2.agg(F.sum("s").cast("long").alias("t"))
+    auth = a2.crossJoin(F.broadcast(ta2)).select(
+        F.lit("auth").alias("side"),
+        F.col("p").alias("id"),
+        F.round(F.col("s") * F.lit(1.0) / F.col("t"), 6).alias("score"),
+    )
+    hub = h2.crossJoin(F.broadcast(th2)).select(
+        F.lit("hub").alias("side"),
+        F.col("c").alias("id"),
+        F.round(F.col("s") * F.lit(1.0) / F.col("t"), 6).alias("score"),
+    )
+    return auth.unionByName(hub).orderBy("side", "id")
+
+
+# ---------------------------------------------------------------------------
+# q331: Weisfeiler-Lehman color refinement over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+# 1-WL (Weisfeiler & Lehman 1968; the graph-isomorphism fingerprint and
+# the expressiveness ceiling of message-passing GNNs): each node's color
+# is iteratively replaced by a hash of (own color, sorted multiset of
+# neighbor colors).  The color-class partition can only REFINE round
+# over round; its statistics (class count, largest class, singletons)
+# are the structural-diversity profile of the graph.  Colors are md5
+# hex strings — identical bytes in both engines — built from
+# degree-string seeds; the neighbor multiset is serialized by an
+# in-group lexicographic sort (array_sort / string_agg ORDER BY: both
+# binary collation).
+_Q331_ROUNDS = 2
+
+_Q331_EDGES = """
+WITH inc AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM inc a JOIN inc b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+adj AS (SELECT u AS v, v AS w FROM e0 UNION ALL SELECT v AS v, u AS w FROM e0)
+"""
+
+_Q331_SQL = (
+    _Q331_EDGES
+    + """,
+c0 AS (SELECT v, CAST(COUNT(*) AS VARCHAR) AS col FROM adj GROUP BY v),
+c1 AS (
+  SELECT a.v, md5(own.col || '|' || string_agg(n.col, ',' ORDER BY n.col))
+           AS col
+  FROM adj a JOIN c0 n ON n.v = a.w JOIN c0 own ON own.v = a.v
+  GROUP BY a.v, own.col
+),
+c2 AS (
+  SELECT a.v, md5(own.col || '|' || string_agg(n.col, ',' ORDER BY n.col))
+           AS col
+  FROM adj a JOIN c1 n ON n.v = a.w JOIN c1 own ON own.v = a.v
+  GROUP BY a.v, own.col
+),
+s0 AS (SELECT col, CAST(COUNT(*) AS BIGINT) AS n FROM c0 GROUP BY col),
+s1 AS (SELECT col, CAST(COUNT(*) AS BIGINT) AS n FROM c1 GROUP BY col),
+s2 AS (SELECT col, CAST(COUNT(*) AS BIGINT) AS n FROM c2 GROUP BY col)
+SELECT r, n_classes, max_class, n_singletons FROM (
+  SELECT 0 AS r, CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(MAX(n) AS BIGINT) AS max_class,
+         CAST(COUNT(*) FILTER (WHERE n = 1) AS BIGINT) AS n_singletons
+  FROM s0
+  UNION ALL
+  SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(MAX(n) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE n = 1) AS BIGINT) FROM s1
+  UNION ALL
+  SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(MAX(n) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE n = 1) AS BIGINT) FROM s2
+)
+ORDER BY r
+"""
+)
+
+
+@register(
+    "q331_wl_refinement",
+    _Q331_SQL,
+    doc=(
+        "Weisfeiler-Lehman color refinement (1-WL, the graph-"
+        "isomorphism fingerprint and the expressiveness ceiling of "
+        "message-passing GNNs) over the repeat-co-purchase graph, "
+        f"{_Q331_ROUNDS} rounds: color(v) <- md5(own | sorted "
+        "neighbor-color multiset), seeded from degree strings; per "
+        "round ONE join of the 16-byte color table onto the adjacency "
+        "+ one keyed sort-serialize aggregate (shuffles carry (node, "
+        "md5) pairs, never text), colors materialized once per round "
+        "(each feeds the own- AND neighbor-side of the next).  The "
+        "output is the per-round partition profile (classes / largest "
+        "/ singletons) — monotone refining by construction"
+    ),
+    tables=("lineitem",),
+)
+def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    inc = li.select("l_orderkey", "l_partkey").distinct()
+    a = inc.alias("a")
+    b = inc.alias("b")
+    e0 = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("m"))
+        .where(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    adj = truncate_lineage(
+        e0.select(F.col("u").alias("v"), F.col("v").alias("w")).unionByName(
+            e0.select(F.col("v").alias("v"), F.col("u").alias("w"))
+        )
+    )
+    colors = truncate_lineage(
+        adj.groupBy("v").agg(
+            F.count(F.lit(1)).cast("string").alias("col")
+        )
+    )
+    stats = []
+
+    def class_stats(c: DataFrame, r: int) -> DataFrame:
+        s = c.groupBy("col").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        return s.agg(
+            F.lit(r).cast("int").alias("r"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.max("n").cast("long").alias("max_class"),
+            F.sum((F.col("n") == 1).cast("long")).alias("n_singletons"),
+        )
+
+    stats.append(class_stats(colors, 0))
+    for r in range(1, _Q331_ROUNDS + 1):
+        nb = adj.join(
+            colors.select(F.col("v").alias("w"), F.col("col").alias("ncol")),
+            "w",
+        )
+        agg = nb.groupBy("v").agg(
+            F.array_join(F.array_sort(F.collect_list("ncol")), ",").alias(
+                "nbs"
+            )
+        )
+        colors = truncate_lineage(
+            agg.join(colors, "v").select(
+                "v",
+                F.md5(
+                    F.concat(F.col("col"), F.lit("|"), F.col("nbs"))
+                ).alias("col"),
+            )
+        )
+        stats.append(class_stats(colors, r))
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("r")
+
+
+# ---------------------------------------------------------------------------
+# q333: bounded k-hop reach from a fixed-k anchor seed panel (round 8)
+# ---------------------------------------------------------------------------
+
+# The friend-of-friend / blast-radius probe: exact 1-hop and 2-hop
+# neighborhood sizes for 16 deterministic seed nodes.  The seed panel
+# is operators/anchors.fixed_k_anchors (hash-rank TakeOrdered — a
+# FIXED number of seeds regardless of corpus size, the q179 lesson),
+# so the expansion cost is bounded by k * max_deg^2 candidate rows,
+# never corpus-shaped; a full all-pairs 2-hop census on this graph
+# would shuffle the squared wedge volume (q218 measures 41M oriented
+# wedges at sf0.1) for no extra operator coverage.
+_Q333_K = 16
+
+_Q333_SQL = (
+    _Q331_EDGES
+    + f""",
+nodes AS (SELECT DISTINCT v FROM adj),
+seeds AS (
+  SELECT v AS seed FROM nodes
+  ORDER BY ((v % 2147483648) * 2654435761) % 1000000007, v LIMIT {_Q333_K}
+),
+n1 AS (
+  SELECT s.seed, a.w AS nbr FROM seeds s JOIN adj a ON a.v = s.seed
+),
+n2 AS (
+  SELECT DISTINCT n1.seed, a.w AS cand
+  FROM n1 JOIN adj a ON a.v = n1.nbr
+  WHERE a.w <> n1.seed
+),
+n2x AS (
+  SELECT seed, cand FROM n2
+  WHERE NOT EXISTS (SELECT 1 FROM n1
+                    WHERE n1.seed = n2.seed AND n1.nbr = n2.cand)
+),
+c1 AS (SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_1hop FROM n1 GROUP BY seed),
+c2 AS (SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_2hop_new
+       FROM n2x GROUP BY seed)
+SELECT s.seed, COALESCE(c1.n_1hop, 0) AS n_1hop,
+       COALESCE(c2.n_2hop_new, 0) AS n_2hop_new,
+       1 + COALESCE(c1.n_1hop, 0) + COALESCE(c2.n_2hop_new, 0) AS reach
+FROM seeds s
+LEFT JOIN c1 ON c1.seed = s.seed
+LEFT JOIN c2 ON c2.seed = s.seed
+ORDER BY s.seed
+"""
+)
+
+
+@register(
+    "q333_khop_reach",
+    _Q333_SQL,
+    doc=(
+        "exact 2-hop neighborhood sizes (the friend-of-friend / "
+        f"blast-radius probe) for a fixed panel of {_Q333_K} hash-rank "
+        "anchor seeds over the repeat-co-purchase graph: 1-hop via one "
+        "seed-filtered adjacency join, 2-hop via one more join with "
+        "the seed itself and its 1-hop set anti-joined away — the "
+        "expansion is bounded by k*max_deg^2 rows because the seed "
+        "panel is FIXED-k (operators/anchors, the q179 discipline), "
+        "never corpus-proportional; an all-pairs 2-hop census would "
+        "shuffle the squared wedge volume q218 measures at 41M for "
+        "this graph"
+    ),
+    tables=("lineitem",),
+)
+def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.anchors import (
+        fixed_k_anchors,
+    )
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    inc = li.select("l_orderkey", "l_partkey").distinct()
+    a = inc.alias("a")
+    b = inc.alias("b")
+    e0 = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("m"))
+        .where(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    adj = truncate_lineage(
+        e0.select(F.col("u").alias("v"), F.col("v").alias("w")).unionByName(
+            e0.select(F.col("v").alias("v"), F.col("u").alias("w"))
+        )
+    )
+    nodes = adj.select("v").distinct()
+    seeds = truncate_lineage(
+        fixed_k_anchors(nodes, "v", _Q333_K).select(
+            F.col("v").alias("seed")
+        )
+    )
+    n1 = truncate_lineage(
+        seeds.join(adj, F.col("seed") == F.col("v")).select(
+            "seed", F.col("w").alias("nbr")
+        )
+    )
+    n2 = (
+        n1.join(
+            adj.select(F.col("v").alias("nbr"), F.col("w").alias("cand")),
+            "nbr",
+        )
+        .where(F.col("cand") != F.col("seed"))
+        .select("seed", "cand")
+        .distinct()
+    )
+    n2x = n2.join(
+        n1.select("seed", F.col("nbr").alias("cand")),
+        ["seed", "cand"],
+        "left_anti",
+    )
+    c1 = n1.groupBy("seed").agg(F.count(F.lit(1)).cast("long").alias("n_1hop"))
+    c2 = n2x.groupBy("seed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_2hop_new")
+    )
+    return (
+        seeds.join(c1, "seed", "left")
+        .join(c2, "seed", "left")
+        .select(
+            "seed",
+            F.coalesce(F.col("n_1hop"), F.lit(0)).cast("long").alias("n_1hop"),
+            F.coalesce(F.col("n_2hop_new"), F.lit(0))
+            .cast("long")
+            .alias("n_2hop_new"),
+            (
+                F.lit(1)
+                + F.coalesce(F.col("n_1hop"), F.lit(0))
+                + F.coalesce(F.col("n_2hop_new"), F.lit(0))
+            )
+            .cast("long")
+            .alias("reach"),
+        )
+        .orderBy("seed")
+    )
