@@ -137,6 +137,9 @@ _PRIORITY: tuple[str, ...] = (
     "q324_hits",
     "q331_wl_refinement",
     "q333_khop_reach",
+    "q326_position_attribution",
+    "q330_js_divergence",
+    "q327_dp_noisy_counts",
     # (q254/s22/q255-q298 are the round-7 session-2 remainder, never
     # driver-witnessed; then the stalest r1-r3-era names oldest-first)
     "q254_randomization_test",

@@ -2656,3 +2656,116 @@ def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("support") >= _Q273_TRI_SUP)
         .orderBy(F.col("support").desc(), "a", "b", "c")
     )
+
+
+# ---------------------------------------------------------------------------
+# q326: U-shaped (position-based) multi-touch attribution (round 8)
+# ---------------------------------------------------------------------------
+
+# q183 assigns each conversion to its LAST touch; the position-based
+# model is the standard multi-touch alternative (40% first touch, 40%
+# last, 20% split across the middle — the "U-shaped" credit curve of
+# marketing analytics).  Touches are the user's view/click events in
+# the 7 days before the purchase: the same bounded-interval range join
+# as q17 (equi on user_id, time residual), and the position ranks are
+# per-purchase windows whose frame is bounded by one user's 7-day
+# touch volume — never corpus-sized.
+_Q326_WINDOW_US = 7 * 86_400_000_000
+
+_Q326_SQL = f"""
+WITH p AS (
+  SELECT event_id AS pid, user_id, epoch_us(ts) AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT event_id AS tid, user_id, event_type AS ch, epoch_us(ts) AS tts
+  FROM events WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT p.pid, t.ch, t.tid, t.tts
+  FROM p JOIN t ON t.user_id = p.user_id
+   AND t.tts < p.pts AND t.tts >= p.pts - {_Q326_WINDOW_US}
+),
+r AS (
+  SELECT pid, ch,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tts, tid) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tts DESC, tid DESC)
+           AS rd,
+         COUNT(*) OVER (PARTITION BY pid) AS n
+  FROM j
+),
+c AS (
+  SELECT pid, ch,
+         CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+              WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+              WHEN ra = 1 OR rd = 1 THEN CAST(0.4 AS DOUBLE)
+              ELSE CAST(0.2 AS DOUBLE) / (n - 2) END AS credit
+  FROM r
+)
+SELECT ch AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_assisted,
+       ROUND(SUM(credit), 4) AS credit
+FROM c GROUP BY ch ORDER BY ch
+"""
+
+
+@register(
+    "q326_position_attribution",
+    _Q326_SQL,
+    doc=(
+        "U-shaped (position-based) multi-touch attribution — q183's "
+        "last-touch model upgraded to the standard 40/20/40 credit "
+        "curve: each purchase's view/click touches in the prior 7 "
+        "days share 1.0 credit (single touch takes all, first and "
+        "last take 0.4 each, middles split 0.2).  One bounded-"
+        "interval range join (q17 shape: user_id equi key + time "
+        "residual) + per-purchase position windows (frame bounded by "
+        "one user's 7-day activity); credits are exact-int CASE "
+        "ratios so both engines sum identical doubles (4dp).  Per "
+        "purchase the credits sum to exactly 1, making the channel "
+        "totals a conversion decomposition"
+    ),
+    tables=("events",),
+)
+def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts_us").alias("pts"),
+    )
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.col("event_type").alias("ch"),
+        F.col("ts_us").alias("tts"),
+    )
+    j = p.join(t, "user_id").where(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - _Q326_WINDOW_US)
+    )
+    wp = Window.partitionBy("pid")
+    ra = F.row_number().over(wp.orderBy("tts", "tid"))
+    rd = F.row_number().over(wp.orderBy(F.desc("tts"), F.desc("tid")))
+    n = F.count(F.lit(1)).over(wp)
+    r = j.select(
+        "pid", "ch", ra.alias("ra"), rd.alias("rd"), n.alias("n")
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("ra") == 1) | (F.col("rd") == 1), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        r.select("pid", "ch", credit.alias("credit"))
+        .groupBy(F.col("ch").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.countDistinct("pid").cast("long").alias("n_assisted"),
+            F.round(F.sum("credit"), 4).alias("credit"),
+        )
+        .orderBy("channel")
+    )

@@ -512,3 +512,96 @@ def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("n_over_t"),
         F.round(F.avg(ratio), 6).alias("mean_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q327: differentially-private noisy counts with SEEDED Laplace noise
+# ---------------------------------------------------------------------------
+
+# The release mechanism the privacy triptych (q304 k-anonymity, q309
+# l-diversity, q313 t-closeness) audits FOR: epsilon-DP counts by the
+# Laplace mechanism (Dwork et al. 2006; per-type COUNT has L1
+# sensitivity 1, so scale b = 1/eps).  The noise draw must be
+# deterministic to be oracle-checkable, so the uniform comes from the
+# portable char-hash of the key re-mixed through the Knuth bucket
+# (u in (0,1), never exactly 0 or 1), and the Laplace deviate is the
+# closed-form inverse CDF -b*sign(u-1/2)*ln(1-2|u-1/2|).  In
+# production the hash input would be (key, release_id, secret salt) —
+# same plan, secret seed; everything downstream of the COUNT is
+# per-key scalar arithmetic on exact integers, so both engines see
+# bit-identical doubles.
+_Q327_EPS = 1.0
+
+_Q327_CHARHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(event_type, ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, x) -> (acc * 31 + x) % 1000000007)"
+)
+
+_Q327_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM events GROUP BY 1
+),
+h AS (
+  SELECT event_type, n_true,
+         ((({_Q327_CHARHASH} % 2147483648) * 2654435761) % 1000000007) AS b
+  FROM c
+),
+u AS (
+  SELECT event_type, n_true,
+         (b + 1) * 1.0 / 1000000008 - CAST(0.5 AS DOUBLE) AS t
+  FROM h
+)
+SELECT event_type, n_true,
+       CAST({_Q327_EPS} AS DOUBLE) AS epsilon,
+       ROUND(-SIGN(t) * LN(1 - 2 * ABS(t)) / {_Q327_EPS}, 4) AS noise,
+       ROUND(n_true - SIGN(t) * LN(1 - 2 * ABS(t)) / {_Q327_EPS}, 4)
+         AS n_noisy
+FROM u ORDER BY event_type
+"""
+
+
+@register(
+    "q327_dp_noisy_counts",
+    _Q327_SQL,
+    doc=(
+        "epsilon-differentially-private per-type counts by the "
+        "Laplace mechanism (Dwork et al. 2006; COUNT sensitivity 1, "
+        f"b = 1/eps, eps = {_Q327_EPS}) — the release mechanism the "
+        "q304/q309/q313 privacy audits gate: the noise deviate is the "
+        "closed-form Laplace inverse CDF over a DETERMINISTIC uniform "
+        "(portable char-hash of the key re-mixed through the Knuth "
+        "bucket — in production the hash input gains a secret salt; "
+        "the plan is unchanged), so the mechanism is oracle-"
+        "checkable.  One keyed aggregate + per-key scalar arithmetic "
+        "on exact integers; the audit reports true count, noise, and "
+        "release side by side"
+    ),
+    tables=("events",),
+)
+def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.dedup import char_hash
+    from osm_changesets_to_parquet_spark.operators.quality import (
+        hash_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    b = hash_bucket(char_hash(F.col("event_type")), 1_000_000_007)
+    t = (b + 1) * F.lit(1.0) / F.lit(1_000_000_008) - F.lit(0.5)
+    lap = (
+        -F.signum(t)
+        * F.log(F.lit(1) - F.lit(2) * F.abs(t))
+        / F.lit(_Q327_EPS)
+    )
+    return c.select(
+        "event_type",
+        "n_true",
+        F.lit(float(_Q327_EPS)).alias("epsilon"),
+        F.round(lap, 4).alias("noise"),
+        F.round(F.col("n_true") + lap, 4).alias("n_noisy"),
+    ).orderBy("event_type")

@@ -2822,3 +2822,120 @@ def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (ocov * F.col("wnum") < 0).alias("reversal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q330: Jensen-Shannon divergence matrix between source language mixes
+# ---------------------------------------------------------------------------
+
+# The symmetric, bounded (0..1 bit) distribution distance — the drift
+# family's categorical member: q223's KS needs an ordered domain,
+# q192's EMD a metric one, q120's PSI blows up on empty bins; JSD
+# (Lin 1991) is finite for ANY pair of categorical mixes, which is
+# why dataset cards report it.  Every probability is an exact
+# BIGINT/BIGINT ratio, absent cells contribute exactly 0 (the
+# CASE-guarded p*log2(2p/(p+q)) terms), and the per-pair sum runs
+# over |langs| terms only (6dp absorbs the sub-ulp add-order drift).
+_Q330_SQL = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY source),
+pairs AS (
+  SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+  FROM n a JOIN n b ON a.source < b.source
+),
+langs AS (SELECT DISTINCT lang FROM documents),
+terms AS (
+  SELECT p.sa, p.sb, p.na, p.nb,
+         COALESCE(ca.c, 0) * 1.0 / p.na AS pp,
+         COALESCE(cb.c, 0) * 1.0 / p.nb AS qq
+  FROM pairs p CROSS JOIN langs l
+  LEFT JOIN c ca ON ca.source = p.sa AND ca.lang = l.lang
+  LEFT JOIN c cb ON cb.source = p.sb AND cb.lang = l.lang
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+       ROUND(SUM(
+         CASE WHEN pp > 0
+              THEN CAST(0.5 AS DOUBLE) * pp * log2(2 * pp / (pp + qq))
+              ELSE CAST(0 AS DOUBLE) END
+         + CASE WHEN qq > 0
+                THEN CAST(0.5 AS DOUBLE) * qq * log2(2 * qq / (pp + qq))
+                ELSE CAST(0 AS DOUBLE) END
+       ), 6) AS jsd_bits
+FROM terms GROUP BY sa, sb ORDER BY sa, sb
+"""
+
+
+@register(
+    "q330_js_divergence",
+    _Q330_SQL,
+    doc=(
+        "Jensen-Shannon divergence (Lin 1991, bits) between every "
+        "source pair's language distribution — the categorical member "
+        "of the drift family (q223 KS needs an ordered domain, q192 "
+        "EMD a metric one, q120 PSI diverges on empty bins; JSD is "
+        "symmetric, finite, bounded by 1 bit for ANY mix pair): one "
+        "(source, lang) rollup feeds per-source totals, the "
+        "|sources|^2 pair frame crosses the |langs| domain (both "
+        "broadcast-sized — the corpus is reduced before any pair "
+        "logic), probabilities are exact BIGINT ratios, absent cells "
+        "contribute exactly 0"
+    ),
+    tables=("documents",),
+)
+def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = truncate_lineage(
+        docs.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+    )
+    n = c.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    a = n.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    b = n.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    pairs = a.join(b, F.col("sa") < F.col("sb"))
+    langs = docs.select("lang").distinct()
+    ca = c.select(
+        F.col("source").alias("sa"), "lang", F.col("c").alias("cca")
+    )
+    cb = c.select(
+        F.col("source").alias("sb"), "lang", F.col("c").alias("ccb")
+    )
+    grid = (
+        pairs.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(ca), ["sa", "lang"], "left")
+        .join(F.broadcast(cb), ["sb", "lang"], "left")
+    )
+    pp = F.coalesce(F.col("cca"), F.lit(0)) * F.lit(1.0) / F.col("na")
+    qq = F.coalesce(F.col("ccb"), F.lit(0)) * F.lit(1.0) / F.col("nb")
+    t = grid.select(
+        "sa", "sb", "na", "nb", pp.alias("pp"), qq.alias("qq")
+    )
+    term = F.when(
+        F.col("pp") > 0,
+        F.lit(0.5)
+        * F.col("pp")
+        * F.log2(F.lit(2) * F.col("pp") / (F.col("pp") + F.col("qq"))),
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("qq") > 0,
+        F.lit(0.5)
+        * F.col("qq")
+        * F.log2(F.lit(2) * F.col("qq") / (F.col("pp") + F.col("qq"))),
+    ).otherwise(F.lit(0.0))
+    return (
+        t.select("sa", "sb", "na", "nb", term.alias("term"))
+        .groupBy(F.col("sa").alias("source_a"), F.col("sb").alias("source_b"))
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            F.round(F.sum("term"), 6).alias("jsd_bits"),
+        )
+        .orderBy("source_a", "source_b")
+    )

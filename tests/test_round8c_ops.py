@@ -113,3 +113,94 @@ def test_q333_khop_brute_force(spark, sf_dir):
         assert rec.n_1hop == len(n1)
         assert rec.n_2hop_new == len(n2)
         assert rec.reach == 1 + len(n1) + len(n2)
+
+
+def test_q326_credit_decomposition(spark, sf_dir):
+    out = Q.REGISTRY["q326_position_attribution"].fn(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    win = 7 * 86_400_000_000
+    p = ev[ev.event_type == "purchase"]
+    t = ev[ev.event_type.isin(["view", "click"])]
+    by_user = dict(tuple(t.groupby("user_id")))
+    n_assisted, credit = collections.Counter(), collections.Counter()
+    touches = collections.Counter()
+    for r in p.itertuples():
+        g = by_user.get(r.user_id)
+        if g is None:
+            continue
+        tt = g[(g.ts_us < r.ts_us) & (g.ts_us >= r.ts_us - win)].sort_values(
+            ["ts_us", "event_id"]
+        )
+        n = len(tt)
+        if n == 0:
+            continue
+        chans = list(tt.event_type)
+        for i, ch in enumerate(chans):
+            touches[ch] += 1
+            if n == 1:
+                credit[ch] += 1.0
+            elif n == 2:
+                credit[ch] += 0.5
+            elif i == 0 or i == n - 1:
+                credit[ch] += 0.4
+            else:
+                credit[ch] += 0.2 / (n - 2)
+        for ch in set(chans):
+            n_assisted[ch] += 1
+    got = {r.channel: r for r in out.itertuples()}
+    assert set(got) == set(credit)
+    for ch in credit:
+        assert got[ch].n_touches == touches[ch]
+        assert got[ch].n_assisted == n_assisted[ch]
+        assert abs(got[ch].credit - credit[ch]) < 1e-3
+    # credits decompose conversions: channel totals sum to the
+    # attributed-purchase credit mass (each purchase contributes 1.0)
+    total = sum(credit.values())
+    assert abs(sum(r.credit for r in out.itertuples()) - total) < 1e-3
+
+
+def test_q330_jsd_bounds_and_brute_force(spark, sf_dir):
+    import math
+
+    out = Q.REGISTRY["q330_js_divergence"].fn(spark, sf_dir).toPandas()
+    d = load_table(spark, sf_dir, "documents").toPandas()
+    counts = d.groupby(["source", "lang"]).size()
+    totals = d.groupby("source").size()
+    sources = sorted(totals.index)
+    langs = sorted(d.lang.unique())
+    exp = {}
+    for i, sa in enumerate(sources):
+        for sb in sources[i + 1 :]:
+            jsd = 0.0
+            for lg in langs:
+                pp = counts.get((sa, lg), 0) / totals[sa]
+                qq = counts.get((sb, lg), 0) / totals[sb]
+                if pp > 0:
+                    jsd += 0.5 * pp * math.log2(2 * pp / (pp + qq))
+                if qq > 0:
+                    jsd += 0.5 * qq * math.log2(2 * qq / (pp + qq))
+            exp[(sa, sb)] = jsd
+    assert len(out) == len(exp)
+    for r in out.itertuples():
+        assert 0.0 <= r.jsd_bits <= 1.0  # JSD in bits is bounded by 1
+        assert abs(r.jsd_bits - exp[(r.source_a, r.source_b)]) < 1e-5
+
+
+def test_q327_laplace_inverse_cdf(spark, sf_dir):
+    import math
+
+    out = Q.REGISTRY["q327_dp_noisy_counts"].fn(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    true_counts = ev.groupby("event_type").size()
+    mod = 1_000_000_007
+    for r in out.itertuples():
+        h = 0
+        for ch in r.event_type:
+            h = (h * 31 + ord(ch)) % mod
+        b = ((h % ID_FOLD) * KNUTH) % mod
+        t = (b + 1) / 1_000_000_008 - 0.5
+        noise = -math.copysign(1, t) * math.log(1 - 2 * abs(t)) if t != 0 else 0.0
+        assert r.n_true == true_counts[r.event_type]
+        assert abs(r.noise - noise) < 1e-3
+        assert abs(r.n_noisy - (r.n_true + noise)) < 1e-3
+        assert r.epsilon == 1.0
