@@ -140,6 +140,11 @@ _PRIORITY: tuple[str, ...] = (
     "q326_position_attribution",
     "q330_js_divergence",
     "q327_dp_noisy_counts",
+    "q325_fellegi_sunter",
+    "q328_empirical_bayes",
+    "q329_uplift_qini",
+    "q332_lm_holdout",
+    "m55_audio_vad",
     # (q254/s22/q255-q298 are the round-7 session-2 remainder, never
     # driver-witnessed; then the stalest r1-r3-era names oldest-first)
     "q254_randomization_test",

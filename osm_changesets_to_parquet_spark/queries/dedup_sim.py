@@ -1672,3 +1672,208 @@ def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q325: Fellegi-Sunter record-linkage weight estimation (round 8)
+# ---------------------------------------------------------------------------
+
+# The probabilistic entity-resolution model (Fellegi & Sunter 1969)
+# behind every production linker (Splink et al.): per comparison field
+# k, estimate m_k = P(agree | match) and u_k = P(agree | non-match)
+# and report the log2 agreement/disagreement weights that score
+# candidate pairs.  The linkage fixture is the standard synthetic-
+# corruption setup: file B is the customer table with DETERMINISTIC
+# hash-bucketed field corruptions (10% names, 20% segments, 10%
+# balances), so ground truth is the shared key and the true m vector
+# is known by construction (~0.9/0.8/0.9 — the audit's honest
+# answer).  Blocking on nation bounds candidate generation to
+# within-block pairs (the quadratic-in-block-size cost every linker
+# pays; q174 sorted-neighborhood is the documented alternative when
+# blocks skew); the pair stream reduces to ONE aggregation row of
+# integer agreement counts — map-side combinable, nothing pair-sized
+# is ever shuffled.  m/u are clamped to [0.001, 0.999] before the
+# log-odds (the Laplace-floor that keeps weights finite when a field
+# never agrees on non-matches, e.g. unique names).
+_Q325_CLAMP_LO = 0.001
+_Q325_CLAMP_HI = 0.999
+
+_Q325_B = "(((c_custkey % 2147483648) * 2654435761) % 100)"
+
+_Q325_FILES = f"""
+a AS (
+  SELECT c_custkey AS key, c_nationkey AS nat, c_name AS name,
+         c_mktsegment AS seg,
+         CAST(FLOOR((CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+              / 10000.0) AS BIGINT) AS balb
+  FROM customer
+),
+b AS (
+  SELECT c_custkey AS key, c_nationkey AS nat,
+         CASE WHEN {_Q325_B} < 10 THEN c_name || 'X' ELSE c_name END AS name,
+         CASE WHEN {_Q325_B} >= 10 AND {_Q325_B} < 30
+              THEN '__CORRUPT__' ELSE c_mktsegment END AS seg,
+         CAST(FLOOR((CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+              + CASE WHEN {_Q325_B} >= 30 AND {_Q325_B} < 40
+                     THEN 3700 ELSE 0 END) / 10000.0) AS BIGINT) AS balb
+  FROM customer
+)
+"""
+
+_Q325_SQL = f"""
+WITH {_Q325_FILES},
+pairs AS (
+  SELECT CAST(a.key = b.key AS BIGINT) AS mt,
+         CAST(a.name = b.name AS BIGINT) AS g1,
+         CAST(a.seg = b.seg AS BIGINT) AS g2,
+         CAST(a.balb = b.balb AS BIGINT) AS g3
+  FROM a JOIN b ON a.nat = b.nat
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+         CAST(SUM(mt) AS BIGINT) AS n_match,
+         CAST(SUM(mt * g1) AS BIGINT) AS m1, CAST(SUM((1 - mt) * g1) AS BIGINT) AS u1,
+         CAST(SUM(mt * g2) AS BIGINT) AS m2, CAST(SUM((1 - mt) * g2) AS BIGINT) AS u2,
+         CAST(SUM(mt * g3) AS BIGINT) AS m3, CAST(SUM((1 - mt) * g3) AS BIGINT) AS u3
+  FROM pairs
+),
+w AS (
+  SELECT field, n_cand, n_match,
+         LEAST(GREATEST(ma * 1.0 / n_match, {_Q325_CLAMP_LO}),
+               {_Q325_CLAMP_HI}) AS m,
+         LEAST(GREATEST(ua * 1.0 / (n_cand - n_match), {_Q325_CLAMP_LO}),
+               {_Q325_CLAMP_HI}) AS u
+  FROM (
+    SELECT 'name' AS field, n_cand, n_match, m1 AS ma, u1 AS ua FROM s
+    UNION ALL
+    SELECT 'segment', n_cand, n_match, m2, u2 FROM s
+    UNION ALL
+    SELECT 'balance', n_cand, n_match, m3, u3 FROM s
+  )
+)
+SELECT field, n_cand, n_match,
+       ROUND(m, 4) AS m, ROUND(u, 4) AS u,
+       ROUND(log2(m / u), 4) AS w_agree,
+       ROUND(log2((1 - m) / (1 - u)), 4) AS w_disagree
+FROM w ORDER BY field
+"""
+
+
+@register(
+    "q325_fellegi_sunter",
+    _Q325_SQL,
+    doc=(
+        "Fellegi-Sunter record-linkage weight estimation (1969 — the "
+        "probabilistic ER model behind Splink-style production "
+        "linkers): m/u probabilities and log2 agreement/disagreement "
+        "weights for three comparison fields (name, segment, balance-"
+        "hundreds), estimated from nation-blocked candidate pairs of "
+        "the customer file against its deterministically hash-"
+        "corrupted twin (10%/20%/10% field corruption — truth is the "
+        "shared key, so the honest m vector is ~0.9/0.8/0.9 by "
+        "construction and u reflects within-block chance agreement).  "
+        "The within-block pair stream collapses to ONE integer "
+        "agreement-count row (map-side combinable — nothing pair-"
+        "sized shuffles); probabilities are clamped to [0.001, 0.999] "
+        "before the log-odds so a never-agreeing field (unique names) "
+        "keeps finite weights"
+    ),
+    tables=("customer",),
+)
+def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    bkt = hash_bucket("c_custkey", 100)
+    a = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(cents / F.lit(10000.0)).cast("long").alias("balb"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_nationkey").alias("nat"),
+        F.when(bkt < 10, F.concat(F.col("c_name"), F.lit("X")))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when((bkt >= 10) & (bkt < 30), F.lit("__CORRUPT__"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.floor(
+            (
+                cents
+                + F.when((bkt >= 30) & (bkt < 40), F.lit(3700)).otherwise(
+                    F.lit(0)
+                )
+            )
+            / F.lit(10000.0)
+        )
+        .cast("long")
+        .alias("balb"),
+    )
+    pa = a.alias("a")
+    pb = b.alias("b")
+    pairs = pa.join(pb, F.col("a.nat") == F.col("b.nat")).select(
+        (F.col("a.key") == F.col("b.key")).cast("long").alias("mt"),
+        (F.col("a.name") == F.col("b.name")).cast("long").alias("g1"),
+        (F.col("a.seg") == F.col("b.seg")).cast("long").alias("g2"),
+        (F.col("a.balb") == F.col("b.balb")).cast("long").alias("g3"),
+    )
+    s = truncate_lineage(
+        pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_cand"),
+            F.sum("mt").cast("long").alias("n_match"),
+            F.sum(F.col("mt") * F.col("g1")).cast("long").alias("ma1"),
+            F.sum((1 - F.col("mt")) * F.col("g1")).cast("long").alias("ua1"),
+            F.sum(F.col("mt") * F.col("g2")).cast("long").alias("ma2"),
+            F.sum((1 - F.col("mt")) * F.col("g2")).cast("long").alias("ua2"),
+            F.sum(F.col("mt") * F.col("g3")).cast("long").alias("ma3"),
+            F.sum((1 - F.col("mt")) * F.col("g3")).cast("long").alias("ua3"),
+        )
+    )
+    rows = None
+    for field, mc, uc in (
+        ("name", "ma1", "ua1"),
+        ("segment", "ma2", "ua2"),
+        ("balance", "ma3", "ua3"),
+    ):
+        r = s.select(
+            F.lit(field).alias("field"),
+            "n_cand",
+            "n_match",
+            F.col(mc).alias("ma"),
+            F.col(uc).alias("ua"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    m = F.least(
+        F.greatest(
+            F.col("ma") * F.lit(1.0) / F.col("n_match"),
+            F.lit(_Q325_CLAMP_LO),
+        ),
+        F.lit(_Q325_CLAMP_HI),
+    )
+    u = F.least(
+        F.greatest(
+            F.col("ua") * F.lit(1.0) / (F.col("n_cand") - F.col("n_match")),
+            F.lit(_Q325_CLAMP_LO),
+        ),
+        F.lit(_Q325_CLAMP_HI),
+    )
+    w = rows.select("field", "n_cand", "n_match", m.alias("m"), u.alias("u"))
+    return w.select(
+        "field",
+        "n_cand",
+        "n_match",
+        F.round("m", 4).alias("m"),
+        F.round("u", 4).alias("u"),
+        F.round(F.log2(F.col("m") / F.col("u")), 4).alias("w_agree"),
+        F.round(
+            F.log2((F.lit(1) - F.col("m")) / (F.lit(1) - F.col("u"))), 4
+        ).alias("w_disagree"),
+    ).orderBy("field")

@@ -5716,3 +5716,339 @@ def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# q328: empirical-Bayes (beta-binomial) shrinkage of per-user rates
+# ---------------------------------------------------------------------------
+
+# James-Stein-style partial pooling, the standard cure for "the best
+# item is the one with 1/1 successes": fit Beta(alpha, beta) to the
+# population of per-user purchase proportions by method of moments
+# (Morris 1983 lineage; the baseball-batting-average classic), then
+# report each user's posterior-mean rate (x + alpha)/(n + alpha +
+# beta).  The fit is two float power sums over the per-user rollup
+# (map-side combinable; the add-order drift is absorbed by 4dp on
+# alpha/beta and 6dp on rates), everything else is exact-integer
+# arithmetic.  Output is a deterministic 5% hash panel of users — a
+# float-ranked top-k would make the row SET ulp-sensitive.
+_Q328_MIN_N = 5
+_Q328_PANEL = 5
+
+_Q328_SQL = f"""
+WITH u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+f AS (SELECT x * 1.0 / n AS p FROM u WHERE n >= {_Q328_MIN_N}),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nu, SUM(p) AS s1, SUM(p * p) AS s2
+  FROM f
+),
+ab AS (
+  SELECT nu, s1 / nu AS pbar,
+         (s2 - s1 * s1 / nu) / (nu - 1) AS v
+  FROM mo
+),
+ab2 AS (
+  SELECT nu, pbar,
+         pbar * (pbar * (1 - pbar) / NULLIF(v, 0.0) - 1) AS alpha,
+         (1 - pbar) * (pbar * (1 - pbar) / NULLIF(v, 0.0) - 1) AS beta
+  FROM ab
+)
+SELECT u.user_id, u.n, u.x,
+       ROUND(u.x * 1.0 / u.n, 6) AS raw_rate,
+       ROUND((u.x + alpha) / (u.n + alpha + beta), 6) AS shrunk_rate,
+       ROUND(alpha, 4) AS alpha, ROUND(beta, 4) AS beta
+FROM u CROSS JOIN ab2
+WHERE ((u.user_id % 2147483648) * 2654435761) % 100 < {_Q328_PANEL}
+ORDER BY u.user_id
+"""
+
+
+@register(
+    "q328_empirical_bayes",
+    _Q328_SQL,
+    doc=(
+        "empirical-Bayes beta-binomial shrinkage of per-user purchase "
+        "rates (method-of-moments Beta fit over the population of "
+        "proportions, posterior-mean rate (x+a)/(n+a+b) — the "
+        "partial-pooling cure for small-n rate rankings): one keyed "
+        "per-user rollup feeds a two-float-power-sum moment frame "
+        "(map-side combinable; 4dp absorbs add-order drift), the "
+        "1-row (alpha, beta) frame broadcasts back over a "
+        f"deterministic {_Q328_PANEL}% hash panel (never a float-"
+        "ranked top-k — the row SET would be ulp-sensitive), zero "
+        "variance NULLIF-guarded.  Honest fixture answer: alpha~13, "
+        "beta~54 — heavy shrinkage, because per-user n~40 barely "
+        "outweighs the tight population prior"
+    ),
+    tables=("events",),
+)
+def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    u = truncate_lineage(
+        ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    p = F.col("x") * F.lit(1.0) / F.col("n")
+    mo = u.where(F.col("n") >= _Q328_MIN_N).agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum(p).alias("s1"),
+        F.sum(p * p).alias("s2"),
+    )
+    pbar = F.col("s1") / F.col("nu")
+    v = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nu")) / (
+        F.col("nu") - 1
+    )
+    k = pbar * (1 - pbar) / F.nullif(v, F.lit(0.0)) - 1
+    ab = mo.select(
+        (pbar * k).alias("alpha"), ((1 - pbar) * k).alias("beta")
+    )
+    return (
+        u.where(hash_bucket("user_id", 100) < _Q328_PANEL)
+        .crossJoin(F.broadcast(ab))
+        .select(
+            "user_id",
+            "n",
+            "x",
+            F.round(F.col("x") * F.lit(1.0) / F.col("n"), 6).alias(
+                "raw_rate"
+            ),
+            F.round(
+                (F.col("x") + F.col("alpha"))
+                / (F.col("n") + F.col("alpha") + F.col("beta")),
+                6,
+            ).alias("shrunk_rate"),
+            F.round("alpha", 4).alias("alpha"),
+            F.round("beta", 4).alias("beta"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q329: uplift deciles + Qini curve (round 8)
+# ---------------------------------------------------------------------------
+
+# The heterogeneous-treatment-effect readout (Radcliffe 2007's Qini)
+# that completes the experimentation family: q173 reads the average
+# effect, q282 its quantiles, q283 reduces variance — this ranks the
+# POPULATION by a pre-treatment score and asks where the effect
+# concentrates (who to target).  Units are users, arms the shared
+# id-hash authority (q173's spelling), score the user's pre-period
+# (first 14 days) activity count, outcome any post-period purchase.
+# Score deciles are assigned VALUE-DOMAIN-wise (per-count cumulative
+# shares -> decile of the count value, the q137/q312 discipline) so no
+# per-user global window exists; the Qini cumulative runs over the
+# 10-row decile frame.  All counts are exact integers; the only
+# doubles are final per-decile ratios of integers.
+_Q329_SPLIT_DAY = 14
+
+_Q329_SQL = f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         event_type
+  FROM events
+),
+pre AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS pc
+  FROM e WHERE d < {_Q329_SPLIT_DAY} GROUP BY user_id
+),
+outc AS (
+  SELECT user_id, 1 AS y FROM e
+  WHERE d >= {_Q329_SPLIT_DAY} AND event_type = 'purchase'
+  GROUP BY user_id
+),
+users AS (
+  SELECT p.user_id, p.pc,
+         CASE WHEN ((p.user_id % 2147483648) * 2654435761) % 100 >= 50
+              THEN 1 ELSE 0 END AS treat,
+         COALESCE(o.y, 0) AS y
+  FROM pre p LEFT JOIN outc o ON o.user_id = p.user_id
+),
+vc AS (SELECT pc, CAST(COUNT(*) AS BIGINT) AS c FROM users GROUP BY pc),
+vb AS (
+  SELECT pc,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY pc
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cb,
+         CAST((SELECT SUM(c) FROM vc) AS BIGINT) AS nt
+  FROM vc
+),
+dc AS (
+  SELECT pc,
+         LEAST(CAST(FLOOR(cb * 10.0 / nt) AS BIGINT), 9) AS decile
+  FROM vb
+),
+g AS (
+  SELECT d.decile, u.treat,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(u.y) AS BIGINT) AS conv
+  FROM users u JOIN dc d ON d.pc = u.pc
+  GROUP BY d.decile, u.treat
+),
+w AS (
+  SELECT decile,
+         CAST(SUM(CASE WHEN treat = 1 THEN n ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN treat = 0 THEN n ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN treat = 1 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_t,
+         CAST(SUM(CASE WHEN treat = 0 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_c
+  FROM g GROUP BY decile
+),
+cum AS (
+  SELECT decile, n_t, n_c, conv_t, conv_c,
+         CAST(SUM(n_t) OVER (ORDER BY decile DESC) AS BIGINT) AS cnt,
+         CAST(SUM(n_c) OVER (ORDER BY decile DESC) AS BIGINT) AS cnc,
+         CAST(SUM(conv_t) OVER (ORDER BY decile DESC) AS BIGINT) AS cct,
+         CAST(SUM(conv_c) OVER (ORDER BY decile DESC) AS BIGINT) AS ccc
+  FROM w
+)
+SELECT decile, n_t, n_c, conv_t, conv_c,
+       ROUND(conv_t * 1.0 / NULLIF(n_t, 0)
+             - conv_c * 1.0 / NULLIF(n_c, 0), 6) AS uplift,
+       ROUND(cct - ccc * 1.0 * cnt / NULLIF(cnc, 0), 4) AS qini
+FROM cum ORDER BY decile DESC
+"""
+
+
+@register(
+    "q329_uplift_qini",
+    _Q329_SQL,
+    doc=(
+        "uplift deciles + Qini curve (Radcliffe 2007) — where does "
+        "the treatment effect concentrate: users score by pre-period "
+        "(first 14 days) activity, arms come from the shared id-hash "
+        "authority (q173), outcome is any post-period purchase; per "
+        "score-ranked decile the incremental conversions qini_k = "
+        "cum_conv_t - cum_conv_c * cum_n_t/cum_n_c.  Deciles are "
+        "assigned value-domain-wise (per-count cumulative shares -> "
+        "decile of the COUNT VALUE, the q137/q312 discipline — no "
+        "per-user global window anywhere), the Qini cumulative runs "
+        "over the 10-row decile frame, and every cell is an exact "
+        "integer until the final ratios.  Honest fixture answer: "
+        "uplift ~ 0 everywhere (arms share one generator)"
+    ),
+    tables=("events",),
+)
+def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        "event_type",
+    )
+    pre = (
+        e.where(F.col("d") < _Q329_SPLIT_DAY)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("pc"))
+    )
+    outc = (
+        e.where(
+            (F.col("d") >= _Q329_SPLIT_DAY)
+            & (F.col("event_type") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(F.lit(1).alias("y"))
+    )
+    users = truncate_lineage(
+        pre.join(outc, "user_id", "left").select(
+            "user_id",
+            "pc",
+            F.when(hash_bucket("user_id", 100) >= 50, 1)
+            .otherwise(0)
+            .alias("treat"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    vc = users.groupBy("pc").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wv = Window.orderBy("pc").rowsBetween(Window.unboundedPreceding, -1)
+    nt = vc.agg(F.sum("c").cast("long").alias("nt"))
+    vb = vc.select(
+        "pc",
+        F.coalesce(F.sum("c").over(wv), F.lit(0)).cast("long").alias("cb"),
+    ).crossJoin(F.broadcast(nt))
+    dc = vb.select(
+        "pc",
+        F.least(
+            F.floor(F.col("cb") * F.lit(10.0) / F.col("nt")).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("decile"),
+    )
+    g = (
+        users.join(F.broadcast(dc), "pc")
+        .groupBy("decile", "treat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("conv"),
+        )
+    )
+    w = g.groupBy("decile").agg(
+        F.sum(F.when(F.col("treat") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.when(F.col("treat") == 0, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("treat") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_t"),
+        F.sum(F.when(F.col("treat") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_c"),
+    )
+    wc = Window.orderBy(F.desc("decile")).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = w.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.sum("n_t").over(wc).cast("long").alias("cnt"),
+        F.sum("n_c").over(wc).cast("long").alias("cnc"),
+        F.sum("conv_t").over(wc).cast("long").alias("cct"),
+        F.sum("conv_c").over(wc).cast("long").alias("ccc"),
+    )
+    return cum.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.round(
+            F.col("conv_t") * F.lit(1.0) / F.nullif(F.col("n_t"), F.lit(0))
+            - F.col("conv_c") * F.lit(1.0) / F.nullif(F.col("n_c"), F.lit(0)),
+            6,
+        ).alias("uplift"),
+        F.round(
+            F.col("cct")
+            - F.col("ccc")
+            * F.lit(1.0)
+            * F.col("cnt")
+            / F.nullif(F.col("cnc"), F.lit(0)),
+            4,
+        ).alias("qini"),
+    ).orderBy(F.desc("decile"))

@@ -468,3 +468,124 @@ def m54(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# m55: voice-activity-detection segments over stub-decoded audio (round 8)
+# ---------------------------------------------------------------------------
+
+# The VAD / silence-removal shape of audio curation: frame the sample
+# strip (m49's mapInPandas fan-out at 4-sample stride), threshold each
+# frame's mean amplitude at the uint8 midpoint, and resolve maximal
+# runs of consecutive active frames by gaps-and-islands (island id =
+# frame_id - row_number, per-doc windows over the bounded 8-frame
+# set).  Frame means of uint8 samples are exact quarter-integers, so
+# the activity threshold is engine-exact; real decoders stay
+# env-blocked (no soundfile/ffmpeg — SURVEY §9), the Spark-side
+# schema/partition/batch plumbing is the deliverable.
+_M55_FRAMES = 8
+_M55_FRAME_LEN = 4
+_M55_THRESH = 128.0
+
+_M55_SQL = f"""
+WITH fm AS (
+  SELECT d.doc_id, CAST(f.i AS INT) AS frame_id,
+         AVG({_BYTE.format(i='(4*f.i + j.j)')}) AS frame_mean
+  FROM documents d CROSS JOIN range({_M55_FRAMES}) f(i)
+       CROSS JOIN range({_M55_FRAME_LEN}) j(j)
+  WHERE d.text IS NOT NULL
+  GROUP BY d.doc_id, f.i
+),
+sp AS (
+  SELECT doc_id, frame_id,
+         frame_id - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY frame_id) AS isl
+  FROM fm WHERE frame_mean >= {_M55_THRESH}
+),
+runs AS (
+  SELECT doc_id, isl, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM sp GROUP BY doc_id, isl
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(MAX(run_len) AS BIGINT) AS max_run,
+         CAST(SUM(run_len) AS BIGINT) AS n_active
+  FROM runs GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames FROM fm
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_frames,
+       COALESCE(a.n_active, 0) AS n_active,
+       COALESCE(a.n_segments, 0) AS n_segments,
+       COALESCE(a.max_run, 0) AS max_run
+FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register(
+    "m55_audio_vad",
+    _M55_SQL,
+    doc=(
+        "voice-activity detection over the stub audio decode — the "
+        f"silence-removal step of audio curation: {_M55_FRAMES} "
+        f"frames of {_M55_FRAME_LEN} samples from ONE Arrow "
+        "mapInPandas fan-out (the m49 operator at VAD stride), frames "
+        f"active at mean amplitude >= {_M55_THRESH} (exact quarter-"
+        "integer means make the threshold engine-exact), maximal "
+        "active runs resolved by gaps-and-islands per doc (windows "
+        "over the bounded 8-frame set, the q244 island discipline).  "
+        "Real codecs stay env-blocked (SURVEY §9); the plumbing — "
+        "schema, 1:N batch fan-out, run-length logic — is the "
+        "deliverable, hash-matched against the sha256-byte oracle"
+    ),
+    tables=("documents",),
+)
+def m55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    frames = sample_audio_frames(
+        _docs_with_payload(spark, sf_dir, "audio"),
+        _M55_FRAME_LEN,
+        _M55_FRAME_LEN,
+    )
+    sp = frames.where(F.col("frame_mean") >= _M55_THRESH).select(
+        "doc_id",
+        "frame_id",
+        (
+            F.col("frame_id")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("frame_id")
+            )
+        ).alias("isl"),
+    )
+    runs = sp.groupBy("doc_id", "isl").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    agg = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.max("run_len").cast("long").alias("max_run"),
+        F.sum("run_len").cast("long").alias("n_active"),
+    )
+    tot = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
+    )
+    return (
+        tot.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_frames",
+            F.coalesce(F.col("n_active"), F.lit(0))
+            .cast("long")
+            .alias("n_active"),
+            F.coalesce(F.col("n_segments"), F.lit(0))
+            .cast("long")
+            .alias("n_segments"),
+            F.coalesce(F.col("max_run"), F.lit(0))
+            .cast("long")
+            .alias("max_run"),
+        )
+        .orderBy("doc_id")
+    )
