@@ -1291,3 +1291,262 @@ def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seed")
     )
+
+
+# ---------------------------------------------------------------------------
+# q335: TextRank keyword extraction (PageRank over word co-occurrence)
+# ---------------------------------------------------------------------------
+
+# Mihalcea & Tarau (2004): rank vocabulary words by PageRank over the
+# adjacent-token co-occurrence graph — the unsupervised keyword
+# extractor.  Reuses operators/graph.pagerank (the q84 machinery) on
+# symmetric distinct co-occurrence pairs with support >= 2; the
+# oracle unrolls the identical 3 power iterations as chained CTEs
+# over string node ids.  The ranking key is the ROUNDED rank (house
+# q40 discipline: both engines agree to 6dp, so rounding before the
+# ORDER BY removes ulp sensitivity from the row SET) with the word as
+# total tie-break.
+_Q335_K = 20
+_Q335_MIN_CO = 2
+_Q335_D = 0.85
+_Q335_ITERS = 3
+
+_Q335_EDGES = f"""
+tok AS (SELECT string_split(text, ' ') AS tk FROM documents),
+big AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM (SELECT tk, generate_subscripts(tk, 1) AS i FROM tok)
+  WHERE i < len(tk)
+),
+pc AS (
+  SELECT w1, w2 FROM big GROUP BY w1, w2 HAVING COUNT(*) >= {_Q335_MIN_CO}
+),
+e AS (
+  SELECT w1 AS src, w2 AS dst FROM pc
+  UNION
+  SELECT w2 AS src, w1 AS dst FROM pc
+)
+"""
+
+
+def _q335_iter(k: int) -> str:
+    prev = f"r{k - 1}"
+    return f"""r{k} AS (
+  SELECT nd.id,
+         (1 - {_Q335_D}) / (SELECT n FROM nn) + {_Q335_D} * (
+            COALESCE(m.inmass, 0)
+            + (SELECT COALESCE(SUM(rank), 0) FROM {prev} p
+               WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = p.id))
+              / (SELECT n FROM nn)
+         ) AS rank
+  FROM nodes nd
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.rank / o.outdeg) AS inmass
+    FROM e JOIN {prev} p ON e.src = p.id JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst
+  ) m ON m.id = nd.id
+)"""
+
+
+_Q335_SQL = f"""
+WITH {_Q335_EDGES},
+nodes AS (
+  SELECT DISTINCT id
+  FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{", ".join(_q335_iter(k) for k in range(1, _Q335_ITERS + 1))}
+SELECT id AS word, ROUND(rank, 6) AS rank
+FROM r{_Q335_ITERS}
+ORDER BY ROUND(rank, 6) DESC, word LIMIT {_Q335_K}
+"""
+
+
+@register(
+    "q335_textrank_keywords",
+    _Q335_SQL,
+    doc=(
+        "TextRank keyword extraction (Mihalcea & Tarau 2004): "
+        f"PageRank ({_Q335_ITERS} iterations, d={_Q335_D}) over the "
+        "symmetric adjacent-token co-occurrence graph with support "
+        f">= {_Q335_MIN_CO}, top-{_Q335_K} words by rank — the "
+        "text x graph crossover reusing operators/graph.pagerank "
+        "verbatim (per iteration one join of ranks onto out-edges + "
+        "one keyed sum; the co-occurrence rollup shrinks the corpus "
+        "to vocabulary-keyed pairs before any iteration).  The "
+        "ranking key is the ROUNDED rank + word tie-break (q40 "
+        "discipline: 6dp agreement removes ulp sensitivity from the "
+        "row set); oracle = the q84-style statically unrolled "
+        "power-iteration CTE chain over string node ids"
+    ),
+    tables=("documents",),
+)
+def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(F.split("text", " ").alias("tk")).where(
+        F.size("tk") >= 2
+    )
+    big = tk.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.struct(
+                    F.element_at("tk", i).alias("w1"),
+                    F.element_at("tk", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    pc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= _Q335_MIN_CO)
+        .select("w1", "w2")
+    )
+    edges = (
+        pc.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .unionByName(
+            pc.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, n_iters=_Q335_ITERS, damping=_Q335_D)
+    r = F.round("rank", 6)
+    return (
+        ranks.select(F.col("id").alias("word"), r.alias("rank"))
+        .orderBy(F.desc("rank"), "word")
+        .limit(_Q335_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q336: item-item collaborative filtering (co-purchase cosine top-5)
+# ---------------------------------------------------------------------------
+
+# The classic Amazon-style recommender primitive (Sarwar et al. 2001 /
+# Linden et al. 2003): similarity of two items = cosine over their
+# order-incidence vectors = co_count / sqrt(deg_a * deg_b), support
+# >= 2.  Degrees and co-counts are exact integers, the cosine an
+# identical double both engines; the per-item top-5 runs through
+# operators/anchors.per_anchor_topk (local-then-global rank — no
+# reducer ever sees an item's full candidate list, the q179
+# discipline for hub items whose candidate fan is corpus-shaped) on
+# the ROUNDED cosine with the neighbor id as total tie-break.
+_Q336_K = 5
+_Q336_MIN_CO = 2
+
+_Q336_SQL = f"""
+WITH inc AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+deg AS (
+  SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS d
+  FROM inc GROUP BY 1
+),
+co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM inc a JOIN inc b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_Q336_MIN_CO}
+),
+sym AS (
+  SELECT pa AS p, pb AS nbr, c FROM co
+  UNION ALL
+  SELECT pb AS p, pa AS nbr, c FROM co
+),
+scored AS (
+  SELECT s.p, s.nbr, s.c,
+         ROUND(s.c / SQRT(CAST(da.d * db.d AS DOUBLE)), 6) AS cosine
+  FROM sym s JOIN deg da ON da.p = s.p JOIN deg db ON db.p = s.nbr
+),
+rk AS (
+  SELECT p, nbr, c, cosine,
+         ROW_NUMBER() OVER (PARTITION BY p
+                            ORDER BY cosine DESC, nbr) AS rnk
+  FROM scored
+)
+SELECT p, nbr, c AS co_count, cosine, CAST(rnk AS BIGINT) AS rnk
+FROM rk WHERE rnk <= {_Q336_K}
+ORDER BY p, rnk
+"""
+
+
+@register(
+    "q336_item_cf",
+    _Q336_SQL,
+    doc=(
+        "item-item collaborative filtering (Sarwar 2001 / the Amazon "
+        "recommender primitive): per item the top-5 co-purchased "
+        "neighbors by incidence-vector cosine co/sqrt(deg_a*deg_b), "
+        f"support >= {_Q336_MIN_CO} — degrees and co-counts are exact "
+        "integers from ONE incidence rollup, the cosine an identical "
+        "double both engines, ranked on the ROUNDED value with the "
+        "neighbor id as total tie-break, and the per-item top-5 runs "
+        "through operators/anchors.per_anchor_topk so no reducer ever "
+        "materializes a hub item's full candidate fan (the q179 "
+        "two-phase discipline)"
+    ),
+    tables=("lineitem",),
+)
+def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.anchors import (
+        per_anchor_topk,
+    )
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    inc = truncate_lineage(
+        li.select("l_orderkey", "l_partkey").distinct()
+    )
+    deg = inc.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    a = inc.alias("a")
+    b = inc.alias("b")
+    co = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .where(F.col("c") >= _Q336_MIN_CO)
+    )
+    sym = co.select(
+        F.col("pa").alias("p"), F.col("pb").alias("nbr"), "c"
+    ).unionByName(
+        co.select(F.col("pb").alias("p"), F.col("pa").alias("nbr"), "c")
+    )
+    da = deg.select(F.col("p"), F.col("d").alias("da"))
+    db = deg.select(F.col("p").alias("nbr"), F.col("d").alias("db"))
+    scored = (
+        sym.join(da, "p")
+        .join(db, "nbr")
+        .select(
+            "p",
+            "nbr",
+            "c",
+            F.round(
+                F.col("c")
+                / F.sqrt((F.col("da") * F.col("db")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    top = per_anchor_topk(
+        scored,
+        ["p"],
+        [F.desc("cosine"), F.col("nbr")],
+        _Q336_K,
+    )
+    return top.select(
+        "p",
+        "nbr",
+        F.col("c").alias("co_count"),
+        "cosine",
+        F.col("rnk").cast("long").alias("rnk"),
+    ).orderBy("p", "rnk")

@@ -6052,3 +6052,237 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("qini"),
     ).orderBy(F.desc("decile"))
+
+
+# ---------------------------------------------------------------------------
+# q334: two-component Gaussian mixture fit by EM (round 8)
+# ---------------------------------------------------------------------------
+
+# q311's sibling for UNSUPERVISED model fitting: a 1-D two-component
+# GMM over event value cents, 3 EM rounds (Dempster, Laird & Rubin
+# 1977).  The q311 determinism discipline: per-row responsibilities
+# are quantized to INTEGER milli-units before summation, so each
+# M-step consumes order-independent exact-integer sufficient
+# statistics (n, Σrx, Σrx² per component — the complement component's
+# sums derive from the once-computed global Σx/Σx², so each round is
+# ONE 3-integer aggregation); the float surface is the per-round
+# 5-parameter update, spelled with float() casts that mirror the
+# oracle's CAST(.. AS DOUBLE) placement exactly (sums exceed 2^53 at
+# sf0.1, so cast-then-divide vs exact-rational-divide WOULD diverge —
+# the q311 lesson applied where it actually bites).  Init is
+# deterministic from the data: mu = exact lower-quartile cents (value-
+# domain cumulative, the q312 discipline), sigma = population std,
+# w = 1/2.  Integer headroom: Σ rq·x² <= 1e3·(6e4)²·rows — BIGINT-safe
+# to ~2.5e9 rows (~sf1); past that, quantize x to deci-cents.
+# Sigma is floored at 1 cent (GREATEST(var, 1.0) both engines) so a
+# degenerating component cannot produce NaN.
+_Q334_ROUNDS = 3
+_Q334_RQ = 1000
+
+
+def _q334_em_cte(k: int) -> str:
+    prev = f"p{k - 1}"
+    return f"""s{k} AS (
+  SELECT CAST(SUM(rq) AS BIGINT) AS n1,
+         CAST(SUM(rq * c) AS BIGINT) AS sx1,
+         CAST(SUM(rq * c * c) AS BIGINT) AS sxx1
+  FROM (
+    SELECT x.c,
+           CAST(FLOOR(l1 / (l1 + l2) * {_Q334_RQ} + 0.5) AS BIGINT) AS rq
+    FROM (
+      SELECT c,
+             p.w * EXP(-0.5 * ((c - p.mu1) / p.s1) * ((c - p.mu1) / p.s1))
+               / p.s1 AS l1,
+             (1 - p.w) * EXP(-0.5 * ((c - p.mu2) / p.s2)
+                             * ((c - p.mu2) / p.s2)) / p.s2 AS l2
+      FROM x CROSS JOIN {prev} p
+    ) x
+  )
+),
+p{k} AS (
+  SELECT s.n1 * 1.0 / ({_Q334_RQ}.0 * g.n) AS w,
+         CAST(s.sx1 AS DOUBLE) / CAST(s.n1 AS DOUBLE) AS mu1,
+         SQRT(GREATEST(CAST(s.sxx1 AS DOUBLE) / CAST(s.n1 AS DOUBLE)
+              - (CAST(s.sx1 AS DOUBLE) / CAST(s.n1 AS DOUBLE))
+                * (CAST(s.sx1 AS DOUBLE) / CAST(s.n1 AS DOUBLE)),
+              1.0)) AS s1,
+         CAST({_Q334_RQ} * g.sx - s.sx1 AS DOUBLE)
+           / CAST({_Q334_RQ} * g.n - s.n1 AS DOUBLE) AS mu2,
+         SQRT(GREATEST(
+           CAST({_Q334_RQ} * g.sxx - s.sxx1 AS DOUBLE)
+             / CAST({_Q334_RQ} * g.n - s.n1 AS DOUBLE)
+           - (CAST({_Q334_RQ} * g.sx - s.sx1 AS DOUBLE)
+              / CAST({_Q334_RQ} * g.n - s.n1 AS DOUBLE))
+             * (CAST({_Q334_RQ} * g.sx - s.sx1 AS DOUBLE)
+                / CAST({_Q334_RQ} * g.n - s.n1 AS DOUBLE)),
+           1.0)) AS s2,
+         s.n1 AS n1_milli
+  FROM s{k} s CROSS JOIN g
+)"""
+
+
+_Q334_SQL = f"""
+WITH x AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sx,
+         CAST(SUM(c * c) AS BIGINT) AS sxx
+  FROM x
+),
+vals AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM x GROUP BY c),
+cum AS (
+  SELECT c, SUM(cnt) OVER (ORDER BY c) AS cm FROM vals
+),
+qs AS (
+  SELECT (SELECT MIN(c) FROM cum, g
+          WHERE cm >= CAST(CEIL(g.n * 0.25) AS BIGINT)) AS q25,
+         (SELECT MIN(c) FROM cum, g
+          WHERE cm >= CAST(CEIL(g.n * 0.75) AS BIGINT)) AS q75
+),
+p0 AS (
+  SELECT CAST(0.5 AS DOUBLE) AS w,
+         CAST(q25 AS DOUBLE) AS mu1,
+         SQRT((CAST(g.sxx AS DOUBLE)
+               - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE)
+                 / CAST(g.n AS DOUBLE)) / CAST(g.n AS DOUBLE)) AS s1,
+         CAST(q75 AS DOUBLE) AS mu2,
+         SQRT((CAST(g.sxx AS DOUBLE)
+               - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE)
+                 / CAST(g.n AS DOUBLE)) / CAST(g.n AS DOUBLE)) AS s2,
+         CAST(0 AS BIGINT) AS n1_milli
+  FROM qs CROSS JOIN g
+),
+{", ".join(_q334_em_cte(k) for k in range(1, _Q334_ROUNDS + 1))}
+SELECT comp, ROUND(w, 6) AS weight, ROUND(mu / 100, 4) AS mu_dollars,
+       ROUND(sig / 100, 4) AS sigma_dollars, n_milli
+FROM (
+  SELECT 1 AS comp, w, mu1 AS mu, s1 AS sig, n1_milli AS n_milli
+  FROM p{_Q334_ROUNDS}
+  UNION ALL
+  SELECT 2, 1 - w, mu2, s2, (SELECT {_Q334_RQ} * n FROM g) - n1_milli
+  FROM p{_Q334_ROUNDS}
+)
+ORDER BY comp
+"""
+
+
+@register(
+    "q334_gmm_em",
+    _Q334_SQL,
+    doc=(
+        "two-component 1-D Gaussian mixture fit by "
+        f"{_Q334_ROUNDS} EM rounds (Dempster-Laird-Rubin 1977) over "
+        "event value cents — q311's unsupervised sibling: per-row "
+        "responsibilities quantized to integer MILLI-units before "
+        "summation (order-independent exact-integer M-step "
+        "statistics under any partitioning), each round ONE "
+        "3-integer aggregation (the complement component derives "
+        "from the once-computed global Σx/Σx²), parameter updates on "
+        "the driver with float() casts mirroring the oracle's "
+        "CAST-AS-DOUBLE placement exactly (the sums exceed 2^53 at "
+        "sf0.1 — exact-rational vs cast-then-divide WOULD diverge); "
+        "deterministic init (exact lower-quartile cents by "
+        "value-domain cumulative, population sigma, w=1/2), sigma "
+        "floored at 1 cent so a degenerate component cannot NaN.  "
+        "Honest fixture answer: the components split the skewed "
+        "value distribution into a low-mean bulk and a high-mean "
+        "tail; integer headroom ~2.5e9 rows (then quantize x to "
+        "deci-cents)"
+    ),
+    tables=("events",),
+)
+def q334(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    x = truncate_lineage(
+        ev.select(F.round(F.col("value") * 100).cast("long").alias("c"))
+    )
+    g = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sxx"),
+    ).first()  # bounded driver collect: three integers, once
+    n, sx, sxx = g.n, g.sx, g.sxx
+    vals = x.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # value-domain cumulative over the bounded cents domain (q312
+    # discipline: <= ~56k distinct values regardless of row count)
+    cum = vals.select(
+        "c",
+        F.sum("cnt")
+        .over(Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cm"),
+    )
+    q25 = (
+        cum.where(F.col("cm") >= math.ceil(n * 0.25))
+        .agg(F.min("c"))
+        .first()[0]
+    )
+    q75 = (
+        cum.where(F.col("cm") >= math.ceil(n * 0.75))
+        .agg(F.min("c"))
+        .first()[0]
+    )
+    sig0 = math.sqrt(
+        (float(sxx) - float(sx) * float(sx) / float(n)) / float(n)
+    )
+    w, mu1, s1, mu2, s2 = 0.5, float(q25), sig0, float(q75), sig0
+    n1 = 0
+    for _ in range(_Q334_ROUNDS):
+        z1 = (F.col("c") - F.lit(mu1)) / F.lit(s1)
+        z2 = (F.col("c") - F.lit(mu2)) / F.lit(s2)
+        l1 = F.lit(w) * F.exp(F.lit(-0.5) * z1 * z1) / F.lit(s1)
+        l2 = (
+            F.lit(1 - w)
+            * F.exp(F.lit(-0.5) * z2 * z2)
+            / F.lit(s2)
+        )
+        rq = F.floor(l1 / (l1 + l2) * _Q334_RQ + F.lit(0.5)).cast("long")
+        row = x.select(F.col("c"), rq.alias("rq")).agg(
+            F.sum("rq").cast("long").alias("n1"),
+            F.sum(F.col("rq") * F.col("c")).cast("long").alias("sx1"),
+            F.sum(F.col("rq") * F.col("c") * F.col("c"))
+            .cast("long")
+            .alias("sxx1"),
+        ).first()  # bounded driver collect: three integers per round
+        n1, sx1, sxx1 = row.n1, row.sx1, row.sxx1
+        w = n1 * 1.0 / (float(_Q334_RQ) * n)
+        mu1 = float(sx1) / float(n1)
+        s1 = math.sqrt(
+            max(float(sxx1) / float(n1) - (float(sx1) / float(n1))
+                * (float(sx1) / float(n1)), 1.0)
+        )
+        n2, sx2, sxx2 = _Q334_RQ * n - n1, _Q334_RQ * sx - sx1, (
+            _Q334_RQ * sxx - sxx1
+        )
+        mu2 = float(sx2) / float(n2)
+        s2 = math.sqrt(
+            max(float(sxx2) / float(n2) - (float(sx2) / float(n2))
+                * (float(sx2) / float(n2)), 1.0)
+        )
+    return spark.range(1).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("int").alias("comp"),
+                    F.round(F.lit(w), 6).alias("weight"),
+                    F.round(F.lit(mu1 / 100), 4).alias("mu_dollars"),
+                    F.round(F.lit(s1 / 100), 4).alias("sigma_dollars"),
+                    F.lit(n1).cast("long").alias("n_milli"),
+                ),
+                F.struct(
+                    F.lit(2).cast("int").alias("comp"),
+                    F.round(F.lit(1 - w), 6).alias("weight"),
+                    F.round(F.lit(mu2 / 100), 4).alias("mu_dollars"),
+                    F.round(F.lit(s2 / 100), 4).alias("sigma_dollars"),
+                    F.lit(_Q334_RQ * n - n1).cast("long").alias("n_milli"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.comp", "r.weight", "r.mu_dollars", "r.sigma_dollars", "r.n_milli")

@@ -327,3 +327,126 @@ def test_m55_vad_brute_force(spark, sf_dir):
         assert r.n_active == sum(active)
         assert r.n_segments == len(runs)
         assert r.max_run == (max(runs) if runs else 0)
+
+
+def test_q334_gmm_brute_force(spark, sf_dir):
+    import math
+
+    out = Q.REGISTRY["q334_gmm_em"].fn(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    cs = [int(math.floor(v * 100 + 0.5)) if (v * 100) % 1 == 0.5 else int(round(v * 100))
+          for v in ev.value]
+    n = len(cs)
+    sx, sxx = sum(cs), sum(c * c for c in cs)
+    sorted_c = sorted(cs)
+    cum, q25, q75 = 0, None, None
+    from collections import Counter
+
+    cnt = Counter(cs)
+    for c in sorted(cnt):
+        cum += cnt[c]
+        if q25 is None and cum >= math.ceil(n * 0.25):
+            q25 = c
+        if q75 is None and cum >= math.ceil(n * 0.75):
+            q75 = c
+    sig0 = math.sqrt((float(sxx) - float(sx) * float(sx) / float(n)) / float(n))
+    w, mu1, s1, mu2, s2 = 0.5, float(q25), sig0, float(q75), sig0
+    n1 = 0
+    for _ in range(3):
+        n1 = sx1 = sxx1 = 0
+        for c in cs:
+            z1 = (c - mu1) / s1
+            z2 = (c - mu2) / s2
+            l1 = w * math.exp(-0.5 * z1 * z1) / s1
+            l2 = (1 - w) * math.exp(-0.5 * z2 * z2) / s2
+            rq = int(math.floor(l1 / (l1 + l2) * 1000 + 0.5))
+            n1 += rq
+            sx1 += rq * c
+            sxx1 += rq * c * c
+        w = n1 * 1.0 / (1000.0 * n)
+        mu1 = float(sx1) / float(n1)
+        s1 = math.sqrt(max(float(sxx1) / float(n1)
+                           - (float(sx1) / float(n1)) ** 2, 1.0))
+        n2, sx2, sxx2 = 1000 * n - n1, 1000 * sx - sx1, 1000 * sxx - sxx1
+        mu2 = float(sx2) / float(n2)
+        s2 = math.sqrt(max(float(sxx2) / float(n2)
+                           - (float(sx2) / float(n2)) ** 2, 1.0))
+    got = {r.comp: r for r in out.itertuples()}
+    assert abs(got[1].weight - w) < 1e-4
+    assert abs(got[1].mu_dollars - mu1 / 100) < 1e-2
+    assert abs(got[2].mu_dollars - mu2 / 100) < 1e-2
+    assert got[1].n_milli == n1 and got[2].n_milli == 1000 * n - n1
+    # the components actually separate: low-mean bulk vs high-mean tail
+    assert got[1].mu_dollars < got[2].mu_dollars
+    assert 0.0 < got[1].weight < 1.0
+
+
+def test_q335_textrank_brute_force(spark, sf_dir):
+    out = Q.REGISTRY["q335_textrank_keywords"].fn(spark, sf_dir).toPandas()
+    d = load_table(spark, sf_dir, "documents").toPandas()
+    pairs = collections.Counter()
+    for t in d.text:
+        toks = t.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            pairs[(a, b)] += 1
+    edges = set()
+    for (a, b), c in pairs.items():
+        if c >= 2:
+            edges.add((a, b))
+            edges.add((b, a))
+    nodes = sorted({x for e in edges for x in e})
+    out_nbrs = collections.defaultdict(list)
+    for s, t in edges:
+        out_nbrs[s].append(t)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        inmass = collections.defaultdict(float)
+        for s in nodes:
+            for t in out_nbrs[s]:
+                inmass[t] += rank[s] / len(out_nbrs[s])
+        rank = {v: 0.15 / n + 0.85 * inmass[v] for v in nodes}
+    top = sorted(nodes, key=lambda v: (-round(rank[v], 6), v))[:20]
+    assert list(out.word) == top
+    for r in out.itertuples():
+        assert abs(r.rank - round(rank[r.word], 6)) < 2e-6
+    # ranks are a probability-mass decomposition (sum ~ 1)
+    assert abs(sum(rank.values()) - 1.0) < 1e-6
+
+
+def test_q336_item_cf_brute_force(spark, sf_dir):
+    import math
+
+    out = Q.REGISTRY["q336_item_cf"].fn(spark, sf_dir).toPandas()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    deg = li.groupby("l_partkey").size().to_dict()
+    by_order = collections.defaultdict(set)
+    for r in li.itertuples():
+        by_order[r.l_orderkey].add(r.l_partkey)
+    co = collections.Counter()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                co[(a, b)] += 1
+    cand = collections.defaultdict(list)
+    for (a, b), c in co.items():
+        if c >= 2:
+            cos = round(c / math.sqrt(float(deg[a] * deg[b])), 6)
+            cand[a].append((cos, b, c))
+            cand[b].append((cos, a, c))
+    exp_rows = {}
+    for p, lst in cand.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for rnk, (cos, nbr, c) in enumerate(lst[:5], 1):
+            exp_rows[(p, rnk)] = (nbr, c, cos)
+    assert len(out) == len(exp_rows)
+    for r in out.itertuples():
+        nbr, c, cos = exp_rows[(r.p, r.rnk)]
+        assert r.nbr == nbr and r.co_count == c
+        assert abs(r.cosine - cos) < 1e-6
