@@ -148,6 +148,8 @@ _PRIORITY: tuple[str, ...] = (
     "q335_textrank_keywords",
     "q336_item_cf",
     "q334_gmm_em",
+    "q337_dbscan",
+    "s26_backfill_cutover",
     # (q254/s22/q255-q298 are the round-7 session-2 remainder, never
     # driver-witnessed; then the stalest r1-r3-era names oldest-first)
     "q254_randomization_test",

@@ -1550,3 +1550,193 @@ def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.col("rnk").cast("long").alias("rnk"),
     ).orderBy("p", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# q337: DBSCAN density clustering over the 2-D embedding projection
+# ---------------------------------------------------------------------------
+
+# Ester et al. (1996), composed from two already-verified primitives:
+# the exact ε-neighborhood grid join (q155's
+# operators/intervals.grid_neighbor_pairs_2d — one hash join keyed on
+# the ε-cell, never a cross join) and min-label connected components
+# (q323's operators/clusters).  Core = >= minPts ε-neighbors; clusters
+# = components of the core-core ε-graph; border points take the MIN
+# core-neighbor label (classic DBSCAN's border assignment is
+# scan-order-dependent — min-label is the deterministic
+# canonicalization); the rest is noise.  The oracle rebuilds the same
+# partition from the literal n² distance join and statically unrolled
+# min-label rounds.
+_Q337_EPS = 0.02
+_Q337_MINPTS = 4  # neighbors (excluding self) required for a core
+_Q337_ROUNDS = 64
+
+
+def _q337_cc_cte(r: int) -> str:
+    prev = f"l{r - 1}"
+    return f"""l{r} AS MATERIALIZED (
+  SELECT n.id, LEAST(n.lbl, MIN(x.lbl)) AS lbl
+  FROM {prev} n JOIN cadj a ON a.u = n.id JOIN {prev} x ON x.id = a.v
+  GROUP BY n.id, n.lbl
+)"""
+
+
+_Q337_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+),
+pr AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+        < {_Q337_EPS} * {_Q337_EPS}
+),
+sym AS MATERIALIZED (
+  SELECT id_a AS p, id_b AS q FROM pr
+  UNION ALL SELECT id_b AS p, id_a AS q FROM pr
+),
+deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY p),
+core AS MATERIALIZED (SELECT p FROM deg WHERE d >= {_Q337_MINPTS}),
+cadj AS MATERIALIZED (
+  SELECT s.p AS u, s.q AS v FROM sym s
+  WHERE s.p IN (SELECT p FROM core) AND s.q IN (SELECT p FROM core)
+),
+l0 AS MATERIALIZED (
+  SELECT p AS id, p AS lbl FROM core
+),
+{", ".join(_q337_cc_cte(r) for r in range(1, _Q337_ROUNDS + 1))},
+iso AS (
+  -- core points with no core neighbor keep their own label (l0 rows
+  -- never entering cadj joins)
+  SELECT id, lbl FROM l{_Q337_ROUNDS}
+  UNION ALL
+  SELECT p AS id, p AS lbl FROM core
+  WHERE p NOT IN (SELECT id FROM l{_Q337_ROUNDS})
+),
+border AS (
+  SELECT s.p AS id, MIN(i.lbl) AS lbl
+  FROM sym s JOIN iso i ON i.id = s.q
+  WHERE s.p NOT IN (SELECT p FROM core)
+  GROUP BY s.p
+),
+member AS (SELECT id, lbl FROM iso UNION ALL SELECT id, lbl FROM border),
+sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz FROM member GROUP BY lbl),
+guard AS (
+  SELECT CASE WHEN (SELECT COALESCE(SUM(lbl), 0) FROM l{_Q337_ROUNDS})
+                <> (SELECT COALESCE(SUM(lbl), 0)
+                    FROM l{_Q337_ROUNDS - 1})
+              THEN error('q337 oracle: min-label propagation not '
+                         || 'converged within {_Q337_ROUNDS} rounds '
+                         || '- raise _Q337_ROUNDS')
+              ELSE 1 END AS ok
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_points,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM core) AS n_core,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM border) AS n_border,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM core)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM border) AS n_noise,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes) * (SELECT ok FROM guard)
+         AS n_clusters,
+       (SELECT CAST(MAX(sz) AS BIGINT) FROM sizes) AS max_cluster
+"""
+
+
+@register(
+    "q337_dbscan",
+    _Q337_SQL,
+    doc=(
+        "DBSCAN density clustering (Ester et al. 1996, eps="
+        f"{_Q337_EPS}, minPts={_Q337_MINPTS}) over the first two "
+        "embedding dims, composed from two verified primitives: the "
+        "exact ε-cell grid join (q155 — candidates equi-join on the "
+        "cell id, never a cross join) and min-label connected "
+        "components (q323 — ONE job per round, lineage truncated).  "
+        "Core = >= minPts strict-ε neighbors; clusters = components "
+        "of the core-core ε-graph; borders take the MIN core-neighbor "
+        "label (the deterministic canonicalization of DBSCAN's "
+        "scan-order-dependent border assignment); summary row out.  "
+        "Oracle = literal n² distance join + statically unrolled "
+        "min-label rounds with the loud convergence guard"
+    ),
+    tables=("embeddings",),
+)
+def q337(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.clusters import (
+        connected_components,
+    )
+    from osm_changesets_to_parquet_spark.operators.intervals import (
+        grid_neighbor_pairs_2d,
+    )
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    pr = grid_neighbor_pairs_2d(pts, "vec_id", "x", "y", _Q337_EPS).select(
+        "id_a", "id_b"
+    )
+    sym = truncate_lineage(
+        pr.select(F.col("id_a").alias("p"), F.col("id_b").alias("q")).unionByName(
+            pr.select(F.col("id_b").alias("p"), F.col("id_a").alias("q"))
+        )
+    )
+    deg = sym.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    core = truncate_lineage(
+        deg.where(F.col("d") >= _Q337_MINPTS).select("p")
+    )
+    cadj = (
+        sym.join(core, "p", "semi")
+        .join(core.select(F.col("p").alias("q")), "q", "semi")
+        .select(F.col("p").alias("u"), F.col("q").alias("v"))
+    )
+    comp = connected_components(cadj.where(F.col("u") < F.col("v")), "u", "v")
+    labeled = comp.select(F.col("id"), F.col("label").alias("lbl"))
+    iso = truncate_lineage(
+        labeled.unionByName(
+            core.join(
+                labeled.select(F.col("id").alias("p")), "p", "anti"
+            ).select(F.col("p").alias("id"), F.col("p").alias("lbl"))
+        )
+    )
+    border = (
+        sym.join(core, "p", "anti")
+        .join(iso.select(F.col("id").alias("q"), "lbl"), "q")
+        .groupBy("p")
+        .agg(F.min("lbl").alias("lbl"))
+    )
+    border = truncate_lineage(border.select(F.col("p").alias("id"), "lbl"))
+    member = iso.unionByName(border)
+    sizes = member.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    n_points = pts.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    n_core = core.agg(F.count(F.lit(1)).cast("long").alias("n_core"))
+    n_border = border.agg(F.count(F.lit(1)).cast("long").alias("n_border"))
+    cl = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.max("sz").cast("long").alias("max_cluster"),
+    )
+    return (
+        n_points.crossJoin(F.broadcast(n_core))
+        .crossJoin(F.broadcast(n_border))
+        .crossJoin(F.broadcast(cl))
+        .select(
+            "n_points",
+            "n_core",
+            "n_border",
+            (F.col("n_points") - F.col("n_core") - F.col("n_border"))
+            .cast("long")
+            .alias("n_noise"),
+            "n_clusters",
+            "max_cluster",
+        )
+    )

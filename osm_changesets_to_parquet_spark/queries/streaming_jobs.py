@@ -875,3 +875,54 @@ def s25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_s25_streaming_quantile_sketch(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# s26: lambda-architecture backfill/cutover reconciliation (round 8)
+# ---------------------------------------------------------------------------
+
+_S26_CUT = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z
+
+_S26_SQL = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN t <= {_S26_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_batch,
+       CAST(SUM(CASE WHEN t > {_S26_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stream,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "s26_backfill_cutover",
+    _S26_SQL,
+    doc=(
+        "lambda-architecture backfill/cutover reconciliation: a batch "
+        "backfill aggregates history at-or-before the 2024-01-15 "
+        "cutover, an availableNow STREAM aggregates strictly after it "
+        "(the time filter pushed into the streaming source), and the "
+        "serving table merges the two integer-(count, cents) partials "
+        "per key — the mergeable-aggregate contract (q100/q154's "
+        "batch-increment property) applied across the batch/stream "
+        "seam.  The oracle is the pure whole-table aggregate, so the "
+        "witnessed property is the boundary rule every migration gets "
+        "wrong once: <=/> partitions EXACTLY (inclusive-inclusive "
+        "double-counts the boundary, exclusive-exclusive drops it — "
+        "either hash-mismatches); streaming/jobs.py "
+        "run_s26_backfill_cutover"
+    ),
+    tables=("events",),
+)
+def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.streaming import (
+        run_s26_backfill_cutover,
+    )
+
+    return run_s26_backfill_cutover(spark, sf_dir)

@@ -31,4 +31,5 @@ from osm_changesets_to_parquet_spark.streaming.jobs import (  # noqa: F401
     run_s23_crash_recovery,
     run_s24_stream_pit,
     run_s25_streaming_quantile_sketch,
+    run_s26_backfill_cutover,
 )

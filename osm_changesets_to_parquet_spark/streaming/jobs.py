@@ -1552,3 +1552,76 @@ def run_s25_streaming_quantile_sketch(
         )
         .orderBy("q_bp")
     )
+
+
+S26_CUTOVER_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z, epoch micros
+
+
+def run_s26_backfill_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture reconciliation — the backfill/cutover witness:
+    a BATCH backfill aggregates history at or before the cutover
+    instant, a STREAMING job aggregates strictly after it (the filter
+    is pushed into the stream source), and the serving table is the
+    two partial aggregates MERGED per key.  The oracle is the pure
+    batch aggregate over the whole table, so the witnessed property is
+    the one every migration gets wrong at least once: the <=/> pair
+    partitions the stream EXACTLY at the boundary — an inclusive-
+    inclusive pair double-counts boundary events, exclusive-exclusive
+    drops them, and either corruption hash-mismatches.
+
+    Merge is an integer add of (count, cents) partials per key — the
+    mergeable-aggregate contract (the same property q100/q154 witness
+    for batch increments) applied across the batch/stream seam.  The
+    streamed side's final partial is the max-__bid row per key of an
+    update-mode availableNow aggregation (the s4-s6 runner pattern).
+    """
+    base = prepare_replay_dir(spark, sf_dir)
+    from osm_changesets_to_parquet_spark.catalog import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts_us") <= S26_CUTOVER_US)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batch"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_batch"),
+        )
+    )
+    streamed = (
+        _read_stream(spark, base)
+        .where(F.col("ts_us") > S26_CUTOVER_US)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_stream"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "cents_stream"
+            ),
+        )
+    )
+    per_batch = _run_availablenow(streamed, mode="update")
+    latest = per_batch.groupBy("event_type").agg(
+        F.max_by("n_stream", "__bid").cast("long").alias("n_stream"),
+        F.max_by("cents_stream", "__bid").cast("long").alias("cents_stream"),
+    )
+    merged = batch.join(latest, "event_type", "full_outer").select(
+        "event_type",
+        F.coalesce(F.col("n_batch"), F.lit(0)).cast("long").alias("n_batch"),
+        F.coalesce(F.col("n_stream"), F.lit(0))
+        .cast("long")
+        .alias("n_stream"),
+        (
+            F.coalesce(F.col("n_batch"), F.lit(0))
+            + F.coalesce(F.col("n_stream"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_events"),
+        (
+            F.coalesce(F.col("cents_batch"), F.lit(0))
+            + F.coalesce(F.col("cents_stream"), F.lit(0))
+        )
+        .cast("long")
+        .alias("value_cents"),
+    )
+    return merged.orderBy("event_type")

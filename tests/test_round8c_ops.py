@@ -450,3 +450,77 @@ def test_q336_item_cf_brute_force(spark, sf_dir):
         nbr, c, cos = exp_rows[(r.p, r.rnk)]
         assert r.nbr == nbr and r.co_count == c
         assert abs(r.cosine - cos) < 1e-6
+
+
+def test_q337_dbscan_brute_force(spark, sf_dir):
+    out = Q.REGISTRY["q337_dbscan"].fn(spark, sf_dir).toPandas()
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    pts = {
+        r.vec_id: (float(r.embedding[0]), float(r.embedding[1]))
+        for r in emb.itertuples()
+    }
+    eps2 = 0.02 * 0.02
+    nbrs = collections.defaultdict(set)
+    ids = sorted(pts)
+    for i, a in enumerate(ids):
+        ax, ay = pts[a]
+        for b in ids[i + 1 :]:
+            bx, by = pts[b]
+            if (ax - bx) ** 2 + (ay - by) ** 2 < eps2:
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+    core = {p for p in ids if len(nbrs[p]) >= 4}
+    # components of the core-core graph
+    label = {}
+    for p in sorted(core):
+        if p in label:
+            continue
+        stack, comp = [p], []
+        seen = {p}
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in nbrs[u]:
+                if v in core and v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        m = min(comp)
+        for u in comp:
+            label[u] = m
+    border = {}
+    for p in ids:
+        if p in core:
+            continue
+        cl = [label[q] for q in nbrs[p] if q in core]
+        if cl:
+            border[p] = min(cl)
+    sizes = collections.Counter(label.values())
+    for lbl in border.values():
+        sizes[lbl] += 1
+    r = out.iloc[0]
+    assert r.n_points == len(ids)
+    assert r.n_core == len(core)
+    assert r.n_border == len(border)
+    assert r.n_noise == len(ids) - len(core) - len(border)
+    assert r.n_clusters == len(sizes)
+    assert r.max_cluster == max(sizes.values())
+
+
+def test_s26_boundary_partition_exact(spark, sf_dir):
+    out = Q.REGISTRY["s26_backfill_cutover"].fn(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    cut = 1_705_276_800_000_000
+    exp = {}
+    for t, g in ev.groupby("event_type"):
+        nb = int((g.ts_us <= cut).sum())
+        ns = int((g.ts_us > cut).sum())
+        cents = int(g.value.apply(lambda v: round(v * 100)).sum())
+        exp[t] = (nb, ns, nb + ns, cents)
+    assert len(out) == len(exp)
+    for r in out.itertuples():
+        nb, ns, n, cents = exp[r.event_type]
+        # the <=/> pair partitions exactly: no boundary event is lost
+        # or double-counted across the batch/stream seam
+        assert (r.n_batch, r.n_stream, r.n_events) == (nb, ns, n)
+        assert r.value_cents == cents
+        assert r.n_batch + r.n_stream == r.n_events
