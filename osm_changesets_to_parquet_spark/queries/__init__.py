@@ -150,6 +150,8 @@ _PRIORITY: tuple[str, ...] = (
     "q334_gmm_em",
     "q337_dbscan",
     "s26_backfill_cutover",
+    "q338_cf_eval",
+    "q339_knn_classifier",
     # (q254/s22/q255-q298 are the round-7 session-2 remainder, never
     # driver-witnessed; then the stalest r1-r3-era names oldest-first)
     "q254_randomization_test",

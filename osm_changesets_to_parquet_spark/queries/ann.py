@@ -2371,3 +2371,161 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# q339: kNN classifier accuracy eval on a fixed anchor panel (round 8)
+# ---------------------------------------------------------------------------
+
+# The classifier twin of q179's label-noise audit: exact 5-NN
+# majority vote (squared-L2 over the shared-idiom sequential left-fold
+# doubles — list_reduce == F.aggregate bit-for-bit, the q115 recipe)
+# from the 80% train split, evaluated on a FIXED 40-vector hash-rank
+# panel of the test split (operators/anchors — the eval cost is
+# panel x train, never test x train; the ANN indexes a51/a52 are the
+# serving path, this is the accuracy report).  Votes are integer
+# counts, the majority tie-broken to the smaller label; per-label
+# accuracy out.  Honest fixture answer: accuracy ~ chance — the
+# synthetic labels are independent of the embedding geometry (the
+# label-free-corpus property q166 documents).
+_Q339_K = 5
+_Q339_PANEL = 40
+
+_Q339_DIST = (
+    f"list_reduce(list_transform(range(1, {DIM + 1}), "
+    "i -> (t.v[i]-r.v[i])*(t.v[i]-r.v[i])), (x,y) -> x+y)"
+)
+
+_Q339_SQL = f"""
+WITH e AS (
+  SELECT vec_id AS id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+tr AS (SELECT * FROM e WHERE ((id % 2147483648) * 2654435761) % 100 < 80),
+te AS (SELECT * FROM e WHERE ((id % 2147483648) * 2654435761) % 100 >= 80),
+panel AS (
+  SELECT * FROM te
+  ORDER BY ((id % 2147483648) * 2654435761) % 1000000007, id
+  LIMIT {_Q339_PANEL}
+),
+nn AS (
+  SELECT t.id, t.label AS true_label, r.label AS nbr_label,
+         ROW_NUMBER() OVER (PARTITION BY t.id
+                            ORDER BY {_Q339_DIST}, r.id) AS rn
+  FROM panel t CROSS JOIN tr r
+),
+vote AS (
+  SELECT id, true_label, nbr_label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM nn WHERE rn <= {_Q339_K}
+  GROUP BY id, true_label, nbr_label
+),
+pred AS (
+  SELECT id, true_label, nbr_label AS pred FROM (
+    SELECT id, true_label, nbr_label,
+           ROW_NUMBER() OVER (PARTITION BY id
+                              ORDER BY c DESC, nbr_label) AS rn2
+    FROM vote
+  ) WHERE rn2 = 1
+)
+SELECT CAST(true_label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 4) AS acc
+FROM pred GROUP BY true_label ORDER BY label
+"""
+
+
+@register(
+    "q339_knn_classifier",
+    _Q339_SQL,
+    doc=(
+        f"exact {_Q339_K}-NN majority-vote classifier accuracy on a "
+        f"FIXED {_Q339_PANEL}-vector hash-rank test panel (the q179 "
+        "audit's classifier twin): squared-L2 via the shared "
+        "sequential-left-fold idiom (list_reduce == F.aggregate "
+        "bit-for-bit, q115's recipe) against the 80% train split, "
+        "neighbor ranks through operators/anchors.per_anchor_topk "
+        "(no reducer sees a panel member's full candidate list), "
+        "integer votes tie-broken to the smaller label.  Eval cost "
+        "is panel x train — fixed-k, never test-corpus-shaped; "
+        "a51/a52's ANN indexes are the serving path, this is the "
+        "accuracy report.  Honest fixture answer: ~chance accuracy "
+        "(labels are independent of geometry — the q166 property)"
+    ),
+    tables=("embeddings",),
+)
+def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from osm_changesets_to_parquet_spark.operators.anchors import (
+        fixed_k_anchors,
+        per_anchor_topk,
+    )
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.col("vec_id").alias("id"),
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    bkt = hash_bucket("id", 100)
+    tr = truncate_lineage(e.where(bkt < 80))
+    te = e.where(bkt >= 80)
+    panel = truncate_lineage(fixed_k_anchors(te, "id", _Q339_PANEL))
+    t = panel.select(
+        F.col("id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("tv"),
+    )
+    r = tr.select(
+        F.col("id").alias("rid"),
+        F.col("label").alias("nbr_label"),
+        F.col("v").alias("rv"),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("tv"), F.col("rv"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = t.crossJoin(r).select(
+        "id", "true_label", "nbr_label", F.col("rid"), dist.alias("dist")
+    )
+    top = per_anchor_topk(
+        pairs, ["id"], [F.col("dist"), F.col("rid")], _Q339_K
+    )
+    vote = top.groupBy("id", "true_label", "nbr_label").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wv = Window.partitionBy("id").orderBy(F.desc("c"), "nbr_label")
+    pred = (
+        vote.withColumn("rn2", F.row_number().over(wv))
+        .where(F.col("rn2") == 1)
+        .select("id", "true_label", F.col("nbr_label").alias("pred"))
+    )
+    return (
+        pred.groupBy(F.col("true_label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("pred") == F.col("true_label")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n",
+            "n_correct",
+            F.round(
+                F.col("n_correct") * F.lit(1.0) / F.col("n"), 4
+            ).alias("acc"),
+        )
+        .orderBy("label")
+    )

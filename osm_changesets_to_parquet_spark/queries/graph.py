@@ -1740,3 +1740,205 @@ def q337(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cluster",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q338: recommender evaluation — leave-one-out hit-rate@5 (round 8)
+# ---------------------------------------------------------------------------
+
+# Closes the loop on q336: does the item-item CF index actually rank
+# held-out co-purchases?  Orders split 80/20 by the shared key hash;
+# the CF neighbor lists build from TRAIN orders only; for every
+# (test basket, held-out item i, context item j != i) the case is a
+# hit if i appears in j's top-5 — the standard leave-one-out
+# hit-rate@k protocol (Deshpande & Karypis 2004) — scored against the
+# popularity top-5 baseline every recommender eval must beat.  Case
+# volume is bounded by basket size squared (baskets are small by
+# construction of real order data), the rec join is keyed on the
+# context item, and both readouts reduce to one (method, counts) row.
+_Q338_K = 5
+_Q338_MIN_CO = 2
+
+_Q338_SPLIT = "(((o % 2147483648) * 2654435761) % 100)"
+
+_Q338_SQL = f"""
+WITH inc AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+tr AS (SELECT o, p FROM inc WHERE {_Q338_SPLIT} < 80),
+te AS (SELECT o, p FROM inc WHERE {_Q338_SPLIT} >= 80),
+deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM tr GROUP BY p),
+co AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tr a JOIN tr b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_Q338_MIN_CO}
+),
+sym AS (
+  SELECT pa AS p, pb AS nbr, c FROM co
+  UNION ALL SELECT pb AS p, pa AS nbr, c FROM co
+),
+scored AS (
+  SELECT s.p, s.nbr,
+         ROUND(s.c / SQRT(CAST(da.d * db.d AS DOUBLE)), 6) AS cosine
+  FROM sym s JOIN deg da ON da.p = s.p JOIN deg db ON db.p = s.nbr
+),
+rec AS (
+  SELECT p, nbr FROM (
+    SELECT p, nbr,
+           ROW_NUMBER() OVER (PARTITION BY p
+                              ORDER BY cosine DESC, nbr) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_Q338_K}
+),
+pop AS (SELECT p FROM deg ORDER BY d DESC, p LIMIT {_Q338_K}),
+cases AS (
+  SELECT a.o, a.p AS i, b.p AS j
+  FROM te a JOIN te b ON a.o = b.o AND a.p <> b.p
+),
+cf_hit AS (
+  SELECT cases.o, cases.i,
+         MAX(CASE WHEN r.nbr IS NOT NULL THEN 1 ELSE 0 END) AS h
+  FROM cases LEFT JOIN rec r ON r.p = cases.j AND r.nbr = cases.i
+  GROUP BY cases.o, cases.i
+),
+items AS (SELECT DISTINCT o, i FROM cases),
+pop_hit AS (
+  SELECT o, i,
+         CASE WHEN i IN (SELECT p FROM pop) THEN 1 ELSE 0 END AS h
+  FROM items
+)
+SELECT method, n_cases, n_hits,
+       ROUND(n_hits * 1.0 / n_cases, 6) AS hit_rate
+FROM (
+  SELECT 'itemcf' AS method, CAST(COUNT(*) AS BIGINT) AS n_cases,
+         CAST(SUM(h) AS BIGINT) AS n_hits
+  FROM cf_hit
+  UNION ALL
+  SELECT 'popularity', CAST(COUNT(*) AS BIGINT), CAST(SUM(h) AS BIGINT)
+  FROM pop_hit
+)
+ORDER BY method
+"""
+
+
+@register(
+    "q338_cf_eval",
+    _Q338_SQL,
+    doc=(
+        "recommender evaluation closing the loop on q336: leave-one-"
+        "out hit-rate@5 (Deshpande & Karypis 2004) of the item-item "
+        "CF index built from TRAIN orders (80/20 key-hash split) "
+        "against held-out test baskets, scored side by side with the "
+        "popularity-top-5 baseline every recommender must beat.  "
+        "Cases are (basket, held-out i, context j) pairs — volume "
+        "bounded by basket size squared, never corpus-squared; the "
+        "rec probe is one join keyed on the context item; each "
+        "method reduces to a single counts row.  Honest fixture "
+        "answer: CF beats popularity when co-purchase structure is "
+        "real, and the margin IS the readout"
+    ),
+    tables=("lineitem",),
+)
+def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.anchors import (
+        per_anchor_topk,
+    )
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    li = load_table(spark, sf_dir, "lineitem")
+    inc = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    bkt = hash_bucket("o", 100)
+    tr = truncate_lineage(inc.where(bkt < 80))
+    te = truncate_lineage(inc.where(bkt >= 80))
+    deg = tr.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a = tr.alias("a")
+    b = tr.alias("b")
+    co = (
+        a.join(b, F.col("a.o") == F.col("b.o"))
+        .where(F.col("a.p") < F.col("b.p"))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .where(F.col("c") >= _Q338_MIN_CO)
+    )
+    sym = co.select(
+        F.col("pa").alias("p"), F.col("pb").alias("nbr"), "c"
+    ).unionByName(
+        co.select(F.col("pb").alias("p"), F.col("pa").alias("nbr"), "c")
+    )
+    scored = (
+        sym.join(deg.select("p", F.col("d").alias("da")), "p")
+        .join(
+            deg.select(F.col("p").alias("nbr"), F.col("d").alias("db")),
+            "nbr",
+        )
+        .select(
+            "p",
+            "nbr",
+            F.round(
+                F.col("c")
+                / F.sqrt((F.col("da") * F.col("db")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    rec = truncate_lineage(
+        per_anchor_topk(
+            scored, ["p"], [F.desc("cosine"), F.col("nbr")], _Q338_K
+        ).select("p", "nbr")
+    )
+    pop = truncate_lineage(
+        deg.orderBy(F.desc("d"), "p").limit(_Q338_K).select("p")
+    )
+    ta = te.alias("ta")
+    tb = te.alias("tb")
+    cases = truncate_lineage(
+        ta.join(tb, F.col("ta.o") == F.col("tb.o"))
+        .where(F.col("ta.p") != F.col("tb.p"))
+        .select(
+            F.col("ta.o").alias("o"),
+            F.col("ta.p").alias("i"),
+            F.col("tb.p").alias("j"),
+        )
+    )
+    cf_hit = (
+        cases.join(
+            rec.select(
+                F.col("p").alias("j"), F.col("nbr").alias("i"), F.lit(1).alias("m")
+            ),
+            ["j", "i"],
+            "left",
+        )
+        .groupBy("o", "i")
+        .agg(F.max(F.coalesce(F.col("m"), F.lit(0))).alias("h"))
+    )
+    items = cases.select("o", "i").distinct()
+    pop_hit = items.join(
+        pop.select(F.col("p").alias("i"), F.lit(1).alias("m")), "i", "left"
+    ).select("o", "i", F.coalesce(F.col("m"), F.lit(0)).alias("h"))
+    cf_row = cf_hit.agg(
+        F.lit("itemcf").alias("method"),
+        F.count(F.lit(1)).cast("long").alias("n_cases"),
+        F.sum("h").cast("long").alias("n_hits"),
+    )
+    pop_row = pop_hit.agg(
+        F.lit("popularity").alias("method"),
+        F.count(F.lit(1)).cast("long").alias("n_cases"),
+        F.sum("h").cast("long").alias("n_hits"),
+    )
+    return (
+        cf_row.unionByName(pop_row)
+        .select(
+            "method",
+            "n_cases",
+            "n_hits",
+            F.round(
+                F.col("n_hits") * F.lit(1.0) / F.col("n_cases"), 6
+            ).alias("hit_rate"),
+        )
+        .orderBy("method")
+    )

@@ -524,3 +524,100 @@ def test_s26_boundary_partition_exact(spark, sf_dir):
         assert (r.n_batch, r.n_stream, r.n_events) == (nb, ns, n)
         assert r.value_cents == cents
         assert r.n_batch + r.n_stream == r.n_events
+
+
+def test_q338_cf_eval_brute_force(spark, sf_dir):
+    import math
+
+    out = Q.REGISTRY["q338_cf_eval"].fn(spark, sf_dir).toPandas()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    li["bkt"] = ((li.l_orderkey % ID_FOLD) * KNUTH) % 100
+    tr = li[li.bkt < 80]
+    te = li[li.bkt >= 80]
+    deg = tr.groupby("l_partkey").size().to_dict()
+    by_order = collections.defaultdict(set)
+    for r in tr.itertuples():
+        by_order[r.l_orderkey].add(r.l_partkey)
+    co = collections.Counter()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                co[(a, b)] += 1
+    cand = collections.defaultdict(list)
+    for (a, b), c in co.items():
+        if c >= 2:
+            cos = round(c / math.sqrt(float(deg[a] * deg[b])), 6)
+            cand[a].append((cos, b))
+            cand[b].append((cos, a))
+    rec = {}
+    for p, lst in cand.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        rec[p] = {b for _, b in lst[:5]}
+    pop = set(
+        sorted(deg, key=lambda p: (-deg[p], p))[:5]
+    )
+    te_orders = collections.defaultdict(set)
+    for r in te.itertuples():
+        te_orders[r.l_orderkey].add(r.l_partkey)
+    cf_cases = cf_hits = pop_cases = pop_hits = 0
+    for o, parts in te_orders.items():
+        if len(parts) < 2:
+            continue
+        for i in parts:
+            cf_cases += 1
+            pop_cases += 1
+            if any(i in rec.get(j, set()) for j in parts if j != i):
+                cf_hits += 1
+            if i in pop:
+                pop_hits += 1
+    got = {r.method: r for r in out.itertuples()}
+    assert got["itemcf"].n_cases == cf_cases == got["popularity"].n_cases
+    assert got["itemcf"].n_hits == cf_hits
+    assert got["popularity"].n_hits == pop_hits
+
+
+def test_q339_knn_brute_force(spark, sf_dir):
+    out = Q.REGISTRY["q339_knn_classifier"].fn(spark, sf_dir).toPandas()
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    emb["bkt"] = ((emb.vec_id % ID_FOLD) * KNUTH) % 100
+    tr = emb[emb.bkt < 80]
+    te = emb[emb.bkt >= 80]
+    panel = sorted(
+        te.vec_id,
+        key=lambda v: (((v % ID_FOLD) * KNUTH) % 1_000_000_007, v),
+    )[:40]
+    tr_rows = [
+        (r.vec_id, int(r.label), [float(x) for x in r.embedding])
+        for r in tr.itertuples()
+    ]
+    te_map = {
+        r.vec_id: (int(r.label), [float(x) for x in r.embedding])
+        for r in te.itertuples()
+    }
+    preds = {}
+    for pid in panel:
+        true_label, pv = te_map[pid]
+        scored = []
+        for rid, rl, rv in tr_rows:
+            d = 0.0
+            for x, y in zip(pv, rv):
+                d += (x - y) * (x - y)
+            scored.append((d, rid, rl))
+        scored.sort(key=lambda t: (t[0], t[1]))
+        votes = collections.Counter(rl for _, _, rl in scored[:5])
+        pred = sorted(votes.items(), key=lambda t: (-t[1], t[0]))[0][0]
+        preds[pid] = (true_label, pred)
+    per_label = collections.defaultdict(lambda: [0, 0])
+    for true_label, pred in preds.values():
+        per_label[true_label][0] += 1
+        per_label[true_label][1] += true_label == pred
+    got = {r.label: r for r in out.itertuples()}
+    assert set(got) == set(per_label)
+    for lbl, (n, nc) in per_label.items():
+        assert got[lbl].n == n and got[lbl].n_correct == nc
