@@ -2769,3 +2769,268 @@ def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# q340: Markov removal-effect attribution (round 8)
+# ---------------------------------------------------------------------------
+
+# The principled multi-touch model completing the attribution family
+# (q183 last-touch, q326 position-based): journeys become a first-
+# order Markov chain (start -> touches -> conv/null, truncated at the
+# first purchase), and a channel's credit is its REMOVAL EFFECT
+# (Anderl et al. 2016) — how much the start->conv absorption
+# probability drops when the channel's state is deleted (transitions
+# into it redirect to null, its own transitions drop).  Absorption
+# probabilities are K=24 synchronous value-iteration rounds — a FIXED
+# finite computation, identical in both engines (no convergence
+# test needed: truncation is part of the spec; the transient-mass
+# remainder after 24 rounds is ~0.5^24, far below the 6dp output).
+# The corpus reduces to the <= |states|^2 transition-count table
+# before any iteration — the chain solve is driver-side on ~36
+# integers (q311's bounded-collect discipline), the float surface
+# mirrored expression-for-expression in the oracle's unrolled CTEs.
+_Q340_ROUNDS = 24
+_Q340_CHANNELS = ("click", "error", "signup", "view")
+
+_Q340_TRANS = """
+ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, event_type FROM events
+),
+seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY t, event_id) AS rn
+  FROM ev
+),
+fpr AS (
+  SELECT user_id, MIN(rn) AS prn FROM seq
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+jour AS (
+  SELECT s.user_id,
+         CASE WHEN s.event_type = 'purchase' THEN 'conv'
+              ELSE s.event_type END AS st,
+         s.rn
+  FROM seq s LEFT JOIN fpr f ON f.user_id = s.user_id
+  WHERE f.prn IS NULL OR s.rn <= f.prn
+),
+steps AS (
+  SELECT user_id, st,
+         LAG(st, 1, 'start') OVER (PARTITION BY user_id
+                                   ORDER BY rn) AS prev
+  FROM jour
+),
+lastrow AS (
+  SELECT j.user_id, j.st FROM jour j
+  JOIN (SELECT user_id, MAX(rn) AS mr FROM jour GROUP BY user_id) m
+    ON m.user_id = j.user_id AND m.mr = j.rn
+),
+trans_cnt AS MATERIALIZED (
+  SELECT f, t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT prev AS f, st AS t FROM steps
+    UNION ALL
+    SELECT st AS f, 'null' AS t FROM lastrow WHERE st <> 'conv'
+  ) GROUP BY f, t
+),
+outt AS MATERIALIZED (SELECT f, CAST(SUM(c) AS BIGINT) AS tot FROM trans_cnt GROUP BY f)
+"""
+
+
+def _q340_variant(tag: str, removed: str | None) -> str:
+    if removed is None:
+        tsrc = """t_base AS MATERIALIZED (
+  SELECT tc.f, tc.t, tc.c * 1.0 / o.tot AS p
+  FROM trans_cnt tc JOIN outt o ON o.f = tc.f
+)"""
+    else:
+        tsrc = f"""t_{tag} AS MATERIALIZED (
+  SELECT f, t, SUM(c) * 1.0 / MAX(tot) AS p FROM (
+    SELECT tc.f,
+           CASE WHEN tc.t = '{removed}' THEN 'null' ELSE tc.t END AS t,
+           tc.c, o.tot
+    FROM trans_cnt tc JOIN outt o ON o.f = tc.f
+    WHERE tc.f <> '{removed}'
+  ) GROUP BY f, t
+)"""
+    tname = "t_base" if removed is None else f"t_{tag}"
+    rounds = [
+        f"v_{tag}_0 AS MATERIALIZED (SELECT f, CAST(0 AS DOUBLE) AS v "
+        f"FROM (SELECT DISTINCT f FROM {tname}))"
+    ]
+    for k in range(1, _Q340_ROUNDS + 1):
+        rounds.append(
+            f"""v_{tag}_{k} AS MATERIALIZED (
+  SELECT t.f,
+         SUM(CASE WHEN t.t = 'conv' THEN t.p
+                  ELSE t.p * COALESCE(v.v, 0) END) AS v
+  FROM {tname} t LEFT JOIN v_{tag}_{k - 1} v ON v.f = t.t
+  GROUP BY t.f
+)"""
+        )
+    return ",\n".join([tsrc] + rounds)
+
+
+_Q340_SQL = (
+    "WITH "
+    + _Q340_TRANS
+    + ",\n"
+    + ",\n".join(
+        _q340_variant(tag, rem)
+        for tag, rem in [("base", None)]
+        + [(c, c) for c in _Q340_CHANNELS]
+    )
+    + f""",
+eff AS (
+  SELECT ch,
+         (SELECT v FROM v_base_{_Q340_ROUNDS} WHERE f = 'start') AS p_base,
+         p_removed
+  FROM (
+    {" UNION ALL ".join(
+        f"SELECT '{c}' AS ch, "
+        f"COALESCE((SELECT v FROM v_{c}_{_Q340_ROUNDS} "
+        f"WHERE f = 'start'), 0) AS p_removed"
+        for c in _Q340_CHANNELS
+    )}
+  )
+),
+re AS (
+  SELECT ch, p_base, p_removed,
+         (p_base - p_removed) / p_base AS r
+  FROM eff
+)
+SELECT ch AS channel, ROUND(p_base, 6) AS p_conv_base,
+       ROUND(p_removed, 6) AS p_conv_removed,
+       ROUND(r, 6) AS removal_effect,
+       ROUND(r / (SELECT SUM(r) FROM re), 6) AS credit_share
+FROM re ORDER BY channel
+"""
+)
+
+
+@register(
+    "q340_markov_attribution",
+    _Q340_SQL,
+    doc=(
+        "Markov removal-effect attribution (Anderl et al. 2016) — the "
+        "principled multi-touch model completing q183 (last-touch) "
+        "and q326 (position-based): user journeys truncate at the "
+        "first purchase into a start/channels/conv/null first-order "
+        "chain, and each channel's credit is the drop in start->conv "
+        f"absorption probability when its state is deleted.  "
+        f"{_Q340_ROUNDS} synchronous value-iteration rounds — a FIXED "
+        "finite computation identical in both engines (residual "
+        "transient mass ~0.5^24, far below 6dp); the corpus reduces "
+        "to the <=|states|² transition-count table before any "
+        "iteration, the chain solve is driver-side over ~36 exact "
+        "integers (q311's bounded-collect discipline), and the "
+        "oracle unrolls the identical arithmetic as CTE chains per "
+        "removal variant"
+    ),
+    tables=("events",),
+)
+def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts_us", "event_id"))
+        .alias("rn"),
+    )
+    fpr = (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    jour = (
+        seq.join(fpr, "user_id", "left")
+        .where(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "purchase", "conv")
+            .otherwise(F.col("event_type"))
+            .alias("st"),
+            "rn",
+        )
+    )
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    jour = truncate_lineage(jour)
+    steps = jour.select(
+        F.lag("st", 1, "start")
+        .over(Window.partitionBy("user_id").orderBy("rn"))
+        .alias("f"),
+        F.col("st").alias("t"),
+    )
+    mx = jour.groupBy("user_id").agg(F.max("rn").alias("mr"))
+    lastrow = jour.join(
+        mx,
+        (jour.user_id == mx.user_id) & (jour.rn == mx.mr),
+    ).select(jour.st.alias("f"), F.lit("null").alias("t"))
+    trans_cnt = (
+        steps.unionByName(lastrow.where(F.col("f") != "conv"))
+        .groupBy("f", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rows = trans_cnt.collect()  # bounded: <= |states|^2 ~ 36 rows
+    cnt = {(r.f, r.t): r.c for r in rows}
+    tot = {}
+    for (f, _t), c in cnt.items():
+        tot[f] = tot.get(f, 0) + c
+
+    def absorb(removed: str | None) -> float:
+        p = {}
+        for (f, t), c in sorted(cnt.items()):
+            if removed is not None and f == removed:
+                continue
+            t2 = "null" if (removed is not None and t == removed) else t
+            p[(f, t2)] = p.get((f, t2), 0.0) + c * 1.0 / tot[f]
+        states = sorted({f for f, _ in p})
+        v = {f: 0.0 for f in states}
+        for _ in range(_Q340_ROUNDS):
+            nv = {}
+            for f in states:
+                s = 0.0
+                for (ff, t), pp in sorted(p.items()):
+                    if ff != f:
+                        continue
+                    s += pp if t == "conv" else pp * v.get(t, 0.0)
+                nv[f] = s
+            v = nv
+        return v.get("start", 0.0)
+
+    p_base = absorb(None)
+    out_rows = []
+    effects = {}
+    for c in _Q340_CHANNELS:
+        pr = absorb(c)
+        effects[c] = (p_base - pr) / p_base
+        out_rows.append((c, pr))
+    total_r = sum(effects[c] for c in sorted(effects))
+    structs = [
+        F.struct(
+            F.lit(c).alias("channel"),
+            F.round(F.lit(p_base), 6).alias("p_conv_base"),
+            F.round(F.lit(pr), 6).alias("p_conv_removed"),
+            F.round(F.lit(effects[c]), 6).alias("removal_effect"),
+            F.round(F.lit(effects[c] / total_r), 6).alias("credit_share"),
+        )
+        for c, pr in out_rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("r"))
+        .select(
+            "r.channel",
+            "r.p_conv_base",
+            "r.p_conv_removed",
+            "r.removal_effect",
+            "r.credit_share",
+        )
+        .orderBy("channel")
+    )

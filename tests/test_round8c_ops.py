@@ -621,3 +621,62 @@ def test_q339_knn_brute_force(spark, sf_dir):
     assert set(got) == set(per_label)
     for lbl, (n, nc) in per_label.items():
         assert got[lbl].n == n and got[lbl].n_correct == nc
+
+
+def test_q340_markov_attribution_brute_force(spark, sf_dir):
+    out = Q.REGISTRY["q340_markov_attribution"].fn(spark, sf_dir).toPandas()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts_us", "event_type")
+        .toPandas()
+    )
+    cnt = collections.Counter()
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        states = []
+        for t in g.event_type:
+            if t == "purchase":
+                states.append("conv")
+                break
+            states.append(t)
+        seq = ["start"] + states
+        for a, b in zip(seq, seq[1:]):
+            cnt[(a, b)] += 1
+        if seq[-1] != "conv":
+            cnt[(seq[-1], "null")] += 1
+    tot = collections.Counter()
+    for (f, _t), c in cnt.items():
+        tot[f] += c
+
+    def absorb(removed):
+        p = collections.defaultdict(float)
+        for (f, t), c in sorted(cnt.items()):
+            if f == removed:
+                continue
+            t2 = "null" if t == removed else t
+            p[(f, t2)] += c / tot[f]
+        states = sorted({f for f, _ in p})
+        v = {f: 0.0 for f in states}
+        for _ in range(24):
+            nv = {}
+            for f in states:
+                s = 0.0
+                for (ff, t), pp in sorted(p.items()):
+                    if ff == f:
+                        s += pp if t == "conv" else pp * v.get(t, 0.0)
+                nv[f] = s
+            v = nv
+        return v.get("start", 0.0)
+
+    p_base = absorb(None)
+    got = {r.channel: r for r in out.itertuples()}
+    assert set(got) == {"click", "error", "signup", "view"}
+    shares = 0.0
+    for c, r in got.items():
+        pr = absorb(c)
+        assert abs(r.p_conv_base - p_base) < 1e-5
+        assert abs(r.p_conv_removed - pr) < 1e-5
+        # removing a channel can only lose conversion paths
+        assert r.p_conv_removed <= r.p_conv_base + 1e-9
+        shares += r.credit_share
+    assert abs(shares - 1.0) < 1e-4
