@@ -605,3 +605,120 @@ def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lap, 4).alias("noise"),
         F.round(F.col("n_true") + lap, 4).alias("n_noisy"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q341: randomized response — local differential privacy (round 8)
+# ---------------------------------------------------------------------------
+
+# Warner (1965) — the LOCAL-DP complement to q327's central Laplace
+# mechanism: each user reports their sensitive bit ("high spender":
+# lifetime cents >= threshold) truthfully with probability p = 3/4
+# and flipped with 1/4 (epsilon = ln(p/(1-p)) = ln 3), and the
+# aggregator debiases the observed yes-share with
+# pi_hat = (y_obs - (1-p)) / (2p - 1).  The flip coin is the
+# deterministic Knuth bucket of the user id (bucket % 4 == 3 lies;
+# in production the hash input gains a per-collection salt — same
+# plan), so the whole mechanism is oracle-checkable, and the audit
+# reports true share, observed share, debiased estimate and its
+# error side by side.  One per-user rollup + one scalar row; exact
+# integer counts until the final ratios.
+_Q341_CENTS = 250_000  # lifetime spend threshold: $2500
+_Q341_P_NUM, _Q341_P_DEN = 3, 4  # truth probability p = 3/4
+
+_Q341_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT CAST(cents >= {_Q341_CENTS} AS BIGINT) AS truth,
+         CAST(((user_id % 2147483648) * 2654435761) % {_Q341_P_DEN}
+              = {_Q341_P_DEN - 1} AS BIGINT) AS lie
+  FROM u
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(truth) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN lie = 1 THEN 1 - truth ELSE truth END)
+              AS BIGINT) AS n_yes
+  FROM r
+)
+SELECT n, ROUND(n_true * 1.0 / n, 6) AS true_share,
+       ROUND(n_yes * 1.0 / n, 6) AS observed_yes,
+       ROUND((n_yes * 1.0 / n - (1 - {_Q341_P_NUM}.0 / {_Q341_P_DEN}))
+             / (2 * {_Q341_P_NUM}.0 / {_Q341_P_DEN} - 1), 6)
+         AS estimated_share,
+       ROUND(ABS((n_yes * 1.0 / n - (1 - {_Q341_P_NUM}.0 / {_Q341_P_DEN}))
+             / (2 * {_Q341_P_NUM}.0 / {_Q341_P_DEN} - 1)
+             - n_true * 1.0 / n), 6) AS abs_err,
+       ROUND(LN({_Q341_P_NUM}.0 / ({_Q341_P_DEN} - {_Q341_P_NUM})), 4)
+         AS epsilon
+FROM s
+"""
+
+
+@register(
+    "q341_randomized_response",
+    _Q341_SQL,
+    doc=(
+        "randomized response (Warner 1965) — the LOCAL-DP complement "
+        "to q327's central Laplace mechanism: each user's sensitive "
+        "bit (lifetime spend >= $2500) reports truthfully with "
+        "p = 3/4, flipped with 1/4 (epsilon = ln 3), debiased by "
+        "(y - (1-p))/(2p - 1); the flip coin is the deterministic "
+        "Knuth user-id bucket (production adds a per-collection salt "
+        "to the hash — same plan), so the mechanism is oracle-"
+        "checkable end to end.  One per-user rollup to a 3-integer "
+        "scalar frame; the audit reports true/observed/debiased "
+        "shares and the estimator error side by side"
+    ),
+    tables=("events",),
+)
+def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    truth = (F.col("cents") >= _Q341_CENTS).cast("long")
+    lie = (
+        hash_bucket("user_id", _Q341_P_DEN) == (_Q341_P_DEN - 1)
+    ).cast("long")
+    s = u.select(truth.alias("truth"), lie.alias("lie")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("truth").cast("long").alias("n_true"),
+        F.sum(
+            F.when(F.col("lie") == 1, 1 - F.col("truth")).otherwise(
+                F.col("truth")
+            )
+        )
+        .cast("long")
+        .alias("n_yes"),
+    )
+    p = _Q341_P_NUM * 1.0 / _Q341_P_DEN
+    yobs = F.col("n_yes") * F.lit(1.0) / F.col("n")
+    est = (yobs - (1 - F.lit(_Q341_P_NUM) * 1.0 / _Q341_P_DEN)) / (
+        2 * F.lit(_Q341_P_NUM) * 1.0 / _Q341_P_DEN - 1
+    )
+    import math
+
+    return s.select(
+        "n",
+        F.round(F.col("n_true") * F.lit(1.0) / F.col("n"), 6).alias(
+            "true_share"
+        ),
+        F.round(yobs, 6).alias("observed_yes"),
+        F.round(est, 6).alias("estimated_share"),
+        F.round(
+            F.abs(est - F.col("n_true") * F.lit(1.0) / F.col("n")), 6
+        ).alias("abs_err"),
+        F.round(
+            F.lit(math.log(_Q341_P_NUM * 1.0 / (_Q341_P_DEN - _Q341_P_NUM))),
+            4,
+        ).alias("epsilon"),
+    )

@@ -680,3 +680,27 @@ def test_q340_markov_attribution_brute_force(spark, sf_dir):
         assert r.p_conv_removed <= r.p_conv_base + 1e-9
         shares += r.credit_share
     assert abs(shares - 1.0) < 1e-4
+
+
+def test_q341_randomized_response_brute_force(spark, sf_dir):
+    out = Q.REGISTRY["q341_randomized_response"].fn(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    spend = ev.groupby("user_id").value.apply(
+        lambda s: sum(round(v * 100) for v in s)
+    )
+    n = len(spend)
+    truths = {u: c >= 250_000 for u, c in spend.items()}
+    lies = {u: ((u % ID_FOLD) * KNUTH) % 4 == 3 for u in spend.index}
+    n_true = sum(truths.values())
+    n_yes = sum(
+        (not truths[u]) if lies[u] else truths[u] for u in spend.index
+    )
+    r = out.iloc[0]
+    assert r.n == n
+    assert abs(r.true_share - n_true / n) < 1e-6
+    assert abs(r.observed_yes - n_yes / n) < 1e-6
+    est = (n_yes / n - 0.25) / 0.5
+    assert abs(r.estimated_share - est) < 1e-6
+    assert abs(r.abs_err - abs(est - n_true / n)) < 1e-6
+    # the debias actually moves the observed share toward the truth
+    assert abs(est - n_true / n) <= abs(n_yes / n - n_true / n) + 1e-9
