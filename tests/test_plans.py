@@ -821,3 +821,62 @@ def test_q312_exact_cumsum_is_range_bucketed(spark, sf_dir):
     ]
     assert len(unpartitioned) <= 1, unpartitioned
     assert "__bucket" in plan  # the range-bucketed cumsum is present
+
+
+# --- round-8 session-3 plan pins -------------------------------------------
+
+
+def test_q325_pair_stream_reduces_map_side(spark, sf_dir):
+    # q325's registered query materializes the agreement-count row via
+    # truncate_lineage, so the final plan hides the join; pin the pair
+    # pipeline's own shape (the subtree the checkpoint executes): the
+    # within-block join must broadcast the dimension-sized twin (never
+    # shuffle both sides) and the agreement counts must partially
+    # aggregate BEFORE the single-partition exchange — the 9M-pair
+    # stream (sf0.1) itself never shuffles
+    from pyspark.sql import functions as F
+
+    from osm_changesets_to_parquet_spark.catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("key"), F.col("c_nationkey").alias("nat")
+    )
+    pairs = a.alias("a").join(
+        a.alias("b"), F.col("a.nat") == F.col("b.nat")
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.sum((F.col("a.key") == F.col("b.key")).cast("long")).alias("m"),
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q326_windows_share_one_exchange(spark, sf_dir):
+    # the three per-purchase windows (ra, rd, n) differ only in sort
+    # order — they must reuse ONE hashpartitioning(pid) exchange, and
+    # the credit aggregation must be partial before its exchange
+    plan = _plan(spark, sf_dir, "q326_position_attribution")
+    assert plan.count("Exchange hashpartitioning(pid") == 1
+    assert "partial_count" in plan or "merge_count" in plan
+
+
+def test_q336_topk_never_materializes_full_fan(spark, sf_dir):
+    # per-item top-5 runs through per_anchor_topk: the plan must show
+    # the two-phase shape (a local __pid-partitioned rank before the
+    # global per-item rank), so no reducer ever sees a hub item's
+    # full candidate list in one window frame
+    plan = _plan(spark, sf_dir, "q336_item_cf")
+    assert "__pid" in plan
+
+
+def test_q339_panel_join_broadcasts_fixed_side(spark, sf_dir):
+    # the fixed 40-vector panel is the broadcast side of the
+    # panel x train cross join — the train corpus never shuffles for
+    # the distance evaluation
+    plan = _plan(spark, sf_dir, "q339_knn_classifier")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
