@@ -1942,3 +1942,138 @@ def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+# ---------------------------------------------------------------------------
+# q342: modularity of the LPA partition (round 8)
+# ---------------------------------------------------------------------------
+
+# Newman & Girvan (2004): Q = Σ_c [ m_c/m − (D_c/2m)² ] — the quality
+# score for q257's 4-round LPA communities that turns "we found
+# communities" into a graded claim.  Everything up to the final ratios
+# is exact integers: m (edges), m_c (within-community edges — one
+# semi-comparison join of edge endpoints' labels), D_c (degree mass
+# per community).  The per-community terms are identical doubles both
+# engines; the Σ over communities is float (6dp absorbs add order).
+_Q342_SQL = f"""
+WITH inc AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM inc a JOIN inc b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sym AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS lbl FROM sym
+),
+{", ".join(_lpa_cte(r) for r in range(1, _Q257_ROUNDS + 1))},
+lab AS (SELECT node, lbl FROM l{_Q257_ROUNDS}),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+mc AS (
+  SELECT lu.lbl, CAST(COUNT(*) AS BIGINT) AS m_c
+  FROM e JOIN lab lu ON lu.node = e.u JOIN lab lv ON lv.node = e.v
+  WHERE lu.lbl = lv.lbl GROUP BY lu.lbl
+),
+dg AS (
+  SELECT l.lbl, CAST(COUNT(*) AS BIGINT) AS d_c
+  FROM sym s JOIN lab l ON l.node = s.src GROUP BY l.lbl
+),
+terms AS (
+  SELECT dg.lbl,
+         COALESCE(mc.m_c, 0) * 1.0 / m.m
+           - (dg.d_c * 1.0 / (2 * m.m)) * (dg.d_c * 1.0 / (2 * m.m)) AS q
+  FROM dg LEFT JOIN mc ON mc.lbl = dg.lbl CROSS JOIN m
+)
+SELECT (SELECT m FROM m) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_communities,
+       ROUND(SUM(q), 6) AS modularity
+FROM terms
+"""
+
+
+@register(
+    "q342_modularity",
+    _Q342_SQL,
+    doc=(
+        "Newman-Girvan modularity of q257's 4-round LPA partition — "
+        "the quality score that grades the community structure: "
+        "Q = Σ_c [m_c/m − (D_c/2m)²] with every count exact integer "
+        "(within-community edges by ONE label-comparison join of "
+        "edge endpoints, degree mass by one keyed rollup) and only "
+        "the |communities|-term final sum floating (6dp).  Reuses "
+        "the identical LPA rounds engine- and oracle-side, so the "
+        "partition under audit is bit-identical to q257's"
+    ),
+    tables=("lineitem",),
+)
+def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    inc = li.select("l_orderkey", "l_partkey").distinct()
+    a = inc.alias("a")
+    b = inc.alias("b")
+    e = truncate_lineage(
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("m"))
+        .where(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    sym = truncate_lineage(
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+            e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").cast("long").alias("lbl")
+    )
+    for _ in range(_Q257_ROUNDS):
+        msg = sym.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).groupBy(F.col("dst").alias("node"), "lbl").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = truncate_lineage(
+            msg.groupBy("node").agg(
+                F.max_by(
+                    "lbl",
+                    F.col("cnt") * F.lit(1_000_000_000) - F.col("lbl"),
+                ).alias("lbl")
+            )
+        )
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
+    mc = (
+        e.join(lu, "u")
+        .join(lv, "v")
+        .where(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("long").alias("m_c"))
+    )
+    dg = (
+        sym.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_c"))
+    )
+    q = (
+        F.coalesce(F.col("m_c"), F.lit(0)) * F.lit(1.0) / F.col("m")
+        - (F.col("d_c") * F.lit(1.0) / (2 * F.col("m")))
+        * (F.col("d_c") * F.lit(1.0) / (2 * F.col("m")))
+    )
+    terms = dg.join(mc, "lbl", "left").crossJoin(F.broadcast(m))
+    return terms.select(q.alias("q"), "m").agg(
+        F.first("m").cast("long").alias("n_edges"),
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.round(F.sum("q"), 6).alias("modularity"),
+    )

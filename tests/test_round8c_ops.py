@@ -704,3 +704,36 @@ def test_q341_randomized_response_brute_force(spark, sf_dir):
     assert abs(r.abs_err - abs(est - n_true / n)) < 1e-6
     # the debias actually moves the observed share toward the truth
     assert abs(est - n_true / n) <= abs(n_yes / n - n_true / n) + 1e-9
+
+
+def test_q342_modularity_brute_force(spark, sf_dir):
+    out = Q.REGISTRY["q342_modularity"].fn(spark, sf_dir).toPandas()
+    edges = _copurchase_edges(spark, sf_dir)
+    adj = collections.defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    lbl = {v: v for v in adj}
+    for _ in range(4):
+        new = {}
+        for node, ns in adj.items():
+            cnt = collections.Counter(lbl[w] for w in ns)
+            new[node] = max(cnt.items(), key=lambda t: t[1] * 10**9 - t[0])[0]
+        lbl = new
+    m = len(edges)
+    mc = collections.Counter()
+    for u, v in edges:
+        if lbl[u] == lbl[v]:
+            mc[lbl[u]] += 1
+    dg = collections.Counter()
+    for v, ns in adj.items():
+        dg[lbl[v]] += len(ns)
+    q = sum(
+        mc.get(c, 0) / m - (d / (2 * m)) ** 2 for c, d in sorted(dg.items())
+    )
+    r = out.iloc[0]
+    assert r.n_edges == m
+    assert r.n_communities == len(dg)
+    assert abs(r.modularity - q) < 1e-5
+    # modularity bounds: Q in [-1/2, 1)
+    assert -0.5 <= r.modularity < 1.0
