@@ -155,6 +155,7 @@ _PRIORITY: tuple[str, ...] = (
     "q340_markov_attribution",
     "q341_randomized_response",
     "q342_modularity",
+    "q343_greedy_decode",
     # (q254/s22/q255-q298 are the round-7 session-2 remainder, never
     # driver-witnessed; then the stalest r1-r3-era names oldest-first)
     "q254_randomization_test",

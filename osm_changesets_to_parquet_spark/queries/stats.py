@@ -3137,3 +3137,130 @@ def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.model", "r.n_bigrams", "r.mean_nll_bits", "r.ppl")
         .orderBy("model")
     )
+
+
+# ---------------------------------------------------------------------------
+# q343: greedy decoding from the corpus bigram LM (round 8)
+# ---------------------------------------------------------------------------
+
+# The serving half of the LM family (q222/q307/q332 train and score;
+# this DECODES): from a deterministic seed word — the corpus's most
+# frequent token — follow the argmax next-word distribution for 16
+# steps.  Each step is one keyed argmax over the bigram-count table
+# (max count, tie-break to the lexicographically smallest word: the
+# same composite-argmax-as-aggregation discipline as q257, spelled
+# MAX(count)+MIN(word among maxima) so no window ever appears); the
+# bigram-type rollup is computed ONCE and reused by all steps.  A
+# repeated context re-emits its argmax deterministically, so loops in
+# the output are the honest greedy-decoding behavior, not a bug.
+_Q343_STEPS = 16
+
+
+def _q343_step(k: int) -> str:
+    prev = f"g{k - 1}"
+    return f"""g{k} AS MATERIALIZED (
+  SELECT bc.w2 AS w FROM bc, {prev} p
+  WHERE bc.w1 = p.w
+  ORDER BY bc.cb DESC, bc.w2 LIMIT 1
+)"""
+
+
+_Q343_SQL = f"""
+WITH tok AS (SELECT string_split(text, ' ') AS tk FROM documents),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY w
+),
+bc AS MATERIALIZED (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM (SELECT tk, generate_subscripts(tk, 1) AS i FROM tok)
+  WHERE i < len(tk)
+  GROUP BY 1, 2
+),
+g0 AS MATERIALIZED (SELECT w FROM uni ORDER BY c DESC, w LIMIT 1),
+{", ".join(_q343_step(k) for k in range(1, _Q343_STEPS + 1))}
+SELECT step, word FROM (
+  {" UNION ALL ".join(
+      f"SELECT {k} AS step, (SELECT w FROM g{k}) AS word"
+      for k in range(_Q343_STEPS + 1)
+  )}
+)
+ORDER BY step
+"""
+
+
+@register(
+    "q343_greedy_decode",
+    _Q343_SQL,
+    doc=(
+        "greedy decoding from the corpus bigram LM — the SERVING half "
+        "of the LM family (q222/q307/q332 train and score; this "
+        f"generates): from the most frequent token, {_Q343_STEPS} "
+        "argmax next-word steps over the ONCE-computed bigram-type "
+        "rollup, each step one keyed TakeOrdered argmax (max count, "
+        "lexicographic tie-break — the q257 composite-argmax "
+        "discipline, no windows); repeated contexts re-emit their "
+        "argmax, so output loops are honest greedy behavior.  The "
+        "corpus reduces to the vocabulary-keyed bigram table before "
+        "any step; each step touches one context's candidate rows"
+    ),
+    tables=("documents",),
+)
+def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(F.split("text", " ").alias("tk"))
+    uni = (
+        tk.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    big = tk.where(F.size("tk") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.struct(
+                    F.element_at("tk", i).alias("w1"),
+                    F.element_at("tk", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = truncate_lineage(
+        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    seed = uni.orderBy(F.desc("c"), "w").limit(1).first().w
+    words = [seed]
+    cur = seed
+    for _ in range(_Q343_STEPS):
+        # bounded driver collect: ONE (step, word) row per step — the
+        # argmax itself is a distributed TakeOrdered over bc
+        row = (
+            bc.where(F.col("w1") == cur)
+            .orderBy(F.desc("cb"), "w2")
+            .limit(1)
+            .first()
+        )
+        if row is None:
+            # dead-end context: the oracle's step CTEs go empty and
+            # every later word is NULL — mirror that
+            words.extend([None] * (_Q343_STEPS + 1 - len(words)))
+            break
+        cur = row.w2
+        words.append(cur)
+    structs = [
+        F.struct(
+            F.lit(i).cast("int").alias("step"),
+            F.lit(w).cast("string").alias("word")
+        )
+        for i, w in enumerate(words)
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.step", "r.word")
+        .orderBy("step")
+    )

@@ -737,3 +737,27 @@ def test_q342_modularity_brute_force(spark, sf_dir):
     assert abs(r.modularity - q) < 1e-5
     # modularity bounds: Q in [-1/2, 1)
     assert -0.5 <= r.modularity < 1.0
+
+
+def test_q343_greedy_decode_brute_force(spark, sf_dir):
+    out = Q.REGISTRY["q343_greedy_decode"].fn(spark, sf_dir).toPandas()
+    d = load_table(spark, sf_dir, "documents").toPandas()
+    uni = collections.Counter()
+    big = collections.Counter()
+    for t in d.text:
+        toks = t.split(" ")
+        uni.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] += 1
+    seed = min(uni, key=lambda w: (-uni[w], w))
+    words = [seed]
+    cur = seed
+    for _ in range(16):
+        cands = [(c, w2) for (w1, w2), c in big.items() if w1 == cur]
+        if not cands:
+            words.extend([None] * (17 - len(words)))
+            break
+        cur = min(cands, key=lambda t: (-t[0], t[1]))[1]
+        words.append(cur)
+    assert list(out.step) == list(range(17))
+    assert list(out.word) == words
