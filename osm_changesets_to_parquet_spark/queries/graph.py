@@ -2077,3 +2077,175 @@ def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_communities"),
         F.round(F.sum("q"), 6).alias("modularity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q347: recommendation coverage + popularity-bias audit (round 8)
+# ---------------------------------------------------------------------------
+
+# The beyond-accuracy recommender metrics (Ge et al. 2010) that q338's
+# hit-rate can't see: what share of the CATALOG the q336 top-5 lists
+# ever surface (aggregate coverage), and how much more popular the
+# recommended items are than the catalog average (popularity lift —
+# the long-tail starvation number).  All counts are exact integers
+# from the same incidence/degree rollups q336 builds; the audit is a
+# single scalar row.
+_Q347_SQL = f"""
+WITH inc AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+deg AS (
+  SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS d FROM inc GROUP BY 1
+),
+co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM inc a JOIN inc b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_Q336_MIN_CO}
+),
+sym AS (
+  SELECT pa AS p, pb AS nbr, c FROM co
+  UNION ALL SELECT pb AS p, pa AS nbr, c FROM co
+),
+scored AS (
+  SELECT s.p, s.nbr,
+         ROUND(s.c / SQRT(CAST(da.d * db.d AS DOUBLE)), 6) AS cosine
+  FROM sym s JOIN deg da ON da.p = s.p JOIN deg db ON db.p = s.nbr
+),
+rec AS (
+  SELECT p, nbr FROM (
+    SELECT p, nbr,
+           ROW_NUMBER() OVER (PARTITION BY p
+                              ORDER BY cosine DESC, nbr) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_Q336_K}
+),
+cat AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_catalog,
+               CAST(SUM(d) AS BIGINT) AS sum_deg FROM deg),
+rc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rec_rows,
+         CAST(COUNT(DISTINCT p) AS BIGINT) AS n_items_with_recs,
+         CAST(COUNT(DISTINCT nbr) AS BIGINT) AS n_recommended_distinct
+  FROM rec
+),
+rd AS (
+  SELECT CAST(SUM(deg.d) AS BIGINT) AS rec_deg
+  FROM rec JOIN deg ON deg.p = rec.nbr
+)
+SELECT cat.n_catalog, rc.n_items_with_recs, rc.n_recommended_distinct,
+       ROUND(rc.n_recommended_distinct * 1.0 / cat.n_catalog, 6)
+         AS coverage,
+       ROUND(rd.rec_deg * 1.0 / rc.n_rec_rows, 4) AS avg_deg_recommended,
+       ROUND(cat.sum_deg * 1.0 / cat.n_catalog, 4) AS avg_deg_catalog,
+       ROUND((rd.rec_deg * 1.0 / rc.n_rec_rows)
+             / (cat.sum_deg * 1.0 / cat.n_catalog), 4) AS popularity_lift
+FROM cat CROSS JOIN rc CROSS JOIN rd
+"""
+
+
+@register(
+    "q347_rec_coverage",
+    _Q347_SQL,
+    doc=(
+        "beyond-accuracy recommender audit (Ge et al. 2010) over "
+        "q336's top-5 lists: aggregate catalog coverage (what share "
+        "of items are EVER recommended) and popularity lift (mean "
+        "degree of recommended items over the catalog mean — the "
+        "long-tail starvation number q338's hit-rate cannot see).  "
+        "Exact integer counts from the same incidence/degree rollups "
+        "q336 builds, per-item top-5 through per_anchor_topk, one "
+        "scalar audit row out"
+    ),
+    tables=("lineitem",),
+)
+def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.anchors import (
+        per_anchor_topk,
+    )
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    inc = truncate_lineage(li.select("l_orderkey", "l_partkey").distinct())
+    deg = truncate_lineage(
+        inc.groupBy(F.col("l_partkey").alias("p")).agg(
+            F.count(F.lit(1)).cast("long").alias("d")
+        )
+    )
+    a = inc.alias("a")
+    b = inc.alias("b")
+    co = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .where(F.col("c") >= _Q336_MIN_CO)
+    )
+    sym = co.select(
+        F.col("pa").alias("p"), F.col("pb").alias("nbr"), "c"
+    ).unionByName(
+        co.select(F.col("pb").alias("p"), F.col("pa").alias("nbr"), "c")
+    )
+    scored = (
+        sym.join(deg.select("p", F.col("d").alias("da")), "p")
+        .join(
+            deg.select(F.col("p").alias("nbr"), F.col("d").alias("db")),
+            "nbr",
+        )
+        .select(
+            "p",
+            "nbr",
+            F.round(
+                F.col("c")
+                / F.sqrt((F.col("da") * F.col("db")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    rec = truncate_lineage(
+        per_anchor_topk(
+            scored, ["p"], [F.desc("cosine"), F.col("nbr")], _Q336_K
+        ).select("p", "nbr")
+    )
+    cat = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_catalog"),
+        F.sum("d").cast("long").alias("sum_deg"),
+    )
+    rc = rec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rec_rows"),
+        F.countDistinct("p").cast("long").alias("n_items_with_recs"),
+        F.countDistinct("nbr").cast("long").alias("n_recommended_distinct"),
+    )
+    rd = (
+        rec.join(deg.select(F.col("p").alias("nbr"), "d"), "nbr")
+        .agg(F.sum("d").cast("long").alias("rec_deg"))
+    )
+    return (
+        cat.crossJoin(F.broadcast(rc))
+        .crossJoin(F.broadcast(rd))
+        .select(
+            "n_catalog",
+            "n_items_with_recs",
+            "n_recommended_distinct",
+            F.round(
+                F.col("n_recommended_distinct")
+                * F.lit(1.0)
+                / F.col("n_catalog"),
+                6,
+            ).alias("coverage"),
+            F.round(
+                F.col("rec_deg") * F.lit(1.0) / F.col("n_rec_rows"), 4
+            ).alias("avg_deg_recommended"),
+            F.round(
+                F.col("sum_deg") * F.lit(1.0) / F.col("n_catalog"), 4
+            ).alias("avg_deg_catalog"),
+            F.round(
+                (F.col("rec_deg") * F.lit(1.0) / F.col("n_rec_rows"))
+                / (F.col("sum_deg") * F.lit(1.0) / F.col("n_catalog")),
+                4,
+            ).alias("popularity_lift"),
+        )
+    )

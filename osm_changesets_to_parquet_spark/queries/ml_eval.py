@@ -6286,3 +6286,334 @@ def q334(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.comp", "r.weight", "r.mu_dollars", "r.sigma_dollars", "r.n_milli")
+
+
+# ---------------------------------------------------------------------------
+# q345: instrumental-variable (Wald) estimator (round 8)
+# ---------------------------------------------------------------------------
+
+# The encouragement-design readout completing the causal family (q248
+# DiD, q283 CUPED, q282 QTE, q204 matching): when treatment uptake is
+# endogenous, the Wald/IV estimate is ITT / first-stage =
+# (E[y|z=1]-E[y|z=0]) / (E[t|z=1]-E[t|z=0]).  Fixture construction:
+# z is the shared id-hash arm (a genuinely random instrument) and
+# compliance is CONSTRUCTED — the encouraged arm "adopts" at a lower
+# post-period activity bar (t = qc >= 34 if z else qc >= 38), the
+# standard way to witness IV mechanics on data with no natural
+# experiment: the first stage is real (the share of users between the
+# two bars), the exclusion restriction holds exactly (y never reads
+# z), and the true effect is 0 — so the honest answer is wald ~ 0
+# with a STABLE denominator, not a weak-instrument blow-up (the first
+# draft used above-median pre-activity as z; measured first stage at
+# sf0.01 was 0.02 — a textbook weak instrument, replaced).  Integer
+# power sums to a 2-row arm frame; zero first-stage NULLIF-guarded.
+_Q345_SPLIT_DAY = 14
+_Q345_T_ENC = 34  # adoption bar for the encouraged arm
+_Q345_T_CTL = 38  # adoption bar for the control arm
+
+_Q345_SQL = f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+post AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS qc,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+              AS BIGINT) AS y
+  FROM e WHERE d >= {_Q345_SPLIT_DAY} GROUP BY user_id
+),
+u AS (
+  SELECT CASE WHEN ((us.user_id % 2147483648) * 2654435761) % 100 >= 50
+              THEN 1 ELSE 0 END AS z,
+         COALESCE(po.qc, 0) AS qc, COALESCE(po.y, 0) AS y
+  FROM (SELECT DISTINCT user_id FROM e) us
+  LEFT JOIN post po ON po.user_id = us.user_id
+),
+t AS (
+  SELECT z,
+         CAST(qc >= CASE WHEN z = 1 THEN {_Q345_T_ENC}
+                         ELSE {_Q345_T_CTL} END AS BIGINT) AS t,
+         y
+  FROM u
+),
+g AS (
+  SELECT z, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS nt, CAST(SUM(y) AS BIGINT) AS sy
+  FROM t GROUP BY z
+),
+w AS (
+  SELECT (SELECT n FROM g WHERE z = 1) AS n1,
+         (SELECT n FROM g WHERE z = 0) AS n0,
+         (SELECT nt * 1.0 / n FROM g WHERE z = 1) AS t1,
+         (SELECT nt * 1.0 / n FROM g WHERE z = 0) AS t0,
+         (SELECT sy * 1.0 / n FROM g WHERE z = 1) AS y1,
+         (SELECT sy * 1.0 / n FROM g WHERE z = 0) AS y0
+)
+SELECT n1, n0,
+       ROUND(t1, 6) AS t_rate_z1, ROUND(t0, 6) AS t_rate_z0,
+       ROUND(y1 / 100, 4) AS y_mean_z1, ROUND(y0 / 100, 4) AS y_mean_z0,
+       ROUND((y1 - y0) / 100, 4) AS itt_dollars,
+       ROUND(t1 - t0, 6) AS first_stage,
+       ROUND((y1 - y0) / NULLIF(t1 - t0, 0.0) / 100, 4) AS wald_dollars
+FROM w
+"""
+
+
+@register(
+    "q345_iv_wald",
+    _Q345_SQL,
+    doc=(
+        "instrumental-variable (Wald) estimator — the encouragement-"
+        "design readout completing the causal family (q248 DiD, q283 "
+        "CUPED, q282 QTE, q204 matching): ITT / first-stage with the "
+        "shared id-hash arm as a genuinely random instrument and "
+        "CONSTRUCTED compliance (the encouraged arm adopts at post-"
+        f"activity >= {_Q345_T_ENC}, control at >= {_Q345_T_CTL} — "
+        "the share of users between the bars IS the first stage, so "
+        "the denominator is stable by design; the first draft's "
+        "above-median-activity instrument measured a 0.02 first "
+        "stage at sf0.01, the textbook weak-instrument failure, and "
+        "was replaced).  Exclusion holds exactly (y never reads z) "
+        "and the true effect is 0, so the honest answer is wald ~ 0.  "
+        "Integer power sums to a 2-row arm frame; zero first stage "
+        "NULLIF-guarded"
+    ),
+    tables=("events",),
+)
+def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    post = (
+        e.where(F.col("d") >= _Q345_SPLIT_DAY)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("qc"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("cents")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    us = e.select("user_id").distinct()
+    u = us.join(post, "user_id", "left").select(
+        F.when(hash_bucket("user_id", 100) >= 50, 1).otherwise(0).alias("z"),
+        F.coalesce(F.col("qc"), F.lit(0)).alias("qc"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    t = u.select(
+        "z",
+        (
+            F.col("qc")
+            >= F.when(F.col("z") == 1, _Q345_T_ENC).otherwise(_Q345_T_CTL)
+        )
+        .cast("long")
+        .alias("t"),
+        "y",
+    )
+    g = truncate_lineage(
+        t.groupBy("z").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("t").cast("long").alias("nt"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+    )
+    g1 = g.where(F.col("z") == 1).select(
+        F.col("n").alias("n1"),
+        (F.col("nt") * F.lit(1.0) / F.col("n")).alias("t1"),
+        (F.col("sy") * F.lit(1.0) / F.col("n")).alias("y1"),
+    )
+    g0 = g.where(F.col("z") == 0).select(
+        F.col("n").alias("n0"),
+        (F.col("nt") * F.lit(1.0) / F.col("n")).alias("t0"),
+        (F.col("sy") * F.lit(1.0) / F.col("n")).alias("y0"),
+    )
+    w = g1.crossJoin(F.broadcast(g0))
+    return w.select(
+        "n1",
+        "n0",
+        F.round("t1", 6).alias("t_rate_z1"),
+        F.round("t0", 6).alias("t_rate_z0"),
+        F.round(F.col("y1") / 100, 4).alias("y_mean_z1"),
+        F.round(F.col("y0") / 100, 4).alias("y_mean_z0"),
+        F.round((F.col("y1") - F.col("y0")) / 100, 4).alias("itt_dollars"),
+        F.round(F.col("t1") - F.col("t0"), 6).alias("first_stage"),
+        F.round(
+            (F.col("y1") - F.col("y0"))
+            / F.nullif(F.col("t1") - F.col("t0"), F.lit(0.0))
+            / 100,
+            4,
+        ).alias("wald_dollars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q346: regression-discontinuity estimate at a price cutoff (round 8)
+# ---------------------------------------------------------------------------
+
+# The third identification strategy of the causal family (q248 DiD
+# exploits time, q345 IV an instrument; RD exploits a THRESHOLD):
+# local-linear fits on each side of the cutoff inside a fixed
+# bandwidth, and the effect is the gap between the two intercepts at
+# the cutoff (Thistlethwaite & Campbell 1960).  Running variable =
+# order price cents (cutoff $250k, bandwidth $100k), outcome = the
+# order's line-item count; each side's OLS intercept/slope is closed
+# form over five integer power sums (n, Σu, Σu², Σy, Σuy with u the
+# centered cents — map-side combinable; DOUBLE casts placed
+# identically both engines since Σu² exceeds 2^53 at sf0.1).  Honest
+# fixture answer: rd ~ 0 — the synthetic generator has no price
+# discontinuity, which is exactly what the audit should report.
+_Q346_CUT = 25_000_000
+_Q346_BW = 10_000_000
+
+_Q346_SIDE = """
+  SELECT side, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(u) AS BIGINT) AS su,
+         CAST(SUM(u * u) AS BIGINT) AS suu,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(u * y) AS BIGINT) AS suy
+  FROM pts GROUP BY side
+"""
+
+_Q346_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) - {_Q346_CUT} AS u
+  FROM orders
+),
+cnt AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS y
+  FROM lineitem GROUP BY l_orderkey
+),
+pts AS (
+  SELECT CASE WHEN o.u >= 0 THEN 'right' ELSE 'left' END AS side,
+         o.u, COALESCE(c.y, 0) AS y
+  FROM o LEFT JOIN cnt c ON c.l_orderkey = o.o_orderkey
+  WHERE o.u > -{_Q346_BW} AND o.u < {_Q346_BW}
+),
+s AS ({_Q346_SIDE}),
+f AS (
+  SELECT side, n,
+         (CAST(sy AS DOUBLE) * CAST(suu AS DOUBLE)
+          - CAST(su AS DOUBLE) * CAST(suy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+            - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) AS a,
+         (CAST(n AS DOUBLE) * CAST(suy AS DOUBLE)
+          - CAST(su AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+            - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) AS b
+  FROM s
+)
+SELECT (SELECT n FROM f WHERE side = 'left') AS n_left,
+       (SELECT n FROM f WHERE side = 'right') AS n_right,
+       ROUND((SELECT a FROM f WHERE side = 'left'), 6) AS intercept_left,
+       ROUND((SELECT a FROM f WHERE side = 'right'), 6) AS intercept_right,
+       ROUND((SELECT b FROM f WHERE side = 'left') * 100000, 6)
+         AS slope_left_per_1kusd,
+       ROUND((SELECT b FROM f WHERE side = 'right') * 100000, 6)
+         AS slope_right_per_1kusd,
+       ROUND((SELECT a FROM f WHERE side = 'right')
+             - (SELECT a FROM f WHERE side = 'left'), 6) AS rd_estimate
+"""
+
+
+@register(
+    "q346_regression_discontinuity",
+    _Q346_SQL,
+    doc=(
+        "regression-discontinuity estimate (Thistlethwaite & Campbell "
+        "1960) at the $250k order-price cutoff, $100k bandwidth — the "
+        "threshold identification strategy completing the causal "
+        "family (q248 time, q345 instrument): per-side local-linear "
+        "intercept/slope closed-form over five integer power sums "
+        "(map-side combinable; DOUBLE casts placed identically both "
+        "engines — Σu² exceeds 2^53 at sf0.1), effect = the intercept "
+        "gap at the cutoff.  Honest fixture answer: rd ~ 0 (no "
+        "generator discontinuity) — the audit reporting a clean null "
+        "is the point"
+    ),
+    tables=("orders", "lineitem"),
+)
+def q346(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (
+            F.round(F.col("o_totalprice") * 100).cast("long") - _Q346_CUT
+        ).alias("u"),
+    )
+    cnt = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    pts = (
+        o.join(cnt, o.o_orderkey == cnt.l_orderkey, "left")
+        .where((F.col("u") > -_Q346_BW) & (F.col("u") < _Q346_BW))
+        .select(
+            F.when(F.col("u") >= 0, "right").otherwise("left").alias("side"),
+            "u",
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    s = truncate_lineage(
+        pts.groupBy("side").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("u").cast("long").alias("su"),
+            F.sum(F.col("u") * F.col("u")).cast("long").alias("suu"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("u") * F.col("y")).cast("long").alias("suy"),
+        )
+    )
+    det = (
+        F.col("n").cast("double") * F.col("suu").cast("double")
+        - F.col("su").cast("double") * F.col("su").cast("double")
+    )
+    a = (
+        F.col("sy").cast("double") * F.col("suu").cast("double")
+        - F.col("su").cast("double") * F.col("suy").cast("double")
+    ) / det
+    b = (
+        F.col("n").cast("double") * F.col("suy").cast("double")
+        - F.col("su").cast("double") * F.col("sy").cast("double")
+    ) / det
+    f = s.select("side", "n", a.alias("a"), b.alias("b"))
+    left = f.where(F.col("side") == "left").select(
+        F.col("n").alias("n_left"),
+        F.col("a").alias("al"),
+        F.col("b").alias("bl"),
+    )
+    right = f.where(F.col("side") == "right").select(
+        F.col("n").alias("n_right"),
+        F.col("a").alias("ar"),
+        F.col("b").alias("br"),
+    )
+    return left.crossJoin(F.broadcast(right)).select(
+        "n_left",
+        "n_right",
+        F.round("al", 6).alias("intercept_left"),
+        F.round("ar", 6).alias("intercept_right"),
+        F.round(F.col("bl") * 100000, 6).alias("slope_left_per_1kusd"),
+        F.round(F.col("br") * 100000, 6).alias("slope_right_per_1kusd"),
+        F.round(F.col("ar") - F.col("al"), 6).alias("rd_estimate"),
+    )

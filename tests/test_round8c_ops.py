@@ -761,3 +761,96 @@ def test_q343_greedy_decode_brute_force(spark, sf_dir):
         words.append(cur)
     assert list(out.step) == list(range(17))
     assert list(out.word) == words
+
+
+def test_q345_iv_wald_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    out = Q.REGISTRY["q345_iv_wald"].fn(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    ev["day"] = (
+        pd.to_datetime(ev.ts_us, unit="us").dt.normalize()
+        - pd.Timestamp("2024-01-01")
+    ).dt.days
+    post_n = ev[ev.day >= 14].groupby("user_id").size()
+    post_y = ev[(ev.day >= 14) & (ev.event_type == "purchase")].groupby(
+        "user_id"
+    ).value.apply(lambda s: sum(round(v * 100) for v in s))
+    arms = {0: [0, 0, 0], 1: [0, 0, 0]}  # n, nt, sy
+    for u in ev.user_id.unique():
+        z = 1 if ((int(u) % ID_FOLD) * KNUTH) % 100 >= 50 else 0
+        qc = int(post_n.get(u, 0))
+        bar = 34 if z == 1 else 38
+        arms[z][0] += 1
+        arms[z][1] += int(qc >= bar)
+        arms[z][2] += int(post_y.get(u, 0))
+    r = out.iloc[0]
+    assert r.n1 == arms[1][0] and r.n0 == arms[0][0]
+    t1, t0 = arms[1][1] / arms[1][0], arms[0][1] / arms[0][0]
+    y1, y0 = arms[1][2] / arms[1][0], arms[0][2] / arms[0][0]
+    assert abs(r.t_rate_z1 - t1) < 1e-5 and abs(r.t_rate_z0 - t0) < 1e-5
+    assert abs(r.itt_dollars - (y1 - y0) / 100) < 1e-3
+    assert abs(r.first_stage - (t1 - t0)) < 1e-5
+    if abs(t1 - t0) > 1e-9:
+        assert abs(r.wald_dollars - (y1 - y0) / (t1 - t0) / 100) < 1e-2
+    # constructed compliance: the first stage is real by design
+    assert r.first_stage > 0.03
+
+
+def test_q346_rd_brute_force(spark, sf_dir):
+    out = Q.REGISTRY["q346_regression_discontinuity"].fn(spark, sf_dir).toPandas()
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    ycnt = li.groupby("l_orderkey").size().to_dict()
+    sides = {"left": [], "right": []}
+    for r in o.itertuples():
+        u = round(r.o_totalprice * 100) - 25_000_000
+        if -10_000_000 < u < 10_000_000:
+            sides["right" if u >= 0 else "left"].append(
+                (u, ycnt.get(r.o_orderkey, 0))
+            )
+
+    def fit(rows):
+        n = len(rows)
+        su = sum(u for u, _ in rows)
+        suu = sum(u * u for u, _ in rows)
+        sy = sum(y for _, y in rows)
+        suy = sum(u * y for u, y in rows)
+        det = float(n) * suu - float(su) * su
+        return (
+            (float(sy) * suu - float(su) * suy) / det,
+            (float(n) * suy - float(su) * sy) / det,
+        )
+
+    al, bl = fit(sides["left"])
+    ar, br = fit(sides["right"])
+    r = out.iloc[0]
+    assert r.n_left == len(sides["left"]) and r.n_right == len(sides["right"])
+    assert abs(r.intercept_left - al) < 1e-4
+    assert abs(r.intercept_right - ar) < 1e-4
+    assert abs(r.rd_estimate - (ar - al)) < 1e-4
+    # honest null: the synthetic generator has no price discontinuity
+    assert abs(r.rd_estimate) < 1.0
+
+
+def test_q347_rec_coverage_consistency(spark, sf_dir):
+    out = Q.REGISTRY["q347_rec_coverage"].fn(spark, sf_dir).toPandas()
+    rec = Q.REGISTRY["q336_item_cf"].fn(spark, sf_dir).toPandas()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    deg = li.groupby("l_partkey").size().to_dict()
+    r = out.iloc[0]
+    assert r.n_catalog == len(deg)
+    assert r.n_items_with_recs == rec.p.nunique()
+    assert r.n_recommended_distinct == rec.nbr.nunique()
+    assert abs(r.coverage - rec.nbr.nunique() / len(deg)) < 1e-6
+    avg_rec = sum(deg[n] for n in rec.nbr) / len(rec)
+    avg_cat = sum(deg.values()) / len(deg)
+    assert abs(r.avg_deg_recommended - avg_rec) < 1e-3
+    assert abs(r.avg_deg_catalog - avg_cat) < 1e-3
+    # popularity lift >= 1 is the expected bias of co-occurrence CF
+    assert r.popularity_lift > 0
