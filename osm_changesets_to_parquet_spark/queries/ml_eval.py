@@ -6617,3 +6617,307 @@ def q346(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("br") * 100000, 6).alias("slope_right_per_1kusd"),
         F.round(F.col("ar") - F.col("al"), 6).alias("rd_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q344: AdaBoost over decision stumps, 3 rounds (round 8)
+# ---------------------------------------------------------------------------
+
+# Freund & Schapire (1997) — ENSEMBLE fitting completing the
+# model-fitting family (q311 IRLS, q334 EM, q303 single stump): three
+# boosting rounds over stumps on (value-cents, hour-of-day,
+# day-of-week) predicting is-purchase.  The q311/q334 determinism
+# discipline, applied to boosting's multiplicative weights: row
+# weights START as integer 1000 and every update re-quantizes
+# (w' = FLOOR(w * e^{±alpha} + 0.5)), so each round's weighted stump
+# search runs on EXACT integers — per-feature value-domain cumulative
+# sweeps (the q303 shape; sufficient statistics are (feature, value,
+# weighted-pos, weighted-neg), never rows), the argmin a total-order
+# (err, feature, value, polarity) TakeOrdered.  The only floats are
+# alpha = ln((1-e)/e)/2 per round (identical doubles: e is a ratio of
+# exact integers < 2^53) and the weight factors, whose FLOOR(+0.5)
+# quantization absorbs last-ulp libm drift (the q334 argument).  Each
+# round is ONE scan + two bounded scalar collects; weights are a
+# per-row EXPRESSION of the stump parameters (no per-row state, no
+# join — the weight chain is a nested FLOOR/EXP expression both
+# engines evaluate identically).
+_Q344_ROUNDS = 3
+_Q344_W0 = 1000
+_Q344_CLAMP = 0.000001
+
+_Q344_FEATURES = {1: "cents", 2: "hour", 3: "dow"}
+
+_Q344_BASE = """
+base AS MATERIALIZED (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS x1,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) % 24 AS x2,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) % 7 AS x3,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS y
+  FROM events
+)
+"""
+
+
+def _q344_pred(k: int) -> str:
+    """Per-row prediction of round-k's picked stump as scalar subqueries."""
+    p = f"(SELECT fid FROM pick{k})"
+    v = f"(SELECT v FROM pick{k})"
+    pol = f"(SELECT pol FROM pick{k})"
+    xf = f"(CASE {p} WHEN 1 THEN x1 WHEN 2 THEN x2 ELSE x3 END)"
+    return (
+        f"(CASE WHEN {xf} <= {v} "
+        f"THEN (CASE WHEN {pol} = 1 THEN 1 ELSE -1 END) "
+        f"ELSE (CASE WHEN {pol} = 1 THEN -1 ELSE 1 END) END)"
+    )
+
+
+def _q344_sql() -> str:
+    w_expr = str(_Q344_W0)
+    parts = [_Q344_BASE.strip()]
+    for k in range(1, _Q344_ROUNDS + 1):
+        parts.append(f"""wt{k} AS (SELECT CAST(SUM({w_expr}) AS BIGINT) AS w FROM base)""")
+        parts.append(f"""g{k} AS MATERIALIZED (
+  SELECT fid, v,
+         CAST(SUM(CASE WHEN y = 1 THEN {w_expr} ELSE 0 END) AS BIGINT) AS swp,
+         CAST(SUM(CASE WHEN y = -1 THEN {w_expr} ELSE 0 END) AS BIGINT) AS swn
+  FROM (
+    SELECT 1 AS fid, x1 AS v, x1, x2, x3, y FROM base
+    UNION ALL SELECT 2, x2, x1, x2, x3, y FROM base
+    UNION ALL SELECT 3, x3, x1, x2, x3, y FROM base
+  ) GROUP BY fid, v
+)""")
+        parts.append(f"""sweep{k} AS MATERIALIZED (
+  SELECT fid, v,
+         SUM(swp) OVER w AS csp, SUM(swn) OVER w AS csn,
+         SUM(swp) OVER f AS tp, SUM(swn) OVER f AS tn
+  FROM g{k}
+  WINDOW w AS (PARTITION BY fid ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         f AS (PARTITION BY fid)
+)""")
+        parts.append(f"""cand{k} AS MATERIALIZED (
+  SELECT fid, v, 1 AS pol,
+         CAST(csn + (tp - csp) AS BIGINT) AS err FROM sweep{k}
+  UNION ALL
+  SELECT fid, v, 0, CAST(csp + (tn - csn) AS BIGINT) FROM sweep{k}
+)""")
+        parts.append(
+            f"e{k} AS (SELECT CAST(MIN(err) AS BIGINT) AS e FROM cand{k})"
+        )
+        parts.append(f"""pick{k} AS MATERIALIZED (
+  SELECT fid, v, pol, err FROM cand{k}
+  WHERE err = (SELECT e FROM e{k})
+  ORDER BY fid, v, pol LIMIT 1
+)""")
+        parts.append(f"""a{k} AS MATERIALIZED (
+  SELECT 0.5 * LN((1 - ec) / ec) AS a FROM (
+    SELECT LEAST(GREATEST((SELECT e FROM e{k}) * 1.0
+                          / (SELECT w FROM wt{k}),
+                          CAST({_Q344_CLAMP} AS DOUBLE)),
+                 CAST(1 - {_Q344_CLAMP} AS DOUBLE)) AS ec
+  )
+)""")
+        pred = _q344_pred(k)
+        a = f"(SELECT a FROM a{k})"
+        w_expr = (
+            f"FLOOR(({w_expr}) * EXP(CASE WHEN {pred} = y "
+            f"THEN -{a} ELSE {a} END) + 0.5)"
+        )
+    score = " + ".join(
+        f"(CASE WHEN {_q344_pred(k)} = 1 THEN (SELECT a FROM a{k}) "
+        f"ELSE -(SELECT a FROM a{k}) END)"
+        for k in range(1, _Q344_ROUNDS + 1)
+    )
+    parts.append(f"""acc AS (
+  SELECT SUM(CASE WHEN (CASE WHEN {score} >= 0 THEN 1 ELSE -1 END) = y
+             THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS acc
+  FROM base
+)""")
+    rows = " UNION ALL ".join(
+        f"""SELECT {k} AS round,
+       (SELECT CASE fid WHEN 1 THEN 'cents' WHEN 2 THEN 'hour'
+               ELSE 'dow' END FROM pick{k}) AS feature,
+       (SELECT CAST(v AS BIGINT) FROM pick{k}) AS threshold,
+       (SELECT CAST(pol AS BIGINT) FROM pick{k}) AS polarity,
+       (SELECT CAST(err AS BIGINT) FROM pick{k}) AS err_milli,
+       ROUND((SELECT e FROM e{k}) * 1.0 / (SELECT w FROM wt{k}), 6)
+         AS err_rate,
+       ROUND((SELECT a FROM a{k}), 6) AS alpha,
+       ROUND((SELECT acc FROM acc), 6) AS ensemble_acc"""
+        for k in range(1, _Q344_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT * FROM ({rows})\nORDER BY round"
+    )
+
+
+_Q344_SQL = _q344_sql()
+
+
+@register(
+    "q344_adaboost_stumps",
+    _Q344_SQL,
+    doc=(
+        f"AdaBoost (Freund & Schapire 1997), {_Q344_ROUNDS} rounds of "
+        "decision stumps on (value-cents, hour, day-of-week) "
+        "predicting is-purchase — ensemble fitting completing the "
+        "model family (q311 IRLS, q334 EM, q303 single stump): row "
+        "weights start integer 1000 and RE-QUANTIZE after every "
+        "multiplicative update (FLOOR(w*e^{±alpha}+0.5)), so each "
+        "round's weighted stump search is exact-integer value-domain "
+        "sweeps (the q303 shape) with a total-order argmin; weights "
+        "are per-row EXPRESSIONS of the stump parameters (no per-row "
+        "state, no join), each round ONE scan + two bounded scalar "
+        "collects.  Honest fixture answer: stumps on value separate "
+        "purchases only marginally (the label is near-independent of "
+        "the features) — accuracy hovers at the 4/5 majority rate, "
+        "and the err_rate ~0.2 per round IS that report"
+    ),
+    tables=("events",),
+)
+def q344(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = truncate_lineage(
+        ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("x1"),
+            (F.expr("ts_us div 3600000000") % 24).cast("long").alias("x2"),
+            (
+                F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+                % 7
+            )
+            .cast("long")
+            .alias("x3"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(-1)
+            .alias("y"),
+        )
+    )
+    w_expr = F.lit(_Q344_W0).cast("long")
+    picks = []  # (fid, v, pol, err, wtot, alpha)
+    for _k in range(_Q344_ROUNDS):
+        wtot = base.agg(F.sum(w_expr).cast("long").alias("w")).first().w
+        pts = None
+        for fid, xcol in ((1, "x1"), (2, "x2"), (3, "x3")):
+            p = base.select(
+                F.lit(fid).alias("fid"),
+                F.col(xcol).alias("v"),
+                F.when(F.col("y") == 1, w_expr).otherwise(0).alias("wp"),
+                F.when(F.col("y") == -1, w_expr).otherwise(0).alias("wn"),
+            )
+            pts = p if pts is None else pts.unionByName(p)
+        g = pts.groupBy("fid", "v").agg(
+            F.sum("wp").cast("long").alias("swp"),
+            F.sum("wn").cast("long").alias("swn"),
+        )
+        wv = (
+            Window.partitionBy("fid")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wf = Window.partitionBy("fid")
+        sweep = g.select(
+            "fid",
+            "v",
+            F.sum("swp").over(wv).alias("csp"),
+            F.sum("swn").over(wv).alias("csn"),
+            F.sum("swp").over(wf).alias("tp"),
+            F.sum("swn").over(wf).alias("tn"),
+        )
+        cand = sweep.select(
+            "fid",
+            "v",
+            F.lit(1).alias("pol"),
+            (F.col("csn") + (F.col("tp") - F.col("csp"))).alias("err"),
+        ).unionByName(
+            sweep.select(
+                "fid",
+                "v",
+                F.lit(0).alias("pol"),
+                (F.col("csp") + (F.col("tn") - F.col("csn"))).alias("err"),
+            )
+        )
+        cand = truncate_lineage(cand)
+        e = cand.agg(F.min("err").cast("long").alias("e")).first().e
+        pk = (
+            cand.where(F.col("err") == e)
+            .orderBy("fid", "v", "pol")
+            .limit(1)
+            .first()
+        )
+        ec = max(min(float(e) * 1.0 / float(wtot), 1 - _Q344_CLAMP), _Q344_CLAMP)
+        alpha = 0.5 * math.log((1 - ec) / ec)
+        picks.append((pk.fid, pk.v, pk.pol, e, wtot, alpha))
+        xf = F.col({1: "x1", 2: "x2", 3: "x3"}[pk.fid])
+        pred = F.when(
+            xf <= F.lit(pk.v),
+            F.lit(1) if pk.pol == 1 else F.lit(-1),
+        ).otherwise(F.lit(-1) if pk.pol == 1 else F.lit(1))
+        w_expr = F.floor(
+            w_expr
+            * F.exp(
+                F.when(pred == F.col("y"), F.lit(-alpha)).otherwise(
+                    F.lit(alpha)
+                )
+            )
+            + F.lit(0.5)
+        ).cast("long")
+    score = None
+    for (fid, v, pol, _e, _w, alpha) in picks:
+        xf = F.col({1: "x1", 2: "x2", 3: "x3"}[fid])
+        pred = F.when(
+            xf <= F.lit(v), F.lit(1) if pol == 1 else F.lit(-1)
+        ).otherwise(F.lit(-1) if pol == 1 else F.lit(1))
+        term = F.when(pred == 1, F.lit(alpha)).otherwise(F.lit(-alpha))
+        score = term if score is None else score + term
+    acc = (
+        base.agg(
+            (
+                F.sum(
+                    (
+                        F.when(score >= 0, 1).otherwise(-1) == F.col("y")
+                    ).cast("long")
+                )
+                * F.lit(1.0)
+                / F.count(F.lit(1))
+            ).alias("acc")
+        ).first().acc
+    )
+    structs = [
+        F.struct(
+            F.lit(k + 1).cast("int").alias("round"),
+            F.lit(_Q344_FEATURES[fid]).alias("feature"),
+            F.lit(v).cast("long").alias("threshold"),
+            F.lit(pol).cast("long").alias("polarity"),
+            F.lit(e).cast("long").alias("err_milli"),
+            F.round(F.lit(float(e) * 1.0 / float(wtot)), 6).alias(
+                "err_rate"
+            ),
+            F.round(F.lit(alpha), 6).alias("alpha"),
+            F.round(F.lit(acc), 6).alias("ensemble_acc"),
+        )
+        for k, (fid, v, pol, e, wtot, alpha) in enumerate(picks)
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("r"))
+        .select(
+            "r.round",
+            "r.feature",
+            "r.threshold",
+            "r.polarity",
+            "r.err_milli",
+            "r.err_rate",
+            "r.alpha",
+            "r.ensemble_acc",
+        )
+        .orderBy("round")
+    )

@@ -854,3 +854,72 @@ def test_q347_rec_coverage_consistency(spark, sf_dir):
     assert abs(r.avg_deg_catalog - avg_cat) < 1e-3
     # popularity lift >= 1 is the expected bias of co-occurrence CF
     assert r.popularity_lift > 0
+
+
+def test_q344_adaboost_brute_force(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    out = Q.REGISTRY["q344_adaboost_stumps"].fn(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    rows = []
+    for r in ev.itertuples():
+        x1 = round(r.value * 100)
+        x2 = (r.ts_us // 3_600_000_000) % 24
+        x3 = (
+            pd.to_datetime(r.ts_us, unit="us").normalize()
+            - pd.Timestamp("2024-01-01")
+        ).days % 7
+        y = 1 if r.event_type == "purchase" else -1
+        rows.append([int(x1), int(x2), int(x3), y, 1000])
+    picks = []
+    for _ in range(3):
+        wtot = sum(w for *_xs, w in rows)
+        best = None
+        for fid, xi in ((1, 0), (2, 1), (3, 2)):
+            agg = {}
+            for x1, x2, x3, y, w in rows:
+                v = (x1, x2, x3)[xi]
+                sp, sn = agg.get(v, (0, 0))
+                agg[v] = (sp + (w if y == 1 else 0), sn + (w if y == -1 else 0))
+            tp = sum(a for a, _ in agg.values())
+            tn = sum(b for _, b in agg.values())
+            csp = csn = 0
+            for v in sorted(agg):
+                csp += agg[v][0]
+                csn += agg[v][1]
+                for pol, err in ((1, csn + tp - csp), (0, csp + tn - csn)):
+                    key = (err, fid, v, pol)
+                    if best is None or key < best:
+                        best = key
+        err, fid, v, pol = best
+        ec = max(min(float(err) / float(wtot), 1 - 1e-6), 1e-6)
+        alpha = 0.5 * math.log((1 - ec) / ec)
+        picks.append((fid, v, pol, err, wtot, alpha))
+        for row in rows:
+            xv = row[fid - 1]
+            pred = (1 if pol == 1 else -1) if xv <= v else (-1 if pol == 1 else 1)
+            row[4] = int(
+                math.floor(row[4] * math.exp(-alpha if pred == row[3] else alpha) + 0.5)
+            )
+    correct = 0
+    for x1, x2, x3, y, _w in rows:
+        sc = 0.0
+        for fid, v, pol, _e, _w2, alpha in picks:
+            xv = (x1, x2, x3)[fid - 1]
+            pred = (1 if pol == 1 else -1) if xv <= v else (-1 if pol == 1 else 1)
+            sc += alpha if pred == 1 else -alpha
+        correct += (1 if sc >= 0 else -1) == y
+    acc = correct / len(rows)
+    assert len(out) == 3
+    names = {1: "cents", 2: "hour", 3: "dow"}
+    for i, (fid, v, pol, err, wtot, alpha) in enumerate(picks):
+        r = out.iloc[i]
+        assert r.feature == names[fid]
+        assert r.threshold == v and r.polarity == pol and r.err_milli == err
+        assert abs(r.err_rate - err / wtot) < 1e-5
+        assert abs(r.alpha - alpha) < 1e-5
+        assert abs(r.ensemble_acc - acc) < 1e-5
+        # boosting sanity: every picked stump beats random weighting
+        assert r.err_rate < 0.5
