@@ -2529,3 +2529,226 @@ def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q348: ALS matrix factorization, rank 2, fully relational (round 8)
+# ---------------------------------------------------------------------------
+
+# Alternating least squares (Koren/Bell/Volinsky 2009; the Spark-MLlib
+# workhorse) re-derived under the engine's determinism discipline and
+# WITHOUT a black box: rank-2 factors over the (customer, part,
+# distinct-order-count) rating matrix, 2 full alternations.  Each
+# half-step is ONE join of ratings onto the fixed side's factors +
+# ONE keyed aggregation of the 2x2 normal-equation sufficient
+# statistics + a per-entity CLOSED-FORM solve in the select — the
+# solve is relational (rank 2 makes A^{-1} a formula), so there is no
+# driver loop at all, unlike q311/q334/q344 whose scalar state is
+# global.  Factors are quantized to integer MICRO-units between
+# half-steps (the q334 discipline), so all Σqq/Σrq statistics are
+# exact integers under any partitioning; the solve converts them to
+# real units by exact power-of-ten divisions and every engine
+# evaluates the identical IEEE expression tree.  Deterministic init:
+# item factor = (1, knuth_bucket(p)/1000) — symmetry broken without
+# randomness.
+_Q348_ROUNDS = 2
+_Q348_LAMBDA = 0.1
+_Q348_Q = 1_000_000
+
+
+def _q348_solve(prefix: str) -> str:
+    """Closed-form ridge solve from micro-unit integer sufficient stats.
+
+    a11m/a12m/a22m are Σ q1m*q1m etc (micro^2), b1m/b2m are Σ r*q1m
+    (micro): convert by exact power-of-ten division, add lambda, solve
+    the 2x2 system, emit micro-quantized factors.
+    """
+    a11 = f"(CAST({prefix}a11m AS DOUBLE) / 1000000000000 + {_Q348_LAMBDA})"
+    a12 = f"(CAST({prefix}a12m AS DOUBLE) / 1000000000000)"
+    a22 = f"(CAST({prefix}a22m AS DOUBLE) / 1000000000000 + {_Q348_LAMBDA})"
+    b1 = f"(CAST({prefix}b1m AS DOUBLE) / 1000000)"
+    b2 = f"(CAST({prefix}b2m AS DOUBLE) / 1000000)"
+    det = f"({a11} * {a22} - {a12} * {a12})"
+    f1 = f"(({a22} * {b1} - {a12} * {b2}) / {det})"
+    f2 = f"(({a11} * {b2} - {a12} * {b1}) / {det})"
+    return (
+        f"CAST(FLOOR({f1} * 1000000 + 0.5) AS BIGINT) AS f1m, "
+        f"CAST(FLOOR({f2} * 1000000 + 0.5) AS BIGINT) AS f2m"
+    )
+
+
+def _q348_half(step: int, solve_for: str, fixed: str) -> str:
+    """One ALS half-step CTE: solve `solve_for` factors against `fixed`."""
+    key = "u" if solve_for == "x" else "p"
+    fkey = "p" if solve_for == "x" else "u"
+    return f"""s{step} AS MATERIALIZED (
+  SELECT {key},
+         CAST(SUM(f.f1m * f.f1m) AS BIGINT) AS a11m,
+         CAST(SUM(f.f1m * f.f2m) AS BIGINT) AS a12m,
+         CAST(SUM(f.f2m * f.f2m) AS BIGINT) AS a22m,
+         CAST(SUM(rt.r * f.f1m) AS BIGINT) AS b1m,
+         CAST(SUM(rt.r * f.f2m) AS BIGINT) AS b2m
+  FROM rt JOIN {fixed} f ON f.{fkey} = rt.{fkey}
+  GROUP BY {key}
+),
+{solve_for}{step} AS MATERIALIZED (
+  SELECT {key}, {_q348_solve("")}
+  FROM s{step}
+)"""
+
+
+_Q348_STEPS = []
+_fixed = "q0"
+for _r in range(_Q348_ROUNDS):
+    _s = 2 * _r + 1
+    _Q348_STEPS.append(_q348_half(_s, "x", _fixed))
+    _Q348_STEPS.append(_q348_half(_s + 1, "q", f"x{_s}"))
+    _fixed = f"q{_s + 1}"
+_Q348_LAST_X = f"x{2 * _Q348_ROUNDS - 1}"
+_Q348_LAST_Q = f"q{2 * _Q348_ROUNDS}"
+
+_Q348_SQL = f"""
+WITH rt AS MATERIALIZED (
+  SELECT o.o_custkey AS u, l.l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS r
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+q0 AS MATERIALIZED (
+  SELECT p, CAST({_Q348_Q} AS BIGINT) AS f1m,
+         CAST((((p % 2147483648) * 2654435761) % 1000) * 1000 AS BIGINT)
+           AS f2m
+  FROM (SELECT DISTINCT p FROM rt)
+),
+{", ".join(_Q348_STEPS)},
+res AS (
+  SELECT rt.r,
+         CAST(x.f1m * q.f1m + x.f2m * q.f2m AS DOUBLE)
+           / 1000000000000 AS pred
+  FROM rt JOIN {_Q348_LAST_X} x ON x.u = rt.u
+          JOIN {_Q348_LAST_Q} q ON q.p = rt.p
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM {_Q348_LAST_X}) AS n_users,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {_Q348_LAST_Q}) AS n_items,
+       CAST(COUNT(*) AS BIGINT) AS n_ratings,
+       ROUND(SQRT(AVG((r - pred) * (r - pred))), 6) AS rmse
+FROM res
+"""
+
+
+@register(
+    "q348_als_factorization",
+    _Q348_SQL,
+    doc=(
+        "rank-2 ALS matrix factorization (Koren-Bell-Volinsky 2009), "
+        f"{_Q348_ROUNDS} full alternations over the (customer, part, "
+        "order-count) rating matrix — FULLY RELATIONAL model fitting: "
+        "each half-step is one ratings-to-factors join + one keyed "
+        "aggregation of the 2x2 normal-equation statistics + a "
+        "per-entity closed-form ridge solve IN THE SELECT (rank 2 "
+        "makes the inverse a formula; no driver loop, unlike "
+        "q311/q334/q344 whose state is global).  Factors quantize to "
+        "integer micro-units between half-steps (q334 discipline) so "
+        "every sufficient statistic is an exact BIGINT under any "
+        "partitioning; the solve re-enters real units by exact "
+        "power-of-ten division.  Deterministic symmetry-breaking "
+        "init from the Knuth bucket; lambda = "
+        f"{_Q348_LAMBDA} ridge floor keeps every per-entity system "
+        "invertible.  The final training RMSE beating the "
+        "rating-mean baseline is pinned in tests"
+    ),
+    tables=("orders", "lineitem"),
+)
+def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rt = truncate_lineage(
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    q = truncate_lineage(
+        rt.select("p")
+        .distinct()
+        .select(
+            "p",
+            F.lit(_Q348_Q).cast("long").alias("f1m"),
+            (hash_bucket("p", 1000) * 1000).cast("long").alias("f2m"),
+        )
+    )
+
+    def solve(stats: DataFrame, key: str) -> DataFrame:
+        a11 = stats["a11m"].cast("double") / F.lit(1_000_000_000_000) + F.lit(
+            _Q348_LAMBDA
+        )
+        a12 = stats["a12m"].cast("double") / F.lit(1_000_000_000_000)
+        a22 = stats["a22m"].cast("double") / F.lit(1_000_000_000_000) + F.lit(
+            _Q348_LAMBDA
+        )
+        b1 = stats["b1m"].cast("double") / F.lit(1_000_000)
+        b2 = stats["b2m"].cast("double") / F.lit(1_000_000)
+        det = a11 * a22 - a12 * a12
+        f1 = (a22 * b1 - a12 * b2) / det
+        f2 = (a11 * b2 - a12 * b1) / det
+        return stats.select(
+            key,
+            F.floor(f1 * _Q348_Q + F.lit(0.5)).cast("long").alias("f1m"),
+            F.floor(f2 * _Q348_Q + F.lit(0.5)).cast("long").alias("f2m"),
+        )
+
+    def half(fixed: DataFrame, fkey: str, key: str) -> DataFrame:
+        joined = rt.join(fixed, fkey)
+        stats = joined.groupBy(key).agg(
+            F.sum(F.col("f1m") * F.col("f1m")).cast("long").alias("a11m"),
+            F.sum(F.col("f1m") * F.col("f2m")).cast("long").alias("a12m"),
+            F.sum(F.col("f2m") * F.col("f2m")).cast("long").alias("a22m"),
+            F.sum(F.col("r") * F.col("f1m")).cast("long").alias("b1m"),
+            F.sum(F.col("r") * F.col("f2m")).cast("long").alias("b2m"),
+        )
+        return truncate_lineage(solve(stats, key))
+
+    x = None
+    for _ in range(_Q348_ROUNDS):
+        x = half(q, "p", "u")
+        q = half(x, "u", "p")
+    res = (
+        rt.join(x.select(F.col("u"), F.col("f1m").alias("x1"), F.col("f2m").alias("x2")), "u")
+        .join(
+            q.select(F.col("p"), F.col("f1m").alias("q1"), F.col("f2m").alias("q2")),
+            "p",
+        )
+        .select(
+            "r",
+            (
+                (
+                    F.col("x1") * F.col("q1") + F.col("x2") * F.col("q2")
+                ).cast("double")
+                / F.lit(1_000_000_000_000)
+            ).alias("pred"),
+        )
+    )
+    nx = x.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    nq = q.agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    return (
+        res.agg(
+            F.count(F.lit(1)).cast("long").alias("n_ratings"),
+            F.round(
+                F.sqrt(
+                    F.avg(
+                        (F.col("r") - F.col("pred"))
+                        * (F.col("r") - F.col("pred"))
+                    )
+                ),
+                6,
+            ).alias("rmse"),
+        )
+        .crossJoin(F.broadcast(nx))
+        .crossJoin(F.broadcast(nq))
+        .select("n_users", "n_items", "n_ratings", "rmse")
+    )

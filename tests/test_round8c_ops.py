@@ -923,3 +923,65 @@ def test_q344_adaboost_brute_force(spark, sf_dir):
         assert abs(r.ensemble_acc - acc) < 1e-5
         # boosting sanity: every picked stump beats random weighting
         assert r.err_rate < 0.5
+
+
+def test_q348_als_brute_force(spark, sf_dir):
+    import math
+
+    out = Q.REGISTRY["q348_als_factorization"].fn(spark, sf_dir).toPandas()
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    rt = m.groupby(["o_custkey", "l_partkey"]).size().reset_index(name="r")
+    ratings = [(int(r.o_custkey), int(r.l_partkey), int(r.r)) for r in rt.itertuples()]
+    items = sorted({p for _, p, _ in ratings})
+    q = {p: (1_000_000, (((p % ID_FOLD) * KNUTH) % 1000) * 1000) for p in items}
+
+    def solve(stats):
+        outf = {}
+        for k, (a11m, a12m, a22m, b1m, b2m) in stats.items():
+            a11 = float(a11m) / 1e12 + 0.1
+            a12 = float(a12m) / 1e12
+            a22 = float(a22m) / 1e12 + 0.1
+            b1 = float(b1m) / 1e6
+            b2 = float(b2m) / 1e6
+            det = a11 * a22 - a12 * a12
+            f1 = (a22 * b1 - a12 * b2) / det
+            f2 = (a11 * b2 - a12 * b1) / det
+            outf[k] = (
+                int(math.floor(f1 * 1e6 + 0.5)),
+                int(math.floor(f2 * 1e6 + 0.5)),
+            )
+        return outf
+
+    def half(fixed, by_fixed_key):
+        stats = {}
+        for u, p, r in ratings:
+            fk, sk = (p, u) if by_fixed_key == "p" else (u, p)
+            f1, f2 = fixed[fk]
+            s = stats.setdefault(sk, [0, 0, 0, 0, 0])
+            s[0] += f1 * f1
+            s[1] += f1 * f2
+            s[2] += f2 * f2
+            s[3] += r * f1
+            s[4] += r * f2
+        return solve({k: tuple(v) for k, v in stats.items()})
+
+    x = None
+    for _ in range(2):
+        x = half(q, "p")
+        q = half(x, "u")
+    se = 0.0
+    for u, p, r in ratings:
+        pred = (x[u][0] * q[p][0] + x[u][1] * q[p][1]) / 1e12
+        se += (r - pred) * (r - pred)
+    rmse = math.sqrt(se / len(ratings))
+    row = out.iloc[0]
+    assert row.n_users == len(x) and row.n_items == len(q)
+    assert row.n_ratings == len(ratings)
+    assert abs(row.rmse - rmse) < 1e-4
+    # the factorization must beat the constant rating-mean baseline
+    rs = [r for _, _, r in ratings]
+    mean = sum(rs) / len(rs)
+    base = math.sqrt(sum((r - mean) ** 2 for r in rs) / len(rs))
+    assert row.rmse < base
