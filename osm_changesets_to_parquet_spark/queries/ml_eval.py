@@ -6921,3 +6921,174 @@ def q344(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round")
     )
+
+
+# ---------------------------------------------------------------------------
+# q349: offline bandit replay — off-policy evaluation (round 8)
+# ---------------------------------------------------------------------------
+
+# The replay method (Li et al., WSDM 2011): evaluate a target policy
+# on LOGGED interaction data by keeping exactly the events where the
+# logged action coincides with what the policy would have chosen, and
+# averaging their rewards — the unbiased off-policy readout when the
+# logging policy is uniform-ish.  Target policy here is day-level
+# greedy: on day d recommend the event type with the highest
+# cumulative mean value through day d-1 (pure exploitation — the
+# baseline every bandit paper compares against).  The corpus reduces
+# to a (type, day) integer rollup; cumulative sums run over the
+# ~30-row calendar frame per type; the per-day argmax is a
+# ROW_NUMBER over the 5-type frame with (mean desc, type) total
+# order — means are exact-integer cents/count ratios, identical
+# doubles both engines.  Day 0 has no history and is excluded.
+_Q349_SQL = """
+WITH e AS (
+  SELECT event_type AS a,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+daily AS (
+  SELECT a, d, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+  FROM e GROUP BY a, d
+),
+grid AS (
+  SELECT t.a, dd.d FROM (SELECT DISTINCT a FROM daily) t
+  CROSS JOIN (SELECT DISTINCT d FROM daily) dd
+),
+cum AS (
+  SELECT g.a, g.d,
+         CAST(COALESCE(SUM(daily.n) OVER w, 0) AS BIGINT) AS cn,
+         CAST(COALESCE(SUM(daily.s) OVER w, 0) AS BIGINT) AS cs
+  FROM grid g LEFT JOIN daily ON daily.a = g.a AND daily.d = g.d
+  WINDOW w AS (PARTITION BY g.a ORDER BY g.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+pick AS (
+  SELECT d, a FROM (
+    SELECT d, a,
+           ROW_NUMBER() OVER (PARTITION BY d
+                              ORDER BY cs * 1.0 / NULLIF(cn, 0) DESC
+                                       NULLS LAST, a) AS rn
+    FROM cum WHERE cn > 0 OR d > 0
+  ) WHERE rn = 1
+),
+matched AS (
+  SELECT e.cents FROM e JOIN pick ON pick.d = e.d AND pick.a = e.a
+  WHERE e.d > 0
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(cents) AS BIGINT) AS s_all
+  FROM e WHERE d > 0
+)
+SELECT (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM pick WHERE d > 0)
+         AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       ROUND(COUNT(*) * 1.0 / (SELECT n_all FROM tot), 6) AS match_rate,
+       ROUND(SUM(cents) * 1.0 / COUNT(*) / 100, 4) AS replay_value,
+       ROUND((SELECT s_all * 1.0 / n_all FROM tot) / 100, 4)
+         AS logged_value
+FROM matched
+"""
+
+
+@register(
+    "q349_bandit_replay",
+    _Q349_SQL,
+    doc=(
+        "offline bandit replay (Li et al. 2011) — off-policy "
+        "evaluation joining the experimentation family from the "
+        "COUNTERFACTUAL side: the day-level greedy policy (recommend "
+        "the type with the best cumulative mean value through "
+        "yesterday) is scored by keeping exactly the logged events "
+        "it would have chosen and averaging their rewards, vs the "
+        "logged average.  One (type, day) integer rollup, cumulative "
+        "windows over the ~30-row calendar frame, per-day argmax on "
+        "the 5-type frame with a (mean desc, type) total order — "
+        "means are exact cents/count ratios, identical doubles both "
+        "engines; day 0 (no history) excluded"
+    ),
+    tables=("events",),
+)
+def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    e = truncate_lineage(
+        ev.select(
+            F.col("event_type").alias("a"),
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    daily = e.groupBy("a", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    grid = daily.select("a").distinct().crossJoin(
+        daily.select("d").distinct()
+    )
+    wprev = (
+        Window.partitionBy("a")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        grid.join(daily, ["a", "d"], "left")
+        .select(
+            "a",
+            "d",
+            F.coalesce(F.sum("n").over(wprev), F.lit(0))
+            .cast("long")
+            .alias("cn"),
+            F.coalesce(F.sum("s").over(wprev), F.lit(0))
+            .cast("long")
+            .alias("cs"),
+        )
+    )
+    wpick = Window.partitionBy("d").orderBy(
+        (F.col("cs") * F.lit(1.0) / F.nullif(F.col("cn"), F.lit(0)))
+        .desc_nulls_last(),
+        "a",
+    )
+    pick = (
+        cum.where((F.col("cn") > 0) | (F.col("d") > 0))
+        .withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .select("d", "a")
+    )
+    pick = truncate_lineage(pick)
+    matched = e.where(F.col("d") > 0).join(pick, ["d", "a"])
+    tot = e.where(F.col("d") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("cents").cast("long").alias("s_all"),
+    )
+    nd = pick.where(F.col("d") > 0).agg(
+        F.countDistinct("d").cast("long").alias("n_days")
+    )
+    return (
+        matched.agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.sum("cents").cast("long").alias("s_m"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "n_days",
+            "n_matched",
+            F.round(
+                F.col("n_matched") * F.lit(1.0) / F.col("n_all"), 6
+            ).alias("match_rate"),
+            F.round(
+                F.col("s_m") * F.lit(1.0) / F.col("n_matched") / 100, 4
+            ).alias("replay_value"),
+            F.round(
+                F.col("s_all") * F.lit(1.0) / F.col("n_all") / 100, 4
+            ).alias("logged_value"),
+        )
+    )

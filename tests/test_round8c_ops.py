@@ -985,3 +985,43 @@ def test_q348_als_brute_force(spark, sf_dir):
     mean = sum(rs) / len(rs)
     base = math.sqrt(sum((r - mean) ** 2 for r in rs) / len(rs))
     assert row.rmse < base
+
+
+def test_q349_bandit_replay_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    out = Q.REGISTRY["q349_bandit_replay"].fn(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    ev["day"] = (
+        pd.to_datetime(ev.ts_us, unit="us").dt.normalize()
+        - pd.Timestamp("2024-01-01")
+    ).dt.days
+    ev["cents"] = ev.value.apply(lambda v: round(v * 100))
+    days = sorted(ev.day.unique())
+    types = sorted(ev.event_type.unique())
+    cum = {a: [0, 0] for a in types}  # n, s
+    picks = {}
+    for d in days:
+        cands = [
+            (cum[a][1] / cum[a][0], a) for a in types if cum[a][0] > 0
+        ]
+        if cands:
+            picks[d] = min(cands, key=lambda t: (-t[0], t[1]))[1]
+        elif d > 0:
+            # all-zero history after day 0: NULLS LAST ordering falls
+            # back to the lexicographically smallest type
+            picks[d] = types[0]
+        g = ev[ev.day == d]
+        for a, gg in g.groupby("event_type"):
+            cum[a][0] += len(gg)
+            cum[a][1] += int(gg.cents.sum())
+    m = ev[(ev.day > 0) & (ev.day.map(picks) == ev.event_type)]
+    allp = ev[ev.day > 0]
+    r = out.iloc[0]
+    assert r.n_days == len([d for d in picks if d > 0])
+    assert r.n_matched == len(m)
+    assert abs(r.match_rate - len(m) / len(allp)) < 1e-6
+    assert abs(r.replay_value - m.cents.sum() / len(m) / 100) < 1e-3
+    assert abs(r.logged_value - allp.cents.sum() / len(allp) / 100) < 1e-3
+    # a 5-arm greedy policy matches roughly 1/5 of uniform logs
+    assert 0.05 < r.match_rate < 0.6
