@@ -162,6 +162,7 @@ _PRIORITY: tuple[str, ...] = (
     "q344_adaboost_stumps",
     "q348_als_factorization",
     "q349_bandit_replay",
+    "q350_holt_winters",
     # (q254/s22/q255-q298 are the round-7 session-2 remainder, never
     # driver-witnessed; then the stalest r1-r3-era names oldest-first)
     "q254_randomization_test",

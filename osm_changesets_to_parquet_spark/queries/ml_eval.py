@@ -7092,3 +7092,183 @@ def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("logged_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q350: Holt-Winters additive seasonal smoothing (round 8)
+# ---------------------------------------------------------------------------
+
+# Triple exponential smoothing (Winters 1960) completing the
+# forecasting family: q236 tracks level+trend, q259 decomposes the
+# weekly cycle, q321 backtests — this FITS level + trend + a 7-slot
+# additive seasonal state and forecasts with it.  The q236 execution
+# contract: the inherently sequential recursion runs per key inside
+# ONE applyInPandas over the ~30-row daily rollup (the fact table
+# reduces first), the oracle mirrors it as a recursive CTE carrying
+# the rotating 7-slot seasonal queue as columns; alpha = beta =
+# gamma = 1/2 keeps every smoothing op dyadic so both engines walk
+# the identical IEEE sequence.  Textbook init (Hyndman): l0 = week-1
+# mean, b0 = (week-2 mean - week-1 mean)/7, s_i = y_i - l0, recursion
+# from t = 8; types need >= 14 observations (the fixtures' ~30
+# qualify at every sf).
+_Q350_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+  FROM daily
+),
+nn AS (
+  SELECT event_type, CAST(MAX(rn) AS BIGINT) AS n FROM idx GROUP BY 1
+  HAVING MAX(rn) >= 14
+),
+wk AS (
+  SELECT i1.event_type,
+         (((((i1.y + i2.y) + i3.y) + i4.y) + i5.y) + i6.y) + i7.y AS w1,
+         (((((i8.y + i9.y) + i10.y) + i11.y) + i12.y) + i13.y) + i14.y
+           AS w2,
+         i1.y AS y1, i2.y AS y2, i3.y AS y3, i4.y AS y4,
+         i5.y AS y5, i6.y AS y6, i7.y AS y7
+  FROM idx i1
+  JOIN idx i2 ON i2.event_type = i1.event_type AND i2.rn = 2
+  JOIN idx i3 ON i3.event_type = i1.event_type AND i3.rn = 3
+  JOIN idx i4 ON i4.event_type = i1.event_type AND i4.rn = 4
+  JOIN idx i5 ON i5.event_type = i1.event_type AND i5.rn = 5
+  JOIN idx i6 ON i6.event_type = i1.event_type AND i6.rn = 6
+  JOIN idx i7 ON i7.event_type = i1.event_type AND i7.rn = 7
+  JOIN idx i8 ON i8.event_type = i1.event_type AND i8.rn = 8
+  JOIN idx i9 ON i9.event_type = i1.event_type AND i9.rn = 9
+  JOIN idx i10 ON i10.event_type = i1.event_type AND i10.rn = 10
+  JOIN idx i11 ON i11.event_type = i1.event_type AND i11.rn = 11
+  JOIN idx i12 ON i12.event_type = i1.event_type AND i12.rn = 12
+  JOIN idx i13 ON i13.event_type = i1.event_type AND i13.rn = 13
+  JOIN idx i14 ON i14.event_type = i1.event_type AND i14.rn = 14
+  WHERE i1.rn = 1 AND i1.event_type IN (SELECT event_type FROM nn)
+),
+init AS (
+  SELECT event_type, w1 / 7 AS l, (w2 / 7 - w1 / 7) / 7 AS b,
+         y1 - w1 / 7 AS s1, y2 - w1 / 7 AS s2, y3 - w1 / 7 AS s3,
+         y4 - w1 / 7 AS s4, y5 - w1 / 7 AS s5, y6 - w1 / 7 AS s6,
+         y7 - w1 / 7 AS s7
+  FROM wk
+),
+r(event_type, t, l, b, s1, s2, s3, s4, s5, s6, s7) AS (
+  SELECT event_type, 7, l, b, s1, s2, s3, s4, s5, s6, s7 FROM init
+  UNION ALL
+  SELECT r.event_type, r.t + 1,
+         0.5 * (d.y - r.s1) + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * (d.y - r.s1) + 0.5 * (r.l + r.b)) - r.l)
+           + 0.5 * r.b,
+         r.s2, r.s3, r.s4, r.s5, r.s6, r.s7,
+         0.5 * (d.y - (0.5 * (d.y - r.s1) + 0.5 * (r.l + r.b)))
+           + 0.5 * r.s1
+  FROM r JOIN idx d ON d.event_type = r.event_type AND d.rn = r.t + 1
+)
+SELECT r.event_type, nn.n AS n_days,
+       ROUND(r.l, 4) AS level,
+       ROUND(r.b, 4) AS trend,
+       ROUND(r.l + r.b + r.s1, 4) AS forecast_next,
+       ROUND(7 * r.l + 28 * r.b
+             + ((((((r.s1 + r.s2) + r.s3) + r.s4) + r.s5) + r.s6)
+                + r.s7), 4) AS forecast_7d_total
+FROM r JOIN nn ON nn.event_type = r.event_type AND r.t = nn.n
+ORDER BY r.event_type
+"""
+
+
+@register(
+    "q350_holt_winters",
+    _Q350_SQL,
+    doc=(
+        "Holt-Winters additive triple exponential smoothing (Winters "
+        "1960, period 7) completing the forecasting family — q236 "
+        "tracks level+trend, q259 decomposes the weekly cycle, q321 "
+        "backtests, this FITS the seasonal state and forecasts with "
+        "it: the sequential recursion runs per key in ONE "
+        "applyInPandas over the ~30-row daily rollup (q236's "
+        "contract; the Python stage sees kilobytes), the oracle "
+        "mirrors it as a recursive CTE carrying the rotating 7-slot "
+        "seasonal queue as columns; alpha=beta=gamma=1/2 keeps every "
+        "op dyadic — identical IEEE walks both engines.  Textbook "
+        "init (week-1 mean level, week-over-week trend, y_i - l0 "
+        "seasonals), recursion from t=8, types need >= 14 days"
+    ),
+    tables=("events",),
+)
+def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        ys = list(pdf.y)
+        n = len(ys)
+        if n < 14:
+            return pd.DataFrame(
+                columns=[
+                    "event_type",
+                    "n_days",
+                    "level",
+                    "trend",
+                    "forecast_next",
+                    "forecast_7d_total",
+                ]
+            )
+        w1 = (((((ys[0] + ys[1]) + ys[2]) + ys[3]) + ys[4]) + ys[5]) + ys[6]
+        w2 = (
+            ((((ys[7] + ys[8]) + ys[9]) + ys[10]) + ys[11]) + ys[12]
+        ) + ys[13]
+        l = w1 / 7
+        b = (w2 / 7 - w1 / 7) / 7
+        s = [ys[i] - w1 / 7 for i in range(7)]
+        for t in range(7, n):
+            y = ys[t]
+            l_new = 0.5 * (y - s[0]) + 0.5 * (l + b)
+            b_new = 0.5 * (l_new - l) + 0.5 * b
+            s_new = 0.5 * (y - l_new) + 0.5 * s[0]
+            s = s[1:] + [s_new]
+            l, b = l_new, b_new
+        f1 = l + b + s[0]
+        f7 = 7 * l + 28 * b + (
+            (((((s[0] + s[1]) + s[2]) + s[3]) + s[4]) + s[5]) + s[6]
+        )
+        return pd.DataFrame(
+            {
+                "event_type": [pdf.event_type.iloc[0]],
+                "n_days": [n],
+                "level": [l],
+                "trend": [b],
+                "forecast_next": [f1],
+                "forecast_7d_total": [f7],
+            }
+        )
+
+    schema = (
+        "event_type string, n_days long, level double, trend double, "
+        "forecast_next double, forecast_7d_total double"
+    )
+    out = daily.groupBy("event_type").applyInPandas(fit, schema)
+    return out.select(
+        "event_type",
+        "n_days",
+        F.round("level", 4).alias("level"),
+        F.round("trend", 4).alias("trend"),
+        F.round("forecast_next", 4).alias("forecast_next"),
+        F.round("forecast_7d_total", 4).alias("forecast_7d_total"),
+    ).orderBy("event_type")

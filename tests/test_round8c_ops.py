@@ -1025,3 +1025,42 @@ def test_q349_bandit_replay_brute_force(spark, sf_dir):
     assert abs(r.logged_value - allp.cents.sum() / len(allp) / 100) < 1e-3
     # a 5-arm greedy policy matches roughly 1/5 of uniform logs
     assert 0.05 < r.match_rate < 0.6
+
+
+def test_q350_holt_winters_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    out = Q.REGISTRY["q350_holt_winters"].fn(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    ev["day"] = (
+        pd.to_datetime(ev.ts_us, unit="us").dt.normalize()
+        - pd.Timestamp("2024-01-01")
+    ).dt.days
+    got = {r.event_type: r for r in out.itertuples()}
+    for et, g in ev.groupby("event_type"):
+        ys = [float(c) for _, c in sorted(g.groupby("day").size().items())]
+        n = len(ys)
+        if n < 14:
+            assert et not in got
+            continue
+        w1 = sum(ys[:7])
+        w2 = sum(ys[7:14])
+        l = w1 / 7
+        b = (w2 / 7 - w1 / 7) / 7
+        s = [ys[i] - w1 / 7 for i in range(7)]
+        for t in range(7, n):
+            y = ys[t]
+            ln = 0.5 * (y - s[0]) + 0.5 * (l + b)
+            bn = 0.5 * (ln - l) + 0.5 * b
+            sn = 0.5 * (y - ln) + 0.5 * s[0]
+            s = s[1:] + [sn]
+            l, b = ln, bn
+        r = got[et]
+        assert r.n_days == n
+        assert abs(r.level - l) < 1e-3
+        assert abs(r.trend - b) < 1e-3
+        assert abs(r.forecast_next - (l + b + s[0])) < 1e-3
+        assert abs(r.forecast_7d_total - (7 * l + 28 * b + sum(s))) < 1e-2
+        # the seasonal state is mean-ish-zero: forecasts stay near the
+        # level scale, not the level+season-blowup scale
+        assert abs(r.forecast_next - r.level) < max(5 * abs(r.level), 50)
