@@ -200,6 +200,20 @@ def main() -> None:
         total += best
         print(f"timed {name} {best:.2f}s", file=sys.stderr, flush=True)
 
+    # Noise calibration anchor (VERDICT r08 item 5): a plan that cannot
+    # regress by code — sum over spark.range (no IO, no shuffle read of
+    # table data, fixed codegen) — timed min-of-3 like tier 1.  If a
+    # round shows uniform tier-1 inflation AND the anchor inflates by
+    # the same factor, the drift is machine contention, attributable
+    # from the BENCH record itself; if the anchor is flat while queries
+    # inflate, it's the code.  q01_count (simplest real query) is
+    # surfaced alongside for the same comparison against table IO.
+    anchor = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("sum(id)").collect()
+        anchor = min(anchor, time.perf_counter() - t0)
+
     # tier 2: ONE cold timed run each — a regression canary for the
     # wider registry, not a steady-state micro-benchmark (its job is to
     # catch 2x plan regressions, not 5% drift; always-cold numbers are
@@ -237,6 +251,10 @@ def main() -> None:
             "queries": timings,
             "tier2_total": round(tier2_total, 3),
             "tier2_count": len(tier2),
+            "noise_anchor": {
+                "range_sum_sec": round(anchor, 3),
+                "q01_count_sec": timings.get("q01_count"),
+            },
             "sf": sf_val,
         },
         separators=(",", ":"),

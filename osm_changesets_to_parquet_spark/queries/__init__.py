@@ -54,71 +54,23 @@ def register(
 
 
 # The driver records correctness rows in registry order and its window
-# has held exactly 50 entries per round (CORRECTNESS_r01-r07.json) — so
-# ordering is part of the verification contract.  Round 8 executes
-# VERDICT r07 item 1 (burn the witness debt): new/changed-this-round
-# names lead (witnessed on first contact), then the never-witnessed
-# round-7 overflow in queue order — the window covers through q267;
-# the remainder (q268-q298) plus the stalest r1-r3-era names are the
-# reserved round-9 window (VERDICT r07 item 2).  Names witnessed in
-# r6/r7 drop out of _PRIORITY entirely (they follow in module order).
+# has held exactly 50 entries per round (CORRECTNESS_r01-r08.json) — so
+# ordering is part of the verification contract.  Round 9 is a
+# REGISTRATION FREEZE (VERDICT r08 items 1-2): zero new queries; the
+# window takes the next 50 queued names exactly as reserved last round
+# — the 42 round-8 session-2/3 registrations, then the first 8 of the
+# round-7 remainder (q254, s22, q255-q260) — dropping the
+# never-driver-witnessed count 89 -> 39.
+#
+# STANDING DEBT RULE (VERDICT r08 item 2): new registrations per round
+# <= 50 minus the never-witnessed backlog; while backlog > 0, zero new
+# names (hard cap 3, only for driver-found defects).  Round 10 is
+# reserved for the remaining 39 never-witnessed (q261-q298 band, m52)
+# plus the first 11 r1-r3-stale names (m48-m50, q27-q33, q53); round 11
+# finishes the stale backlog so no witness predates r4.  Names
+# witnessed in r8 drop out of _PRIORITY (they follow in module order).
 _PRIORITY: tuple[str, ...] = (
-    # -- (1) new/changed this round (round 8) --
-    "s23_stream_crash_recovery",  # NEW: checkpoint kill+restart witness
-    "cs13_parse_diagnostics",  # CHANGED: task-scoped progress label (ADVICE r07)
-    "q238_kcore",  # CHANGED: oracle convergence guard (ADVICE r07)
-    "q299_scd2_intervals",  # NEW: SCD2 dimension build
-    "q300_pit_enrich",  # NEW: point-in-time as-of enrichment
-    "q301_interval_coverage",  # NEW: interval-union sweep line
-    "q302_brier_decomposition",  # NEW: Murphy forecast triptych
-    "q303_stump_split",  # NEW: integer-exact stump split search
-    "q304_k_anonymity",  # NEW: QI equivalence-class audit
-    "q305_fk_integrity",  # NEW: FK orphan + expectation audit
-    "q306_neyman_allocation",  # NEW: minimum-variance stratified budget
-    "m53_phash_neardup",  # NEW: perceptual-hash banded near-dup audit
-    "q307_kneser_ney",  # NEW: KN-smoothed bigram LM
-    "s24_stream_pit_enrich",  # NEW: streaming as-of feature fill
-    "q308_edge_embeddedness",  # NEW: per-edge triangle support + Jaccard
-    "q309_l_diversity",  # NEW: attribute-disclosure audit
-    "q310_feature_hashing",  # NEW: hashing-trick collision audit
-    "q311_logistic_irls",  # NEW: distributed logistic fit, 6 IRLS rounds
-    "q312_histogram_quantiles",  # NEW: mergeable quantile sketch + audit
-    # -- (2) never driver-witnessed (round-7 overflow, queue order) --
-    "q224_gram_novelty",
-    "q225_source_overlap",
-    "q226_lateral_topn",
-    "q227_doc_chunking",
-    "q228_dataset_mixing",
-    "q229_batch_sessionize",
-    "q230_weighted_reservoir",
-    "q231_wow_growth",
-    "u7_map_in_arrow",
-    "q232_spearman",
-    "q233_threshold_sweep",
-    "q234_bh_fdr",
-    "q235_naive_bayes",
-    "q236_holt_smoothing",
-    "q237_kendall_tau",
-    # (q238_kcore is in block (1) — changed this round)
-    "q239_calibration_bins",
-    "q240_leadlag_xcorr",
-    "q241_vocab_coverage",
-    "q242_cramers_v",
-    "q243_pq_adc",
-    "q244_activity_streaks",
-    "q245_quantile_normalize",
-    "cs15_xml_expr_roundtrip",
-    "q246_conformal_interval",
-    "q247_wilson_ci",
-    "q248_diff_in_diff",
-    "q249_retrieval_metrics",
-    "q250_zipf_slope",
-    "q251_target_encoding_loo",
-    "q252_kfold_cv",
-    "q253_learning_curve",
-    # ---- window boundary (50) — names below queue for round 9 ----
-    # -- (3) round-8 session-2 registrations (never witnessed; they
-    #    lead the round-9 window, before the round-7 remainder) --
+    # -- round-9 window: round-8 session-2 registrations (13) --
     "q313_t_closeness",
     "q314_mcnemar",
     "q315_cochran_armitage",
@@ -132,8 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "q323_connected_components",
     "s25_stream_quantile_sketch",
     "m54_video_scene_cuts",
-    # -- (3b) round-8 session-3 registrations (never witnessed; queue
-    #    directly after the session-2 names) --
+    # -- round-9 window: round-8 session-3 registrations (29) --
     "q324_hits",
     "q331_wl_refinement",
     "q333_khop_reach",
@@ -163,8 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "q348_als_factorization",
     "q349_bandit_replay",
     "q350_holt_winters",
-    # (q254/s22/q255-q298 are the round-7 session-2 remainder, never
-    # driver-witnessed; then the stalest r1-r3-era names oldest-first)
+    # -- round-9 window: first 8 of the round-7 remainder (42+8=50) --
     "q254_randomization_test",
     "s22_streaming_anomaly",
     "q255_markov_eval",
@@ -173,6 +123,8 @@ _PRIORITY: tuple[str, ...] = (
     "q258_degree_assortativity",
     "q259_seasonal_decomposition",
     "q260_term_burstiness",
+    # ---- window boundary (50) — names below reserve for round 10:
+    # the remaining 39 never-witnessed, then the stalest r1-r3 names --
     "q261_cohort_ltv",
     "q262_similarity_histogram",
     "q263_token_bucket",
