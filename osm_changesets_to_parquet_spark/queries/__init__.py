@@ -227,7 +227,11 @@ def load_all_modules() -> None:
         governance,
         graph,
         llm_ops,
-        ml_eval,
+        ml_corpus,
+        ml_experiments,
+        ml_model_eval,
+        ml_stat_tests,
+        ml_timeseries,
         multimodal,
         quality,
         relational,

@@ -1,0 +1,1099 @@
+"""ML-eval family module: corpus/retrieval design aids — vocabulary curves,
+similarity diagnostics, association lift, LSH planning, sharding.
+
+Split from queries/ml_eval.py (round 9, VERDICT r08 item 7) along the
+family seams with ZERO behavior change — every block below is the
+verbatim registration it had there; only the module boundary moved.
+
+The reference engine (/root/reference/src/main.rs — a 456-line
+XML->parquet converter) has no analytics surface; these queries extend
+the engine the way a training-data/eval pipeline needs (SURVEY §2.C).
+This module holds ONE family of that surface (the round-9 split of
+the old era-grouped queries/ml_eval.py; siblings: ml_stat_tests,
+ml_experiments, ml_model_eval, ml_timeseries, ml_corpus).  Common shape:
+everything is spelled as shuffles over SMALL rollups (contingency
+cells, threshold grids, sufficient statistics, vocabulary counts),
+never per-row global sorts — and the handful of inherently-sequential
+recurrences (Holt, token bucket) run per-key inside one applyInPandas
+with recursive-CTE oracles.
+
+House determinism rules (SURVEY §2.B):
+- rank statistics are computed from CONTINGENCY COUNTS with integer
+  doubled-ranks (2*rank is an exact BIGINT even for .5 average
+  ranks), so every engine sums the same integers in any order;
+- continuous values are quantized to integer cents BEFORE power sums
+  (double summation is order-dependent across engines; integer
+  summation is not);
+- ln()-derived quantities are ROUND()ed at 6 dp before composition
+  (the q129 discipline) and argmax comparisons get extra slack (4 dp)
+  plus a total-order tie-break.
+"""
+
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.operators.quality import (
+    hash_bucket,
+    sql_hash_bucket,
+)
+from osm_changesets_to_parquet_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# q241: vocabulary coverage curve (tokenizer budget design)
+# ---------------------------------------------------------------------------
+
+_Q241_KS = (10, 50, 100, 250, 500)
+
+_Q241_SQL = f"""
+WITH tok AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS g
+  FROM tok, UNNEST(range(1, len(ws))) AS u(i)
+),
+f AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY g),
+ranked AS (
+  SELECT c,
+         ROW_NUMBER() OVER (ORDER BY c DESC, g) AS rk,
+         CAST(SUM(c) OVER () AS BIGINT) AS total,
+         CAST(SUM(c) OVER (ORDER BY c DESC, g
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum
+  FROM f
+),
+ks(k) AS (SELECT * FROM (VALUES {", ".join(f"({k})" for k in _Q241_KS)}) v(k))
+SELECT CAST(k AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS vocab_size,
+       ROUND(CAST(MAX(CASE WHEN rk <= k THEN cum ELSE 0 END) AS DOUBLE)
+             / ANY_VALUE(total), 6) AS coverage
+FROM ranked CROSS JOIN ks
+GROUP BY k ORDER BY k
+"""
+
+
+@register(
+    "q241_vocab_coverage",
+    _Q241_SQL,
+    doc=(
+        "vocabulary coverage curve over word BIGRAMS (the tokenizer-"
+        "budget question: what share of occurrences does a top-k "
+        "vocabulary cover): in-row gram construction (zero shuffle "
+        "before the type rollup), then rank + running share over the "
+        "|gram types|-sized frequency table — the only window in the "
+        "plan is VOCABULARY-sized (~900 types here), never corpus-"
+        "sized, the q144 BPE discipline; total order by (count desc, "
+        "gram) pins rank ties"
+    ),
+    tables=("documents",),
+)
+def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat(split(text, ' ')[i - 1], ' ', "
+                "split(text, ' ')[i]))"
+            )
+        ).alias("g")
+    )
+    f = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    # vocabulary-sized windows (|gram types|, ~900 rows)
+    order = Window.orderBy(F.col("c").desc(), F.col("g"))
+    whole = Window.partitionBy().orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = f.select(
+        "c",
+        F.row_number().over(order).alias("rk"),
+        F.sum("c").over(whole).alias("total"),
+        F.sum("c").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    vocab_size = f.agg(F.count(F.lit(1)).alias("vocab_size"))
+    ks = spark.createDataFrame([(k,) for k in _Q241_KS], "k LONG")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.round(
+                F.max(
+                    F.when(F.col("rk") <= F.col("k"), F.col("cum")).otherwise(0)
+                ).cast("double")
+                / F.first("total"),
+                6,
+            ).alias("coverage")
+        )
+        .crossJoin(F.broadcast(vocab_size))
+        .select("k", "vocab_size", "coverage")
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q256: Heaps' law vocabulary-growth curve (q250's companion)
+# ---------------------------------------------------------------------------
+
+_Q256_PCTS = (20, 40, 60, 80, 100)
+
+_Q256_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS drk,
+         COUNT(*) OVER () AS nd
+  FROM documents
+),
+grams AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS g, drk
+  FROM d, UNNEST(range(1, len(ws))) AS u(i)
+),
+first_seen AS (SELECT g, CAST(MIN(drk) AS BIGINT) AS fr FROM grams GROUP BY g),
+per_doc AS (
+  SELECT drk, CAST(COUNT(*) AS BIGINT) AS toks FROM grams GROUP BY drk
+),
+ck(p) AS (SELECT * FROM (VALUES {", ".join(f"({p})" for p in _Q256_PCTS)}) v(p)),
+pts AS (
+  SELECT ck.p,
+         (SELECT CAST(SUM(toks) AS BIGINT) FROM per_doc, (SELECT ANY_VALUE(nd)
+            AS nd FROM d) x
+          WHERE drk <= (ck.p * x.nd + 99) // 100) AS n_tokens,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM first_seen, (SELECT
+            ANY_VALUE(nd) AS nd FROM d) x
+          WHERE fr <= (ck.p * x.nd + 99) // 100) AS v_types
+  FROM ck
+),
+fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(ROUND(LN(n_tokens), 6)) AS sx,
+         SUM(ROUND(LN(v_types), 6)) AS sy,
+         SUM(ROUND(LN(n_tokens), 6) * ROUND(LN(v_types), 6)) AS sxy,
+         SUM(ROUND(LN(n_tokens), 6) * ROUND(LN(n_tokens), 6)) AS sxx
+  FROM pts
+)
+SELECT CAST(p AS BIGINT) AS pct, n_tokens, v_types,
+       ROUND(CAST(v_types AS DOUBLE) / n_tokens, 6) AS ttr,
+       ROUND((fit.k * fit.sxy - fit.sx * fit.sy)
+             / (fit.k * fit.sxx - fit.sx * fit.sx), 4) AS heaps_beta
+FROM pts CROSS JOIN fit ORDER BY pct
+"""
+
+
+@register(
+    "q256_heaps_law",
+    _Q256_SQL,
+    doc=(
+        "Heaps' law vocabulary-growth curve over word bigrams "
+        "(q250's companion corpus law — V(n) ~ K*n^beta; natural "
+        "text sits near beta 0.5, a CLOSED vocabulary like this "
+        "fixture flattens toward 0): cumulative distinct types at "
+        "each corpus prefix come from gram-keyed MIN(first-doc-rank) "
+        "— the q224 novelty machinery, so checkpoints are threshold "
+        "COUNTS over the vocabulary table, never a re-scan per "
+        "checkpoint; beta is the ln-ln OLS over the checkpoint "
+        "frame (q250 discipline)"
+    ),
+    tables=("documents",),
+)
+def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    d = docs.select(
+        "doc_id",
+        F.row_number().over(w).alias("drk"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> concat(split(text, ' ')[i - 1], ' ', "
+                    "split(text, ' ')[i]))"
+                )
+            ).alias("g"),
+        )
+        .join(F.broadcast(d), "doc_id")
+    )
+    first_seen = grams.groupBy("g").agg(F.min("drk").cast("long").alias("fr"))
+    per_doc = grams.groupBy("drk").agg(F.count(F.lit(1)).alias("toks"))
+    ck = spark.createDataFrame([(p,) for p in _Q256_PCTS], "p LONG")
+    ckn = ck.crossJoin(F.broadcast(nd)).select(
+        "p", F.expr("(p * nd + 99) div 100").alias("kdoc")
+    )
+    n_tokens = (
+        per_doc.crossJoin(F.broadcast(ckn))
+        .where(F.col("drk") <= F.col("kdoc"))
+        .groupBy("p")
+        .agg(F.sum("toks").alias("n_tokens"))
+    )
+    v_types = (
+        first_seen.crossJoin(F.broadcast(ckn))
+        .where(F.col("fr") <= F.col("kdoc"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("v_types"))
+    )
+    pts = n_tokens.join(v_types, "p")
+    x = F.round(F.log(F.col("n_tokens").cast("double")), 6)
+    y = F.round(F.log(F.col("v_types").cast("double")), 6)
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    beta = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("p").alias("pct"),
+            "n_tokens",
+            "v_types",
+            F.round(
+                F.col("v_types").cast("double") / F.col("n_tokens"), 6
+            ).alias("ttr"),
+            F.round(beta, 4).alias("heaps_beta"),
+        )
+        .orderBy("pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q260: term burstiness (index of dispersion over per-doc counts)
+# ---------------------------------------------------------------------------
+
+_Q260_SQL = """
+WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+per_doc AS (
+  SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w, doc_id
+),
+s AS (
+  SELECT w,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM per_doc GROUP BY w
+)
+SELECT w,
+       s1 AS total_count,
+       ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nd.n) / s1, 6)
+         AS dispersion
+FROM s CROSS JOIN nd
+ORDER BY dispersion DESC, w LIMIT 10
+"""
+
+
+@register(
+    "q260_term_burstiness",
+    _Q260_SQL,
+    doc=(
+        "term burstiness via the index of dispersion D = var/mean of "
+        "per-document counts (Church & Gale: content words are bursty "
+        "D>>1, function words Poisson D~1 — a curation signal for "
+        "templated/boilerplate corpora): zero-docs contribute nothing "
+        "to the power sums so D = (s2 - s1^2/N)/s1 needs only the "
+        "NONZERO (term, doc) rollup plus the document count — exact "
+        "integer sums, one division per term; the fixture's uniform "
+        "generator sits at the Poisson null (D~1), which the brute "
+        "test pins as a property"
+    ),
+    tables=("documents",),
+)
+def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    per_doc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = per_doc.groupBy("w").agg(
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    disp = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / F.col("s1")
+    return (
+        s.crossJoin(F.broadcast(nd))
+        .select(
+            "w",
+            F.col("s1").alias("total_count"),
+            F.round(disp, 6).alias("dispersion"),
+        )
+        .orderBy(F.col("dispersion").desc(), "w")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q262: pairwise-similarity histogram (dedup-threshold diagnostic)
+# ---------------------------------------------------------------------------
+
+_Q262_NA = 32
+_Q262_BIN = 100_000
+
+_Q262_SQL = f"""
+WITH anchors AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY {{anchor_key}}, vec_id LIMIT {_Q262_NA}
+),
+quant AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings
+),
+dots AS (
+  SELECT a.vec_id AS aid, v.vec_id,
+         CAST(SUM(av.q * v.q) AS BIGINT) AS dot
+  FROM anchors a
+  JOIN quant av ON av.vec_id = a.vec_id
+  JOIN quant v ON v.pos = av.pos AND v.vec_id <> a.vec_id
+  GROUP BY a.vec_id, v.vec_id
+)
+SELECT CAST(FLOOR(dot / {_Q262_BIN}.0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(dot) AS BIGINT) AS min_dot,
+       CAST(MAX(dot) AS BIGINT) AS max_dot
+FROM dots GROUP BY 1 ORDER BY bin
+"""
+
+from osm_changesets_to_parquet_spark.operators.anchors import (  # noqa: E402
+    sql_anchor_order as _sql_anchor_order,
+)
+
+_Q262_SQL = _Q262_SQL.format(anchor_key=_sql_anchor_order("vec_id"))
+
+
+@register(
+    "q262_similarity_histogram",
+    _Q262_SQL,
+    doc=(
+        "pairwise-similarity histogram over a fixed-k anchor panel "
+        "(the threshold-choosing diagnostic BEFORE committing to a "
+        "SemDeDup/near-dup cutoff: where does the corpus's similarity "
+        "mass sit?): dot products of integer milli-quantized vectors "
+        "are exact BIGINTs, binning FLOORs the integer dot — no "
+        "double ever decides a bin — and the anchor panel is "
+        f"CONSTANT-k ({_Q262_NA}), so the pass is Θ(k·n·D), never "
+        "all-pairs (the q179 discipline)"
+    ),
+    tables=("embeddings",),
+)
+def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.anchors import (
+        fixed_k_anchors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = fixed_k_anchors(emb, "vec_id", _Q262_NA).select(
+        F.col("vec_id").alias("aid")
+    )
+    quant = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("v").cast("double") * 1000).cast("long").alias("q"),
+    )
+    aq = anchors.join(
+        quant.select(F.col("vec_id").alias("aid"), "pos", F.col("q").alias("aq")),
+        "aid",
+    )
+    dots = (
+        quant.join(F.broadcast(aq), "pos")
+        .where(F.col("vec_id") != F.col("aid"))
+        .groupBy("aid", "vec_id")
+        .agg(F.sum(F.col("aq") * F.col("q")).alias("dot"))
+    )
+    return (
+        dots.groupBy(
+            F.floor(F.col("dot") / float(_Q262_BIN)).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("dot").alias("min_dot"),
+            F.max("dot").alias("max_dot"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q263: token-bucket rate limiter replay (clamped nonlinear recurrence)
+# ---------------------------------------------------------------------------
+
+_Q263_CAP = 5
+_Q263_REFILL_US = 43_200_000_000  # 1 token per 12h of gap
+
+
+_Q263_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id)
+           AS rn
+  FROM events
+),
+r(user_id, rn, ts_us, tokens_after, throttled, event_type) AS (
+  SELECT user_id, rn, ts_us, {_Q263_CAP} - 1, FALSE, event_type
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.rn, n.ts_us,
+         CASE WHEN LEAST({_Q263_CAP}, r.tokens_after
+                    + (n.ts_us - r.ts_us) // {_Q263_REFILL_US}) >= 1
+              THEN LEAST({_Q263_CAP}, r.tokens_after
+                    + (n.ts_us - r.ts_us) // {_Q263_REFILL_US}) - 1
+              ELSE LEAST({_Q263_CAP}, r.tokens_after
+                    + (n.ts_us - r.ts_us) // {_Q263_REFILL_US}) END,
+         LEAST({_Q263_CAP}, r.tokens_after
+               + (n.ts_us - r.ts_us) // {_Q263_REFILL_US}) < 1,
+         n.event_type
+  FROM r JOIN e n ON n.user_id = r.user_id AND n.rn = r.rn + 1
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN throttled THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_throttled,
+       ROUND(SUM(CASE WHEN throttled THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+         AS throttle_rate
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "q263_token_bucket",
+    _Q263_SQL,
+    doc=(
+        f"token-bucket rate-limiter replay (capacity {_Q263_CAP}, one "
+        "token per 12h of gap — calibrated so ~half the fixture throttles): the CLAMPED nonlinear recurrence "
+        "min(C, tokens + gap//refill) that no window/cumsum can "
+        "express — the engine runs it per user inside ONE "
+        "applyInPandas over (ts_us, event_id)-sorted groups (bounded "
+        "by a user's event count), the oracle is a true recursive CTE "
+        "walking rn -> rn+1; every quantity is integer micros/tokens, "
+        "so engine and oracle are exactly equal; output = per-type "
+        "throttle accounting (which event types burst past the "
+        "limiter)"
+    ),
+    tables=("events",),
+)
+def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        out_type, out_thr = [], []
+        tokens = _Q263_CAP
+        prev_ts = None
+        for ts_us, et in zip(pdf["ts_us"], pdf["event_type"]):
+            ts_us = int(ts_us)
+            if prev_ts is not None:
+                tokens = min(
+                    _Q263_CAP, tokens + (ts_us - prev_ts) // _Q263_REFILL_US
+                )
+            throttled = tokens < 1
+            if not throttled:
+                tokens -= 1
+            out_type.append(et)
+            out_thr.append(1 if throttled else 0)
+            prev_ts = ts_us
+        return pd.DataFrame({"event_type": out_type, "throttled": out_thr})
+
+    per_event = ev.select(
+        "user_id", "event_id", "ts_us", "event_type"
+    ).groupBy("user_id").applyInPandas(
+        replay, "event_type string, throttled int"
+    )
+    thr = F.sum("throttled")
+    return (
+        per_event.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            thr.cast("long").alias("n_throttled"),
+            F.round(thr * 1.0 / F.count(F.lit(1)), 4).alias("throttle_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q271: rendezvous (HRW) sharding + resize movement analysis
+# ---------------------------------------------------------------------------
+
+_Q271_SHARDS = 8
+_Q271_SALT = 9973
+
+_Q271_SQL = f"""
+WITH shards(s) AS (
+  SELECT * FROM (VALUES {", ".join(f"({s})" for s in range(9))}) v(s)
+),
+scored AS (
+  SELECT doc_id, s, ((h * h) % 1000000007) * 100 + s AS score
+  FROM (
+    SELECT d.doc_id, sh.s,
+           {sql_hash_bucket(f"doc_id + s * {_Q271_SALT}", 1000000007)} AS h
+    FROM documents d CROSS JOIN shards sh
+  )
+),
+a8 AS (
+  SELECT doc_id, arg_max(s, score) AS shard
+  FROM scored WHERE s < {_Q271_SHARDS} GROUP BY doc_id
+),
+a9 AS (
+  SELECT doc_id, arg_max(s, score) AS shard
+  FROM scored GROUP BY doc_id
+),
+j AS (
+  SELECT a8.doc_id, a8.shard AS s8, a9.shard AS s9
+  FROM a8 JOIN a9 ON a9.doc_id = a8.doc_id
+),
+bal AS (
+  SELECT CAST(MAX(c) AS BIGINT) AS max_shard,
+         CAST(MIN(c) AS BIGINT) AS min_shard
+  FROM (SELECT COUNT(*) AS c FROM a9 GROUP BY shard)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT) AS moved,
+       ROUND(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+         AS moved_frac,
+       ANY_VALUE(bal.max_shard) AS max_shard,
+       ANY_VALUE(bal.min_shard) AS min_shard
+FROM j CROSS JOIN bal
+"""
+
+
+@register(
+    "q271_rendezvous_sharding",
+    _Q271_SQL,
+    doc=(
+        "rendezvous / highest-random-weight sharding (Thaler & Ravi "
+        "1996 — the consistent-assignment scheme behind cache/shard "
+        "rings) + the resize-cost analysis: each key's shard is "
+        f"argmax over per-(key,shard) salted SQUARED hashes (one "
+        "multiplicative step is linear in key and shard — squaring "
+        "mod p is the cheapest engine-exact nonlinearity); growing "
+        f"{_Q271_SHARDS}→{_Q271_SHARDS + 1} shards must move only "
+        f"~1/{_Q271_SHARDS + 1} of keys (HRW's defining guarantee — "
+        "modulo sharding would move ~8/9), measured exactly here; "
+        "the argmax is ONE keyed max_by with the (score,shard) "
+        "composite encoded as score*100+s (exact integers), the "
+        "shard frame is broadcast — Θ(n·k) work, no shuffle besides "
+        "the per-key rollup"
+    ),
+    tables=("documents",),
+)
+def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shards = spark.createDataFrame([(s,) for s in range(9)], "s LONG")
+    h = hash_bucket(F.col("doc_id") + F.col("s") * _Q271_SALT, 1_000_000_007)
+    # square mod p: ONE multiplicative step is LINEAR in (key, shard)
+    # and assigns with visible structure (measured: 0.18 moved, 31-123
+    # shard sizes); the squaring is the cheapest SQL-expressible
+    # nonlinearity and lands the HRW guarantee exactly (0.110 moved)
+    scored = docs.crossJoin(F.broadcast(shards)).select(
+        "doc_id",
+        "s",
+        (((h * h) % 1_000_000_007) * 100 + F.col("s")).alias("score"),
+    )
+    a8 = (
+        scored.where(F.col("s") < _Q271_SHARDS)
+        .groupBy("doc_id")
+        .agg(F.max_by("s", "score").alias("s8"))
+    )
+    a9 = scored.groupBy("doc_id").agg(F.max_by("s", "score").alias("s9"))
+    bal = (
+        a9.groupBy("s9")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.max("c").alias("max_shard"),
+            F.min("c").alias("min_shard"),
+        )
+    )
+    moved = F.sum(F.when(F.col("s8") != F.col("s9"), 1).otherwise(0))
+    return (
+        a8.join(a9, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            moved.cast("long").alias("moved"),
+            F.round(moved * 1.0 / F.count(F.lit(1)), 4).alias("moved_frac"),
+        )
+        .crossJoin(F.broadcast(bal))
+        .select("n_keys", "moved", "moved_frac", "max_shard", "min_shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q278: behavioral-profile cosine similarity matrix
+# ---------------------------------------------------------------------------
+
+_Q278_SQL = """
+WITH prof AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+  FROM prof a JOIN prof b ON a.h = b.h AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT event_type, CAST(SUM(c * c) AS BIGINT) AS nn FROM prof GROUP BY 1
+)
+SELECT p.ta, p.tb,
+       ROUND(CAST(p.dot AS DOUBLE)
+             / SQRT(CAST(na.nn AS DOUBLE) * nb.nn), 6) AS cosine
+FROM pairs p
+JOIN norms na ON na.event_type = p.ta
+JOIN norms nb ON nb.event_type = p.tb
+ORDER BY p.ta, p.tb
+"""
+
+
+@register(
+    "q278_profile_cosine",
+    _Q278_SQL,
+    doc=(
+        "behavioral-profile similarity: each type's 24-hour activity "
+        "histogram as a vector, pairwise cosine over the |types|² "
+        "matrix — 'which event types share a daily rhythm' (the "
+        "entity-profile twin of q36's document cosine): dots and "
+        "norms are exact integer sums over the (type, hour) rollup, "
+        "the join key is the HOUR so the shuffle carries 24·|types| "
+        "rows, never events"
+    ),
+    tables=("events",),
+)
+def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = prof.alias("a")
+    b = prof.alias("b")
+    pairs = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    norms = prof.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).alias("nn")
+    )
+    return (
+        pairs.join(
+            F.broadcast(norms.select(F.col("event_type").alias("ta"),
+                                     F.col("nn").alias("na"))), "ta"
+        )
+        .join(
+            F.broadcast(norms.select(F.col("event_type").alias("tb"),
+                                     F.col("nn").alias("nb"))), "tb"
+        )
+        .select(
+            "ta",
+            "tb",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q281: session-basket lift (which event types co-occur in a session)
+# ---------------------------------------------------------------------------
+
+_Q281_GAP_US = 1_800_000_000  # 30 min, the q229 session gap
+
+_Q281_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         LAG(CAST(epoch_us(ts) AS BIGINT)) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS prev
+  FROM events
+),
+marks AS (
+  SELECT user_id, event_type, ts_us,
+         CASE WHEN prev IS NULL OR ts_us - prev > {_Q281_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+sess AS (
+  SELECT user_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM marks
+),
+baskets AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+n_s AS (
+  SELECT CAST(COUNT(DISTINCT user_id || '#' || sid) AS BIGINT) AS n
+  FROM baskets
+),
+item AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS supp
+  FROM baskets GROUP BY event_type
+),
+pair AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(COUNT(*) AS BIGINT) AS supp_ab
+  FROM baskets a
+  JOIN baskets b ON b.user_id = a.user_id AND b.sid = a.sid
+                AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ta, p.tb, p.supp_ab,
+       ROUND(CAST(p.supp_ab AS DOUBLE) * n_s.n / (ia.supp * ib.supp), 4)
+         AS lift
+FROM pair p
+JOIN item ia ON ia.event_type = p.ta
+JOIN item ib ON ib.event_type = p.tb
+CROSS JOIN n_s
+ORDER BY p.ta, p.tb
+"""
+
+
+@register(
+    "q281_session_lift",
+    _Q281_SQL,
+    doc=(
+        "session-basket lift: 30-min-gap sessions (the q229 "
+        "spelling) become the BASKETS, and event-type pairs get "
+        "lift = N·supp(ab)/(supp(a)·supp(b)) — the product-analytics "
+        "'which actions travel together within a visit' (q171's "
+        "order-basket pairs re-based on behavioral sessions); "
+        "per-user windows for sessionization, then every count is a "
+        "(session, type)-distinct integer rollup; lift>1 = "
+        "attraction, <1 = repulsion"
+    ),
+    tables=("events",),
+)
+def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.lag("ts_us").over(w).alias("prev"),
+    )
+    marks = o.withColumn(
+        "new_s",
+        F.when(
+            F.col("prev").isNull()
+            | (F.col("ts_us") - F.col("prev") > _Q281_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = marks.withColumn("sid", F.sum("new_s").over(w_cum))
+    # baskets feed FOUR consumers (n_s, item, both pair sides): cut
+    # lineage once so the sessionization windows run a single time
+    # instead of five
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    baskets = truncate_lineage(
+        sess.select("user_id", "sid", "event_type").distinct()
+    )
+    n_s = baskets.select("user_id", "sid").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("supp"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sid") == F.col("b.sid")),
+        )
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+    )
+    return (
+        pair.join(
+            F.broadcast(item.select(F.col("event_type").alias("ta"),
+                                    F.col("supp").alias("sa"))), "ta"
+        )
+        .join(
+            F.broadcast(item.select(F.col("event_type").alias("tb"),
+                                    F.col("supp").alias("sb"))), "tb"
+        )
+        .crossJoin(F.broadcast(n_s))
+        .select(
+            "ta",
+            "tb",
+            "supp_ab",
+            F.round(
+                F.col("supp_ab").cast("double") * F.col("n")
+                / (F.col("sa") * F.col("sb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q288: LSH parameter planner (candidate-probability S-curves)
+# ---------------------------------------------------------------------------
+
+_Q288_SQL = """
+WITH grid AS (
+  SELECT CAST(j AS BIGINT) AS jpct, j / 100.0 AS jac
+  FROM UNNEST(range(5, 100, 5)) AS u(j)
+),
+p AS (
+  SELECT jpct, jac,
+         jac * jac * jac * jac AS band4,
+         jac * jac AS band2
+  FROM grid
+),
+q AS (
+  SELECT jpct, jac,
+         (1 - band4) * (1 - band4) AS m4_2,
+         (1 - band2) * (1 - band2) AS m2_2
+  FROM p
+),
+r AS (
+  SELECT jpct, jac,
+         m4_2 * m4_2 AS m4_4, m2_2 * m2_2 AS m2_4 FROM q
+),
+s AS (
+  SELECT jpct, jac,
+         m4_4 * m4_4 AS miss_8x4,
+         m2_4 * m2_4 * m2_4 * m2_4 AS miss_16x2
+  FROM r
+)
+SELECT jpct AS jaccard_pct,
+       ROUND(1 - miss_8x4, 6) AS p_candidate_8x4,
+       ROUND(1 - miss_16x2, 6) AS p_candidate_16x2
+FROM s ORDER BY jaccard_pct
+"""
+
+
+@register(
+    "q288_lsh_planner",
+    _Q288_SQL,
+    doc=(
+        "LSH parameter planner — the design tool BEHIND q35b's "
+        "8-bands×4-rows choice: candidate probability "
+        "1-(1-J^r)^b across the Jaccard grid for two configurations "
+        "(8×4 vs 16×2), showing where each S-curve puts its "
+        "threshold; every power is spelled as EXPLICIT repeated "
+        "multiplication/squaring (J⁴ = ((J²))², (1-x)⁸ = (((x²)²)²) "
+        "— zero pow()/libm calls, bit-identical in any engine); the "
+        "grid is generated, no table scanned — a pure planning query"
+    ),
+    tables=(),
+)
+def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = spark.createDataFrame(
+        [(j,) for j in range(5, 100, 5)], "jpct LONG"
+    ).select("jpct", (F.col("jpct") / 100.0).alias("jac"))
+    j = F.col("jac")
+    band4 = j * j * j * j
+    band2 = j * j
+    m4_2 = (1 - band4) * (1 - band4)
+    m2_2 = (1 - band2) * (1 - band2)
+    m4_4 = m4_2 * m4_2
+    m2_4 = m2_2 * m2_2
+    miss_8x4 = m4_4 * m4_4
+    miss_16x2 = m2_4 * m2_4 * m2_4 * m2_4
+    return grid.select(
+        F.col("jpct").alias("jaccard_pct"),
+        F.round(1 - miss_8x4, 6).alias("p_candidate_8x4"),
+        F.round(1 - miss_16x2, 6).alias("p_candidate_16x2"),
+    ).orderBy("jaccard_pct")
+
+
+# ---------------------------------------------------------------------------
+# q293: vocabulary saturation forecast (extrapolating the Heaps fit)
+# ---------------------------------------------------------------------------
+
+_Q293_MULTIPLIERS = (2, 5, 10)
+
+_Q293_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS drk,
+         COUNT(*) OVER () AS nd
+  FROM documents
+),
+grams AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS g, drk
+  FROM d, UNNEST(range(1, len(ws))) AS u(i)
+),
+first_seen AS (SELECT g, CAST(MIN(drk) AS BIGINT) AS fr FROM grams GROUP BY g),
+per_doc AS (
+  SELECT drk, CAST(COUNT(*) AS BIGINT) AS toks FROM grams GROUP BY drk
+),
+ck(p) AS (SELECT * FROM (VALUES (20), (40), (60), (80), (100)) v(p)),
+pts AS (
+  SELECT ck.p,
+         (SELECT CAST(SUM(toks) AS BIGINT) FROM per_doc,
+            (SELECT ANY_VALUE(nd) AS nd FROM d) x
+          WHERE drk <= (ck.p * x.nd + 99) // 100) AS n_tokens,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM first_seen,
+            (SELECT ANY_VALUE(nd) AS nd FROM d) x
+          WHERE fr <= (ck.p * x.nd + 99) // 100) AS v_types
+  FROM ck
+),
+fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(ROUND(LN(n_tokens), 6)) AS sx,
+         SUM(ROUND(LN(v_types), 6)) AS sy,
+         SUM(ROUND(LN(n_tokens), 6) * ROUND(LN(v_types), 6)) AS sxy,
+         SUM(ROUND(LN(n_tokens), 6) * ROUND(LN(n_tokens), 6)) AS sxx
+  FROM pts
+),
+coef AS (
+  SELECT (k * sxy - sx * sy) / (k * sxx - sx * sx) AS beta,
+         (sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k
+           AS lnk
+  FROM fit
+),
+now_pt AS (
+  SELECT n_tokens AS n_now, v_types AS v_now FROM pts WHERE p = 100
+)
+SELECT CAST(m AS BIGINT) AS tokens_multiplier,
+       CAST(now_pt.n_now * m AS BIGINT) AS projected_tokens,
+       CAST(ROUND(EXP(coef.lnk + coef.beta
+                      * ROUND(LN(CAST(now_pt.n_now AS DOUBLE) * m), 6)))
+            AS BIGINT) AS projected_vocab,
+       now_pt.v_now AS current_vocab
+FROM (SELECT * FROM (VALUES {", ".join(f"({m})" for m in _Q293_MULTIPLIERS)})
+      v(m)) ms
+CROSS JOIN coef CROSS JOIN now_pt
+ORDER BY tokens_multiplier
+"""
+
+
+@register(
+    "q293_vocab_forecast",
+    _Q293_SQL,
+    doc=(
+        "vocabulary saturation forecast — the capacity-planning use "
+        "of q256's Heaps fit: V(m·N) = K·(m·N)^β extrapolated to "
+        "2×/5×/10× today's token count from the measured (K, β) "
+        "(should you budget a bigger tokenizer vocab before scaling "
+        "the corpus?); same ln-rounding fit discipline as q256, the "
+        "single EXP per row rounded to a whole type count; on this "
+        "CLOSED-vocabulary fixture the forecast stays near today's "
+        "vocab — exactly what β≈0.1 predicts"
+    ),
+    tables=("documents",),
+)
+def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    d = docs.select("doc_id", F.row_number().over(w).alias("drk"))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat(split(text, ' ')[i - 1], ' ', "
+                "split(text, ' ')[i]))"
+            )
+        ).alias("g"),
+    ).join(F.broadcast(d), "doc_id")
+    first_seen = grams.groupBy("g").agg(F.min("drk").cast("long").alias("fr"))
+    per_doc = grams.groupBy("drk").agg(F.count(F.lit(1)).alias("toks"))
+    ck = docs.sparkSession.createDataFrame(
+        [(p,) for p in (20, 40, 60, 80, 100)], "p LONG"
+    )
+    ckn = ck.crossJoin(F.broadcast(nd)).select(
+        "p", F.expr("(p * nd + 99) div 100").alias("kdoc")
+    )
+    n_tokens = (
+        per_doc.crossJoin(F.broadcast(ckn))
+        .where(F.col("drk") <= F.col("kdoc"))
+        .groupBy("p")
+        .agg(F.sum("toks").alias("n_tokens"))
+    )
+    v_types = (
+        first_seen.crossJoin(F.broadcast(ckn))
+        .where(F.col("fr") <= F.col("kdoc"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("v_types"))
+    )
+    pts = n_tokens.join(v_types, "p")
+    x = F.round(F.log(F.col("n_tokens").cast("double")), 6)
+    y = F.round(F.log(F.col("v_types").cast("double")), 6)
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    beta = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    coef = fit.select(
+        beta.alias("beta"),
+        ((F.col("sy") - beta * F.col("sx")) / F.col("k")).alias("lnk"),
+    )
+    now_pt = pts.where(F.col("p") == 100).select(
+        F.col("n_tokens").alias("n_now"), F.col("v_types").alias("v_now")
+    )
+    ms = docs.sparkSession.createDataFrame(
+        [(m,) for m in _Q293_MULTIPLIERS], "m LONG"
+    )
+    return (
+        ms.crossJoin(F.broadcast(coef))
+        .crossJoin(F.broadcast(now_pt))
+        .select(
+            F.col("m").alias("tokens_multiplier"),
+            (F.col("n_now") * F.col("m")).cast("long").alias(
+                "projected_tokens"
+            ),
+            F.round(
+                F.exp(
+                    F.col("lnk")
+                    + F.col("beta")
+                    * F.round(
+                        F.log(F.col("n_now").cast("double") * F.col("m")), 6
+                    )
+                )
+            ).cast("long").alias("projected_vocab"),
+            F.col("v_now").alias("current_vocab"),
+        )
+        .orderBy("tokens_multiplier")
+    )

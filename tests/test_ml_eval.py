@@ -21,7 +21,7 @@ def _pd(sf_dir: str, table: str) -> pd.DataFrame:
 def test_spearman_matches_pandas(spark, sf_dir):
     # contingency-count Spearman (q232) == pandas' per-row
     # average-rank Spearman on the same columns
-    from osm_changesets_to_parquet_spark.queries.ml_eval import q232
+    from osm_changesets_to_parquet_spark.queries.ml_stat_tests import q232
 
     got = {r.g: r.rho for r in q232(spark, sf_dir).collect()}
     li = _pd(sf_dir, "lineitem")
@@ -35,7 +35,7 @@ def test_spearman_matches_pandas(spark, sf_dir):
 
 
 def test_threshold_sweep_matches_pandas(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+    from osm_changesets_to_parquet_spark.queries.ml_model_eval import (
         _Q233_THRESHOLDS,
         q233,
     )
@@ -59,10 +59,7 @@ def test_threshold_sweep_matches_pandas(spark, sf_dir):
 def test_bh_fdr_matches_brute_force(spark, sf_dir):
     # the step-up rejection set (q234) == a direct numpy BH on the
     # same cents-quantized z statistics
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
-        _Q234_ALPHA,
-        q234,
-    )
+    from osm_changesets_to_parquet_spark.queries.ml_stat_tests import _Q234_ALPHA, q234
 
     got = {
         (r.event_type, r.dow): r.rejected
@@ -129,7 +126,7 @@ def test_bh_stepup_step_up_not_step_down(spark):
 def test_naive_bayes_matches_brute_force(spark, sf_dir):
     # the relational NB (q235) == a Counter-based reimplementation of
     # the same smoothed multinomial model on the same split
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+    from osm_changesets_to_parquet_spark.queries.ml_model_eval import (
         _Q235_TRAIN_PCT,
         q235,
     )

@@ -25,7 +25,7 @@ def _daily(sf_dir: str) -> pd.DataFrame:
 def test_holt_matches_sequential_brute(spark, sf_dir):
     # the applyInPandas recursion == a driver-side sequential replay
     # of the same alpha=beta=0.5 updates on the same daily series
-    from osm_changesets_to_parquet_spark.queries.ml_eval import q236
+    from osm_changesets_to_parquet_spark.queries.ml_timeseries import q236
 
     got = {r.event_type: r for r in q236(spark, sf_dir).collect()}
     for et, grp in _daily(sf_dir).groupby("event_type"):
@@ -56,7 +56,7 @@ def test_holt_linear_series_is_fixed_point(spark):
 
 
 def test_kendall_tau_matches_pair_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import q237
+    from osm_changesets_to_parquet_spark.queries.ml_stat_tests import q237
 
     got = {r.event_type: r for r in q237(spark, sf_dir).collect()}
     for et, grp in _daily(sf_dir).groupby("event_type"):
@@ -122,7 +122,7 @@ def test_kcore_matches_peeling_brute(spark, sf_dir):
 
 
 def test_calibration_bins_matches_pandas(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import q239
+    from osm_changesets_to_parquet_spark.queries.ml_model_eval import q239
 
     got = {r.bin: r for r in q239(spark, sf_dir).collect()}
     ev = duckdb.sql(
@@ -145,7 +145,7 @@ def test_calibration_bins_matches_pandas(spark, sf_dir):
 def test_leadlag_xcorr_matches_numpy(spark, sf_dir):
     import numpy as np
 
-    from osm_changesets_to_parquet_spark.queries.ml_eval import q240
+    from osm_changesets_to_parquet_spark.queries.ml_timeseries import q240
 
     got = {r.lag: r for r in q240(spark, sf_dir).collect()}
     d = _daily(sf_dir)
@@ -163,10 +163,7 @@ def test_leadlag_xcorr_matches_numpy(spark, sf_dir):
 
 
 def test_vocab_coverage_matches_counter(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
-        _Q241_KS,
-        q241,
-    )
+    from osm_changesets_to_parquet_spark.queries.ml_corpus import _Q241_KS, q241
 
     got = {r.k: r for r in q241(spark, sf_dir).collect()}
     texts = duckdb.sql(
@@ -190,7 +187,7 @@ def test_vocab_coverage_matches_counter(spark, sf_dir):
 
 
 def test_cramers_v_matches_pandas_crosstab(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import q242
+    from osm_changesets_to_parquet_spark.queries.ml_stat_tests import q242
 
     got = {r.pair: r for r in q242(spark, sf_dir).collect()}
     ev = duckdb.sql(
@@ -369,7 +366,7 @@ def test_xml_roundtrip_escapes_special_chars(spark):
 def test_conformal_matches_brute_and_coverage_guarantee(spark, sf_dir):
     import math
 
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+    from osm_changesets_to_parquet_spark.queries.ml_model_eval import (
         _Q246_ALPHA_PCT,
         q246,
     )
@@ -405,7 +402,7 @@ def test_conformal_matches_brute_and_coverage_guarantee(spark, sf_dir):
 
 
 def test_wilson_ci_matches_brute_and_brackets_p(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+    from osm_changesets_to_parquet_spark.queries.ml_stat_tests import (
         _Q247_CUT,
         _Q247_Z,
         q247,
@@ -432,7 +429,7 @@ def test_wilson_ci_matches_brute_and_brackets_p(spark, sf_dir):
 
 
 def test_diff_in_diff_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+    from osm_changesets_to_parquet_spark.queries.ml_experiments import (
         _Q248_POST_DAY,
         q248,
     )
@@ -560,10 +557,7 @@ def _events_cents(sf_dir: str):
 
 
 def test_kfold_cv_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
-        _Q252_FOLDS,
-        q252,
-    )
+    from osm_changesets_to_parquet_spark.queries.ml_model_eval import _Q252_FOLDS, q252
 
     got = {(r.event_type, r.fold): r for r in q252(spark, sf_dir).collect()}
     rows = _events_cents(sf_dir)
@@ -585,10 +579,7 @@ def test_kfold_cv_matches_brute(spark, sf_dir):
 
 
 def test_learning_curve_matches_brute_and_uses_nested_sets(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
-        _Q253_SIZES,
-        q253,
-    )
+    from osm_changesets_to_parquet_spark.queries.ml_model_eval import _Q253_SIZES, q253
 
     got = {
         (r.event_type, r.train_pct): r for r in q253(spark, sf_dir).collect()
@@ -617,7 +608,7 @@ def test_learning_curve_matches_brute_and_uses_nested_sets(spark, sf_dir):
 
 
 def test_randomization_test_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+    from osm_changesets_to_parquet_spark.queries.ml_stat_tests import (
         _Q254_N_PERMS,
         _Q254_SALT,
         q254,
@@ -686,7 +677,7 @@ def test_streaming_anomaly_prior_state_semantics(spark, sf_dir):
 
 
 def test_markov_eval_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+    from osm_changesets_to_parquet_spark.queries.ml_timeseries import (
         _Q255_TRAIN_PCT,
         q255,
     )
@@ -723,10 +714,7 @@ def test_markov_eval_matches_brute(spark, sf_dir):
 
 
 def test_heaps_law_matches_brute_and_monotone(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
-        _Q256_PCTS,
-        q256,
-    )
+    from osm_changesets_to_parquet_spark.queries.ml_corpus import _Q256_PCTS, q256
 
     got = {r.pct: r for r in q256(spark, sf_dir).collect()}
     rows = duckdb.sql(
@@ -815,7 +803,7 @@ def test_assortativity_matches_brute(spark, sf_dir):
 
 
 def test_seasonal_decomposition_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import q259
+    from osm_changesets_to_parquet_spark.queries.ml_timeseries import q259
 
     got = {r.event_type: r for r in q259(spark, sf_dir).collect()}
     d = _daily(sf_dir)
@@ -850,7 +838,7 @@ def test_seasonal_decomposition_matches_brute(spark, sf_dir):
 
 
 def test_term_burstiness_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import q260
+    from osm_changesets_to_parquet_spark.queries.ml_corpus import q260
 
     got = [(r.w, r.total_count, r.dispersion)
            for r in q260(spark, sf_dir).collect()]
@@ -876,7 +864,7 @@ def test_term_burstiness_matches_brute(spark, sf_dir):
 
 
 def test_cohort_ltv_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import q261
+    from osm_changesets_to_parquet_spark.queries.ml_timeseries import q261
 
     got = {(r.cohort, r.age): r for r in q261(spark, sf_dir).collect()}
     rows = duckdb.sql(
@@ -917,7 +905,7 @@ def test_cohort_ltv_matches_brute(spark, sf_dir):
 def test_similarity_histogram_matches_numpy(spark, sf_dir):
     import numpy as np
 
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+    from osm_changesets_to_parquet_spark.queries.ml_corpus import (
         _Q262_BIN,
         _Q262_NA,
         q262,
@@ -952,7 +940,7 @@ def test_similarity_histogram_matches_numpy(spark, sf_dir):
 
 
 def test_token_bucket_matches_brute_and_throttles(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+    from osm_changesets_to_parquet_spark.queries.ml_corpus import (
         _Q263_CAP,
         _Q263_REFILL_US,
         q263,
@@ -1122,7 +1110,7 @@ def test_cdc_is_shift_resilient(spark):
 
 
 def test_cohens_kappa_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+    from osm_changesets_to_parquet_spark.queries.ml_stat_tests import (
         _Q265_CUT_A,
         _Q265_CUT_B,
         q265,
@@ -1152,10 +1140,7 @@ def test_cohens_kappa_matches_brute(spark, sf_dir):
 
 
 def test_ratio_metric_delta_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
-        _Q266_Z,
-        q266,
-    )
+    from osm_changesets_to_parquet_spark.queries.ml_experiments import _Q266_Z, q266
 
     got = {r.event_type: r for r in q266(spark, sf_dir).collect()}
     rows = duckdb.sql(
@@ -1294,10 +1279,7 @@ def test_rbo_matches_brute_and_bounds(spark, sf_dir):
 def test_woe_iv_matches_brute(spark, sf_dir):
     import math
 
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
-        _Q269_BINS,
-        q269,
-    )
+    from osm_changesets_to_parquet_spark.queries.ml_model_eval import _Q269_BINS, q269
 
     got = {r.bin: r for r in q269(spark, sf_dir).collect()}
     rows = duckdb.sql(
@@ -1335,7 +1317,7 @@ def test_woe_iv_matches_brute(spark, sf_dir):
 
 
 def test_churn_labels_match_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+    from osm_changesets_to_parquet_spark.queries.ml_timeseries import (
         _Q270_QUIET_DAYS,
         q270,
     )
@@ -1366,7 +1348,7 @@ def test_churn_labels_match_brute(spark, sf_dir):
 
 
 def test_rendezvous_sharding_matches_brute_and_hrw_guarantee(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+    from osm_changesets_to_parquet_spark.queries.ml_corpus import (
         _Q271_SALT,
         _Q271_SHARDS,
         q271,
@@ -1495,7 +1477,7 @@ def test_good_turing_matches_brute(spark, sf_dir):
 
 
 def test_ab_power_mde_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+    from osm_changesets_to_parquet_spark.queries.ml_experiments import (
         _Q275_Z_ALPHA,
         _Q275_Z_POWER,
         q275,
@@ -1522,7 +1504,7 @@ def test_ab_power_mde_matches_brute(spark, sf_dir):
 
 
 def test_capture_recapture_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+    from osm_changesets_to_parquet_spark.queries.ml_stat_tests import (
         _Q276_W1,
         _Q276_W2,
         q276,
@@ -1550,7 +1532,7 @@ def test_capture_recapture_matches_brute(spark, sf_dir):
 def test_partial_correlation_matches_numpy(spark, sf_dir):
     import numpy as np
 
-    from osm_changesets_to_parquet_spark.queries.ml_eval import q277
+    from osm_changesets_to_parquet_spark.queries.ml_stat_tests import q277
 
     got = {r.event_type: r for r in q277(spark, sf_dir).collect()}
     d = _daily(sf_dir)
@@ -1570,7 +1552,7 @@ def test_partial_correlation_matches_numpy(spark, sf_dir):
 def test_profile_cosine_matches_numpy(spark, sf_dir):
     import numpy as np
 
-    from osm_changesets_to_parquet_spark.queries.ml_eval import q278
+    from osm_changesets_to_parquet_spark.queries.ml_corpus import q278
 
     got = {(r.ta, r.tb): r.cosine for r in q278(spark, sf_dir).collect()}
     rows = duckdb.sql(
@@ -1592,10 +1574,7 @@ def test_profile_cosine_matches_numpy(spark, sf_dir):
 
 
 def test_engagement_auc_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
-        _Q279_HEAVY,
-        q279,
-    )
+    from osm_changesets_to_parquet_spark.queries.ml_model_eval import _Q279_HEAVY, q279
 
     row = q279(spark, sf_dir).collect()[0]
     rows = duckdb.sql(
@@ -1628,7 +1607,7 @@ def test_engagement_auc_matches_brute(spark, sf_dir):
 
 
 def test_cost_threshold_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+    from osm_changesets_to_parquet_spark.queries.ml_model_eval import (
         _Q233_THRESHOLDS,
         _Q280_C_FN,
         _Q280_C_FP,
@@ -1654,10 +1633,7 @@ def test_cost_threshold_matches_brute(spark, sf_dir):
 
 
 def test_session_lift_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
-        _Q281_GAP_US,
-        q281,
-    )
+    from osm_changesets_to_parquet_spark.queries.ml_corpus import _Q281_GAP_US, q281
 
     got = {(r.ta, r.tb): r for r in q281(spark, sf_dir).collect()}
     rows = duckdb.sql(
@@ -1690,7 +1666,7 @@ def test_session_lift_matches_brute(spark, sf_dir):
 
 
 def test_qte_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import q282
+    from osm_changesets_to_parquet_spark.queries.ml_experiments import q282
 
     got = {r.decile: r for r in q282(spark, sf_dir).collect()}
     rows = duckdb.sql(
@@ -1719,7 +1695,7 @@ def test_qte_matches_brute(spark, sf_dir):
 
 
 def test_cuped_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import q283
+    from osm_changesets_to_parquet_spark.queries.ml_experiments import q283
 
     row = q283(spark, sf_dir).collect()[0]
     rows = duckdb.sql(
@@ -1763,7 +1739,7 @@ def test_cuped_matches_brute(spark, sf_dir):
 
 
 def test_srm_check_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import q284
+    from osm_changesets_to_parquet_spark.queries.ml_experiments import q284
 
     row = q284(spark, sf_dir).collect()[0]
     users = {
@@ -1817,7 +1793,7 @@ def test_dedup_roi_matches_brute_and_monotone(spark, sf_dir):
 
 
 def test_page_hinkley_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+    from osm_changesets_to_parquet_spark.queries.ml_timeseries import (
         _Q286_DELTA,
         _Q286_LAMBDA,
         q286,
@@ -1851,10 +1827,7 @@ def test_page_hinkley_matches_brute(spark, sf_dir):
 
 
 def test_subgroup_auc_gap_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
-        _Q279_HEAVY,
-        q287,
-    )
+    from osm_changesets_to_parquet_spark.queries.ml_model_eval import _Q279_HEAVY, q287
 
     row = q287(spark, sf_dir).collect()[0]
     rows = duckdb.sql(
@@ -1894,7 +1867,7 @@ def test_subgroup_auc_gap_matches_brute(spark, sf_dir):
 
 
 def test_lsh_planner_matches_closed_form(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import q288
+    from osm_changesets_to_parquet_spark.queries.ml_corpus import q288
 
     got = {r.jaccard_pct: r for r in q288(spark, sf_dir).collect()}
     for jp in range(5, 100, 5):
@@ -1912,7 +1885,7 @@ def test_lsh_planner_matches_closed_form(spark, sf_dir):
 
 
 def test_kruskal_wallis_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import q289
+    from osm_changesets_to_parquet_spark.queries.ml_stat_tests import q289
 
     row = q289(spark, sf_dir).collect()[0]
     rows = duckdb.sql(
@@ -1946,7 +1919,7 @@ def test_kruskal_wallis_matches_brute(spark, sf_dir):
 
 
 def test_logrank_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import q290
+    from osm_changesets_to_parquet_spark.queries.ml_timeseries import q290
 
     row = q290(spark, sf_dir).collect()[0]
     rows = duckdb.sql(
@@ -1979,10 +1952,7 @@ def test_logrank_matches_brute(spark, sf_dir):
 
 
 def test_fleiss_kappa_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
-        _Q291_CUTS,
-        q291,
-    )
+    from osm_changesets_to_parquet_spark.queries.ml_stat_tests import _Q291_CUTS, q291
 
     row = q291(spark, sf_dir).collect()[0]
     vals = [
@@ -2039,7 +2009,7 @@ def test_minhash_error_within_theory(spark, sf_dir):
 def test_vocab_forecast_matches_brute_and_is_sane(spark, sf_dir):
     import math
 
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+    from osm_changesets_to_parquet_spark.queries.ml_corpus import (
         _Q293_MULTIPLIERS,
         q293,
     )
@@ -2087,7 +2057,7 @@ def test_vocab_forecast_matches_brute_and_is_sane(spark, sf_dir):
 def test_markov_entropy_rate_matches_brute(spark, sf_dir):
     import math
 
-    from osm_changesets_to_parquet_spark.queries.ml_eval import q294
+    from osm_changesets_to_parquet_spark.queries.ml_timeseries import q294
 
     row = q294(spark, sf_dir).collect()[0]
     rows = duckdb.sql(
@@ -2152,7 +2122,7 @@ def test_similarity_transitivity_matches_brute(spark, sf_dir):
 def test_sprt_matches_brute(spark, sf_dir):
     import math
 
-    from osm_changesets_to_parquet_spark.queries.ml_eval import (
+    from osm_changesets_to_parquet_spark.queries.ml_stat_tests import (
         _Q296_LNA,
         _Q296_LNB,
         _Q296_P0,
@@ -2188,7 +2158,7 @@ def test_sprt_matches_brute(spark, sf_dir):
 
 
 def test_nbinom_fit_matches_brute(spark, sf_dir):
-    from osm_changesets_to_parquet_spark.queries.ml_eval import q297
+    from osm_changesets_to_parquet_spark.queries.ml_stat_tests import q297
 
     row = q297(spark, sf_dir).collect()[0]
     counts = [
