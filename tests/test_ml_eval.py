@@ -1,6 +1,8 @@
-"""Batch-A ml_eval property tests: each op checked against an
-independent brute-force / pandas reference on the sf0.001 tables
-(the SURVEY §5.2 brute-force-oracle discipline)."""
+"""Batch-A ML-eval-family property tests (q232-q235, now in
+queries/ml_stat_tests.py / ml_model_eval.py after the round-9 family
+split): each op checked against an independent brute-force / pandas
+reference on the sf0.001 tables (the SURVEY §5.2 brute-force-oracle
+discipline)."""
 
 from __future__ import annotations
 
