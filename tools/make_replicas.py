@@ -2,9 +2,17 @@
 
 Usage::
 
-    python tools/make_replicas.py [factor] [out_dir]
+    python tools/make_replicas.py [factor] [out_dir] [kind]
 
-Duplicates /root/testdata/sf0.1 ``factor`` times with shifted doc ids.
+``kind`` selects which table scales (everything else copies as-is):
+``docs`` (default) scales documents; ``graph`` scales lineitem with
+both keys shifted (disjoint co-purchase graph copies — the q218 /
+round-9 iterative-graph fixture); ``ann`` scales embeddings with
+shifted vec_ids; ``events`` scales events with shifted user/event ids
+via duckdb COPY (preserving the TIMESTAMP(NANOS) physical type).
+
+The default docs mode duplicates /root/testdata/sf0.1 ``factor`` times
+with shifted doc ids.
 25% of documents keep their literal text in every replica (exact
 duplicate groups of size ``factor`` — the boilerplate-heavy web-corpus
 shape that stresses dedup operators); the rest get a per-replica tag
@@ -74,7 +82,99 @@ def build(factor: int, out: str) -> None:
     print(f"built {out}: {spark.read.parquet(out + '/documents.parquet').count()} docs")
 
 
+def _copy_rest(out: str, scaled: str) -> None:
+    for t in (
+        "orders customer events lineitem part supplier nation region "
+        "embeddings documents"
+    ).split():
+        if t == scaled:
+            continue
+        src, dst = f"{BASE}/{t}.parquet", f"{out}/{t}.parquet"
+        shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copy(src, dst)
+
+
+def build_graph(factor: int, out: str) -> None:
+    """lineitem x factor with BOTH keys shifted — `factor` disjoint copies
+    of the co-purchase graph (the q218/round-9 iterative-graph fixture)."""
+    spark = get_spark("make-replicas", extra_conf={"spark.sql.shuffle.partitions": "32"})
+    spark.sparkContext.setLogLevel("ERROR")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        print(f"{out} already built")
+        return
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    li = spark.read.parquet(BASE + "/lineitem.parquet")
+    mo = li.agg(F.max("l_orderkey")).first()[0] + 1
+    mp = li.agg(F.max("l_partkey")).first()[0] + 1
+    reps = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * mo))
+        .withColumn("l_partkey", F.col("l_partkey") + F.lit(i * mp))
+        for i in range(factor)
+    ]
+    alld = reps[0]
+    for r in reps[1:]:
+        alld = alld.unionByName(r)
+    alld.write.mode("overwrite").parquet(out + "/lineitem.parquet")
+    _copy_rest(out, "lineitem")
+    open(os.path.join(out, "_DONE"), "w").close()
+    print(f"built {out}")
+
+
+def build_ann(factor: int, out: str) -> None:
+    """embeddings x factor with shifted vec_ids (round-9 ANN fixture)."""
+    spark = get_spark("make-replicas", extra_conf={"spark.sql.shuffle.partitions": "32"})
+    spark.sparkContext.setLogLevel("ERROR")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        print(f"{out} already built")
+        return
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    emb = spark.read.parquet(BASE + "/embeddings.parquet")
+    mv = emb.agg(F.max("vec_id")).first()[0] + 1
+    reps = [emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * mv)) for i in range(factor)]
+    alld = reps[0]
+    for r in reps[1:]:
+        alld = alld.unionByName(r)
+    alld.write.mode("overwrite").parquet(out + "/embeddings.parquet")
+    _copy_rest(out, "embeddings")
+    open(os.path.join(out, "_DONE"), "w").close()
+    print(f"built {out}")
+
+
+def build_events(factor: int, out: str) -> None:
+    """events x factor with shifted user/event ids (round-9 behavioral
+    fixture).  Replicated via duckdb COPY, NOT a Spark write: the engine's
+    session sets nanosAsLong, so a Spark round-trip would change the
+    TIMESTAMP(NANOS) physical type the driver fixtures carry."""
+    import duckdb
+
+    if os.path.exists(os.path.join(out, "_DONE")):
+        print(f"{out} already built")
+        return
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    src = f"{BASE}/events.parquet"
+    mu = con.sql(f"SELECT MAX(user_id)+1 FROM read_parquet('{src}')").fetchone()[0]
+    me = con.sql(f"SELECT MAX(event_id)+1 FROM read_parquet('{src}')").fetchone()[0]
+    con.sql(
+        f"""COPY (
+              SELECT e.event_id + g.i * {me} AS event_id, e.ts,
+                     e.user_id + g.i * {mu} AS user_id,
+                     e.event_type, e.value, e.props
+              FROM read_parquet('{src}') e CROSS JOIN range({factor}) g(i)
+            ) TO '{out}/events.parquet' (FORMAT PARQUET, CODEC SNAPPY)"""
+    )
+    _copy_rest(out, "events")
+    open(os.path.join(out, "_DONE"), "w").close()
+    print(f"built {out}")
+
+
 if __name__ == "__main__":
+    # usage: make_replicas.py [factor] [out_dir] [kind: docs|graph|ann|events]
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/replicas_{factor}x"
-    build(factor, out)
+    kind = sys.argv[3] if len(sys.argv) > 3 else "docs"
+    {"docs": build, "graph": build_graph, "ann": build_ann, "events": build_events}[
+        kind
+    ](factor, out)
