@@ -221,10 +221,22 @@ def main() -> None:
     # bench wall-clock for no added signal at that sensitivity)
     rnd = _bench_round()
     tier2: dict[str, float] = {}
+    tier2_skipped: list[str] = []
     tier2_total = 0.0
     for name in tier2_names(list(qs), rnd):
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except ValueError as e:
+            # calibration-pinned queries (a51_lsh_recall_prop at sf>0.01,
+            # and any future fixture-gated registration rotating into a
+            # class) REFUSE uncalibrated fixtures by design — record the
+            # skip instead of crashing the round's bench.  Found round 9:
+            # a51_lsh_recall_prop is crc32-class 0, so round 9 was the
+            # FIRST rotation round to schedule it at sf0.1.
+            tier2_skipped.append(name)
+            print(f"tier2 {name} SKIP {e}", file=sys.stderr, flush=True)
+            continue
         dt = time.perf_counter() - t0
         tier2[name] = round(dt, 3)
         tier2_total += dt
@@ -238,7 +250,8 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = json.dumps(
         {"tier2": tier2, "tier2_total": round(tier2_total, 3),
-         "tier2_round": rnd, "tier2_rule": "crc32(name)%3==round%3", "sf": sf_val},
+         "tier2_round": rnd, "tier2_rule": "crc32(name)%3==round%3",
+         "tier2_skipped": tier2_skipped, "sf": sf_val},
         separators=(",", ":"),
     )
     print(detail)
