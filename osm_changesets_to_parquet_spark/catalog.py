@@ -8,13 +8,19 @@ Scale notes:
 - Loads are plain ``spark.read.parquet`` — schema comes from the files
   (no inference pass), predicate pushdown and column pruning flow into
   the scan for free.
-- ``events.ts`` is parquet TIMESTAMP(NANOS), unreadable by Spark's
-  vectorized reader; with ``spark.sql.legacy.parquet.nanosAsLong`` the
-  column arrives as epoch-nanos long and we derive a micros
-  TimestampType column plus ``ts_us`` (epoch micros, long).  Every
-  time comparison in the declared queries is over integer ``ts_us`` so
-  Spark and the DuckDB oracle (which keeps ns) can never disagree on a
-  boundary (SURVEY.md §2.B determinism rule 4).
+- ``events.ts``: ``load_table`` normalizes BOTH timestamp encodings a
+  fixture generation may carry.  TIMESTAMP(NANOS) parquet (unreadable
+  by Spark's vectorized reader) loads via
+  ``spark.sql.legacy.parquet.nanosAsLong`` as epoch-nanos long and is
+  truncated to micros; the current driver fixtures are INT64
+  TIMESTAMP(MICROS, isAdjustedToUTC=false) (verified via
+  parquet_schema in round 10, ADVICE r09), for which nanosAsLong is a
+  no-op and the NTZ column is cast to instant TIMESTAMP under the
+  UTC-pinned session tz.  Either way the queries get a TimestampType
+  ``ts`` plus ``ts_us`` (epoch micros, long); every time comparison in
+  the declared queries is over integer ``ts_us`` so Spark and the
+  DuckDB oracle can never disagree on a boundary (SURVEY.md §2.B
+  determinism rule 4).
 """
 
 from __future__ import annotations

@@ -11,9 +11,10 @@ Determinism discipline (SURVEY.md §2.B rules 1-5):
   the ORDER BY is total);
 - every floating aggregate is ROUND()ed, with the rounding applied to
   the *same* double on both sides;
-- time arithmetic is over integer epoch micros (``events.ts`` is
-  TIMESTAMP(NANOS) parquet; Spark truncates to micros, DuckDB keeps ns —
-  integer micros is the shared domain);
+- time arithmetic is over integer epoch micros (``catalog.load_table``
+  normalizes ``events.ts`` to a ``ts_us`` long whatever physical unit a
+  fixture generation carries — the current fixtures are
+  TIMESTAMP(MICROS); integer micros is the Spark/DuckDB shared domain);
 - column names are aliased identically on both sides (the driver sorts
   columns by name before hashing).
 """
@@ -26,6 +27,20 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+class FixtureGateError(ValueError):
+    """A calibration-pinned query refusing an uncalibrated fixture.
+
+    Recall-property queries (a51/a52/q135/q146/q150/q151) verify their
+    approximate path against a brute-force oracle only on fixtures
+    where the parameters were swept to recall 1.0; on any other
+    fixture they fail fast with THIS error instead of letting a
+    spurious mismatch be recorded.  A dedicated type (ADVICE r09) lets
+    bench.py record the refusal as a ``tier2_skipped`` entry while any
+    other ValueError — a genuine bug — still crashes the bench loudly.
+    Subclasses ValueError so pre-r10 callers' handling is unchanged.
+    """
 
 
 @dataclass
@@ -54,77 +69,27 @@ def register(
 
 
 # The driver records correctness rows in registry order and its window
-# has held exactly 50 entries per round (CORRECTNESS_r01-r08.json) — so
-# ordering is part of the verification contract.  Round 9 is a
-# REGISTRATION FREEZE (VERDICT r08 items 1-2): zero new queries; the
-# window takes the next 50 queued names exactly as reserved last round
-# — the 42 round-8 session-2/3 registrations, then the first 8 of the
-# round-7 remainder (q254, s22, q255-q260) — dropping the
-# never-driver-witnessed count 89 -> 39.
+# has held exactly 50 entries per round (CORRECTNESS_r01-r09.json) — so
+# ordering is part of the verification contract.  Round 10 continues the
+# REGISTRATION FREEZE (VERDICT r09 items 1-2): zero new queries; the
+# window burns the LAST 39 never-witnessed names (q261-q298 band + m52,
+# enumerated programmatically from the registry minus the union of
+# CORRECTNESS_r01-r09) plus the first 11 r1-r3-stale names (m48-m50
+# last witnessed r1; q27-q33, q53 last witnessed r2) — dropping
+# never-witnessed debt 39 -> 0.
 #
 # STANDING DEBT RULE (VERDICT r08 item 2): new registrations per round
 # <= 50 minus the never-witnessed backlog; while backlog > 0, zero new
-# names (hard cap 3, only for driver-found defects).  Round 10 is
-# reserved for the remaining 39 never-witnessed (q261-q298 band, m52)
-# plus the first 11 r1-r3-stale names (m48-m50, q27-q33, q53); round 11
-# finishes the stale backlog so no witness predates r4.  Names
-# witnessed in r8 drop out of _PRIORITY (they follow in module order).
+# names (hard cap 3, only for driver-found defects).  After round 10
+# the never-witnessed backlog is 0 and 64 names remain whose latest
+# witness is r2/r3: round 11 takes the first 50 of the stale queue
+# below (the 15 remaining r2 names, then r3 names); the final 14 r3
+# names (q91 onward) go to round 12, after which no witness predates
+# r4.  Names
+# witnessed in r9 dropped out of _PRIORITY (they follow in module
+# order).
 _PRIORITY: tuple[str, ...] = (
-    # -- round-9 window: round-8 session-2 registrations (13) --
-    "q313_t_closeness",
-    "q314_mcnemar",
-    "q315_cochran_armitage",
-    "q316_brown_forsythe",
-    "q317_anova_f",
-    "q318_cvm_two_sample",
-    "q319_holm_stepdown",
-    "q320_nelson_aalen",
-    "q321_forecast_backtest",
-    "q322_simpson_paradox",
-    "q323_connected_components",
-    "s25_stream_quantile_sketch",
-    "m54_video_scene_cuts",
-    # -- round-9 window: round-8 session-3 registrations (29) --
-    "q324_hits",
-    "q331_wl_refinement",
-    "q333_khop_reach",
-    "q326_position_attribution",
-    "q330_js_divergence",
-    "q327_dp_noisy_counts",
-    "q325_fellegi_sunter",
-    "q328_empirical_bayes",
-    "q329_uplift_qini",
-    "q332_lm_holdout",
-    "m55_audio_vad",
-    "q335_textrank_keywords",
-    "q336_item_cf",
-    "q334_gmm_em",
-    "q337_dbscan",
-    "s26_backfill_cutover",
-    "q338_cf_eval",
-    "q339_knn_classifier",
-    "q340_markov_attribution",
-    "q341_randomized_response",
-    "q342_modularity",
-    "q343_greedy_decode",
-    "q345_iv_wald",
-    "q346_regression_discontinuity",
-    "q347_rec_coverage",
-    "q344_adaboost_stumps",
-    "q348_als_factorization",
-    "q349_bandit_replay",
-    "q350_holt_winters",
-    # -- round-9 window: first 8 of the round-7 remainder (42+8=50) --
-    "q254_randomization_test",
-    "s22_streaming_anomaly",
-    "q255_markov_eval",
-    "q256_heaps_law",
-    "q257_label_propagation",
-    "q258_degree_assortativity",
-    "q259_seasonal_decomposition",
-    "q260_term_burstiness",
-    # ---- window boundary (50) — names below reserve for round 10:
-    # the remaining 39 never-witnessed, then the stalest r1-r3 names --
+    # ---- round-10 window: the 39 never-witnessed (r7-era band) ----
     "q261_cohort_ltv",
     "q262_similarity_histogram",
     "q263_token_bucket",
@@ -164,7 +129,8 @@ _PRIORITY: tuple[str, ...] = (
     "q296_sprt",
     "q297_nbinom_fit",
     "q298_lsh_stage_quality",
-    # -- (4) stalest (r1/r2-era) oldest-first --
+    # -- (11) stalest names, oldest-first: r1-era multimodal, then the
+    # first 8 of the r2-era function-coverage band --
     "m48_image_decode_features",
     "m49_audio_frame_sample",
     "m50_image_resize",
@@ -176,6 +142,11 @@ _PRIORITY: tuple[str, ...] = (
     "q32_map_funcs",
     "q33_array_funcs",
     "q53_pivot",
+    # ---- window boundary (50) — names below reserve for round 11:
+    # the 64 remaining stale names (latest witness r2/r3), oldest-first.
+    # Round 11 takes the first 50; the final 14 (q91 onward) go to
+    # round 12, after which no witness predates r4.
+    # -- (15) r2-era remainder --
     "q54_unpivot",
     "q55_grouping_sets",
     "q56_scalar_subquery",
@@ -191,25 +162,58 @@ _PRIORITY: tuple[str, ...] = (
     "q67_distinct_multicol",
     "q73_vector_normalize",
     "q74_quantize_int8",
-    "q64_conditional_agg",
-    "q75_funnel",
-    "q76_retention_cohort",
-    "q82_resample_ffill",
-    "q83_ewma",
+    # -- (49) r3-era, name order --
     "a51_lsh_recall_prop",
     "a52_ivf_recall_prop",
     "cs0_xml_to_parquet",
     "cs2_error_tolerant",
     "cs7_fallback_xml",
+    "m51_media_dedup",
+    "q100_incremental_agg",
+    "q101_containment_pairs",
+    "q16b_theta_join_agg_rewrite",
+    "q34_exact_dedup",
+    "q35a_jaccard_truth",
+    "q35b_minhash_lsh",
+    "q64_conditional_agg",
+    "q68_neardup_clusters",
+    "q68b_neardup_clusters_lsh",
     "q69_hash_sample",
     "q70_train_test_split",
     "q71_profile",
     "q72_histogram",
+    "q75_funnel",
+    "q76_retention_cohort",
+    "q77_nullsafe_join",
+    "q78_bag_setops",
+    "q79_limit_offset",
+    "q80_count_min_sketch",
     "q81_merge_upsert",
-    "q35a_jaccard_truth",
-    "q35b_minhash_lsh",
-    "q68_neardup_clusters",
-    "e46_embedding_neardup",
+    "q82_resample_ffill",
+    "q83_ewma",
+    "q84_pagerank",
+    "q85_bloom_prefilter",
+    "q86_ngram_decontaminate",
+    "q87_repetition_filter",
+    "q88_top_word_dominance",
+    "q89_stratified_sample",
+    "q90_rebalance_sources",
+    # ---- round-11 boundary (50 after the round-10 window) — the
+    # final 14 below complete the stale burn-down in round 12 --
+    "q91_props_template",
+    "q92_bloom_composite_key",
+    "q93_adaptive_length_filter",
+    "q94_incremental_dedup",
+    "q95_weighted_sample",
+    "q96_vocab_oov",
+    "q97_sequence_packing",
+    "q98_zorder_cells",
+    "q99_salted_skew_join",
+    "s4a_watermark_ontime",
+    "s6_stateful_running_agg",
+    "s7_stream_stream_join",
+    "s8_stream_static_join",
+    "u3_udaf_geomean",
 )
 # no rows-only queries remain (a51/a52 carry tolerance oracles now)
 _LAST: tuple[str, ...] = ()

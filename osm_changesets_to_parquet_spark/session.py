@@ -11,11 +11,13 @@ Design notes (100 TB target, tested on local[32]):
   shuffle-partition count is always wrong for some stage; AQE re-plans
   from runtime statistics and splits skewed partitions (OSM `user` is
   heavily skewed — a handful of power users/imports dominate).
-- ``spark.sql.legacy.parquet.nanosAsLong=true``: the driver's
-  ``events.parquet`` carries TIMESTAMP(NANOS) which Spark cannot read
-  natively; we read nanos as long and convert (catalog.py) — lossless
-  down to micros, and every declared query compares on integer
-  epoch-micros, so ns truncation can never flip a comparison.
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: defensive — a fixture
+  generation whose ``events.parquet`` carries TIMESTAMP(NANOS) (which
+  Spark cannot read natively) loads as epoch-nanos long and catalog.py
+  converts.  The current driver fixtures are TIMESTAMP(MICROS)
+  (verified round 10, ADVICE r09), for which this conf is a no-op;
+  either way every declared query compares on integer epoch-micros, so
+  unit truncation can never flip a comparison.
 - shuffle partitions default to the local core count; on a real cluster
   leave it high (AQE coalesces down cheaply, but cannot split a
   too-coarse non-skewed partitioning).

@@ -9,7 +9,8 @@ Usage::
 both keys shifted (disjoint co-purchase graph copies — the q218 /
 round-9 iterative-graph fixture); ``ann`` scales embeddings with
 shifted vec_ids; ``events`` scales events with shifted user/event ids
-via duckdb COPY (preserving the TIMESTAMP(NANOS) physical type).
+via duckdb COPY (preserving the fixtures' exact ``ts`` annotation,
+INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false) — verified post-write).
 
 The default docs mode duplicates /root/testdata/sf0.1 ``factor`` times
 with shifted doc ids.
@@ -73,23 +74,22 @@ def build(factor: int, out: str) -> None:
     alld.repartition(max(4, factor)).write.mode("overwrite").parquet(
         out + "/documents.parquet"
     )
-    for t in (
-        "orders customer events lineitem part supplier nation region embeddings"
-    ).split():
-        src, dst = f"{BASE}/{t}.parquet", f"{out}/{t}.parquet"
-        shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copy(src, dst)
+    _copy_rest(out, "documents")
     open(done, "w").close()
     print(f"built {out}: {spark.read.parquet(out + '/documents.parquet').count()} docs")
 
 
 def _copy_rest(out: str, scaled: str) -> None:
-    for t in (
-        "orders customer events lineitem part supplier nation region "
-        "embeddings documents"
-    ).split():
+    # enumerate BASE at runtime (ADVICE r09): a hard-coded table list
+    # would silently omit any fixture table a future round adds, and
+    # queries over the replica dir would fail without an obvious cause
+    import glob
+
+    for src in sorted(glob.glob(f"{BASE}/*.parquet")):
+        t = os.path.basename(src)[: -len(".parquet")]
         if t == scaled:
             continue
-        src, dst = f"{BASE}/{t}.parquet", f"{out}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
         shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copy(src, dst)
 
 
@@ -143,9 +143,14 @@ def build_ann(factor: int, out: str) -> None:
 
 def build_events(factor: int, out: str) -> None:
     """events x factor with shifted user/event ids (round-9 behavioral
-    fixture).  Replicated via duckdb COPY, NOT a Spark write: the engine's
-    session sets nanosAsLong, so a Spark round-trip would change the
-    TIMESTAMP(NANOS) physical type the driver fixtures carry."""
+    fixture).  Replicated via duckdb COPY, NOT a Spark write: the driver
+    fixtures' ``ts`` is INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    (verified via parquet_schema on sf0.001/0.01/0.1, ADVICE r09 — NOT
+    nanos as earlier rounds' docs claimed), and the engine's
+    ``catalog.load_table`` casts that NTZ column to instant-semantics
+    TIMESTAMP, so a load-then-write round-trip would flip the
+    isAdjustedToUTC annotation.  DuckDB COPY reproduces the annotation
+    byte-for-byte; the builder asserts it post-write below."""
     import duckdb
 
     if os.path.exists(os.path.join(out, "_DONE")):
@@ -165,6 +170,12 @@ def build_events(factor: int, out: str) -> None:
               FROM read_parquet('{src}') e CROSS JOIN range({factor}) g(i)
             ) TO '{out}/events.parquet' (FORMAT PARQUET, CODEC SNAPPY)"""
     )
+    # verify the replica's ts annotation matches the source fixture
+    import pyarrow.parquet as pq
+
+    want = str(pq.read_schema(src).field("ts").type)
+    got = str(pq.read_schema(f"{out}/events.parquet").field("ts").type)
+    assert got == want == "timestamp[us]", f"ts annotation drift: {got} != {want}"
     _copy_rest(out, "events")
     open(os.path.join(out, "_DONE"), "w").close()
     print(f"built {out}")
