@@ -223,6 +223,7 @@ def load_all_modules() -> None:
     """Import every query module so REGISTRY is fully populated."""
     from osm_changesets_to_parquet_spark.queries import (  # noqa: F401
         analytics,
+        analytics_metrics,
         ann,
         bucketing,
         conversion,
@@ -243,6 +244,7 @@ def load_all_modules() -> None:
         sketches,
         sources_roundtrip,
         stats,
+        stats_inference,
         streaming_jobs,
         temporal,
         udfs,

@@ -33,7 +33,7 @@ from osm_changesets_to_parquet_spark.operators.similarity import (
     ivf_topk,
     lsh_topk,
 )
-from osm_changesets_to_parquet_spark.queries import register
+from osm_changesets_to_parquet_spark.queries import FixtureGateError, register
 
 DIM = 64
 
@@ -51,7 +51,7 @@ A52_CALIBRATED_SFS = frozenset({"sf0.001", "sf0.01", "sf0.1"})
 def _require_calibrated(sf_dir: str, ok: frozenset, name: str) -> None:
     base = os.path.basename(os.path.normpath(sf_dir))
     if base not in ok:
-        raise ValueError(
+        raise FixtureGateError(
             f"{name} is a calibration-pinned recall property (verified at "
             f"{sorted(ok)}); fixture {base!r} needs a parameter re-sweep "
             "before its brute-force oracle is meaningful"

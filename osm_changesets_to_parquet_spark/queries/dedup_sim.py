@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from osm_changesets_to_parquet_spark.catalog import load_table
 from osm_changesets_to_parquet_spark.operators import dedup as D
-from osm_changesets_to_parquet_spark.queries import register
+from osm_changesets_to_parquet_spark.queries import FixtureGateError, register
 
 P = D.HASH_MOD
 
@@ -544,7 +544,7 @@ def q68b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = os.path.basename(os.path.normpath(sf_dir))
     if base not in _Q68B_CALIBRATED_SFS:
-        raise ValueError(
+        raise FixtureGateError(
             f"q68b_neardup_clusters_lsh is calibration-pinned (verified at "
             f"{sorted(_Q68B_CALIBRATED_SFS)}); fixture {base!r} needs an LSH "
             "recall re-sweep before the exact oracle is meaningful"
@@ -1010,7 +1010,7 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = os.path.basename(os.path.normpath(sf_dir))
     if base not in _Q68B_CALIBRATED_SFS:
-        raise ValueError(
+        raise FixtureGateError(
             f"q139_incremental_neardup is calibration-pinned (verified at "
             f"{sorted(_Q68B_CALIBRATED_SFS)}); fixture {base!r} needs an LSH "
             "recall re-sweep before the exact oracle is meaningful"
@@ -1048,7 +1048,7 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = os.path.basename(os.path.normpath(sf_dir))
     if base not in _Q68B_CALIBRATED_SFS:
-        raise ValueError(
+        raise FixtureGateError(
             f"q142_neardup_persisted_index is calibration-pinned (verified at "
             f"{sorted(_Q68B_CALIBRATED_SFS)}); fixture {base!r} needs an LSH "
             "recall re-sweep before the exact oracle is meaningful"

@@ -1097,3 +1097,716 @@ def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tokens_multiplier")
     )
+
+
+# --- relocated from stats.py in the round-10 family regrouping (LM and
+# corpus-text queries; mechanical move, zero behavior change —
+# pre/post registry hash dump) ---
+# ---------------------------------------------------------------------------
+# q222: bigram language-model perplexity per document (add-1 smoothing)
+# ---------------------------------------------------------------------------
+
+_Q222_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+big AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM (SELECT doc_id, tk, generate_subscripts(tk, 1) AS i FROM tok)
+  WHERE i < len(tk)
+),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM big GROUP BY w1, w2),
+uc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cu FROM big GROUP BY w1),
+v AS (
+  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS nv
+  FROM (SELECT w1 AS w FROM big UNION ALL SELECT w2 AS w FROM big)
+),
+scored AS (
+  SELECT b.doc_id,
+         -log2((bc.cb + 1) * 1.0 / (uc.cu + v.nv)) AS nll
+  FROM big b JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+             JOIN uc ON uc.w1 = b.w1, v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(nll), 4) AS mean_nll_bits
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "q222_bigram_perplexity",
+    _Q222_SQL,
+    doc=(
+        "bigram language-model surprisal per document (add-1 "
+        "smoothing; the q129 unigram quality scorer upgraded to "
+        "conditional probabilities — the classic cheap-LM perplexity "
+        "filter of corpus curation): bigrams are built IN-ROW from "
+        "the token array (no self-join), counted by one vocabulary-"
+        "keyed aggregate, and scored by joining each document bigram "
+        "back to the (w1,w2) and (w1) count tables — every "
+        "probability is an integer ratio, identical both engines, so "
+        "only the per-doc mean of log2 terms is float-summed (4dp)"
+    ),
+    tables=("documents",),
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    idx = F.sequence(F.lit(1), F.size("tk") - 1)
+    big = tk.where(F.size("tk") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("tk", i).alias("w1"),
+                    F.element_at("tk", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    uc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    v = (
+        big.select(F.col("w1").alias("w"))
+        .unionAll(big.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").alias("nv"))
+    )
+    nll = -F.log2((F.col("cb") + 1) * F.lit(1.0) / (F.col("cu") + F.col("nv")))
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("mean_nll_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q224: k-gram novelty profile (share of never-before-seen grams per doc)
+# ---------------------------------------------------------------------------
+
+_Q224_K = 8
+
+
+_Q224_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+gl AS (
+  SELECT doc_id, list_transform(range(1, len(tk) - {_Q224_K - 2}),
+           i -> array_to_string(list_slice(tk, i, i + {_Q224_K - 1}), ' ')) AS gs
+  FROM tok WHERE len(tk) >= {_Q224_K}
+),
+g AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM gl),
+fs AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) FILTER (WHERE fs.first_doc = g.doc_id) AS BIGINT)
+         AS n_novel,
+       ROUND(COUNT(*) FILTER (WHERE fs.first_doc = g.doc_id) * 1.0
+             / COUNT(*), 4) AS novel_share
+FROM g JOIN fs USING (gram)
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+@register(
+    "q224_gram_novelty",
+    _Q224_SQL,
+    doc=(
+        "k-gram novelty profile (Lee et al. 2022-adjacent: how much "
+        "of each document's 8-gram content is FIRST seen there, in "
+        "doc-id order — the marginal-contribution signal of "
+        "sequential corpus construction): per-doc DISTINCT gram "
+        "types, a gram-keyed MIN(doc_id) first-seen table, one join "
+        "back — shuffles carry xxhash64 gram keys (the q86/q143 "
+        "8-byte discipline; the oracle's raw-string grouping would "
+        "surface any collision as a mismatch), never gram text"
+    ),
+    tables=("documents",),
+)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.quality import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        word_ngrams(docs.select("doc_id", "text"), _Q224_K, keep=["doc_id"])
+        .select("doc_id", F.xxhash64("ngram").alias("gh"))
+        .distinct()
+    )
+    fs = g.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        g.join(fs, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            F.round(F.sum(novel) * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
+                "novel_share"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q225: cross-source contamination matrix (shared gram types per source pair)
+# ---------------------------------------------------------------------------
+
+_Q225_K = 8
+
+
+_Q225_TOP = 15
+
+
+_Q225_SQL = f"""
+WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+gl AS (
+  SELECT source, list_transform(range(1, len(tk) - {_Q225_K - 2}),
+           i -> array_to_string(list_slice(tk, i, i + {_Q225_K - 1}), ' ')) AS gs
+  FROM tok WHERE len(tk) >= {_Q225_K}
+),
+g AS (SELECT DISTINCT source, unnest(gs) AS gram FROM gl),
+pairs AS (
+  SELECT a.gram, a.source AS s1, b.source AS s2
+  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+)
+SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS shared_grams
+FROM pairs GROUP BY s1, s2
+ORDER BY shared_grams DESC, s1, s2 LIMIT {_Q225_TOP}
+"""
+
+
+@register(
+    "q225_source_overlap",
+    _Q225_SQL,
+    doc=(
+        "cross-source contamination matrix: for each source pair, how "
+        "many distinct 8-gram types they share (the q131 cross-source "
+        "exact-dup check generalized to shingle overlap — the scraped-"
+        "from-each-other signal): distinct (source, gram-hash) "
+        "incidence, pairs from a gram-keyed self-equi-join (pair "
+        "volume bounded by Σ sources-per-gram², sources <= corpus "
+        "source count), one keyed count, TakeOrdered top-15; gram "
+        "text never shuffles (xxhash64 keys, raw-string oracle)"
+    ),
+    tables=("documents",),
+)
+def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.quality import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        word_ngrams(docs.select("source", "text"), _Q225_K, keep=["source"])
+        .select("source", F.xxhash64("ngram").alias("gh"))
+        .distinct()
+    )
+    a = g.select(F.col("gh").alias("k"), F.col("source").alias("s1"))
+    b = g.select(F.col("gh").alias("k"), F.col("source").alias("s2"))
+    return (
+        a.join(b, "k")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .orderBy(F.col("shared_grams").desc(), "s1", "s2")
+        .limit(_Q225_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q227: overlapping context-window chunking (RAG / pretraining prep)
+# ---------------------------------------------------------------------------
+
+_Q227_SIZE = 64
+
+
+_Q227_STRIDE = 48
+
+
+_Q227_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+n AS (SELECT doc_id, tk, len(tk) AS nt FROM tok),
+c AS (
+  SELECT doc_id, tk, nt, unnest(range(0,
+           1 + CAST(ceil(greatest(nt - {_Q227_SIZE}, 0) / {_Q227_STRIDE}.0)
+               AS BIGINT))) AS chunk_id
+  FROM n
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {_Q227_STRIDE} AS BIGINT) AS start_tok,
+       CAST(LEAST(chunk_id * {_Q227_STRIDE} + {_Q227_SIZE}, nt)
+            - chunk_id * {_Q227_STRIDE} AS BIGINT) AS n_tok,
+       tk[chunk_id * {_Q227_STRIDE} + 1] AS head_tok,
+       tk[LEAST(chunk_id * {_Q227_STRIDE} + {_Q227_SIZE}, nt)] AS tail_tok
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
+@register(
+    "q227_doc_chunking",
+    _Q227_SQL,
+    doc=(
+        "overlapping context-window chunking (size 64, stride 48 — "
+        "the RAG-indexing / pretraining-example prep step): chunk "
+        "count and bounds are IN-ROW integer arithmetic over the "
+        "token array (no shuffle at all until the presentation sort); "
+        "the last chunk clamps to the document end so coverage is "
+        "total and chunk starts stay on the stride grid.  DuckDB "
+        "range() is end-EXCLUSIVE vs Spark sequence()'s inclusive "
+        "end (the q205 trap) — the Spark side subtracts 1 from the "
+        "chunk-count bound"
+    ),
+    tables=("documents",),
+)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    nt = F.size("tk")
+    n_chunks = 1 + F.ceil(
+        F.greatest(nt - F.lit(_Q227_SIZE), F.lit(0)) / F.lit(float(_Q227_STRIDE))
+    ).cast("long")
+    c = tk.select(
+        "doc_id",
+        "tk",
+        nt.alias("nt"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * _Q227_STRIDE
+    end = F.least(start + _Q227_SIZE, F.col("nt"))
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_tok"),
+        (end - start).cast("long").alias("n_tok"),
+        F.element_at("tk", (start + 1).cast("int")).alias("head_tok"),
+        F.element_at("tk", end.cast("int")).alias("tail_tok"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# q307: Kneser-Ney smoothed bigram probabilities (round 8)
+# ---------------------------------------------------------------------------
+
+# absolute discount (Kneser & Ney 1995); dyadic so the subtraction is
+# exact in binary floating point on both engines
+_Q307_D = 0.75
+
+
+_Q307_TOPK = 20
+
+
+_Q307_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+big AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM (SELECT tk, generate_subscripts(tk, 1) AS i FROM tok)
+  WHERE i < len(tk)
+),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM big GROUP BY w1, w2),
+uc AS (
+  SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu,
+         CAST(COUNT(*) AS BIGINT) AS nfol
+  FROM bc GROUP BY w1
+),
+pre AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS npre FROM bc GROUP BY w2),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM bc),
+top AS (SELECT w1, w2, cb FROM bc ORDER BY cb DESC, w1, w2 LIMIT {_Q307_TOPK})
+SELECT t.w1, t.w2, t.cb,
+       ROUND(GREATEST(t.cb - {_Q307_D}, 0) / uc.cu
+             + ({_Q307_D} * uc.nfol / uc.cu)
+               * (CAST(pre.npre AS DOUBLE) / tot.ntypes), 6) AS p_kn
+FROM top t JOIN uc ON uc.w1 = t.w1 JOIN pre ON pre.w2 = t.w2, tot
+ORDER BY t.cb DESC, t.w1, t.w2
+"""
+
+
+@register(
+    "q307_kneser_ney",
+    _Q307_SQL,
+    doc=(
+        "Kneser-Ney smoothed bigram probabilities (the production LM "
+        "smoother, upgrading q222's add-1: absolute discount D=0.75 "
+        "with the discounted mass backed off to CONTINUATION "
+        "probability — how many distinct contexts a word follows, not "
+        "how often it occurs; the classic 'San Francisco' fix): one "
+        "bigram rollup feeds all four count tables (materialized "
+        "once — the bigram-type table is the sufficient statistic; "
+        "raw bigrams are never rescanned), the top-k ranking is "
+        "TakeOrdered, and the probability composes integer counts "
+        "with a dyadic discount so both engines evaluate identical "
+        "doubles.  Shuffles carry vocabulary keys only"
+    ),
+    tables=("documents",),
+)
+def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(F.split("text", " ").alias("tk")).where(F.size("tk") >= 2)
+    big = tk.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.struct(
+                    F.element_at("tk", i).alias("w1"),
+                    F.element_at("tk", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = truncate_lineage(
+        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    uc = bc.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("cu"),
+        F.count(F.lit(1)).cast("long").alias("nfol"),
+    )
+    pre = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("npre"))
+    tot = bc.agg(F.count(F.lit(1)).cast("long").alias("ntypes"))
+    top = bc.orderBy(F.col("cb").desc(), "w1", "w2").limit(_Q307_TOPK)
+    p_kn = F.round(
+        F.greatest(F.col("cb") - _Q307_D, F.lit(0.0)) / F.col("cu")
+        + (F.lit(_Q307_D) * F.col("nfol") / F.col("cu"))
+        * (F.col("npre").cast("double") / F.col("ntypes")),
+        6,
+    )
+    return (
+        top.join(uc, "w1")
+        .join(pre, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "cb", p_kn.alias("p_kn"))
+        .orderBy(F.col("cb").desc(), "w1", "w2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q332: held-out LM comparison — add-1 vs interpolated Kneser-Ney
+# ---------------------------------------------------------------------------
+
+# The model-selection readout q222 (add-1 surprisal) and q307 (KN
+# probabilities) build toward: train both bigram smoothers on the 80%
+# id-hash split, score the SAME held-out bigrams, report mean NLL and
+# perplexity side by side.  Unseen-event floors keep both models
+# proper on the open vocabulary: add-1 backs an unseen context off to
+# 1/V, KN interpolates max(c-D,0)/c(w1) with weight D*nfol/c(w1) into
+# an add-1-smoothed continuation probability (npre+1)/(ntypes+V), and
+# an unseen context backs off to the continuation alone.  Every
+# probability composes exact integer counts with the dyadic D=0.75,
+# so both engines score identical doubles; only the held-out mean is
+# float-summed (4dp).
+_Q332_D = 0.75
+
+
+_Q332_TRAIN = "((doc_id % 2147483648) * 2654435761) % 100 < 80"
+
+
+_Q332_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         {_Q332_TRAIN} AS is_train
+  FROM documents
+),
+big AS (
+  SELECT is_train, tk[i] AS w1, tk[i + 1] AS w2
+  FROM (SELECT is_train, tk, generate_subscripts(tk, 1) AS i FROM tok)
+  WHERE i < len(tk)
+),
+bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM big WHERE is_train GROUP BY w1, w2
+),
+uc AS (
+  SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu,
+         CAST(COUNT(*) AS BIGINT) AS nfol
+  FROM bc GROUP BY w1
+),
+pre AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS npre FROM bc GROUP BY w2),
+sc AS (
+  SELECT CAST((SELECT COUNT(*) FROM bc) AS BIGINT) AS ntypes,
+         CAST((SELECT COUNT(DISTINCT w) FROM (
+            SELECT w1 AS w FROM bc UNION ALL SELECT w2 AS w FROM bc))
+            AS BIGINT) AS v
+),
+te AS (SELECT w1, w2 FROM big WHERE NOT is_train),
+scored AS (
+  SELECT -log2((COALESCE(bc.cb, 0) + 1) * 1.0
+               / (COALESCE(uc.cu, 0) + sc.v)) AS nll_add1,
+         -log2(CASE WHEN uc.cu IS NULL
+                    THEN (COALESCE(pre.npre, 0) + 1) * 1.0
+                         / (sc.ntypes + sc.v)
+                    ELSE GREATEST(COALESCE(bc.cb, 0) - {_Q332_D}, 0) / uc.cu
+                         + ({_Q332_D} * uc.nfol / uc.cu)
+                           * ((COALESCE(pre.npre, 0) + 1) * 1.0
+                              / (sc.ntypes + sc.v))
+               END) AS nll_kn
+  FROM te
+  LEFT JOIN bc ON bc.w1 = te.w1 AND bc.w2 = te.w2
+  LEFT JOIN uc ON uc.w1 = te.w1
+  LEFT JOIN pre ON pre.w2 = te.w2
+  CROSS JOIN sc
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         AVG(nll_add1) AS m1, AVG(nll_kn) AS m2
+  FROM scored
+)
+SELECT model, n_bigrams, mean_nll_bits, ppl FROM (
+  SELECT 'add1' AS model, n_bigrams,
+         ROUND(m1, 4) AS mean_nll_bits, ROUND(POW(2, m1), 4) AS ppl
+  FROM agg
+  UNION ALL
+  SELECT 'kneser_ney', n_bigrams, ROUND(m2, 4), ROUND(POW(2, m2), 4)
+  FROM agg
+)
+ORDER BY model
+"""
+
+
+@register(
+    "q332_lm_holdout",
+    _Q332_SQL,
+    doc=(
+        "held-out language-model comparison — the model-selection "
+        "readout behind q222/q307: add-1 and interpolated Kneser-Ney "
+        "(D=0.75, add-1-smoothed continuation floor so both stay "
+        "proper on the open vocabulary) train on the 80% id-hash "
+        "split and score the SAME 20% held-out bigrams; output is "
+        "mean NLL bits + perplexity per model.  One train bigram-type "
+        "rollup feeds all count tables (materialized once), held-out "
+        "bigrams score via three vocabulary-keyed left joins + one "
+        "broadcast scalar frame, both models in ONE pass (the scored "
+        "frame is aggregated once; model rows unpivot from the 1-row "
+        "aggregate).  Honest fixture answer: a TIE (~4.93 bits both, "
+        "within 0.002) — the synthetic near-uniform vocabulary has no "
+        "burstiness for continuation probabilities to exploit; on "
+        "natural corpora ('San Francisco') KN wins, which is exactly "
+        "what this readout exists to measure"
+    ),
+    tables=("documents",),
+)
+def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+    from osm_changesets_to_parquet_spark.operators.quality import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        F.split("text", " ").alias("tk"),
+        (hash_bucket("doc_id", 100) < 80).alias("is_train"),
+    ).where(F.size("tk") >= 2)
+    big = tk.select(
+        "is_train",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.struct(
+                    F.element_at("tk", i).alias("w1"),
+                    F.element_at("tk", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("is_train", "bg.w1", "bg.w2")
+    bc = truncate_lineage(
+        big.where("is_train")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    uc = bc.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("cu"),
+        F.count(F.lit(1)).cast("long").alias("nfol"),
+    )
+    pre = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("npre"))
+    sc = (
+        bc.agg(F.count(F.lit(1)).cast("long").alias("ntypes"))
+        .crossJoin(
+            bc.select(F.col("w1").alias("w"))
+            .unionAll(bc.select(F.col("w2").alias("w")))
+            .agg(F.countDistinct("w").cast("long").alias("v"))
+        )
+    )
+    te = big.where(~F.col("is_train")).select("w1", "w2")
+    j = (
+        te.join(bc, ["w1", "w2"], "left")
+        .join(uc, "w1", "left")
+        .join(pre, "w2", "left")
+        .crossJoin(F.broadcast(sc))
+    )
+    pc = (F.coalesce(F.col("npre"), F.lit(0)) + 1) * F.lit(1.0) / (
+        F.col("ntypes") + F.col("v")
+    )
+    nll_add1 = -F.log2(
+        (F.coalesce(F.col("cb"), F.lit(0)) + 1)
+        * F.lit(1.0)
+        / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("v"))
+    )
+    nll_kn = -F.log2(
+        F.when(F.col("cu").isNull(), pc).otherwise(
+            F.greatest(
+                F.coalesce(F.col("cb"), F.lit(0)) - F.lit(_Q332_D),
+                F.lit(0),
+            )
+            / F.col("cu")
+            + (F.lit(_Q332_D) * F.col("nfol") / F.col("cu")) * pc
+        )
+    )
+    agg = j.select(nll_add1.alias("n1"), nll_kn.alias("n2")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.avg("n1").alias("m1"),
+        F.avg("n2").alias("m2"),
+    )
+    return (
+        agg.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("add1").alias("model"),
+                        F.col("n_bigrams").alias("n_bigrams"),
+                        F.round(F.col("m1"), 4).alias("mean_nll_bits"),
+                        F.round(F.pow(F.lit(2), F.col("m1")), 4).alias("ppl"),
+                    ),
+                    F.struct(
+                        F.lit("kneser_ney").alias("model"),
+                        F.col("n_bigrams").alias("n_bigrams"),
+                        F.round(F.col("m2"), 4).alias("mean_nll_bits"),
+                        F.round(F.pow(F.lit(2), F.col("m2")), 4).alias("ppl"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.model", "r.n_bigrams", "r.mean_nll_bits", "r.ppl")
+        .orderBy("model")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q343: greedy decoding from the corpus bigram LM (round 8)
+# ---------------------------------------------------------------------------
+
+# The serving half of the LM family (q222/q307/q332 train and score;
+# this DECODES): from a deterministic seed word — the corpus's most
+# frequent token — follow the argmax next-word distribution for 16
+# steps.  Each step is one keyed argmax over the bigram-count table
+# (max count, tie-break to the lexicographically smallest word: the
+# same composite-argmax-as-aggregation discipline as q257, spelled
+# MAX(count)+MIN(word among maxima) so no window ever appears); the
+# bigram-type rollup is computed ONCE and reused by all steps.  A
+# repeated context re-emits its argmax deterministically, so loops in
+# the output are the honest greedy-decoding behavior, not a bug.
+_Q343_STEPS = 16
+
+
+def _q343_step(k: int) -> str:
+    prev = f"g{k - 1}"
+    return f"""g{k} AS MATERIALIZED (
+  SELECT bc.w2 AS w FROM bc, {prev} p
+  WHERE bc.w1 = p.w
+  ORDER BY bc.cb DESC, bc.w2 LIMIT 1
+)"""
+
+
+_Q343_SQL = f"""
+WITH tok AS (SELECT string_split(text, ' ') AS tk FROM documents),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY w
+),
+bc AS MATERIALIZED (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM (SELECT tk, generate_subscripts(tk, 1) AS i FROM tok)
+  WHERE i < len(tk)
+  GROUP BY 1, 2
+),
+g0 AS MATERIALIZED (SELECT w FROM uni ORDER BY c DESC, w LIMIT 1),
+{", ".join(_q343_step(k) for k in range(1, _Q343_STEPS + 1))}
+SELECT step, word FROM (
+  {" UNION ALL ".join(
+      f"SELECT {k} AS step, (SELECT w FROM g{k}) AS word"
+      for k in range(_Q343_STEPS + 1)
+  )}
+)
+ORDER BY step
+"""
+
+
+@register(
+    "q343_greedy_decode",
+    _Q343_SQL,
+    doc=(
+        "greedy decoding from the corpus bigram LM — the SERVING half "
+        "of the LM family (q222/q307/q332 train and score; this "
+        f"generates): from the most frequent token, {_Q343_STEPS} "
+        "argmax next-word steps over the ONCE-computed bigram-type "
+        "rollup, each step one keyed TakeOrdered argmax (max count, "
+        "lexicographic tie-break — the q257 composite-argmax "
+        "discipline, no windows); repeated contexts re-emit their "
+        "argmax, so output loops are honest greedy behavior.  The "
+        "corpus reduces to the vocabulary-keyed bigram table before "
+        "any step; each step touches one context's candidate rows"
+    ),
+    tables=("documents",),
+)
+def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(F.split("text", " ").alias("tk"))
+    uni = (
+        tk.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    big = tk.where(F.size("tk") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.struct(
+                    F.element_at("tk", i).alias("w1"),
+                    F.element_at("tk", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = truncate_lineage(
+        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    seed = uni.orderBy(F.desc("c"), "w").limit(1).first().w
+    words = [seed]
+    cur = seed
+    for _ in range(_Q343_STEPS):
+        # bounded driver collect: ONE (step, word) row per step — the
+        # argmax itself is a distributed TakeOrdered over bc
+        row = (
+            bc.where(F.col("w1") == cur)
+            .orderBy(F.desc("cb"), "w2")
+            .limit(1)
+            .first()
+        )
+        if row is None:
+            # dead-end context: the oracle's step CTEs go empty and
+            # every later word is NULL — mirror that
+            words.extend([None] * (_Q343_STEPS + 1 - len(words)))
+            break
+        cur = row.w2
+        words.append(cur)
+    structs = [
+        F.struct(
+            F.lit(i).cast("int").alias("step"),
+            F.lit(w).cast("string").alias("word")
+        )
+        for i, w in enumerate(words)
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.step", "r.word")
+        .orderBy("step")
+    )

@@ -1188,3 +1188,609 @@ def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("forecast_next", 4).alias("forecast_next"),
         F.round("forecast_7d_total", 4).alias("forecast_7d_total"),
     ).orderBy("event_type")
+
+
+# --- relocated from stats.py in the round-10 family regrouping (survival,
+# seasonality, anomaly and forecast-backtest queries; mechanical move,
+# zero behavior change — pre/post registry hash dump) ---
+# ---------------------------------------------------------------------------
+# q219: Kaplan–Meier survival (time to first purchase, right-censored)
+# ---------------------------------------------------------------------------
+
+_Q219_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+         MAX(epoch_us(ts)) AS tl
+  FROM events GROUP BY user_id
+),
+dur AS (
+  SELECT user_id,
+         CAST(COALESCE(tp - t0, tl - t0) // 86400000000 AS BIGINT) AS t,
+         CAST(tp IS NOT NULL AS BIGINT) AS died
+  FROM per_user
+),
+day AS (
+  SELECT t, CAST(SUM(died) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM dur GROUP BY t
+),
+risk AS (
+  SELECT t, d,
+         SUM(c) OVER (ORDER BY t DESC) AS n_risk
+  FROM day
+),
+km AS (
+  SELECT t, d, n_risk,
+         CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t) = 1
+              THEN 0.0
+              ELSE ROUND(EXP(SUM(CASE WHEN d < n_risk
+                                      THEN LN(1.0 - d * 1.0 / n_risk)
+                                      ELSE 0.0 END)
+                             OVER (ORDER BY t)), 4) END AS s_t
+  FROM risk
+)
+SELECT t AS day, d AS n_events, CAST(n_risk AS BIGINT) AS n_at_risk, s_t
+FROM km WHERE d > 0 ORDER BY day
+"""
+
+
+@register(
+    "q219_kaplan_meier",
+    _Q219_SQL,
+    doc=(
+        "Kaplan–Meier survival estimator (Kaplan & Meier 1958) for "
+        "time from a user's first event to first purchase, right-"
+        "censored at last observation: per-user durations are one "
+        "keyed aggregate; the life table groups to DAILY granularity "
+        "so the risk-set suffix sum and the survival prefix product "
+        "(EXP-SUM-LN, spelled identically both engines) are windows "
+        "over a CALENDAR-bounded frame (~30 rows — never the user "
+        "population); integer micro-second durations keep the day "
+        "index engine-exact"
+    ),
+    tables=("events",),
+)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+        ).alias("tp"),
+        F.max("ts_us").alias("tl"),
+    )
+    dur = per_user.select(
+        (
+            F.coalesce(F.col("tp") - F.col("t0"), F.col("tl") - F.col("t0"))
+            / F.lit(86400000000)
+        )
+        .cast("long")
+        .alias("t"),
+        F.col("tp").isNotNull().cast("long").alias("died"),
+    )
+    day = dur.groupBy("t").agg(
+        F.sum("died").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    # calendar-bounded (~30-row) frame: a partitionless window here is
+    # O(days), not O(users) — the documented exception (q190 pattern)
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = day.withColumn("n_risk", F.sum("c").over(w_desc))
+    # the final risk group can die out entirely (d == n_risk): survival
+    # is exactly 0 from there on — handled as an explicit flag so the
+    # LN-sum never sees log(0) (mirrored in the oracle's CASE)
+    dead = F.max((F.col("d") == F.col("n_risk")).cast("int")).over(w_asc)
+    ln_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(F.lit(1.0) - F.col("d") * F.lit(1.0) / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    km = risk.withColumn(
+        "s_t",
+        F.when(dead == 1, F.lit(0.0)).otherwise(
+            F.round(F.exp(F.sum(ln_term).over(w_asc)), 4)
+        ),
+    )
+    return (
+        km.where(F.col("d") > 0)
+        .select(
+            F.col("t").alias("day"),
+            F.col("d").cast("long").alias("n_events"),
+            F.col("n_risk").cast("long").alias("n_at_risk"),
+            "s_t",
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q220: day-of-week seasonality profile
+# ---------------------------------------------------------------------------
+
+# 2024-01-01 is a Monday: dow = days-since % 7 (0 = Monday) — explicit
+# integer arithmetic instead of engine dayofweek() (whose origin
+# convention differs between engines)
+_Q220_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+              AS BIGINT) AS dow,
+         value
+  FROM events
+),
+prof AS (
+  SELECT event_type, dow,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         ROUND(AVG(value), 4) AS mean_value
+  FROM e GROUP BY event_type, dow
+),
+tot AS (SELECT event_type, SUM(cnt) AS t FROM prof GROUP BY event_type)
+SELECT p.event_type, p.dow, p.cnt,
+       ROUND(p.cnt * 1.0 / tot.t, 4) AS share,
+       p.mean_value
+FROM prof p JOIN tot ON tot.event_type = p.event_type
+ORDER BY p.event_type, p.dow
+"""
+
+
+@register(
+    "q220_dow_seasonality",
+    _Q220_SQL,
+    doc=(
+        "day-of-week seasonality profile per event type (the weekly-"
+        "cycle feature of demand/traffic models): one (type, dow) "
+        "keyed aggregate + a |types|-row broadcast share join; the dow "
+        "index is explicit integer days-since-a-known-Monday % 7 — "
+        "engine dayofweek() origins differ (Spark 1=Sunday, DuckDB "
+        "0=Sunday), integer arithmetic doesn't"
+    ),
+    tables=("events",),
+)
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 7
+        )
+        .cast("long")
+        .alias("dow"),
+        "value",
+    )
+    prof = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    )
+    tot = prof.groupBy("event_type").agg(F.sum("cnt").alias("t"))
+    return (
+        prof.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "cnt",
+            F.round(F.col("cnt") * F.lit(1.0) / F.col("t"), 4).alias("share"),
+            "mean_value",
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221: daily-volume anomaly flags (z-score over per-type daily counts)
+# ---------------------------------------------------------------------------
+
+# variance from integer power sums — (S2 - S1^2/n)/(n-1) — instead of
+# STDDEV(): Spark's and DuckDB's stddev kernels use different
+# summation algorithms (Welford vs two-pass) whose last-ulp results
+# can differ; integer S1/S2 make every intermediate engine-exact
+_Q221_Z = 2.0
+
+
+_Q221_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(c) AS s1, SUM(c * c) AS s2
+  FROM daily GROUP BY event_type
+),
+z AS (
+  SELECT d.event_type, d.d, d.c,
+         (d.c - s1 * 1.0 / n_days)
+           / SQRT((s2 - s1 * 1.0 * s1 / n_days) / (n_days - 1)) AS zs
+  FROM daily d JOIN m ON m.event_type = d.event_type
+)
+SELECT event_type,
+       (SELECT CAST(ANY_VALUE(n_days) AS BIGINT) FROM m
+        WHERE m.event_type = z.event_type) AS n_days,
+       CAST(COUNT(*) FILTER (WHERE ABS(zs) >= {_Q221_Z}) AS BIGINT)
+         AS n_anomalous,
+       ROUND(MAX(ABS(zs)), 4) AS max_abs_z
+FROM z GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "q221_anomaly_zscore",
+    _Q221_SQL,
+    doc=(
+        "volume-anomaly screening: per-type daily counts z-scored "
+        "against the type's own mean/std, days with |z| >= 2 flagged; "
+        "variance is computed from INTEGER power sums (S2 - S1²/n over "
+        "n-1) rather than the engines' stddev kernels (Welford vs "
+        "two-pass differ in the last ulp), so every z is the same "
+        "double in both engines; shuffles carry (type, day) rollups "
+        "and |types|-row moment frames only"
+    ),
+    tables=("events",),
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    zs = (F.col("c") - F.col("s1") * F.lit(1.0) / F.col("n_days")) / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.lit(1.0) * F.col("s1") / F.col("n_days"))
+        / (F.col("n_days") - F.lit(1))
+    )
+    return (
+        daily.join(F.broadcast(m), "event_type")
+        .select("event_type", "n_days", zs.alias("zs"))
+        .groupBy("event_type")
+        .agg(
+            F.first("n_days").cast("long").alias("n_days"),
+            F.sum((F.abs(F.col("zs")) >= _Q221_Z).cast("long")).alias(
+                "n_anomalous"
+            ),
+            F.round(F.max(F.abs("zs")), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q231: week-over-week growth per event type
+# ---------------------------------------------------------------------------
+
+_Q231_SQL = """
+WITH wk AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+              AS BIGINT) AS week,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week, cnt,
+       CAST(LAG(cnt) OVER (PARTITION BY event_type ORDER BY week) AS BIGINT)
+         AS prev_cnt,
+       ROUND((cnt - LAG(cnt) OVER (PARTITION BY event_type ORDER BY week))
+             * 100.0
+             / NULLIF(LAG(cnt) OVER (PARTITION BY event_type ORDER BY week), 0),
+             2) AS wow_pct
+FROM wk ORDER BY event_type, week
+"""
+
+
+@register(
+    "q231_wow_growth",
+    _Q231_SQL,
+    doc=(
+        "week-over-week growth per event type — the KPI-dashboard "
+        "staple: the corpus reduces to one (type, week) keyed "
+        "aggregate (map-side partials); LAG and the growth ratio run "
+        "over |types| x |weeks| rows, integer week indexing from the "
+        "fixed epoch Monday, NULLIF-guarded division"
+    ),
+    tables=("events",),
+)
+def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            / F.lit(7)
+        )
+        .cast("long")
+        .alias("week"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("cnt").over(w)
+    return wk.select(
+        "event_type",
+        "week",
+        "cnt",
+        prev.cast("long").alias("prev_cnt"),
+        F.round(
+            (F.col("cnt") - prev) * F.lit(100.0) / F.nullif(prev, F.lit(0)), 2
+        ).alias("wow_pct"),
+    ).orderBy("event_type", "week")
+
+
+# ---------------------------------------------------------------------------
+# q320: Nelson–Aalen cumulative hazard (round 8)
+# ---------------------------------------------------------------------------
+
+# The hazard-scale complement to q219's Kaplan–Meier: H(t) = sum of
+# d_i/n_i over event days <= t, with Aalen's variance sum d_i/n_i^2
+# and the Fleming–Harrington survival exp(-H) (never exactly 0, unlike
+# KM — no log(0) guard needed).  Same life table as q219: per-user
+# durations in integer epoch micros, daily granularity, so every
+# window runs over the ~30-row calendar frame.
+_Q320_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+         MAX(epoch_us(ts)) AS tl
+  FROM events GROUP BY user_id
+),
+dur AS (
+  SELECT CAST(COALESCE(tp - t0, tl - t0) // 86400000000 AS BIGINT) AS t,
+         CAST(tp IS NOT NULL AS BIGINT) AS died
+  FROM per_user
+),
+day AS (
+  SELECT t, CAST(SUM(died) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM dur GROUP BY t
+),
+risk AS (
+  SELECT t, d, SUM(c) OVER (ORDER BY t DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS n_risk
+  FROM day
+),
+na AS (
+  SELECT t, d, n_risk,
+         SUM(d * 1.0 / n_risk)
+           OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h,
+         SUM(d * 1.0 / (CAST(n_risk AS DOUBLE) * n_risk))
+           OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vh
+  FROM risk
+)
+SELECT t AS day, d AS n_events, CAST(n_risk AS BIGINT) AS n_at_risk,
+       ROUND(h, 6) AS h_t, ROUND(vh, 6) AS var_h,
+       ROUND(EXP(-h), 6) AS s_fleming
+FROM na WHERE d > 0 ORDER BY day
+"""
+
+
+@register(
+    "q320_nelson_aalen",
+    _Q320_SQL,
+    doc=(
+        "Nelson–Aalen cumulative-hazard estimator with Aalen's "
+        "variance and the Fleming–Harrington survival exp(-H) — the "
+        "hazard-scale complement to q219's Kaplan–Meier on the same "
+        "right-censored time-to-first-purchase life table: per-user "
+        "durations are one keyed aggregate over integer epoch micros; "
+        "the risk-set suffix sum and both cumulative hazard sums are "
+        "windows over the CALENDAR-bounded (~30-row) day frame, never "
+        "over users.  Unlike KM, H is a plain sum (no product), so no "
+        "log(0) guard is needed even when the last risk set dies out"
+    ),
+    tables=("events",),
+)
+def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+        ).alias("tp"),
+        F.max("ts_us").alias("tl"),
+    )
+    dur = per_user.select(
+        (
+            F.coalesce(F.col("tp") - F.col("t0"), F.col("tl") - F.col("t0"))
+            / F.lit(86400000000)
+        )
+        .cast("long")
+        .alias("t"),
+        F.col("tp").isNotNull().cast("long").alias("died"),
+    )
+    day = dur.groupBy("t").agg(
+        F.sum("died").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = day.withColumn("n_risk", F.sum("c").over(w_desc))
+    h = F.sum(F.col("d") * 1.0 / F.col("n_risk")).over(w_asc)
+    vh = F.sum(
+        F.col("d") * 1.0 / (F.col("n_risk").cast("double") * F.col("n_risk"))
+    ).over(w_asc)
+    na = risk.select(
+        "t",
+        "d",
+        "n_risk",
+        h.alias("h"),
+        vh.alias("vh"),
+    )
+    return (
+        na.where(F.col("d") > 0)
+        .select(
+            F.col("t").alias("day"),
+            F.col("d").cast("long").alias("n_events"),
+            F.col("n_risk").cast("long").alias("n_at_risk"),
+            F.round("h", 6).alias("h_t"),
+            F.round("vh", 6).alias("var_h"),
+            F.round(F.exp(-F.col("h")), 6).alias("s_fleming"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q321: seasonal-naive forecast backtest (MASE / sMAPE) (round 8)
+# ---------------------------------------------------------------------------
+
+_Q321_SEASON = 7  # weekly seasonality, the q220/q259 dow signal
+
+# The missing eval half of the forecasting family (q236 Holt fits,
+# q259 decomposes — this BACKTESTS): forecast each day's per-type
+# event count with the seasonal-naive y[t-7] and score MAE, sMAPE and
+# MASE (scaled by the in-sample naive-1 MAE, Hyndman & Koehler 2006).
+# Counts are integers, so every error sum is exact BIGINT; the only
+# float sums are the ~23 bounded sMAPE terms per type.  The day grid
+# is DENSIFIED (types x days, zero-filled) so LAG(7) always aligns to
+# the calendar, not to the previous observed row.
+_Q321_SQL = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day
+  FROM events
+),
+span AS (SELECT CAST(MAX(day) AS BIGINT) AS dmax FROM e),
+days AS (SELECT UNNEST(generate_series(0, (SELECT dmax FROM span))) AS day),
+types AS (SELECT DISTINCT event_type FROM e),
+cnt AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM e GROUP BY 1, 2
+),
+dense AS (
+  SELECT t.event_type, d.day, COALESCE(c.y, 0) AS y
+  FROM types t CROSS JOIN days d
+  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.day = d.day
+),
+lagged AS (
+  SELECT event_type, day, y,
+         LAG(y, {_Q321_SEASON})
+           OVER (PARTITION BY event_type ORDER BY day) AS yhat,
+         LAG(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS yprev
+  FROM dense
+),
+m AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN yhat IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS h,
+         CAST(SUM(CASE WHEN yhat IS NOT NULL THEN ABS(y - yhat) END)
+              AS BIGINT) AS sae,
+         SUM(CASE WHEN yhat IS NOT NULL THEN
+               CASE WHEN y + yhat = 0 THEN 0.0
+                    ELSE 2.0 * ABS(y - yhat) / (y + yhat) END END) AS ssm,
+         CAST(SUM(CASE WHEN yprev IS NOT NULL THEN ABS(y - yprev) END)
+              AS BIGINT) AS snv,
+         CAST(SUM(CASE WHEN yprev IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS hn
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, h AS horizon,
+       ROUND(CAST(sae AS DOUBLE) / h, 6) AS mae,
+       ROUND(ssm / h, 6) AS smape,
+       ROUND((CAST(sae AS DOUBLE) / h)
+             / NULLIF(CAST(snv AS DOUBLE) / hn, 0.0), 6) AS mase
+FROM m ORDER BY event_type
+"""
+
+
+@register(
+    "q321_forecast_backtest",
+    _Q321_SQL,
+    doc=(
+        "seasonal-naive forecast backtest per event type: the weekly "
+        "lag-7 forecast scored with MAE, sMAPE and MASE (error scaled "
+        "by the in-sample naive-1 MAE — the scale-free skill metric "
+        "of Hyndman & Koehler 2006; MASE < 1 beats drift).  The day "
+        "grid is densified types x calendar (zero-filled) so the lag "
+        "is calendar-true; absolute-error sums are exact BIGINTs; "
+        "windows run over per-type ~30-row calendar frames; one fact "
+        "scan, shuffles carry (type, day, count) rollups only.  "
+        "Completes the forecasting family: q236 fits, q259 "
+        "decomposes, q321 backtests"
+    ),
+    tables=("events",),
+)
+def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("day"),
+    )
+    span = e.agg(F.max("day").cast("long").alias("dmax"))
+    days = span.select(
+        F.explode(F.sequence(F.lit(0), F.col("dmax"))).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    cnt = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    dense = (
+        types.crossJoin(F.broadcast(days))
+        .join(cnt, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("y", F.lit(0)).alias("y")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = dense.select(
+        "event_type",
+        "y",
+        F.lag("y", _Q321_SEASON).over(w).alias("yhat"),
+        F.lag("y", 1).over(w).alias("yprev"),
+    )
+    have = F.col("yhat").isNotNull()
+    havep = F.col("yprev").isNotNull()
+    smape_term = F.when(
+        have,
+        F.when(F.col("y") + F.col("yhat") == 0, F.lit(0.0)).otherwise(
+            2.0 * F.abs(F.col("y") - F.col("yhat")) / (F.col("y") + F.col("yhat"))
+        ),
+    )
+    m = lagged.groupBy("event_type").agg(
+        F.sum(F.when(have, 1).otherwise(0)).cast("long").alias("h"),
+        F.sum(F.when(have, F.abs(F.col("y") - F.col("yhat"))))
+        .cast("long")
+        .alias("sae"),
+        F.sum(smape_term).alias("ssm"),
+        F.sum(F.when(havep, F.abs(F.col("y") - F.col("yprev"))))
+        .cast("long")
+        .alias("snv"),
+        F.sum(F.when(havep, 1).otherwise(0)).cast("long").alias("hn"),
+    )
+    return m.select(
+        "event_type",
+        F.col("h").alias("horizon"),
+        F.round(F.col("sae").cast("double") / F.col("h"), 6).alias("mae"),
+        F.round(F.col("ssm") / F.col("h"), 6).alias("smape"),
+        F.round(
+            (F.col("sae").cast("double") / F.col("h"))
+            / F.nullif(F.col("snv").cast("double") / F.col("hn"), F.lit(0.0)),
+            6,
+        ).alias("mase"),
+    ).orderBy("event_type")

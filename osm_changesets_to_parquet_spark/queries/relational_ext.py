@@ -804,3 +804,185 @@ def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q200_SQL)
+
+
+# --- relocated from analytics.py in the round-10 family regrouping
+# (join-strategy probes; mechanical move, zero behavior change —
+# pre/post registry hash dump) ---
+# ---------------------------------------------------------------------------
+# Q133: join-key skew profiler (the pre-join diagnostic for q99's salting)
+# ---------------------------------------------------------------------------
+
+_Q133_SQL = """
+WITH k AS (SELECT o_custkey AS key, COUNT(*) AS c FROM orders GROUP BY o_custkey),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         ROUND(AVG(c), 4) AS avg_c,
+         CAST(MAX(c) AS BIGINT) AS max_c,
+         ROUND(MAX(c) / AVG(c), 4) AS skew_ratio
+  FROM k
+)
+SELECT t.key, CAST(t.c AS BIGINT) AS cnt,
+       ROUND(t.c / (SELECT SUM(c) FROM k), 6) AS share,
+       s.n_keys, s.avg_c, s.max_c, s.skew_ratio
+FROM (
+  SELECT key, c, ROW_NUMBER() OVER (ORDER BY c DESC, key) AS rn FROM k
+) t, stats s
+WHERE t.rn <= 10
+ORDER BY cnt DESC, key
+"""
+
+
+@register(
+    "q133_join_skew_profile",
+    _Q133_SQL,
+    doc=(
+        "join-key skew profiler — the diagnostic you run BEFORE "
+        "choosing broadcast / salt (q99) / AQE-skew-join for a key: "
+        "per-key counts (one map-side-partial aggregate), the top-10 "
+        "heavy hitters with corpus share, and the max/avg skew ratio "
+        "broadcast onto every row"
+    ),
+    tables=("orders",),
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.avg("c"), 4).alias("avg_c"),
+        F.max("c").alias("max_c"),
+        F.round(F.max("c") / F.avg("c"), 4).alias("skew_ratio"),
+        F.sum("c").alias("__tot"),
+    )
+    # top-10 via orderBy().limit() = TakeOrderedAndProject — O(k) per
+    # partition, never a single-task global rank window over all keys
+    top = k.orderBy(F.col("c").desc(), F.col("key")).limit(10)
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            F.col("c").alias("cnt"),
+            F.round(F.col("c") / F.col("__tot"), 6).alias("share"),
+            "n_keys",
+            "avg_c",
+            "max_c",
+            "skew_ratio",
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q140: point-in-interval range lookup via grid-bucketed equi-join (round 5)
+# ---------------------------------------------------------------------------
+
+_Q140_BANDS = [
+    ("bronze", 0, 50_000),
+    ("silver", 50_000, 150_000),
+    ("gold", 150_000, 300_000),
+    ("platinum", 300_000, 1_000_000),
+]
+
+
+_Q140_WIDTH = 50_000
+
+
+_Q140_SQL = f"""
+WITH bands(band, lo, hi) AS (VALUES
+  {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _Q140_BANDS)}
+)
+SELECT band, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band ORDER BY band
+"""
+
+
+@register(
+    "q140_range_lookup",
+    _Q140_SQL,
+    doc=(
+        "point-in-interval lookup (the IP-to-geo / price-to-tier shape) "
+        "via operators/intervals.range_lookup: the non-equi band "
+        "predicate becomes an ordinary hash equi-join on a grid bucket "
+        "id (intervals explode to covered buckets, each point maps to "
+        "exactly one bucket, exact bounds verified in-row) — works at "
+        "ANY dimension size where the nested-loop theta join needs the "
+        "dimension broadcast and scans it per row; oracle runs the "
+        "theta join literally"
+    ),
+    tables=("orders",),
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.intervals import range_lookup
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.createDataFrame(_Q140_BANDS, "band string, lo long, hi long")
+    looked = range_lookup(
+        o, bands, "o_totalprice", "lo", "hi", bucket_width=_Q140_WIDTH
+    )
+    return (
+        looked.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q155: 2-D ε-neighborhood self-join via grid-cell blocking
+# ---------------------------------------------------------------------------
+
+_Q155_EPS = 0.02
+
+# Brute-force oracle: the full n² comparison the grid join must equal.
+# Both sides CAST the float32 coordinates to DOUBLE before arithmetic,
+# so the squared distance is computed bit-identically and the strict
+# `< eps²` boundary cannot flip between engines.
+_Q155_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(SQRT((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6) AS dist
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) < {_Q155_EPS} * {_Q155_EPS}
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "q155_grid_join_2d",
+    _Q155_SQL,
+    doc=(
+        "exact 2-D ε-neighborhood self-join (DBSCAN-neighborhood / "
+        "spatial blocking) over the first two embedding dims via "
+        "operators/intervals.grid_neighbor_pairs_2d: cell width = ε, "
+        "home cell equi-joins the probe side's 3×3 cell explosion, "
+        "exact squared-distance verify in-row — one hash join keyed on "
+        "the cell id, never a cross join; every true pair collides in "
+        "exactly one cell so no DISTINCT.  Oracle runs the n² theta "
+        "join literally"
+    ),
+    tables=("embeddings",),
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.intervals import (
+        grid_neighbor_pairs_2d,
+    )
+
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).alias("x"),
+        F.element_at("embedding", 2).alias("y"),
+    )
+    return grid_neighbor_pairs_2d(pts, "vec_id", "x", "y", _Q155_EPS).orderBy(
+        "id_a", "id_b"
+    )

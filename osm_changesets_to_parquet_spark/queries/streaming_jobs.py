@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from osm_changesets_to_parquet_spark.queries import register
+from osm_changesets_to_parquet_spark.queries import FixtureGateError, register
 from osm_changesets_to_parquet_spark.streaming import (
     run_s4_watermark_tumbling,
     run_s5_streaming_dedup,
@@ -368,7 +368,7 @@ def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = os.path.basename(os.path.normpath(sf_dir))
     if base not in _Q68B_CALIBRATED_SFS:
-        raise ValueError(
+        raise FixtureGateError(
             f"s14_streaming_neardup is calibration-pinned (verified at "
             f"{sorted(_Q68B_CALIBRATED_SFS)}); fixture {base!r} needs an LSH "
             "recall re-sweep before the exact oracle is meaningful"

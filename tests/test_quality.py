@@ -343,10 +343,22 @@ def test_hash_bucket_overflow_safe(spark):
 def test_q68b_gate_rejects_uncalibrated_fixture(spark, tmp_path):
     import pytest
 
-    from osm_changesets_to_parquet_spark.queries import REGISTRY
+    from osm_changesets_to_parquet_spark.queries import FixtureGateError, REGISTRY
 
-    with pytest.raises(ValueError, match="calibration-pinned"):
+    # the DEDICATED gate type is the bench contract (ADVICE r09):
+    # bench.py's tier-2 catches FixtureGateError into tier2_skipped and
+    # lets any plain ValueError crash loudly — so every calibration gate
+    # must raise the subclass, not bare ValueError
+    with pytest.raises(FixtureGateError, match="calibration-pinned"):
         REGISTRY["q68b_neardup_clusters_lsh"].fn(spark, str(tmp_path / "sf9.9"))
+    for gated in (
+        "a51_lsh_recall_prop",
+        "q139_incremental_neardup",
+        "q142_neardup_persisted_index",
+        "s14_streaming_neardup",
+    ):
+        with pytest.raises(FixtureGateError, match="calibration-pinned|re-sweep"):
+            REGISTRY[gated].fn(spark, str(tmp_path / "sf9.9"))
 
 
 def test_global_cumsum_null_key_not_dropped(spark):

@@ -483,7 +483,7 @@ def test_agg_state_merge_touches_only_delta_buckets(spark, tmp_path):
 
 
 def test_rolling_median_interpolation_and_nulls(spark):
-    from osm_changesets_to_parquet_spark.queries import analytics  # noqa: F401
+    from osm_changesets_to_parquet_spark.queries import analytics_metrics  # noqa: F401
     from osm_changesets_to_parquet_spark.queries import REGISTRY
 
     import datetime
@@ -667,7 +667,7 @@ def test_q172_auc_equals_pairwise_probability(spark, sf_dir):
     """AUC from the rank statistic == P(score_pos > score_neg) +
     0.5*P(tie), counted pairwise over the raw events."""
     from osm_changesets_to_parquet_spark.catalog import load_table
-    from osm_changesets_to_parquet_spark.queries.analytics import q172
+    from osm_changesets_to_parquet_spark.queries.analytics_metrics import q172
 
     got = q172(spark, sf_dir).collect()[0]
     rows = (
@@ -690,7 +690,7 @@ def test_q172_auc_equals_pairwise_probability(spark, sf_dir):
 def test_q182_cusum_closed_form_equals_recursion(spark, sf_dir):
     """csum - min(0, earlier csum) == the textbook recursion
     S_t = max(0, S_{t-1} + dev_t), replayed in Python per type."""
-    from osm_changesets_to_parquet_spark.queries.analytics import q182, US_PER_DAY
+    from osm_changesets_to_parquet_spark.queries.analytics_metrics import q182, US_PER_DAY
     from osm_changesets_to_parquet_spark.catalog import load_table
 
     got = {r["event_type"]: r for r in q182(spark, sf_dir).collect()}
@@ -722,7 +722,7 @@ def test_q182_cusum_closed_form_equals_recursion(spark, sf_dir):
 def test_q181_twap_matches_bruteforce(spark, sf_dir):
     """DECIMAL-accumulated TWAP == a per-user Python replay over the
     sorted event stream."""
-    from osm_changesets_to_parquet_spark.queries.analytics import q181
+    from osm_changesets_to_parquet_spark.queries.analytics_metrics import q181
     from osm_changesets_to_parquet_spark.catalog import load_table
     import math
 
@@ -754,7 +754,7 @@ def test_q181_twap_matches_bruteforce(spark, sf_dir):
 def test_q192_emd_matches_bruteforce(spark, sf_dir):
     """Integer-accumulated EMD == direct CDF-difference integral in
     Python over the raw cohorts."""
-    from osm_changesets_to_parquet_spark.queries.analytics import q192, US_PER_DAY
+    from osm_changesets_to_parquet_spark.queries.analytics_metrics import q192, US_PER_DAY
     from osm_changesets_to_parquet_spark.catalog import load_table
     import math
     from collections import Counter
@@ -848,7 +848,7 @@ def test_q187_k80_matches_bruteforce(spark, sf_dir):
     integer-cents ranking."""
     import math
 
-    from osm_changesets_to_parquet_spark.queries.analytics import q187
+    from osm_changesets_to_parquet_spark.queries.analytics_metrics import q187
     from osm_changesets_to_parquet_spark.catalog import load_table
     from collections import defaultdict
 

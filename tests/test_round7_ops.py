@@ -28,7 +28,7 @@ def _pav_brute(ys: list[int]) -> list[float]:
 def test_pav_matches_minimax_brute_force(spark):
     # the applyInPandas PAV (q208's engine path) must equal the
     # minimax definition on random 0/1 sequences, and be isotonic
-    from osm_changesets_to_parquet_spark.queries.stats import q208  # noqa: F401
+    from osm_changesets_to_parquet_spark.queries.stats_inference import q208  # noqa: F401
     import pandas as pd
 
     rng = random.Random(7)
@@ -165,7 +165,7 @@ def test_triangle_count_matches_brute_force(spark):
 def test_kaplan_meier_matches_product_brute_force(spark, sf_dir):
     # S(t) from the registered query equals the direct product
     # Π (1 - d_s/n_s) computed driver-side from the same life table
-    from osm_changesets_to_parquet_spark.queries.stats import q219
+    from osm_changesets_to_parquet_spark.queries.ml_timeseries import q219
 
     rows = q219(spark, sf_dir).collect()
     # rebuild the life table: n_at_risk and n_events are in the output
