@@ -225,16 +225,20 @@ def load_all_modules() -> None:
         analytics,
         analytics_metrics,
         ann,
+        ann_embeddings,
+        ann_ranking,
         bucketing,
         conversion,
         curation,
         dedup_sim,
         governance,
         graph,
+        graph_apps,
         llm_ops,
         ml_corpus,
         ml_experiments,
         ml_model_eval,
+        ml_model_fit,
         ml_stat_tests,
         ml_timeseries,
         multimodal,

@@ -128,7 +128,7 @@ def test_bh_stepup_step_up_not_step_down(spark):
 def test_naive_bayes_matches_brute_force(spark, sf_dir):
     # the relational NB (q235) == a Counter-based reimplementation of
     # the same smoothed multinomial model on the same split
-    from osm_changesets_to_parquet_spark.queries.ml_model_eval import (
+    from osm_changesets_to_parquet_spark.queries.ml_model_fit import (
         _Q235_TRAIN_PCT,
         q235,
     )

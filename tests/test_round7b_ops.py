@@ -463,7 +463,7 @@ def test_diff_in_diff_matches_brute(spark, sf_dir):
 def test_retrieval_metrics_match_brute(spark, sf_dir):
     import numpy as np
 
-    from osm_changesets_to_parquet_spark.queries.ann import (
+    from osm_changesets_to_parquet_spark.queries.ann_ranking import (
         _Q249_K,
         _Q249_NQ,
         q249,
@@ -986,6 +986,8 @@ def test_rrf_fusion_matches_numpy(spark, sf_dir):
         _Q243_M,
         _Q243_NQ,
         _Q243_SUB,
+    )
+    from osm_changesets_to_parquet_spark.queries.ann_ranking import (
         _Q264_LIST,
         _Q264_RRF_K,
         _Q264_TOP,
@@ -1218,6 +1220,8 @@ def test_rbo_matches_brute_and_bounds(spark, sf_dir):
         _Q243_M,
         _Q243_NQ,
         _Q243_SUB,
+    )
+    from osm_changesets_to_parquet_spark.queries.ann_ranking import (
         _Q264_LIST,
         _Q268_P,
         _Q268_TAIL,
