@@ -42,14 +42,23 @@ where every string shares a constant prefix spanning a whole segment
 value and the candidate set degenerates to near-all-pairs — the
 blocking stays EXACT, just no longer sub-quadratic.  This mirrors
 LSH's hot-bucket problem but CANNOT be fixed with a max-bucket valve
-without losing completeness.  The implemented mitigation
-(``strip_common_affixes``, on by default) removes the corpus-wide
-common prefix/suffix before blocking — exact by the affix lemma
-``ed(P·u·S, P·v·S) = ed(u, v)`` — which collapses the constant
-template out of the segment keys; zero-padded sequential IDs remain
-partially degenerate (their leading digits are still near-constant),
-so truly ID-like corpora should expect candidate streams between
-O(n) and O(n^2) depending on ID density.
+without losing completeness.  Two exact mitigations are implemented
+(both on by default under ``strip_common_affixes``): (1) the
+corpus-wide common prefix/suffix is removed before blocking — exact
+by the affix lemma ``ed(P·u·S, P·v·S) = ed(u, v)`` — collapsing the
+constant template out of the segment keys; (2) the blocking
+ORIENTATION is chosen data-driven — ``ed(s,t) = ed(rev s, rev t)``,
+so when the stripped remainders' TAIL keys are richer than their
+HEAD keys (zero-padded sequential IDs: leading digits near-constant,
+trailing digits uniform) the whole pipeline runs on the reversed
+remainders, spreading the hot head bucket across the high-entropy
+end (sf0.1 customer names: raw candidates 18.4M -> 6.3M, identical
+pair set; with the verify-before-distinct plan below, end-to-end
+8.7 -> ~5 s warm).
+Residually adversarial corpora (constant in the middle, e.g.
+``<rand><template><rand>``) can still see candidate streams between
+O(n) and O(n^2); the blocking stays exact there, just not
+sub-quadratic.
 """
 
 from __future__ import annotations
@@ -72,9 +81,13 @@ def _scheme(l: Column, j: int, k: int) -> tuple[Column, Column]:
     return start, seglen
 
 
-def _common_affix_lengths(df: DataFrame, str_col: str, k: int) -> tuple[int, int]:
-    """(prefix_len, suffix_len) shared by EVERY string in the column,
-    capped so every stripped remainder keeps length >= k+1.
+def _common_affix_lengths(
+    df: DataFrame, str_col: str, k: int
+) -> tuple[int, int, int]:
+    """(prefix_len, suffix_len, min_len) shared by EVERY string in the
+    column, capped so every stripped remainder keeps length >= k+1
+    (``min_len`` is the pre-strip minimum length, 0 on empty input —
+    the orientation probe sizes its key width from it).
 
     The common prefix of a set equals the common prefix of its
     lexicographic min and max, so one tiny min/max aggregate (map-side
@@ -92,7 +105,7 @@ def _common_affix_lengths(df: DataFrame, str_col: str, k: int) -> tuple[int, int
         F.min(F.length(str_col)).alias("minlen"),
     ).first()
     if row is None or row.lo is None:
-        return 0, 0
+        return 0, 0, 0
 
     def lcp(a: str, b: str) -> int:
         i = 0
@@ -102,10 +115,10 @@ def _common_affix_lengths(df: DataFrame, str_col: str, k: int) -> tuple[int, int
 
     avail = row.minlen - (k + 1)
     if avail <= 0:
-        return 0, 0
+        return 0, 0, row.minlen
     p = min(lcp(row.lo, row.hi), avail)
     q = min(lcp(row.rlo, row.rhi), avail - p)
-    return p, q
+    return p, q, row.minlen
 
 
 def edit_distance_pairs(
@@ -124,21 +137,53 @@ def edit_distance_pairs(
     template-ID mitigation from the module docstring: on
     ``Customer#000000001``-style corpora the constant template spans a
     whole segment, which otherwise degenerates the blocking to
-    near-all-pairs; stripping it re-sparsifies the segment keys.  Costs
-    one tiny min/max aggregate (a driver action at operator
+    near-all-pairs; stripping it re-sparsifies the segment keys.
+
+    When stripping is on, the operator also picks a BLOCKING
+    ORIENTATION: ``ed(s, t) = ed(reverse(s), reverse(t))`` (reversing
+    both strings reverses the optimal edit script), so the whole
+    pipeline — segments, probes, verification — may equivalently run
+    on the reversed remainders, and the output pair set is identical
+    either way.  Orientation only changes PERFORMANCE: zero-padded
+    sequential IDs survive affix stripping with a near-constant
+    low-entropy HEAD (the leading digits) and a high-entropy TAIL, so
+    forward segment-0 keys collapse into a handful of hot buckets
+    while reversed keys spread uniformly (measured on sf0.1 customer
+    names: 2.9x fewer raw candidates, byte-identical pairs).  The choice
+    is data-driven — one ``approx_count_distinct`` aggregate compares
+    head-vs-tail key cardinality at the first segment's width and
+    reverses only when the tail is STRICTLY richer (HLL sketches are
+    merge-order independent, so the choice is deterministic; and
+    because both orientations are exact, even a bad choice can only
+    cost time, never rows).
+
+    Costs two tiny aggregates (driver actions at operator
     construction — the global_cumsum pattern; pass
-    ``strip_common_affixes=False`` to keep the plan action-free)."""
+    ``strip_common_affixes=False`` to keep the plan action-free,
+    which also skips the orientation probe)."""
     if k < 1:
         raise ValueError("k must be >= 1 (k=0 is exact dedup — hash-groupBy)")
     src = df.where(F.col(str_col).isNotNull())
     s_expr = F.col(str_col)
     if strip_common_affixes:
-        p, q = _common_affix_lengths(src, str_col, k)
+        p, q, minlen = _common_affix_lengths(src, str_col, k)
         if p or q:
             s_expr = F.expr(
                 f"substring({str_col}, {p + 1}, "
                 f"greatest(0, length({str_col}) - {p + q}))"
             )
+        # orientation probe: segment-0 width of the SHORTEST remainder
+        # (every scheme's segment 0 is >= this wide, so it is the most
+        # collision-prone key prefix the join will see)
+        w = max(1, (minlen - p - q) // (k + 1))
+        card = src.agg(
+            F.approx_count_distinct(F.substring(s_expr, 1, w)).alias("head"),
+            F.approx_count_distinct(
+                F.substring(F.reverse(s_expr), 1, w)
+            ).alias("tail"),
+        ).first()
+        if card is not None and (card.tail or 0) > (card.head or 0):
+            s_expr = F.reverse(s_expr)
     base = src.select(
         F.col(id_col).alias("id"),
         s_expr.alias("s"),
@@ -213,19 +258,27 @@ def edit_distance_pairs(
         ).alias("e"),
     ).select("id_b", "s_b", "e.l", "e.j", "e.seg")
 
-    cand = (
+    # Verify BEFORE the distinct, with the banded levenshtein
+    # (threshold=k => O(k*len) per pair, -1 when the distance exceeds
+    # k).  A candidate pair is emitted once per shared segment key (up
+    # to (k+1)(2k+1) times), so deduping first looks natural — but the
+    # dedup is a SHUFFLE over the whole candidate stream carrying both
+    # strings, while verification is codegen'd stream-side work that
+    # kills ~97% of candidates on degenerate corpora (sf0.1 customer
+    # names: 6.3M raw candidates -> 262.5k true pairs; the old
+    # distinct-first plan shuffled 4.3M string-carrying rows).  After
+    # the filter, the distinct shuffles only true pairs as three
+    # integers.  levenshtein is symmetric, so the canonical (least,
+    # greatest) projection needs no string swap.
+    return (
         index.join(probe, ["l", "j", "seg"])
         .where(F.col("id_a") != F.col("id_b"))
+        .withColumn("dist", F.levenshtein("s_a", "s_b", k))
+        .where(F.col("dist") >= 0)
         .select(
-            F.least("id_a", "id_b").alias("ca"),
-            F.greatest("id_a", "id_b").alias("cb"),
-            F.when(F.col("id_a") < F.col("id_b"), F.col("s_a")).otherwise(F.col("s_b")).alias("sa"),
-            F.when(F.col("id_a") < F.col("id_b"), F.col("s_b")).otherwise(F.col("s_a")).alias("sb"),
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "dist",
         )
         .distinct()
-    )
-    return (
-        cand.withColumn("dist", F.levenshtein("sa", "sb"))
-        .where(F.col("dist") <= F.lit(k))
-        .select(F.col("ca").alias("id_a"), F.col("cb").alias("id_b"), "dist")
     )

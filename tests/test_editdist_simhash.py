@@ -79,6 +79,36 @@ def test_edit_distance_pairs_short_strings(spark, k):
         assert got == _brute_ed(rows, k), (k, strip)
 
 
+@pytest.mark.parametrize("k", [1, 2])
+def test_edit_distance_pairs_id_corpus_orientation(spark, k):
+    # zero-padded sequential IDs are the degenerate shape the
+    # orientation probe exists for: after affix stripping the HEAD
+    # (leading digits) is near-constant and the TAIL uniform, so the
+    # operator blocks on the reversed remainders — exact either way
+    # (ed(s,t) = ed(rev s, rev t)); this pins the flipped path against
+    # brute force, and the suffix-degenerate mirror (reversed IDs)
+    # pins the not-flipped path.
+    strings = [f"Customer#{i:09d}" for i in range(0, 400, 3)]
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(df, "s", "id", k=k).collect()
+    }
+    assert got == _brute_ed(rows, k)
+
+    rrows = [(i, s[::-1]) for i, s in enumerate(strings)]
+    rdf = spark.createDataFrame(rrows, ["id", "s"])
+    rgot = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(rdf, "s", "id", k=k).collect()
+    }
+    assert rgot == _brute_ed(rrows, k)
+    # reversal preserves every pairwise distance, so both corpora have
+    # the same pair set — a cheap cross-check of the lemma itself
+    assert rgot == got
+
+
 def test_edit_distance_pairs_rejects_k0(spark):
     df = spark.createDataFrame([(1, "a")], ["id", "s"])
     with pytest.raises(ValueError):
