@@ -812,6 +812,36 @@ def simhash_neardup_pairs(
     bucket escape valve (a degenerate band key — e.g. all-boilerplate
     documents — is better collapsed by exact dedup upstream).
     """
+    sh = simhash(docs.select(id_col, text_col), text_col, id_col)
+    return hamming_pairs_from_fingerprints(
+        sh,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        id_col=id_col,
+        sh_col="simhash",
+        max_bucket=max_bucket,
+    )
+
+
+def hamming_pairs_from_fingerprints(
+    fps: DataFrame,
+    max_hamming: int = 2,
+    n_bands: int = 3,
+    id_col: str = "doc_id",
+    sh_col: str = "simhash",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Bit-band LSH pair join over PRECOMPUTED fingerprints — the
+    banding/verification half of :func:`simhash_neardup_pairs`, exposed
+    so callers that already hold (id, fingerprint) rows can skip the
+    text scan: cluster-resolution queries contract same-fingerprint
+    docs first (identical fingerprint = hamming 0 = trivially in-ball)
+    and band only the DISTINCT fingerprints, which shrinks both the
+    bucket explode (quadratic in bucket size) and the downstream
+    component graph by the duplication factor squared.
+
+    Same completeness/exactness contract as the caller: pigeonhole over
+    disjoint bit bands + in-row ``bit_count`` verification."""
     if max_hamming >= n_bands:
         raise ValueError(
             f"completeness needs max_hamming < n_bands (got {max_hamming} >= {n_bands})"
@@ -820,8 +850,8 @@ def simhash_neardup_pairs(
         raise ValueError(f"n_bands must divide SIMHASH_BITS={SIMHASH_BITS}")
     band_bits = SIMHASH_BITS // n_bands
     mask = (1 << band_bits) - 1
-    sh = simhash(docs.select(id_col, text_col), text_col, id_col).select(
-        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")).alias("m")
+    sh = fps.select(
+        F.struct(F.col(id_col).alias("id"), F.col(sh_col).alias("sh")).alias("m")
     )
     keys = [
         F.shiftright(F.col("m.sh"), b * band_bits).bitwiseAND(F.lit(mask))
