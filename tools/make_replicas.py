@@ -181,11 +181,48 @@ def build_events(factor: int, out: str) -> None:
     print(f"built {out}")
 
 
+def build_customer(factor: int, out: str) -> None:
+    """customer x factor with shifted keys AND names regenerated to the
+    TPC-H template for the new key (``Customer#%09d``) — the round-10
+    edit-distance fixture.  Shifting only the key would leave `factor`
+    exact copies of every name (pairs at distance 0, a different
+    problem); regenerating keeps the corpus exactly ID-shaped, i.e. the
+    documented PassJoin adversarial case (zero-padded sequential IDs),
+    at `factor`x the ID density."""
+    spark = get_spark("make-replicas", extra_conf={"spark.sql.shuffle.partitions": "32"})
+    spark.sparkContext.setLogLevel("ERROR")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        print(f"{out} already built")
+        return
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    cust = spark.read.parquet(BASE + "/customer.parquet")
+    mc = cust.agg(F.max("c_custkey")).first()[0] + 1
+    reps = [
+        cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * mc)).withColumn(
+            "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
+        )
+        for i in range(factor)
+    ]
+    alld = reps[0]
+    for r in reps[1:]:
+        alld = alld.unionByName(r)
+    alld.write.mode("overwrite").parquet(out + "/customer.parquet")
+    _copy_rest(out, "customer")
+    open(os.path.join(out, "_DONE"), "w").close()
+    print(f"built {out}")
+
+
 if __name__ == "__main__":
-    # usage: make_replicas.py [factor] [out_dir] [kind: docs|graph|ann|events]
+    # usage: make_replicas.py [factor] [out_dir]
+    #        [kind: docs|graph|ann|events|customer]
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/replicas_{factor}x"
     kind = sys.argv[3] if len(sys.argv) > 3 else "docs"
-    {"docs": build, "graph": build_graph, "ann": build_ann, "events": build_events}[
-        kind
-    ](factor, out)
+    {
+        "docs": build,
+        "graph": build_graph,
+        "ann": build_ann,
+        "events": build_events,
+        "customer": build_customer,
+    }[kind](factor, out)
