@@ -143,6 +143,39 @@ def test_simhash_neardup_equals_brute_force(spark, sf_dir):
     assert brute, "fixture corpus should contain hamming<=2 pairs"
 
 
+def test_hamming_pairs_from_fingerprints_direct(spark):
+    # the fingerprint-level half of simhash_neardup_pairs, used by q117
+    # after contracting docs to distinct simhashes: brute-force parity
+    # on handcrafted 30-bit fingerprints covering hamming 0 (distinct
+    # ids, equal fingerprint), 1, 2 (kept) and 3 (dropped)
+    fps = [
+        (1, 0b101010101010101010101010101010),
+        (2, 0b101010101010101010101010101010),  # ham 0 vs 1
+        (3, 0b101010101010101010101010101011),  # ham 1 vs 1/2
+        (4, 0b101010101010101010101010101000),  # ham 1 vs 1/2, ham 2 vs 3
+        (5, 0b010101010101010101010101010101),  # far from everything
+        (6, 0b101010101010101010101010010110),  # ham 4 vs 1 — dropped
+    ]
+    df = spark.createDataFrame(fps, ["doc_id", "simhash"])
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.hamming_pairs_from_fingerprints(
+            df, max_hamming=2, n_bands=3
+        ).collect()
+    }
+    brute = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            (ia, fa), (ib, fb) = fps[i], fps[j]
+            h = bin(fa ^ fb).count("1")
+            if h <= 2:
+                brute.add((min(ia, ib), max(ia, ib), h))
+    assert got == brute
+    assert {(1, 2, 0), (1, 3, 1), (2, 3, 1)} <= brute  # fixture sanity
+    with pytest.raises(ValueError):
+        D.hamming_pairs_from_fingerprints(df, max_hamming=3, n_bands=3)
+
+
 def test_simhash_neardup_guards(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError):
