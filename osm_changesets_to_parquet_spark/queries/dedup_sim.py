@@ -598,11 +598,14 @@ ORDER BY d.doc_id
         "fingerprint — and also merges distinct texts that hash "
         "equal), banding + CC run on the fingerprint graph only "
         "(sf0.1: 2,498 fp-nodes / 31.6k edges vs 5,000 docs / 625k "
-        "edges — 11 s -> ~2 s warm, byte-identical output, r10), "
-        "star-contraction connected components label the verified "
-        "pair graph (hamming balls are DENSE cliques — star "
-        "contraction resolved the 4x replica graph 3x faster than "
-        "min-label propagation: 32 s vs 100 s over ~9M edges), "
+        "edges, r10), min-label propagation labels the verified pair "
+        "graph (the contraction changed the CC regime: the old DOC "
+        "graph at replica scale favored star contraction — 32 s vs "
+        "100 s over ~9M edges — but the fp-graph stays small and "
+        "clique-shallow at every measured scale, where min-label's "
+        "cheaper rounds win: 4.3/4.5/5.4 s vs star 5.5/5.3/6.8 s "
+        "end-to-end at 1x/4x/16x, identical labels; star remains the "
+        "right call for long-chain graphs per clusters.py), "
         "members map back through their fingerprint's min-doc_id "
         "representative (component min over reps = component min "
         "over docs); oracle is the recursive-CTE closure over the "
@@ -612,7 +615,7 @@ ORDER BY d.doc_id
 )
 def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_changesets_to_parquet_spark.operators.clusters import (
-        connected_components_star,
+        connected_components,
     )
 
     docs = (
@@ -628,7 +631,7 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=_Q110_MAX_HAM,
         n_bands=3,
     ).select("id_a", "id_b")
-    comp = connected_components_star(pairs).withColumnRenamed("id", "rep")
+    comp = connected_components(pairs).withColumnRenamed("id", "rep")
     return (
         sh.join(fp, "simhash")
         .join(comp, "rep", "left")
