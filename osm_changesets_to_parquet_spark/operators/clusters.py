@@ -53,12 +53,20 @@ def connected_components(
     decreases vs the previous label, carried through the aggregation)
     — no separate join + count action per round, which at 100 TB is
     one full scheduling round-trip saved per iteration.
+
+    Convergence guard (ADVICE r10): min-label propagates one hop per
+    round, so a graph whose diameter exceeds ``max_iters`` would leave
+    the loop with WRONG (unconverged) labels.  Rather than return them
+    silently, the operator detects the exhausted-but-still-changing
+    state and falls back to :func:`connected_components_star`, whose
+    O(log^2 n) rounds converge within the same budget on any topology
+    — correctness never depends on a diameter assumption.
     """
-    edges = pairs.select(
+    sym = pairs.select(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
     )
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = truncate_lineage(edges)
 
@@ -68,6 +76,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
     )
 
+    converged = False
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges.dst == labels.id)
@@ -94,7 +103,24 @@ def connected_components(
         # available as soon as it completes
         labels = truncate_lineage(observed)
         if (obs.get["changed"] or 0) == 0:
+            converged = True
             break
+    if not converged:
+        # diameter > max_iters: labels are unconverged and WRONG.
+        # Star contraction finishes in O(log^2 n) rounds regardless of
+        # topology — rerun with it rather than return bad labels.
+        import warnings
+
+        warnings.warn(
+            "connected_components: min-label propagation did not "
+            f"converge within max_iters={max_iters} (graph diameter "
+            "exceeds the budget); falling back to star contraction",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return connected_components_star(
+            pairs, src_col=src_col, dst_col=dst_col, max_iters=max_iters
+        )
     return labels
 
 

@@ -157,10 +157,12 @@ def edit_distance_pairs(
     because both orientations are exact, even a bad choice can only
     cost time, never rows).
 
-    Costs two tiny aggregates (driver actions at operator
-    construction — the global_cumsum pattern; pass
-    ``strip_common_affixes=False`` to keep the plan action-free,
-    which also skips the orientation probe)."""
+    Costs at most two tiny aggregates at operator construction — the
+    affix-length probe, plus the orientation probe ONLY when an affix
+    was actually stripped (p == q == 0 skips it; the low-entropy-head
+    shape it detects is a product of stripping).  Pass
+    ``strip_common_affixes=False`` to keep the plan fully
+    action-free."""
     if k < 1:
         raise ValueError("k must be >= 1 (k=0 is exact dedup — hash-groupBy)")
     src = df.where(F.col(str_col).isNotNull())
@@ -172,18 +174,22 @@ def edit_distance_pairs(
                 f"substring({str_col}, {p + 1}, "
                 f"greatest(0, length({str_col}) - {p + q}))"
             )
-        # orientation probe: segment-0 width of the SHORTEST remainder
-        # (every scheme's segment 0 is >= this wide, so it is the most
-        # collision-prone key prefix the join will see)
-        w = max(1, (minlen - p - q) // (k + 1))
-        card = src.agg(
-            F.approx_count_distinct(F.substring(s_expr, 1, w)).alias("head"),
-            F.approx_count_distinct(
-                F.substring(F.reverse(s_expr), 1, w)
-            ).alias("tail"),
-        ).first()
-        if card is not None and (card.tail or 0) > (card.head or 0):
-            s_expr = F.reverse(s_expr)
+            # orientation probe: segment-0 width of the SHORTEST
+            # remainder (every scheme's segment 0 is >= this wide, so
+            # it is the most collision-prone key prefix the join will
+            # see).  Only worth running when something WAS stripped —
+            # the low-entropy-head shape the probe detects is produced
+            # by affix stripping (ADVICE r10: with p == q == 0 the
+            # probe was two eager scans buying nothing).
+            w = max(1, (minlen - p - q) // (k + 1))
+            card = src.agg(
+                F.approx_count_distinct(F.substring(s_expr, 1, w)).alias("head"),
+                F.approx_count_distinct(
+                    F.substring(F.reverse(s_expr), 1, w)
+                ).alias("tail"),
+            ).first()
+            if card is not None and (card.tail or 0) > (card.head or 0):
+                s_expr = F.reverse(s_expr)
     base = src.select(
         F.col(id_col).alias("id"),
         s_expr.alias("s"),

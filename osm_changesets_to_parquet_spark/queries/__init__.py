@@ -69,83 +69,36 @@ def register(
 
 
 # The driver records correctness rows in registry order and its window
-# has held exactly 50 entries per round (CORRECTNESS_r01-r09.json) — so
-# ordering is part of the verification contract.  Round 10 continues the
-# REGISTRATION FREEZE (VERDICT r09 items 1-2): zero new queries; the
-# window burns the LAST 39 never-witnessed names (q261-q298 band + m52,
-# enumerated programmatically from the registry minus the union of
-# CORRECTNESS_r01-r09) plus the first 11 r1-r3-stale names (m48-m50
-# last witnessed r1; q27-q33, q53 last witnessed r2) — dropping
-# never-witnessed debt 39 -> 0.
+# has held exactly 50 entries per round (CORRECTNESS_r01-r10.json) — so
+# ordering is part of the verification contract.  Round 11 continues
+# the REGISTRATION FREEZE (VERDICT r09/r10): zero new queries; round 10
+# burned the last 39 never-witnessed names plus the 11 stalest
+# (CORRECTNESS_r10.json: 50/50 green), so never-witnessed debt is 0 and
+# 64 names remain whose latest witness is r2/r3.  The round-11 window
+# is the first 50 of that stale queue, exactly as reserved by round
+# 10's boundary comment (the 15 r2-era function-coverage names, then
+# the r3 band through q90); the final 14 (q91 onward + s4a/s6-s8/u3)
+# complete the burn-down in round 12, after which no witness predates
+# r4.  Round-10 window names dropped out of _PRIORITY (they follow in
+# module order).
 #
 # STANDING DEBT RULE (VERDICT r08 item 2): new registrations per round
 # <= 50 minus the never-witnessed backlog; while backlog > 0, zero new
-# names (hard cap 3, only for driver-found defects).  After round 10
-# the never-witnessed backlog is 0 and 64 names remain whose latest
-# witness is r2/r3: round 11 takes the first 50 of the stale queue
-# below (the 15 remaining r2 names, then r3 names); the final 14 r3
-# names (q91 onward) go to round 12, after which no witness predates
-# r4.  Names
-# witnessed in r9 dropped out of _PRIORITY (they follow in module
-# order).
+# names (hard cap 3, only for driver-found defects).
+#
+# STANDING ROTATION RULE (VERDICT r10 item 5) — in force from round 13,
+# once the stale burn-down completes: the window is chosen
+# OLDEST-WITNESSED-FIRST, computed from the CORRECTNESS_r*.json ledger
+# by ``tools/next_window.py`` (ties broken by registry name).  With 410
+# names and 50-slot windows the full cycle is ~8.2 rounds, so the
+# maximum witness age under the rule is bounded at ~9 rounds; _PRIORITY
+# is regenerated from the tool's output each round (it IS the rule's
+# materialization — the tool prints the tuple to paste here, and
+# tests/test_registry.py pins that the head of _PRIORITY equals the
+# tool's choice).
 _PRIORITY: tuple[str, ...] = (
-    # ---- round-10 window: the 39 never-witnessed (r7-era band) ----
-    "q261_cohort_ltv",
-    "q262_similarity_histogram",
-    "q263_token_bucket",
-    "q264_rrf_fusion",
-    "m52_cdc_chunk_dedup",
-    "q265_cohens_kappa",
-    "q266_ratio_metric_delta",
-    "q267_importance_ess",
-    "q268_rank_biased_overlap",
-    "q269_woe_iv",
-    "q270_churn_labels",
-    "q271_rendezvous_sharding",
-    "q272_greedy_set_cover",
-    "q273_apriori_triples",
-    "q274_good_turing",
-    "q275_ab_power_mde",
-    "q276_capture_recapture",
-    "q277_partial_correlation",
-    "q278_profile_cosine",
-    "q279_engagement_auc",
-    "q280_cost_threshold",
-    "q281_session_lift",
-    "q282_quantile_treatment_effect",
-    "q283_cuped",
-    "q284_srm_check",
-    "q285_dedup_roi",
-    "q286_page_hinkley",
-    "q287_subgroup_auc_gap",
-    "q288_lsh_planner",
-    "q289_kruskal_wallis",
-    "q290_logrank",
-    "q291_fleiss_kappa",
-    "q292_minhash_error_audit",
-    "q293_vocab_forecast",
-    "q294_markov_entropy_rate",
-    "q295_similarity_transitivity",
-    "q296_sprt",
-    "q297_nbinom_fit",
-    "q298_lsh_stage_quality",
-    # -- (11) stalest names, oldest-first: r1-era multimodal, then the
-    # first 8 of the r2-era function-coverage band --
-    "m48_image_decode_features",
-    "m49_audio_frame_sample",
-    "m50_image_resize",
-    "q27_except",
-    "q28_string_funcs",
-    "q29_date_funcs",
-    "q30_math_funcs",
-    "q31_json_extract",
-    "q32_map_funcs",
-    "q33_array_funcs",
-    "q53_pivot",
-    # ---- window boundary (50) — names below reserve for round 11:
-    # the 64 remaining stale names (latest witness r2/r3), oldest-first.
-    # Round 11 takes the first 50; the final 14 (q91 onward) go to
-    # round 12, after which no witness predates r4.
+    # ---- round-11 window (50): the stale queue, oldest-first, exactly
+    # as reserved by the round-10 boundary comment.
     # -- (15) r2-era remainder --
     "q54_unpivot",
     "q55_grouping_sets",
@@ -198,8 +151,9 @@ _PRIORITY: tuple[str, ...] = (
     "q88_top_word_dominance",
     "q89_stratified_sample",
     "q90_rebalance_sources",
-    # ---- round-11 boundary (50 after the round-10 window) — the
-    # final 14 below complete the stale burn-down in round 12 --
+    # ---- window boundary (50) — the final 14 below reserve for round
+    # 12 and complete the stale burn-down; from round 13 the window is
+    # chosen by the standing oldest-witnessed-first rule above --
     "q91_props_template",
     "q92_bloom_composite_key",
     "q93_adaptive_length_filter",

@@ -92,6 +92,30 @@ def test_connected_components_star_long_chain_few_rounds(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_unconverged_falls_back_to_star(spark):
+    """ADVICE r10: min-label propagation moves the component minimum one
+    hop per round, so a path longer than max_iters would leave WRONG
+    labels.  The guard must detect the exhausted-but-still-changing loop,
+    warn, and rerun via star contraction — correct labels either way."""
+    import warnings
+
+    n = 60  # diameter 59 > max_iters=8
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {
+            r.id: r.label
+            for r in connected_components(pairs, max_iters=8).collect()
+        }
+    assert got == {i: 0 for i in range(n)}
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "did not" in str(w.message)
+        for w in caught
+    )
+
+
 @given(
     st.lists(
         st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda p: p[0] != p[1]),

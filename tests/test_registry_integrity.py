@@ -89,3 +89,25 @@ def test_registry_contract_shape():
     missing = [n for n in _PRIORITY if n not in qs]
     assert not missing, f"_PRIORITY names not registered: {missing}"
     assert len(list(qs)[:50]) == 50
+
+
+def test_window_follows_rotation_rule():
+    """The committed _PRIORITY head must equal the standing
+    oldest-witnessed-first rotation rule's choice (VERDICT r10 item 5),
+    computed from the CORRECTNESS_r*.json ledger by
+    tools/next_window.py.  During the r11-r12 burn-down the reserved
+    windows coincide with the rule by construction; from round 13 this
+    test IS the rule's enforcement — the window can never silently
+    drift from oldest-first."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "next_window.py"), "--check"],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr

@@ -194,10 +194,16 @@ def build_customer(factor: int, out: str) -> None:
     if os.path.exists(os.path.join(out, "_DONE")):
         print(f"{out} already built")
         return
+    # read + probe BEFORE rmtree (ADVICE r10): an empty base table must
+    # fail with a clear message, not a TypeError after the prior output
+    # was already deleted
+    cust = spark.read.parquet(BASE + "/customer.parquet")
+    max_key = cust.agg(F.max("c_custkey")).first()[0]
+    if max_key is None:
+        raise SystemExit(f"{BASE}/customer.parquet is empty — nothing to replicate")
+    mc = max_key + 1
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
-    cust = spark.read.parquet(BASE + "/customer.parquet")
-    mc = cust.agg(F.max("c_custkey")).first()[0] + 1
     reps = [
         cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * mc)).withColumn(
             "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
