@@ -204,6 +204,7 @@ def connected_components_star(
     edges = truncate_lineage(edges)
 
     prev: tuple[int, int] | None = None
+    converged = False
     for _ in range(max_iters):
         stepped = _small_star(_large_star(edges))
         obs = Observation()
@@ -218,8 +219,23 @@ def connected_components_star(
         edges = truncate_lineage(observed)
         sig = (obs.get["n"], obs.get["hs"])
         if sig == prev:
+            converged = True
             break
         prev = sig
+    if not converged:
+        # No fixpoint within the budget: the edge set is not yet a
+        # forest of depth-1 stars, so labeling from it would be WRONG.
+        # There is no cheaper algorithm to fall back to (this IS the
+        # any-topology fallback), so fail loudly — the same discipline
+        # as connected_components' guard, one level down.  O(log^2 n)
+        # rounds means the default budget of 50 never exhausts on any
+        # graph that fits in storage; hitting this means max_iters was
+        # lowered below the topology's need.
+        raise RuntimeError(
+            "connected_components_star: no fixpoint within "
+            f"max_iters={max_iters}; labels would be unconverged — "
+            "raise max_iters"
+        )
 
     # at fixpoint every edge is (member, component-min); minima appear
     # only as dst, so a left join + coalesce labels them with themselves

@@ -92,6 +92,21 @@ def test_connected_components_star_long_chain_few_rounds(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_star_no_fixpoint_raises(spark):
+    """The any-topology fallback has no cheaper algorithm behind it, so
+    an exhausted budget must be LOUD: a 200-node path cannot reach the
+    depth-1-star fixpoint in 2 rounds, and returning the intermediate
+    edge set as labels would be silently wrong."""
+    import pytest
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components_star(pairs, max_iters=2).collect()
+
+
 def test_connected_components_unconverged_falls_back_to_star(spark):
     """ADVICE r10: min-label propagation moves the component minimum one
     hop per round, so a path longer than max_iters would leave WRONG
