@@ -94,8 +94,8 @@ def register(
 # maximum witness age under the rule is bounded at ~9 rounds; _PRIORITY
 # is regenerated from the tool's output each round (it IS the rule's
 # materialization — the tool prints the tuple to paste here, and
-# tests/test_registry.py pins that the head of _PRIORITY equals the
-# tool's choice).
+# tests/test_registry_integrity.py::test_window_follows_rotation_rule
+# pins that the head of _PRIORITY equals the tool's choice).
 _PRIORITY: tuple[str, ...] = (
     # ---- round-11 window (50): the stale queue, oldest-first, exactly
     # as reserved by the round-10 boundary comment.
