@@ -880,3 +880,14 @@ def test_q339_panel_join_broadcasts_fixed_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q339_knn_classifier")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q117_fingerprint_lineage_cut_single_text_scan(spark, sf_dir):
+    # the (doc_id, simhash) projection is lineage-cut once (r11): the
+    # three consumers (fp contraction, banding+verify, member map-back)
+    # must read the materialized cut, never re-scan documents through
+    # the 30-aggregate fingerprint expression.  The cut shows up as the
+    # plan reading from ExistingRDD/checkpoint instead of repeated
+    # documents FileScans — at most one text scan may remain.
+    plan = _plan(spark, sf_dir, "q117_simhash_clusters")
+    assert plan.count("FileScan parquet") <= 1, plan[:2000]
