@@ -77,7 +77,13 @@ def connected_components(
     )
 
     converged = False
-    for _ in range(max_iters):
+    # max_iters bounds the number of LABEL-CHANGING rounds; the +1 is
+    # the confirming observation (ADVICE r11): a graph whose diameter
+    # exactly equals max_iters finishes its last propagation on round
+    # max_iters with changed>0, and only the NEXT round can observe
+    # changed==0 — without the spare round, correct labels would be
+    # discarded and the whole computation rerun via star contraction.
+    for _ in range(max_iters + 1):
         nbr = (
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), F.col("label"))
@@ -118,8 +124,11 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
+        # feed the already-symmetrized, deduped, lineage-cut edge frame
+        # (ADVICE r11) — the star prep's own filter+distinct then reads
+        # a checkpoint instead of recomputing `pairs`' full lineage
         return connected_components_star(
-            pairs, src_col=src_col, dst_col=dst_col, max_iters=max_iters
+            edges, src_col="src", dst_col="dst", max_iters=max_iters
         )
     return labels
 

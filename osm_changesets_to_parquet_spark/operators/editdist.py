@@ -160,9 +160,17 @@ def edit_distance_pairs(
     Costs at most two tiny aggregates at operator construction — the
     affix-length probe, plus the orientation probe ONLY when an affix
     was actually stripped (p == q == 0 skips it; the low-entropy-head
-    shape it detects is a product of stripping).  Pass
-    ``strip_common_affixes=False`` to keep the plan fully
-    action-free."""
+    shape it detects is a product of stripping).  Known trade-off
+    (ADVICE r11): a corpus with two or more template FAMILIES has
+    low-entropy per-family heads but no corpus-wide common affix, so
+    p == q == 0 skips the probe and such corpora keep the forward
+    orientation even when reversal would spread segment-0 keys better.
+    That is deliberate: both orientations are exact, the cost is only
+    candidate volume, and gating on the stripped-affix signal keeps
+    the default plan free of speculative eager scans; if a
+    multi-template corpus measurably hot-spots, run with the probe by
+    splitting per family upstream.  Pass ``strip_common_affixes=False``
+    to keep the plan fully action-free."""
     if k < 1:
         raise ValueError("k must be >= 1 (k=0 is exact dedup — hash-groupBy)")
     src = df.where(F.col(str_col).isNotNull())

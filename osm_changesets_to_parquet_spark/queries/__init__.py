@@ -69,91 +69,36 @@ def register(
 
 
 # The driver records correctness rows in registry order and its window
-# has held exactly 50 entries per round (CORRECTNESS_r01-r10.json) — so
-# ordering is part of the verification contract.  Round 11 continues
-# the REGISTRATION FREEZE (VERDICT r09/r10): zero new queries; round 10
-# burned the last 39 never-witnessed names plus the 11 stalest
-# (CORRECTNESS_r10.json: 50/50 green), so never-witnessed debt is 0 and
-# 64 names remain whose latest witness is r2/r3.  The round-11 window
-# is the first 50 of that stale queue, exactly as reserved by round
-# 10's boundary comment (the 15 r2-era function-coverage names, then
-# the r3 band through q90); the final 14 (q91 onward + s4a/s6-s8/u3)
-# complete the burn-down in round 12, after which no witness predates
-# r4.  Round-10 window names dropped out of _PRIORITY (they follow in
-# module order).
+# has held exactly 50 entries per round (CORRECTNESS_r01-r11.json) — so
+# ordering is part of the verification contract.  Round 12 continues
+# the REGISTRATION FREEZE (VERDICT r09-r11): zero new queries.  Round
+# 11 burned the 50-name stale window reserved at the round-10 boundary
+# (CORRECTNESS_r11.json: 50/50 green); the round-12 window below
+# completes the stale burn-down — it opens with the final 14 names
+# whose latest witness is still r3 (q91-q99, s4a, s6-s8, u3) and fills
+# the remaining 36 slots with the oldest r4-witnessed names in
+# ascending name order, exactly as the standing rotation rule orders
+# them.  After this window lands green, no witness predates r4 and the
+# steady-state rotation begins.
 #
 # STANDING DEBT RULE (VERDICT r08 item 2): new registrations per round
 # <= 50 minus the never-witnessed backlog; while backlog > 0, zero new
 # names (hard cap 3, only for driver-found defects).
 #
-# STANDING ROTATION RULE (VERDICT r10 item 5) — in force from round 13,
-# once the stale burn-down completes: the window is chosen
-# OLDEST-WITNESSED-FIRST, computed from the CORRECTNESS_r*.json ledger
-# by ``tools/next_window.py`` (ties broken by registry name).  With 410
-# names and 50-slot windows the full cycle is ~8.2 rounds, so the
-# maximum witness age under the rule is bounded at ~9 rounds; _PRIORITY
-# is regenerated from the tool's output each round (it IS the rule's
-# materialization — the tool prints the tuple to paste here, and
+# STANDING ROTATION RULE (VERDICT r10 item 5) — this window IS the
+# rule's output: the window is chosen OLDEST-WITNESSED-FIRST, computed
+# from the git-TRACKED CORRECTNESS_r*.json ledger by
+# ``tools/next_window.py`` (ties broken by registry name; see that
+# tool's docstring for why the rule reads only tracked ledgers — the
+# driver drops each round's ledger untracked after the final commit).
+# With 410 names and 50-slot windows the full cycle is ~8.2 rounds, so
+# the maximum witness age under the rule is bounded at ~9 rounds;
+# _PRIORITY is regenerated from the tool's output each round (the tool
+# prints the tuple to paste here, and
 # tests/test_registry_integrity.py::test_window_follows_rotation_rule
 # pins that the head of _PRIORITY equals the tool's choice).
 _PRIORITY: tuple[str, ...] = (
-    # ---- round-11 window (50): the stale queue, oldest-first, exactly
-    # as reserved by the round-10 boundary comment.
-    # -- (15) r2-era remainder --
-    "q54_unpivot",
-    "q55_grouping_sets",
-    "q56_scalar_subquery",
-    "q57_in_subquery",
-    "q58_exists_not_exists",
-    "q59_having",
-    "q60_case_coalesce",
-    "q61_stats_agg",
-    "q62_argmin_argmax",
-    "q63_string_agg",
-    "q65_window_frame_funcs",
-    "q66_values_lookup_join",
-    "q67_distinct_multicol",
-    "q73_vector_normalize",
-    "q74_quantize_int8",
-    # -- (49) r3-era, name order --
-    "a51_lsh_recall_prop",
-    "a52_ivf_recall_prop",
-    "cs0_xml_to_parquet",
-    "cs2_error_tolerant",
-    "cs7_fallback_xml",
-    "m51_media_dedup",
-    "q100_incremental_agg",
-    "q101_containment_pairs",
-    "q16b_theta_join_agg_rewrite",
-    "q34_exact_dedup",
-    "q35a_jaccard_truth",
-    "q35b_minhash_lsh",
-    "q64_conditional_agg",
-    "q68_neardup_clusters",
-    "q68b_neardup_clusters_lsh",
-    "q69_hash_sample",
-    "q70_train_test_split",
-    "q71_profile",
-    "q72_histogram",
-    "q75_funnel",
-    "q76_retention_cohort",
-    "q77_nullsafe_join",
-    "q78_bag_setops",
-    "q79_limit_offset",
-    "q80_count_min_sketch",
-    "q81_merge_upsert",
-    "q82_resample_ffill",
-    "q83_ewma",
-    "q84_pagerank",
-    "q85_bloom_prefilter",
-    "q86_ngram_decontaminate",
-    "q87_repetition_filter",
-    "q88_top_word_dominance",
-    "q89_stratified_sample",
-    "q90_rebalance_sources",
-    # ---- window boundary (50) — the final 14 below reserve for round
-    # 12 and complete the stale burn-down; from round 13 the window is
-    # chosen by the standing oldest-witnessed-first rule above --
+    # ---- window (50): oldest-witnessed-first ----
     "q91_props_template",
     "q92_bloom_composite_key",
     "q93_adaptive_length_filter",
@@ -168,6 +113,57 @@ _PRIORITY: tuple[str, ...] = (
     "s7_stream_stream_join",
     "s8_stream_static_join",
     "u3_udaf_geomean",
+    "a51_lsh_ann_topk",
+    "a52_ivf_ann_topk",
+    "cs1_count",
+    "cs3_bz2_multistream",
+    "cs4_csv_roundtrip",
+    "cs5_json_roundtrip",
+    "cs6_orc_roundtrip",
+    "cs8_schema_evolution",
+    "q01_count",
+    "q02_filter_project",
+    "q03_like_in",
+    "q04_groupby_agg",
+    "q05_count_distinct",
+    "q06_rollup",
+    "q07_cube",
+    "q102_semdedup",
+    "q103_scd2_history",
+    "q104_compact_parquet",
+    "q105_asof_forward",
+    "q106_neardup_clusters_star",
+    "q107_triangle_count",
+    "q108_hll_rollup",
+    "q109_bm25_topk",
+    "q110_simhash_neardup",
+    "q111_bucketed_join",
+    "q112_editdist_join",
+    "q113_snapshot_diff",
+    "q114_pii_redact",
+    "q115_kmeans",
+    "q116_hierarchy_closure",
+    "q117_simhash_clusters",
+    "q118_constraint_checks",
+    "q119_approx_percentile_bounds",
+    "q120_psi_drift",
+    "q122_interval_overlap",
+    "q123_pmi_collocations",
+    # ---- next-oldest tail (14) ----
+    "q124_doc_chunking",
+    "q125_jaccard_prefix_filter",
+    "q126_group_cap_sample",
+    "s10_stream_merge_upsert",
+    "s1_tumbling_window",
+    "s2_sliding_window",
+    "s3_session_window",
+    "s4b_watermark_late_drops",
+    "s5_streaming_dedup",
+    "s9_session_window_stream",
+    "u1_pandas_udf_normalize",
+    "u2_grouped_map_zscore",
+    "u4_udtf_tokenize",
+    "cs10_bbox_cells",
 )
 # no rows-only queries remain (a51/a52 carry tolerance oracles now)
 _LAST: tuple[str, ...] = ()

@@ -95,10 +95,13 @@ def test_window_follows_rotation_rule():
     """The committed _PRIORITY head must equal the standing
     oldest-witnessed-first rotation rule's choice (VERDICT r10 item 5),
     computed from the CORRECTNESS_r*.json ledger by
-    tools/next_window.py.  During the r11-r12 burn-down the reserved
-    windows coincide with the rule by construction; from round 13 this
-    test IS the rule's enforcement — the window can never silently
-    drift from oldest-first."""
+    tools/next_window.py.  Hermeticity (VERDICT r11 item 1): the tool
+    computes the rule from git-TRACKED ledgers, and --check also
+    accepts the window implied by the full on-disk ledger — so the
+    suite stays green when the driver drops a new round's untracked
+    CORRECTNESS file after the final commit.  The window can never
+    silently drift from oldest-first: regenerating _PRIORITY when a
+    ledger is committed is enforced the moment that commit lands."""
     import os
     import subprocess
     import sys as _sys
@@ -111,3 +114,49 @@ def test_window_follows_rotation_rule():
         cwd=repo,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_rotation_check_survives_round_boundary_ledger_drop():
+    """Regression for VERDICT r11 item 1: the driver drops
+    CORRECTNESS_r{N}.json UNTRACKED after the builder's final commit,
+    which used to advance the rule's window past the committed
+    _PRIORITY and turn the suite red at every round boundary.  Simulate
+    the post-drop state — write an all-green ledger for a fictitious
+    future round covering the current window — and require --check to
+    still pass (the tracked-ledger rule is unchanged by an untracked
+    file)."""
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    Q = _load_registry()
+    window = list(Q.REGISTRY)[:50]
+    ledger = {
+        n: {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+            "err": None,
+        }
+        for n in window
+    }
+    fake = os.path.join(repo, "CORRECTNESS_r98.json")
+    assert not os.path.exists(fake), "fixture round number collides"
+    try:
+        with open(fake, "w") as f:
+            json.dump(ledger, f)
+        proc = subprocess.run(
+            [
+                _sys.executable,
+                os.path.join(repo, "tools", "next_window.py"),
+                "--check",
+            ],
+            capture_output=True,
+            text=True,
+            cwd=repo,
+        )
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+    finally:
+        os.remove(fake)
