@@ -131,6 +131,28 @@ def test_connected_components_unconverged_falls_back_to_star(spark):
     )
 
 
+def test_connected_components_diameter_equals_max_iters_converges(spark):
+    """ADVICE r11: a path of diameter exactly max_iters finishes its last
+    label-changing propagation on round max_iters; only the NEXT round can
+    observe changed==0.  The spare confirming round must let the guard see
+    convergence instead of discarding correct labels and rerunning the whole
+    computation via star contraction (which would emit the RuntimeWarning)."""
+    import warnings
+
+    n = 9  # path 0-1-...-8: diameter 8 == max_iters
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {
+            r.id: r.label
+            for r in connected_components(pairs, max_iters=n - 1).collect()
+        }
+    assert got == {i: 0 for i in range(n)}
+    assert not any(issubclass(w.category, RuntimeWarning) for w in caught)
+
+
 @given(
     st.lists(
         st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda p: p[0] != p[1]),
