@@ -224,7 +224,14 @@ def main() -> None:
     tier2: dict[str, float] = {}
     tier2_skipped: list[str] = []
     tier2_total = 0.0
-    for name in tier2_names(list(qs), rnd):
+    # builder-iteration knob: SPARK_GRAFT_TIER1_ONLY=1 skips the ~120
+    # tier-2 canaries so idle-preview retries (hunting a clean noise
+    # anchor on a contended host) cost ~4 min instead of ~15.  The
+    # driver never sets it; the headline JSON shape is unchanged
+    # (tier2 empty, tier2_total 0 — obviously distinguishable from a
+    # real tier-2 pass, and BENCH_PREVIEW.json carries only tier-1).
+    tier1_only = bool(os.environ.get("SPARK_GRAFT_TIER1_ONLY"))
+    for name in [] if tier1_only else tier2_names(list(qs), rnd):
         t0 = time.perf_counter()
         try:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
