@@ -69,17 +69,15 @@ def register(
 
 
 # The driver records correctness rows in registry order and its window
-# has held exactly 50 entries per round (CORRECTNESS_r01-r11.json) — so
-# ordering is part of the verification contract.  Round 12 continues
-# the REGISTRATION FREEZE (VERDICT r09-r11): zero new queries.  Round
-# 11 burned the 50-name stale window reserved at the round-10 boundary
-# (CORRECTNESS_r11.json: 50/50 green); the round-12 window below
-# completes the stale burn-down — it opens with the final 14 names
-# whose latest witness is still r3 (q91-q99, s4a, s6-s8, u3) and fills
-# the remaining 36 slots with the oldest r4-witnessed names in
-# ascending name order, exactly as the standing rotation rule orders
-# them.  After this window lands green, no witness predates r4 and the
-# steady-state rotation begins.
+# has held exactly 50 entries per round (CORRECTNESS_r01-r12.json) — so
+# ordering is part of the verification contract.  Round 13 continues
+# the REGISTRATION FREEZE (VERDICT r09-r12): zero new queries.  The
+# stale burn-down completed in r12 (CORRECTNESS_r12.json: 50/50 green;
+# no witness predates r4), so this is the FIRST steady-state window:
+# pure oldest-witnessed-first output of tools/next_window.py — it
+# fronts the r4-era streaming/UDF names (s1–s3, s4b, s5, s9, s10,
+# u1/u2/u4, q124–q126, cs9–cs11, m47) and fills with the oldest
+# r5-witnessed names in ascending name order.
 #
 # STANDING DEBT RULE (VERDICT r08 item 2): new registrations per round
 # <= 50 minus the never-witnessed backlog; while backlog > 0, zero new
@@ -99,57 +97,6 @@ def register(
 # pins that the head of _PRIORITY equals the tool's choice).
 _PRIORITY: tuple[str, ...] = (
     # ---- window (50): oldest-witnessed-first ----
-    "q91_props_template",
-    "q92_bloom_composite_key",
-    "q93_adaptive_length_filter",
-    "q94_incremental_dedup",
-    "q95_weighted_sample",
-    "q96_vocab_oov",
-    "q97_sequence_packing",
-    "q98_zorder_cells",
-    "q99_salted_skew_join",
-    "s4a_watermark_ontime",
-    "s6_stateful_running_agg",
-    "s7_stream_stream_join",
-    "s8_stream_static_join",
-    "u3_udaf_geomean",
-    "a51_lsh_ann_topk",
-    "a52_ivf_ann_topk",
-    "cs1_count",
-    "cs3_bz2_multistream",
-    "cs4_csv_roundtrip",
-    "cs5_json_roundtrip",
-    "cs6_orc_roundtrip",
-    "cs8_schema_evolution",
-    "q01_count",
-    "q02_filter_project",
-    "q03_like_in",
-    "q04_groupby_agg",
-    "q05_count_distinct",
-    "q06_rollup",
-    "q07_cube",
-    "q102_semdedup",
-    "q103_scd2_history",
-    "q104_compact_parquet",
-    "q105_asof_forward",
-    "q106_neardup_clusters_star",
-    "q107_triangle_count",
-    "q108_hll_rollup",
-    "q109_bm25_topk",
-    "q110_simhash_neardup",
-    "q111_bucketed_join",
-    "q112_editdist_join",
-    "q113_snapshot_diff",
-    "q114_pii_redact",
-    "q115_kmeans",
-    "q116_hierarchy_closure",
-    "q117_simhash_clusters",
-    "q118_constraint_checks",
-    "q119_approx_percentile_bounds",
-    "q120_psi_drift",
-    "q122_interval_overlap",
-    "q123_pmi_collocations",
-    # ---- next-oldest tail (14) ----
     "q124_doc_chunking",
     "q125_jaccard_prefix_filter",
     "q126_group_cap_sample",
@@ -164,6 +111,57 @@ _PRIORITY: tuple[str, ...] = (
     "u2_grouped_map_zscore",
     "u4_udtf_tokenize",
     "cs10_bbox_cells",
+    "cs11_python_datasource",
+    "cs9_pipeline_roundtrip",
+    "m47_multimodal_meta",
+    "q08_approx_count_distinct",
+    "q09_percentile",
+    "q10_join4_revenue",
+    "q11_left_join",
+    "q127_leakage_safe_split",
+    "q128_mad_outlier_scrub",
+    "q129_unigram_logprob",
+    "q12_full_outer",
+    "q130_text_normalize",
+    "q131_cross_source_dups",
+    "q133_join_skew_profile",
+    "q134_dedup_funnel",
+    "q135_contrastive_ann",
+    "q136_boilerplate_phrases",
+    "q137_equifreq_deciles",
+    "q138_cluster_canonical_pick",
+    "q139_incremental_neardup",
+    "q13_semi_join",
+    "q140_range_lookup",
+    "q141_heavyhitters",
+    "q14_anti_join",
+    "q15_cross_join",
+    "q16_theta_join",
+    "q17_range_join",
+    "q18_asof_join",
+    "q19_rank_topn",
+    "q20_lag_lead",
+    "q21_running_sum",
+    "q22_range_frame",
+    "q23_ntile_percent_rank",
+    "q24_topk",
+    "q25_union",
+    "q26_intersect",
+    # ---- next-oldest tail (14) ----
+    "q36_cosine_topk",
+    "q37_centroid",
+    "q38_token_freq",
+    "q39_bigrams",
+    "q40_tfidf",
+    "s11_left_outer_stream_join",
+    "s12_python_stream_source",
+    "t41_language_id",
+    "t42_quality_score",
+    "t43_token_count",
+    "t44_fingerprint",
+    "t45_simhash",
+    "q152_unigram_entropy",
+    "q153_group_jaccard",
 )
 # no rows-only queries remain (a51/a52 carry tolerance oracles now)
 _LAST: tuple[str, ...] = ()
