@@ -46,6 +46,43 @@ def test_tier2_skip_gate_is_the_dedicated_type_only():
         pass
 
 
+def test_tier1_only_env_parsing_is_explicit():
+    """ADVICE r12: any non-empty value used to enable tier-1-only mode,
+    so '0'/'false' silently skipped the tier-2 canaries.  Pin the
+    explicit parse: only 1/true (case/space-insensitive) enable it."""
+    for raw in ("1", "true", "TRUE", " 1 ", "True"):
+        assert bench._tier1_only_enabled(raw), raw
+    for raw in (None, "", "0", "false", "FALSE", "no", "off", "2"):
+        assert not bench._tier1_only_enabled(raw), raw
+
+
+def test_anchor_gate_acceptance():
+    """VERDICT r12 item 1: a tier-1 attempt is clean only when BOTH
+    bracketing range-sum anchors and the q01 IO probe sit within
+    ANCHOR_GATE_FACTOR of the committed clean maxima."""
+    a_gate = bench.ANCHOR_RANGE_SUM_CLEAN_MAX * bench.ANCHOR_GATE_FACTOR
+    q_gate = bench.ANCHOR_Q01_CLEAN_MAX * bench.ANCHOR_GATE_FACTOR
+    ok_a, ok_q = a_gate * 0.9, q_gate * 0.9
+    assert bench._attempt_clean(ok_a, ok_a, ok_q)
+    # a missing q01 (query renamed out of tier-1) must not crash or block
+    assert bench._attempt_clean(ok_a, ok_a, None)
+    # any one probe over its gate rejects the attempt
+    assert not bench._attempt_clean(a_gate * 1.1, ok_a, ok_q)
+    assert not bench._attempt_clean(ok_a, a_gate * 1.1, ok_q)
+    assert not bench._attempt_clean(ok_a, ok_a, q_gate * 1.1)
+    # the r12 contention sample (anchor 0.104-0.153 during the wave)
+    # would have been rejected; the clean-window sample accepted
+    assert not bench._attempt_clean(0.153, 0.149, 0.123)
+    assert bench._attempt_clean(0.053, 0.061, 0.105)
+
+
+def test_anchor_gate_attempts_are_bounded():
+    """Retries must terminate: bounded attempts, bounded backoff."""
+    assert 1 <= bench.MAX_TIER1_ATTEMPTS <= 5
+    assert len(bench.RETRY_BACKOFF_SEC) >= 1
+    assert sum(bench.RETRY_BACKOFF_SEC) <= 300
+
+
 def test_size_aware_shuffle_partitions_clamps(tmp_path):
     # empty dir -> lower clamp max(2, cpus // 4)
     assert bench._size_aware_shuffle_partitions(str(tmp_path), 32) == 8
