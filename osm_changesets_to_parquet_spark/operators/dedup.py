@@ -154,6 +154,7 @@ def lsh_candidates(
     id_col: str = "doc_id",
     n: int = 3,
     max_bucket: int | None = None,
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b), deterministic.
 
@@ -175,8 +176,27 @@ def lsh_candidates(
     larger than it are dropped (a bucket that hot means the band key is
     degenerate, e.g. boilerplate; its members are better handled by
     exact dedup upstream).
+
+    ``shingle_frame`` (optional): a lineage-truncated (id_col,
+    shingle_hashes) frame to compute signatures from, instead of
+    re-running the char-hash pass over the raw text — min-hash is
+    duplicate-blind (min over a multiset equals min over its set), so
+    a distinct-shingle frame yields byte-identical signatures.  When
+    absent, one is built and truncated here: the char-hash fold is the
+    dominant per-row cost, and materializing the (much smaller) hash
+    arrays once beats recomputing them inside the signature subtree —
+    measured 2.76 -> 1.65 s standalone and 2.76 -> 0.85 s when the
+    caller shares an already-built frame (sf0.1, warm; the
+    lsh_jaccard_pairs verify frame is exactly such a caller).
     """
-    sigged = minhash_signature(shingles(docs, text_col, n))
+    if shingle_frame is None:
+        shingle_frame = truncate_lineage(
+            shingles(docs, text_col, n).select(
+                F.col(id_col),
+                F.array_distinct("shingle_hashes").alias("shingle_hashes"),
+            )
+        )
+    sigged = minhash_signature(shingle_frame)
     keys = band_keys(F.col("sig"))
     banded = sigged.select(
         F.col(id_col),
@@ -283,22 +303,25 @@ def lsh_jaccard_pairs(
     their count — yet none of them can be a true pair (empty shingle
     sets never reach any Jaccard threshold; :func:`jaccard_pairs`
     never emits them either), so the filter changes nothing but cost.
-    The shared shingle frame is checkpointed once (two consumers —
-    the two verification join sides — would otherwise each re-run the
-    full char-hash pass; candidate generation computes its own
-    signatures from the raw text).
+    The shared shingle frame is checkpointed once and read by ALL
+    THREE consumers — both verification join sides AND candidate
+    generation (min-hash is duplicate-blind, so the distinct-shingle
+    arrays yield byte-identical signatures; the char-hash pass over
+    the raw text runs exactly once per query).
     """
     eligible = docs.where(
         F.size(F.split(F.col(text_col), " ")) >= n
     )
-    cands = lsh_candidates(eligible, text_col, id_col, n, max_bucket)
     sh = truncate_lineage(
         shingles(eligible, text_col, n).select(
-            F.col(id_col), F.array_distinct("shingle_hashes").alias("hs")
+            F.col(id_col), F.array_distinct("shingle_hashes").alias("shingle_hashes")
         )
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("hs").alias("ha"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hb"))
+    cands = lsh_candidates(
+        eligible, text_col, id_col, n, max_bucket, shingle_frame=sh
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle_hashes").alias("ha"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle_hashes").alias("hb"))
     inter = F.size(F.array_intersect("ha", "hb"))
     return (
         cands.join(a, "id_a")

@@ -247,9 +247,15 @@ def test_q73_q74_vector_ops_no_shuffle(spark, sf_dir):
 
 def test_q35b_single_scan_bucket_aggregation(spark, sf_dir):
     # the one-pass bucket spelling: the expensive signature subtree must
-    # appear exactly once (a self-join spelling scanned it twice)
+    # appear exactly once (a self-join spelling scanned it twice).
+    # Since round 13 the char-hash pass runs ONCE in the lineage-
+    # truncated shingle-frame build; the query plan reads that
+    # materialized frame (ExistingRDD) and must not re-scan the
+    # parquet or re-fold the text.
     plan = _plan(spark, sf_dir, "q35b_minhash_lsh")
-    assert plan.count("FileScan parquet") == 1
+    assert plan.count("FileScan parquet") == 0
+    assert plan.count("Scan ExistingRDD") == 1
+    assert "aggregate(" not in plan  # char-hash fold absent from query plan
     assert "ObjectHashAggregate" in plan  # collect_list buckets
 
 
