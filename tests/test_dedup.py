@@ -80,6 +80,26 @@ def test_pairwise_neardup_runs(spark, sf_dir):
         assert r.sim >= 0.3
 
 
+def test_lsh_pairs_share_one_shingle_frame(spark, sf_dir):
+    """lsh_jaccard_pairs must read ONE materialized shingle frame from
+    all three consumers (candidate generation + both verify join
+    sides): the plan shows exactly three ExistingRDD scans and NO
+    parquet re-scan or char-hash fold — the expensive text pass runs
+    once, in the lineage-truncation build (round-13 discipline;
+    min-hash is duplicate-blind so the distinct-shingle frame yields
+    byte-identical signatures)."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        D.lsh_jaccard_pairs(docs, threshold=0.6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 3
+    assert plan.count("FileScan parquet") == 0
+    assert "aggregate(" not in plan  # char-hash fold absent
+
+
 def test_prefix_filter_equals_full_jaccard_join(spark, sf_dir):
     from pyspark.sql import functions as F
 
