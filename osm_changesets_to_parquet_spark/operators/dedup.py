@@ -1,9 +1,14 @@
 """Deduplication operators for training-data pipelines.
 
-Five families, all pure DataFrame compositions (JVM-side lambda folds,
-no Python in the hot path), all built on one *engine-portable* hash —
-a polynomial rolling hash (base 31, mod 2^61-ish prime) over character
-codes — so every step can be hash-matched against a SQL oracle:
+Five families, all built on one *engine-portable* hash — a polynomial
+rolling hash (base 31, mod a 2^30-ish prime) over character codes — so
+every step can be hash-matched against a SQL oracle.  Since round 13
+the hash/fingerprint kernels (char hash, shingles, MinHash, SimHash)
+are evaluated as vectorized NumPy over Arrow batches
+(operators.fasthash, guide §4.2) instead of interpreted HOF lambda
+folds — byte-identical integers, ~10x less scan-stage CPU; everything
+downstream (banding, buckets, joins, verification) stays pure JVM
+DataFrame composition:
 
 - :func:`exact_dedup`        — normalize -> 128-bit md5 group key
   (the shuffle carries 16 bytes/row, never the document text)
@@ -77,13 +82,31 @@ def exact_dedup(
 def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Add ``shingle_hashes``: array<long> of hashed word n-gram shingles.
 
-    Shingle hash = base-31 fold over the n *token* hashes: every
-    character is hashed exactly once per document (the earlier spelling
-    re-hashed the concatenated shingle string, touching each character
-    n times and allocating the string — ~2x slower on real text).  The
-    token-hash + combine construction mirrors 1:1 into the oracle's
-    list_transform + range spelling (queries/dedup_sim.py).
+    Shingle hash = base-31 fold over the n *token* hashes; the token-hash
+    + combine construction mirrors 1:1 into the oracle's list_transform +
+    range spelling (queries/dedup_sim.py).
+
+    Since round 13 the fold is evaluated as ONE vectorized NumPy kernel
+    over Arrow batches (operators.fasthash — guide §4.2: hand whole
+    columnar batches to native code) instead of nested HOF lambdas,
+    whose bodies are interpreted per character and never enter
+    whole-stage codegen.  Byte-identical integers by construction
+    (fasthash module docstring walks the tokenization/codepoint/fold
+    equivalence; pinned by test_fasthash_kernels_equal_hof_spellings);
+    measured at sf0.1 the char-hash pass drops ~10x.  The HOF spelling
+    is kept as :func:`shingles_hof` — the equivalence witness.
     """
+    from osm_changesets_to_parquet_spark.operators import fasthash
+
+    return docs.withColumn(
+        "shingle_hashes", fasthash.shingle_hashes_udf(n)(F.col(text_col))
+    )
+
+
+def shingles_hof(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """The pre-r13 higher-order-function spelling of :func:`shingles` —
+    kept as the in-JVM equivalence witness for the vectorized kernel
+    (every character is still hashed exactly once per document)."""
     tk = F.split(F.col(text_col), " ")
     th = F.transform(
         tk,
@@ -116,7 +139,26 @@ def minhash_signature(
 
     Empty shingle sets get HASH_MOD sentinel values (never matches a
     real hash, so empty docs only pair with empty docs).
+
+    Evaluated as one vectorized NumPy kernel over Arrow batches since
+    round 13 (operators.fasthash): the HOF spelling walked the shingle
+    array 32 times through the interpreted lambda evaluator; the kernel
+    does 32 vectorized (a*h+b)%p + segmented-min passes.  Identical
+    integers (:func:`minhash_signature_hof` is the pinned witness).
     """
+    from osm_changesets_to_parquet_spark.operators import fasthash
+
+    return docs_with_shingles.withColumn(
+        out_col,
+        fasthash.minhash_sig_udf(MINHASH_A, MINHASH_B)(F.col("shingle_hashes")),
+    )
+
+
+def minhash_signature_hof(
+    docs_with_shingles: DataFrame, out_col: str = "sig"
+) -> DataFrame:
+    """Pre-r13 HOF spelling of :func:`minhash_signature` (equivalence
+    witness for the vectorized kernel)."""
     hs = F.col("shingle_hashes")
 
     def perm(a: int, b: int):
@@ -784,7 +826,24 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     sign of sum over tokens of (2*bit_j(hash) - 1).  Pure integer math,
     mirrored in the oracle SQL.  Near-dup = small hamming distance
     (use bit_count(a ^ b) — see tests).
+
+    Evaluated as one vectorized NumPy kernel over Arrow batches since
+    round 13 (operators.fasthash): the HOF spelling paid an interpreted
+    per-character fold PLUS 30 more interpreted passes over the
+    token-hash array (one per fingerprint bit); the kernel hashes each
+    character once and reduces all 30 bit sums in two vectorized ops.
+    Identical integers (:func:`simhash_hof` is the pinned witness).
     """
+    from osm_changesets_to_parquet_spark.operators import fasthash
+
+    return docs.withColumn("simhash", fasthash.simhash_udf(F.col(text_col)))
+
+
+def simhash_hof(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pre-r13 HOF spelling of :func:`simhash` (equivalence witness
+    for the vectorized kernel)."""
     tk = F.split(F.col(text_col), " ")
     hs = F.transform(
         tk,

@@ -113,3 +113,72 @@ def test_prefix_filter_equals_full_jaccard_join(spark, sf_dir):
         for r in D.jaccard_prefix_pairs(docs, threshold=0.6).collect()
     }
     assert pref == full and pref
+
+
+def test_fasthash_kernels_equal_hof_spellings(spark, sf_dir):
+    """The round-13 vectorized NumPy kernels (operators.fasthash) must
+    produce BYTE-IDENTICAL integers to the in-JVM HOF folds they
+    replaced — on the real fixture corpus plus the edge rows the
+    equivalence argument names (empty text, NULL text, consecutive/
+    leading/trailing spaces, sub-n-token docs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = spark.createDataFrame(
+        [
+            (90001, ""),
+            (90002, None),
+            (90003, "a"),
+            (90004, "a b"),
+            (90005, "a  b "),
+            (90006, " lead"),
+            (90007, "x y z w"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(edges)
+
+    sh_new = D.shingles(docs).select("doc_id", "shingle_hashes")
+    sh_old = D.shingles_hof(docs).select("doc_id", "shingle_hashes")
+    bad = (
+        sh_new.withColumnRenamed("shingle_hashes", "n")
+        .join(sh_old.withColumnRenamed("shingle_hashes", "o"), "doc_id")
+        .where(~F.col("n").eqNullSafe(F.col("o")))
+    )
+    assert bad.count() == 0, "shingle kernel drifted from HOF spelling"
+
+    fp_new = D.simhash(docs).select("doc_id", "simhash")
+    fp_old = D.simhash_hof(docs).select("doc_id", "simhash")
+    bad = (
+        fp_new.withColumnRenamed("simhash", "n")
+        .join(fp_old.withColumnRenamed("simhash", "o"), "doc_id")
+        .where(~F.col("n").eqNullSafe(F.col("o")))
+    )
+    assert bad.count() == 0, "simhash kernel drifted from HOF spelling"
+
+    sh = D.shingles(docs).select(
+        "doc_id", F.array_distinct("shingle_hashes").alias("shingle_hashes")
+    )
+    sig_new = D.minhash_signature(sh).select("doc_id", "sig")
+    sig_old = D.minhash_signature_hof(sh).select("doc_id", "sig")
+    bad = (
+        sig_new.withColumnRenamed("sig", "n")
+        .join(sig_old.withColumnRenamed("sig", "o"), "doc_id")
+        .where(~F.col("n").eqNullSafe(F.col("o")))
+    )
+    assert bad.count() == 0, "minhash kernel drifted from HOF spelling"
+
+    from osm_changesets_to_parquet_spark.operators import fasthash as FH
+
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+    )
+    bad = (
+        toks.select(
+            "t",
+            D.char_hash(F.col("t")).alias("o"),
+            FH.char_hash_udf(F.col("t")).alias("n"),
+        )
+        .where(~F.col("n").eqNullSafe(F.col("o")))
+    )
+    assert bad.count() == 0, "char-hash kernel drifted from HOF spelling"
