@@ -98,15 +98,30 @@ class EventsReplayPartitionedStreamReader(DataSourceStreamReader):
         return parts or [InputPartition((None, 0))]
 
     def read(self, partition):
-        # executor-side: decode exactly one row group
+        # executor-side: decode exactly one row group and hand it to
+        # Spark as ARROW RECORD BATCHES (supported return type of the
+        # Python DataSource read API) — the row-tuple spelling
+        # (`to_pylist` + `zip`) materialized and pickled every row
+        # through Python objects, guide §4's row-at-a-time tax; the
+        # batch stays columnar end-to-end.  Types are cast to the
+        # declared DDL so the Arrow schema matches exactly.
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         path, rg = partition.value
         if path is None:
             return
         t = pq.ParquetFile(path).read_row_group(rg, columns=_COLS)
-        cols = [t.column(c).to_pylist() for c in _COLS]
-        yield from zip(*cols)
+        target = pa.schema(
+            [
+                pa.field("event_id", pa.int64()),
+                pa.field("user_id", pa.int64()),
+                pa.field("event_type", pa.string()),
+                pa.field("value", pa.float64()),
+                pa.field("ts_us", pa.int64()),
+            ]
+        )
+        yield from t.select(_COLS).cast(target).to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # chunk files are immutable; nothing to release

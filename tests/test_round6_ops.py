@@ -139,14 +139,18 @@ def test_s13_reader_plans_multiple_partitions_per_batch(spark, sf_dir):
     assert reader.latestOffset() == {"i": 2}
     parts = reader.partitions({"i": 0}, {"i": 1})
     assert len(parts) >= 2, "a chunk must plan one partition per row group"
-    rows = [r for p in parts for r in reader.read(p)]
+    # read() yields ARROW RECORD BATCHES since round 13 (columnar
+    # end-to-end, no per-row pickling); the reassembly contract is the
+    # same — the partitions of one chunk must cover exactly its rows
+    batches = [b for p in parts for b in reader.read(p)]
+    n_rows = sum(b.num_rows for b in batches)
     want = pq.read_table(
         sorted(
             f"{base}/{f}" for f in __import__("os").listdir(base)
             if f.endswith(".parquet")
         )[0]
     ).num_rows
-    assert len(rows) == want
+    assert n_rows == want
 
 
 def test_s13_drained_counts_match_batch(spark, sf_dir):
