@@ -34,6 +34,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from osm_changesets_to_parquet_spark.catalog import fan_out
 from osm_changesets_to_parquet_spark.operators.iterutils import truncate_lineage
 
 # portable polynomial hash modulus (fits: acc*31+c < 2^35 << 2^63)
@@ -232,6 +233,11 @@ def lsh_candidates(
     lsh_jaccard_pairs verify frame is exactly such a caller).
     """
     if shingle_frame is None:
+        # NOT fanned out (catalog.fan_out): measured interleaved A/B at
+        # sf0.1 showed the vectorized shingle kernel is faster as one
+        # Arrow batch in the scan task than fanned across cores
+        # (q35b 1.41 vs 1.65 s) — the exchange + per-batch overhead
+        # exceeds the kernel's serial cost at this corpus size
         shingle_frame = truncate_lineage(
             shingles(docs, text_col, n).select(
                 F.col(id_col),
@@ -729,7 +735,10 @@ def positional_gram_hashes(
     :func:`contaminated_spans`).  Carries the outer-explode + post-hash
     spelling those docstrings justify (InferFiltersFromGenerate /
     interpreted-HOF traps)."""
-    toks = docs.select(
+    # fan the (often single-row-group) scan across cores before the
+    # in-row gram build (guide §2.5): the transform/array_join pass
+    # dominates and would otherwise run in the scan's lone task
+    toks = fan_out(docs, id_col).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__tk")
     ).where(F.size("__tk") >= k)
     gram_arr = F.transform(

@@ -34,7 +34,7 @@ Scale notes per op:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Knuth's multiplicative constant (2^32 / phi) — the single authority
@@ -137,22 +137,32 @@ def boilerplate_burden(
     Returns (id_col, n_grams, n_boiler, boiler_frac) with one row per
     input doc (docs shorter than ``n`` words report 0/0/0.0).
 
-    Scale shape: n-grams build in-row (word_ngrams — no shuffle), ride
+    Scale shape (respelled round 13, guide §2.4 — remove shuffles
+    outright): the per-doc DISTINCT gram set is built IN-ROW
+    (array_distinct over the in-row gram-hash array) so the old
+    (doc_id, hash)-distinct shuffle disappears, and the exploded
+    stream feeds the document-frequency count as a WINDOW over the
+    hash key instead of an aggregate re-joined to a recomputed gram
+    subtree — the pre-r13 plan scanned the corpus and built the grams
+    TWICE (once per join side); this plan does it once.  Grams ride
     as xxhash64 8-byte keys (the q86/decontaminate discipline; 2^-64
-    pair collisions are negligible for a count signal); the phrase
-    document-frequency aggregate and the per-doc rollup both take
-    map-side partials, and the boiler flag joins back keyed on the
-    hash — never a broadcast of an unbounded phrase vocabulary.
+    pair collisions are negligible for a count signal) — hashed
+    straight off the token SLICE (tokens cannot contain the split
+    delimiter, so slice equality == phrase equality) rather than an
+    array_join string, which allocated a joined copy of the corpus
+    just to hash it.  The per-doc rollup takes map-side partials;
+    nothing broadcasts an unbounded phrase vocabulary.
     """
-    grams = (
-        word_ngrams(docs, n, text_col, keep=[id_col])
-        .select(id_col, F.xxhash64("ngram").alias("__h"))
-        .distinct()
+    toks = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram_h = F.transform(idx, lambda i: F.xxhash64(F.slice(toks, i, n)))
+    ex = docs.select(
+        id_col, F.explode(F.array_distinct(gram_h)).alias("__h")
     )
-    dfreq = grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
-    flagged = grams.join(
-        dfreq.select("__h", (F.col("__df") >= min_docs).alias("__b")), "__h"
-    )
+    w = Window.partitionBy("__h")
+    flagged = ex.withColumn("__b", F.count(F.lit(1)).over(w) >= min_docs)
     per_doc = flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.count_if(F.col("__b")).alias("n_boiler"),
