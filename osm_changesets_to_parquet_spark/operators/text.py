@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from osm_changesets_to_parquet_spark.catalog import fan_out
 from osm_changesets_to_parquet_spark.operators.iterutils import truncate_lineage
 
 
@@ -328,7 +329,10 @@ def _bpe_rounds(docs: DataFrame, n_merges: int, text_col: str):
     space-wrapped symbol spelling) and ``rounds[r-1]`` is round r's
     1-row winner (round, l, r, cnt).  ``bpe_merge_steps`` reports the
     winners; :func:`bpe_encode_counts` reads the final ``seq``."""
-    words = docs.select(
+    # fan the single-row-group scan before the token explode (guide
+    # §2.5): the explode + map-side partial count otherwise run in the
+    # scan's lone task
+    words = fan_out(docs).select(
         F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).where(F.col("w") != "")
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
@@ -352,7 +356,13 @@ def _bpe_rounds(docs: DataFrame, n_merges: int, text_col: str):
             .groupBy("l", "r")
             .agg(F.sum("wc").cast("long").alias("cnt"))
         )
-        top = pc.orderBy(F.desc("cnt"), "l", "r").limit(1)
+        # the round winner is checkpointed (1 row): it is read TWICE —
+        # as the broadcast merge pattern for the next round's replace
+        # AND by the caller's output union — and without the cut the
+        # union re-executes the whole vocabulary pair-count aggregate
+        # per round (measured: the q144 output paid every round's
+        # heaviest stage twice)
+        top = truncate_lineage(pc.orderBy(F.desc("cnt"), "l", "r").limit(1))
         rounds.append(top.select(F.lit(r).cast("long").alias("round"), "l", "r", "cnt"))
         pat = F.concat(F.lit(" "), F.col("_l"), F.lit("  "), F.col("_r"), F.lit(" "))
         rep = F.concat(F.lit(" "), F.col("_l"), F.col("_r"), F.lit(" "))
