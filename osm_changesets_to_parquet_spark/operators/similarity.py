@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from pyspark.sql.functions import pandas_udf
 
+from osm_changesets_to_parquet_spark.operators.iterutils import truncate_lineage
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -601,6 +603,13 @@ def kmeans_lloyd(
             .select("id", "v", best.alias("b"))
             .select("id", "v", F.col("b.cid").alias("cid"))
         )
+        # materialize each round's assignment (the q84 lineage
+        # discipline): it is read TWICE — by this round's centroid
+        # update AND by either the next round's assignment or the
+        # caller's assignment consumer — and without the cut each
+        # consumer re-executed the whole accumulated chain (the q115
+        # counts/centroid branches ran every iteration's fold twice)
+        assigned = truncate_lineage(assigned)
         cent = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")

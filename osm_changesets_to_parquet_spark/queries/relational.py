@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from osm_changesets_to_parquet_spark.catalog import load_table
+from osm_changesets_to_parquet_spark.catalog import fan_out, load_table
 from osm_changesets_to_parquet_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -420,7 +420,10 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=("part",),
 )
 def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p1 = load_table(spark, sf_dir, "part").alias("p1")
+    # fan the probe side (guide §2.5): the broadcast join enumerates
+    # every intra-brand size< pair in the PROBE stage, which is the
+    # single-row-group scan's lone task without the spread
+    p1 = fan_out(load_table(spark, sf_dir, "part"), "p_partkey").alias("p1")
     p2 = load_table(spark, sf_dir, "part").alias("p2")
     return (
         p1.join(
@@ -452,7 +455,11 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    e1 = ev.select("user_id", "event_type", F.col("ts_us").alias("t1"))
+    # fan the probe side (guide §2.5): the broadcast join enumerates
+    # every in-band pair in the probe stage's lone scan task otherwise
+    e1 = fan_out(ev, "event_id").select(
+        "user_id", "event_type", F.col("ts_us").alias("t1")
+    )
     e2 = ev.select(F.col("user_id").alias("u2"), F.col("ts_us").alias("t2"))
     return (
         e1.join(

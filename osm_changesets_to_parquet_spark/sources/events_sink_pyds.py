@@ -36,7 +36,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceStreamWriter,
+    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -181,13 +181,27 @@ class EventsChunkReader(DataSourceReader):
         ] or [InputPartition(None)]
 
     def read(self, partition):
+        # yield ARROW RECORD BATCHES (supported by the Python DataSource
+        # read API) instead of `to_pylist` + `zip` row tuples — the
+        # guide §4 row-at-a-time tax the s12/s13 stream readers also
+        # shed this round; cast to the declared DDL so the Arrow schema
+        # matches exactly
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         if partition.value is None:
             return
+        target = pa.schema(
+            [
+                pa.field("event_id", pa.int64()),
+                pa.field("user_id", pa.int64()),
+                pa.field("event_type", pa.string()),
+                pa.field("value", pa.float64()),
+                pa.field("ts_us", pa.int64()),
+            ]
+        )
         t = pq.read_table(partition.value, columns=_COLS)
-        cols = [t.column(c).to_pylist() for c in _COLS]
-        yield from zip(*cols)
+        yield from t.cast(target).to_batches()
 
 
 def register(spark) -> None:
@@ -203,7 +217,7 @@ def register(spark) -> None:
     spark.dataSource.register(EventsChunkSink)
 
 
-class EventsChunkStreamWriter(DataSourceStreamWriter):
+class EventsChunkStreamWriter(DataSourceStreamArrowWriter):
     """STREAMING write half (the fourth Python DataSource quadrant:
     cs11 batch read, s13 partition-planned stream read, cs12 batch
     write — this is ``writeStream.format("events_chunks")``).
@@ -237,12 +251,14 @@ class EventsChunkStreamWriter(DataSourceStreamWriter):
         # task writes a NEW file and only the attempt whose message
         # reaches commit() is published, so orphans stay invisible
         attempt = ctx.taskAttemptId()
-        rows = list(iterator)
-        if not rows:
+        # Arrow stream writer (DataSourceStreamArrowWriter): batches
+        # arrive columnar — the old row path rebuilt every column with
+        # a per-row getattr loop over pickled Rows (guide §4 tax)
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
             return EventsChunkCommit(None, 0)
         os.makedirs(self.path, exist_ok=True)
-        cols = {c: [getattr(r, c) for r in rows] for c in _COLS}
-        t = pa.table(cols)
+        t = pa.Table.from_batches(batches).select(_COLS)
         fname = f"stream-{attempt:012d}-part-{pid:05d}.parquet"
         pq.write_table(t, os.path.join(self.path, fname))
         return EventsChunkCommit(fname, t.num_rows)

@@ -166,8 +166,13 @@ def _run_availablenow(stream_df: DataFrame, mode: str = "update") -> DataFrame:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # one partition dir per micro-batch, overwritten on retry: a
         # replayed batch id lands in the same dir — idempotent, so the
-        # sink is exactly-once even though foreachBatch is at-least-once
-        batch_df.write.mode("overwrite").parquet(
+        # sink is exactly-once even though foreachBatch is at-least-once.
+        # coalesce(1): each update-mode batch here is a handful of keyed
+        # aggregate rows spread over the stream's state partitions;
+        # writing one file per state partition paid 4x the commit
+        # protocol + file-open overhead per batch for KB-sized output
+        # (a real firehose sink would size this from batch volume).
+        batch_df.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"__bid={batch_id}")
         )
 
