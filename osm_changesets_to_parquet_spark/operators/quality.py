@@ -212,7 +212,11 @@ def top_word_dominance(
     doc id (perfectly distributed).
     """
     keep = keep or []
-    tok = docs.select(
+    # fan the explode + partial count across cores (guide §2.5): a
+    # single-row-group scan otherwise runs them in one task
+    from osm_changesets_to_parquet_spark.catalog import fan_out
+
+    tok = fan_out(docs, id_col).select(
         id_col, *keep, F.explode(F.split(F.col(text_col), " ")).alias("__w")
     )
     per_word = tok.groupBy(id_col, *keep, "__w").agg(

@@ -30,8 +30,13 @@ def tokens(docs: DataFrame, text_col: str = "text", keep: list[str] | None = Non
 
 
 def term_freq(docs: DataFrame, text_col: str = "text", group_col: str | None = None) -> DataFrame:
-    """Token counts, optionally per group (e.g. per lang)."""
-    t = tokens(docs, text_col, keep=[group_col] if group_col else [])
+    """Token counts, optionally per group (e.g. per lang).
+
+    The explode + map-side partial count are fanned across cores first
+    (guide §2.5): on a single-row-group input they would otherwise run
+    inside the scan's lone task."""
+    by = "doc_id" if "doc_id" in docs.columns else None
+    t = tokens(fan_out(docs, by), text_col, keep=[group_col] if group_col else [])
     keys = ([group_col] if group_col else []) + ["token"]
     return t.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -63,7 +68,14 @@ def tf_idf(
     N = total docs, df = docs containing the token (across all groups).
     Returns (group, token, tf, df, score) — caller ranks/filters.
     """
-    t = tokens(docs, text_col, keep=[doc_id_col, group_col])
+    # the tf and df branches each re-run the token explode (different
+    # aggregate shapes — Catalyst cannot share the exchange, and a
+    # common (token, group, doc) pre-aggregate was measured out: the
+    # optimizer collapses it on the df branch while the tf branch pays
+    # an extra shuffle).  Fanning the explode across cores (guide §2.5)
+    # is the win that sticks — the single-row-group scan otherwise runs
+    # both explode+partial-agg passes serially.
+    t = tokens(fan_out(docs, doc_id_col), text_col, keep=[doc_id_col, group_col])
     tf = t.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = t.groupBy("token").agg(F.countDistinct(doc_id_col).alias("df"))
     n_docs = docs.agg(F.countDistinct(doc_id_col).alias("n_docs"))
