@@ -109,11 +109,16 @@ def decontaminate(
     reduced to DISTINCT hashes before the semi-join, so its size is
     the eval n-gram vocabulary, not the eval token stream.
     """
-    train_g = word_ngrams(train, n, text_col, keep=[id_col]).select(
+    from osm_changesets_to_parquet_spark.catalog import fan_out
+
+    # fan the gram builds across cores (guide §2.5): the in-row
+    # array_join/transform pass dominates and runs in the scan's lone
+    # task on single-row-group inputs
+    train_g = word_ngrams(fan_out(train, id_col), n, text_col, keep=[id_col]).select(
         id_col, F.xxhash64("ngram").alias("__h")
     )
     eval_g = (
-        word_ngrams(eval_df, n, text_col, keep=[])
+        word_ngrams(fan_out(eval_df, id_col), n, text_col, keep=[])
         .select(F.xxhash64("ngram").alias("__h"))
         .distinct()
     )
@@ -153,12 +158,18 @@ def boilerplate_burden(
     just to hash it.  The per-doc rollup takes map-side partials;
     nothing broadcasts an unbounded phrase vocabulary.
     """
+    from osm_changesets_to_parquet_spark.catalog import fan_out
+
     toks = F.split(F.col(text_col), " ")
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
     ).otherwise(F.array().cast("array<int>"))
     gram_h = F.transform(idx, lambda i: F.xxhash64(F.slice(toks, i, n)))
-    ex = docs.select(
+    # only the gram build fans out (guide §2.5) — the doc spine below
+    # stays on the raw scan (it is a broadcast-join probe side with no
+    # partitioning requirement; fanning it would be a pure-overhead
+    # exchange)
+    ex = fan_out(docs, id_col).select(
         id_col, F.explode(F.array_distinct(gram_h)).alias("__h")
     )
     w = Window.partitionBy("__h")

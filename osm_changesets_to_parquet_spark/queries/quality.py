@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from osm_changesets_to_parquet_spark.catalog import fan_out, load_table
+from osm_changesets_to_parquet_spark.catalog import load_table
 from osm_changesets_to_parquet_spark.operators import quality as QL
 from osm_changesets_to_parquet_spark.operators import sketches as SK
 from osm_changesets_to_parquet_spark.operators.dedup import HASH_MOD
@@ -67,10 +67,8 @@ GROUP BY lang ORDER BY lang
     tables=("documents",),
 )
 def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan the single-row-group scan across cores before the 8-gram
-    # build (guide §2.5): the in-row gram transform over the 98% train
-    # split dominates and would otherwise run in the scan's one task
-    docs = fan_out(load_table(spark, sf_dir, "documents"), by="doc_id")
+    # the 8-gram builds fan out inside QL.decontaminate (guide §2.5)
+    docs = load_table(spark, sf_dir, "documents")
     b = QL.hash_bucket("doc_id", 100)
     train = docs.where(b < 98)
     eval_df = docs.where(b >= 98)
@@ -1170,10 +1168,8 @@ FROM t LEFT JOIN pd USING (doc_id) ORDER BY t.doc_id
     tables=("documents",),
 )
 def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan the single-row-group scan across cores before the gram build
-    # (guide §2.5) — the in-row transform dominates and would otherwise
-    # run in the scan's one task
-    docs = fan_out(load_table(spark, sf_dir, "documents"), by="doc_id")
+    # the gram build fans out inside QL.boilerplate_burden (guide §2.5)
+    docs = load_table(spark, sf_dir, "documents")
     return QL.boilerplate_burden(
         docs, n=_Q136_N, min_docs=_Q136_MIN_DOCS
     ).orderBy("doc_id")
