@@ -167,12 +167,19 @@ def _run_availablenow(stream_df: DataFrame, mode: str = "update") -> DataFrame:
         # one partition dir per micro-batch, overwritten on retry: a
         # replayed batch id lands in the same dir — idempotent, so the
         # sink is exactly-once even though foreachBatch is at-least-once.
-        # coalesce(1): each update-mode batch here is a handful of keyed
-        # aggregate rows spread over the stream's state partitions;
-        # writing one file per state partition paid 4x the commit
-        # protocol + file-open overhead per batch for KB-sized output
-        # (a real firehose sink would size this from batch volume).
-        batch_df.coalesce(1).write.mode("overwrite").parquet(
+        # repartition(1), NOT coalesce(1): each update-mode batch is a
+        # handful of keyed aggregate rows spread over the stream's
+        # state partitions, and one file per state partition paid 4x
+        # the commit protocol + file-open overhead per batch for
+        # KB-sized output.  coalesce(1) narrows WITHOUT an exchange, so
+        # it pulled the stateful aggregation itself into one task and
+        # serialized every state-store load/commit (interleaved A/B,
+        # min-of-3: coalesce 5.8s vs repartition 4.0s per s4a eval);
+        # the explicit exchange costs one KB-sized shuffle per batch
+        # and keeps the state stage at its configured parallelism.  (A
+        # real firehose sink would size the file count from batch
+        # volume.)
+        batch_df.repartition(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"__bid={batch_id}")
         )
 
