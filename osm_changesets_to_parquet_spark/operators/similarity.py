@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType
 
 from osm_changesets_to_parquet_spark.operators.iterutils import truncate_lineage
 
@@ -516,6 +517,88 @@ def semdedup(
     )
 
 
+def _kmeans_assign_hof():
+    """The interpreted-HOF argmin fold over the broadcast ``cs`` array
+    (RETAINED SPELLING — the fasthash discipline): squared distance via
+    a sequential ``zip_with`` + ``aggregate`` fold, argmin keeps the
+    strictly smaller distance, ties break to the lower cid.  Kept as
+    the executable specification the vectorized kernel is
+    equivalence-tested against (tests/test_merge_pii_kmeans.py)."""
+
+    def sq_dist(v, c):
+        return F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    return F.aggregate(
+        F.transform(
+            F.col("cs"),
+            lambda s: F.struct(
+                sq_dist(F.col("v"), s.c).alias("d"), s.cid.alias("cid")
+            ),
+        ),
+        F.struct(
+            F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("cid")
+        ),
+        lambda acc, s: F.when(s.d < acc.d, s).otherwise(acc),
+    )["cid"]
+
+
+@pandas_udf(IntegerType())
+def _kmeans_assign_udf(vs: pd.Series, css: pd.Series) -> pd.Series:
+    """Vectorized NumPy respell of :func:`_kmeans_assign_hof` —
+    BYTE-IDENTICAL cids by construction (guide §4.2 discipline):
+
+    - the squared distance accumulates SEQUENTIALLY over dimensions
+      (``acc += (x_j - c_j)**2`` one j at a time, vectorized over
+      rows), each step one IEEE-double op in the same order as the
+      HOF/oracle left fold, so the doubles are bit-identical (the
+      fold's ``0.0 + d_0`` initial step is exact: squares are never
+      ``-0.0``);
+    - centroids iterate in ascending-cid order (``cs`` is array_sort'd
+      on the struct, cid first) with a strict ``<`` replacement —
+      identical tie-to-lower-cid behavior;
+    - a row whose vector length differs from a centroid's skips that
+      centroid (the HOF's ``zip_with`` null-pads mismatched lengths,
+      poisoning the fold to NULL, which the strict ``<`` never
+      accepts); a NULL element poisons via NaN the same way; a row
+      matching no centroid keeps the fold's init cid -1.
+
+    ``css`` is the broadcast one-row centroid array crossJoined onto
+    every row — identical within a batch, decoded once per batch.
+    """
+    n = len(vs)
+    out = np.full(n, -1, dtype=np.int32)
+    if n == 0:
+        return pd.Series(out)
+    cs = css.iloc[0]
+    lens = np.fromiter(
+        ((-1 if v is None else len(v)) for v in vs), count=n, dtype=np.int64
+    )
+    for length in np.unique(lens[lens >= 0]):
+        idx = np.nonzero(lens == length)[0]
+        x = np.empty((len(idx), length), dtype=np.float64)
+        for r, i in enumerate(idx):
+            x[r] = np.asarray(vs.iloc[i], dtype=np.float64)
+        best_d = np.full(len(idx), np.inf)
+        best_c = np.full(len(idx), -1, dtype=np.int32)
+        for s in cs:
+            c = np.asarray(s["c"], dtype=np.float64)
+            if len(c) != length:
+                continue
+            acc = np.zeros(len(idx), dtype=np.float64)
+            for j in range(length):
+                d = x[:, j] - c[j]
+                acc += d * d
+            m = acc < best_d
+            best_d[m] = acc[m]
+            best_c[m] = np.int32(s["cid"])
+        out[idx] = best_c
+    return pd.Series(out)
+
+
 def kmeans_lloyd(
     emb: DataFrame,
     k: int,
@@ -523,6 +606,7 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_centroids: int = 6,
+    use_kernel: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd's k-means, fully distributed: returns the 2-tuple
     ``(assignments, centroids)`` — assignments as (id, cid) rows,
@@ -533,12 +617,16 @@ def kmeans_lloyd(
     Each iteration is two Catalyst stages, no driver collect:
     - ASSIGN: a PURE MAP stage — the k centroids are collapsed into a
       one-row frame holding an array of (cid, vector) structs sorted by
-      cid, broadcast, and each data row folds over that array in-row:
-      squared distance via a sequential ``zip_with`` + ``aggregate``
-      fold (additions run left-to-right, so the oracle's
-      ``list_reduce`` reproduces the double bit-for-bit), argmin keeps
-      the strictly smaller distance — ties break to the lower cid.
-      The data frame is never shuffled for assignment;
+      cid, broadcast, and each data row takes the argmin over it.  Two
+      spellings of the SAME double arithmetic (additions sequential
+      left-to-right, so the oracle's ``list_reduce`` reproduces the
+      distance bit-for-bit; ties break to the lower cid): the default
+      Arrow/NumPy kernel (:func:`_kmeans_assign_udf` — k*dim vectorized
+      passes per batch) and the interpreted-HOF fold
+      (:func:`_kmeans_assign_hof` — k*dim*rows interpreted expression
+      steps; ``use_kernel=False``, retained as the executable spec the
+      kernel is equivalence-tested against).  The data frame is never
+      shuffled for assignment;
     - UPDATE: posexplode components, avg per (cluster, position) — ONE
       shuffle of k*dim partial sums per task (map-side combine) — then
       rebuild the centroid array ordered by position.
@@ -571,37 +659,20 @@ def kmeans_lloyd(
         .withColumn("__rn", F.row_number().over(Window.orderBy("id")))
         .select((F.col("__rn") - 1).alias("cid"), F.col("v").alias("c"))
     )
-    def sq_dist(v, c):
-        return F.aggregate(
-            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-
+    best_cid = (
+        _kmeans_assign_udf(F.col("v"), F.col("cs"))
+        if use_kernel
+        else _kmeans_assign_hof()
+    )
     assigned = None
     for _ in range(iters):
         # one row: array of (cid, centroid) sorted by cid
         cent_arr = cent.agg(
             F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cs")
         )
-        # distances materialize once per centroid (transform), then a
-        # strict-< min-fold keeps the lower cid on ties
-        best = F.aggregate(
-            F.transform(
-                F.col("cs"),
-                lambda s: F.struct(
-                    sq_dist(F.col("v"), s.c).alias("d"), s.cid.alias("cid")
-                ),
-            ),
-            F.struct(
-                F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("cid")
-            ),
-            lambda acc, s: F.when(s.d < acc.d, s).otherwise(acc),
-        )
         assigned = (
             e.crossJoin(F.broadcast(cent_arr))
-            .select("id", "v", best.alias("b"))
-            .select("id", "v", F.col("b.cid").alias("cid"))
+            .select("id", "v", best_cid.alias("cid"))
         )
         # materialize each round's assignment (the q84 lineage
         # discipline): it is read TWICE — by this round's centroid

@@ -323,11 +323,8 @@ def bpe_merge_steps(
     The oracle unrolls the same rounds as chained CTEs (the q84
     pagerank discipline).
     """
-    _, rounds = _bpe_rounds(docs, n_merges, text_col)
-    out = rounds[0]
-    for t in rounds[1:]:
-        out = out.unionAll(t)
-    return out.select(
+    _, winners = _bpe_rounds(docs, n_merges, text_col)
+    return winners.select(
         "round",
         F.col("l").alias("left_sym"),
         F.col("r").alias("right_sym"),
@@ -335,12 +332,101 @@ def bpe_merge_steps(
     )
 
 
-def _bpe_rounds(docs: DataFrame, n_merges: int, text_col: str):
-    """Shared BPE merge-round chain: returns (vocab, rounds) where
+def _bpe_rounds_kernel(vocab: DataFrame, n_merges: int):
+    """Run every BPE merge round in ONE task over the word vocabulary
+    (guide §4.2: hand the whole reduced dataset to native/Python code
+    instead of chaining per-round Catalyst jobs).
+
+    The Catalyst round chain (:func:`_bpe_rounds` with
+    ``use_kernel=False``, the retained executable spec) costs two
+    checkpoint JOBS per merge round — ~7 sequential scheduling
+    round-trips for 3 rounds — to move a vocabulary that after the
+    word-count reduction is KB-to-MB sized.  Production tokenizer
+    training does exactly what this kernel does: reduce the corpus to
+    (word, count) in parallel, then train the merge table on ONE node
+    (the vocabulary of a 100 TB corpus is millions of rows — megabytes).
+    The kernel is that shape: the corpus-wide explode + count stays a
+    distributed map-side-partial aggregate; the merge rounds run in a
+    single ``mapInPandas`` task over the ``repartition(1)`` vocabulary
+    (an explicit exchange, NOT ``coalesce(1)`` — which would pull the
+    count aggregation itself into one task).
+
+    BYTE-IDENTICAL to the Catalyst spelling by construction:
+
+    - symbol seq = ``" " + "  ".join(word) + " "`` == ``concat(' ',
+      concat_ws('  ', split(w, '')), ' ')`` (both iterate code points);
+    - pair counts are exact int64 sums over ``trim(seq)`` split on the
+      two-space delimiter — identical tokenization;
+    - the round winner minimizes ``(-cnt, l, r)``; Python str ``<`` is
+      code-point order == Spark's UTF8-byte order (UTF-8 preserves
+      code-point order);
+    - the merge is ``str.replace(" l  r ", " lr ")`` — the same
+      left-to-right non-overlapping scan of the SOURCE string as JVM
+      ``replace`` (and the SQL oracle), so self-overlapping runs agree;
+    - a round with NO pairs left emits no winner row and merges
+      nothing, exactly like the empty-top guard in the Catalyst loop.
+
+    Equivalence is pinned by tests/test_round6_ops.py (kernel vs
+    retained spelling on the fixture corpus + hand cases) and the
+    hypothesis reference test in test_operator_properties.py.
+    """
+
+    def _train(emit: str):
+        def run(batches):
+            import pandas as pd
+
+            ws: list[str] = []
+            wcs: list[int] = []
+            for pdf in batches:
+                ws.extend(pdf["w"].tolist())
+                wcs.extend(int(x) for x in pdf["wc"].tolist())
+            seqs = [" " + "  ".join(w) + " " for w in ws]
+            out_rounds: list[tuple[int, str, str, int]] = []
+            for r in range(1, n_merges + 1):
+                counts: dict[tuple[str, str], int] = {}
+                for seq, wc in zip(seqs, wcs):
+                    syms = seq.strip(" ").split("  ")
+                    if len(syms) >= 2:
+                        for a, b in zip(syms, syms[1:]):
+                            counts[(a, b)] = counts.get((a, b), 0) + wc
+                if not counts:
+                    continue
+                cnt, left, right = min(
+                    (-c, l, rr) for (l, rr), c in counts.items()
+                )
+                out_rounds.append((r, left, right, -cnt))
+                pat = f" {left}  {right} "
+                rep = f" {left}{right} "
+                seqs = [s.replace(pat, rep) for s in seqs]
+            if emit == "winners":
+                yield pd.DataFrame(
+                    out_rounds, columns=["round", "l", "r", "cnt"]
+                ).astype({"round": "int64", "cnt": "int64"})
+            else:
+                yield pd.DataFrame({"w": ws, "seq": seqs, "wc": wcs})
+
+        return run
+
+    one = vocab.repartition(1)
+    cur = one.mapInPandas(_train("vocab"), "w string, seq string, wc long")
+    winners = one.mapInPandas(
+        _train("winners"), "round long, l string, r string, cnt long"
+    )
+    return cur, winners
+
+
+def _bpe_rounds(
+    docs: DataFrame, n_merges: int, text_col: str, use_kernel: bool = True
+):
+    """Shared BPE merge-round chain: returns (vocab, winners) where
     ``vocab`` is (w, seq, wc) AFTER all merges (``seq`` in the
-    space-wrapped symbol spelling) and ``rounds[r-1]`` is round r's
-    1-row winner (round, l, r, cnt).  ``bpe_merge_steps`` reports the
-    winners; :func:`bpe_encode_counts` reads the final ``seq``."""
+    space-wrapped symbol spelling) and ``winners`` is the merge table
+    (round, l, r, cnt), one row per non-exhausted round.
+    ``bpe_merge_steps`` reports the winners; :func:`bpe_encode_counts`
+    reads the final ``seq``.  ``use_kernel`` selects the single-task
+    training kernel (:func:`_bpe_rounds_kernel`, default) or the
+    retained per-round Catalyst chain it is equivalence-tested
+    against."""
     # fan the single-row-group scan before the token explode (guide
     # §2.5): the explode + map-side partial count otherwise run in the
     # scan's lone task
@@ -348,6 +434,8 @@ def _bpe_rounds(docs: DataFrame, n_merges: int, text_col: str):
         F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).where(F.col("w") != "")
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    if use_kernel:
+        return _bpe_rounds_kernel(vocab, n_merges)
     cur = vocab.select(
         "w",
         F.concat(
@@ -406,7 +494,10 @@ def _bpe_rounds(docs: DataFrame, n_merges: int, text_col: str):
         # chain re-plans every earlier replace each round) — the
         # materialized frame is vocabulary-sized, never the corpus
         cur = truncate_lineage(cur)
-    return cur, rounds
+    winners = rounds[0]
+    for t in rounds[1:]:
+        winners = winners.unionAll(t)
+    return cur, winners
 
 
 def bpe_encode_counts(
@@ -436,7 +527,10 @@ def bpe_encode_counts(
     encoded = vocab.select(
         "w", F.size(F.split(F.trim(F.col("seq")), "  ")).alias("__nsym")
     )
-    doc_words = docs.select(
+    # fan the single-row-group scan before the corpus token explode
+    # (guide §2.5) — the explode + vocab join + partial agg otherwise
+    # run in the scan's lone task
+    doc_words = fan_out(docs, id_col).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).where(F.col("w") != "")
     per_doc = (

@@ -72,6 +72,39 @@ def test_kmeans_separates_blobs(spark):
     assert cent.count() == 2
 
 
+def test_kmeans_kernel_equals_hof_spelling(spark, sf_dir):
+    """The round-13 vectorized assign kernel (_kmeans_assign_udf) must
+    produce BYTE-IDENTICAL assignments and centroids to the retained
+    interpreted-HOF fold — on the real fixture AND on adversarial rows
+    (ties, NULL vectors, NULL elements, length mismatches, empties)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a_new, c_new = kmeans_lloyd(emb, k=4, iters=2)
+    a_old, c_old = kmeans_lloyd(emb, k=4, iters=2, use_kernel=False)
+    assert a_new.orderBy("id").collect() == a_old.orderBy("id").collect()
+    assert (
+        c_new.orderBy("cid").collect() == c_old.orderBy("cid").collect()
+    )
+
+    adversarial = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),       # seed 0
+            (2, [4.0, 4.0]),       # seed 1
+            (3, [2.0, 2.0]),       # exactly equidistant -> tie to lower cid
+            (4, None),             # NULL vector -> cid -1
+            (5, [1.0, None]),      # NULL element poisons the fold -> -1
+            (6, [1.0, 2.0, 3.0]),  # length mismatch vs every centroid -> -1
+            (7, [0.1, -0.2]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    for k in (1, 2):
+        g_new, _ = kmeans_lloyd(adversarial, k=k, iters=1)
+        g_old, _ = kmeans_lloyd(adversarial, k=k, iters=1, use_kernel=False)
+        assert (
+            g_new.orderBy("id").collect() == g_old.orderBy("id").collect()
+        )
+
+
 def test_kmeans_rejects_bad_params(spark):
     df = spark.createDataFrame([(1, [1.0])], ["vec_id", "embedding"])
     with pytest.raises(ValueError):

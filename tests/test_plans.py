@@ -461,18 +461,37 @@ def test_q150_persisted_ivf_probe_prunes_partitions(spark, sf_dir):
 
 def test_q144_bpe_plan_size_constant_across_rounds(spark, sf_dir):
     # lineage truncation per merge round (the q84 discipline): the plan
-    # of the final vocab must not grow with n_merges
+    # of the final vocab must not grow with n_merges — pinned on the
+    # RETAINED Catalyst spelling (the kernel path is trivially constant)
     from osm_changesets_to_parquet_spark.catalog import load_table
     from osm_changesets_to_parquet_spark.operators.text import _bpe_rounds
 
     docs = load_table(spark, sf_dir, "documents").limit(50)
 
     def plan_len(n):
-        cur, _ = _bpe_rounds(docs, n, "text")
+        cur, _ = _bpe_rounds(docs, n, "text", use_kernel=False)
         return len(cur._jdf.queryExecution().executedPlan().toString())
 
     l1, l3 = plan_len(1), plan_len(3)
     assert l3 <= l1 * 1.5, (l1, l3)
+
+
+def test_q144_bpe_kernel_plan_shape(spark, sf_dir):
+    # the round-13 training kernel: ONE MapInPandas over the
+    # repartition(1) vocabulary — an explicit round-robin exchange (so
+    # the word-count aggregation keeps its parallelism; coalesce(1)
+    # would pull it into the single task), and no per-round checkpoint
+    # chain at all
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from osm_changesets_to_parquet_spark.operators.text import _bpe_rounds
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    cur, winners = _bpe_rounds(docs, 3, "text")
+    for df in (cur, winners):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan, plan[:2000]
+        assert "Exchange SinglePartition" in plan, plan[:2000]
+        assert "Coalesce" not in plan, plan[:2000]
 
 
 def test_q152_entropy_zero_shuffle(spark, sf_dir):

@@ -288,6 +288,34 @@ def test_bpe_merge_greedy_self_overlap(spark):
     assert got == [(1, "x", "x", 6), (2, "xx", "xx", 2)]
 
 
+def test_bpe_kernel_equals_catalyst_spelling(spark, sf_dir):
+    """The round-13 single-task training kernel (_bpe_rounds_kernel)
+    must produce BYTE-IDENTICAL winners and encoded vocab to the
+    retained per-round Catalyst chain — on the real fixture corpus
+    plus the exhaustion / self-overlap / tie edge cases."""
+    from osm_changesets_to_parquet_spark.catalog import load_table
+    from osm_changesets_to_parquet_spark.operators.text import _bpe_rounds
+
+    fixture = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (90001, "xxxx xxxx"),   # self-overlapping runs
+            (90002, "ab ba ab"),    # (a,b) vs (b,a) tie-breaking
+            (90003, "a"),           # single-symbol word: exhausts pairs
+            (90004, ""),            # empty doc
+            (90005, "low lower newest widest"),
+        ],
+        "doc_id long, text string",
+    )
+    for docs, n in ((fixture, 3), (edge, 4)):
+        v_new, w_new = _bpe_rounds(docs, n, "text")
+        v_old, w_old = _bpe_rounds(docs, n, "text", use_kernel=False)
+        assert (
+            w_new.orderBy("round").collect() == w_old.orderBy("round").collect()
+        )
+        assert v_new.orderBy("w").collect() == v_old.orderBy("w").collect()
+
+
 def test_bpe_encode_counts_hand_example(spark):
     # encode with the tokenizer the hand-example corpus trains: after
     # merges (e,s), (es,t), (l,o) the BPE lengths are
