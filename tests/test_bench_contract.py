@@ -92,3 +92,25 @@ def test_size_aware_shuffle_partitions_clamps(tmp_path):
     big.write_bytes(b"\0" * (65 * 1024 * 1024))
     # 65 MiB -> want=1 -> still lower clamp with 32 cpus
     assert bench._size_aware_shuffle_partitions(str(tmp_path), 32) == 8
+
+
+def test_preview_write_guard():
+    """BENCH_PREVIEW.json must be anchor-defended: never written from a
+    contended pass, never clobbered by a worse same-round sample or by
+    a different-sf builder iteration (the r13 regression: a flagged
+    38.7 s retry overwrote the committed clean 32.45 s preview)."""
+    g = bench._should_write_preview
+    # no existing preview: only a clean pass lands
+    assert g(None, True, 40.0, "0.1", 13)
+    assert not g(None, False, 30.0, "0.1", 13)
+    old = {"bench_round": 13, "sf": "0.1", "tier1_total": 32.45}
+    # same round+sf: only a BETTER clean total replaces
+    assert not g(old, True, 38.7, "0.1", 13)
+    assert not g(old, False, 30.0, "0.1", 13)
+    assert g(old, True, 31.9, "0.1", 13)
+    # same round, different sf: never clobbers the driver-facing preview
+    assert not g(old, True, 5.0, "0.001", 13)
+    # stale round: a clean pass for the new round replaces it
+    assert g({"bench_round": 12, "sf": "0.1", "tier1_total": 39.0}, True, 40.0, "0.1", 13)
+    # corrupt/absent fields degrade safely
+    assert g({"bench_round": 13, "sf": "0.1"}, True, 40.0, "0.1", 13)
