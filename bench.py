@@ -163,8 +163,13 @@ def _size_aware_shuffle_partitions(sf_dir: str, cpus: int) -> int:
 ANCHOR_RANGE_SUM_CLEAN_MAX = 0.087
 ANCHOR_Q01_CLEAN_MAX = 0.108
 ANCHOR_GATE_FACTOR = 1.3
-MAX_TIER1_ATTEMPTS = 3
-RETRY_BACKOFF_SEC = (30.0, 60.0)  # before attempt 2, 3
+# Provisioned against REAL wave lengths (VERDICT r13 item 7): the r13
+# driver run saw all 3 attempts contended because 30+60 s of backoff is
+# nothing against documented multi-minute waves.  Geometric backoff to
+# ~7.5 min total retry, capped at 5 attempts — a wave that outlasts
+# that is flagged (anchored_clean: false) exactly as before.
+MAX_TIER1_ATTEMPTS = 5
+RETRY_BACKOFF_SEC = (30.0, 60.0, 120.0, 240.0)  # before attempt 2..5
 
 
 def _attempt_clean(anchor_pre: float, anchor_post: float, q01: float | None) -> bool:
@@ -182,23 +187,59 @@ def _tier1_only_enabled(raw: str | None) -> bool:
     return (raw or "").strip().lower() in ("1", "true")
 
 
+def _sf_num(sf) -> float:
+    """Numeric view of an sf tag for ordering; non-numeric -> -1."""
+    try:
+        return float(sf)
+    except (TypeError, ValueError):
+        return -1.0
+
+
 def _should_write_preview(
     old: dict | None, clean: bool, total: float, sf: str, rnd: int
 ) -> bool:
     """BENCH_PREVIEW.json write guard: only an anchored-clean pass may
     land; a retry that hits a wave must not clobber the clean sample it
-    is hunting, and a builder iteration at another sf must not clobber
+    is hunting, and a builder iteration at a SMALLER sf must not clobber
     this round's driver-facing preview (the driver only embeds a
-    matching-sf preview).  Write iff clean AND (no current-round
-    preview exists, or ours is the same sf with a LOWER total)."""
+    matching-sf preview; larger sf == closer to the driver's own run).
+    Write iff clean AND (no current-round preview exists, or ours is a
+    LARGER sf, or the same sf with a LOWER total).  sf values are
+    compared as strings via str() (ADVICE r13: a pre-guard preview
+    stored numeric sf, and 0.1 != "0.1" froze the slot)."""
     if not clean:
         return False
     if old is None or old.get("bench_round") != rnd:
         return True
-    if old.get("sf") != sf:
-        return False
+    old_sf = str(old.get("sf"))
+    if old_sf != str(sf):
+        # a clean pass at a larger sf supersedes a smaller-sf preview
+        # (ADVICE r13 medium): the driver benches at the largest sf, so
+        # a builder iteration at sf0.001 must never block the round's
+        # driver-facing sf0.1 sample.
+        return _sf_num(sf) > _sf_num(old_sf)
     prev_total = old.get("tier1_total")
     return prev_total is None or total < prev_total
+
+
+def _emitted_timings(attempts: list[dict], accepted: dict) -> dict[str, float]:
+    """Per-query timings for the headline `queries` dict.
+
+    Clean accepted attempt: that attempt's timings verbatim (unchanged
+    behavior).  Contended headline (VERDICT r13 item 7): a wave inflates
+    each attempt differently per query, so each query's entry becomes
+    its MIN across ALL attempts — still the same noop-sink steady-state
+    estimator, just minimized over 3*n_attempts repetitions instead of
+    3.  The headline `value` stays the best single ATTEMPT total either
+    way (totals remain attempt-coherent); `t1_minq` carries the sum of
+    the emitted per-query values so the difference is machine-readable.
+    """
+    if accepted["clean"] or len(attempts) <= 1:
+        return accepted["_timings"]
+    return {
+        name: min(r["_timings"][name] for r in attempts if name in r["_timings"])
+        for name in accepted["_timings"]
+    }
 
 
 def _measure_anchor(spark) -> float:
@@ -314,7 +355,7 @@ def main() -> None:
         # no anchored-clean attempt: emit the best total, flagged — a
         # judge reading the record sees every attempt was contended.
         accepted = min(attempts, key=lambda r: r["t1"])
-    timings = accepted["_timings"]
+    timings = _emitted_timings(attempts, accepted)
     total = accepted["t1"]
     anchor = min(accepted["a_pre"], accepted["a_post"])
     attempt_log = [{k: v for k, v in r.items() if k != "_timings"} for r in attempts]
@@ -416,10 +457,28 @@ def main() -> None:
                         "noise_anchor_range_sum_sec": round(anchor, 3),
                         "sf": sf,
                         "bench_round": _bench_round(),
+                        "latest_clean_total": round(total, 3),
                     },
                     separators=(",", ":"),
                 )
                 + "\n"
+            )
+        elif (
+            accepted["clean"]
+            and old is not None
+            and old.get("bench_round") == _bench_round()
+            and str(old.get("sf")) == str(sf)
+        ):
+            # best-clean stands, but record the LATEST clean total too
+            # (ADVICE r13: a same-round code regression otherwise keeps
+            # advertising the pre-regression number invisibly)
+            old["latest_clean_total"] = round(total, 3)
+            preview_path.write_text(json.dumps(old, separators=(",", ":")) + "\n")
+            print(
+                f"preview best stands ({old.get('tier1_total')}); "
+                f"latest_clean_total updated to {total:.2f}",
+                file=sys.stderr,
+                flush=True,
             )
         else:
             print(
@@ -466,6 +525,9 @@ def main() -> None:
             "anchored_clean": accepted["clean"],
             "anchor_gate_sec": anchor_gate,
             "attempts": attempt_log,
+            # sum of the emitted per-query values; == value on a clean
+            # run, < value when contended (per-query min across attempts)
+            "t1_minq": round(sum(timings.values()), 3),
             "tier1_idle_preview": tier1_idle_preview,
             "sf": sf_val,
         },

@@ -75,7 +75,13 @@ def forest_closure(
         F.coalesce("__p", F.col("node")).alias("ptr"),
         F.when(F.col("__p").isNotNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("depth"),
     )
-    for _ in range(rounds):
+    converged = False
+    # rounds bounds the number of POINTER-MOVING rounds; the +1 is the
+    # confirming observation (the connected_components discipline): a
+    # forest whose closure needs exactly `rounds` doublings finishes on
+    # round `rounds` with changed>0, and only the NEXT round can observe
+    # changed==0 — without it the guard below would reject correct state.
+    for _ in range(rounds + 1):
         hop = state.select(
             F.col("node").alias("ptr"),
             F.col("ptr").alias("__ptr2"),
@@ -106,5 +112,16 @@ def forest_closure(
             )
         )
         if (obs.get["changed"] or 0) == 0:
+            converged = True
             break
+    if not converged:
+        # the budget ran out with the LAST round still moving pointers
+        # (ADVICE r13): some node may sit on a non-root ancestor, i.e.
+        # the returned depths/roots would be silently WRONG for forests
+        # taller than 2^rounds.  Mirror k_core's non-convergence error
+        # rather than return unverified state.
+        raise RuntimeError(
+            f"forest_closure did not converge within rounds={rounds} "
+            "(forest height exceeds 2^rounds); raise the budget"
+        )
     return state.select("node", F.col("ptr").alias("root"), "depth")

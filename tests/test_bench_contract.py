@@ -77,10 +77,14 @@ def test_anchor_gate_acceptance():
 
 
 def test_anchor_gate_attempts_are_bounded():
-    """Retries must terminate: bounded attempts, bounded backoff."""
-    assert 1 <= bench.MAX_TIER1_ATTEMPTS <= 5
+    """Retries must terminate: bounded attempts, bounded backoff.
+
+    The cap was raised 300 -> 900 s in r14 (VERDICT r13 item 7: the
+    r13 waves outlasted the 90 s budget; geometric backoff to ~7.5 min
+    is provisioned against documented wave lengths, still bounded)."""
+    assert 1 <= bench.MAX_TIER1_ATTEMPTS <= 6
     assert len(bench.RETRY_BACKOFF_SEC) >= 1
-    assert sum(bench.RETRY_BACKOFF_SEC) <= 300
+    assert sum(bench.RETRY_BACKOFF_SEC) <= 900
 
 
 def test_size_aware_shuffle_partitions_clamps(tmp_path):
@@ -108,9 +112,39 @@ def test_preview_write_guard():
     assert not g(old, True, 38.7, "0.1", 13)
     assert not g(old, False, 30.0, "0.1", 13)
     assert g(old, True, 31.9, "0.1", 13)
-    # same round, different sf: never clobbers the driver-facing preview
+    # same round, SMALLER sf: never clobbers the driver-facing preview
     assert not g(old, True, 5.0, "0.001", 13)
+    # same round, LARGER sf: supersedes a smaller-sf builder preview
+    # (ADVICE r13 medium: an sf0.001 iteration must not freeze the slot)
+    small = {"bench_round": 13, "sf": "0.001", "tier1_total": 5.0}
+    assert g(small, True, 40.0, "0.1", 13)
+    assert not g(small, False, 40.0, "0.1", 13)
+    # legacy numeric sf in a committed preview compares correctly
+    # (ADVICE r13: 0.1 != "0.1" froze the slot forever)
+    legacy = {"bench_round": 13, "sf": 0.1, "tier1_total": 32.45}
+    assert g(legacy, True, 31.9, "0.1", 13)
+    assert not g(legacy, True, 38.7, "0.1", 13)
     # stale round: a clean pass for the new round replaces it
     assert g({"bench_round": 12, "sf": "0.1", "tier1_total": 39.0}, True, 40.0, "0.1", 13)
     # corrupt/absent fields degrade safely
     assert g({"bench_round": 13, "sf": "0.1"}, True, 40.0, "0.1", 13)
+
+
+def test_emitted_timings_min_across_attempts_only_when_contended():
+    # clean accepted attempt: verbatim (the r12->r13 behavior)
+    a1 = {"clean": False, "t1": 44.0, "_timings": {"q01": 0.7, "q02": 1.0}}
+    a2 = {"clean": True, "t1": 40.0, "_timings": {"q01": 0.3, "q02": 1.2}}
+    assert bench._emitted_timings([a1, a2], a2) == {"q01": 0.3, "q02": 1.2}
+    # all attempts contended: per-query min across attempts
+    a3 = {"clean": False, "t1": 41.0, "_timings": {"q01": 0.4, "q02": 0.9}}
+    assert bench._emitted_timings([a1, a3], a3) == {"q01": 0.4, "q02": 0.9}
+    assert bench._emitted_timings([a1, a3], a1) == {"q01": 0.4, "q02": 0.9}
+    # single contended attempt degrades to verbatim
+    assert bench._emitted_timings([a1], a1) == {"q01": 0.7, "q02": 1.0}
+
+
+def test_backoff_schedule_provisioned_for_waves():
+    # VERDICT r13 item 7: total retry budget must reach multiple minutes
+    assert bench.MAX_TIER1_ATTEMPTS >= 4
+    assert sum(bench.RETRY_BACKOFF_SEC) >= 300
+    assert len(bench.RETRY_BACKOFF_SEC) == bench.MAX_TIER1_ATTEMPTS - 1

@@ -224,3 +224,27 @@ def test_interval_overlap_guards(spark):
     # intervals ([0,5) vs [5,9)) do not overlap
     df2 = spark.createDataFrame([(1, 0, 5), (2, 5, 9), (3, 7, 7)], ["id", "s", "e"])
     assert interval_overlap_pairs(df2, "id", "s", "e", bucket_width=4).count() == 0
+
+
+def test_forest_closure_raises_on_unconverged_budget(spark):
+    import pytest as _pytest
+
+    from osm_changesets_to_parquet_spark.operators.closure import forest_closure
+
+    # a 40-deep path cannot close in 2 doubling rounds (2^2 = 4 < 40):
+    # the exhausted budget must raise, never return non-root pointers
+    # silently (ADVICE r13 — mirror k_core's non-convergence error)
+    nodes = spark.createDataFrame([(i,) for i in range(41)], ["node"])
+    edges = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 41)], ["child", "parent"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        forest_closure(nodes, edges, rounds=2).collect()
+    # a budget of exactly ceil(log2(40)) = 6 moving rounds converges:
+    # the +1 confirming round must not burn the budget (the guard fires
+    # only on TRUE non-convergence)
+    out = {
+        r.node: (r.root, r.depth)
+        for r in forest_closure(nodes, edges, rounds=6).collect()
+    }
+    assert out[40] == (0, 40)

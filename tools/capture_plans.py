@@ -41,7 +41,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     nshuf = bench._size_aware_shuffle_partitions(sf_dir, cpus)
     names = sys.argv[2:] or bench.BENCH_QUERIES
-    out_dir = Path(REPO) / "plans" / "r13"
+    out_dir = Path(REPO) / "plans" / os.environ.get("SPARK_GRAFT_PLANS_DIR", "r14")
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(
         "plan-capture", extra_conf={"spark.sql.shuffle.partitions": str(nshuf)}
