@@ -69,15 +69,13 @@ def register(
 
 
 # The driver records correctness rows in registry order and its window
-# has held exactly 50 entries per round (CORRECTNESS_r01-r12.json) — so
-# ordering is part of the verification contract.  Round 13 continues
-# the REGISTRATION FREEZE (VERDICT r09-r12): zero new queries.  The
-# stale burn-down completed in r12 (CORRECTNESS_r12.json: 50/50 green;
-# no witness predates r4), so this is the FIRST steady-state window:
-# pure oldest-witnessed-first output of tools/next_window.py — it
-# fronts the r4-era streaming/UDF names (s1–s3, s4b, s5, s9, s10,
-# u1/u2/u4, q124–q126, cs9–cs11, m47) and fills with the oldest
-# r5-witnessed names in ascending name order.
+# has held exactly 50 entries per round (CORRECTNESS_r01-r13.json) — so
+# ordering is part of the verification contract.  Round 14 continues
+# the REGISTRATION FREEZE (VERDICT r09-r13): zero new queries.  This
+# is steady-state window #2: pure oldest-witnessed-first output of
+# tools/next_window.py over the tracked ledger through r13 — it
+# fronts the r5-witnessed q36-q40/s11/s12/t41-t45 names and fills
+# with the oldest remaining r5 names in ascending name order.
 #
 # STANDING DEBT RULE (VERDICT r08 item 2): new registrations per round
 # <= 50 minus the never-witnessed backlog; while backlog > 0, zero new
@@ -97,57 +95,6 @@ def register(
 # pins that the head of _PRIORITY equals the tool's choice).
 _PRIORITY: tuple[str, ...] = (
     # ---- window (50): oldest-witnessed-first ----
-    "q124_doc_chunking",
-    "q125_jaccard_prefix_filter",
-    "q126_group_cap_sample",
-    "s10_stream_merge_upsert",
-    "s1_tumbling_window",
-    "s2_sliding_window",
-    "s3_session_window",
-    "s4b_watermark_late_drops",
-    "s5_streaming_dedup",
-    "s9_session_window_stream",
-    "u1_pandas_udf_normalize",
-    "u2_grouped_map_zscore",
-    "u4_udtf_tokenize",
-    "cs10_bbox_cells",
-    "cs11_python_datasource",
-    "cs9_pipeline_roundtrip",
-    "m47_multimodal_meta",
-    "q08_approx_count_distinct",
-    "q09_percentile",
-    "q10_join4_revenue",
-    "q11_left_join",
-    "q127_leakage_safe_split",
-    "q128_mad_outlier_scrub",
-    "q129_unigram_logprob",
-    "q12_full_outer",
-    "q130_text_normalize",
-    "q131_cross_source_dups",
-    "q133_join_skew_profile",
-    "q134_dedup_funnel",
-    "q135_contrastive_ann",
-    "q136_boilerplate_phrases",
-    "q137_equifreq_deciles",
-    "q138_cluster_canonical_pick",
-    "q139_incremental_neardup",
-    "q13_semi_join",
-    "q140_range_lookup",
-    "q141_heavyhitters",
-    "q14_anti_join",
-    "q15_cross_join",
-    "q16_theta_join",
-    "q17_range_join",
-    "q18_asof_join",
-    "q19_rank_topn",
-    "q20_lag_lead",
-    "q21_running_sum",
-    "q22_range_frame",
-    "q23_ntile_percent_rank",
-    "q24_topk",
-    "q25_union",
-    "q26_intersect",
-    # ---- next-oldest tail (14) ----
     "q36_cosine_topk",
     "q37_centroid",
     "q38_token_freq",
@@ -162,6 +109,57 @@ _PRIORITY: tuple[str, ...] = (
     "t45_simhash",
     "q152_unigram_entropy",
     "q153_group_jaccard",
+    "q154_incremental_agg",
+    "q155_grid_join_2d",
+    "q156_event_transitions",
+    "q157_rolling_median",
+    "q158_variant_shred",
+    "q159_manifest_skipping",
+    "q160_log_odds_terms",
+    "q161_sql_surface",
+    "q162_group_ols",
+    "q163_zorder_skipping",
+    "q164_recursive_cte",
+    "q165_mmr_rerank",
+    "q166_nearest_centroid",
+    "q167_targeted_delete",
+    "q168_budget_select",
+    "q169_rolling_dau",
+    "q170_autocorrelation",
+    "q171_frequent_pairs",
+    "q172_roc_auc",
+    "q173_ab_ztest",
+    "q174_sorted_neighborhood",
+    "q175_cms_join_estimate",
+    "q176_inverted_index",
+    "q177_kcenter_coreset",
+    "q178_pca_power",
+    "q180_rfm_segments",
+    "q181_twap",
+    "q182_cusum_changepoint",
+    "q183_attribution",
+    "q184_benford_audit",
+    "q185_windowed_funnel",
+    "q186_path_mining",
+    "q187_pareto_concentration",
+    "q188_column_mi",
+    "q189_key_gini",
+    "q190_skyline",
+    # ---- next-oldest tail (14) ----
+    "q191_dynamic_partition_pruning",
+    "q192_emd_drift",
+    "q193_decile_lift",
+    "q197_table_digest",
+    "q200_tpch_q3",
+    "s16_streaming_transitions",
+    "s17_full_outer_stream_join",
+    "s18_streaming_cms",
+    "s19_streaming_conversions",
+    "u5_arrow_grouped_stats",
+    "u6_udtf_analyze_dynamic_schema",
+    "cs12_python_datasource_writer",
+    "cs14_single_file_publish",
+    "e46_embedding_neardup",
 )
 # no rows-only queries remain (a51/a52 carry tolerance oracles now)
 _LAST: tuple[str, ...] = ()

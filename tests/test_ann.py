@@ -4,6 +4,8 @@ prune the scan."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from osm_changesets_to_parquet_spark import queries as Q
@@ -11,6 +13,12 @@ from osm_changesets_to_parquet_spark.catalog import load_table
 from osm_changesets_to_parquet_spark.operators.similarity import ivf_build, ivf_topk
 
 Q.load_all_modules()
+
+
+# recall/property/brute-force ladders: excluded from the fast
+# default run (pytest.ini); the builder's full-suite gate runs
+# them with -m ""
+pytestmark = pytest.mark.slow
 
 
 def _exact_ids(spark, sf_dir):

@@ -3,6 +3,8 @@ parse semantics, src/main.rs:199-284)."""
 
 from __future__ import annotations
 
+import pytest
+
 import xml.etree.ElementTree as ET
 
 from hypothesis import HealthCheck, given, settings
@@ -263,6 +265,7 @@ def test_fuzz_fallback_matches_xml_source(spark, data):
         os.unlink(path)
 
 
+@pytest.mark.slow  # >8 s: full-suite gate only (pytest.ini)
 def test_python_datasource_split_invariance(spark):
     # the byte-range planner must produce the SAME rows at every
     # partition count — boundaries land mid-element on the 40-element

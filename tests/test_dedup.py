@@ -3,6 +3,8 @@ extras): LSH candidate sets must cover the exact truth sets."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from osm_changesets_to_parquet_spark.catalog import load_table
@@ -55,6 +57,7 @@ def test_simhash_similar_docs_close(spark, sf_dir):
     assert avg_dup is not None and avg_dup < 8, f"near-dup hamming too large: {avg_dup}"
 
 
+@pytest.mark.slow  # >8 s: full-suite gate only (pytest.ini)
 def test_lsh_topk_recall(spark, sf_dir):
     """SRP-LSH approximate top-k should recover most of the exact top-k."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -115,6 +118,7 @@ def test_prefix_filter_equals_full_jaccard_join(spark, sf_dir):
     assert pref == full and pref
 
 
+@pytest.mark.slow  # >5 s brute-force/property check: full-suite gate only
 def test_fasthash_kernels_equal_hof_spellings(spark, sf_dir):
     """The round-13 vectorized NumPy kernels (operators.fasthash) must
     produce BYTE-IDENTICAL integers to the in-JVM HOF folds they

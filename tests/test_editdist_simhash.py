@@ -61,6 +61,7 @@ def test_edit_distance_pairs_equals_brute_force(spark, k):
 
 
 @pytest.mark.parametrize("k", [1, 2])
+@pytest.mark.slow  # >5 s brute-force/property check: full-suite gate only
 def test_edit_distance_pairs_short_strings(spark, k):
     # strings of length <= k exercise the zero-width-segment path: the
     # pigeonhole "untouched segment" can be the EMPTY segment, which the
@@ -80,6 +81,7 @@ def test_edit_distance_pairs_short_strings(spark, k):
 
 
 @pytest.mark.parametrize("k", [1, 2])
+@pytest.mark.slow  # >8 s: full-suite gate only (pytest.ini)
 def test_edit_distance_pairs_id_corpus_orientation(spark, k):
     # zero-padded sequential IDs are the degenerate shape the
     # orientation probe exists for: after affix stripping the HEAD
@@ -193,6 +195,7 @@ def test_simhash_neardup_max_bucket_drops_hot_bucket(spark):
     assert out.count() == 0
 
 
+@pytest.mark.slow  # >8 s: full-suite gate only (pytest.ini)
 def test_edit_distance_affix_stripping_equals_unstripped(spark):
     # template corpus: constant prefix AND suffix around a variable core;
     # stripped and unstripped spellings must produce identical pairs
@@ -212,6 +215,7 @@ def test_edit_distance_affix_stripping_equals_unstripped(spark):
     assert stripped  # 0001/0002-style substitution neighbours exist
 
 
+@pytest.mark.slow  # >8 s: full-suite gate only (pytest.ini)
 def test_edit_distance_affix_floor_keeps_remainder_blockable(spark):
     # near-total overlap: strings are prefix+suffix plus <= 1 middle char;
     # the k+1 remainder floor must keep blocking valid (no empty segments)

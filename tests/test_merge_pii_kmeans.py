@@ -72,6 +72,7 @@ def test_kmeans_separates_blobs(spark):
     assert cent.count() == 2
 
 
+@pytest.mark.slow  # >8 s: full-suite gate only (pytest.ini)
 def test_kmeans_kernel_equals_hof_spelling(spark, sf_dir):
     """The round-13 vectorized assign kernel (_kmeans_assign_udf) must
     produce BYTE-IDENTICAL assignments and centroids to the retained
@@ -231,20 +232,20 @@ def test_forest_closure_raises_on_unconverged_budget(spark):
 
     from osm_changesets_to_parquet_spark.operators.closure import forest_closure
 
-    # a 40-deep path cannot close in 2 doubling rounds (2^2 = 4 < 40):
+    # a 12-deep path cannot close in 2 doubling rounds (2^2 = 4 < 12):
     # the exhausted budget must raise, never return non-root pointers
     # silently (ADVICE r13 — mirror k_core's non-convergence error)
-    nodes = spark.createDataFrame([(i,) for i in range(41)], ["node"])
+    nodes = spark.createDataFrame([(i,) for i in range(13)], ["node"])
     edges = spark.createDataFrame(
-        [(i, i - 1) for i in range(1, 41)], ["child", "parent"]
+        [(i, i - 1) for i in range(1, 13)], ["child", "parent"]
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         forest_closure(nodes, edges, rounds=2).collect()
-    # a budget of exactly ceil(log2(40)) = 6 moving rounds converges:
+    # a budget of exactly ceil(log2(12)) = 4 moving rounds converges:
     # the +1 confirming round must not burn the budget (the guard fires
     # only on TRUE non-convergence)
     out = {
         r.node: (r.root, r.depth)
-        for r in forest_closure(nodes, edges, rounds=6).collect()
+        for r in forest_closure(nodes, edges, rounds=4).collect()
     }
-    assert out[40] == (0, 40)
+    assert out[12] == (0, 12)

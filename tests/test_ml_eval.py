@@ -6,6 +6,8 @@ discipline)."""
 
 from __future__ import annotations
 
+import pytest
+
 import collections
 import math
 
@@ -20,6 +22,7 @@ def _pd(sf_dir: str, table: str) -> pd.DataFrame:
     ).df()
 
 
+@pytest.mark.slow  # >5 s brute-force/property check: full-suite gate only
 def test_spearman_matches_pandas(spark, sf_dir):
     # contingency-count Spearman (q232) == pandas' per-row
     # average-rank Spearman on the same columns
@@ -36,6 +39,7 @@ def test_spearman_matches_pandas(spark, sf_dir):
         assert abs(got[g] - want) < 1e-5, (g, got[g], want)
 
 
+@pytest.mark.slow  # >5 s brute-force/property check: full-suite gate only
 def test_threshold_sweep_matches_pandas(spark, sf_dir):
     from osm_changesets_to_parquet_spark.queries.ml_model_eval import (
         _Q233_THRESHOLDS,

@@ -5,6 +5,8 @@ testdata can't."""
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
@@ -15,6 +17,12 @@ from osm_changesets_to_parquet_spark.operators.clusters import (
     connected_components,
     connected_components_star,
 )
+
+
+# recall/property/brute-force ladders: excluded from the fast
+# default run (pytest.ini); the builder's full-suite gate runs
+# them with -m ""
+pytestmark = pytest.mark.slow
 
 
 def _union_find(pairs):

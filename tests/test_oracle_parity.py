@@ -1,5 +1,14 @@
 """Every registered query must hash-match its DuckDB oracle at sf0.001
-(the driver runs the same comparison at sf0.01)."""
+(the driver runs the same comparison at sf0.01).
+
+Fast-by-default split (VERDICT r13 item 2: the full 410-query sweep
+plus the rest of the suite outruns the driver's verify window): the
+default run (`-m "not slow"`, pytest.ini) keeps the 50 names of the
+round's _PRIORITY correctness window — exactly the names the driver
+will gate on — and marks the remaining ~360 `slow`.  The builder's
+pre-commit gate runs the FULL suite (`-m ""`); the rotation rule
+guarantees every name re-enters the fast set at least every ~9 rounds.
+"""
 
 from __future__ import annotations
 
@@ -9,13 +18,21 @@ from osm_changesets_to_parquet_spark import queries as Q
 from tests.oracle_utils import compare
 
 Q.load_all_modules()
+_WINDOW = set(Q._PRIORITY[:50])
 ORACLE_QUERIES = sorted(
     name for name, spec in Q.REGISTRY.items() if spec.oracle is not None
 )
 NO_ORACLE = sorted(name for name, spec in Q.REGISTRY.items() if spec.oracle is None)
 
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def _window_first(names):
+    return [
+        n if n in _WINDOW else pytest.param(n, marks=pytest.mark.slow)
+        for n in names
+    ]
+
+
+@pytest.mark.parametrize("name", _window_first(ORACLE_QUERIES))
 def test_oracle_parity(spark, sf_dir, name):
     spec = Q.REGISTRY[name]
     df = spec.fn(spark, sf_dir)
@@ -23,7 +40,7 @@ def test_oracle_parity(spark, sf_dir, name):
     assert not problems, "\n".join(problems)
 
 
-@pytest.mark.parametrize("name", NO_ORACLE)
+@pytest.mark.parametrize("name", _window_first(NO_ORACLE))
 def test_rows_only(spark, sf_dir, name):
     spec = Q.REGISTRY[name]
     df = spec.fn(spark, sf_dir)

@@ -153,6 +153,7 @@ def test_s13_reader_plans_multiple_partitions_per_batch(spark, sf_dir):
     assert n_rows == want
 
 
+@pytest.mark.slow  # >8 s: full-suite gate only (pytest.ini)
 def test_s13_drained_counts_match_batch(spark, sf_dir):
     from osm_changesets_to_parquet_spark.catalog import load_table
     from osm_changesets_to_parquet_spark.streaming import (
@@ -173,6 +174,7 @@ def test_s13_drained_counts_match_batch(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow  # >5 s brute-force/property check: full-suite gate only
 def test_persisted_index_probe_equals_in_session_incremental(spark, sf_dir):
     # VERDICT r5 item 2: probing the persisted banded index must return
     # exactly what the in-session incremental spelling returns
@@ -288,6 +290,7 @@ def test_bpe_merge_greedy_self_overlap(spark):
     assert got == [(1, "x", "x", 6), (2, "xx", "xx", 2)]
 
 
+@pytest.mark.slow  # >5 s brute-force/property check: full-suite gate only
 def test_bpe_kernel_equals_catalyst_spelling(spark, sf_dir):
     """The round-13 single-task training kernel (_bpe_rounds_kernel)
     must produce BYTE-IDENTICAL winners and encoded vocab to the
@@ -379,6 +382,7 @@ def test_events_chunk_sink_manifest_visibility(spark, sf_dir):
         shutil.rmtree(path, ignore_errors=True)
 
 
+@pytest.mark.slow  # >8 s: full-suite gate only (pytest.ini)
 def test_s14_streaming_neardup_index_append_idempotent(spark, sf_dir):
     # foreachBatch is at-least-once: a RETRIED batch must overwrite its
     # own __bid subdirectory, not double-append — index row counts are
@@ -996,6 +1000,7 @@ def test_q205_patterns_match_bruteforce(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow  # >5 s brute-force/property check: full-suite gate only
 def test_lsh_write_then_append_then_probe_composes(spark, sf_dir):
     # ADVICE r06: lsh_index_write (base) and lsh_index_append
     # (increments) must form ONE discoverable parquet dataset — the
@@ -1039,6 +1044,7 @@ def test_lsh_write_then_append_then_probe_composes(spark, sf_dir):
     assert len(want) > 0  # fixture must actually exercise the probe
 
 
+@pytest.mark.slow  # >5 s brute-force/property check: full-suite gate only
 def test_lsh_probe_before_bid_excludes_own_append(spark, sf_dir):
     # ADVICE r06 retry safety: a replayed foreachBatch batch that
     # already appended itself under __bid=N must not probe its own

@@ -3,6 +3,8 @@ references for Holt smoothing, Kendall tau-b, k-core, calibration."""
 
 from __future__ import annotations
 
+import pytest
+
 import collections
 
 import duckdb
@@ -1533,6 +1535,7 @@ def test_capture_recapture_matches_brute(spark, sf_dir):
     assert row.chapman_rel_err < 0.25, row
 
 
+@pytest.mark.slow  # >5 s brute-force/property check: full-suite gate only
 def test_partial_correlation_matches_numpy(spark, sf_dir):
     import numpy as np
 
@@ -1764,6 +1767,7 @@ def test_srm_check_matches_brute(spark, sf_dir):
     assert not row.srm_detected
 
 
+@pytest.mark.slow  # >8 s: full-suite gate only (pytest.ini)
 def test_dedup_roi_matches_brute_and_monotone(spark, sf_dir):
     from osm_changesets_to_parquet_spark.operators.dedup import jaccard_pairs
     from osm_changesets_to_parquet_spark.queries.dedup_sim import (
@@ -1796,6 +1800,7 @@ def test_dedup_roi_matches_brute_and_monotone(spark, sf_dir):
     assert removed_seq[0] > 0  # the 0.3 cut must actually remove docs
 
 
+@pytest.mark.slow  # >5 s brute-force/property check: full-suite gate only
 def test_page_hinkley_matches_brute(spark, sf_dir):
     from osm_changesets_to_parquet_spark.queries.ml_timeseries import (
         _Q286_DELTA,
@@ -1830,6 +1835,7 @@ def test_page_hinkley_matches_brute(spark, sf_dir):
         assert abs(r.max_ph - round(mx, 4)) < 1e-9
 
 
+@pytest.mark.slow  # >5 s brute-force/property check: full-suite gate only
 def test_subgroup_auc_gap_matches_brute(spark, sf_dir):
     from osm_changesets_to_parquet_spark.queries.ml_model_eval import _Q279_HEAVY, q287
 
@@ -1980,6 +1986,7 @@ def test_fleiss_kappa_matches_brute(spark, sf_dir):
     assert 0.5 < row.fleiss_kappa < 1.0
 
 
+@pytest.mark.slow  # >5 s brute-force/property check: full-suite gate only
 def test_minhash_error_within_theory(spark, sf_dir):
     from osm_changesets_to_parquet_spark.operators.dedup import (
         N_HASHES,
@@ -2010,6 +2017,7 @@ def test_minhash_error_within_theory(spark, sf_dir):
     assert row.mean_abs_err < 2 * (0.25 / N_HASHES) ** 0.5
 
 
+@pytest.mark.slow  # >5 s brute-force/property check: full-suite gate only
 def test_vocab_forecast_matches_brute_and_is_sane(spark, sf_dir):
     import math
 
@@ -2183,6 +2191,7 @@ def test_nbinom_fit_matches_brute(spark, sf_dir):
         assert row.nb_r is None
 
 
+@pytest.mark.slow  # >5 s brute-force/property check: full-suite gate only
 def test_lsh_stage_quality_matches_brute(spark, sf_dir):
     from osm_changesets_to_parquet_spark.operators.dedup import (
         jaccard_pairs,

@@ -5,6 +5,8 @@ fixtures leave dead (q304-q305), and the dq operators."""
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -652,6 +654,7 @@ def test_q323_planted_two_chains(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # >5 s brute-force/property check: full-suite gate only
 def test_s25_sketch_bound_holds(spark, sf_dir):
     out = Q.REGISTRY["s25_stream_quantile_sketch"].fn(spark, sf_dir).toPandas()
     assert list(out.q_bp) == [5000, 9000, 9900]

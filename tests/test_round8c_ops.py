@@ -4,6 +4,8 @@ plain Python over the sf fixture — independent of both engines."""
 
 from __future__ import annotations
 
+import pytest
+
 import collections
 import hashlib
 
@@ -452,6 +454,7 @@ def test_q336_item_cf_brute_force(spark, sf_dir):
         assert abs(r.cosine - cos) < 1e-6
 
 
+@pytest.mark.slow  # >5 s brute-force/property check: full-suite gate only
 def test_q337_dbscan_brute_force(spark, sf_dir):
     out = Q.REGISTRY["q337_dbscan"].fn(spark, sf_dir).toPandas()
     emb = load_table(spark, sf_dir, "embeddings").toPandas()

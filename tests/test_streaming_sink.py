@@ -7,6 +7,8 @@ delivers exactly-once file output equal to the batch aggregate.
 
 from __future__ import annotations
 
+import pytest
+
 import tempfile
 
 from pyspark.sql import functions as F
@@ -18,6 +20,7 @@ from osm_changesets_to_parquet_spark.streaming.jobs import (
 )
 
 
+@pytest.mark.slow  # >8 s: full-suite gate only (pytest.ini)
 def test_streaming_parquet_sink_exactly_once(spark, sf_dir):
     replay = prepare_replay_dir(spark, sf_dir, late=False)
     out = tempfile.mkdtemp(prefix="stream_sink_")
