@@ -32,11 +32,12 @@ def tokens(docs: DataFrame, text_col: str = "text", keep: list[str] | None = Non
 def term_freq(docs: DataFrame, text_col: str = "text", group_col: str | None = None) -> DataFrame:
     """Token counts, optionally per group (e.g. per lang).
 
-    The explode + map-side partial count are fanned across cores first
-    (guide §2.5): on a single-row-group input they would otherwise run
-    inside the scan's lone task."""
-    by = "doc_id" if "doc_id" in docs.columns else None
-    t = tokens(fan_out(docs, by), text_col, keep=[group_col] if group_col else [])
+    NO fan_out before the explode (reverted r14): the r13 exchange
+    regressed the driver's q38 run 0.71x, and the r14 interleaved A/B
+    (min-of-5/arm) reads no-fan 0.40 s vs fan 0.65 s — a whitespace
+    split feeding a map-side partial count is too cheap to pay an
+    exchange for at any corpus the scan can't already split."""
+    t = tokens(docs, text_col, keep=[group_col] if group_col else [])
     keys = ([group_col] if group_col else []) + ["token"]
     return t.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -72,10 +73,11 @@ def tf_idf(
     # aggregate shapes — Catalyst cannot share the exchange, and a
     # common (token, group, doc) pre-aggregate was measured out: the
     # optimizer collapses it on the df branch while the tf branch pays
-    # an extra shuffle).  Fanning the explode across cores (guide §2.5)
-    # is the win that sticks — the single-row-group scan otherwise runs
-    # both explode+partial-agg passes serially.
-    t = tokens(fan_out(docs, doc_id_col), text_col, keep=[doc_id_col, group_col])
+    # an extra shuffle).  NO fan_out either (reverted r14): r13 kept it
+    # without a measurement and the driver read q40 flat; the r14
+    # interleaved A/B (min-of-5/arm) reads no-fan 0.75 s vs fan 1.22 s
+    # — the exchange runs TWICE (once per branch) and loses both times.
+    t = tokens(docs, text_col, keep=[doc_id_col, group_col])
     tf = t.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = t.groupBy("token").agg(F.countDistinct(doc_id_col).alias("df"))
     n_docs = docs.agg(F.countDistinct(doc_id_col).alias("n_docs"))

@@ -455,11 +455,13 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # fan the probe side (guide §2.5): the broadcast join enumerates
-    # every in-band pair in the probe stage's lone scan task otherwise
-    e1 = fan_out(ev, "event_id").select(
-        "user_id", "event_type", F.col("ts_us").alias("t1")
-    )
+    # NO fan_out on the probe side (reverted r14): the r13 exchange was
+    # kept on plan shape alone and the driver regressed it 0.58x; the
+    # r14 interleaved A/B (min-of-5/arm, one session) reads no-fan
+    # 0.86 s vs fan 1.29 s — the probe is a 3-column select whose
+    # per-row work is far below the exchange + tiny-batch overhead
+    # (the same verdict as the LSH front-ends, guide §2.5 cuts both ways)
+    e1 = ev.select("user_id", "event_type", F.col("ts_us").alias("t1"))
     e2 = ev.select(F.col("user_id").alias("u2"), F.col("ts_us").alias("t2"))
     return (
         e1.join(
