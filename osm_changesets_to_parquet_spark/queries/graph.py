@@ -692,18 +692,41 @@ ORDER BY top.tri DESC, top.u, top.v
         "edge embeddedness (per-EDGE triangle support + neighborhood "
         "Jaccard — the tie-strength metric of Granovetter-style graph "
         "curation, and the standard edge feature for link prediction): "
-        "rides q218's degree-oriented wedge machinery — each closed "
-        "wedge (s,x,y) is one triangle, exploded to its three "
-        "undirected edges and counted per edge, so the hub-degree "
-        "blowup never appears; the oracle counts common neighbors "
-        "through the symmetrized adjacency self-join (an independent "
-        "spelling).  Jaccard = tri/(deg_u + deg_v - 2 - tri) composed "
-        "from integers, ROUND 6; top-k is TakeOrdered with a total "
+        "degree-oriented adjacency-array intersection — each oriented "
+        "edge (s,t) finds its triangles in-row as "
+        "array_intersect(outadj(s), outadj(t)) (out-degree of a "
+        "degree-oriented graph is O(sqrt m), so the arrays are "
+        "hub-safe), then every triangle credits its three undirected "
+        "edges; nothing is materialized at wedge cardinality (the "
+        "pre-r14 plan shuffled 41M wedge rows through a sort-merge "
+        "join).  The oracle counts common neighbors through the "
+        "symmetrized adjacency self-join (an independent spelling).  "
+        "Jaccard = tri/(deg_u + deg_v - 2 - tri) composed from "
+        "integers, ROUND 6; top-k is TakeOrdered with a total "
         "(tri desc, u, v) order"
     ),
     tables=("lineitem",),
 )
 def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 respell (guide §3 / VERDICT r13 item 4): the r13 plan closed
+    # wedges with a 41M-row SortMergeJoin (oriented wedges against the
+    # undirected edge set) and recomputed the degree aggregate FOUR
+    # times (it was never materialized, so every du_/dv_ consumer
+    # re-aggregated 2.4M adjacency rows).  Now: degree and orientation
+    # are checkpointed once; the oriented OUT-adjacency is collected to
+    # one array per node (max out-degree of a degree-oriented graph is
+    # O(sqrt(m)) — 97 at sf0.1 — so arrays are hub-safe by
+    # construction) and each oriented edge (s,t) finds its triangles
+    # IN-ROW as array_intersect(adj(s), adj(t)): every triangle
+    # {s,t,w} with source s appears exactly once, at its (s,t) edge.
+    # Work per edge is |adj(s)|+|adj(t)| hash ops inside codegen —
+    # total ~sum od^2 ~ the old wedge count — but NOTHING is
+    # materialized or shuffled at wedge cardinality: the only exploded
+    # stream is 2 rows per TRIANGLE (3.8M at sf0.1 vs the 41M-row
+    # wedge join).  The adjacency map (20k rows, <=97 longs each,
+    # ~16 MB) broadcasts; at a scale where it cannot, the same plan
+    # runs with shuffle-hash joins on s/t — the win (no wedge
+    # materialization) is join-strategy independent.
     from osm_changesets_to_parquet_spark.operators.iterutils import (
         truncate_lineage,
     )
@@ -715,40 +738,58 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = inc.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
     b = inc.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    # the edge list feeds degree, orientation, wedge close AND the
-    # final top-k join — materialize once
+    # the edge list feeds degree, orientation AND the final top-k join
+    # — materialize once
     e = truncate_lineage(
         a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
     )
-    deg = e.select(F.col("u").alias("n")).unionAll(
-        e.select(F.col("v").alias("n"))
-    ).groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    deg = truncate_lineage(
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
     du_ = deg.select(F.col("n").alias("u"), F.col("d").alias("d_u"))
     dv_ = deg.select(F.col("n").alias("v"), F.col("d").alias("d_v"))
     u_first = (F.col("d_u") < F.col("d_v")) | (
         (F.col("d_u") == F.col("d_v")) & (F.col("u") < F.col("v"))
     )
-    o = (
-        e.join(du_, "u")
-        .join(dv_, "v")
+    o = truncate_lineage(
+        e.join(F.broadcast(du_), "u")
+        .join(F.broadcast(dv_), "v")
         .select(
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
     )
-    oa = o.select(F.col("s").alias("ws"), F.col("t").alias("x"))
-    ob = o.select(F.col("s").alias("ws"), F.col("t").alias("y"))
-    wedge = oa.join(ob, "ws").where(F.col("x") < F.col("y"))
-    undirected = o.select(
-        F.least("s", "t").alias("x"), F.greatest("s", "t").alias("y")
+    adj = o.groupBy("s").agg(F.collect_list("t").alias("ns"))
+    adj_t = adj.select(F.col("s").alias("t"), F.col("ns").alias("nt"))
+    # LEFT join on t: an orientation SINK (out-degree 0) has no adj
+    # row; its edges still carry adj(s) and simply intersect empty
+    ed = (
+        o.join(F.broadcast(adj), "s")
+        .join(F.broadcast(adj_t), "t", "left")
+        .select(
+            "s",
+            "t",
+            F.array_intersect(
+                "ns", F.coalesce("nt", F.array().cast("array<long>"))
+            ).alias("w"),
+        )
+        .where(F.size("w") > 0)
     )
-    # INNER join (not semi): the wedge source s is needed — each closed
-    # wedge is a triangle {s, x, y}
-    tris = wedge.join(undirected, ["x", "y"]).select(
-        F.col("ws").alias("s"), "x", "y"
+    # each triangle {s,t,w} contributes 1 to ALL THREE of its edges:
+    # (s,t) takes |w| in-row, (s,w)/(t,w) via a 2-rows-per-triangle
+    # explode — each aggregated as an explicit count so one groupBy
+    # sums them
+    base = ed.select(
+        F.least("s", "t").alias("u"),
+        F.greatest("s", "t").alias("v"),
+        F.size("w").cast("long").alias("c"),
     )
-    per_edge = (
-        tris.select(
+    others = (
+        ed.select("s", "t", F.explode("w").alias("x"))
+        .select(
             F.explode(
                 F.array(
                     F.struct(
@@ -756,21 +797,23 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.greatest("s", "x").alias("v"),
                     ),
                     F.struct(
-                        F.least("s", "y").alias("u"),
-                        F.greatest("s", "y").alias("v"),
+                        F.least("t", "x").alias("u"),
+                        F.greatest("t", "x").alias("v"),
                     ),
-                    F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
                 )
             ).alias("ed")
         )
-        .select("ed.u", "ed.v")
+        .select("ed.u", "ed.v", F.lit(1).cast("long").alias("c"))
+    )
+    per_edge = (
+        base.unionByName(others)
         .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+        .agg(F.sum("c").cast("long").alias("tri"))
     )
     top = per_edge.orderBy(F.col("tri").desc(), "u", "v").limit(_Q308_TOPK)
     return (
-        top.join(du_.withColumnRenamed("d_u", "du"), "u")
-        .join(dv_.withColumnRenamed("d_v", "dv"), "v")
+        top.join(F.broadcast(du_.withColumnRenamed("d_u", "du")), "u")
+        .join(F.broadcast(dv_.withColumnRenamed("d_v", "dv")), "v")
         .select(
             "u",
             "v",
