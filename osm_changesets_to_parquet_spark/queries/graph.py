@@ -731,17 +731,21 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
         truncate_lineage,
     )
 
-    inc = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem")
+    # pairs-per-order expanded IN-ROW from one collect_set per order
+    # (the q323 build respell): one shuffle replaces the old
+    # inc-distinct + 3M-row self-join.  The edge list feeds degree,
+    # orientation AND the final top-k join — materialize once.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
     )
-    a = inc.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = inc.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    # the edge list feeds degree, orientation AND the final top-k join
-    # — materialize once
     e = truncate_lineage(
-        a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+        per_order.select(F.explode("ps").alias("u"), "ps")
+        .select(
+            "u",
+            F.explode(F.filter("ps", lambda y: y > F.col("u"))).alias("v"),
+        )
+        .distinct()
     )
     deg = truncate_lineage(
         e.select(F.col("u").alias("n"))
@@ -885,14 +889,16 @@ FROM hist GROUP BY sz ORDER BY size
         "connected components of the repeat-co-purchase graph (q238's "
         "projection: parts sharing >= 2 orders) as a component-size "
         "histogram — the general-graph registration of "
-        "operators/clusters.connected_components, which near-dup "
-        "clustering (q68/q106/s14) exercises only on shallow "
-        "bucket-clique graphs: iterative min-label propagation, ONE "
-        "job per round (the convergence counter rides the checkpoint "
-        "action as an observe() metric), lineage truncated per round, "
-        "O(diameter) rounds (11 at sf0.01/sf0.1; the "
-        "connected_components_star small/large-star respell is the "
-        f"documented long-chain escape hatch).  Oracle: "
+        "operators/clusters.connected_components: iterative min-label "
+        "propagation, ONE job per round (the convergence counter "
+        "rides the checkpoint action as an observe() metric), lineage "
+        "truncated per round, O(diameter) rounds, with the r14 "
+        "single-task union-find finish when the observed edge count "
+        "fits one task (the Kiveris local endgame — this graph is "
+        "3,573 edges at sf0.1, so the fixture-scale path is the local "
+        "finish; the iterative path is unchanged for graphs over the "
+        "cap).  Build: in-row pair expansion from one collect_set per "
+        "order (no self-join).  Oracle: "
         f"{_Q323_ROUNDS} statically unrolled MATERIALIZED min-label "
         "rounds with the q238 loud-error convergence guard"
     ),
@@ -904,16 +910,25 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    inc = li.select("l_orderkey", "l_partkey").distinct()
-    a = inc.alias("a")
-    b = inc.alias("b")
+    # r14 build respell (guide §2.3/§2.4): pairs-per-order are expanded
+    # IN-ROW from one collect_set per order instead of the old
+    # inc-distinct + self-join (which shuffled the 600k-row incidence
+    # list twice and materialized 3M join rows through a SortMergeJoin).
+    # One shuffle (groupBy orderkey, set-dedup riding it) replaces
+    # distinct + join; order baskets are small (<= ~7 parts), so the
+    # k^2 in-row expansion is bounded.  Each order still contributes a
+    # pair at most once (set semantics), so the >= 2 repeat-count
+    # filter is unchanged.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
     pairs = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
+        per_order.select(F.explode("ps").alias("p1"), "ps")
+        .select(
+            "p1",
+            F.explode(F.filter("ps", lambda y: y > F.col("p1"))).alias("p2"),
         )
+        .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("m"))
         .where(F.col("m") >= 2)
         .select("p1", "p2")
