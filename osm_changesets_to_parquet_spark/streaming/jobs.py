@@ -138,9 +138,24 @@ def _run_to_completion(query) -> None:
 
 
 STREAM_SHUFFLE_PARTITIONS = "4"
+# Python-stateful jobs (applyInPandasWithState keyed by user_id) are
+# updates-bound, not commit-bound: the r14 per-batch profile reads
+# ~6 s of per-key Python update time against ~0.5 s of state-store
+# commit, so doubling the state partitions halves the per-task key
+# count for one extra store's commit (interleaved A/B, min-of-3: s6
+# 8.40 s at 8 partitions vs 10.47 s at 4).  Built-in aggregation jobs
+# (s4a's window counts) are the opposite — KB-sized state where the
+# commit protocol dominates — and keep STREAM_SHUFFLE_PARTITIONS.
+# (Both are replay-fixture sizings; a real cluster stream sizes this
+# once, to cores x ~2, before first start — documented below.)
+PYTHON_STATE_SHUFFLE_PARTITIONS = "8"
 
 
-def _run_availablenow(stream_df: DataFrame, mode: str = "update") -> DataFrame:
+def _run_availablenow(
+    stream_df: DataFrame,
+    mode: str = "update",
+    state_partitions: str = STREAM_SHUFFLE_PARTITIONS,
+) -> DataFrame:
     """Run an availableNow stream into a parquet sink; return every
     micro-batch's output rows as a DataFrame with ``__bid`` (batch id).
 
@@ -185,7 +200,7 @@ def _run_availablenow(stream_df: DataFrame, mode: str = "update") -> DataFrame:
 
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    spark.conf.set("spark.sql.shuffle.partitions", state_partitions)
     try:
         q = (
             stream_df.writeStream.outputMode(mode)
@@ -504,8 +519,14 @@ def run_s6_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle).  Operationally this knob is the state-retention SLA.
     idle_evict_ms = 45 * 24 * 3_600_000
 
-    ev = _read_stream(spark, prepare_replay_dir(spark, sf_dir, late=False)).withWatermark(
-        "ts", "10 minutes"
+    # project to the 3 columns the stateful op touches BEFORE the
+    # Python boundary (guide §4: applyInPandasWithState ships every
+    # column of the grouped rows into the worker — the other 3 were
+    # pure Arrow-transfer overhead per batch per key)
+    ev = (
+        _read_stream(spark, prepare_replay_dir(spark, sf_dir, late=False))
+        .select("user_id", "value", "ts")
+        .withWatermark("ts", "10 minutes")
     )
 
     def update(key, pdf_iter, state: GroupState):
@@ -537,7 +558,9 @@ def run_s6_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    outs = _run_availablenow(out, mode="update")
+    outs = _run_availablenow(
+        out, mode="update", state_partitions=PYTHON_STATE_SHUFFLE_PARTITIONS
+    )
     return (
         outs.groupBy("user_id")
         .agg(F.max_by(F.struct("n_events", "sum_value"), "__bid").alias("s"))
@@ -916,9 +939,18 @@ def run_s16_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame
         (user_id,) = key
         import collections
 
+        import numpy as np
+
+        # order the batch's rows by (ts_us, event_id) with one numpy
+        # lexsort over the raw arrays — pd.concat + sort_values built
+        # and re-indexed a DataFrame per KEY (1.5k keys/batch), which
+        # was pure per-key overhead in the updates time
         pdfs = [p for p in pdf_iter]
-        rows = pd.concat(pdfs).sort_values(["ts_us", "event_id"])
-        seq = list(rows["event_type"])
+        one = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs)
+        order = np.lexsort(
+            (one["event_id"].to_numpy(), one["ts_us"].to_numpy())
+        )
+        seq = list(one["event_type"].to_numpy()[order])
         if state.exists:
             (last,) = state.get
             seq = [last] + seq
@@ -942,7 +974,9 @@ def run_s16_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    outs = _run_availablenow(out, mode="update")
+    outs = _run_availablenow(
+        out, mode="update", state_partitions=PYTHON_STATE_SHUFFLE_PARTITIONS
+    )
     trans = outs.groupBy("src", "dst").agg(F.sum("cnt").alias("cnt"))
     tot = trans.groupBy("src").agg(F.sum("cnt").alias("__tot"))
     return (
@@ -1083,11 +1117,20 @@ def run_s19_streaming_conversions(spark: SparkSession, sf_dir: str) -> DataFrame
 
     def update(key, pdf_iter, state: GroupState):
         (user_id,) = key
-        rows = pd.concat(list(pdf_iter)).sort_values(["ts_us", "event_id"])
+        import numpy as np
+
+        # numpy lexsort instead of pd.concat + sort_values per key —
+        # same (ts_us, event_id) total order, none of the per-key
+        # DataFrame re-index overhead (the s16 fix)
+        pdfs = list(pdf_iter)
+        one = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs)
+        ts_a = one["ts_us"].to_numpy()
+        eid_a = one["event_id"].to_numpy()
+        order = np.lexsort((eid_a, ts_a))
         last_view = state.get[0] if state.exists else None
         out_ids, out_gaps = [], []
         for ts, eid, et in zip(
-            rows["ts_us"], rows["event_id"], rows["event_type"]
+            ts_a[order], eid_a[order], one["event_type"].to_numpy()[order]
         ):
             if et == "view":
                 last_view = int(ts)
@@ -1115,7 +1158,9 @@ def run_s19_streaming_conversions(spark: SparkSession, sf_dir: str) -> DataFrame
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    outs = _run_availablenow(out, mode="update")
+    outs = _run_availablenow(
+        out, mode="update", state_partitions=PYTHON_STATE_SHUFFLE_PARTITIONS
+    )
     return outs.select("user_id", "purchase_event_id", "gap_us").orderBy(
         "purchase_event_id"
     )
@@ -1454,7 +1499,9 @@ def run_s24_stream_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    outs = _run_availablenow(enriched, mode="append")
+    outs = _run_availablenow(
+        enriched, mode="append", state_partitions=PYTHON_STATE_SHUFFLE_PARTITIONS
+    )
     return outs.select("event_id", "user_id", "ts_us", "attr", "cents").orderBy(
         "event_id"
     )
