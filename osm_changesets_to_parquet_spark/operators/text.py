@@ -371,49 +371,75 @@ def _bpe_rounds_kernel(vocab: DataFrame, n_merges: int):
     Equivalence is pinned by tests/test_round6_ops.py (kernel vs
     retained spelling on the fixture corpus + hand cases) and the
     hypothesis reference test in test_operator_properties.py.
+
+    Single-pass dual output (ADVICE r13): the kernel emits the merged
+    vocabulary AND the winner table as union-typed rows from ONE
+    ``mapInPandas`` pass, so a caller consuming both never re-runs the
+    training or the upstream word-count aggregation; single-output
+    callers pay the same one pass (the extra rows crossing the
+    boundary are the KB-sized other half, filtered JVM-side).
     """
 
-    def _train(emit: str):
-        def run(batches):
-            import pandas as pd
+    def run(batches):
+        import pandas as pd
 
-            ws: list[str] = []
-            wcs: list[int] = []
-            for pdf in batches:
-                ws.extend(pdf["w"].tolist())
-                wcs.extend(int(x) for x in pdf["wc"].tolist())
-            seqs = [" " + "  ".join(w) + " " for w in ws]
-            out_rounds: list[tuple[int, str, str, int]] = []
-            for r in range(1, n_merges + 1):
-                counts: dict[tuple[str, str], int] = {}
-                for seq, wc in zip(seqs, wcs):
-                    syms = seq.strip(" ").split("  ")
-                    if len(syms) >= 2:
-                        for a, b in zip(syms, syms[1:]):
-                            counts[(a, b)] = counts.get((a, b), 0) + wc
-                if not counts:
-                    continue
-                cnt, left, right = min(
-                    (-c, l, rr) for (l, rr), c in counts.items()
-                )
-                out_rounds.append((r, left, right, -cnt))
-                pat = f" {left}  {right} "
-                rep = f" {left}{right} "
-                seqs = [s.replace(pat, rep) for s in seqs]
-            if emit == "winners":
-                yield pd.DataFrame(
-                    out_rounds, columns=["round", "l", "r", "cnt"]
-                ).astype({"round": "int64", "cnt": "int64"})
-            else:
-                yield pd.DataFrame({"w": ws, "seq": seqs, "wc": wcs})
+        ws: list[str] = []
+        wcs: list[int] = []
+        for pdf in batches:
+            ws.extend(pdf["w"].tolist())
+            wcs.extend(int(x) for x in pdf["wc"].tolist())
+        seqs = [" " + "  ".join(w) + " " for w in ws]
+        out_rounds: list[tuple[int, str, str, int]] = []
+        for r in range(1, n_merges + 1):
+            counts: dict[tuple[str, str], int] = {}
+            for seq, wc in zip(seqs, wcs):
+                syms = seq.strip(" ").split("  ")
+                if len(syms) >= 2:
+                    for a, b in zip(syms, syms[1:]):
+                        counts[(a, b)] = counts.get((a, b), 0) + wc
+            if not counts:
+                continue
+            cnt, left, right = min(
+                (-c, l, rr) for (l, rr), c in counts.items()
+            )
+            out_rounds.append((r, left, right, -cnt))
+            pat = f" {left}  {right} "
+            rep = f" {left}{right} "
+            seqs = [s.replace(pat, rep) for s in seqs]
+        yield pd.DataFrame(
+            {
+                "kind": ["v"] * len(ws),
+                "w": ws,
+                "seq": seqs,
+                "wc": pd.Series(wcs, dtype="int64"),
+                "round": pd.Series([None] * len(ws), dtype="Int64"),
+                "l": [None] * len(ws),
+                "r": [None] * len(ws),
+                "cnt": pd.Series([None] * len(ws), dtype="Int64"),
+            }
+        )
+        yield pd.DataFrame(
+            {
+                "kind": ["m"] * len(out_rounds),
+                "w": [None] * len(out_rounds),
+                "seq": [None] * len(out_rounds),
+                "wc": pd.Series([None] * len(out_rounds), dtype="Int64"),
+                "round": pd.Series(
+                    [t[0] for t in out_rounds], dtype="int64"
+                ),
+                "l": [t[1] for t in out_rounds],
+                "r": [t[2] for t in out_rounds],
+                "cnt": pd.Series([t[3] for t in out_rounds], dtype="int64"),
+            }
+        )
 
-        return run
-
-    one = vocab.repartition(1)
-    cur = one.mapInPandas(_train("vocab"), "w string, seq string, wc long")
-    winners = one.mapInPandas(
-        _train("winners"), "round long, l string, r string, cnt long"
+    both = vocab.repartition(1).mapInPandas(
+        run,
+        "kind string, w string, seq string, wc long, "
+        "round long, l string, r string, cnt long",
     )
+    cur = both.where(F.col("kind") == "v").select("w", "seq", "wc")
+    winners = both.where(F.col("kind") == "m").select("round", "l", "r", "cnt")
     return cur, winners
 
 
