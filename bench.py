@@ -533,7 +533,11 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
-    assert len(headline) < 1500, f"headline line too long: {len(headline)}"
+    # the driver captures the LAST ~2000 chars of stdout and parses the
+    # final line as JSON: the headline must fit whole inside that tail.
+    # 1800 leaves margin for the trailing newline; the worst case (5
+    # contended attempts + t1_minq) measures ~1550 bytes.
+    assert len(headline) < 1800, f"headline line too long: {len(headline)}"
     print(headline, flush=True)
     spark.stop()
 

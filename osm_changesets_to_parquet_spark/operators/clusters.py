@@ -92,6 +92,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iters: int = 50,
+    local_finish_max_edges: int = _LOCAL_FINISH_MAX_EDGES,
 ) -> DataFrame:
     """Resolve components of the undirected pair graph.
 
@@ -139,7 +140,7 @@ def connected_components(
     edges = truncate_lineage(
         edges.observe(size_obs, F.count(F.lit(1)).alias("n"))
     )
-    if (size_obs.get["n"] or 0) <= _LOCAL_FINISH_MAX_EDGES:
+    if (size_obs.get["n"] or 0) <= local_finish_max_edges:
         return _components_single_task(edges)
 
     labels = truncate_lineage(

@@ -64,9 +64,17 @@ def test_connected_components_matches_union_find(spark, pairs):
         [(min(a, b), max(a, b)) for a, b in pairs], columns=["id_a", "id_b"]
     ).drop_duplicates()
     df = spark.createDataFrame(pdf)
+    # default cap: these small graphs take the r14 single-task
+    # union-find finish — checked against the independent reference
     got = {r.id: r.label for r in connected_components(df).collect()}
     want = _union_find([tuple(r) for r in pdf.itertuples(index=False)])
     assert got == want
+    # cap 0: the ITERATIVE min-label path must produce the same labels
+    got_iter = {
+        r.id: r.label
+        for r in connected_components(df, local_finish_max_edges=0).collect()
+    }
+    assert got_iter == want
 
 
 @given(
@@ -130,7 +138,12 @@ def test_connected_components_unconverged_falls_back_to_star(spark):
         warnings.simplefilter("always")
         got = {
             r.id: r.label
-            for r in connected_components(pairs, max_iters=8).collect()
+            # local_finish_max_edges=0 bypasses the r14 single-task
+            # union-find (which would solve this 59-edge path without
+            # ever iterating) so the ITERATIVE guard stays exercised
+            for r in connected_components(
+                pairs, max_iters=8, local_finish_max_edges=0
+            ).collect()
         }
     assert got == {i: 0 for i in range(n)}
     assert any(
@@ -155,7 +168,11 @@ def test_connected_components_diameter_equals_max_iters_converges(spark):
         warnings.simplefilter("always")
         got = {
             r.id: r.label
-            for r in connected_components(pairs, max_iters=n - 1).collect()
+            # bypass the r14 local finish: this pins the ITERATIVE
+            # path's spare confirming round (ADVICE r11)
+            for r in connected_components(
+                pairs, max_iters=n - 1, local_finish_max_edges=0
+            ).collect()
         }
     assert got == {i: 0 for i in range(n)}
     assert not any(issubclass(w.category, RuntimeWarning) for w in caught)
