@@ -280,27 +280,45 @@ SELECT (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) FROM deg) AS n_nodes,
         "triangle counting over the part co-purchase graph with "
         "DEGREE ORIENTATION (Suri & Vassilvitskii 2011 / Latapy's "
         "compact-forward, public): every undirected edge points from "
-        "its lower-(degree, id) endpoint, so wedges enumerate per "
-        "SOURCE with out-degree bounded by O(sqrt(m)) — the hub whose "
-        "naive wedge count is deg² contributes almost none as a "
-        "source; each triangle is counted exactly once (its "
-        "lowest-ordered vertex roots the wedge) and closed by ONE "
-        "semi-join of wedges against the oriented edge list.  Every "
-        "join is an equi-join on vertex keys — the 100 TB shuffle "
-        "story of distributed triangle counting"
+        "its lower-(degree, id) endpoint, so out-degree is bounded by "
+        "O(sqrt(m)) — the hub whose naive wedge count is deg² "
+        "contributes almost none as a source; each triangle is "
+        "counted exactly once (at its source-top oriented edge) as "
+        "size(array_intersect(outadj(s), outadj(t))) summed over "
+        "oriented edges — the in-row intersection replaces the "
+        "pre-r14 41M-row wedge join + semi-join, nothing materialized "
+        "at wedge cardinality (the q308 discipline)"
     ),
     tables=("lineitem",),
 )
 def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
-    inc = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
+    # r14 respell — the q308 playbook applied to the pure count: the
+    # pre-r14 plan materialized 41M oriented wedges through a
+    # SortMergeJoin and semi-joined them against the edge set; now the
+    # oriented out-adjacency collects to one array per node (out-degree
+    # O(sqrt m) by the degree orientation — hub-safe) and the triangle
+    # count is SUM(size(array_intersect(adj(s), adj(t)))) over the
+    # oriented edges — each triangle counted exactly once at its
+    # source-top edge, nothing materialized at wedge cardinality, no
+    # explode at all.  The build expands pairs-per-order in-row from
+    # one collect_set per order (the q323/q308 build respell).
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    e = truncate_lineage(
+        per_order.select(F.explode("ps").alias("u"), "ps")
+        .select(
+            "u",
+            F.explode(F.filter("ps", lambda y: y > F.col("u"))).alias("v"),
+        )
         .distinct()
     )
-    a = inc.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = inc.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    e = a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
-    deg = (
+    deg = truncate_lineage(
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
@@ -311,29 +329,33 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_first = (F.col("d_u") < F.col("d_v")) | (
         (F.col("d_u") == F.col("d_v")) & (F.col("u") < F.col("v"))
     )
-    o = (
-        e.join(du, "u")
-        .join(dv, "v")
+    o = truncate_lineage(
+        e.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
         .select(
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
     )
-    oa = o.select(F.col("s").alias("ws"), F.col("t").alias("x"))
-    ob = o.select(F.col("s").alias("ws"), F.col("t").alias("y"))
-    wedge = oa.join(ob, "ws").where(F.col("x") < F.col("y")).select("x", "y")
-    # close the wedge: the third edge may be oriented either way, so
-    # normalize it to the undirected (min, max) key — keeps the close
-    # an EQUI-semi-join (an OR of conjunctions would plan as a
-    # nested-loop join)
-    undirected = o.select(
-        F.least("s", "t").alias("x"), F.greatest("s", "t").alias("y")
+    adj = o.groupBy("s").agg(F.collect_list("t").alias("ns"))
+    adj_t = adj.select(F.col("s").alias("t"), F.col("ns").alias("nt"))
+    # LEFT join on t: an orientation sink (out-degree 0) has no adj row
+    tri = (
+        o.join(F.broadcast(adj), "s")
+        .join(F.broadcast(adj_t), "t", "left")
+        .select(
+            F.size(
+                F.array_intersect(
+                    "ns", F.coalesce("nt", F.array().cast("array<long>"))
+                )
+            ).alias("c")
+        )
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles"))
     )
-    closed = wedge.join(undirected, ["x", "y"], "semi")
     return (
         deg.agg(F.count(F.lit(1)).alias("n_nodes"))
         .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
-        .crossJoin(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .crossJoin(tri)
     )
 
 
