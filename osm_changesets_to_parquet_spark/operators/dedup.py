@@ -1012,20 +1012,30 @@ def jaccard_prefix_pairs(
     admits true Jaccard as low as t - 0.00005; candidates are therefore
     generated at ``t - 0.001`` so the prefix lemma covers every pair
     the rounded filter can pass.
+
+    Verification (respelled r14, the q308/q218 discipline): each
+    candidate pair intersects the two docs' distinct shingle-hash
+    ARRAYS in-row (``size(array_intersect(ha, hb))``) instead of
+    fanning every candidate out over side-a's shingles and equi-joining
+    side-b's — the explode+join+count paid two shuffles at candidate x
+    set-size cardinality for what is a per-pair set intersection the
+    rows already carry.  Cost is the same O(candidates x avg set size)
+    hash ops, but inside codegen with nothing materialized.
     """
-    ex = truncate_lineage(
+    sets = truncate_lineage(
         shingles(docs, text_col, n).select(
             F.col(id_col).alias("id"),
-            F.explode(F.array_distinct("shingle_hashes")).alias("h"),
+            F.array_distinct("shingle_hashes").alias("hs"),
         )
     )
+    ex = sets.select("id", F.explode("hs").alias("h"))
     from pyspark.sql.window import Window
 
     t_gen = max(0.0, threshold - 0.001)
     freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("f"))
     w = Window.partitionBy("id").orderBy("f", "h")
     pos = ex.join(freq, "h").select("id", "h", F.row_number().over(w).alias("r"))
-    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = sets.select("id", F.size("hs").cast("long").alias("sz"))
     pref = (
         pos.join(sizes, "id")
         .where(
@@ -1041,17 +1051,18 @@ def jaccard_prefix_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    inter = (
-        cand.join(ex.select(F.col("id").alias("id_a"), "h"), "id_a")
-        .join(ex.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("nb"))
+    sa = sets.select(F.col("id").alias("id_a"), F.col("hs").alias("ha"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hb"))
     return (
-        inter.join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ha", "hb")).cast("long").alias("ni"),
+            F.size("ha").cast("long").alias("na"),
+            F.size("hb").cast("long").alias("nb"),
+        )
         .withColumn(
             "jac",
             F.round(F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")), 4),
