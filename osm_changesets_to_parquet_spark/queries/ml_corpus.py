@@ -92,16 +92,10 @@ GROUP BY k ORDER BY k
     tables=("documents",),
 )
 def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.text import bigram_stream
+
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> concat(split(text, ' ')[i - 1], ' ', "
-                "split(text, ' ')[i]))"
-            )
-        ).alias("g")
-    )
+    grams = bigram_stream(docs, keep=[])
     f = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
     # vocabulary-sized windows (|gram types|, ~900 rows)
     order = Window.orderBy(F.col("c").desc(), F.col("g"))
@@ -208,19 +202,9 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("drk"),
     )
     nd = docs.agg(F.count(F.lit(1)).alias("nd"))
-    grams = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 1), "
-                    "i -> concat(split(text, ' ')[i - 1], ' ', "
-                    "split(text, ' ')[i]))"
-                )
-            ).alias("g"),
-        )
-        .join(F.broadcast(d), "doc_id")
-    )
+    from osm_changesets_to_parquet_spark.operators.text import bigram_stream
+
+    grams = bigram_stream(docs, keep=["doc_id"]).join(F.broadcast(d), "doc_id")
     first_seen = grams.groupBy("g").agg(F.min("drk").cast("long").alias("fr"))
     per_doc = grams.groupBy("drk").agg(F.count(F.lit(1)).alias("toks"))
     ck = spark.createDataFrame([(p,) for p in _Q256_PCTS], "p LONG")
@@ -1023,16 +1007,9 @@ def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("doc_id")
     d = docs.select("doc_id", F.row_number().over(w).alias("drk"))
     nd = docs.agg(F.count(F.lit(1)).alias("nd"))
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> concat(split(text, ' ')[i - 1], ' ', "
-                "split(text, ' ')[i]))"
-            )
-        ).alias("g"),
-    ).join(F.broadcast(d), "doc_id")
+    from osm_changesets_to_parquet_spark.operators.text import bigram_stream
+
+    grams = bigram_stream(docs, keep=["doc_id"]).join(F.broadcast(d), "doc_id")
     first_seen = grams.groupBy("g").agg(F.min("drk").cast("long").alias("fr"))
     per_doc = grams.groupBy("drk").agg(F.count(F.lit(1)).alias("toks"))
     ck = docs.sparkSession.createDataFrame(

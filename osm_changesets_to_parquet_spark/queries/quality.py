@@ -1412,16 +1412,10 @@ FROM s
 def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from osm_changesets_to_parquet_spark.operators.text import bigram_stream
+
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> concat(split(text, ' ')[i - 1], ' ', "
-                "split(text, ' ')[i]))"
-            )
-        ).alias("g")
-    )
+    grams = bigram_stream(docs, keep=[])
     f = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
     order = Window.orderBy(F.col("c").desc(), F.col("g"))
     pts = f.select(
@@ -1600,16 +1594,10 @@ ORDER BY fof.r LIMIT 15
     tables=("documents",),
 )
 def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.text import bigram_stream
+
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> concat(split(text, ' ')[i - 1], ' ', "
-                "split(text, ' ')[i]))"
-            )
-        ).alias("g")
-    )
+    tok = bigram_stream(docs, keep=[])
     f = tok.groupBy("g").agg(F.count(F.lit(1)).alias("r"))
     fof = f.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
     tot = fof.agg(F.sum(F.col("r") * F.col("n_r")).alias("n"))
