@@ -1141,11 +1141,13 @@ FROM m
         "big-data bootstrap — Chamandy et al. / Google 2012, public): "
         f"each row draws {_Q196_R} Poisson(1) replicate weights from "
         "the shared Knuth id-hash against Poisson CDF literals (no "
-        "RNG — identical integer draws in both engines), replicate "
-        "means reduce in one keyed aggregate (shuffle carries R keys "
-        "after map-side partials, never the data), SE = stddev of the "
-        "replicate means; values ride integer cents so every weighted "
-        "sum is exact"
+        "RNG — identical integer draws in both engines); the per-"
+        "replicate weighted sums are 2R+2 conditional aggregates of "
+        "ONE scan — no struct/array build, no Rx row explode, and the "
+        "base mean rides the same pass (the shuffle carries one "
+        "64-column partial row per task, never the data); SE = stddev "
+        "of the replicate means; values ride integer cents so every "
+        "weighted sum is exact"
     ),
     tables=("events",),
 )
@@ -1157,47 +1159,48 @@ def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
-    # in-row: 32 (replicate, weight) pairs from the hash draw; the
-    # weight is the count of CDF thresholds at or below the draw
-    thr = F.array(*[F.lit(t) for t in _Q196_CDF])
-    reps = F.transform(
-        F.sequence(F.lit(1), F.lit(_Q196_R)),
-        lambda r: F.struct(
-            r.alias("r"),
-            F.size(
-                F.filter(
-                    thr,
-                    lambda t: t
-                    <= (
-                        (
-                            (F.col("event_id") % F.lit(ID_FOLD)) * F.lit(KNUTH)
-                            + r * F.lit(9973)
-                        )
-                        % F.lit(ID_FOLD)
-                    )
-                    % F.lit(10000),
-                )
-            ).alias("wt"),
-        ),
+    # per-replicate weighted sums as 2R+2 conditional aggregates of ONE
+    # scan (r14 respell): the old spelling built an R-element
+    # struct array per row and EXPLODED it — R x N rows through the
+    # generate + partial-agg path for what is per-row integer math.
+    # The weight (count of CDF thresholds <= the draw) unrolls to
+    # 5 comparisons summed; every replicate's (sum(wt*cents), sum(wt))
+    # pair is exact integer math, identical to the exploded aggregate.
+    hb = (F.col("event_id") % F.lit(ID_FOLD)) * F.lit(KNUTH)
+
+    def _wt(r: int):
+        h = ((hb + F.lit(r * 9973)) % F.lit(ID_FOLD)) % F.lit(10000)
+        w = None
+        for t in _Q196_CDF:
+            c = (h >= F.lit(t)).cast("int")
+            w = c if w is None else w + c
+        return w
+
+    aggs = []
+    for r in range(1, _Q196_R + 1):
+        w = _wt(r)
+        aggs.append(F.sum(w * F.col("cents")).alias(f"s{r}"))
+        aggs.append(F.sum(w).alias(f"w{r}"))
+    aggs.append(F.sum("cents").alias("sc"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    one = e.agg(*aggs)
+    # rep means spelled exactly as the keyed aggregate did:
+    # sum(wt*cents) / double(sum(wt)) / 100.0
+    rep_means = F.array(
+        *[
+            F.col(f"s{r}") / F.col(f"w{r}").cast("double") / F.lit(100.0)
+            for r in range(1, _Q196_R + 1)
+        ]
     )
-    w = e.select("cents", F.explode(reps).alias("rw")).select(
-        "cents", F.col("rw.r").alias("r"), F.col("rw.wt").alias("wt")
-    )
-    m = w.groupBy("r").agg(
-        (
-            F.sum(F.col("wt") * F.col("cents"))
-            / F.sum("wt").cast("double")
-            / F.lit(100.0)
-        ).alias("rep_mean")
-    )
-    base = e.agg(
+    rep = one.select(
         F.round(
-            F.sum("cents") / F.count(F.lit(1)).cast("double") / F.lit(100.0), 6
-        ).alias("mean_value")
+            F.col("sc") / F.col("n").cast("double") / F.lit(100.0), 6
+        ).alias("mean_value"),
+        F.explode(rep_means).alias("rep_mean"),
     )
-    se = m.agg(F.round(F.stddev("rep_mean"), 6).alias("bootstrap_se"))
     return (
-        base.crossJoin(F.broadcast(se))
+        rep.groupBy("mean_value")
+        .agg(F.round(F.stddev("rep_mean"), 6).alias("bootstrap_se"))
         .select(
             F.lit(_Q196_R).cast("long").alias("n_replicates"),
             "mean_value",
