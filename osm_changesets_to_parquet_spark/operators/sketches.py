@@ -45,11 +45,17 @@ def cms_build(tokens: DataFrame, token_col: str = "token") -> DataFrame:
     One pass: per-row hash fold, explode into CMS_DEPTH (j, bucket)
     pairs, keyed count.  The shuffle carries at most depth x width
     counters after map-side combine.
+
+    The token hash is the vectorized Arrow kernel and is materialized
+    ONCE per row (r14): inlining the interpreted HOF fold into the
+    CMS_DEPTH bucket expressions re-evaluated it per sketch row.
     """
-    th = char_hash(F.col(token_col))
-    rows = tokens.select(
+    from osm_changesets_to_parquet_spark.operators import fasthash
+
+    hashed = tokens.select(fasthash.char_hash_udf(F.col(token_col)).alias("__th"))
+    rows = hashed.select(
         F.posexplode(
-            F.array(*[cms_bucket(th, j) for j in range(CMS_DEPTH)])
+            F.array(*[cms_bucket(F.col("__th"), j) for j in range(CMS_DEPTH)])
         ).alias("j", "bucket")
     )
     return rows.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))

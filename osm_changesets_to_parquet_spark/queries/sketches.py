@@ -324,7 +324,11 @@ FROM h
     tables=("lineitem",),
 )
 def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osm_changesets_to_parquet_spark.operators.dedup import char_hash
+    # vectorized char-hash kernel (r14): the interpreted HOF fold ran
+    # per character of every row string; byte-identical integers —
+    # pinned by the char-hash arm of
+    # test_fasthash_kernels_equal_hof_spellings
+    from osm_changesets_to_parquet_spark.operators import fasthash
 
     li = load_table(spark, sf_dir, "lineitem")
     row = F.concat_ws(
@@ -334,7 +338,7 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey"),
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"),
     )
-    h = li.select(char_hash(row).alias("rh"))
+    h = li.select(fasthash.char_hash_udf(row).alias("rh"))
     return h.agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.sum(F.col("rh").cast("decimal(38,0)")) % F.lit(_P))

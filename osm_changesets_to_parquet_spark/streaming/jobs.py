@@ -1057,18 +1057,24 @@ def run_s18_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 token estimates hash-match the same SQL oracle as q80 (the
     update-mode consumer takes each key's value at its max __bid).
     """
+    from osm_changesets_to_parquet_spark.operators import fasthash
     from osm_changesets_to_parquet_spark.operators import sketches as S
-    from osm_changesets_to_parquet_spark.operators.dedup import char_hash
 
     base = prepare_docs_replay_dir(spark, sf_dir)
     stream = _read_stream(spark, base)
-    th = char_hash(F.col("token"))
-    rows = stream.select(
-        F.explode(F.split("text", " ")).alias("token")
-    ).select(
-        F.posexplode(
-            F.array(*[S.cms_bucket(th, j) for j in range(S.CMS_DEPTH)])
-        ).alias("j", "bucket")
+    # vectorized char-hash kernel, materialized once per token (r14):
+    # the interpreted HOF fold was inlined into all CMS_DEPTH bucket
+    # expressions — re-evaluated per sketch row per character
+    rows = (
+        stream.select(F.explode(F.split("text", " ")).alias("token"))
+        .select(fasthash.char_hash_udf(F.col("token")).alias("__th"))
+        .select(
+            F.posexplode(
+                F.array(
+                    *[S.cms_bucket(F.col("__th"), j) for j in range(S.CMS_DEPTH)]
+                )
+            ).alias("j", "bucket")
+        )
     )
     counts = rows.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
     out = _run_availablenow(counts, mode="update")
@@ -1450,6 +1456,8 @@ def run_s24_stream_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def update(key, pdf_iter, state: GroupState):
+        import numpy as np
+
         (user_id,) = key
         if state.exists:
             s_ts, s_eid, s_attr = state.get
@@ -1457,24 +1465,44 @@ def run_s24_stream_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             s_ts = s_eid = s_attr = 0
             has = False
-        frames = [pdf for pdf in pdf_iter]
-        pdf = pd.concat(frames) if frames else pd.DataFrame(
-            columns=["user_id", "event_id", "ts_us", "event_type", "value"]
-        )
-        pdf["kind"] = (pdf["event_type"] == "purchase").astype(int)
-        pdf = pdf.sort_values(["ts_us", "kind", "event_id"])
-        out_eid, out_ts, out_attr, out_cents = [], [], [], []
-        for r in pdf.itertuples():
-            if r.kind == 0:
-                x = float(r.value) * 100  # cents, round half away (SQL ROUND)
-                s_attr = int(x + 0.5) if x >= 0 else -int(-x + 0.5)
-                s_ts, s_eid, has = int(r.ts_us), int(r.event_id), True
-            elif has:
-                x = float(r.value) * 100
-                out_eid.append(int(r.event_id))
-                out_ts.append(int(r.ts_us))
-                out_attr.append(s_attr)
-                out_cents.append(int(x + 0.5) if x >= 0 else -int(-x + 0.5))
+        # vectorized state machine (r14, the s16/s19 §4 fix): one numpy
+        # lexsort over the raw arrays replaces pd.concat + sort_values
+        # per KEY, and a signup->purchase forward-fill replaces the
+        # per-row itertuples loop — the active signup for each purchase
+        # is the LAST signup index at-or-before it in (ts, kind, eid)
+        # order, exactly the sequential scan's state variable
+        pdfs = [p for p in pdf_iter]
+        one = pdfs[0] if len(pdfs) == 1 else (pd.concat(pdfs) if pdfs else None)
+        out_eid = out_ts = out_attr = out_cents = []
+        if one is not None and len(one):
+            ts = one["ts_us"].to_numpy()
+            eid = one["event_id"].to_numpy()
+            kind = (one["event_type"].to_numpy() == "purchase").astype(np.int8)
+            val = one["value"].to_numpy(dtype=np.float64)
+            order = np.lexsort((eid, kind, ts))
+            ts, eid, kind, val = ts[order], eid[order], kind[order], val[order]
+            # cents, round half away from zero (SQL ROUND) — same float
+            # path as the scalar int(x + 0.5) truncation it replaces
+            x = val * 100.0
+            cents = np.where(
+                x >= 0, np.floor(x + 0.5), -np.floor(-x + 0.5)
+            ).astype(np.int64)
+            sig = kind == 0
+            last_sig = np.maximum.accumulate(
+                np.where(sig, np.arange(len(ts)), -1)
+            )
+            pur = (kind == 1) & ((last_sig >= 0) | has)
+            attr_arr = np.where(
+                last_sig >= 0, cents[np.maximum(last_sig, 0)], s_attr
+            )
+            out_eid = eid[pur]
+            out_ts = ts[pur]
+            out_attr = attr_arr[pur]
+            out_cents = cents[pur]
+            if sig.any():
+                j = int(np.flatnonzero(sig)[-1])
+                s_ts, s_eid, s_attr = int(ts[j]), int(eid[j]), int(cents[j])
+                has = True
         if has:
             # never materialize a sentinel state: a user with no signup
             # yet must stay stateless, or the next batch would read
