@@ -491,17 +491,50 @@ def semdedup(
     )
 
     assigned, _centroids = ivf_build(embeddings, n_cells=n_cells)
-    a = assigned.select(
-        F.col("cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+
+    # Per-cell pairwise cosine as ONE numpy kernel per cell (r14,
+    # guide §4.2 — the q115 kmeans-kernel discipline): the self-join
+    # spelling evaluated the interpreted HOF dot/norm fold per PAIR per
+    # element.  Bit-exactness: the gram matrix accumulates with ONE
+    # outer product per dimension in index order — each pair's dot is
+    # ((v_a0*v_b0) + v_a1*v_b1) + ... , the identical IEEE addition
+    # chain as the zip_with+aggregate fold; the squared norms
+    # accumulate the same way, and cosine divides by
+    # (sqrt(na)*sqrt(nb)) in the fold's operation order.  The kernel
+    # pre-filters at threshold - 1e-4 (JVM ROUND(,4) can lift a value
+    # by at most 5e-5) and the EXACT rounded filter stays JVM-side, so
+    # the surviving pair set is byte-identical to the join spelling.
+    def _cell_pairs(pdf):
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        gram = np.zeros((n, n))
+        nrm = np.zeros(n)
+        for j in range(V.shape[1]):
+            c = V[:, j]
+            gram += np.outer(c, c)
+            nrm += c * c
+        rt = np.sqrt(nrm)
+        sim = gram / (rt[:, None] * rt[None, :])
+        iu, ju = np.triu_indices(n, 1)
+        keep = sim[iu, ju] >= threshold - 1e-4
+        iu, ju = iu[keep], ju[keep]
+        ia, ib = ids[iu], ids[ju]
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "sim": sim[iu, ju]}
+        ).astype({"id_a": "int64", "id_b": "int64", "sim": "float64"})
+
+    cand = assigned.select("cell", id_col, vec_col).groupBy("cell").applyInPandas(
+        _cell_pairs, "id_a long, id_b long, sim double"
     )
-    b = assigned.select(
-        F.col("cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
-    sim = F.round(cosine_similarity_col(F.col("va"), F.col("vb")), 4)
     pairs = (
-        a.join(b, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("sim"))
+        cand.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
         .where(F.col("sim") >= threshold)
     )
     comp = connected_components(pairs).withColumnRenamed("id", id_col)
