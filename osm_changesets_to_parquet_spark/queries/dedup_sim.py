@@ -1583,8 +1583,18 @@ FROM closed
     tables=("documents",),
 )
 def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_changesets_to_parquet_spark.operators.iterutils import (
+        truncate_lineage,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, threshold=0.3).select("id_a", "id_b")
+    # the pair table feeds FOUR consumers (both symmetrized sides, the
+    # closing semi-join probe, and the pair count): jaccard_pairs
+    # checkpoints its shingle SETS but not the co-occurrence join, so
+    # without a cut the join subtree re-executes per consumer (r14)
+    pairs = truncate_lineage(
+        D.jaccard_pairs(docs, threshold=0.3).select("id_a", "id_b")
+    )
     sym = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
