@@ -22,6 +22,49 @@ from pyspark.sql import functions as F
 from osm_changesets_to_parquet_spark.operators.iterutils import truncate_lineage
 
 
+def copurchase_pairs(
+    li: DataFrame,
+    min_orders: int = 2,
+    src: str = "u",
+    dst: str = "v",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Co-purchase pair graph over lineitem: unordered part pairs
+    sharing at least ``min_orders`` orders (``src < dst``); optionally
+    keep the shared-order count as ``weight_col``.
+
+    The ONE authority for the build every co-purchase graph query
+    rides (q218/q238/q257/q258/q308/q323/q331/q333/q336/q342/q347):
+    pairs-per-order expand IN-ROW from one ``collect_set`` per order
+    (guide §2.3/§2.4) instead of the old inc-distinct + self-join,
+    which shuffled the 600k-row incidence list twice and materialized
+    3M join rows through a SortMergeJoin.  One shuffle (groupBy
+    orderkey, set-dedup riding it) replaces distinct + join; order
+    baskets are small (<= ~7 parts at every SF), so the k^2 in-row
+    expansion is bounded.  Each order contributes a pair at most once
+    (set semantics), so the repeat-count filter is unchanged.
+    """
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = (
+        per_order.select(F.explode("ps").alias("__p1"), "ps")
+        .select(
+            "__p1",
+            F.explode(F.filter("ps", lambda y: y > F.col("__p1"))).alias(
+                "__p2"
+            ),
+        )
+        .groupBy("__p1", "__p2")
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .where(F.col("__m") >= min_orders)
+    )
+    cols = [F.col("__p1").alias(src), F.col("__p2").alias(dst)]
+    if weight_col is not None:
+        cols.append(F.col("__m").cast("long").alias(weight_col))
+    return pairs.select(*cols)
+
+
 def triangle_count(
     edges: DataFrame,
     src_col: str = "src",

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from osm_changesets_to_parquet_spark.catalog import load_table
-from osm_changesets_to_parquet_spark.operators.graph import k_core, pagerank
+from osm_changesets_to_parquet_spark.operators.graph import (
+    copurchase_pairs,
+    k_core,
+    pagerank,
+)
 from osm_changesets_to_parquet_spark.queries import register
 
 
@@ -431,20 +435,7 @@ FROM p{_Q238_ROUNDS}
 )
 def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    inc = li.select("l_orderkey", "l_partkey").distinct()
-    a = inc.alias("a")
-    b = inc.alias("b")
-    edges = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("m"))
-        .where(F.col("m") >= 2)
-        .select("src", "dst")
-    )
+    edges = copurchase_pairs(li, src="src", dst="dst")
     core = k_core(edges, k=_Q238_K)
     nodes = core.select(F.col("u").alias("n")).unionByName(
         core.select(F.col("v").alias("n"))
@@ -530,20 +521,7 @@ def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    inc = li.select("l_orderkey", "l_partkey").distinct()
-    a = inc.alias("a")
-    b = inc.alias("b")
-    e = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("m"))
-        .where(F.col("m") >= 2)
-        .select("u", "v")
-    )
+    e = copurchase_pairs(li)
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
@@ -622,20 +600,7 @@ FROM s
 )
 def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    inc = li.select("l_orderkey", "l_partkey").distinct()
-    a = inc.alias("a")
-    b = inc.alias("b")
-    e = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("m"))
-        .where(F.col("m") >= 2)
-        .select("u", "v")
-    )
+    e = copurchase_pairs(li)
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
@@ -932,29 +897,8 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    # r14 build respell (guide §2.3/§2.4): pairs-per-order are expanded
-    # IN-ROW from one collect_set per order instead of the old
-    # inc-distinct + self-join (which shuffled the 600k-row incidence
-    # list twice and materialized 3M join rows through a SortMergeJoin).
-    # One shuffle (groupBy orderkey, set-dedup riding it) replaces
-    # distinct + join; order baskets are small (<= ~7 parts), so the
-    # k^2 in-row expansion is bounded.  Each order still contributes a
-    # pair at most once (set semantics), so the >= 2 repeat-count
-    # filter is unchanged.
-    per_order = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
-    pairs = (
-        per_order.select(F.explode("ps").alias("p1"), "ps")
-        .select(
-            "p1",
-            F.explode(F.filter("ps", lambda y: y > F.col("p1"))).alias("p2"),
-        )
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .where(F.col("m") >= 2)
-        .select("p1", "p2")
-    )
+    # in-row build, shared authority (operators.graph.copurchase_pairs)
+    pairs = copurchase_pairs(li, src="p1", dst="p2")
     comp = connected_components(pairs, "p1", "p2")
     sizes = comp.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("size")
@@ -1190,20 +1134,7 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    inc = li.select("l_orderkey", "l_partkey").distinct()
-    a = inc.alias("a")
-    b = inc.alias("b")
-    e0 = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("m"))
-        .where(F.col("m") >= 2)
-        .select("u", "v")
-    )
+    e0 = copurchase_pairs(li)
     adj = truncate_lineage(
         e0.select(F.col("u").alias("v"), F.col("v").alias("w")).unionByName(
             e0.select(F.col("v").alias("v"), F.col("u").alias("w"))
@@ -1327,20 +1258,7 @@ def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    inc = li.select("l_orderkey", "l_partkey").distinct()
-    a = inc.alias("a")
-    b = inc.alias("b")
-    e0 = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("m"))
-        .where(F.col("m") >= 2)
-        .select("u", "v")
-    )
+    e0 = copurchase_pairs(li)
     adj = truncate_lineage(
         e0.select(F.col("u").alias("v"), F.col("v").alias("w")).unionByName(
             e0.select(F.col("v").alias("v"), F.col("u").alias("w"))
@@ -1467,20 +1385,7 @@ def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    inc = li.select("l_orderkey", "l_partkey").distinct()
-    a = inc.alias("a")
-    b = inc.alias("b")
-    e = truncate_lineage(
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("m"))
-        .where(F.col("m") >= 2)
-        .select("u", "v")
-    )
+    e = truncate_lineage(copurchase_pairs(li))
     sym = truncate_lineage(
         e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
             e.select(F.col("v").alias("src"), F.col("u").alias("dst"))

@@ -15,7 +15,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from osm_changesets_to_parquet_spark.catalog import load_table
-from osm_changesets_to_parquet_spark.operators.graph import pagerank
+from osm_changesets_to_parquet_spark.operators.graph import (
+    copurchase_pairs,
+    pagerank,
+)
 from osm_changesets_to_parquet_spark.queries import register
 
 
@@ -240,17 +243,8 @@ def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = inc.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
-    a = inc.alias("a")
-    b = inc.alias("b")
-    co = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .where(F.col("c") >= _Q336_MIN_CO)
+    co = copurchase_pairs(
+        li, min_orders=_Q336_MIN_CO, src="pa", dst="pb", weight_col="c"
     )
     sym = co.select(
         F.col("pa").alias("p"), F.col("pb").alias("nbr"), "c"
@@ -781,17 +775,8 @@ def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("d")
         )
     )
-    a = inc.alias("a")
-    b = inc.alias("b")
-    co = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .where(F.col("c") >= _Q336_MIN_CO)
+    co = copurchase_pairs(
+        li, min_orders=_Q336_MIN_CO, src="pa", dst="pb", weight_col="c"
     )
     sym = co.select(
         F.col("pa").alias("p"), F.col("pb").alias("nbr"), "c"
